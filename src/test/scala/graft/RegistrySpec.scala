@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class RegistrySpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query executes on sf0.001") {
+    Registry.all.foreach { q =>
+      val n = q.fn(spark, sf).count()
+      assert(n >= 0, s"${q.name} failed")
+    }
+  }
+
+  test("every oracle key has a query and column names line up") {
+    val qm = SparkEntry.queries
+    SparkEntry.oracleSql.keys.foreach(k => assert(qm.contains(k)))
+  }
+
+  test("keep-last dedupe picks the later record") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 10.0),
+      (2L, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 20.0),
+      (3L, "b", java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 30.0))
+      .toDF("event_id", "event_type", "ts", "value")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("event_type").orderBy(col("ts").desc, col("event_id").desc)
+    val out = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val kept = out.select("event_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
+}
