@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Paginated REST extraction (extract.py:43-162) with the network boundary
+  * behind an injectable fetcher, so the whole pipeline runs offline against
+  * fixtures and the fetch policy (page cap, per_page, fail-stop) is
+  * testable.
+  *
+  * The pagination loop is driver-side, exactly like the reference — page
+  * counts are tiny (3×100) relative to the data they gate. The per-repo
+  * fan-out (issues/branches for each eligible repo) is where scale lives:
+  * each repo's pages land as rows tagged with `repo_name`
+  * (extract.py:108-110), and the resulting Dataset[String] of raw JSON is
+  * parsed into columns by Spark, not the driver.
+  */
+object Extract {
+
+  /** (endpointPath, page) => JSON array text, or None when the page is
+    * empty / past the end. Real impl would call the GitHub REST API with a
+    * bearer token (auth.py:24-39); tests inject fixture readers. */
+  type Fetcher = (String, Int) => Option[String]
+
+  final case class Config(owner: String, perPage: Int = 100, maxPages: Int = 3)
+
+  /** Page loop: accumulate page payloads until empty page or page cap. */
+  def fetchPages(fetcher: Fetcher, path: String, cfg: Config): Seq[String] =
+    (1 to cfg.maxPages).iterator
+      .map(p => fetcher(path, p))
+      .takeWhile(_.isDefined)
+      .flatten
+      .toSeq
+
+  /** Parse raw JSON page payloads into rows with an explicit ingestion
+    * ordinal — the keep-last dedupe key order. Each payload is a JSON
+    * array; `from_json` + explode preserves within-page order, and the
+    * (page, index) pair gives a total arrival order that survives any
+    * repartitioning (SURVEY §7.6 hard part #1). */
+  def parsePages(
+      spark: SparkSession,
+      pages: Seq[String],
+      schema: StructType,
+      tag: Option[(String, String)] = None): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Int, String)] = pages.zipWithIndex
+      .map { case (payload, i) => (i, payload) }.toDS()
+    val arr = org.apache.spark.sql.types.ArrayType(schema)
+    var df = ds
+      .toDF("_page", "_payload")
+      .select(col("_page"),
+        posexplode(from_json(col("_payload"), arr)).as(Seq("_pos", "rec")))
+      .withColumn("_ingest_ord",
+        col("_page").cast("long") * 1000000L + col("_pos"))
+      .select(col("rec.*"), col("_ingest_ord"))
+    tag.foreach { case (k, v) => df = df.withColumn(k, lit(v)) }
+    df
+  }
+
+  /** repos → eligibility filter (extract.py:67-69) drives the fan-out:
+    * issues and branches are fetched only for non-private, non-archived,
+    * non-fork repos, but the raw repos batch keeps ALL fetched repos
+    * (extract.py:65 extends before filtering — asymmetry preserved). */
+  def eligibleRepoNames(reposRaw: DataFrame): Seq[String] =
+    reposRaw
+      .filter(!coalesce(col("private"), lit(false)) &&
+        !coalesce(col("archived"), lit(false)) &&
+        !coalesce(col("fork"), lit(false)))
+      .select("name").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  def extractRepos(spark: SparkSession, fetcher: Fetcher, cfg: Config): DataFrame =
+    parsePages(spark,
+      fetchPages(fetcher, s"/users/${cfg.owner}/repos", cfg), Schemas.reposRaw)
+
+  def extractIssues(
+      spark: SparkSession, fetcher: Fetcher, cfg: Config,
+      repoNames: Seq[String]): DataFrame =
+    repoNames
+      .map { r =>
+        parsePages(spark,
+          fetchPages(fetcher, s"/repos/${cfg.owner}/$r/issues", cfg),
+          Schemas.issuesRaw.copy(fields =
+            Schemas.issuesRaw.fields.filterNot(_.name == "repo_name")),
+          tag = Some("repo_name" -> r))
+      }
+      .reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), Schemas.issuesRaw))
+
+  def extractBranches(
+      spark: SparkSession, fetcher: Fetcher, cfg: Config,
+      repoNames: Seq[String]): DataFrame =
+    repoNames
+      .map { r =>
+        parsePages(spark,
+          fetchPages(fetcher, s"/repos/${cfg.owner}/$r/branches", cfg),
+          Schemas.branchesRaw.copy(fields =
+            Schemas.branchesRaw.fields.filterNot(_.name == "repo_name")),
+          tag = Some("repo_name" -> r))
+      }
+      .reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), Schemas.branchesRaw))
+}

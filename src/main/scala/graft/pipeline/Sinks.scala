@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** File sinks with the reference's one-generation backup rotation
+  * (extract.py:23-34, transform.py:41-55): delete old backup, rename
+  * current to backup, write new. Spark writes directories, not files, so
+  * the rotation swaps directories via Hadoop FileSystem renames — atomic
+  * on HDFS-like stores, and exactly the generation semantics the reference
+  * gets from os.rename. */
+object Sinks {
+
+  def rotate(spark: SparkSession, dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = new Path(dir)
+    val backup = new Path(dir + "_backup")
+    if (fs.exists(current)) {
+      if (fs.exists(backup)) fs.delete(backup, true)
+      fs.rename(current, backup)
+    }
+  }
+
+  /** Parquet is the engine-native clean-layer format. */
+  def writeParquetWithRotation(df: DataFrame, dir: String): Unit = {
+    rotate(df.sparkSession, dir)
+    df.write.mode("overwrite").parquet(dir)
+  }
+
+  /** CSV for reference-faithful clean output (transform.py:41-55 wrote
+    * CSV); header on, UTF-8, same rotation. */
+  def writeCsvWithRotation(df: DataFrame, dir: String): Unit = {
+    rotate(df.sparkSession, dir)
+    df.write.mode("overwrite").option("header", "true").csv(dir)
+  }
+
+  /** Raw-layer JSON sink (extract.py:23-34 wrote pretty JSON). */
+  def writeJsonWithRotation(df: DataFrame, dir: String): Unit = {
+    rotate(df.sparkSession, dir)
+    df.write.mode("overwrite").json(dir)
+  }
+
+  /** JDBC sink in FK dependency order, github-id lineage columns dropped
+    * before load per the reference's own TODO (load.py:57). Idempotence
+    * comes from deterministic keys: overwrite (or stage + MERGE on stores
+    * that support it) always converges to the same rows. */
+  def writeJdbc(
+      tables: Seq[(String, DataFrame)],
+      url: String,
+      props: java.util.Properties): Unit =
+    tables.foreach { case (name, df) =>
+      val lineage = df.columns.filter(_.startsWith("github_"))
+      df.drop(lineage: _*)
+        .write.mode("overwrite").jdbc(url, name, props)
+    }
+}

@@ -1,9 +1,93 @@
 package graft.queries
 
-import graft.Q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
-/** GitHub-pipeline-shaped queries (UUIDv5 keys, labels/topics array ops,
-  * FK-resolution) phrased over testdata. Populated with the pipeline build. */
+import graft.{Q, T}
+import graft.expr.GraftFunctions
+
+/** GitHub-pipeline-shaped operators phrased over testdata: deterministic
+  * surrogate keys (E1), conditional key guard (F7), composite natural keys.
+  *
+  * Two key flavors:
+  *  - `uuid5` (SHA-1, RFC-exact, the reference's scheme) — verified against
+  *    the reference's committed GUIDs in NamespacedUuidSpec; registered here
+  *    WITHOUT an oracle (DuckDB has no sha1), driver does the rows-only check.
+  *  - `uuid3Label` (MD5 under a string namespace) — same operator shape,
+  *    fully expressible in DuckDB SQL, so the hash gate covers the
+  *    key-derivation logic end to end.
+  */
 object PipelineQueries {
-  val all: Seq[Q] = Seq()
+
+  /** DuckDB rendering of the md5-based surrogate key: `x` is an md5-hex
+    * SQL expression; the 13th hex digit becomes the version nibble '3' and
+    * the 17th maps through (v & 3) | 8 → one of 8/9/a/b (RFC variant). */
+  private def duckUuid3(x: String): String =
+    s"substr($x,1,8) || '-' || substr($x,9,4) || '-3' || substr($x,14,3) || '-' || " +
+      s"substr('89ab', (strpos('0123456789abcdef', substr($x,17,1)) - 1) % 4 + 1, 1) || " +
+      s"substr($x,18,3) || '-' || substr($x,21,12)"
+
+  val all: Seq[Q] = Seq(
+    // E1: deterministic surrogate key over a composite natural key
+    Q(
+      "e1_surrogate_key",
+      (s, d) =>
+        T(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            GraftFunctions
+              .uuid3Label("github.user|", col("c_name"))
+              .as("user_key"),
+            GraftFunctions
+              .uuid3Label(
+                "github.repo|",
+                concat_ws("|", col("c_mktsegment"), col("c_name")))
+              .as("segment_key"))
+          .orderBy("c_custkey"),
+      Some {
+        val userK = duckUuid3("md5('github.user|' || c_name)")
+        val segK = duckUuid3("md5('github.repo|' || c_mktsegment || '|' || c_name)")
+        s"""SELECT c_custkey, $userK AS user_key, $segK AS segment_key
+           |FROM customer ORDER BY c_custkey""".stripMargin
+      },
+      "deterministic namespaced surrogate keys over natural keys (md5 flavor)"),
+
+    // E1 (reference-exact uuid5 flavor) — no DuckDB oracle; rows-only check.
+    Q(
+      "e1_uuid5_keys",
+      (s, d) =>
+        T(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            GraftFunctions.userKey(col("c_name")).as("user_id"),
+            GraftFunctions
+              .repoKey(concat_ws("|", col("c_mktsegment"), col("c_name")))
+              .as("repo_id"))
+          .orderBy("c_custkey"),
+      None,
+      "RFC-exact uuid5 surrogate keys (reference scheme; unit-tested vectors)"),
+
+    // F7: conditional scalar guard — key only when the driving column exists
+    Q(
+      "f7_conditional_key",
+      (s, d) =>
+        T(s, d, "events")
+          .select(
+            col("event_id"),
+            when(
+              col("event_type") === "signup",
+              GraftFunctions.uuid3Label(
+                "github.user|",
+                col("user_id").cast(StringType)))
+              .otherwise(lit(null).cast(StringType))
+              .as("assignee_key"))
+          .orderBy("event_id"),
+      Some {
+        val k = duckUuid3("md5('github.user|' || CAST(user_id AS VARCHAR))")
+        s"""SELECT event_id,
+           |  CASE WHEN event_type = 'signup' THEN $k ELSE NULL END AS assignee_key
+           |FROM events ORDER BY event_id""".stripMargin
+      },
+      "conditional surrogate key: null unless the natural key is present")
+  )
 }
