@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.expr.TextHashFunctions
+
+/** Deduplication operators for a training-data pipeline (SURVEY §7.4).
+  * Every variant is shuffle-shaped for scale:
+  *
+  *  - exact: hash-groupBy on the dedupe key — one shuffle, map-side combine.
+  *  - n-gram Jaccard: explode distinct shingles, self-join on shingle,
+  *    count intersections. The `maxShingleFreq` cap drops ultra-common
+  *    shingles before the join — without it a stop-shingle appearing in
+  *    10^6 docs creates a 10^12-row join at 100 TB. Capped output is a
+  *    strict subset only when a pair shares *nothing but* hot shingles.
+  *  - MinHash-LSH: 16 minhashes → 4 bands of 4 → candidates share a band
+  *    hash → verified against true Jaccard. Candidate generation is
+  *    linear in docs (groupBy band), never all-pairs.
+  *  - SimHash: 64-bit signature per doc (native expression, no explode),
+  *    banded on 16-bit chunks; pairs verified by Hamming distance.
+  *  - embedding cosine: exact all-pairs above a threshold (baseline; the
+  *    LSH-bucketed path for scale lives in SimilarityOps).
+  */
+object DedupOps {
+
+  /** Distinct k-token shingles per document. Documents shorter than k
+    * tokens contribute their whole text as one shingle. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = split(col(textCol), " +")
+    val shs = when(size(toks) < k, array(array_join(toks, " ")))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+    df.select(col(idCol), explode(shs).as("shingle")).distinct()
+  }
+
+  /** Exact dedupe: canonical (min-id) representative per key group. */
+  def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame =
+    df.groupBy(keyCols: _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
+
+  /** All pairs with n-gram Jaccard >= threshold.
+    * @param maxShingleFreq drop shingles occurring in more docs (skew/scale
+    *        guard); None = exact. */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh0 = shingles(df, idCol, textCol, k)
+    val sh = maxShingleFreq match {
+      case Some(cap) =>
+        val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("f"))
+          .filter(col("f") > cap).select("shingle")
+        sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+      case None => sh0
+    }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = sh.select(col(idCol).as("a"), col("shingle"))
+    val b = sh.select(col(idCol).as("b"), col("shingle"))
+    val common = a.join(b, "shingle")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col(idCol).as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard",
+        col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** 16 minhash values per doc as columns m0..m15 (single shuffle). */
+  def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int = 16): DataFrame = {
+    val hashed = sh.select(
+      col(idCol),
+      explode(transform(
+        sequence(lit(0), lit(numHashes - 1)),
+        i => struct(i.as("pos"), xxhash64(col("shingle"), i).as("h"))))
+        .as("ph"))
+      .select(col(idCol), col("ph.pos"), col("ph.h"))
+    val aggs = (0 until numHashes).map(i =>
+      min(when(col("pos") === i, col("h"))).as(s"m$i"))
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: same hash in any band of `rowsPerBand` sigs. */
+  def minhashLshCandidates(
+      sigs: DataFrame, idCol: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { bnd =>
+      val cs = (bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i"))
+      struct(lit(bnd).as("band"), xxhash64(cs: _*).as("bh"))
+    }
+    val banded = sigs
+      .select(col(idCol), explode(array(bandCols: _*)).as("b"))
+      .select(col(idCol), col("b.band"), col("b.bh"))
+    banded.as("x")
+      .join(banded.as("y"), Seq("band", "bh"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup: candidates, then exact-Jaccard verify —
+    * the standard recall/precision split (LSH recalls, verify filters). */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k)
+    val cands = minhashLshCandidates(
+      minhashSignatures(sh, idCol, numHashes), idCol, numHashes, bands)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = sh.select(col(idCol).as("a"), col("shingle"))
+    val b = sh.select(col(idCol).as("b"), col("shingle"))
+    val common = a.join(b, "shingle").filter(col("a") < col("b"))
+      .join(cands, Seq("a", "b"), "left_semi")
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col(idCol).as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard",
+        col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming. Banding
+    * on 16-bit chunks guarantees recall for maxHamming <= 3 (pigeonhole:
+    * 4 bands, at most 3 differing bits → one band identical). */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16 banding guarantees recall only to 3 bits")
+    val sigs = df.select(col(idCol),
+      TextHashFunctions.simhash64(split(col(textCol), " +")).as("sim"))
+    val banded = sigs.select(col(idCol), col("sim"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("sim"), i * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*))
+        .as("b"))
+      .select(col(idCol), col("sim"), col("b.band"), col("b.bh"))
+    banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact cosine near-dup over embeddings (brute-force baseline). */
+  def embeddingNearDupPairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = SimilarityOps.withNorm(
+      emb.select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+    val a = v.select(col(idCol).as("a"), col("v").as("va"), col("nrm").as("na"))
+    val b = v.select(col(idCol).as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(b)
+      .filter(col("a") < col("b"))
+      .withColumn("cosine",
+        SimilarityOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+}

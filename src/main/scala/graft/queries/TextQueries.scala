@@ -1,9 +1,98 @@
 package graft.queries
 
-import graft.Q
+import org.apache.spark.sql.functions._
 
-/** Text analysis over `documents`: language-ID, quality scoring, token
-  * counting, fingerprinting. */
+import graft.{Q, T}
+import graft.expr.TextHashFunctions
+import graft.ops.TextOps
+
+/** Text analysis over `documents`: token counting, quality scoring,
+  * language-ID, hash fingerprints. All but the fingerprints (which use
+  * engine-native 64-bit hashes) are oracle-checked. */
 object TextQueries {
-  val all: Seq[Q] = Seq()
+
+  private def inList(items: Seq[String]): String =
+    items.map(s => s"'$s'").mkString("(", ",", ")")
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "text_stats",
+      (s, d) =>
+        TextOps
+          .qualityScore(T(s, d, "documents"), "text")
+          .select("doc_id", "n_tokens", "n_chars", "alpha_ratio",
+            "stopword_ratio", "mean_token_len")
+          .orderBy("doc_id"),
+      Some {
+        val stop = inList(TextOps.Stopwords)
+        s"""SELECT doc_id,
+           |  CAST(len(string_split_regex(text, ' +')) AS INTEGER) AS n_tokens,
+           |  CAST(length(text) AS INTEGER) AS n_chars,
+           |  CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE)
+           |    / greatest(length(text), 1) AS alpha_ratio,
+           |  CAST(len(list_filter(string_split_regex(text, ' +'), t -> t IN $stop)) AS DOUBLE)
+           |    / greatest(len(string_split_regex(text, ' +')), 1) AS stopword_ratio,
+           |  CAST(length(text) - (len(string_split_regex(text, ' +')) - 1) AS DOUBLE)
+           |    / greatest(len(string_split_regex(text, ' +')), 1) AS mean_token_len
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+      "token count + quality signals (alpha/stopword ratios, mean token len)"),
+
+    Q(
+      "text_langid",
+      (s, d) =>
+        T(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextOps.langId(col("text")).as("lang_pred"))
+          .orderBy("doc_id"),
+      Some {
+        val v = TextOps.Lexicons.map { case (lang, lex) =>
+          lang ->
+            s"len(list_filter(string_split_regex(lower(text), ' +'), t -> t IN ${inList(lex)}))"
+        }.toMap
+        // same argmax-with-first-wins as the Spark fold
+        s"""SELECT doc_id, lang,
+           |  CASE
+           |    WHEN v_zh > greatest(v_de, v_en, v_es, v_fr) THEN 'zh'
+           |    WHEN v_fr > greatest(v_de, v_en, v_es) THEN 'fr'
+           |    WHEN v_es > greatest(v_de, v_en) THEN 'es'
+           |    WHEN v_en > v_de THEN 'en'
+           |    ELSE 'de' END AS lang_pred
+           |FROM (SELECT doc_id, lang,
+           |        ${v("de")} AS v_de, ${v("en")} AS v_en, ${v("es")} AS v_es,
+           |        ${v("fr")} AS v_fr, ${v("zh")} AS v_zh
+           |      FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      },
+      "lexicon-vote language ID, deterministic first-wins argmax"),
+
+    Q(
+      "text_fingerprint",
+      (s, d) =>
+        T(s, d, "documents")
+          .select(
+            col("doc_id"),
+            TextHashFunctions.simhash64(TextOps.tokens(col("text")))
+              .as("simhash"),
+            TextHashFunctions.fingerprint64(col("text"), 8)
+              .as("fingerprint"))
+          .orderBy("doc_id"),
+      None,
+      "SimHash + winnowing fingerprint via native codegen expressions"),
+
+    Q(
+      "text_token_explode_topk",
+      (s, d) =>
+        T(s, d, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(20),
+      Some("""SELECT token, COUNT(*) AS n
+             |FROM (SELECT unnest(string_split_regex(text, ' +')) AS token
+             |      FROM documents)
+             |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin),
+      "corpus token frequency top-k (explode + aggregate + ordered limit)")
+  )
 }

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming face of the incremental pipeline. The reference's
+  * "incremental" mechanics — re-runs over a raw directory, keep-last by
+  * arrival order, union-accumulate dimensions (transform.py:442-445) —
+  * map onto Spark streaming primitives:
+  *
+  *  - raw layer = a file-source stream: every new JSON batch dropped into
+  *    the directory becomes a micro-batch (the reference's re-run loop,
+  *    without the re-run).
+  *  - keep-last / upsert = `dropDuplicates` over the natural key with a
+  *    watermark bounding state ("first wins per key within the watermark"
+  *    — the streaming dual of the batch keep-last: batch replays history
+  *    and keeps the newest, the stream sees the newest first and keeps it).
+  *  - accumulated dimensions = streaming dedupe state itself: the
+  *    users/owners tables ARE the distinct-key state, emitted in append
+  *    mode as new keys arrive.
+  *
+  * State size is bounded by watermark x key cardinality — the knob that
+  * keeps this runnable on 100 TB/day of events. */
+object IncrementalPipeline {
+
+  /** Streaming source over a raw directory (S6 as a stream). */
+  def rawStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("multiLine", "true")
+      .option("maxFilesPerTrigger", "16")
+      .json(dir)
+
+  /** Streaming upsert-by-key: first arrival per key wins within the
+    * watermark window (D4/U2 as a stream). `eventTimeCol` must be an
+    * event-time column for the watermark to bound state. */
+  def streamingDedupe(
+      df: DataFrame, keys: Seq[String],
+      eventTimeCol: String, watermark: String): DataFrame =
+    df.withWatermark(eventTimeCol, watermark)
+      .dropDuplicates(keys :+ eventTimeCol)
+
+  /** Windowed per-entity activity counts (the DDL's index-implied
+    * time-range queries as a live aggregation, A1/A3 as a stream). */
+  def windowedCounts(
+      events: DataFrame, eventTimeCol: String,
+      window_ : String, slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(
+        window(col(eventTimeCol), window_, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Append-mode parquet sink with checkpointing — the streaming
+    * equivalent of the rotation sink (the checkpoint ledger replaces the
+    * one-generation backup). */
+  def toParquetSink(
+      df: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+}
