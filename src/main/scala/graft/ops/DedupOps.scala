@@ -26,14 +26,24 @@ import graft.expr.TextHashFunctions
 object DedupOps {
 
   /** Distinct k-token shingles per document. Documents shorter than k
-    * tokens contribute their whole text as one shingle. */
+    * tokens contribute their whole text as one shingle.
+    *
+    * Deliberately built WITHOUT higher-order functions: `transform` and
+    * friends run on the interpreted CodegenFallback path (and naively
+    * referencing split() inside the lambda re-runs the regex once per
+    * shingle). Exploding an index sequence and slicing in a plain
+    * projection keeps every operator inside whole-stage codegen. */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val toks = split(col(textCol), " +")
-    val shs = when(size(toks) < k, array(array_join(toks, " ")))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (k - 1)),
-        i => array_join(slice(toks, i, lit(k)), " ")))
-    df.select(col(idCol), explode(shs).as("shingle")).distinct()
+    val toks = col("_toks")
+    df.select(col(idCol), split(col(textCol), " +").as("_toks"))
+      .select(col(idCol), toks,
+        explode(sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))))
+          .as("_i"))
+      .select(col(idCol),
+        when(size(toks) < k, array_join(toks, " "))
+          .otherwise(array_join(slice(toks, col("_i"), lit(k)), " "))
+          .as("shingle"))
+      .distinct()
   }
 
   /** Exact dedupe: canonical (min-id) representative per key group. */
@@ -72,17 +82,15 @@ object DedupOps {
       .select("a", "b", "jaccard")
   }
 
-  /** 16 minhash values per doc as columns m0..m15 (single shuffle). */
+  /** 16 minhash values per doc as columns m0..m15: one codegen'd hash
+    * column per seed, one hash-aggregate with 16 min()s — no explode, no
+    * higher-order functions, a single shuffle keyed by doc. */
   def minhashSignatures(sh: DataFrame, idCol: String, numHashes: Int = 16): DataFrame = {
     val hashed = sh.select(
-      col(idCol),
-      explode(transform(
-        sequence(lit(0), lit(numHashes - 1)),
-        i => struct(i.as("pos"), xxhash64(col("shingle"), i).as("h"))))
-        .as("ph"))
-      .select(col(idCol), col("ph.pos"), col("ph.h"))
-    val aggs = (0 until numHashes).map(i =>
-      min(when(col("pos") === i, col("h"))).as(s"m$i"))
+      col(idCol) +:
+        (0 until numHashes).map(i =>
+          xxhash64(col("shingle"), lit(i)).as(s"h$i")): _*)
+    val aggs = (0 until numHashes).map(i => min(col(s"h$i")).as(s"m$i"))
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -115,10 +123,13 @@ object DedupOps {
     val cands = minhashLshCandidates(
       minhashSignatures(sh, idCol, numHashes), idCol, numHashes, bands)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    // Intersection sizes ONLY for candidate pairs: expand each candidate
+    // pair by the a-side's shingles, then probe the b-side — linear in
+    // |candidates| x shingles-per-doc, never the all-pairs shingle
+    // self-join (which is exactly what LSH exists to avoid).
     val a = sh.select(col(idCol).as("a"), col("shingle"))
     val b = sh.select(col(idCol).as("b"), col("shingle"))
-    val common = a.join(b, "shingle").filter(col("a") < col("b"))
-      .join(cands, Seq("a", "b"), "left_semi")
+    val common = cands.join(a, "a").join(b, Seq("b", "shingle"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
     common
       .join(sizes.select(col(idCol).as("a"), col("n").as("na")), "a")

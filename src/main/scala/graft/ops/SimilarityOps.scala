@@ -21,9 +21,9 @@ import graft.expr.SignSketch64
   */
 object SimilarityOps {
 
-  /** Exact double dot product; sequential fold = deterministic bits. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Exact double dot product; sequential fold = deterministic bits.
+    * Native expression — see [[graft.expr.DotProduct]]. */
+  def dot(a: Column, b: Column): Column = graft.expr.DotProduct.dot(a, b)
 
   def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(dot(col("v"), col("v"))))

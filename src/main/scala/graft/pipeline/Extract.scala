@@ -23,6 +23,35 @@ object Extract {
     * bearer token (auth.py:24-39); tests inject fixture readers. */
   type Fetcher = (String, Int) => Option[String]
 
+  /** S4 auth probe (auth.py:24-39): fail-fast on missing token or a
+    * non-OK response from the identity endpoint. The HTTP call itself is
+    * injected — this encodes the decision logic. */
+  def authProbe(token: Option[String], probe: String => Int): Either[String, Unit] =
+    token match {
+      case None | Some("") => Left("GITHUB_TOKEN missing")
+      case Some(t) =>
+        probe(t) match {
+          case 200 => Right(())
+          case 401 => Left("token rejected (401)")
+          case other => Left(s"auth probe failed ($other)")
+        }
+    }
+
+  /** S6 raw-payload validation (transform.py:57-79): non-empty, parses,
+    * top-level JSON array — fail-stop with a reason, like the reference's
+    * log+raise. Uses Jackson (already on the Spark classpath). */
+  def validateRawPayload(payload: String): Either[String, Unit] = {
+    if (payload == null || payload.trim.isEmpty) Left("payload is empty")
+    else {
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(payload)
+        if (node.isArray) Right(()) else Left("top-level JSON is not a list")
+      } catch {
+        case e: Exception => Left(s"invalid JSON: ${e.getMessage}")
+      }
+    }
+  }
+
   final case class Config(owner: String, perPage: Int = 100, maxPages: Int = 3)
 
   /** Page loop: accumulate page payloads until empty page or page cap. */

@@ -236,6 +236,47 @@ object RelationalQueries {
       "incremental union-accumulate upsert: existing dimension wins"),
 
     // ------------------------------------------------------------------
+    // E2 string-array join (topics -> comma string, transform.py:182-184)
+    Q(
+      "e2_array_join",
+      (s, d) => {
+        val toks = split(col("text"), " +")
+        T(s, d, "documents")
+          .select(
+            col("doc_id"),
+            array_join(slice(toks, 1, 5), ",").as("first5"),
+            size(toks).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  array_to_string((string_split_regex(text, ' +'))[1:5], ',') AS first5,
+             |  CAST(len(string_split_regex(text, ' +')) AS INTEGER) AS n_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "array_join over a sliced token array (topics-style E2)"),
+
+    // E3 lambda transform + join with empty-guard (labels, transform.py:335-339)
+    Q(
+      "e3_transform_join",
+      (s, d) => {
+        val longToks = filter(split(col("text"), " +"), t => length(t) > 4)
+        T(s, d, "documents")
+          .select(
+            col("doc_id"),
+            when(size(longToks) > 0,
+              array_join(transform(longToks, t => upper(t)), ","))
+              .otherwise(lit(null).cast(StringType)).as("long_upper"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN len(list_filter(string_split_regex(text, ' +'), t -> length(t) > 4)) > 0
+             |    THEN array_to_string(list_transform(
+             |      list_filter(string_split_regex(text, ' +'), t -> length(t) > 4),
+             |      t -> upper(t)), ',')
+             |  END AS long_upper
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "higher-order transform + array_join with null-on-empty (labels-style E3)"),
+
+    // ------------------------------------------------------------------
     // E4 timestamp parse with coercion to null (transform.py:186-192)
     Q(
       "e4_ts_coerce",
@@ -428,6 +469,38 @@ object RelationalQueries {
              |GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
       "pricing-summary aggregate with exact decimal accumulation"),
+
+    // Hierarchical rollup (region -> nation subtotals + grand total)
+    Q(
+      "agg_rollup",
+      (s, d) => {
+        // via spark.sql: sorting a DataFrame-API rollup by its grouping
+        // columns trips the ambiguous-self-join detector (the Expand node
+        // carries the attribute twice); the SQL path resolves it cleanly.
+        ord(s, d)
+          .join(broadcast(cust(s, d).select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(T(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name").as("region"), col("n_name").as("nation"),
+            col("o_totalprice"))
+          .createOrReplaceTempView("graft_rollup_in")
+        s.sql("""SELECT region, nation, COUNT(*) AS n_orders,
+                |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+                |FROM graft_rollup_in
+                |GROUP BY ROLLUP (region, nation)
+                |ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT region, nation, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+             |FROM (SELECT r_name AS region, n_name AS nation, o_totalprice
+             |      FROM orders
+             |      JOIN customer ON o_custkey = c_custkey
+             |      JOIN nation ON c_nationkey = n_nationkey
+             |      JOIN region ON n_regionkey = r_regionkey)
+             |GROUP BY ROLLUP (region, nation)
+             |ORDER BY region NULLS FIRST, nation NULLS FIRST""".stripMargin),
+      "ROLLUP subtotal hierarchy over the region/nation dimensions"),
 
     // Window top-N per key
     Q(
