@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class SinksExtractSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("rotation sink keeps exactly one backup generation (S5/S7)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_rot").toString + "/repos_clean"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    Sinks.writeParquetWithRotation(Seq((1L, "gen1")).toDF("id", "v"), base)
+    assert(spark.read.parquet(base).select("v").head().getString(0) == "gen1")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(base + "_backup")))
+
+    Sinks.writeParquetWithRotation(Seq((1L, "gen2")).toDF("id", "v"), base)
+    assert(spark.read.parquet(base).select("v").head().getString(0) == "gen2")
+    assert(spark.read.parquet(base + "_backup")
+      .select("v").head().getString(0) == "gen1")
+
+    Sinks.writeParquetWithRotation(Seq((1L, "gen3")).toDF("id", "v"), base)
+    // one generation deep: gen1 is gone, backup is gen2
+    assert(spark.read.parquet(base + "_backup")
+      .select("v").head().getString(0) == "gen2")
+  }
+
+  test("auth probe fail-stop semantics (S4)") {
+    assert(Extract.authProbe(None, _ => 200).isLeft)
+    assert(Extract.authProbe(Some(""), _ => 200).isLeft)
+    assert(Extract.authProbe(Some("t"), _ => 401)
+      == Left("token rejected (401)"))
+    assert(Extract.authProbe(Some("t"), _ => 500).isLeft)
+    assert(Extract.authProbe(Some("t"), _ => 200).isRight)
+  }
+
+  test("raw payload validation (S6): empty / invalid / non-list / ok") {
+    assert(Extract.validateRawPayload("").isLeft)
+    assert(Extract.validateRawPayload("   ").isLeft)
+    assert(Extract.validateRawPayload("{not json").isLeft)
+    assert(Extract.validateRawPayload("""{"a": 1}""")
+      == Left("top-level JSON is not a list"))
+    assert(Extract.validateRawPayload("""[{"a": 1}]""").isRight)
+  }
+
+  test("page loop stops on empty page and honors the page cap (S1)") {
+    val cfg = Extract.Config("o", perPage = 2, maxPages = 3)
+    var calls = List.empty[Int]
+    val fetcher: Extract.Fetcher = (_, page) => {
+      calls = calls :+ page
+      if (page <= 2) Some(s"""[{"p": $page}]""") else None
+    }
+    val pages = Extract.fetchPages(fetcher, "/x", cfg)
+    assert(pages.length == 2)
+    assert(calls == List(1, 2, 3))
+    // cap: never fetches page 4 even if data continues
+    val endless: Extract.Fetcher = (_, p) => Some(s"""[{"p": $p}]""")
+    assert(Extract.fetchPages(endless, "/x", cfg).length == 3)
+  }
+
+  test("per-repo fan-out tags rows and eligibility filters the fan-out (S2/F1)") {
+    val reposJson =
+      """[
+        |{"id": 1, "name": "ok", "full_name": "o/ok", "private": false,
+        | "archived": false, "fork": false, "owner": {"id": 1, "login": "o"}},
+        |{"id": 2, "name": "arch", "full_name": "o/arch", "private": false,
+        | "archived": true, "fork": false, "owner": {"id": 1, "login": "o"}},
+        |{"id": 3, "name": "frk", "full_name": "o/frk", "private": false,
+        | "archived": false, "fork": true, "owner": {"id": 1, "login": "o"}}
+        |]""".stripMargin
+    val fetcher: Extract.Fetcher = (path, page) =>
+      if (page > 1) None
+      else if (path.endsWith("/repos")) Some(reposJson)
+      else if (path.contains("/ok/")) Some("""[{"name": "main", "protected": false, "commit": {"sha": "a", "url": "u"}}]""")
+      else Some("[]")
+    val cfg = Extract.Config("o")
+    val repos = Extract.extractRepos(spark, fetcher, cfg)
+    assert(repos.count() == 3) // raw keeps ALL repos (extract.py:65 asymmetry)
+    val eligible = Extract.eligibleRepoNames(repos)
+    assert(eligible == Seq("ok"))
+    val branches = Extract.extractBranches(spark, fetcher, cfg, eligible)
+    assert(branches.select("repo_name").head().getString(0) == "ok")
+  }
+}
