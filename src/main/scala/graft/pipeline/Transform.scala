@@ -98,18 +98,37 @@ object Transform {
       .select(Schemas.reposCleanCols.map(col): _*)
   }
 
+  /** Deterministic dimension upsert: existing rows win over incoming for
+    * the same key (pandas `drop_duplicates(keep='first')` after a
+    * concat([existing, incoming]) — transform.py:442-451). A plain
+    * `dropDuplicates` keeps an ARBITRARY row after a shuffle; the priority
+    * window pins the semantics. */
+  private def upsertKeepExisting(
+      existing: Option[DataFrame], incoming: DataFrame,
+      key: String): DataFrame = {
+    val unioned = existing match {
+      case Some(e) =>
+        e.select(incoming.columns.map(col): _*).withColumn("_pri", lit(0))
+          .unionByName(incoming.withColumn("_pri", lit(1)))
+      case None => incoming.withColumn("_pri", lit(0))
+    }
+    val w = Window.partitionBy(key).orderBy(col("_pri").asc)
+    unioned
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_pri", "_rn")
+  }
+
   /** transform.py:466-489 — owner dimension via union-accumulate upsert:
     * project distinct owners from clean repos, union into the accumulated
-    * dimension, keep-first per key. */
+    * dimension, existing wins per key. */
   def cleanOwners(reposClean: DataFrame, existing: Option[DataFrame] = None): DataFrame = {
     val incoming = reposClean
       .select(col("owner_id"), col("owner_login"))
       .na.drop(Seq("owner_id", "owner_login"))
-    val unioned = existing match {
-      case Some(e) => e.select("owner_id", "owner_login").unionByName(incoming)
-      case None => incoming
-    }
-    unioned.dropDuplicates("owner_id")
+      .dropDuplicates("owner_id") // id => login is functional (uuid5 of login)
+    upsertKeepExisting(existing.map(_.select("owner_id", "owner_login")),
+      incoming, "owner_id")
   }
 
   /** transform.py:350-414 — branches: dropna, keep-last on the composite
@@ -212,11 +231,8 @@ object Transform {
     val incoming = authors
       .unionByName(assignees)
       .na.drop(Seq("user_id", "user_login"))
-      .dropDuplicates("user_id")
-    val unioned = existing match {
-      case Some(e) => e.select("user_id", "user_login").unionByName(incoming)
-      case None => incoming
-    }
-    unioned.dropDuplicates("user_id")
+      .dropDuplicates("user_id") // id => login is functional (uuid5 of login)
+    upsertKeepExisting(existing.map(_.select("user_id", "user_login")),
+      incoming, "user_id")
   }
 }

@@ -67,6 +67,19 @@ object TextQueries {
       "lexicon-vote language ID, deterministic first-wins argmax"),
 
     Q(
+      "text_tokens_bpeish",
+      (s, d) =>
+        T(s, d, "documents")
+          .select(col("doc_id"),
+            size(TextOps.tokensBpeIsh(col("text"))).as("n_subword_tokens"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                       t -> length(t) > 0)) AS INTEGER) AS n_subword_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "sub-word-ish token counting (regex split, empty-dropped)"),
+
+    Q(
       "text_fingerprint",
       (s, d) =>
         T(s, d, "documents")
