@@ -137,16 +137,30 @@ object GraftFunctions {
   def branchKey(c: Column): Column = uuid5(NamespacedUuid.NsBranch, c)
   def userKey(c: Column): Column = uuid5(NamespacedUuid.NsUser, c)
 
-  /** SQL registration: `uuid5('<hex-ns>', col)` / `uuid3('<hex-ns>', col)`. */
+  /** SQL registration for every engine-native expression:
+    * `uuid5('<hex-ns>', col)`, `uuid3('<hex-ns>', col)`,
+    * `simhash64(array<string>)`, `fingerprint64(str, k)`,
+    * `dot_product(array<double>, array<double>)`,
+    * `sign_sketch64(array<double>)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    def builder(version: Int): Seq[Expression] => Expression = { exprs =>
+    val reg = spark.sessionState.functionRegistry
+    def uuidBuilder(version: Int): Seq[Expression] => Expression = { exprs =>
       require(exprs.length == 2, s"uuid$version(namespaceHex, name)")
       val ns = exprs.head.eval(null).toString
       NamespacedUuid(exprs(1), ns, version)
     }
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "uuid5", builder(5), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "uuid3", builder(3), "built-in")
+    reg.createOrReplaceTempFunction("uuid5", uuidBuilder(5), "built-in")
+    reg.createOrReplaceTempFunction("uuid3", uuidBuilder(3), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("fingerprint64", { exprs =>
+      val k = if (exprs.length > 1)
+        exprs(1).eval(null).asInstanceOf[Number].intValue() else 8
+      Fingerprint64(exprs.head, k)
+    }, "built-in")
+    reg.createOrReplaceTempFunction("dot_product",
+      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("sign_sketch64",
+      exprs => SignSketch64(exprs.head), "built-in")
   }
 }

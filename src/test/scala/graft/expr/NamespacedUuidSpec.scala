@@ -64,6 +64,23 @@ class NamespacedUuidSpec extends AnyFunSuite {
     assert(viaSql == eval(GraftFunctions.userKey(lit("k"))))
   }
 
+  test("all native expressions are SQL-callable") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT simhash64(array('a','b')) AS sh,
+        |  fingerprint64('hello world of data', 8) AS fp,
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |  sign_sketch64(array(0.5d, -0.5d)) AS sk""".stripMargin).head()
+    assert(r.getLong(0) == SimHash64.compute(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("a"),
+          org.apache.spark.unsafe.types.UTF8String.fromString("b")))))
+    assert(r.getLong(1) == Fingerprint64.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello world of data"), 8))
+    assert(r.getDouble(2) == 11.0)
+    val _ = r.getLong(3) // deterministic; existence + type is the contract
+  }
+
   test("determinism under codegen: same key twice in one plan") {
     import spark.implicits._
     val df = Seq("x", "y", "x").toDF("s")
