@@ -30,9 +30,16 @@ object Bench {
     // Best of two timed passes per query: the first execution at a new
     // scale factor can pay one-time costs that aren't the query's (fresh
     // codegen for AQE-replanned shapes, GC catch-up from the warmup pass).
+    // Failures are surfaced in an "errors" field — a swallowed exception
+    // must never masquerade as a fast query.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val p1 = pass()
@@ -40,8 +47,9 @@ object Bench {
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,7 +23,8 @@ object Registry {
       queries.DedupQueries.all ++
       queries.SimilarityQueries.all ++
       queries.TextQueries.all ++
-      queries.MultimodalQueries.all
+      queries.MultimodalQueries.all ++
+      queries.AdvancedQueries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Skew-safe aggregation: two-phase salted groupBy. Phase one groups by
+  * (key, salt) so a hot key's rows spread over `buckets` reducers; phase
+  * two combines the partial aggregates per key. Counts and DECIMAL sums
+  * re-associate exactly, so the result is identical to the direct
+  * groupBy — asserted by the shared oracle. AQE's skew handling covers
+  * joins; aggregate skew on a pathological key still wants the explicit
+  * salt at 100 TB. */
+object SkewOps {
+
+  def saltedCountSum(
+      df: DataFrame, key: String, valueCol: String,
+      buckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()),
+        lit(buckets.toLong)))
+    val partial = salted
+      .groupBy(col(key), col("_salt"))
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(col(valueCol).cast(DecimalType(18, 4))).as("_s"))
+    partial
+      .groupBy(col(key))
+      .agg(
+        sum(col("_n")).as("n_rows"),
+        sum(col("_s")).cast(DoubleType).as("total_value"))
+  }
+
+  /** Salted join for a skewed key: replicate the small side `buckets`
+    * times, salt the big side, join on (key, salt). */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame, key: String,
+      buckets: Int = 16): DataFrame = {
+    val bigSalted = big.withColumn("_salt",
+      pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()),
+        lit(buckets.toLong)))
+    val smallReplicated = small
+      .withColumn("_salt", explode(sequence(lit(0L), lit(buckets - 1L))))
+    bigSalted.join(smallReplicated, Seq(key, "_salt")).drop("_salt")
+  }
+}

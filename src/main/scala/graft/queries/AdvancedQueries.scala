@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, T}
+import graft.ops.{AsOfJoin, SkewOps}
+
+/** Operators beyond the reference's surface that a Spark-native analytics
+  * engine owes its users: as-of joins (event/state alignment), skew-safe
+  * salted aggregation, distinct-count aggregates. */
+object AdvancedQueries {
+
+  val all: Seq[Q] = Seq(
+    // As-of join: latest click at-or-before each purchase, per user.
+    // Composed as union + one ordered window (single shuffle, no range
+    // cross join) — see ops.AsOfJoin. Oracle: DuckDB's native ASOF JOIN.
+    Q(
+      "asof_join",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts")
+          .agg(max("event_id").as("click_id"))
+          .withColumnRenamed("ts", "click_ts")
+        AsOfJoin
+          .asOf(purchases, clicks, "user_id",
+            leftTime = "ts", rightTime = "click_ts",
+            payload = Seq("click_id" -> "click_id", "click_ts" -> "click_ts"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+             |           WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+             |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+             |SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
+             |FROM p ASOF LEFT JOIN c
+             |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+             |ORDER BY p.event_id""".stripMargin),
+      "as-of join via union + ordered window (linear; DuckDB ASOF oracle)"),
+
+    // Salted two-phase aggregation: bit-identical to the direct groupBy
+    // (counts and DECIMAL sums re-associate exactly) while a hot key's
+    // rows spread over 16 reducers in phase one.
+    Q(
+      "skew_salted_agg",
+      (s, d) =>
+        SkewOps
+          .saltedCountSum(T(s, d, "orders"), "o_custkey", "o_totalprice", 16)
+          .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, COUNT(*) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+             |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+      "skew-safe salted aggregation == direct groupBy (exact re-association)"),
+
+    // Distinct-count aggregate (Expand-based distinct path)
+    Q(
+      "agg_distinct_count",
+      (s, d) =>
+        T(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      "distinct-count aggregate per group")
+  )
+}

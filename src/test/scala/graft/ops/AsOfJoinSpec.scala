@@ -1,0 +1,54 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of picks the latest right row at or before each left time") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2026-01-01 00:00:05")),
+      (2L, 10L, ts("2026-01-01 00:00:10")),
+      (3L, 10L, ts("2026-01-01 00:00:02")), // before any right row
+      (4L, 20L, ts("2026-01-01 00:00:10"))) // exact-match time
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2026-01-01 00:00:03"), 100L),
+      (10L, ts("2026-01-01 00:00:07"), 101L),
+      (20L, ts("2026-01-01 00:00:10"), 200L)) // equal ts counts (<=)
+      .toDF("user_id", "click_ts", "click_id")
+
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", "click_ts",
+      Seq("click_id" -> "click_id", "click_ts" -> "click_ts"))
+      .orderBy("event_id")
+      .collect()
+
+    val got = out.map(r => (r.getLong(0),
+      Option(r.get(3)).map(_.asInstanceOf[Long]))).toSeq
+    assert(got == Seq(
+      (1L, Some(100L)), // 00:05 -> right at 00:03
+      (2L, Some(101L)), // 00:10 -> right at 00:07
+      (3L, None),       // 00:02 -> nothing at or before
+      (4L, Some(200L)))) // equal timestamp joins (<= semantics)
+  }
+
+  test("salted aggregation equals direct groupBy exactly") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i % 7L, i * 1.01)).toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = SkewOps.saltedCountSum(df, "k", "v", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == direct)
+  }
+}
