@@ -24,7 +24,8 @@ object Registry {
       queries.SimilarityQueries.all ++
       queries.TextQueries.all ++
       queries.MultimodalQueries.all ++
-      queries.AdvancedQueries.all
+      queries.AdvancedQueries.all ++
+      queries.AnalyticsQueries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
