@@ -90,6 +90,61 @@ object AnalyticsQueries {
              |FROM events ORDER BY event_id""".stripMargin),
       "JSON path extraction + typed cast from a string payload column"),
 
+    // Exact percentiles (sort-based; values here interpolate onto exact
+    // grid points, so the DuckDB quantile_cont oracle matches)
+    Q(
+      "agg_percentiles",
+      (s, d) =>
+        T(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+            percentile(col("l_quantity"), lit(0.95)).as("p95_qty"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.5) AS median_qty,
+             |  quantile_cont(l_quantity, 0.95) AS p95_qty,
+             |  min(l_quantity) AS min_qty,
+             |  max(l_quantity) AS max_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      "exact interpolated percentiles per group"),
+
+    // TPC-H Q3 shape: selective multi-join + revenue rollup + ordered topN
+    Q(
+      "q3_shipping_priority",
+      (s, d) => {
+        val cutoff = lit("1995-03-15").cast(TimestampType)
+        val price = col("l_extendedprice").cast(DecimalType(12, 4))
+        val disc = col("l_discount").cast(DecimalType(8, 6))
+        val one = lit(1).cast(DecimalType(8, 6))
+        T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+          .join(T(s, d, "orders").filter(col("o_orderdate") < cutoff),
+            col("c_custkey") === col("o_custkey"))
+          .join(T(s, d, "lineitem").filter(col("l_shipdate") > cutoff),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(sum(price * (one - disc)).cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(20)
+          .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+             |       (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE) AS revenue,
+             |  o_orderdate, o_orderpriority
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+             |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+             |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin),
+      "shipping-priority shape: selective joins, decimal revenue, ordered topN"),
+
     // Scalar string/null battery: regexp extract, case, trim/pad-free
     // deterministic funcs, coalesce/nullif/greatest/least
     Q(

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Custom keyed state across micro-batches: the counter must carry over
+  * batch boundaries and reset on 'purchase'. */
+class StatefulOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("events-since-purchase state survives across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$sec%02d")
+
+    val input = MemoryStream[StatefulOps.Ev]
+    val out = StatefulOps.eventsSinceLastPurchase(input.toDS())
+    val q = out.writeStream.format("memory").queryName("state_out")
+      .outputMode(OutputMode.Append).start()
+
+    input.addData(
+      StatefulOps.Ev(1L, ts(1), "click"),
+      StatefulOps.Ev(1L, ts(2), "view"),
+      StatefulOps.Ev(2L, ts(1), "purchase"))
+    q.processAllAvailable()
+    input.addData(
+      StatefulOps.Ev(1L, ts(3), "purchase"), // resets user 1
+      StatefulOps.Ev(1L, ts(4), "click"),    // 1 after reset
+      StatefulOps.Ev(2L, ts(5), "click"))    // 1 after batch-1 purchase
+    q.processAllAvailable()
+
+    val rows = spark.sql("SELECT user_id, ts, events_since_purchase FROM state_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.substring(17, 19), r.getLong(2)))
+      .toSet
+    q.stop()
+    assert(rows == Set(
+      (1L, "01", 1L), (1L, "02", 2L), (2L, "01", 0L),
+      (1L, "03", 0L), (1L, "04", 1L), (2L, "05", 1L)))
+  }
+}
