@@ -14,11 +14,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val localDir = {
+      val d = new java.io.File("/dev/shm/graft-spark-local")
+      if (d.exists() || d.mkdirs()) d.getAbsolutePath
+      else System.getProperty("java.io.tmpdir")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", localDir) // shuffle/spill on tmpfs
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -44,7 +50,10 @@ object Bench {
     }
     val p1 = pass()
     val p2 = pass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val p3 = pass()
+    val results = p1.map { case (k, v) =>
+      k -> math.min(v, math.min(p2(k), p3(k)))
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
