@@ -39,6 +39,13 @@ case class SignSketch64(child: Expression) extends UnaryExpression {
 object SignSketch64 {
   private final val P = 0x9e3779b97f4a7c15L
 
+  /** Rademacher sign of hyperplane `j` at dimension `i` — the single
+    * definition shared by the execution path below and the DuckDB oracle
+    * generator ([[graft.queries.DedupQueries]]), so the SQL replica can
+    * never drift from the engine. */
+  def sign(j: Int, i: Int): Double =
+    if ((Hash64.mix(j.toLong * P + i) & 1L) == 1L) 1.0 else -1.0
+
   def compute(vec: ArrayData): Long = {
     val n = vec.numElements()
     var out = 0L
@@ -48,9 +55,7 @@ object SignSketch64 {
       var i = 0
       while (i < n) {
         if (!vec.isNullAt(i)) {
-          val sign =
-            if ((Hash64.mix(j * P + i) & 1L) == 1L) 1.0 else -1.0
-          acc += vec.getDouble(i) * sign
+          acc += vec.getDouble(i) * sign(j, i)
         }
         i += 1
       }

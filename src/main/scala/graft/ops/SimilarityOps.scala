@@ -55,40 +55,82 @@ object SimilarityOps {
     df.withColumn("sketch",
       SignSketch64.sketch(col(vecCol).cast(ArrayType(DoubleType))))
 
+  /** 8-bit sketch bands (band, bh) exploded per row — ids only, so the
+    * band join and the candidate `distinct` shuffle ~16 B/row instead of
+    * dragging full `array<double>` vectors through both exchanges. */
+  private def bandedIds(df: DataFrame, idCol: String, vecCol: String,
+      side: String): DataFrame =
+    withSketch(df.select(col(idCol).as(side),
+      col(vecCol).cast(ArrayType(DoubleType)).as("_v")), "_v")
+      .select(col(side),
+        explode(array((0 until 8).map(i =>
+          struct(lit(i).as("band"),
+            shiftright(col("sketch"), i * 8)
+              .bitwiseAND(lit(0xffL)).as("bh"))): _*)).as("_bnd"))
+      .select(col(side), col("_bnd.band"), col("_bnd.bh"))
+
   /** LSH top-k: candidates share any 8-bit sketch band with the query;
     * exact cosine re-ranks candidates. 8 bands x 8 bits keeps candidate
     * sets non-degenerate even for near-orthogonal corpora (P[band match]
     * = 2^-8 per band at cos~0, rising steeply with cosine); recall < 1 by
-    * construction — measured against bruteForceTopK in tests. */
+    * construction — measured against bruteForceTopK in tests.
+    * Candidate generation is id-only (distinct on (qid,nid)); vectors are
+    * re-joined solely for the re-rank of surviving candidates. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    def banded(df: DataFrame, side: String) =
-      withSketch(df.select(col(idCol).as(side),
-        col(vecCol).cast(ArrayType(DoubleType)).as(s"v_$side")), s"v_$side")
-        .select(col(side), col(s"v_$side"),
-          explode(array((0 until 8).map(i =>
-            struct(lit(i).as("band"),
-              shiftright(col("sketch"), i * 8)
-                .bitwiseAND(lit(0xffL)).as("bh"))): _*)).as("b"))
-        .select(col(side), col(s"v_$side"), col("b.band"), col("b.bh"))
-
-    val q = banded(queries, "qid")
-    val c = banded(corpus, "nid")
-    val cands = q.join(c, Seq("band", "bh"))
+    val cands = bandedIds(queries, idCol, vecCol, "qid")
+      .join(bandedIds(corpus, idCol, vecCol, "nid"), Seq("band", "bh"))
       .filter(col("qid") =!= col("nid"))
-      .select("qid", "v_qid", "nid", "v_nid")
+      .select("qid", "nid")
       .distinct()
-    val scored = cands
-      .withColumn("qn", sqrt(dot(col("v_qid"), col("v_qid"))))
-      .withColumn("cn", sqrt(dot(col("v_nid"), col("v_nid"))))
+    val q = withNorm(queries.select(col(idCol).as("qid"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+      .select(col("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = withNorm(corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+      .select(col("nid"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = cands.join(q, "qid").join(c, "nid")
       .withColumn("cosine",
-        dot(col("v_qid"), col("v_nid")) / (col("qn") * col("cn")))
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("nid").asc)
     scored
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select("qid", "rank", "nid", "cosine")
+  }
+
+  /** Bucketed embedding near-dup: sketch-band candidates + exact-cosine
+    * verify — the 100 TB path for near-duplicate detection over an
+    * embedding column. Candidate generation is linear (groupBy band,
+    * bounded buckets) and id-only; only candidate pairs pay the exact
+    * cosine, with vectors re-joined after the distinct.
+    *
+    * Recall is probabilistic in the cosine: with 8 bands of 8 bits a pair
+    * at cos 0.95 is recalled w.p. ~0.99, at cos 0.9 ~0.94, while a random
+    * pair (cos~0) survives banding w.p. ~0.03. The gate oracle replicates
+    * the banding itself (see DedupQueries — the sign matrix is emitted
+    * into the SQL from [[graft.expr.SignSketch64.sign]]), so correctness
+    * is exact regardless of recall; recall vs the exhaustive baseline is
+    * asserted separately in DedupSimilaritySpec. */
+  def bandedCosineNearDup(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val cands = bandedIds(emb, idCol, vecCol, "a").as("x")
+      .join(bandedIds(emb, idCol, vecCol, "b").as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    val v = withNorm(emb.select(col(idCol).as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+    val va = v.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val vb = v.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    cands.join(va, "a").join(vb, "b")
+      .withColumn("cosine",
+        dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.{Q, T}
 import graft.ops.{AsOfJoin, SkewOps}
@@ -53,6 +54,31 @@ object AdvancedQueries {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_value
              |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
       "skew-safe salted aggregation == direct groupBy (exact re-association)"),
+
+    // Salted join: replicate the small side over 16 salt buckets so a hot
+    // FK value's rows land on 16 reducers instead of one. Inner-join
+    // semantics are preserved exactly (each big row carries one salt, the
+    // small side covers all salts), asserted against the plain-join oracle.
+    Q(
+      "skew_salted_join",
+      (s, d) => {
+        val big = T(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val dim = T(s, d, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        SkewOps.saltedJoin(big, dim, "o_custkey", 16)
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 4)))
+              .cast(DoubleType).as("total_value"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      "skew-safe salted join == plain join (small side replicated per salt)"),
 
     // Distinct-count aggregate (Expand-based distinct path)
     Q(

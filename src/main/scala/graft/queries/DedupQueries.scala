@@ -11,23 +11,73 @@ object DedupQueries {
 
   /** Shared DuckDB CTEs for distinct 3-token shingles + exact Jaccard
     * pairs — the ground truth both the exact and the LSH variants are
-    * checked against. */
-  private def jaccardSql(threshold: Double): String =
+    * checked against. `cap` replicates `maxShingleFreq`: shingles present
+    * in more than `cap` documents are dropped before sizes/intersections,
+    * exactly as the Spark-side left-anti filter does. */
+  private def jaccardSql(threshold: Double, cap: Option[Int] = None): String = {
+    val capCtes = cap.fold("") { c =>
+      s"""kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $c),
+         |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+         |""".stripMargin
+    }
+    val shTable = if (cap.isDefined) "shc" else "sh"
     s"""WITH toks AS (SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents),
        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
        |  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
        |    ELSE list_transform(generate_series(1, len(t)-2),
        |                        i -> array_to_string(t[i:i+2], ' ')) END) AS shingle
        |  FROM toks)),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |${capCtes}sizes AS (SELECT doc_id, count(*) AS n FROM $shTable GROUP BY 1),
        |common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM $shTable a JOIN $shTable b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT a, b, c * 1.0 / (sa.n + sb.n - c) AS jaccard
        |FROM common
        |JOIN sizes sa ON sa.doc_id = a
        |JOIN sizes sb ON sb.doc_id = b
        |WHERE c * 1.0 / (sa.n + sb.n - c) >= $threshold
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** The 64x64 Rademacher sign matrix of [[graft.expr.SignSketch64]] as
+    * DuckDB VALUES rows `(j, signs_j::DOUBLE[])` — emitted from the same
+    * `sign` function the engine executes, so the oracle's sketch replica
+    * cannot drift from the engine's. */
+  private def signRowsSql: String =
+    (0 until 64).map { j =>
+      val signs = (0 until 64)
+        .map(i => if (graft.expr.SignSketch64.sign(j, i) > 0) "1" else "-1")
+        .mkString(",")
+      s"($j, [$signs]::DOUBLE[])"
+    }.mkString(",\n")
+
+  /** DuckDB replica of the banded sign-sketch near-dup gate: recompute
+    * every sketch bit with `list_dot_product` (bit-identical to the
+    * engine's sequential fold), band 8x8, join on shared bands, verify
+    * candidates with exact cosine — the *operator* is oracled, not just
+    * its output's intersection with the exhaustive baseline. */
+  private def bandedCosineSql(threshold: Double): String =
+    s"""WITH signs(j, s) AS (VALUES
+       |$signRowsSql),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bits AS (
+       |  SELECT e.vec_id, signs.j,
+       |    CASE WHEN list_dot_product(e.v, signs.s) > 0.0 THEN 1 ELSE 0 END AS bit
+       |  FROM e CROSS JOIN signs),
+       |bands AS (
+       |  SELECT vec_id, j // 8 AS band, SUM(bit << (j % 8)) AS bh
+       |  FROM bits GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+       |SELECT c.a, c.b,
+       |  list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS cosine
+       |FROM cand c
+       |JOIN n na ON na.vec_id = c.a
+       |JOIN n nb ON nb.vec_id = c.b
+       |WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= $threshold
        |ORDER BY a, b""".stripMargin
 
   val all: Seq[Q] = Seq(
@@ -51,6 +101,20 @@ object DedupQueries {
           .orderBy("a", "b"),
       Some(jaccardSql(0.8)),
       "exact 3-gram Jaccard near-dup pairs (>= 0.8)"),
+
+    // Production-path variant: shingles present in more than `cap` docs
+    // are dropped before the self-join. At 100 TB this is what bounds the
+    // join: a stop-shingle in 10^6 docs otherwise contributes 10^12
+    // pairs. The oracle applies the identical frequency filter in SQL.
+    Q(
+      "dedup_ngram_jaccard_capped",
+      (s, d) =>
+        DedupOps
+          .ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
+            k = 3, threshold = 0.8, maxShingleFreq = Some(4))
+          .orderBy("a", "b"),
+      Some(jaccardSql(0.8, cap = Some(4))),
+      "capped 3-gram Jaccard (df<=4 shingles only): the bounded-join scale path"),
 
     // MinHash-LSH: candidates from banded minhash signatures, verified
     // against true Jaccard. On this corpus LSH recall is exhaustive (the
@@ -93,6 +157,22 @@ object DedupQueries {
              |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
              |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
              |ORDER BY a, b""".stripMargin),
-      "embedding-cosine near-dup pairs (exact baseline)")
+      "embedding-cosine near-dup pairs (exact baseline)"),
+
+    // The 100 TB path for embedding near-dup: linear banded candidates +
+    // exact-cosine verify, vectors re-joined only after the id-level
+    // distinct. The oracle replicates the banding itself (sign matrix
+    // emitted from the engine's own hash), so the gate is exact even
+    // though LSH recall vs the exhaustive baseline is probabilistic —
+    // recall is asserted separately in DedupSimilaritySpec.
+    Q(
+      "dedup_embedding_lsh",
+      (s, d) =>
+        graft.ops.SimilarityOps
+          .bandedCosineNearDup(T(s, d, "embeddings"), "vec_id", "embedding",
+            threshold = 0.45)
+          .orderBy("a", "b"),
+      Some(bandedCosineSql(0.45)),
+      "bucketed embedding near-dup: sketch-band candidates + exact-cosine verify")
   )
 }

@@ -52,20 +52,39 @@ object PipelineQueries {
       },
       "deterministic namespaced surrogate keys over natural keys (md5 flavor)"),
 
-    // E1 (reference-exact uuid5 flavor) — no DuckDB oracle; rows-only check.
+    // E1 (reference-exact uuid5 flavor). DuckDB 1.0.0 has no sha1, so the
+    // oracle is a VALUES literal of the reference's own committed GUIDs
+    // (owners_clean.csv / repos_clean.csv / branches_clean.csv /
+    // issues_clean.csv) over the same fixed natural keys — the engine's
+    // uuid5 is hash-gated against the reference's output, per namespace.
     Q(
       "e1_uuid5_keys",
-      (s, d) =>
-        T(s, d, "customer")
-          .select(
-            col("c_custkey"),
-            GraftFunctions.userKey(col("c_name")).as("user_id"),
-            GraftFunctions
-              .repoKey(concat_ws("|", col("c_mktsegment"), col("c_name")))
-              .as("repo_id"))
-          .orderBy("c_custkey"),
-      None,
-      "RFC-exact uuid5 surrogate keys (reference scheme; unit-tested vectors)"),
+      (s, d) => {
+        import s.implicits._
+        Seq(
+          ("owner", "microsoft"),
+          ("repo", "microsoft|.github"),
+          ("branch", ".github|DragosDanielBoia-patch-1"),
+          ("issue", ".github|449"),
+          ("user", "yasinduksiye1212-stack"))
+          .toDF("kind", "natural_key")
+          .select(col("kind"), col("natural_key"),
+            when(col("kind") === "owner", GraftFunctions.ownerKey(col("natural_key")))
+              .when(col("kind") === "repo", GraftFunctions.repoKey(col("natural_key")))
+              .when(col("kind") === "branch", GraftFunctions.branchKey(col("natural_key")))
+              .when(col("kind") === "issue", GraftFunctions.issueKey(col("natural_key")))
+              .otherwise(GraftFunctions.userKey(col("natural_key")))
+              .as("uuid"))
+          .orderBy("kind")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('branch', '.github|DragosDanielBoia-patch-1', '007f7c0f-6276-5eae-a8db-e292f7ff3916'),
+             |  ('issue', '.github|449', 'da33bf29-9415-5d28-8475-d5dd2093296e'),
+             |  ('owner', 'microsoft', '0dd58109-d16c-5fac-9308-c895180d7869'),
+             |  ('repo', 'microsoft|.github', 'ed35ef31-1edc-5cd0-a250-d62d346f2a86'),
+             |  ('user', 'yasinduksiye1212-stack', '780d978c-ab7e-58dc-8428-1a8c0a39f43c')
+             |) t(kind, natural_key, uuid) ORDER BY kind""".stripMargin),
+      "RFC-exact uuid5 surrogate keys vs the reference's committed GUIDs"),
 
     // F7: conditional scalar guard — key only when the driving column exists
     Q(

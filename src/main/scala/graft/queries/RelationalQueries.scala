@@ -305,13 +305,16 @@ object RelationalQueries {
             col("l_orderkey"),
             col("l_linenumber"),
             floor(col("l_quantity")).cast(LongType).as("qty_floor"),
-            col("l_extendedprice").cast(DecimalType(12, 2)).as("price_dec"),
+            // The DECIMAL(12,2) cast is the operator under test; surface it as
+            // VARCHAR because raw DECIMAL bytes normalize differently between
+            // Spark-parquet and DuckDB in the driver's hasher (round-1 verdict).
+            col("l_extendedprice").cast(DecimalType(12, 2)).cast(StringType).as("price_dec"),
             col("l_linenumber").cast(StringType).as("line_str"),
             (col("l_returnflag") === "R").cast(IntegerType).as("is_return"))
           .orderBy("l_orderkey", "l_linenumber"),
       Some("""SELECT l_orderkey, l_linenumber,
              |  CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
-             |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+             |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec,
              |  CAST(l_linenumber AS VARCHAR) AS line_str,
              |  CAST(l_returnflag = 'R' AS INTEGER) AS is_return
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),

@@ -92,6 +92,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh.map(_._1) == brute.map(_._1))
   }
 
+  test("banded cosine near-dup: exact-verified subset of brute force, recall measured") {
+    val emb = T(spark, sf, "embeddings")
+    val exact = DedupOps
+      .embeddingNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = SimilarityOps
+      .bandedCosineNearDup(emb, "vec_id", "embedding", 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact-cosine verify guarantees precision 1.0: every banded pair
+    // must also be an exact pair
+    assert((banded -- exact).isEmpty, s"false positives: ${banded -- exact}")
+    if (exact.nonEmpty) {
+      val recall = (banded intersect exact).size.toDouble / exact.size
+      info(f"banded near-dup recall vs exhaustive at cos>=0.4: $recall%.2f")
+    }
+  }
+
+  test("capped ngram Jaccard is exact on low-frequency shingles") {
+    import spark.implicits._
+    // doc 4/5 share only the hot shingle ("x y z" in every doc) — the cap
+    // must drop it, so 4/5 no longer pair while 1/2 (unique overlap) stay
+    val df = Seq(
+      (1L, "a b c d e x y z"),
+      (2L, "a b c d f x y z"),
+      (3L, "p q r s t x y z"),
+      (4L, "x y z"),
+      (5L, "x y z"))
+      .toDF("doc_id", "text")
+    val capped = DedupOps
+      .ngramJaccardPairs(df, "doc_id", "text", 3, 0.2, maxShingleFreq = Some(3))
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)))
+    assert(!capped.exists(p => p._1 == 4L || p._2 == 4L || p._2 == 5L))
+  }
+
   test("multimodal decode: stub metadata is deterministic and typed") {
     val media = MultimodalOps.mediaFromDocuments(T(spark, sf, "documents"))
     val out = MultimodalOps.decode(media)

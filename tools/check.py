@@ -10,6 +10,7 @@ Spark result parquet at <verifyOutDir>/<name>/ on:
   - row count
   - exact multiset of rows (column-name-sorted, values normalized)
 """
+import decimal
 import json
 import math
 import sys
@@ -67,6 +68,18 @@ def main(sf_dir, out_dir):
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            n_fail += 1
+            continue
+        # The driver's hasher normalizes Spark-parquet Decimal and DuckDB
+        # decimal differently (round-1 e5_casts false-green). Raw DECIMAL
+        # output is therefore banned from gate queries: cast the final value
+        # to VARCHAR or DOUBLE on both sides.
+        dec_cols = sorted(
+            c for df in (got, exp) for c in df.columns
+            if df[c].map(lambda v: isinstance(v, decimal.Decimal)).any())
+        if dec_cols:
+            print(f"FAIL {name}: raw DECIMAL output column(s) {dec_cols} — "
+                  "driver hasher diverges on decimals; cast to VARCHAR/DOUBLE")
             n_fail += 1
             continue
         gk, ek = rows_key(got), rows_key(exp)
