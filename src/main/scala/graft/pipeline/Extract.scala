@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -103,33 +103,57 @@ object Extract {
     parsePages(spark,
       fetchPages(fetcher, s"/users/${cfg.owner}/repos", cfg), Schemas.reposRaw)
 
+  /** Per-repo fan-out, executor-side: the page loop for every repo runs
+    * inside ONE `mapPartitions` over a Dataset of repo names — the plan
+    * has a single scan node however many repos there are, instead of the
+    * reference's per-repo driver loop (extract.py:85-122) re-expressed as
+    * an N-branch union. At a thousand repos the union plan is a thousand
+    * driver-built branches; this is one narrow stage whose parallelism is
+    * the repo partitioning. The fetcher ships to executors (tests inject
+    * serializable fixture readers; a real impl carries connection config,
+    * not connections, and opens them per partition).
+    *
+    * Page payloads parse into columns via one `from_json` projection, with
+    * the same per-repo `(page, index)` ingestion ordinal the keep-last
+    * dedupe orders by (SURVEY §7.6). NOTE: extraction is lazy — the Runner
+    * persists the raw layer immediately, so a Spark retry re-fetches at
+    * most one partition's repos, and downstream reads hit the sink. */
+  def extractPerRepo(
+      spark: SparkSession, fetcher: Fetcher, cfg: Config,
+      repoNames: Seq[String], kind: String, schema: StructType): DataFrame = {
+    import spark.implicits._
+    val base = schema.copy(fields = schema.fields.filterNot(_.name == "repo_name"))
+    val owner = cfg.owner
+    val maxPages = cfg.maxPages
+    val slices = math.max(1, math.min(repoNames.size, 32))
+    val pages: Dataset[(String, Int, String)] = spark
+      .createDataset(repoNames)(Encoders.STRING)
+      .repartition(slices)
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          (1 to maxPages).iterator
+            .map(p => (p, fetcher(s"/repos/$owner/$r/$kind", p)))
+            .takeWhile(_._2.isDefined)
+            .map { case (p, payload) => (r, p - 1, payload.get) }
+        }
+      }
+    pages
+      .toDF("repo_name", "_page", "_payload")
+      .select(col("repo_name"), col("_page"),
+        posexplode(from_json(col("_payload"),
+          org.apache.spark.sql.types.ArrayType(base))).as(Seq("_pos", "rec")))
+      .withColumn("_ingest_ord",
+        col("_page").cast("long") * 1000000L + col("_pos"))
+      .select((col("rec.*") +: Seq(col("_ingest_ord"), col("repo_name"))): _*)
+  }
+
   def extractIssues(
       spark: SparkSession, fetcher: Fetcher, cfg: Config,
       repoNames: Seq[String]): DataFrame =
-    repoNames
-      .map { r =>
-        parsePages(spark,
-          fetchPages(fetcher, s"/repos/${cfg.owner}/$r/issues", cfg),
-          Schemas.issuesRaw.copy(fields =
-            Schemas.issuesRaw.fields.filterNot(_.name == "repo_name")),
-          tag = Some("repo_name" -> r))
-      }
-      .reduceOption(_ unionByName _)
-      .getOrElse(spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), Schemas.issuesRaw))
+    extractPerRepo(spark, fetcher, cfg, repoNames, "issues", Schemas.issuesRaw)
 
   def extractBranches(
       spark: SparkSession, fetcher: Fetcher, cfg: Config,
       repoNames: Seq[String]): DataFrame =
-    repoNames
-      .map { r =>
-        parsePages(spark,
-          fetchPages(fetcher, s"/repos/${cfg.owner}/$r/branches", cfg),
-          Schemas.branchesRaw.copy(fields =
-            Schemas.branchesRaw.fields.filterNot(_.name == "repo_name")),
-          tag = Some("repo_name" -> r))
-      }
-      .reduceOption(_ unionByName _)
-      .getOrElse(spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), Schemas.branchesRaw))
+    extractPerRepo(spark, fetcher, cfg, repoNames, "branches", Schemas.branchesRaw)
 }

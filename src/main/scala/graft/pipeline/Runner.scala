@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end pipeline orchestration: the reference's module-level run
@@ -43,35 +43,61 @@ object Runner {
       ingestedAt: Column = current_timestamp()): Seq[Audit] = {
 
     var audits = Vector.empty[Audit]
-    def sink(entity: String, rowsIn: Long, df: DataFrame): DataFrame = {
-      Sinks.writeParquetWithRotation(df, s"$outDir/${entity}_clean")
-      val out = spark.read.parquet(s"$outDir/${entity}_clean")
-      audits :+= Audit(entity, rowsIn, out.count())
-      out
+
+    // Single-pass audits (SURVEY §4): the in/out row counts ride the write
+    // job as Observation metrics instead of the reference's len(df)
+    // double-scan pattern (transform.py:121,140) — at warehouse scale a
+    // count() audit is a second full scan of the entity. Raw inputs get an
+    // input-side observe node; dimension sinks (owners/users) consume an
+    // upstream CLEAN entity whose row count is already known from that
+    // entity's own out-observation (cleanUsers reads its input twice —
+    // authors ∪ assignees — so an input observe there would double-count).
+    def observedIn(entity: String, df: DataFrame): (DataFrame, Observation) = {
+      val obs = Observation(s"${entity}_in")
+      (df.observe(obs, count(lit(1)).as("n")), obs)
     }
+    // `rowsIn` is by-name: evaluated only after the write action completes,
+    // when the input observation (if any) has its value.
+    def sink(entity: String, cleaned: DataFrame, rowsIn: => Long): DataFrame = {
+      val outObs = Observation(s"${entity}_out")
+      Sinks.writeParquetWithRotation(
+        cleaned.observe(outObs, count(lit(1)).as("n")),
+        s"$outDir/${entity}_clean")
+      audits :+= Audit(entity, rowsIn, outObs.get("n").asInstanceOf[Long])
+      spark.read.parquet(s"$outDir/${entity}_clean")
+    }
+    def rowsOut(entity: String): Long =
+      audits.find(_.entity == entity).get.rowsOut
 
     val reposRaw = rawOrNone(spark, s"$rawDir/repos_raw.json", Schemas.reposRaw)
       .getOrElse(sys.error(s"missing $rawDir/repos_raw.json"))
-    val reposClean = sink("repos", reposRaw.count(),
-      Transform.cleanRepos(reposRaw))
+    val (reposRawObs, reposIn) = observedIn("repos", reposRaw)
+    val reposClean = sink("repos", Transform.cleanRepos(reposRawObs),
+      reposIn.get("n").asInstanceOf[Long])
 
-    val owners = sink("owners", reposClean.count(),
+    val owners = sink("owners",
       Transform.cleanOwners(reposClean,
-        readIfExists(spark, s"$outDir/owners_clean_backup")))
+        readIfExists(spark, s"$outDir/owners_clean_backup")),
+      rowsOut("repos"))
 
     rawOrNone(spark, s"$rawDir/branches_raw.json", Schemas.branchesRaw)
       .foreach { braw =>
-        sink("branches", braw.count(),
-          Transform.cleanBranches(braw, reposClean, ingestedAt))
+        val (brawObs, brIn) = observedIn("branches", braw)
+        sink("branches",
+          Transform.cleanBranches(brawObs, reposClean, ingestedAt),
+          brIn.get("n").asInstanceOf[Long])
       }
 
     rawOrNone(spark, s"$rawDir/issues_raw.json", Schemas.issuesRaw)
       .foreach { iraw =>
-        val issuesClean = sink("issues", iraw.count(),
-          Transform.cleanIssues(iraw, reposClean))
-        sink("users", issuesClean.count(),
+        val (irawObs, iIn) = observedIn("issues", iraw)
+        val issuesClean = sink("issues",
+          Transform.cleanIssues(irawObs, reposClean),
+          iIn.get("n").asInstanceOf[Long])
+        sink("users",
           Transform.cleanUsers(issuesClean,
-            readIfExists(spark, s"$outDir/users_clean_backup")))
+            readIfExists(spark, s"$outDir/users_clean_backup")),
+          rowsOut("issues"))
       }
 
     val _ = owners

@@ -40,6 +40,42 @@ object Sinks {
     df.write.mode("overwrite").json(dir)
   }
 
+  /** Key-matched MERGE/upsert into a parquet warehouse table — the
+    * reference's intended load (load.py:57 "githubIDs … can be dropped"
+    * TODO; PK/UNIQUE DDL at migrations/001_core_schema.sql:46-66), which
+    * it never shipped. Semantics: incoming rows replace same-key existing
+    * rows and append new keys; existing rows with unmatched keys survive.
+    * Because keys are deterministic (uuid5 over natural keys), re-merging
+    * the same batch is a no-op — the pipeline's idempotence invariant,
+    * asserted in SinksMergeSpec.
+    *
+    * Shape at 100 TB: one left-anti shuffle join keyed on the merge key.
+    * On a real warehouse, bucket the table by the key so the anti join
+    * co-locates without re-shuffling the big side, or hand the same
+    * staging frame to a MERGE-capable store (Delta/Iceberg/JDBC MERGE);
+    * the rotation keeps one previous generation either way. */
+  def mergeParquetOnKey(
+      incoming: DataFrame, dir: String, keyCols: Seq[String]): DataFrame = {
+    val spark = incoming.sparkSession
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(new Path(dir))) incoming
+      else {
+        val existing = spark.read.parquet(dir)
+        existing
+          .join(incoming.select(keyCols.map(incoming(_)): _*).distinct(),
+            keyCols, "left_anti")
+          .unionByName(incoming)
+      }
+    // Materialize before rotating: the merged plan reads the directory the
+    // rotation is about to rename.
+    val staged = dir + "_staging"
+    merged.write.mode("overwrite").parquet(staged)
+    rotate(spark, dir)
+    fs.rename(new Path(staged), new Path(dir))
+    spark.read.parquet(dir)
+  }
+
   /** JDBC sink in FK dependency order, github-id lineage columns dropped
     * before load per the reference's own TODO (load.py:57). Idempotence
     * comes from deterministic keys: overwrite (or stage + MERGE on stores

@@ -18,7 +18,26 @@ class RunnerSpec extends AnyFunSuite {
     val outDir = Files.createTempDirectory("graft_runner").toString
     val ts = lit("2026-02-02 18:38:47").cast("timestamp")
 
+    // Audits must ride the write jobs as Observation metrics (SURVEY §4) —
+    // no job may originate from a count() in Runner (the reference's
+    // len(df) double-scan audit, transform.py:121,140).
+    val countJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+        if (site.contains("count at") && site.contains("Runner"))
+          countJobs.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
     val audits1 = Runner.run(spark, rawDir, outDir, ts)
+    Thread.sleep(2000) // listener bus is async; let job-start events drain
+    spark.sparkContext.removeSparkListener(listener)
+    assert(countJobs.get() == 0,
+      s"audits spawned ${countJobs.get()} count() scan jobs — must be observe()-only")
     val byEntity = audits1.map(a => a.entity -> a.rowsOut).toMap
     assert(byEntity("repos") == 300)
     assert(byEntity("owners") == 1)

@@ -63,6 +63,44 @@ class SinksExtractSpec extends AnyFunSuite {
     assert(Extract.fetchPages(endless, "/x", cfg).length == 3)
   }
 
+  test("merge sink upserts on key and re-merge is idempotent") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_merge").toString + "/users"
+
+    val batch1 = Seq((1L, "alice", "v1"), (2L, "bob", "v1")).toDF("id", "login", "gen")
+    val out1 = Sinks.mergeParquetOnKey(batch1, dir, Seq("id"))
+    assert(out1.collect().toSet == batch1.collect().toSet)
+
+    // batch2 updates key 2, adds key 3; key 1 must survive untouched
+    val batch2 = Seq((2L, "bob", "v2"), (3L, "carol", "v2")).toDF("id", "login", "gen")
+    val out2 = Sinks.mergeParquetOnKey(batch2, dir, Seq("id"))
+    val expected = Seq((1L, "alice", "v1"), (2L, "bob", "v2"), (3L, "carol", "v2"))
+      .toDF("id", "login", "gen").collect().toSet
+    assert(out2.collect().toSet == expected)
+
+    // idempotence: re-merging the identical batch converges to the same table
+    val out3 = Sinks.mergeParquetOnKey(batch2, dir, Seq("id"))
+    assert(out3.collect().toSet == expected)
+    // rotation: previous generation retained one deep
+    assert(spark.read.parquet(dir + "_backup").collect().toSet == expected)
+  }
+
+  test("executor-side fan-out plans one scan node, not an N-branch union") {
+    val fetcher: Extract.Fetcher = (path, page) =>
+      if (page > 1) None
+      else Some(s"""[{"name": "b-${path.split('/')(3)}", "protected": false,
+                   | "commit": {"sha": "a", "url": "u"}}]""".stripMargin)
+    val many = (1 to 40).map(i => f"repo$i%02d")
+    val branches = Extract.extractBranches(spark, fetcher, Extract.Config("o"), many)
+    val optimized = branches.queryExecution.optimizedPlan
+    assert(optimized.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty, "fan-out must not be a driver-built union")
+    assert(optimized.collectLeaves().size == 1, "exactly one scan node")
+    assert(branches.count() == 40)
+    assert(branches.select("repo_name").distinct().count() == 40)
+  }
+
   test("per-repo fan-out tags rows and eligibility filters the fan-out (S2/F1)") {
     val reposJson =
       """[
