@@ -25,6 +25,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", localDir) // shuffle/spill on tmpfs
+      // The whole-stage-codegen cache defaults to 100 entries; this suite
+      // compiles ~5 stages x 55 queries per pass, so the default LRU
+      // evicts everything every pass and Janino recompiles the world —
+      // the warmup pass only pays off if its compiled classes survive.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // Default periodic-GC interval is 30 min: shuffle files and
+      // broadcast pins from ~165 query executions would accumulate for
+      // the whole run. Clean aggressively; timed queries are seconds.
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -33,11 +42,13 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
-    // Best of two timed passes per query: the first execution at a new
-    // scale factor can pay one-time costs that aren't the query's (fresh
-    // codegen for AQE-replanned shapes, GC catch-up from the warmup pass).
-    // Failures are surfaced in an "errors" field — a swallowed exception
-    // must never masquerade as a fast query.
+    // Three timed passes per query; report BOTH best (steady-state floor —
+    // the first execution at a new scale factor pays one-time costs that
+    // aren't the query's: fresh codegen for AQE-replanned shapes, GC
+    // catch-up from warmup) and median (host-noise-robust center — best-of-N
+    // alone can mask a real regression behind one lucky pass). Failures are
+    // surfaced in an "errors" field — a swallowed exception must never
+    // masquerade as a fast query.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -54,11 +65,17 @@ object Bench {
     val results = p1.map { case (k, v) =>
       k -> math.min(v, math.min(p2(k), p3(k)))
     }
+    val medians = p1.map { case (k, v) =>
+      k -> Seq(v, p2(k), p3(k)).sorted.apply(1)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val med = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val medTotal = if (medians.nonEmpty) medians.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"median_total":$medTotal,"queries_median":$med,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,9 +16,11 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " +")
 
   /** Sub-word-ish tokenization: split on non-alphanumerics, drop empties —
-    * a deterministic stand-in for a BPE pass with the same plumbing. */
+    * a deterministic stand-in for a BPE pass with the same plumbing.
+    * `array_remove` (codegen'd) drops the empty boundary tokens; a
+    * `filter(..., length > 0)` lambda would fall back to interpreted eval. */
   def tokensBpeIsh(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+    array_remove(split(lower(text), "[^a-z0-9]+"), "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -30,7 +32,9 @@ object TextOps {
     val nTok = size(toks)
     val nChar = length(t)
     val alnum = length(regexp_replace(t, "[^a-zA-Z0-9]", ""))
-    val stop = size(filter(toks, w => w.isin(Stopwords: _*)))
+    // one native hash-probe pass, not an interpreted higher-order filter
+    val stop = element_at(
+      graft.expr.LexiconVotes.votes(toks, Seq(Stopwords)), 1)
     df.withColumn("n_tokens", nTok)
       .withColumn("n_chars", nChar)
       .withColumn("alpha_ratio",
@@ -45,31 +49,46 @@ object TextOps {
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
 
-  /** Tiny per-language lexicons for the vote-based language-ID heuristic.
-    * Deterministic and fully SQL-expressible (the DuckDB oracle runs the
-    * same votes). Real deployments swap in larger wordlists — the operator
-    * shape (one pass, no shuffle, argmax over per-language token votes)
-    * is the point. */
+  /** Per-language function-word lexicons for the vote-based language-ID
+    * heuristic. Deterministic and fully SQL-expressible (the DuckDB oracle
+    * runs the same votes). The native one-pass vote counter
+    * ([[graft.expr.LexiconVotes]]) makes vote cost independent of lexicon
+    * size, so these can grow to real wordlists without touching the plan. */
   val Lexicons: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein", "mit"),
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
-    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour"),
-    "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4", "ren2", "you3", "wo3"))
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein", "mit",
+      "zu", "den", "von", "sie", "auf", "des", "ich", "dem", "sich", "auch",
+      "es", "an", "werden", "aus", "er", "hat", "dass", "war", "eine", "wir"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it",
+      "that", "was", "he", "for", "on", "are", "as", "with", "his", "they",
+      "at", "be", "this", "have", "from", "or", "had", "by", "but", "not"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es",
+      "se", "no", "los", "con", "por", "las", "una", "su", "para", "como",
+      "del", "al", "lo", "mas", "pero", "sus", "le", "ya", "o", "este"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour",
+      "les", "des", "en", "une", "du", "dans", "qui", "au", "il", "plus",
+      "pas", "sur", "se", "ne", "par", "avec", "son", "ce", "sont", "ou"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4", "ren2", "you3", "wo3",
+      "ta1", "zhe4", "zhong1", "da4", "lai2", "shang4", "guo2", "ge4",
+      "dao4", "shuo1", "men5", "wei4", "zi5", "zhong4", "ni3", "sheng1",
+      "xia4", "er2", "nian2", "jiu4"))
 
   /** Vote per language = tokens present in that language's lexicon
     * (duplicates count). Winner = max votes, ties broken by language
-    * order — deterministic, expressible in ANSI-ish SQL. */
+    * order — deterministic, expressible in ANSI-ish SQL. Votes come from
+    * ONE native hash-probe pass over the token array (codegen'd), not a
+    * higher-order filter per language (CodegenFallback — the interpreted
+    * path PERF.md documents as a 10-25x blowup). */
   def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val votes = Lexicons.map { case (lang, lex) =>
-      lang -> size(filter(toks, w => w.isin(lex: _*)))
+    val v = graft.expr.LexiconVotes.votes(tokens(lower(text)),
+      Lexicons.map(_._2))
+    val votes = Lexicons.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(v, i + 1)
     }
     // fold: keep the first language with the strictly-highest vote count
     votes.tail.foldLeft((lit(votes.head._1), votes.head._2)) {
-      case ((bestLang, bestVotes), (lang, v)) =>
-        (when(v > bestVotes, lit(lang)).otherwise(bestLang),
-          when(v > bestVotes, v).otherwise(bestVotes))
+      case ((bestLang, bestVotes), (lang, vc)) =>
+        (when(vc > bestVotes, lit(lang)).otherwise(bestLang),
+          when(vc > bestVotes, vc).otherwise(bestVotes))
     }._1
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.{Q, T}
-import graft.ops.{AsOfJoin, SkewOps}
+import graft.ops.{AsOfJoin, RangeJoin, SkewOps}
 
 /** Operators beyond the reference's surface that a Spark-native analytics
   * engine owes its users: as-of joins (event/state alignment), skew-safe
@@ -79,6 +79,42 @@ object AdvancedQueries {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
       "skew-safe salted join == plain join (small side replicated per salt)"),
+
+    // Bucketed range join: clicks inside the 1-hour window before each
+    // purchase, same user. The bucket equi-join is linear (each point has
+    // ONE bucket; each interval replicates to the <=2 buckets it spans) —
+    // never the BroadcastNestedLoopJoin cartesian a raw inequality join
+    // plans. Oracle: the plain inequality join, exact.
+    Q(
+      "range_join_bucketed",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            (col("ts") - expr("INTERVAL 1 HOUR")).as("w_start"),
+            col("ts").as("w_end"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"))
+        RangeJoin
+          .pointInInterval(clicks, purchases, "ts", "w_start", "w_end",
+            bucketSecs = 3600L, extraKey = Some("user_id"))
+          .groupBy("purchase_id")
+          .agg(
+            count(lit(1)).as("n_clicks"),
+            min(col("ts")).as("first_click"),
+            max(col("ts")).as("last_click"))
+          .orderBy("purchase_id")
+      },
+      Some("""WITH p AS (SELECT event_id AS purchase_id, user_id,
+             |            ts - INTERVAL 1 HOUR AS w_start, ts AS w_end
+             |            FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+             |SELECT purchase_id, COUNT(*) AS n_clicks,
+             |  MIN(c.ts) AS first_click, MAX(c.ts) AS last_click
+             |FROM c JOIN p ON c.user_id = p.user_id
+             |  AND c.ts >= p.w_start AND c.ts <= p.w_end
+             |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin),
+      "bucketed range join: linear bucket equi-join + exact BETWEEN filter"),
 
     // Distinct-count aggregate (Expand-based distinct path)
     Q(

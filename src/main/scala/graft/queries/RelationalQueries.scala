@@ -394,6 +394,28 @@ object RelationalQueries {
              |FROM orders""".stripMargin),
       "CHECK-constraint audits: enum membership + non-negativity"),
 
+    // §2.7 hex-sha CHECK (001_core_schema.sql:187-190 commit_sha CHAR(40)).
+    // Testdata has no sha column, so the passing population is a derived
+    // 40-hex value (md5 + its first 8 hex chars — identical bytes in both
+    // engines) and the failing one is the non-hex `source` enum; the gate
+    // covers Validate.isHexSha end to end.
+    Q(
+      "v_check_hex_sha",
+      (s, d) => {
+        val sha40 = concat(md5(col("text")), substring(md5(col("text")), 1, 8))
+        T(s, d, "documents").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(!graft.pipeline.Validate.isHexSha(sha40), 1).otherwise(0))
+            .as("n_bad_sha"),
+          sum(when(!graft.pipeline.Validate.isHexSha(col("source")), 1)
+            .otherwise(0)).as("n_nonhex_source"))
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+             |  CAST(SUM(CASE WHEN NOT regexp_matches(md5(text) || substr(md5(text),1,8), '^[0-9a-fA-F]{40}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_sha,
+             |  CAST(SUM(CASE WHEN NOT regexp_matches(source, '^[0-9a-fA-F]{40}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_nonhex_source
+             |FROM documents""".stripMargin),
+      "hex-sha CHECK audit: derived 40-hex passes, non-hex enum fails"),
+
     // §2.7 timestamp-ordering CHECK across a join (001_core_schema.sql:112-119)
     Q(
       "v_ts_order_audit",

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("langId votes pick the right language on crafted sentences") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat and it was happy", "en"),
+      (2L, "der hund ist nicht mit der katze und das ist gut", "de"),
+      (3L, "el perro es un animal que vive en la casa", "es"),
+      (4L, "le chien est un animal que nous avons pour la vie", "fr"))
+      .toDF("id", "text", "expected")
+    val out = df.select(col("id"), col("expected"),
+      TextOps.langId(col("text")).as("pred")).collect()
+    out.foreach(r =>
+      assert(r.getString(1) == r.getString(2),
+        s"row ${r.getLong(0)}: expected ${r.getString(1)} got ${r.getString(2)}"))
+  }
+
+  test("LexiconVotes counts duplicates and covers all lexicons in one pass") {
+    import spark.implicits._
+    val df = Seq("the the la xyz").toDF("text")
+    val v = df.select(graft.expr.LexiconVotes.votes(
+      split(col("text"), " +"),
+      Seq(Seq("the"), Seq("la", "xyz"), Seq("missing"))).as("v"))
+      .head().getSeq[Int](0)
+    assert(v == Seq(2, 2, 0))
+  }
+
+  test("bpe-ish tokens drop empty boundary tokens") {
+    import spark.implicits._
+    val toks = Seq("Hello, world!! 42").toDF("text")
+      .select(TextOps.tokensBpeIsh(col("text")).as("t"))
+      .head().getSeq[String](0)
+    assert(toks == Seq("hello", "world", "42"))
+  }
+}

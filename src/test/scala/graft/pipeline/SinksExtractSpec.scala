@@ -2,6 +2,7 @@ package graft.pipeline
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -83,6 +84,39 @@ class SinksExtractSpec extends AnyFunSuite {
     assert(out3.collect().toSet == expected)
     // rotation: previous generation retained one deep
     assert(spark.read.parquet(dir + "_backup").collect().toSet == expected)
+  }
+
+  test("co-bucketed warehouse tables join with no exchange in the plan") {
+    val sf = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft_bucketed").toString
+    val orders = graft.T(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    val cust = graft.T(spark, sf, "customer").select("c_custkey", "c_name")
+    Sinks.writeBucketedTable(orders, "w_orders", "o_custkey", 4,
+      Some(s"$tmp/w_orders"))
+    Sinks.writeBucketedTable(cust, "w_customer", "c_custkey", 4,
+      Some(s"$tmp/w_customer"))
+
+    val expected = orders.join(cust,
+      col("o_custkey") === col("c_custkey")).count()
+
+    val conf = spark.conf
+    val oldBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val j = spark.table("w_orders")
+        .join(spark.table("w_customer"), col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle:\n$plan")
+      assert(j.count() == expected)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBroadcast)
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+      spark.sql("DROP TABLE IF EXISTS w_orders")
+      spark.sql("DROP TABLE IF EXISTS w_customer")
+    }
   }
 
   test("executor-side fan-out plans one scan node, not an N-branch union") {
