@@ -39,34 +39,13 @@ object DedupQueries {
        |ORDER BY a, b""".stripMargin
   }
 
-  /** The 64x64 Rademacher sign matrix of [[graft.expr.SignSketch64]] as
-    * DuckDB VALUES rows `(j, signs_j::DOUBLE[])` — emitted from the same
-    * `sign` function the engine executes, so the oracle's sketch replica
-    * cannot drift from the engine's. */
-  private def signRowsSql: String =
-    (0 until 64).map { j =>
-      val signs = (0 until 64)
-        .map(i => if (graft.expr.SignSketch64.sign(j, i) > 0) "1" else "-1")
-        .mkString(",")
-      s"($j, [$signs]::DOUBLE[])"
-    }.mkString(",\n")
-
   /** DuckDB replica of the banded sign-sketch near-dup gate: recompute
     * every sketch bit with `list_dot_product` (bit-identical to the
     * engine's sequential fold), band 8x8, join on shared bands, verify
     * candidates with exact cosine — the *operator* is oracled, not just
     * its output's intersection with the exhaustive baseline. */
   private def bandedCosineSql(threshold: Double): String =
-    s"""WITH signs(j, s) AS (VALUES
-       |$signRowsSql),
-       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |bits AS (
-       |  SELECT e.vec_id, signs.j,
-       |    CASE WHEN list_dot_product(e.v, signs.s) > 0.0 THEN 1 ELSE 0 END AS bit
-       |  FROM e CROSS JOIN signs),
-       |bands AS (
-       |  SELECT vec_id, j // 8 AS band, SUM(bit << (j % 8)) AS bh
-       |  FROM bits GROUP BY 1, 2),
+    s"""WITH ${SketchOracle.bandsCtes},
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
        |  FROM bands x JOIN bands y

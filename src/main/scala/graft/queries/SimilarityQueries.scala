@@ -42,8 +42,28 @@ object SimilarityQueries {
             "vec_id", "embedding", k = 10)
           .orderBy("qid", "rank")
       },
-      None,
+      // The oracle replicates the banded candidate generation itself (see
+      // SketchOracle) and re-ranks candidates exactly — upgraded from the
+      // round-1 rows-only check.
+      Some(s"""WITH ${SketchOracle.bandsCtes},
+              |cand AS (
+              |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+              |  FROM bands q JOIN bands c
+              |    ON q.band = c.band AND q.bh = c.bh
+              |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+              |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+              |scored AS (
+              |  SELECT cand.qid, cand.nid,
+              |    list_dot_product(nq.v, nc.v) / (nq.nrm * nc.nrm) AS cosine
+              |  FROM cand
+              |  JOIN n nq ON nq.vec_id = cand.qid
+              |  JOIN n nc ON nc.vec_id = cand.nid)
+              |SELECT qid, rank, nid, cosine FROM (
+              |  SELECT qid, nid, cosine, ROW_NUMBER() OVER (
+              |    PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+              |  FROM scored) t WHERE rank <= 10
+              |ORDER BY qid, rank""".stripMargin),
       "LSH-bucketed cosine top-10 (sign-sketch bands + exact re-rank; " +
-        "recall vs brute force asserted in DedupSimilaritySpec)")
+        "oracle replicates the banding; recall vs brute force in DedupSimilaritySpec)")
   )
 }
