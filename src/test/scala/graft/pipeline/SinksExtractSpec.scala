@@ -86,6 +86,29 @@ class SinksExtractSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir + "_backup").collect().toSet == expected)
   }
 
+  test("JDBC sink round-trips via embedded Derby, drops lineage, idempotent (S8)") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val props = new java.util.Properties()
+    val df = Seq((1L, "alice", 101L), (2L, "bob", 102L))
+      .toDF("user_id", "login", "github_user_id")
+
+    Sinks.writeJdbc(Seq("t_users" -> df), url, props)
+    val back = spark.read.jdbc(url, "t_users", props)
+    // lineage columns dropped before load (load.py:57 TODO)
+    assert(back.columns.toSet == Set("user_id", "login"))
+    assert(back.select("user_id", "login").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "alice"), (2L, "bob")))
+
+    // overwrite converges: a re-load of the same batch is a no-op
+    Sinks.writeJdbc(Seq("t_users" -> df), url, props)
+    val again = spark.read.jdbc(url, "t_users", props)
+    assert(again.select("user_id", "login").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "alice"), (2L, "bob")))
+  }
+
   test("co-bucketed warehouse tables join with no exchange in the plan") {
     val sf = "/root/testdata/sf0.001"
     val tmp = Files.createTempDirectory("graft_bucketed").toString
