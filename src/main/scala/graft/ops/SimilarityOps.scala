@@ -101,6 +101,61 @@ object SimilarityOps {
       .select("qid", "rank", "nid", "cosine")
   }
 
+  /** IVF top-k: inverted-file ANN — the other classic scale path next to
+    * LSH. Corpus vectors are assigned to their nearest coarse centroid
+    * (one inverted list per centroid); a query probes only its `nprobe`
+    * nearest lists and re-ranks those candidates exactly. Candidate
+    * generation is an equi-join on list id — linear, shuffle-friendly —
+    * and recall is tunable via `nprobe` (measured vs brute force in
+    * DedupSimilaritySpec, never assumed).
+    *
+    * The coarse quantizer here is deterministic — the first `nlist`
+    * corpus vectors by id serve as centroids — so the DuckDB oracle can
+    * replicate the whole operator (a k-means-trained codebook would be
+    * a drop-in: same assignment plan, same join shape; only the centroid
+    * table changes). Assignment is cosine-argmax with centroid-id
+    * tie-break, all bit-exact arithmetic. Centroids broadcast (nlist is
+    * small by construction: O(sqrt(corpus))). */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = withNorm(corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+      .select(col("nid"), col("v").as("cv"), col("nrm").as("cn"))
+    val cent = withNorm(corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+      .select(col("cid"), col("v").as("centv"), col("nrm").as("centn"))
+
+    def assign(side: DataFrame, id: String, v: String, n: String, keep: Int) = {
+      val w = Window.partitionBy(id)
+        .orderBy(col("_csim").desc, col("cid").asc)
+      side.join(broadcast(cent), lit(true))
+        .withColumn("_csim",
+          dot(col(v), col("centv")) / (col(n) * col("centn")))
+        .withColumn("_crank", row_number().over(w))
+        .filter(col("_crank") <= keep)
+        .drop("centv", "centn", "_csim", "_crank")
+    }
+
+    val lists = assign(c, "nid", "cv", "cn", 1)           // inverted lists
+    val q = withNorm(queries.select(col(idCol).as("qid"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+      .select(col("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val probes = assign(q, "qid", "qv", "qn", nprobe)     // probed lists
+
+    val scored = probes.join(lists, "cid")                // equi-join on list
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine",
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("nid").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "cosine")
+  }
+
   /** Bucketed embedding near-dup: sketch-band candidates + exact-cosine
     * verify — the 100 TB path for near-duplicate detection over an
     * embedding column. Candidate generation is linear (groupBy band,

@@ -92,6 +92,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh.map(_._1) == brute.map(_._1))
   }
 
+  test("IVF top-k: exact-verified subset of brute force, recall measured") {
+    val emb = T(spark, sf, "embeddings")
+    val brute = SimilarityOps
+      .bruteForceTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps
+      .ivfTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 10,
+        nlist = 16, nprobe = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(f"IVF top-k recall vs brute force (nprobe=4/16): $recall%.2f")
+    // every query must yield ranked candidates; IVF candidates re-rank
+    // exactly, so any overlap with brute force is position-consistent
+    assert(ivf.map(_._1) == brute.map(_._1))
+  }
+
   test("banded cosine near-dup: exact-verified subset of brute force, recall measured") {
     val emb = T(spark, sf, "embeddings")
     val exact = DedupOps
