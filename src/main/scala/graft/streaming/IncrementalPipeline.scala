@@ -66,4 +66,22 @@ object IncrementalPipeline {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .trigger(trigger)
+
+  /** Streaming MERGE: every micro-batch upserts into the parquet
+    * warehouse table through [[graft.pipeline.Sinks.mergeParquetOnKey]] —
+    * the streaming face of the reference's intended idempotent load.
+    * Deterministic keys make replayed batches (checkpoint recovery
+    * re-delivery) converge instead of duplicating, which is exactly the
+    * at-least-once → effectively-once upgrade a MERGE sink exists for. */
+  def toMergeSink(
+      df: DataFrame, path: String, checkpoint: String, keyCols: Seq[String],
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.pipeline.Sinks.mergeParquetOnKey(batch, path, keyCols)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update)
+      .trigger(trigger)
 }

@@ -57,6 +57,30 @@ class IncrementalPipelineSpec extends AnyFunSuite {
     assert(out == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("streaming merge sink upserts each micro-batch; replays converge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_stream_merge").toString
+    val input = MemoryStream[(Long, String, String)]
+    val df = input.toDF().toDF("user_id", "login", "gen")
+    // AvailableNow would terminate on the initially-empty MemoryStream;
+    // drive the micro-batches explicitly instead
+    val q = IncrementalPipeline
+      .toMergeSink(df, s"$dir/users", s"$dir/ckpt", Seq("user_id"),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    input.addData((1L, "alice", "b1"), (2L, "bob", "b1"))
+    q.processAllAvailable()
+    // batch 2: updates key 2, adds key 3, replays key 1 unchanged
+    input.addData((2L, "bob", "b2"), (3L, "carol", "b2"), (1L, "alice", "b1"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/users").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set((1L, "alice", "b1"), (2L, "bob", "b2"),
+      (3L, "carol", "b2")))
+  }
+
   test("file-source stream processes a raw directory as micro-batches") {
     val dir = Files.createTempDirectory("graft_stream").toString
     val out = Files.createTempDirectory("graft_stream_out").toString
