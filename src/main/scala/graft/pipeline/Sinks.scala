@@ -76,6 +76,18 @@ object Sinks {
     spark.read.parquet(dir)
   }
 
+  /** Hive-style partitioned parquet layout: one directory per value of
+    * the partition columns. Low-cardinality filter columns (event type,
+    * ingest date, language) become partition pruning at read time — the
+    * scan never opens non-matching directories, which at 100 TB turns
+    * "scan everything, filter later" into "list three directories".
+    * Pruning is asserted in SinksExtractSpec (PartitionFilters reach the
+    * scan node). Pair with [[writeBucketedTable]]: partition by the
+    * coarse filter axis, bucket by the join key. */
+  def writePartitioned(
+      df: DataFrame, dir: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dir)
+
   /** Bucketed warehouse table: pre-shuffles rows into `buckets` files per
     * partition keyed by `key` (sorted within buckets), so every later join
     * or aggregation on `key` between co-bucketed tables plans with NO

@@ -86,6 +86,20 @@ class SinksExtractSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir + "_backup").collect().toSet == expected)
   }
 
+  test("partitioned layout prunes non-matching partitions at the scan") {
+    val tmp = Files.createTempDirectory("graft_part").toString + "/events"
+    val ev = graft.T(spark, "/root/testdata/sf0.001", "events")
+    Sinks.writePartitioned(ev, tmp, Seq("event_type"))
+
+    val read = spark.read.parquet(tmp).filter(col("event_type") === "click")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_type"),
+      s"partition filter must reach the scan:\n$plan")
+    assert(read.count() ==
+      ev.filter(col("event_type") === "click").count())
+  }
+
   test("JDBC sink round-trips via embedded Derby, drops lineage, idempotent (S8)") {
     import spark.implicits._
     val url = "jdbc:derby:memory:graftdb;create=true"
