@@ -93,6 +93,64 @@ object TextQueries {
       None,
       "SimHash + winnowing fingerprint via native codegen expressions"),
 
+    // The training-data pipeline composed end to end: quality-score →
+    // threshold filter → language filter → exact dedup (min-id survivor,
+    // copies counted). One declarative plan — Catalyst fuses the scoring
+    // projections into the scan and the dedup is the only shuffle.
+    Q(
+      "curate_corpus",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = TextOps
+          .qualityScore(T(s, d, "documents"), "text")
+          .withColumn("lang_pred", TextOps.langId(col("text")))
+        val filtered = scored.filter(
+          col("n_tokens") >= 5 && col("alpha_ratio") >= 0.5 &&
+            col("lang_pred") === "en")
+        val w = Window.partitionBy("text").orderBy("doc_id")
+        filtered
+          .withColumn("_rn", row_number().over(w))
+          .withColumn("n_copies",
+            count(lit(1)).over(Window.partitionBy("text")))
+          .filter(col("_rn") === 1)
+          .select("doc_id", "lang_pred", "n_tokens", "alpha_ratio", "n_copies")
+          .orderBy("doc_id")
+      },
+      Some {
+        val v = TextOps.Lexicons.map { case (lang, lex) =>
+          lang ->
+            s"len(list_filter(string_split_regex(lower(text), ' +'), t -> t IN ${inList(lex)}))"
+        }.toMap
+        s"""WITH votes AS (
+           |  SELECT doc_id, text,
+           |    CAST(len(string_split_regex(text, ' +')) AS INTEGER) AS n_tokens,
+           |    CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE)
+           |      / greatest(length(text), 1) AS alpha_ratio,
+           |    ${v("de")} AS v_de, ${v("en")} AS v_en, ${v("es")} AS v_es,
+           |    ${v("fr")} AS v_fr, ${v("zh")} AS v_zh
+           |  FROM documents),
+           |scored AS (
+           |  SELECT doc_id, text, n_tokens, alpha_ratio,
+           |    CASE
+           |      WHEN v_zh > greatest(v_de, v_en, v_es, v_fr) THEN 'zh'
+           |      WHEN v_fr > greatest(v_de, v_en, v_es) THEN 'fr'
+           |      WHEN v_es > greatest(v_de, v_en) THEN 'es'
+           |      WHEN v_en > v_de THEN 'en'
+           |      ELSE 'de' END AS lang_pred
+           |  FROM votes),
+           |filtered AS (
+           |  SELECT * FROM scored
+           |  WHERE n_tokens >= 5 AND alpha_ratio >= 0.5 AND lang_pred = 'en'),
+           |dedup AS (
+           |  SELECT doc_id, lang_pred, n_tokens, alpha_ratio,
+           |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+           |    COUNT(*) OVER (PARTITION BY text) AS n_copies
+           |  FROM filtered)
+           |SELECT doc_id, lang_pred, n_tokens, alpha_ratio, n_copies
+           |FROM dedup WHERE rn = 1 ORDER BY doc_id""".stripMargin
+      },
+      "end-to-end corpus curation: quality + language filters + exact dedup"),
+
     Q(
       "text_token_explode_topk",
       (s, d) =>
