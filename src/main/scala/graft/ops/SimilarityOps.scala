@@ -119,13 +119,66 @@ object SimilarityOps {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopKWithCodebook(queries, corpus,
+      withNorm(corpus.filter(col(idCol) < nlist)
+        .select(col(idCol).as("cid"),
+          col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+        .select(col("cid"), col("v").as("centv"), col("nrm").as("centn")),
+      idCol, vecCol, k, nprobe)
+
+  /** Deterministic k-means codebook for IVF: init = the first `nlist`
+    * corpus vectors by id, then `iters` Lloyd rounds — assignment is a
+    * broadcast cosine-argmax scan, the centroid update a per-dimension
+    * mean (one shuffle keyed by (centroid, dim)). Everything is stock
+    * DataFrame ops, so training scales like any other aggregation; the
+    * array re-assembly `transform` runs over nlist x dim rows only
+    * (training output, not the corpus hot path). Trained codebooks are
+    * data-dependent floats, so IVF-with-trained-codebook is unit-tested
+    * (recall vs brute force) rather than oracle-gated — the gate query
+    * pins the deterministic-codebook variant whose oracle replicates
+    * assignment exactly. */
+  def kmeansCodebook(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 2): DataFrame = {
+    val c = withNorm(corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+    var cent = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cid"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("centv"))
+    for (_ <- 1 to iters) {
+      val centN = cent.withColumn("centn",
+        sqrt(dot(col("centv"), col("centv"))))
+      val w = Window.partitionBy("nid")
+        .orderBy(col("_csim").desc, col("cid").asc)
+      val assigned = c.join(broadcast(centN), lit(true))
+        .withColumn("_csim",
+          dot(col("v"), col("centv")) / (col("nrm") * col("centn")))
+        .withColumn("_r", row_number().over(w))
+        .filter(col("_r") === 1)
+        .select(col("cid"), col("v"))
+      cent = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("s"))
+        .select(col("cid"), expr("transform(s, e -> e.m)").as("centv"))
+    }
+    cent
+  }
+
+  /** IVF search against an explicit codebook (deterministic slice or
+    * k-means-trained — same plan shape either way). */
+  def ivfTopKWithCodebook(
+      queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val c = withNorm(corpus.select(col(idCol).as("nid"),
       col(vecCol).cast(ArrayType(DoubleType)).as("v")))
       .select(col("nid"), col("v").as("cv"), col("nrm").as("cn"))
-    val cent = withNorm(corpus.filter(col(idCol) < nlist)
-      .select(col(idCol).as("cid"), col(vecCol).cast(ArrayType(DoubleType)).as("v")))
-      .select(col("cid"), col("v").as("centv"), col("nrm").as("centn"))
+    val cent =
+      if (codebook.columns.contains("centn")) codebook
+      else codebook.withColumn("centn",
+        sqrt(dot(col("centv"), col("centv"))))
 
     def assign(side: DataFrame, id: String, v: String, n: String, keep: Int) = {
       val w = Window.partitionBy(id)

@@ -108,6 +108,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ivf.map(_._1) == brute.map(_._1))
   }
 
+  test("k-means-trained IVF codebook: valid centroids, recall measured") {
+    val emb = T(spark, sf, "embeddings")
+    val codebook = SimilarityOps
+      .kmeansCodebook(emb, "vec_id", "embedding", nlist = 16, iters = 2)
+    val cents = codebook.collect()
+    assert(cents.length == 16)
+    assert(cents.forall(_.getSeq[Double](1).length == 64))
+    val brute = SimilarityOps
+      .bruteForceTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps
+      .ivfTopKWithCodebook(emb.filter(col("vec_id") < 5), emb, codebook,
+        "vec_id", "embedding", k = 10, nprobe = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(f"trained-IVF top-k recall vs brute force (nprobe=4/16): $recall%.2f")
+    assert(ivf.map(_._1) == brute.map(_._1))
+  }
+
   test("banded cosine near-dup: exact-verified subset of brute force, recall measured") {
     val emb = T(spark, sf, "embeddings")
     val exact = DedupOps
