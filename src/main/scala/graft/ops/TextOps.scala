@@ -49,6 +49,39 @@ object TextOps {
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
 
+  /** True winnowing fingerprint set (Schleimer/Wilkerson/Aiken): k-char
+    * grams hash per position, minimum per sliding window of `w` grams,
+    * distinct minima per document. Robust to insertions: an edit disturbs
+    * only the windows it touches, so most fingerprints survive.
+    *
+    * The gram hash is the 16-char prefix of `md5` — a fixed-length
+    * lowercase-hex string, so the lexicographic `min` IS the numeric min
+    * and the whole operator is bit-identically expressible in the DuckDB
+    * oracle (unlike the engine-native `Fingerprint64`, which stays the
+    * rows-only perf path). Shape: one explode (chars-linear), one window
+    * shuffle keyed by document — scan-scale at 100 TB. */
+  def winnowFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nGrams = greatest(length(col(textCol)) - (k - 1), lit(1))
+    val grams = df
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(1), nGrams)).as("i"))
+      .select(col(idCol), col("i"),
+        greatest(length(col(textCol)) - (k - 1), lit(1)).as("ng"),
+        substring(md5(
+          when(length(col(textCol)) < k, col(textCol))
+            .otherwise(expr(s"substring($textCol, i, $k)"))), 1, 16).as("h"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("wmin", min(col("h")).over(win))
+      .filter(col("i") <= greatest(col("ng") - (w - 1), lit(1)))
+      .select(col(idCol), col("wmin").as("fp"))
+      .distinct()
+  }
+
   /** Per-language function-word lexicons for the vote-based language-ID
     * heuristic. Deterministic and fully SQL-expressible (the DuckDB oracle
     * runs the same votes). The native one-pass vote counter

@@ -79,6 +79,40 @@ object TextQueries {
              |FROM documents ORDER BY doc_id""".stripMargin),
       "sub-word-ish token counting (regex split, empty-dropped)"),
 
+    // True winnowing (sliding-window minima over positional k-gram
+    // hashes). Gram hash = 16-char md5 prefix: fixed-length lowercase
+    // hex, so lexicographic MIN == numeric min in both engines and the
+    // full operator is oracle-checked; the native Fingerprint64 below
+    // stays the rows-only perf path. The gate input is bounded to
+    // doc_id < 2000 — a superset of the whole sf0.01 corpus the
+    // correctness gate runs on, while keeping the per-position explode
+    // (~1k rows/doc) from dominating suite bench time at larger SFs;
+    // the operator itself has no such bound.
+    Q(
+      "text_winnow_fingerprint",
+      (s, d) =>
+        TextOps
+          .winnowFingerprints(
+            T(s, d, "documents").filter(col("doc_id") < 2000),
+            "doc_id", "text", k = 8, w = 4)
+          .orderBy("doc_id", "fp"),
+      Some("""WITH g AS (
+             |  SELECT doc_id, i, greatest(length(text) - 7, 1) AS ng,
+             |    substr(md5(CASE WHEN length(text) < 8 THEN text
+             |                    ELSE substr(text, i, 8) END), 1, 16) AS h
+             |  FROM (SELECT doc_id, text,
+             |          unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+             |        FROM documents WHERE doc_id < 2000)),
+             |w AS (
+             |  SELECT doc_id, i, ng,
+             |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+             |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+             |  FROM g)
+             |SELECT DISTINCT doc_id, wmin AS fp FROM w
+             |WHERE i <= greatest(ng - 3, 1)
+             |ORDER BY doc_id, fp""".stripMargin),
+      "true winnowing fingerprint set (k=8 grams, window 4, md5-prefix hash)"),
+
     Q(
       "text_fingerprint",
       (s, d) =>

@@ -33,6 +33,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(v == Seq(2, 2, 0))
   }
 
+  test("winnowing fingerprints survive a prefix insertion (shift tolerance)") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val df = Seq(
+      (1L, text),
+      (2L, "XYZ PREFIX " + text), // same content, shifted
+      (3L, "completely different words with nothing shared at all here now"))
+      .toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val overlapShifted = (fps(1L) intersect fps(2L)).size.toDouble / fps(1L).size
+    val overlapUnrelated = (fps(1L) intersect fps(3L)).size.toDouble / fps(1L).size
+    assert(overlapShifted > 0.7,
+      f"shifted copy should share most fingerprints, got $overlapShifted%.2f")
+    assert(overlapUnrelated < 0.2,
+      f"unrelated doc should share few fingerprints, got $overlapUnrelated%.2f")
+  }
+
   test("bpe-ish tokens drop empty boundary tokens") {
     import spark.implicits._
     val toks = Seq("Hello, world!! 42").toDF("text")
