@@ -14,6 +14,92 @@ object AnalyticsQueries {
   private val GapUs = 1800L * 1000000L // 30 min session gap
 
   val all: Seq[Q] = Seq(
+    // Full ranking/navigation window battery over one shuffle: every
+    // function shares the (partition, unique order key) frame, so results
+    // are deterministic and the plan is a single Exchange + Sort + Window.
+    // lag/lead move parquet doubles unchanged (no arithmetic — exact);
+    // cume_dist/percent_rank are integer-over-integer divisions, bit-
+    // identical across engines.
+    Q(
+      "window_battery",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        T(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+          .withColumn("quartile", ntile(4).over(w).cast(LongType))
+          .withColumn("cd", cume_dist().over(w))
+          .withColumn("pr", percent_rank().over(w))
+          .select("o_custkey", "o_orderkey", "rn", "prev_price",
+            "next_price", "quartile", "cd", "pr")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  ROW_NUMBER() OVER w AS rn,
+             |  LAG(o_totalprice, 1) OVER w AS prev_price,
+             |  LEAD(o_totalprice, 1) OVER w AS next_price,
+             |  NTILE(4) OVER w AS quartile,
+             |  CUME_DIST() OVER w AS cd,
+             |  PERCENT_RANK() OVER w AS pr
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin),
+      "ranking/navigation window battery sharing one shuffle"),
+
+    // GROUPING SETS beyond rollup/cube: two independent single-column
+    // aggregations plus the grand total in one pass (Expand-based), with
+    // grouping_id disambiguating aggregation-produced nulls.
+    Q(
+      "agg_grouping_sets",
+      (s, d) => {
+        T(s, d, "orders").createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                |  COUNT(*) AS n,
+                |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+                |FROM orders_gs
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin),
+      "GROUPING SETS aggregation with grouping_id disambiguation"),
+
+    // Set operations: INTERSECT / EXCEPT (both distinct by SQL semantics),
+    // tagged and unioned into one deterministic result.
+    Q(
+      "setop_battery",
+      (s, d) => {
+        val building = T(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val withOrders = T(s, d, "orders")
+          .select(col("o_custkey").as("c_custkey"))
+        building.intersect(withOrders)
+          .withColumn("which", lit("both"))
+          .unionByName(building.except(withOrders)
+            .withColumn("which", lit("no_orders")))
+          .orderBy("which", "c_custkey")
+      },
+      Some("""SELECT c_custkey, 'both' AS which FROM (
+             |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |  INTERSECT
+             |  SELECT o_custkey FROM orders)
+             |UNION ALL
+             |SELECT c_custkey, 'no_orders' AS which FROM (
+             |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |  EXCEPT
+             |  SELECT o_custkey FROM orders)
+             |ORDER BY which, c_custkey""".stripMargin),
+      "INTERSECT / EXCEPT set operations, tagged union"),
+
     // Sessionization: gap > 30 min starts a new session; running sum of
     // starts numbers the sessions per user. Two windows over ONE shuffle
     // (same partitioning/ordering), then one aggregate.
@@ -126,14 +212,17 @@ object AnalyticsQueries {
           .join(T(s, d, "lineitem").filter(col("l_shipdate") > cutoff),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-          .agg(sum(price * (one - disc)).cast(DoubleType).as("revenue"))
+          // scale-4 reduction before the DOUBLE cast — see the q1 note on
+          // DuckDB's two-step decimal→double rounding at scale 10
+          .agg(sum(price * (one - disc)).cast(DecimalType(28, 4))
+            .cast(DoubleType).as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(20)
           .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
       },
       Some("""SELECT o_orderkey,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
-             |       (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE) AS revenue,
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+             |       (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
              |  o_orderdate, o_orderpriority
              |FROM customer
              |JOIN orders ON c_custkey = o_custkey

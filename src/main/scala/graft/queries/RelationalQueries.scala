@@ -476,7 +476,15 @@ object RelationalQueries {
           .agg(
             dsum(col("l_quantity")).as("sum_qty"),
             sum(price).cast(DoubleType).as("sum_base_price"),
-            sum(price * (one - disc)).cast(DoubleType).as("sum_disc_price"),
+            // Reduce to scale 4 before the DOUBLE cast: DuckDB converts
+            // DECIMAL→DOUBLE as int128→double then ÷10^scale (two
+            // roundings — off by 1 ULP at scale 10 and 20 significant
+            // digits, caught at sf0.1), while at scale 4 the scaled
+            // integer fits in 2^53 and both engines round once. The
+            // source data has ≤4 decimal digits, so the reduction itself
+            // is exact.
+            sum(price * (one - disc)).cast(DecimalType(28, 4))
+              .cast(DoubleType).as("sum_disc_price"),
             (sum(col("l_quantity").cast(dec18_4)).cast(DoubleType) /
               count(lit(1))).as("avg_qty"),
             count(lit(1)).as("count_order"))
@@ -485,8 +493,8 @@ object RelationalQueries {
       Some("""SELECT l_returnflag, l_linestatus,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
-             |       (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+             |       (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
              |  COUNT(*) AS count_order
              |FROM lineitem
