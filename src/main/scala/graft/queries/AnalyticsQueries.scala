@@ -72,6 +72,38 @@ object AnalyticsQueries {
              |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin),
       "GROUPING SETS aggregation with grouping_id disambiguation"),
 
+    // Temporal scalar battery: extraction, truncation, interval
+    // arithmetic, month-end, epoch seconds. Day-of-week is normalized to
+    // 0=Sunday (Spark's dayofweek is 1-based, DuckDB's dow 0-based).
+    Q(
+      "datetime_battery",
+      (s, d) =>
+        T(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).cast(LongType).as("y"),
+            month(col("o_orderdate")).cast(LongType).as("m"),
+            dayofmonth(col("o_orderdate")).cast(LongType).as("d"),
+            quarter(col("o_orderdate")).cast(LongType).as("q"),
+            (dayofweek(col("o_orderdate")) - 1).cast(LongType).as("dow"),
+            date_trunc("quarter", col("o_orderdate")).as("q_start"),
+            (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"),
+            last_day(col("o_orderdate")).as("month_end"),
+            unix_timestamp(col("o_orderdate")).as("epoch_s"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+             |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+             |  CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS d,
+             |  CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS q,
+             |  CAST(EXTRACT(dow FROM o_orderdate) AS BIGINT) AS dow,
+             |  date_trunc('quarter', o_orderdate) AS q_start,
+             |  o_orderdate + INTERVAL 30 DAY AS plus30,
+             |  last_day(o_orderdate) AS month_end,
+             |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      "temporal scalar battery: extract/trunc/interval/last_day/epoch"),
+
     // Set operations: INTERSECT / EXCEPT (both distinct by SQL semantics),
     // tagged and unioned into one deterministic result.
     Q(
