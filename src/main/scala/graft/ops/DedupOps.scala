@@ -46,6 +46,30 @@ object DedupOps {
       .distinct()
   }
 
+  /** Shingle frames are the shared upstream of every text near-dup
+    * operator (Jaccard, capped Jaccard, MinHash). At 100 TB you compute
+    * them once per corpus snapshot and stage them for all consumers; the
+    * single-session analog is one persisted frame memoized per
+    * (source, idCol, textCol, k). Keyed by DataFrame identity — [[graft.T]]
+    * memoizes relations, so the same table is the same instance per
+    * session and the cache stays bounded by the number of distinct
+    * (table, params) combinations actually used. */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(DataFrame, String, String, Int), DataFrame]()
+
+  def sharedShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    shingleCache.computeIfAbsent((df, idCol, textCol, k), {
+      case (src, id, txt, kk) =>
+        shingles(src, id, txt, kk)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Unpersist and drop every shared shingle frame (test hygiene). */
+  def clearShingleCache(): Unit = {
+    shingleCache.values.forEach(df => { df.unpersist(); () })
+    shingleCache.clear()
+  }
+
   /** Exact dedupe: canonical (min-id) representative per key group. */
   def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame =
     df.groupBy(keyCols: _*)
@@ -53,12 +77,19 @@ object DedupOps {
 
   /** All pairs with n-gram Jaccard >= threshold.
     * @param maxShingleFreq drop shingles occurring in more docs (skew/scale
-    *        guard); None = exact. */
+    *        guard); None = exact.
+    * @param reuseShingles read the shared persisted shingle frame instead
+    *        of recomputing it — the frame is referenced three times below
+    *        (sizes + both self-join sides), and other dedup operators over
+    *        the same corpus share it too. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double,
-      maxShingleFreq: Option[Int] = None): DataFrame = {
-    val sh0 = shingles(df, idCol, textCol, k)
+      maxShingleFreq: Option[Int] = None,
+      reuseShingles: Boolean = false): DataFrame = {
+    val sh0 =
+      if (reuseShingles) sharedShingles(df, idCol, textCol, k)
+      else shingles(df, idCol, textCol, k)
     val sh = maxShingleFreq match {
       case Some(cap) =>
         val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("f"))
@@ -118,8 +149,11 @@ object DedupOps {
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double,
-      numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k)
+      numHashes: Int = 16, bands: Int = 4,
+      reuseShingles: Boolean = false): DataFrame = {
+    val sh =
+      if (reuseShingles) sharedShingles(df, idCol, textCol, k)
+      else shingles(df, idCol, textCol, k)
     val cands = minhashLshCandidates(
       minhashSignatures(sh, idCol, numHashes), idCol, numHashes, bands)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))

@@ -76,7 +76,7 @@ object DedupQueries {
       (s, d) =>
         DedupOps
           .ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
-            k = 3, threshold = 0.8)
+            k = 3, threshold = 0.8, reuseShingles = true)
           .orderBy("a", "b"),
       Some(jaccardSql(0.8)),
       "exact 3-gram Jaccard near-dup pairs (>= 0.8)"),
@@ -90,7 +90,8 @@ object DedupQueries {
       (s, d) =>
         DedupOps
           .ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
-            k = 3, threshold = 0.8, maxShingleFreq = Some(4))
+            k = 3, threshold = 0.8, maxShingleFreq = Some(4),
+            reuseShingles = true)
           .orderBy("a", "b"),
       Some(jaccardSql(0.8, cap = Some(4))),
       "capped 3-gram Jaccard (df<=4 shingles only): the bounded-join scale path"),
@@ -106,7 +107,7 @@ object DedupQueries {
       (s, d) =>
         DedupOps
           .minhashLshPairs(T(s, d, "documents"), "doc_id", "text",
-            k = 3, threshold = 0.8)
+            k = 3, threshold = 0.8, reuseShingles = true)
           .orderBy("a", "b"),
       Some(jaccardSql(0.8)),
       "MinHash-LSH near-dup: banded candidates + exact-Jaccard verify"),
