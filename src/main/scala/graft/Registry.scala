@@ -25,7 +25,8 @@ object Registry {
       queries.TextQueries.all ++
       queries.MultimodalQueries.all ++
       queries.AdvancedQueries.all ++
-      queries.AnalyticsQueries.all
+      queries.AnalyticsQueries.all ++
+      queries.CorpusQueries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-preparation operators for a training-data pipeline: deterministic
+  * sampling / split assignment, stratified corpus mixing, fixed-window
+  * chunking, and PII redaction.
+  *
+  * Sampling is salted-hash based, NOT `df.sample()`: `sample()` depends on
+  * partitioning and RNG seeds, so its output changes under repartition,
+  * AQE, or re-runs from checkpoint. A salted md5 threshold keyed on a
+  * stable id is reproducible anywhere (any engine, any partitioning), lets
+  * a row's membership be audited after the fact, and keeps train/test
+  * splits disjoint BY CONSTRUCTION across pipeline re-runs — the property
+  * an incremental corpus build actually needs (same doc always lands in
+  * the same split, no leakage between refreshes).
+  *
+  * All operators are single-pass narrow transforms (filter / project /
+  * explode) — no shuffle, no state; they scale linearly and preserve the
+  * upstream partitioning.
+  */
+object CorpusOps {
+
+  /** 32-hex-digit threshold covering `fraction` of the md5 key space.
+    * Comparing full-width lowercase hex strings lexicographically is
+    * identical to comparing the underlying 128-bit integers (both engines
+    * produce fixed-width lowercase hex), so the filter is a plain string
+    * `<` — codegen-friendly and expressible verbatim in ANSI SQL. */
+  def md5Threshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    val full = BigInt(1) << 128
+    // java.math.BigDecimal: exact (unlimited-precision) arithmetic — the
+    // scala.math wrapper's default MathContext rounds to 34 significant
+    // digits, one short of 2^128's 39.
+    val scaled = BigInt(new java.math.BigDecimal(fraction)
+        .multiply(new java.math.BigDecimal(full.bigInteger))
+        .toBigInteger)
+      .min(full - 1).max(BigInt(0))
+    val hex = scaled.toString(16)
+    "0" * (32 - hex.length) + hex
+  }
+
+  /** Salted uniform hash of a key column: md5("salt:key"). The salt makes
+    * independent sampling decisions independent — reusing one hash for
+    * both a sample and a split would correlate them. */
+  def saltedHash(keyCol: Column, salt: String): Column =
+    md5(concat_ws(":", lit(salt), keyCol.cast(StringType)))
+
+  /** Deterministic Bernoulli sample: keep rows whose salted key hash
+    * falls below the fraction threshold. */
+  def sampleByHash(
+      df: DataFrame, keyCol: String, fraction: Double, salt: String): DataFrame =
+    df.filter(saltedHash(col(keyCol), salt) < lit(md5Threshold(fraction)))
+
+  /** Assign every row to exactly one named split by cumulative hash
+    * ranges, e.g. Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1).
+    * Total fractions must cover the space (sum to 1 within 1e-9); the
+    * last split absorbs the rounding remainder so no row is unlabeled. */
+  def assignSplit(
+      df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
+      salt: String, outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val h = saltedHash(col(keyCol), salt)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val labeled = splits.init.zip(cum).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), upper)) =>
+        val cond = h < lit(md5Threshold(upper))
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }
+    val assign = labeled.fold(lit(splits.last._1))(_.otherwise(splits.last._1))
+    df.withColumn(outCol, assign)
+  }
+
+  /** Stratified deterministic sample: per-stratum keep fractions (corpus
+    * mixing — e.g. downsample dominant languages, keep all of rare ones).
+    * Strata absent from `fractions` fall back to `defaultFraction`.
+    * The when-chain keeps the whole decision in one codegen'd projection;
+    * for thousands of strata, broadcast-join a fractions table instead. */
+  def stratifiedSampleByHash(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      fractions: Map[String, Double], defaultFraction: Double,
+      salt: String): DataFrame = {
+    val h = saltedHash(col(keyCol), salt)
+    val thresh = fractions.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (stratum, f)) =>
+        val c = col(stratumCol) === stratum
+        val t = lit(md5Threshold(f))
+        Some(acc.fold(when(c, t))(_.when(c, t)))
+    }.fold(lit(md5Threshold(defaultFraction)))(
+      _.otherwise(md5Threshold(defaultFraction)))
+    df.filter(h < thresh)
+  }
+
+  /** Split documents into fixed-size token windows with `overlap` shared
+    * tokens between consecutive chunks (context-preserving chunking for
+    * embedding / training-example generation). One explode, no shuffle.
+    * Short documents yield a single (possibly undersized) chunk; the last
+    * chunk of a long document keeps whatever remains.
+    */
+  def chunkDocs(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val toks = col("_toks")
+    val nTok = size(toks)
+    val start = col("chunk_id") * step + 1
+    df.select(col(idCol), split(col(textCol), " +").as("_toks"))
+      // last chunk index i satisfies i*step + 1 <= nTok  =>  i <= (nTok-1)/step
+      .select(col(idCol), toks,
+        explode(sequence(lit(0),
+          greatest(floor((nTok - 1) / lit(step)).cast(IntegerType), lit(0))))
+          .as("chunk_id"))
+      .select(
+        col(idCol), col("chunk_id").cast(LongType).as("chunk_id"),
+        least(lit(chunkSize), nTok - col("chunk_id") * step)
+          .cast(LongType).as("n_tokens"),
+        array_join(slice(toks, start, lit(chunkSize)), " ").as("chunk_text"))
+  }
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+  private val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** Redact common PII shapes (emails, URLs, phone-like digit runs) with
+    * typed placeholder tags. URL before email: a URL can embed an
+    * `@userinfo` segment that the email pattern would otherwise split.
+    * Patterns are RE2-safe (no backtracking constructs), so the same
+    * regexes run identically on Java regex and RE2-family engines. */
+  def redactPii(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(textCol, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Collapse runs of whitespace and trim — canonical text form ahead of
+    * hashing / shingling, so layout differences don't defeat dedup. */
+  def normalizeWhitespace(textCol: Column): Column =
+    trim(regexp_replace(textCol, "\\s+", " "))
+}

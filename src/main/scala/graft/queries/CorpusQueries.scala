@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.{Q, T}
+import graft.ops.CorpusOps
+
+/** Corpus-preparation battery over `documents`: deterministic hash
+  * sampling / split assignment, stratified corpus mixing, fixed-window
+  * chunking, PII redaction. Every oracle reuses [[CorpusOps.md5Threshold]]
+  * so Spark and DuckDB compare hashes against the exact same literals. */
+object CorpusQueries {
+
+  private val T80 = CorpusOps.md5Threshold(0.8)
+  private val T90 = CorpusOps.md5Threshold(0.9)
+  private val T37 = CorpusOps.md5Threshold(0.37)
+  private val MixFractions = Map("en" -> 0.25, "de" -> 0.5, "zh" -> 1.0)
+  private val MixDefault = 0.75
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "corpus_sample_bernoulli",
+      (s, d) =>
+        CorpusOps
+          .sampleByHash(T(s, d, "documents"), "doc_id", 0.37, "s1")
+          .select("doc_id", "lang")
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang FROM documents
+             |WHERE md5('s1:' || CAST(doc_id AS VARCHAR)) < '$T37'
+             |ORDER BY doc_id""".stripMargin),
+      "deterministic Bernoulli sample: salted md5 threshold, re-run stable"),
+
+    Q(
+      "corpus_split_assign",
+      (s, d) =>
+        CorpusOps
+          .assignSplit(T(s, d, "documents"), "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split")
+          .select("doc_id", "lang", "split")
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang,
+             |  CASE WHEN md5('split:' || CAST(doc_id AS VARCHAR)) < '$T80' THEN 'train'
+             |       WHEN md5('split:' || CAST(doc_id AS VARCHAR)) < '$T90' THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "train/val/test assignment by cumulative hash ranges: disjoint, exhaustive, leak-free across re-runs"),
+
+    Q(
+      "corpus_sample_stratified",
+      (s, d) =>
+        CorpusOps
+          .stratifiedSampleByHash(T(s, d, "documents"), "doc_id", "lang",
+            MixFractions, MixDefault, salt = "mix")
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang, source FROM documents
+             |WHERE md5('mix:' || CAST(doc_id AS VARCHAR)) <
+             |  CASE lang WHEN 'en' THEN '${CorpusOps.md5Threshold(MixFractions("en"))}'
+             |            WHEN 'de' THEN '${CorpusOps.md5Threshold(MixFractions("de"))}'
+             |            WHEN 'zh' THEN '${CorpusOps.md5Threshold(MixFractions("zh"))}'
+             |            ELSE '${CorpusOps.md5Threshold(MixDefault)}' END
+             |ORDER BY doc_id""".stripMargin),
+      "stratified corpus mixing: per-language keep fractions, hash-deterministic"),
+
+    // Chunking: 32-token windows, 8-token overlap (step 24). The oracle
+    // replicates the window arithmetic with generate_series + list
+    // slicing (1-based inclusive on both engines' slice semantics).
+    Q(
+      "corpus_chunk_windows",
+      (s, d) =>
+        CorpusOps
+          .chunkDocs(T(s, d, "documents"), "doc_id", "text",
+            chunkSize = 32, overlap = 8)
+          .orderBy("doc_id", "chunk_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents),
+             |idx AS (
+             |  SELECT doc_id, t,
+             |    unnest(generate_series(0, greatest((len(t)-1)//24, 0))) AS i
+             |  FROM toks)
+             |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+             |  CAST(least(32, len(t) - i*24) AS BIGINT) AS n_tokens,
+             |  array_to_string(t[i*24+1:i*24+32], ' ') AS chunk_text
+             |FROM idx ORDER BY doc_id, chunk_id""".stripMargin),
+      "fixed 32-token chunks with 8-token overlap: one explode, no shuffle"),
+
+    // Training-export shuffle: shard assignment + within-shard order both
+    // derive from one salted hash, so the "random" example order is fully
+    // reproducible and stable under re-runs / repartitioning — at scale
+    // this is `write.partitionBy(shard)` + `sortWithinPartitions(sort_key)`
+    // with zero extra shuffles beyond the write's own.
+    Q(
+      "corpus_shuffle_shard",
+      (s, d) =>
+        CorpusOps
+          .assignSplit(T(s, d, "documents"), "doc_id",
+            (0 until 4).map(i => s"shard$i" -> 0.25), salt = "shard",
+            outCol = "shard")
+          .select(col("doc_id"), col("shard"),
+            CorpusOps.saltedHash(col("doc_id"), "shard").as("sort_key"))
+          .orderBy("shard", "sort_key"),
+      Some {
+        val h = "md5('shard:' || CAST(doc_id AS VARCHAR))"
+        s"""SELECT doc_id,
+           |  CASE WHEN $h < '${CorpusOps.md5Threshold(0.25)}' THEN 'shard0'
+           |       WHEN $h < '${CorpusOps.md5Threshold(0.5)}' THEN 'shard1'
+           |       WHEN $h < '${CorpusOps.md5Threshold(0.75)}' THEN 'shard2'
+           |       ELSE 'shard3' END AS shard,
+           |  $h AS sort_key
+           |FROM documents ORDER BY shard, sort_key""".stripMargin
+      },
+      "deterministic training-export shuffle: hash shards + reproducible within-shard order"),
+
+    // Sequence packing: fill 2048-token training sequences per shard, in
+    // the deterministic shuffle order. pack_id = floor(exclusive-running-
+    // token-total / budget) — contiguous fill with boundary splitting, the
+    // standard approximation that needs only ONE window (partitioned by
+    // shard → embarrassingly parallel; no sequential bin-packing state).
+    Q(
+      "corpus_pack_sequences",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = CorpusOps
+          .assignSplit(T(s, d, "documents"), "doc_id",
+            (0 until 4).map(i => s"shard$i" -> 0.25), salt = "shard",
+            outCol = "shard")
+          .select(col("doc_id"), col("shard"),
+            CorpusOps.saltedHash(col("doc_id"), "shard").as("sort_key"),
+            size(split(col("text"), " +")).cast("long").as("n_tokens"))
+        val w = Window.partitionBy("shard").orderBy("sort_key")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base
+          .withColumn("pack_id",
+            floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / 2048.0)
+              .cast("long"))
+          .select("doc_id", "shard", "pack_id", "n_tokens")
+          .orderBy("shard", "pack_id", "doc_id")
+      },
+      Some {
+        val h = "md5('shard:' || CAST(doc_id AS VARCHAR))"
+        s"""WITH b AS (
+           |  SELECT doc_id,
+           |    CASE WHEN $h < '${CorpusOps.md5Threshold(0.25)}' THEN 'shard0'
+           |         WHEN $h < '${CorpusOps.md5Threshold(0.5)}' THEN 'shard1'
+           |         WHEN $h < '${CorpusOps.md5Threshold(0.75)}' THEN 'shard2'
+           |         ELSE 'shard3' END AS shard,
+           |    $h AS sort_key,
+           |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, shard, n_tokens,
+           |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY sort_key
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM b)
+           |SELECT doc_id, shard,
+           |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+           |  n_tokens
+           |FROM c ORDER BY shard, pack_id, doc_id""".stripMargin
+      },
+      "sequence packing: 2048-token budget fill per shard, one parallel window"),
+
+    // PII redaction: the corpus is synthetic, so plant one email / URL /
+    // phone per row (derived from doc_id — deterministic), then redact.
+    // Both sides build the identical augmented text and apply the same
+    // RE2-safe patterns; DuckDB needs the 'g' flag to match Spark's
+    // replace-all default.
+    Q(
+      "corpus_redact_pii",
+      (s, d) => {
+        val did = col("doc_id").cast(StringType)
+        val aug = concat(
+          col("text"),
+          lit(" contact user"), did,
+          lit("@mail.example.com  via https://ex.example/d/"), did,
+          lit("?q=1 or +1 (555) 0100-"), did)
+        T(s, d, "documents")
+          .select(col("doc_id"),
+            CorpusOps.normalizeWhitespace(CorpusOps.redactPii(aug))
+              .as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, trim(regexp_replace(
+             |  regexp_replace(
+             |    regexp_replace(
+             |      regexp_replace(
+             |        text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |             || '@mail.example.com  via https://ex.example/d/'
+             |             || CAST(doc_id AS VARCHAR)
+             |             || '?q=1 or +1 (555) 0100-' || CAST(doc_id AS VARCHAR),
+             |        'https?://[^\s]+', '<URL>', 'g'),
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
+             |  '\s+', ' ', 'g')) AS clean_text
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "PII redaction (URL→EMAIL→PHONE) + whitespace canonicalization")
+  )
+}

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Corpus-preparation operators: deterministic sampling / splits,
+  * stratified mixing, chunking, redaction. */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = (0L until 400L)
+    .map(i => (i, (0 until (i % 90 + 1).toInt).map(j => s"t$j").mkString(" "),
+      if (i % 3 == 0) "en" else "de"))
+    .toDF("doc_id", "text", "lang")
+
+  test("md5Threshold covers the space monotonically") {
+    assert(CorpusOps.md5Threshold(0.0) == "0" * 32)
+    assert(CorpusOps.md5Threshold(1.0) == "f" * 32)
+    assert(CorpusOps.md5Threshold(0.5) == "8" + "0" * 31)
+    val ts = Seq(0.1, 0.25, 0.5, 0.8, 0.99).map(CorpusOps.md5Threshold)
+    assert(ts == ts.sorted && ts.distinct == ts)
+  }
+
+  test("sampleByHash is deterministic, salt-sensitive, ~proportional") {
+    val s1 = CorpusOps.sampleByHash(docs, "doc_id", 0.5, "a")
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = CorpusOps.sampleByHash(docs, "doc_id", 0.5, "a")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "same salt+fraction must reproduce exactly")
+    val sOther = CorpusOps.sampleByHash(docs, "doc_id", 0.5, "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 != sOther, "different salt must decorrelate")
+    assert(math.abs(s1.size - 200) < 60, s"got ${s1.size} of 400 at f=0.5")
+    // nesting: a 0.2 sample is a strict subset of the 0.5 sample (same salt)
+    val s02 = CorpusOps.sampleByHash(docs, "doc_id", 0.2, "a")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s02.subsetOf(s1), "thresholds nest: f=0.2 ⊂ f=0.5 under one salt")
+  }
+
+  test("assignSplit is exhaustive, disjoint, and re-run stable") {
+    val split = CorpusOps.assignSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "s")
+    val byLabel = split.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel.values.sum == 400L, "every row labeled exactly once")
+    assert(byLabel("train") > byLabel("val") && byLabel("train") > byLabel("test"))
+    val again = CorpusOps.assignSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "s")
+    assert(split.collect().toSeq == again.collect().toSeq)
+  }
+
+  test("stratifiedSampleByHash applies per-stratum fractions") {
+    val out = CorpusOps.stratifiedSampleByHash(
+      docs, "doc_id", "lang", Map("en" -> 1.0), defaultFraction = 0.0, "m")
+    val langs = out.select("lang").distinct().as[String].collect().toSet
+    assert(langs == Set("en"), "f=1 keeps all 'en'; default f=0 drops the rest")
+    assert(out.count() == docs.filter($"lang" === "en").count())
+  }
+
+  test("chunkDocs windows reassemble the token stream") {
+    val chunked = CorpusOps.chunkDocs(docs, "doc_id", "text", 32, 8)
+    val byDoc = chunked.orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, String)].collect().groupBy(_._1)
+    assert(byDoc.size == 400)
+    val origTokens = docs.select($"doc_id", split($"text", " +").as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    byDoc.foreach { case (id, chunks) =>
+      val toks = origTokens(id)
+      assert(chunks.map(_._2).toSeq == chunks.indices.map(_.toLong), "dense ids")
+      chunks.foreach { case (_, cid, n, txt) =>
+        val expect = toks.slice((cid * 24).toInt, (cid * 24).toInt + 32)
+        assert(txt == expect.mkString(" "), s"doc $id chunk $cid window")
+        assert(n == expect.size)
+      }
+      // overlap: consecutive chunks share the 8-token boundary (when full)
+      chunks.sliding(2).foreach {
+        case Array((_, _, n0, t0), (_, _, _, t1)) if n0 == 32 =>
+          assert(t1.startsWith(t0.split(" ").takeRight(8).mkString(" ")))
+        case _ =>
+      }
+    }
+  }
+
+  test("chunkDocs: short doc yields one undersized chunk") {
+    val one = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val rows = CorpusOps.chunkDocs(one, "doc_id", "text", 32, 8)
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.toSeq == Seq((1L, 0L, 3L, "a b c")))
+  }
+
+  test("redactPii replaces email, URL and phone; URLs win over emails") {
+    val raw = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org today"),
+      (2L, "see https://u:p@host.example/path?a=1#f then stop"),
+      (3L, "call +1 (555) 010-7788 now"),
+      (4L, "plain text stays untouched")
+    ).toDF("id", "t")
+    val got = raw.select($"id", CorpusOps.redactPii($"t").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "mail me at <EMAIL> today")
+    assert(got(2L) == "see <URL> then stop", "userinfo URL must not leak an <EMAIL>")
+    assert(got(3L) == "call <PHONE> now")
+    assert(got(4L) == "plain text stays untouched")
+  }
+
+  test("normalizeWhitespace collapses runs and trims") {
+    val df = Seq((1L, "  a\t\tb \n c  ")).toDF("id", "t")
+    assert(df.select(CorpusOps.normalizeWhitespace($"t")).as[String].head() == "a b c")
+  }
+
+  test("shared shingle frame is reused and clearable") {
+    val a = DedupOps.sharedShingles(docs, "doc_id", "text", 3)
+    val b = DedupOps.sharedShingles(docs, "doc_id", "text", 3)
+    assert(a eq b, "same (df, params) must return the memoized instance")
+    assert(a.storageLevel.useMemory, "shared frame must be persisted")
+    val direct = DedupOps.shingles(docs, "doc_id", "text", 3)
+    assert(a.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+    DedupOps.clearShingleCache()
+    val c = DedupOps.sharedShingles(docs, "doc_id", "text", 3)
+    assert(!(a eq c), "clear must drop the memo")
+    DedupOps.clearShingleCache()
+  }
+}
