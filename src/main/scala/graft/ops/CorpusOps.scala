@@ -122,6 +122,38 @@ object CorpusOps {
         array_join(slice(toks, start, lit(chunkSize)), " ").as("chunk_text"))
   }
 
+  /** Train→eval contamination: eval-split documents whose k-gram shingle
+    * set is substantially CONTAINED in some train-split document
+    * (containment = |eval ∩ train| / |eval|, the decontamination metric —
+    * asymmetric on purpose: a short eval doc quoted inside a long train
+    * doc is contamination even though their Jaccard is low).
+    *
+    * Shape: split assignment is a projection; each side's shingles are
+    * scan-linear; the cross-split shingle equi-join is the same bounded
+    * join as n-gram Jaccard (cap ultra-common shingles via
+    * [[DedupOps.ngramJaccardPairs]]'s guard pattern if the corpus needs
+    * it) — never an all-pairs document comparison. */
+  def decontaminationPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Double)], salt: String, trainLabel: String,
+      k: Int, minContainment: Double): DataFrame = {
+    val labeled = assignSplit(df, idCol, splits, salt)
+    val train = DedupOps
+      .shingles(labeled.filter(col("split") === trainLabel), idCol, textCol, k)
+      .select(col(idCol).as("train_id"), col("shingle"))
+    val eval_ = DedupOps
+      .shingles(labeled.filter(col("split") =!= trainLabel), idCol, textCol, k)
+    val evalSizes = eval_.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    eval_.select(col(idCol).as("eval_id"), col("shingle"))
+      .join(train, "shingle")
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("c"))
+      .join(evalSizes.select(col(idCol).as("eval_id"), col("n")), "eval_id")
+      .withColumn("containment", col("c").cast(DoubleType) / col("n"))
+      .filter(col("containment") >= minContainment)
+      .select("eval_id", "train_id", "containment")
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val UrlRe = "https?://[^\\s]+"
   private val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"

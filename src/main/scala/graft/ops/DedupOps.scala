@@ -33,7 +33,13 @@ object DedupOps {
     * referencing split() inside the lambda re-runs the regex once per
     * shingle). Exploding an index sequence and slicing in a plain
     * projection keeps every operator inside whole-stage codegen. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    shinglesAll(df, idCol, textCol, k).distinct()
+
+  /** Positional (non-distinct) shingle stream — one row per gram
+    * occurrence. The dedup operators use the distinct set; repetition
+    * statistics need the multiplicities. */
+  def shinglesAll(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = col("_toks")
     df.select(col(idCol), split(col(textCol), " +").as("_toks"))
       .select(col(idCol), toks,
@@ -43,7 +49,6 @@ object DedupOps {
         when(size(toks) < k, array_join(toks, " "))
           .otherwise(array_join(slice(toks, col("_i"), lit(k)), " "))
           .as("shingle"))
-      .distinct()
   }
 
   /** Shingle frames are the shared upstream of every text near-dup

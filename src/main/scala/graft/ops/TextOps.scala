@@ -82,6 +82,27 @@ object TextOps {
       .distinct()
   }
 
+  /** Intra-document repetition signals (Gopher-style quality filters):
+    * duplicate-k-gram fraction (1 - distinct/total) and the share of the
+    * single most frequent k-gram. High values flag boilerplate, template
+    * spam, and degenerate generations. Two hash-aggregates keyed by
+    * document — scan-scale, map-side-combinable. */
+  def repetitionStats(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    graft.ops.DedupOps.shinglesAll(df, idCol, textCol, k)
+      .groupBy(col(idCol), col("shingle"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("cnt")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col(idCol), col("n_grams"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast(DoubleType) /
+          col("n_grams").cast(DoubleType)).as("dup_gram_frac"),
+        (col("top_cnt").cast(DoubleType) /
+          col("n_grams").cast(DoubleType)).as("top_gram_frac"))
+
   /** Per-language function-word lexicons for the vote-based language-ID
     * heuristic. Deterministic and fully SQL-expressible (the DuckDB oracle
     * runs the same votes). The native one-pass vote counter

@@ -112,6 +112,45 @@ object CorpusQueries {
       },
       "deterministic training-export shuffle: hash shards + reproducible within-shard order"),
 
+    // Decontamination: eval-split docs whose 3-gram set is >=60% contained
+    // in a train-split doc. Containment (not Jaccard) because quoting a
+    // short eval doc inside a long train doc IS contamination. The oracle
+    // rebuilds split assignment + both shingle sides in SQL.
+    Q(
+      "corpus_decontaminate",
+      (s, d) =>
+        CorpusOps
+          .decontaminationPairs(T(s, d, "documents"), "doc_id", "text",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split",
+            trainLabel = "train", k = 3, minContainment = 0.6)
+          .orderBy("eval_id", "train_id"),
+      Some {
+        val h = "md5('split:' || CAST(doc_id AS VARCHAR))"
+        def shCte(name: String, cond: String) =
+          s"""$name AS (SELECT DISTINCT doc_id, shingle FROM (
+             |  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             |    ELSE list_transform(generate_series(1, len(t)-2),
+             |                        i -> array_to_string(t[i:i+2], ' ')) END) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS t
+             |        FROM lab WHERE $cond)))""".stripMargin
+        s"""WITH lab AS (
+           |  SELECT doc_id, text,
+           |    CASE WHEN $h < '$T80' THEN 'train'
+           |         WHEN $h < '$T90' THEN 'val' ELSE 'test' END AS split
+           |  FROM documents),
+           |${shCte("tr", "split = 'train'")},
+           |${shCte("ev", "split <> 'train'")},
+           |sizes AS (SELECT doc_id, count(*) AS n FROM ev GROUP BY 1),
+           |common AS (
+           |  SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id, count(*) AS c
+           |  FROM ev JOIN tr USING (shingle) GROUP BY 1, 2)
+           |SELECT eval_id, train_id, c * 1.0 / s.n AS containment
+           |FROM common JOIN sizes s ON s.doc_id = eval_id
+           |WHERE c * 1.0 / s.n >= 0.6
+           |ORDER BY eval_id, train_id""".stripMargin
+      },
+      "train->eval contamination pairs: cross-split shingle containment >= 0.6"),
+
     // Sequence packing: fill 2048-token training sequences per shard, in
     // the deterministic shuffle order. pack_id = floor(exclusive-running-
     // token-total / budget) — contiguous fill with boundary splitting, the

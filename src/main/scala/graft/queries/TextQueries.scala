@@ -198,6 +198,28 @@ object TextQueries {
              |FROM (SELECT unnest(string_split_regex(text, ' +')) AS token
              |      FROM documents)
              |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin),
-      "corpus token frequency top-k (explode + aggregate + ordered limit)")
+      "corpus token frequency top-k (explode + aggregate + ordered limit)"),
+
+    // Gopher-style repetition filters: duplicate-3-gram fraction and the
+    // most-frequent-gram share per document. DuckDB's SUM over BIGINT
+    // yields HUGEINT, so the oracle casts the total back to BIGINT.
+    Q(
+      "text_repetition",
+      (s, d) =>
+        TextOps
+          .repetitionStats(T(s, d, "documents"), "doc_id", "text", k = 3)
+          .orderBy("doc_id"),
+      Some("""WITH g AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             |    ELSE list_transform(generate_series(1, len(t)-2),
+             |                        i -> array_to_string(t[i:i+2], ' ')) END) AS shingle
+             |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents)),
+             |pc AS (SELECT doc_id, shingle, count(*) AS cnt FROM g GROUP BY 1, 2)
+             |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+             |  COUNT(*) AS n_distinct,
+             |  1.0 - COUNT(*) / (SUM(cnt) * 1.0) AS dup_gram_frac,
+             |  MAX(cnt) / (SUM(cnt) * 1.0) AS top_gram_frac
+             |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "intra-doc repetition: dup-3-gram fraction + top-gram share (quality filter)")
   )
 }

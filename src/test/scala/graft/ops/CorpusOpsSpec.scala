@@ -112,6 +112,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(df.select(CorpusOps.normalizeWhitespace($"t")).as[String].head() == "a b c")
   }
 
+  test("decontaminationPairs flags planted cross-split duplicates only") {
+    // force a known split by using the label column itself: hand-roll via
+    // assignSplit determinism — find one train doc and copy its text into
+    // a doc that lands in eval, then expect exactly that pair.
+    val base = (0L until 100L)
+      .map(i => (i, (0 until 30).map(j => s"w${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val labeled = CorpusOps.assignSplit(base, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "split")
+      .as[(Long, String, String)].collect()
+    val trainDoc = labeled.find(_._3 == "train").get
+    val evalDoc = labeled.find(_._3 != "train").get
+    val planted = base
+      .withColumn("text",
+        when($"doc_id" === evalDoc._1, lit(trainDoc._2)).otherwise($"text"))
+    val pairs = CorpusOps.decontaminationPairs(planted, "doc_id", "text",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "split", "train",
+      k = 3, minContainment = 0.6)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((evalDoc._1, trainDoc._1, 1.0)),
+      s"expected exactly the planted pair, got ${pairs.toSeq}")
+  }
+
+  test("repetitionStats: degenerate repetition scores 1 gram, clean text 0") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),   // one distinct 3-gram, 4 occurrences
+      (2L, "a b c d e f")                       // all 4 grams distinct
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(df, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    val (_, ng1, nd1, dup1, top1) = got(0)
+    assert(ng1 == 4 && nd1 == 1 && dup1 == 0.75 && top1 == 1.0)
+    val (_, ng2, nd2, dup2, top2) = got(1)
+    assert(ng2 == 4 && nd2 == 4 && dup2 == 0.0 && top2 == 0.25)
+  }
+
   test("shared shingle frame is reused and clearable") {
     val a = DedupOps.sharedShingles(docs, "doc_id", "text", 3)
     val b = DedupOps.sharedShingles(docs, "doc_id", "text", 3)
