@@ -199,6 +199,84 @@ object CorpusQueries {
       },
       "sequence packing: 2048-token budget fill per shard, one parallel window"),
 
+    // The corpus pipeline composed end to end, one declarative plan:
+    // quality filter → exact dedup (min-id survivor) → train split →
+    // chunk → shard → pack. Catalyst fuses the scalar stages; the only
+    // shuffles are the dedup window, the per-shard pack window, and the
+    // final order. This is the query a user actually ships — the battery
+    // above gates each stage, this gates their composition.
+    Q(
+      "corpus_pipeline_e2e",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = split(col("text"), " +")
+        val base = T(s, d, "documents").select(
+          col("doc_id"), col("text"),
+          size(toks).cast("long").as("n_tokens"),
+          (length(regexp_replace(col("text"), "[^a-zA-Z0-9]", ""))
+            .cast("double") / greatest(length(col("text")), lit(1)))
+            .as("alpha_ratio"))
+        val filtered = base
+          .filter(col("n_tokens") >= 5 && col("alpha_ratio") >= 0.5)
+        val dw = Window.partitionBy("text").orderBy("doc_id")
+        val deduped = filtered
+          .withColumn("_rn", row_number().over(dw)).filter(col("_rn") === 1)
+        val train = CorpusOps
+          .assignSplit(deduped, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split")
+          .filter(col("split") === "train")
+        val chunks = CorpusOps
+          .chunkDocs(train, "doc_id", "text", chunkSize = 32, overlap = 8)
+        val sharded = CorpusOps.assignSplit(chunks, "doc_id",
+          (0 until 4).map(i => s"shard$i" -> 0.25), salt = "shard",
+          outCol = "shard")
+        val pw = Window.partitionBy("shard").orderBy("doc_id", "chunk_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sharded
+          .withColumn("pack_id",
+            floor((sum(col("n_tokens")).over(pw) - col("n_tokens")) / 2048.0)
+              .cast("long"))
+          .select("doc_id", "chunk_id", "shard", "pack_id", "n_tokens")
+          .orderBy("shard", "doc_id", "chunk_id")
+      },
+      Some {
+        val hs = "md5('split:' || CAST(doc_id AS VARCHAR))"
+        val hh = "md5('shard:' || CAST(doc_id AS VARCHAR))"
+        s"""WITH b AS (
+           |  SELECT doc_id, text,
+           |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens,
+           |    CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE)
+           |      / greatest(length(text), 1) AS alpha_ratio
+           |  FROM documents),
+           |f AS (SELECT * FROM b WHERE n_tokens >= 5 AND alpha_ratio >= 0.5),
+           |d AS (SELECT * FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           |    FROM f) WHERE rn = 1),
+           |tr AS (SELECT doc_id, text FROM d
+           |       WHERE $hs < '$T80'),
+           |c AS (
+           |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           |    CAST(least(32, len(t) - i*24) AS BIGINT) AS n_tokens
+           |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS t,
+           |          unnest(generate_series(0, greatest((len(string_split_regex(text, ' +'))-1)//24, 0))) AS i
+           |        FROM tr)),
+           |sh AS (
+           |  SELECT doc_id, chunk_id, n_tokens,
+           |    CASE WHEN $hh < '${CorpusOps.md5Threshold(0.25)}' THEN 'shard0'
+           |         WHEN $hh < '${CorpusOps.md5Threshold(0.5)}' THEN 'shard1'
+           |         WHEN $hh < '${CorpusOps.md5Threshold(0.75)}' THEN 'shard2'
+           |         ELSE 'shard3' END AS shard
+           |  FROM c)
+           |SELECT doc_id, chunk_id, shard,
+           |  CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard
+           |    ORDER BY doc_id, chunk_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+           |    / 2048.0) AS BIGINT) AS pack_id,
+           |  n_tokens
+           |FROM sh ORDER BY shard, doc_id, chunk_id""".stripMargin
+      },
+      "the full corpus pipeline in one plan: filter->dedup->split->chunk->shard->pack"),
+
     // PII redaction: the corpus is synthetic, so plant one email / URL /
     // phone per row (derived from doc_id — deterministic), then redact.
     // Both sides build the identical augmented text and apply the same

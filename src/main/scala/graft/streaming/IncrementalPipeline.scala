@@ -54,6 +54,23 @@ object IncrementalPipeline {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Gap-based sessionization as a stream: `session_window` merges events
+    * within `gap` of each other into one growing session per key; the
+    * watermark both bounds state and decides when a session is final
+    * (append mode emits only closed sessions). The streaming dual of the
+    * batch `sessionize` gate query's lag-threshold windows. */
+  def sessionCounts(
+      events: DataFrame, eventTimeCol: String, keyCol: String,
+      gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(col(keyCol), session_window(col(eventTimeCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Append-mode parquet sink with checkpointing — the streaming
     * equivalent of the rotation sink (the checkpoint ledger replaces the
     * one-generation backup). */

@@ -38,6 +38,39 @@ class IncrementalPipelineSpec extends AnyFunSuite {
     assert(rows == Seq(1L, 2L, 3L))
   }
 
+  test("session windows merge gap-close events and close on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = input.toDF().toDF("user_id", "ts")
+    val sessions = IncrementalPipeline.sessionCounts(
+      df, "ts", "user_id", gap = "5 minutes", watermark = "0 seconds")
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    // user 1: two events 2 min apart (one session), then a 10-min gap
+    // (new session). user 2: one event.
+    input.addData(
+      (1L, ts("00:00:00")), (1L, ts("00:02:00")), (1L, ts("00:12:00")),
+      (2L, ts("00:01:00")))
+    q.processAllAvailable()
+    // advance the watermark far past every session end so they all close
+    input.addData((9L, ts("03:00:00")))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT user_id, session_start, n_events FROM sess_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.substring(11, 16),
+        r.getLong(2)))
+      .toSet
+    q.stop()
+    assert(rows == Set(
+      (1L, "00:00", 2L),   // 00:00 + 00:02 merged (2-min gap < 5)
+      (1L, "00:12", 1L),   // 10-min gap opened a new session
+      (2L, "00:01", 1L)))
+  }
+
   test("windowed counts aggregate a replayed batch exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
