@@ -26,7 +26,8 @@ object Registry {
       queries.MultimodalQueries.all ++
       queries.AdvancedQueries.all ++
       queries.AnalyticsQueries.all ++
-      queries.CorpusQueries.all
+      queries.CorpusQueries.all ++
+      queries.GraphQueries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

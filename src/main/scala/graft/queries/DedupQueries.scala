@@ -14,14 +14,14 @@ object DedupQueries {
     * checked against. `cap` replicates `maxShingleFreq`: shingles present
     * in more than `cap` documents are dropped before sizes/intersections,
     * exactly as the Spark-side left-anti filter does. */
-  private def jaccardSql(threshold: Double, cap: Option[Int] = None): String = {
+  private[queries] def jaccardPairCtes(threshold: Double, cap: Option[Int] = None): String = {
     val capCtes = cap.fold("") { c =>
       s"""kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $c),
          |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
          |""".stripMargin
     }
     val shTable = if (cap.isDefined) "shc" else "sh"
-    s"""WITH toks AS (SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents),
+    s"""toks AS (SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents),
        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
        |  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
        |    ELSE list_transform(generate_series(1, len(t)-2),
@@ -30,14 +30,17 @@ object DedupQueries {
        |${capCtes}sizes AS (SELECT doc_id, count(*) AS n FROM $shTable GROUP BY 1),
        |common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
        |  FROM $shTable a JOIN $shTable b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT a, b, c * 1.0 / (sa.n + sb.n - c) AS jaccard
-       |FROM common
-       |JOIN sizes sa ON sa.doc_id = a
-       |JOIN sizes sb ON sb.doc_id = b
-       |WHERE c * 1.0 / (sa.n + sb.n - c) >= $threshold
-       |ORDER BY a, b""".stripMargin
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT a, b, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+       |  FROM common
+       |  JOIN sizes sa ON sa.doc_id = a
+       |  JOIN sizes sb ON sb.doc_id = b
+       |  WHERE c * 1.0 / (sa.n + sb.n - c) >= $threshold)""".stripMargin
   }
+
+  private def jaccardSql(threshold: Double, cap: Option[Int] = None): String =
+    s"""WITH ${jaccardPairCtes(threshold, cap)}
+       |SELECT a, b, jaccard FROM pairs ORDER BY a, b""".stripMargin
 
   /** DuckDB replica of the banded sign-sketch near-dup gate: recompute
     * every sketch bit with `list_dot_product` (bit-identical to the

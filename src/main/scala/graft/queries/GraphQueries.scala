@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, T}
+import graft.ops.{DedupOps, GraphOps}
+
+/** Duplicate-cluster resolution gates: near-dup *pairs* from
+  * [[graft.ops.DedupOps]] become *clusters* via connected components
+  * ([[graft.ops.GraphOps]]), and the corpus keeps one representative per
+  * cluster — the last step of every production dedup pipeline (pairs
+  * alone over-delete: removing both sides of every pair can empty a
+  * clique; removing one arbitrary side can leave transitive dups).
+  *
+  * The DuckDB oracle computes components with a recursive transitive-
+  * closure CTE (min reachable id). That formulation is quadratic in
+  * component size — fine as an oracle at test SF, and exactly the reason
+  * the engine side uses iterative min-label propagation (one bounded
+  * shuffle per round) instead.
+  */
+object GraphQueries {
+
+  /** Recursive-CTE connected components over the exact 3-gram Jaccard
+    * pair graph (threshold 0.8) — appended after [[DedupQueries.jaccardPairCtes]]. */
+  private val componentCtes: String =
+    s"""edges AS (SELECT a AS u, b AS v FROM pairs
+       |  UNION SELECT b AS u, a AS v FROM pairs),
+       |reach AS (
+       |  SELECT u AS id, v AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, e.v AS r FROM reach JOIN edges e ON reach.r = e.u),
+       |comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)""".stripMargin
+
+  private def pairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    DedupOps.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
+      k = 3, threshold = 0.8, reuseShingles = true)
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "dedup_cluster_resolve",
+      (s, d) =>
+        GraphOps.connectedComponents(pairs(s, d), "a", "b")
+          .orderBy("id"),
+      Some(s"""WITH RECURSIVE ${DedupQueries.jaccardPairCtes(0.8)},
+              |$componentCtes
+              |SELECT id, component FROM comp ORDER BY id""".stripMargin),
+      "connected components over the near-dup pair graph (min-label propagation)"),
+
+    Q(
+      "dedup_cluster_keep",
+      (s, d) =>
+        GraphOps
+          .keepClusterRepresentatives(T(s, d, "documents"), "doc_id", pairs(s, d))
+          .select("doc_id", "source")
+          .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE ${DedupQueries.jaccardPairCtes(0.8)},
+              |$componentCtes
+              |SELECT doc_id, source FROM documents
+              |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+              |ORDER BY doc_id""".stripMargin),
+      "corpus after cluster dedup: one min-id representative per duplicate cluster")
+  )
+}
