@@ -93,11 +93,15 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val medTotal = if (medians.nonEmpty) medians.values.sum else 0.0
-    // Field order matters: harvesting truncates long lines to their TAIL,
-    // so the headline numbers (errors, best-of-3 map, total) go LAST —
-    // round 2's tail showed only the noisy median map and the judge read
-    // medians as the result.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","median_total":$medTotal,"queries_median":$med,"errors":$errs,"queries":$qs,"value":$total}""")
+    // Per-pass wall totals make driver-side wall anomalies attributable
+    // (compile/warmup/host vs real query time) without per-query noise.
+    val passTotals = Seq(p1, p2, p3).map(_.values.sum)
+    // Field order matters: harvesting truncates long lines to their TAIL.
+    // The two big per-query maps go FIRST and every compact summary
+    // scalar (errors, pass totals, median total, best-of-3 total) goes
+    // LAST, adjacent — truncation can cost detail maps but can never
+    // hide one summary metric while showing another.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries_median":$med,"queries":$qs,"passes":3,"errors":$errs,"pass_totals":[${passTotals.mkString(",")}],"median_total":$medTotal,"value":$total}""")
     spark.stop()
   }
 }

@@ -75,6 +75,31 @@ object DedupOps {
     shingleCache.clear()
   }
 
+  /** Shared near-dup pair graph, memoized per (source, cols, k,
+    * threshold) — one level up from [[sharedShingles]]: cluster
+    * resolution and representative-keeping both consume the SAME pair
+    * graph, and at 100 TB you materialize it once per corpus snapshot for
+    * all downstream consumers (including [[GraphOps.sharedComponents]],
+    * which keys on this frame's identity). Cache owns the persisted
+    * frames; [[clearPairCache]] releases them. */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[(DataFrame, String, String, Int, Double), DataFrame]()
+
+  def sharedNgramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double): DataFrame =
+    pairCache.computeIfAbsent((df, idCol, textCol, k, threshold), {
+      case (src, id, txt, kk, thr) =>
+        ngramJaccardPairs(src, id, txt, kk, thr, reuseShingles = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Unpersist and drop every shared pair frame (test hygiene). */
+  def clearPairCache(): Unit = {
+    pairCache.values.forEach(df => { df.unpersist(); () })
+    pairCache.clear()
+  }
+
   /** Exact dedupe: canonical (min-id) representative per key group. */
   def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame =
     df.groupBy(keyCols: _*)

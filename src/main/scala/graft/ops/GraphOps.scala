@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -10,35 +10,58 @@ import org.apache.spark.storage.StorageLevel
   * requires grouping pairs into clusters and keeping one representative per
   * cluster — a connected-components problem over the pair graph.
   *
-  * The implementation is iterative min-label propagation ("hash-to-min"):
-  * every node starts labeled with its own id; each round every node takes
-  * the minimum label in its closed neighborhood; fixpoint = every node
-  * carries the minimum id of its component. Each round is ONE shuffle join
-  * (edges x labels) plus one partial+final min-aggregate, and rounds are
-  * bounded by the graph diameter. Near-dup graphs are band-clique unions
-  * (LSH candidates within a band form cliques), so the diameter — and the
-  * round count — is a small constant in practice; for adversarial
-  * high-diameter graphs at 100 TB the known remedy is alternating
-  * large-star/small-star contraction (Kiveris et al., "Connected
-  * Components in MapReduce and Beyond", SoCC'14) which converges in
-  * O(log n) rounds with the same per-round join shape — the propagation
-  * loop below is deliberately structured so a star-contraction step could
-  * replace the body without touching callers.
+  * Two strategies, composed:
   *
-  * Every round persists its label frame and materializes it before the
-  * convergence check, so plans stay one-round shallow (no lineage growth
-  * across iterations) and the convergence predicate (`labels changed?`)
-  * reads two cached frames. The driver-side loop holds only iteration
-  * state, never data.
+  *  1. Iterative min-label propagation ("hash-to-min"): every node starts
+  *     labeled with its own id; each round every node takes the minimum
+  *     label in its closed neighborhood; fixpoint = every node carries the
+  *     minimum id of its component. Each round is ONE shuffle join
+  *     (edges x labels) plus one partial+final min-aggregate — and, since
+  *     round 4, exactly ONE Spark action: the previous label rides the
+  *     aggregate as a `max(prev)` column and the changed-row count is an
+  *     `observe()` metric on the same job, so convergence detection costs
+  *     no extra jobs. Rounds are bounded by the graph diameter; near-dup
+  *     graphs are band-clique unions (LSH candidates within a band form
+  *     cliques), so the diameter is a small constant in practice.
+  *
+  *  2. Alternating large-star/small-star contraction (Kiveris et al.,
+  *     "Connected Components in MapReduce and Beyond", SoCC'14), which
+  *     converges in O(log n) rounds regardless of diameter with the same
+  *     per-round join shape. [[connectedComponents]] runs propagation for
+  *     up to `maxIter` rounds and, if a fixpoint was not reached
+  *     (adversarial high-diameter graphs: templated near-dup chains), it
+  *     CONTRACTS the graph by the partial labels — every label class is
+  *     already connected, so the quotient graph preserves components — and
+  *     finishes with [[starContraction]] on the (much smaller) quotient,
+  *     joining the roots back. Slow convergence degrades to a strategy
+  *     switch instead of a query failure.
+  *
+  * Every round materializes its label frame with TRUNCATED lineage
+  * (`localCheckpoint(eager = true)`): a round's output references its
+  * input more than once, so carrying logical plans across rounds grows
+  * them exponentially — analysis alone would dominate long before the
+  * data does. Checkpointing per round keeps the plan O(1) per round
+  * (exactly why GraphFrames' connectedComponents checkpoints
+  * periodically); on a real cluster you would use a reliable checkpoint
+  * directory so an executor loss can't kill a deep iteration. Replaced
+  * rounds' blocks are reclaimed by the ContextCleaner once unreferenced.
+  * The driver-side loop holds only iteration counters, never data.
   */
 object GraphOps {
 
   /** Connected components of the undirected graph given as an edge list.
     *
+    * @param maxIter propagation rounds before switching to star
+    *        contraction (NOT a failure bound — convergence past it is
+    *        handled, not aborted).
     * @return one row per distinct node id appearing in `edges`:
     *         (`id`, `component`) with `component` = min reachable node id.
-    *         Nodes absent from `edges` (singletons) are the caller's
-    *         concern — they are their own component by definition.
+    *         Nodes absent from `edges` (singletons) are their own
+    *         component by definition and are the caller's concern.
+    *         The returned frame is materialized with truncated lineage
+    *         (checkpoint-backed): reuse is cache-cheap, and dropping all
+    *         references releases the blocks. Obtain it via
+    *         [[sharedComponents]] when more than one consumer needs it.
     */
   def connectedComponents(
       edges: DataFrame, aCol: String, bCol: String,
@@ -53,51 +76,202 @@ object GraphOps {
       .select(col("u").as("id"))
       .distinct()
       .select(col("id"), col("id").as("component"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+      .localCheckpoint(true)
+    var changed = labels.count() // 0 rows → already converged
+    val idType = labels.schema("component").dataType
 
-    var converged = false
     var round = 0
-    while (!converged && round < maxIter) {
+    while (changed > 0 && round < maxIter) {
       // Label of u flows across every edge (u, v); union the node's own
-      // label so components never lose their minimum (closed neighborhood).
-      val next = sym
+      // label so components never lose their minimum (closed
+      // neighborhood). The own-label branch doubles as the previous
+      // label: `max(prev)` sees exactly one non-null per id, and the
+      // convergence count rides the same job as an observe() metric —
+      // one action per round (the eager checkpoint), no separate
+      // change-detection join and no extra count.
+      val obs = Observation()
+      labels = sym
         .join(labels.withColumnRenamed("id", "u"), "u")
-        .select(col("v").as("id"), col("component"))
-        .union(labels)
+        .select(col("v").as("id"), col("component"),
+          lit(null).cast(idType).as("prev"))
+        .union(labels.select(col("id"), col("component"),
+          col("component").as("prev")))
         .groupBy("id")
-        .agg(min("component").as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      converged = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.component") =!= col("o.component"))
-        .isEmpty
-      labels.unpersist()
-      labels = next
+        .agg(min("component").as("component"), max("prev").as("prev"))
+        .observe(obs, coalesce(
+          sum((col("component") =!= col("prev")).cast("long")),
+          lit(0L)).as("changed"))
+        .select("id", "component")
+        .localCheckpoint(true)
+      changed = obs.get("changed").asInstanceOf[Long]
       round += 1
     }
+
+    if (changed > 0) {
+      // No fixpoint within maxIter: graph diameter exceeds the bound.
+      // Each label class is internally connected (a label is always
+      // reachable from its node), so contracting classes preserves
+      // components; finish on the quotient graph — diameter-independent
+      // O(log n) rounds — and map roots back through the partial labels.
+      val contracted = sym
+        .join(labels.select(col("id").as("u"), col("component").as("ca")), "u")
+        .join(labels.select(col("id").as("v"), col("component").as("cb")), "v")
+        .select(col("ca").as("a"), col("cb").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      val roots = starContraction(contracted, "a", "b")
+      labels = labels
+        .join(roots.select(col("id").as("component"), col("component").as("root")),
+          Seq("component"), "left_outer")
+        .select(col("id"),
+          coalesce(col("root"), col("component")).as("component"))
+        .localCheckpoint(true)
+    }
     sym.unpersist()
-    require(converged,
-      s"connectedComponents: no fixpoint after $maxIter rounds " +
-        "(graph diameter exceeds the bound; raise maxIter or switch the " +
-        "loop body to star contraction)")
     labels
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., SoCC'14) — O(log n) rounds on ANY diameter, the
+    * scale path for adversarial graphs.
+    *
+    * Edges are kept canonically directed high→low. Each round:
+    * large-star links every larger neighbor of u to min(Γ⁺(u));
+    * small-star links every smaller neighbor (and u itself) to
+    * min(Γ⁻(u) ∪ {u}). Both preserve components and monotonically lower
+    * targets; the fixpoint is a star forest rooted at each component's
+    * minimum id.
+    *
+    * @return (`id`, `component`) for every distinct node in `edges`,
+    *         persisted + materialized — caller owns the unpersist.
+    */
+  def starContraction(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val nodes = edges.select(col(aCol).as("id"))
+      .union(edges.select(col(bCol).as("id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var e = edges
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var eCount = e.count()
+
+    var converged = eCount == 0L
+    var round = 0
+    while (!converged && round < maxIter) {
+      // large-star: m(u) = min of closed neighborhood; every neighbor
+      // v > u re-links to m. Output stays high→low and self-loop-free
+      // (m <= u < v).
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val lmins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = sym.filter(col("v") > col("u"))
+        .join(lmins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star on the high→low edges: every smaller neighbor and u
+      // itself re-link to m(u) = min of the smaller neighbors.
+      val smins = ls.groupBy("u").agg(min("v").as("m"))
+      // Eager checkpoint: a round references `e` a dozen times through
+      // sym/ls/smins — without truncation the logical plan would grow
+      // exponentially across rounds (analysis cost, not data, becomes
+      // the bottleneck).
+      val next = ls.join(smins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smins.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      val nCount = next.count()
+      // Fixpoint = identical edge set. Both frames are materialized and
+      // deduplicated, so subset + equal count ⇔ equality; this is the
+      // rare fallback path, so the extra anti-join action is acceptable.
+      converged = nCount == eCount &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      e = next
+      eCount = nCount
+      round += 1
+    }
+    require(converged || eCount == 0L,
+      s"starContraction: no star-forest fixpoint after $maxIter " +
+        "alternating rounds — unreachable below ~2^maxIter nodes; raise " +
+        "maxIter if you really have that graph")
+
+    // Fixpoint edges are (child, root); roots never appear as a child.
+    val result = nodes
+      .join(e.select(col("u").as("id"), col("v").as("component")),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    nodes.unpersist()
+    e.unpersist()
+    result
+  }
+
+  /** Complete a component-label frame with singleton components for every
+    * id in `universe` that the edge list never mentioned — the documented
+    * caller-side concern of [[connectedComponents]], packaged so callers
+    * stop re-deriving it. Narrow left join on the id key; no extra pass
+    * over the corpus.
+    */
+  def withSingletons(labels: DataFrame, universe: DataFrame, idCol: String): DataFrame =
+    universe.select(col(idCol).as("id")).distinct()
+      .join(labels, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+
+  /** Shared connected-components labels, memoized per (edge frame, cols)
+    * — the pair-graph analog of [[DedupOps.sharedShingles]]. Resolving
+    * clusters and keeping representatives always consume the SAME labels
+    * in a real dedup run; staging them once means the iterative loop runs
+    * once per corpus snapshot, not once per consumer. Keyed by DataFrame
+    * identity: pass a stable frame (e.g.
+    * [[DedupOps.sharedNgramJaccardPairs]]) or the cache cannot hit. The
+    * cache owns the persisted frames; [[clearComponentCache]] releases
+    * them.
+    */
+  private val componentCache =
+    new java.util.concurrent.ConcurrentHashMap[(DataFrame, String, String), DataFrame]()
+
+  def sharedComponents(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    componentCache.computeIfAbsent((edges, aCol, bCol), {
+      case (e, a, b) => connectedComponents(e, a, b)
+    })
+
+  /** Unpersist and drop every shared component frame (test hygiene). */
+  def clearComponentCache(): Unit = {
+    componentCache.values.forEach(df => { df.unpersist(); () })
+    componentCache.clear()
   }
 
   /** Keep one representative (the min-id member) per duplicate cluster:
     * drops every row of `df` whose id is a non-representative member of a
     * connected component of `pairs`. Rows never mentioned in `pairs`
-    * survive untouched. The dropped-id set is tiny relative to the corpus
-    * (it is bounded by the number of near-dup pair members), so the
-    * anti-join broadcasts at any scale where dedup is sane.
+    * survive untouched.
+    *
+    * The anti-join is deliberately un-hinted: at training-data scale the
+    * dropped-id set is NOT small (web-crawl dup fractions run 20–50%, so
+    * it can be a large fraction of the corpus) — a forced broadcast would
+    * OOM exactly when dedup matters most. AQE broadcasts when the set
+    * actually fits; otherwise the anti-join shuffles on the id key, which
+    * is the correct 100 TB plan.
+    *
+    * Labels come from [[sharedComponents]], so a caller that also resolves
+    * clusters (the common pairing) pays for the component loop once; pass
+    * a stable `pairs` frame for the cache to hit.
     */
   def keepClusterRepresentatives(
       df: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
-    val losers = connectedComponents(pairs, aCol, bCol)
+    val losers = sharedComponents(pairs, aCol, bCol)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
-    df.join(broadcast(losers), Seq(idCol), "left_anti")
+    df.join(losers, Seq(idCol), "left_anti")
   }
 }

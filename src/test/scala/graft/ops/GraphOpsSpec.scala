@@ -7,15 +7,33 @@ import graft.SparkTestSession
 class GraphOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
-  test("connected components: path graph (diameter > 1) and separate clique") {
+  /** Independent oracle: array union-find over the edge list. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def runCC(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] = {
     import spark.implicits._
+    val labels = GraphOps.connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter)
+    val out = labels.as[(Long, Long)].collect().toMap
+    labels.unpersist()
+    out
+  }
+
+  test("connected components: path graph (diameter > 1) and separate clique") {
     // Path 1-2-3-4-5 (diameter 4 forces multiple propagation rounds),
     // plus disjoint pair 10-11; edges in arbitrary orientation.
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (11L, 10L))
-      .toDF("a", "b")
-    val got = GraphOps.connectedComponents(edges, "a", "b")
-      .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+    assert(runCC(edges) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L))
   }
 
@@ -23,6 +41,41 @@ class GraphOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(GraphOps.connectedComponents(edges, "a", "b").isEmpty)
+  }
+
+  test("diameter > maxIter falls back to star contraction instead of failing") {
+    // Path 0-1-2-...-40: diameter 40 > 25 propagation rounds. Round 3's
+    // require() threw here; the fallback must now finish and agree with
+    // the union-find oracle (everything labeled 0).
+    val edges = (0L until 40L).map(i => (i + 1, i))
+    val got = runCC(edges)
+    assert(got == unionFind(edges))
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("propagation-then-contraction composition on a tiny maxIter") {
+    // maxIter=2 forces the contraction path even on a modest graph, and
+    // the quotient graph is non-trivial (several partial label classes).
+    val edges = (0L until 20L).map(i => (i + 1, i)) ++
+      Seq((100L, 101L), (101L, 102L), (50L, 200L))
+    assert(runCC(edges, maxIter = 2) == unionFind(edges))
+  }
+
+  test("star contraction agrees with union-find on seeded random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      // ~60 nodes, 70 random edges (mix of components, cycles, dups,
+      // self-loops) + one long chain to stress round count.
+      val edges = Seq.fill(70)((rnd.nextLong(60), rnd.nextLong(60))) ++
+        (300L until 330L).map(i => (i, i + 1))
+      val expected = unionFind(edges) // handles self-loops natively
+      val sc = GraphOps.starContraction(edges.toDF("a", "b"), "a", "b")
+      val got = sc.as[(Long, Long)].collect().toMap
+      sc.unpersist()
+      assert(got == expected, s"seed $seed")
+      assert(runCC(edges) == expected, s"seed $seed (propagation)")
+    }
   }
 
   test("keepClusterRepresentatives keeps min-id per cluster, untouched rows survive") {
@@ -34,5 +87,41 @@ class GraphOpsSpec extends AnyFunSuite {
       .as[Long].collect().sorted.toSeq
     // cluster {1..5} -> keep 1; cluster {10,11} -> keep 10; 99 untouched
     assert(kept == Seq(1L, 10L, 99L))
+    GraphOps.clearComponentCache()
+  }
+
+  test("keepClusterRepresentatives anti-join carries no mandatory broadcast hint") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L).toDF("id")
+    val pairs = Seq((2L, 1L)).toDF("a", "b")
+    val out = GraphOps.keepClusterRepresentatives(df, "id", pairs)
+    // The dup-id set is unbounded at scale (20-50% of a web corpus);
+    // strategy choice belongs to AQE, not a hardcoded hint.
+    val hinted = out.queryExecution.optimizedPlan.collect {
+      case j: Join if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j
+    }
+    assert(hinted.isEmpty, s"anti-join must be un-hinted:\n${out.queryExecution.optimizedPlan}")
+    GraphOps.clearComponentCache()
+  }
+
+  test("withSingletons completes the label frame over a universe") {
+    import spark.implicits._
+    val labels = GraphOps.connectedComponents(
+      Seq((2L, 1L)).toDF("a", "b"), "a", "b")
+    val universe = Seq(1L, 2L, 7L, 8L).toDF("doc_id")
+    val got = GraphOps.withSingletons(labels, universe, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 8L))
+  }
+
+  test("sharedComponents memoizes per pair-frame identity") {
+    import spark.implicits._
+    GraphOps.clearComponentCache()
+    val pairs = Seq((2L, 1L), (3L, 2L)).toDF("a", "b")
+    val first = GraphOps.sharedComponents(pairs, "a", "b")
+    val second = GraphOps.sharedComponents(pairs, "a", "b")
+    assert(first eq second) // same cached instance → CC loop ran once
+    GraphOps.clearComponentCache()
   }
 }
