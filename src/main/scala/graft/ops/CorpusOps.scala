@@ -154,6 +154,84 @@ object CorpusOps {
       .select("eval_id", "train_id", "containment")
   }
 
+  /** Segment-level exact dedup — the paragraph-dedup stage of CCNet /
+    * RefinedWeb-style corpus curation: hash every segment of every
+    * document, drop segments whose corpus-wide occurrence count exceeds
+    * `maxFreq` (boilerplate, navigation chrome, license headers), and
+    * reassemble each document from its surviving segments in order.
+    * Documents whose every segment was boilerplate survive as empty text
+    * (the caller decides whether to length-filter afterwards) so row
+    * counts are stable through the stage.
+    *
+    * Segmentation here is fixed non-overlapping `segTokens`-token windows
+    * (the corpus is single-line synthetic text); on real data the same
+    * operator applies with newline/paragraph splitting — only the
+    * [[chunkDocs]] call changes.
+    *
+    * Shape at 100 TB: segmentation is one explode (narrow); the hot-segment
+    * set is found with one groupBy whose output is tiny BY CONSTRUCTION
+    * (only segments with > maxFreq occurrences survive the HAVING), so the
+    * left-anti guard join broadcasts; reassembly is one groupBy on the doc
+    * id — linear, no all-pairs anywhere. Same asymptotics as the
+    * `maxShingleFreq` guard in [[DedupOps.ngramJaccardPairs]].
+    */
+  def dedupSegments(
+      df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int, maxFreq: Long): DataFrame = {
+    val segs = chunkDocs(df, idCol, textCol, chunkSize = segTokens, overlap = 0)
+      .select(col(idCol), col("chunk_id").as("seg_id"),
+        col("chunk_text").as("seg"))
+    val hot = segs.groupBy("seg").agg(count(lit(1)).as("_f"))
+      .filter(col("_f") > maxFreq)
+      .select("seg")
+    val kept = segs.join(hot, Seq("seg"), "left_anti")
+    // listagg WITHIN GROUP: ordered reassembly inside the aggregate — no
+    // collect_list + higher-order-function lambda (interpreted path).
+    val glued = kept.groupBy(col(idCol))
+      .agg(expr("listagg(seg, ' ') WITHIN GROUP (ORDER BY seg_id)")
+        .as("clean_text"))
+    df.select(col(idCol))
+      .join(glued, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Downsample each stratum (source, language, domain) to a token budget:
+    * keep fraction = min(1, budget / stratum_token_total), decided by the
+    * same salted-hash threshold as [[sampleByHash]] so membership is
+    * deterministic and re-run stable. This is corpus *mixing by budget* —
+    * "cap every source at N tokens" — where [[stratifiedSampleByHash]]
+    * needs the fractions handed in, this derives them from the data in the
+    * same plan.
+    *
+    * The per-stratum threshold is data-dependent, so it cannot be a
+    * precomputed hex literal: instead the first 60 bits of the row hash
+    * are compared against `floor(fraction * 2^60)` rendered as a 15-digit
+    * hex string — pure IEEE-double + integer arithmetic that any engine
+    * reproduces bit-identically (2^60 is exact in a double; a 15-hex-digit
+    * lowercase compare is an unsigned 60-bit compare). Strata already
+    * within budget skip the hash test entirely (fraction 1.0 would need a
+    * 16th hex digit).
+    *
+    * Shape at 100 TB: one partial+final sum per stratum (tiny output —
+    * one row per stratum), broadcast back, then a codegen'd filter. No
+    * second pass over the data, no shuffle of the corpus itself.
+    */
+  def sampleToTokenBudget(
+      df: DataFrame, keyCol: String, stratumCol: String, tokensCol: Column,
+      budgetTokens: Long, salt: String): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens $budgetTokens must be positive")
+    val totals = df.groupBy(col(stratumCol))
+      .agg(sum(tokensCol).as("_stratum_tokens"))
+    val frac = least(lit(1.0),
+      lit(budgetTokens.toDouble) / col("_stratum_tokens").cast(DoubleType))
+    val thresh =
+      lpad(lower(hex(floor(frac * lit((1L << 60).toDouble)))), 15, "0")
+    df.join(broadcast(totals), Seq(stratumCol))
+      .filter(col("_stratum_tokens") <= budgetTokens ||
+        substring(saltedHash(col(keyCol), salt), 1, 15) < thresh)
+      .drop("_stratum_tokens")
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val UrlRe = "https?://[^\\s]+"
   private val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"

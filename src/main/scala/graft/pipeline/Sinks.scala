@@ -54,19 +54,27 @@ object Sinks {
     * co-locates without re-shuffling the big side, or hand the same
     * staging frame to a MERGE-capable store (Delta/Iceberg/JDBC MERGE);
     * the rotation keeps one previous generation either way. */
+  /** The MERGE plan itself, storage-free: incoming rows replace same-key
+    * existing rows, new keys append, unmatched existing keys survive.
+    * Idempotent by construction — `mergeFrames(mergeFrames(b, u), u)` ≡
+    * `mergeFrames(b, u)` (the anti-join removes exactly the rows the
+    * union re-adds) — which is what makes at-least-once re-delivery safe;
+    * gated read-only as `merge_upsert_idempotent`. One left-anti shuffle
+    * join keyed on the merge key. */
+  def mergeFrames(
+      existing: DataFrame, incoming: DataFrame, keyCols: Seq[String]): DataFrame =
+    existing
+      .join(incoming.select(keyCols.map(incoming(_)): _*).distinct(),
+        keyCols, "left_anti")
+      .unionByName(incoming)
+
   def mergeParquetOnKey(
       incoming: DataFrame, dir: String, keyCols: Seq[String]): DataFrame = {
     val spark = incoming.sparkSession
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
       if (!fs.exists(new Path(dir))) incoming
-      else {
-        val existing = spark.read.parquet(dir)
-        existing
-          .join(incoming.select(keyCols.map(incoming(_)): _*).distinct(),
-            keyCols, "left_anti")
-          .unionByName(incoming)
-      }
+      else mergeFrames(spark.read.parquet(dir), incoming, keyCols)
     // Materialize before rotating: the merged plan reads the directory the
     // rotation is about to rename.
     val staged = dir + "_staging"

@@ -310,6 +310,69 @@ object CorpusQueries {
              |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
              |  '\s+', ' ', 'g')) AS clean_text
              |FROM documents ORDER BY doc_id""".stripMargin),
-      "PII redaction (URL→EMAIL→PHONE) + whitespace canonicalization")
+      "PII redaction (URL→EMAIL→PHONE) + whitespace canonicalization"),
+
+    // Segment-level exact dedup (the CCNet/RefinedWeb paragraph-dedup
+    // stage): drop every 8-token segment occurring more than twice
+    // corpus-wide, reassemble documents from the survivors in order.
+    // The oracle rebuilds the identical segmentation with the chunk
+    // oracle's slicing arithmetic and reassembles with ordered
+    // string_agg; fully-boilerplate docs survive as '' on both sides.
+    Q(
+      "corpus_dedup_segments",
+      (s, d) =>
+        CorpusOps
+          .dedupSegments(T(s, d, "documents"), "doc_id", "text",
+            segTokens = 8, maxFreq = 2)
+          .orderBy("doc_id"),
+      Some("""WITH segs AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS seg_id,
+             |    array_to_string(t[i*8+1:i*8+8], ' ') AS seg
+             |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS t,
+             |          unnest(generate_series(0,
+             |            greatest((len(string_split_regex(text, ' +'))-1)//8, 0))) AS i
+             |        FROM documents)),
+             |hot AS (SELECT seg FROM segs GROUP BY seg HAVING count(*) > 2),
+             |kept AS (SELECT s.* FROM segs s ANTI JOIN hot USING (seg))
+             |SELECT d.doc_id,
+             |  coalesce(string_agg(k.seg, ' ' ORDER BY k.seg_id), '') AS clean_text
+             |FROM documents d LEFT JOIN kept k USING (doc_id)
+             |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin),
+      "segment-level exact dedup: drop >2x-repeated 8-token segments, reassemble in order"),
+
+    // Token-budget corpus mixing: cap every source at 800 tokens; the
+    // keep fraction is DERIVED from per-source totals in the same plan
+    // and enforced with the salted-hash threshold, so membership stays
+    // deterministic. The data-dependent threshold is floor(frac * 2^60)
+    // as 15 lowercase hex digits — exact IEEE arithmetic both engines
+    // reproduce bit-identically.
+    Q(
+      "corpus_budget_mix",
+      (s, d) =>
+        CorpusOps
+          .sampleToTokenBudget(
+            T(s, d, "documents")
+              .withColumn("n_tokens",
+                size(split(col("text"), " +")).cast("long")),
+            "doc_id", "source", col("n_tokens"),
+            budgetTokens = 800L, salt = "budget")
+          .select("doc_id", "source", "n_tokens")
+          .orderBy("doc_id"),
+      Some("""WITH b AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens,
+             |    substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 15) AS h
+             |  FROM documents),
+             |f AS (
+             |  SELECT source, SUM(n_tokens) AS total,
+             |    lpad(lower(hex(CAST(floor(least(1.0,
+             |      CAST(800 AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE))
+             |      * 1152921504606846976) AS BIGINT))), 15, '0') AS thresh
+             |  FROM b GROUP BY source)
+             |SELECT doc_id, source, n_tokens
+             |FROM b JOIN f USING (source)
+             |WHERE total <= 800 OR h < thresh
+             |ORDER BY doc_id""".stripMargin),
+      "token-budget mixing: cap each source at 800 tokens, data-derived hash threshold")
   )
 }

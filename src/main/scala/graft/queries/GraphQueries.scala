@@ -62,6 +62,25 @@ object GraphQueries {
               |SELECT doc_id, source FROM documents
               |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
               |ORDER BY doc_id""".stripMargin),
-      "corpus after cluster dedup: one min-id representative per duplicate cluster")
+      "corpus after cluster dedup: one min-id representative per duplicate cluster"),
+
+    // Universe-complete labels: every document gets a component, including
+    // the singletons the edge list never mentions — the frame downstream
+    // stages (per-cluster stats, representative election joins) actually
+    // consume. One narrow left join over the staged labels.
+    Q(
+      "dedup_cluster_resolve_full",
+      (s, d) =>
+        GraphOps
+          .withSingletons(
+            GraphOps.sharedComponents(pairs(s, d), "a", "b"),
+            T(s, d, "documents"), "doc_id")
+          .orderBy("id"),
+      Some(s"""WITH RECURSIVE ${DedupQueries.jaccardPairCtes(0.8)},
+              |$componentCtes
+              |SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS component
+              |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+              |ORDER BY id""".stripMargin),
+      "cluster labels completed over the corpus universe: singletons are their own component")
   )
 }

@@ -107,6 +107,41 @@ object PipelineQueries {
            |  CASE WHEN event_type = 'signup' THEN $k ELSE NULL END AS assignee_key
            |FROM events ORDER BY event_id""".stripMargin
       },
-      "conditional surrogate key: null unless the natural key is present")
+      "conditional surrogate key: null unless the natural key is present"),
+
+    // MERGE idempotence, read-only: the Spark side applies
+    // Sinks.mergeFrames TWICE with the same batch (updates to %7 keys,
+    // inserts at shifted %13 keys); the oracle merges ONCE. Hash equality
+    // between the two IS the idempotence proof — re-delivering a batch to
+    // the warehouse is a no-op, the invariant at-least-once ingestion
+    // relies on. (The storage-backed path over this same plan is
+    // exercised in SinksMergeSpec.)
+    Q(
+      "merge_upsert_idempotent",
+      (s, d) => {
+        val base = T(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
+        // def, not val: each reference is a fresh plan, so the second
+        // merge's anti-join never self-references the first's subtree.
+        def upd = base.filter(col("c_custkey") % 7 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+          .unionByName(base.filter(col("c_custkey") % 13 === 0)
+            .withColumn("c_custkey", col("c_custkey") + 10000000L))
+        val once = graft.pipeline.Sinks.mergeFrames(base, upd, Seq("c_custkey"))
+        graft.pipeline.Sinks.mergeFrames(once, upd, Seq("c_custkey"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH upd AS (
+             |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+             |  FROM customer WHERE c_custkey % 7 = 0
+             |  UNION ALL
+             |  SELECT c_custkey + 10000000 AS c_custkey, c_name, c_acctbal
+             |  FROM customer WHERE c_custkey % 13 = 0)
+             |SELECT c_custkey, c_name, c_acctbal FROM (
+             |  SELECT c.c_custkey, c.c_name, c.c_acctbal
+             |  FROM customer c ANTI JOIN upd u ON u.c_custkey = c.c_custkey
+             |  UNION ALL
+             |  SELECT c_custkey, c_name, c_acctbal FROM upd)
+             |ORDER BY c_custkey""".stripMargin),
+      "MERGE applied twice == once: keyed upsert idempotence, read-only formulation")
   )
 }

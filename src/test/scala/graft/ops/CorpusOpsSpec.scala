@@ -160,4 +160,60 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!(a eq c), "clear must drop the memo")
     DedupOps.clearShingleCache()
   }
+
+  test("dedupSegments drops repeated segments, keeps order, preserves rows") {
+    val boiler = (0 until 8).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (0L, s"$boiler u0a u0b u0c u0d u0e u0f u0g u0h"),
+      (1L, s"$boiler u1a u1b u1c u1d u1e u1f u1g u1h"),
+      (2L, s"$boiler u2a u2b u2c u2d u2e u2f u2g u2h"),
+      (3L, boiler), // all-boilerplate doc must survive as empty text
+      (4L, "solo a b c d e f g")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.dedupSegments(corpus, "doc_id", "text", 8, maxFreq = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L), "row count stable")
+    assert(out(0L) == "u0a u0b u0c u0d u0e u0f u0g u0h",
+      "4x boilerplate segment dropped, unique tail kept")
+    assert(out(3L) == "", "fully-boilerplate doc becomes empty, not missing")
+    assert(out(4L) == "solo a b c d e f g", "unique doc untouched")
+    // identity when nothing exceeds the cap
+    val id = CorpusOps.dedupSegments(corpus, "doc_id", "text", 8, maxFreq = 100)
+      .as[(Long, String)].collect().toMap
+    assert(id == corpus.as[(Long, String)].collect().toMap,
+      "maxFreq above every frequency must reassemble the original text")
+  }
+
+  test("dedupSegments reassembles multi-segment docs in segment order") {
+    val long = (0 until 40).map(i => s"w$i").mkString(" ")
+    val out = CorpusOps.dedupSegments(
+        Seq((7L, long)).toDF("doc_id", "text"), "doc_id", "text", 8, 5)
+      .as[(Long, String)].collect().head._2
+    assert(out == long, "5 segments must glue back in original order")
+  }
+
+  test("sampleToTokenBudget keeps under-budget strata whole, caps the rest") {
+    val df = docs.withColumn("n_tokens",
+      size(split(col("text"), " +")).cast("long"))
+    val totals = df.groupBy("lang").agg(sum("n_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    val budget = (totals.values.min + totals.values.max) / 2
+    val kept = CorpusOps.sampleToTokenBudget(
+      df, "doc_id", "lang", col("n_tokens"), budget, "s")
+    val keptTotals = kept.groupBy("lang").agg(sum("n_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    for ((lang, t) <- totals if t <= budget)
+      assert(keptTotals(lang) == t, s"under-budget stratum $lang must keep all")
+    for ((lang, t) <- totals if t > budget) {
+      assert(keptTotals(lang) < t, s"over-budget stratum $lang must shrink")
+      assert(math.abs(keptTotals(lang) - budget).toDouble / budget < 0.35,
+        s"$lang: kept ${keptTotals(lang)} vs budget $budget — hash sampling " +
+          "should land near the target")
+    }
+    // determinism: the same call keeps exactly the same rows
+    val again = CorpusOps.sampleToTokenBudget(
+        df, "doc_id", "lang", col("n_tokens"), budget, "s")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.select("doc_id").as[Long].collect().toSet)
+  }
 }

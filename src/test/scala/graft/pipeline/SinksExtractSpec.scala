@@ -86,6 +86,18 @@ class SinksExtractSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir + "_backup").collect().toSet == expected)
   }
 
+  test("mergeFrames: storage-free MERGE plan is upsert-correct and idempotent") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    def upd = Seq((2L, "B"), (4L, "D")).toDF("id", "v")
+    val once = Sinks.mergeFrames(base, upd, Seq("id"))
+    val expected = Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D"))
+    assert(once.as[(Long, String)].collect().toSet == expected)
+    val twice = Sinks.mergeFrames(once, upd, Seq("id"))
+    assert(twice.as[(Long, String)].collect().toSet == expected,
+      "re-applying the same batch must be a no-op")
+  }
+
   test("partitioned layout prunes non-matching partitions at the scan") {
     val tmp = Files.createTempDirectory("graft_part").toString + "/events"
     val ev = graft.T(spark, "/root/testdata/sf0.001", "events")
