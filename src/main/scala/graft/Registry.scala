@@ -27,7 +27,8 @@ object Registry {
       queries.AdvancedQueries.all ++
       queries.AnalyticsQueries.all ++
       queries.CorpusQueries.all ++
-      queries.GraphQueries.all
+      queries.GraphQueries.all ++
+      queries.IncrementalQueries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, T}
+import graft.ops.IncrementalOps
+
+/** Incremental-warehouse gates: CDC snapshot diff and Type-2 SCD apply.
+  * Both derive the "changed" side in-plan from `customer` (updates to %7
+  * keys, deletes of %11 keys, inserts at shifted %13 keys) so the gate is
+  * read-only and the oracle can rebuild the identical inputs in SQL.
+  */
+object IncrementalQueries {
+
+  private val Eff = "2025-06-01 00:00:00"
+
+  val all: Seq[Q] = Seq(
+    // CDC between two snapshots: one full-outer join on the key classifies
+    // every row as insert / delete / update (null-safe column compares);
+    // unchanged rows are dropped — the delta IS the output, which is what
+    // an incremental load ships instead of the full snapshot.
+    Q(
+      "cdc_snapshot_diff",
+      (s, d) => {
+        val cust = T(s, d, "customer")
+        val oldSnap = cust.select("c_custkey", "c_acctbal", "c_mktsegment")
+        def newSnap = cust.filter(col("c_custkey") % 11 =!= 0)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 50.0)
+              .otherwise(col("c_acctbal")).as("c_acctbal"),
+            col("c_mktsegment"))
+          .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+            .select((col("c_custkey") + 10000000L).as("c_custkey"),
+              col("c_acctbal"), lit("NEW").as("c_mktsegment")))
+        IncrementalOps
+          .snapshotDiff(oldSnap, newSnap, Seq("c_custkey"),
+            Seq("c_acctbal", "c_mktsegment"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH oldc AS (
+             |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+             |newc AS (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 50.0
+             |         ELSE c_acctbal END AS c_acctbal,
+             |    c_mktsegment
+             |  FROM customer WHERE c_custkey % 11 <> 0
+             |  UNION ALL
+             |  SELECT c_custkey + 10000000, c_acctbal, 'NEW'
+             |  FROM customer WHERE c_custkey % 13 = 0)
+             |SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+             |  CASE WHEN o.c_custkey IS NULL THEN 'insert'
+             |       WHEN n.c_custkey IS NULL THEN 'delete'
+             |       ELSE 'update' END AS change_type,
+             |  o.c_acctbal AS old_c_acctbal, n.c_acctbal AS new_c_acctbal,
+             |  o.c_mktsegment AS old_c_mktsegment,
+             |  n.c_mktsegment AS new_c_mktsegment
+             |FROM oldc o FULL OUTER JOIN newc n ON n.c_custkey = o.c_custkey
+             |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+             |   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+             |   OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+             |ORDER BY c_custkey""".stripMargin),
+      "CDC snapshot diff: insert/update/delete delta from one full-outer key join"),
+
+    // Type-2 SCD: the open generation joins the batch once; changed keys
+    // close at the effective timestamp and re-open from the batch, new
+    // keys open, equal re-deliveries are no-ops, closed history passes
+    // through untouched. The dim ships with pre-existing closed rows
+    // (%5 keys) to prove the pass-through.
+    Q(
+      "scd2_apply",
+      (s, d) => {
+        val cust = T(s, d, "customer")
+        val open = cust.select(
+          col("c_custkey"), col("c_name"), col("c_acctbal"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
+        val closedHist = cust.filter(col("c_custkey") % 5 === 0).select(
+          col("c_custkey"), col("c_name"),
+          (col("c_acctbal") - 10.0).as("c_acctbal"),
+          lit("2023-01-01 00:00:00").cast("timestamp").as("valid_from"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("valid_to"))
+        def upd = cust.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), col("c_name"),
+            (col("c_acctbal") + 50.0).as("c_acctbal"))
+          .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+            .select((col("c_custkey") + 10000000L).as("c_custkey"),
+              col("c_name"), col("c_acctbal")))
+        IncrementalOps
+          .scdType2Apply(open.unionByName(closedHist), upd,
+            Seq("c_custkey"), Seq("c_name", "c_acctbal"),
+            lit(Eff).cast("timestamp"))
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some(s"""WITH dim AS (
+             |  SELECT c_custkey, c_name, c_acctbal,
+             |    TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+             |    CAST(NULL AS TIMESTAMP) AS valid_to
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT c_custkey, c_name, c_acctbal - 10.0,
+             |    TIMESTAMP '2023-01-01 00:00:00',
+             |    TIMESTAMP '2024-01-01 00:00:00'
+             |  FROM customer WHERE c_custkey % 5 = 0),
+             |upd AS (
+             |  SELECT c_custkey, c_name, c_acctbal + 50.0 AS c_acctbal
+             |  FROM customer WHERE c_custkey % 7 = 0
+             |  UNION ALL
+             |  SELECT c_custkey + 10000000, c_name, c_acctbal
+             |  FROM customer WHERE c_custkey % 13 = 0),
+             |closed AS (SELECT * FROM dim WHERE valid_to IS NOT NULL),
+             |op AS (SELECT * FROM dim WHERE valid_to IS NULL),
+             |kept_open AS (
+             |  SELECT o.c_custkey, o.c_name, o.c_acctbal, o.valid_from,
+             |    CAST(NULL AS TIMESTAMP) AS valid_to
+             |  FROM op o LEFT JOIN upd u ON u.c_custkey = o.c_custkey
+             |  WHERE u.c_custkey IS NULL
+             |     OR (o.c_name IS NOT DISTINCT FROM u.c_name
+             |         AND o.c_acctbal IS NOT DISTINCT FROM u.c_acctbal)),
+             |newly_closed AS (
+             |  SELECT o.c_custkey, o.c_name, o.c_acctbal, o.valid_from,
+             |    TIMESTAMP '$Eff' AS valid_to
+             |  FROM op o JOIN upd u ON u.c_custkey = o.c_custkey
+             |  WHERE o.c_name IS DISTINCT FROM u.c_name
+             |     OR o.c_acctbal IS DISTINCT FROM u.c_acctbal),
+             |new_open AS (
+             |  SELECT u.c_custkey, u.c_name, u.c_acctbal,
+             |    TIMESTAMP '$Eff' AS valid_from,
+             |    CAST(NULL AS TIMESTAMP) AS valid_to
+             |  FROM upd u LEFT JOIN op o ON o.c_custkey = u.c_custkey
+             |  WHERE o.c_custkey IS NULL
+             |     OR o.c_name IS DISTINCT FROM u.c_name
+             |     OR o.c_acctbal IS DISTINCT FROM u.c_acctbal)
+             |SELECT * FROM closed
+             |UNION ALL SELECT * FROM kept_open
+             |UNION ALL SELECT * FROM newly_closed
+             |UNION ALL SELECT * FROM new_open
+             |ORDER BY c_custkey, valid_from""".stripMargin),
+      "Type-2 SCD apply: close-and-reopen changed keys, append new, history immutable")
+  )
+}
