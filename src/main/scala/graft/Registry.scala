@@ -28,7 +28,8 @@ object Registry {
       queries.AnalyticsQueries.all ++
       queries.CorpusQueries.all ++
       queries.GraphQueries.all ++
-      queries.IncrementalQueries.all
+      queries.IncrementalQueries.all ++
+      queries.SketchQueries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

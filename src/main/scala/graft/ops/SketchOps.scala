@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches. At 100 TB, exact `count(DISTINCT key)`
+  * per group shuffles every distinct (group, key) pair; a bounded sketch
+  * ships k values per group regardless of cardinality and merges
+  * associatively across partitions, days, and reruns.
+  *
+  * KMV (k-minimum-values, Bar-Yossef et al. 2002) rather than
+  * HyperLogLog, deliberately: the sketch state is "the k smallest hash
+  * values of the key set" — a deterministic function of the data,
+  * reproducible on any engine from the same hash, so the estimator is
+  * DuckDB-oracle-able bit for bit (`kmv_distinct` gate). HLL's register
+  * layout is implementation-defined; its results can only be
+  * tolerance-tested. Same asymptotics (relative error ~ 1/sqrt(k)),
+  * exact below k by construction.
+  *
+  * Estimator: with U(k) = h_k / 2^52 the k-th smallest of n uniform
+  * hashes, E[U(k)] = k/(n+1), so n̂ = (k-1)/U(k) (the unbiased form).
+  * Below k distinct hashes the sketch holds ALL of them — the count is
+  * exact.
+  *
+  * Plan shape: one distinct on (group, 52-bit hash) with partial
+  * aggregation, then one rank window per group. Spark's WindowGroupLimit
+  * pre-prunes each map partition to its local top-k before the shuffle —
+  * exactly the partial-sketch-then-merge execution a hand-built sketch
+  * would do, for free from the declarative plan.
+  */
+object SketchOps {
+
+  /** 2^52: 13 lowercase hex digits of md5 parsed as an integer — 52 bits
+    * so every value (and every IEEE-double fraction of the space) is
+    * exact in both a BIGINT and a double mantissa on any engine. */
+  val HashSpace: Double = 4503599627370496.0
+
+  /** Uniform 52-bit integer hash of a key (salted md5 prefix). */
+  def hash52(keyCol: Column, salt: String): Column =
+    conv(substring(md5(concat_ws(":", lit(salt), keyCol.cast("string"))), 1, 13),
+      16, 10).cast("long")
+
+  /** The sketch state itself: per group, the k smallest distinct hash
+    * values of the key. Merge = union ∘ re-take-k-smallest (asserted
+    * associative/idempotent in SketchOpsSpec). */
+  def kmvMinima(
+      df: DataFrame, keyCol: String, groupCols: Seq[String], k: Int,
+      salt: String = "kmv"): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy("h")
+    df.select(groupCols.map(col) :+ hash52(col(keyCol), salt).as("h"): _*)
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Approximate distinct keys per group: exact below k, KMV-estimated
+    * above, side by side with the sketch size actually used. */
+  def kmvDistinct(
+      df: DataFrame, keyCol: String, groupCols: Seq[String], k: Int,
+      salt: String = "kmv"): DataFrame = {
+    require(k >= 2, s"k=$k: the estimator needs at least 2 minima")
+    kmvMinima(df, keyCol, groupCols, k, salt)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_sketch"),
+        max(when(col("rn") === k, col("h"))).as("hk"))
+      .withColumn("est_distinct",
+        when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / col("hk")))
+      .drop("hk")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** KMV sketch properties: exactness below k, ~1/sqrt(k) accuracy above,
+  * and the merge law (union of sketches re-sketched == sketch of union)
+  * that makes it safe to compute per partition / per day and combine. */
+class SketchOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("exact below k: estimate equals the true distinct count") {
+    val df = (0 until 1000).map(i => (i % 50, s"k${i % 120}"))
+      .toDF("g", "key")
+    val got = SketchOps.kmvDistinct(df, "key", Seq("g"), k = 256)
+      .select("g", "est_distinct").as[(Int, Double)].collect()
+    val truth = df.groupBy("g").agg(countDistinct("key").as("n"))
+      .as[(Int, Long)].collect().toMap
+    for ((g, est) <- got)
+      assert(est == truth(g).toDouble, s"group $g: below-k must be exact")
+  }
+
+  test("estimate above k lands within ~4/sqrt(k) of the truth") {
+    val n = 20000
+    val df = (0 until n).map(i => ("all", s"key$i")).toDF("g", "key")
+    val k = 512
+    val Array((_, nSketch, est)) = SketchOps.kmvDistinct(df, "key", Seq("g"), k)
+      .as[(String, Long, Double)].collect()
+    assert(nSketch == k)
+    val relErr = math.abs(est - n) / n
+    assert(relErr < 4.0 / math.sqrt(k),
+      f"relative error $relErr%.4f exceeds 4/sqrt($k) = ${4.0 / math.sqrt(k)}%.4f")
+  }
+
+  test("merge law: k-smallest of unioned sketches == sketch of the union") {
+    val left = (0 until 5000).map(i => ("g", s"a$i")).toDF("g", "key")
+    val right = (0 until 5000).map(i => ("g", s"${if (i % 3 == 0) "a" else "b"}$i"))
+      .toDF("g", "key") // overlapping keys: merge must dedupe minima
+    val k = 128
+    val whole = SketchOps.kmvMinima(left.union(right), "key", Seq("g"), k)
+      .select("h").as[Long].collect().toSet
+    val merged = SketchOps.kmvMinima(left, "key", Seq("g"), k)
+      .select("g", "h")
+      .union(SketchOps.kmvMinima(right, "key", Seq("g"), k).select("g", "h"))
+      .distinct()
+      .orderBy("h").limit(k)
+      .select("h").as[Long].collect().toSet
+    assert(merged == whole,
+      "merging per-source sketches must reproduce the whole-corpus sketch")
+  }
+
+  test("WindowGroupLimit pre-prunes the sketch shuffle map-side") {
+    val df = (0 until 10000).map(i => (i % 4, s"key$i")).toDF("g", "key")
+    val plan = SketchOps.kmvMinima(df, "key", Seq("g"), 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-filter top-k must pre-prune before the exchange:\n$plan")
+  }
+}
