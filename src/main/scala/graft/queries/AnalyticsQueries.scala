@@ -290,6 +290,61 @@ object AnalyticsQueries {
              |  greatest(c_acctbal, 0.0) AS bal_floor,
              |  least(c_nationkey, 10) AS nk_cap
              |FROM customer ORDER BY c_custkey""".stripMargin),
-      "string/null scalar battery (regexp, case, coalesce/nullif, clamp)")
+      "string/null scalar battery (regexp, case, coalesce/nullif, clamp)"),
+
+    // Time-RANGE window frames: per-user trailing-hour event count and
+    // value sum. RANGE (not ROWS) so ties at the boundary enter the frame
+    // wholly — order-independent, which is also why the double sum must
+    // DECIMAL-accumulate (scale 4 → both engines round once on the final
+    // DOUBLE cast; see PERF.md lesson 3). Ordering key is FLOORED epoch
+    // seconds: Spark's timestamp→long cast truncates sub-second micros,
+    // but DuckDB's double→BIGINT cast ROUNDS, so the oracle must floor
+    // explicitly before its cast — integer range arithmetic after that.
+    Q(
+      "window_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_sec"))
+          .rangeBetween(-3600, 0)
+        T(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("long").as("ts_sec"),
+            col("value").cast("decimal(18,4)").as("v"))
+          .withColumn("n_trailing_hour", count(lit(1)).over(w))
+          .withColumn("sum_trailing_hour",
+            sum(col("v")).over(w).cast("double"))
+          .select("event_id", "user_id", "ts_sec",
+            "n_trailing_hour", "sum_trailing_hour")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+             |  count(*) OVER w AS n_trailing_hour,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             |    AS sum_trailing_hour
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin),
+      "trailing-hour RANGE frame per user: integer range arithmetic, decimal-exact sum"),
+
+    // UNPIVOT/melt: wide measures to long (column, value) rows — the
+    // inverse of pivot_event_counts, one narrow Expand projection, no
+    // shuffle. The oracle uses the portable UNION ALL formulation.
+    Q(
+      "unpivot_melt",
+      (s, d) =>
+        T(s, d, "customer")
+          .select(col("c_custkey"),
+            col("c_nationkey").cast("double").as("nationkey"),
+            col("c_acctbal").cast("double").as("acctbal"))
+          .unpivot(Array(col("c_custkey")),
+            Array(col("nationkey"), col("acctbal")), "metric", "value")
+          .orderBy("c_custkey", "metric"),
+      Some("""SELECT c_custkey, 'nationkey' AS metric,
+             |  CAST(c_nationkey AS DOUBLE) AS value FROM customer
+             |UNION ALL
+             |SELECT c_custkey, 'acctbal', c_acctbal FROM customer
+             |ORDER BY c_custkey, metric""".stripMargin),
+      "UNPIVOT wide measures to long rows: one Expand projection, shuffle-free")
   )
 }

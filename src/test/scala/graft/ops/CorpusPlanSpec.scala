@@ -51,4 +51,27 @@ class CorpusPlanSpec extends AnyFunSuite {
     // or the split assignment introduced an unplanned shuffle.
     assert(n <= 2, s"expected <=2 exchanges (window + order), got $n")
   }
+
+  test("token-budget mix: corpus side joins the totals by broadcast, no corpus shuffle") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val df = T(spark, sf, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " +")).cast("long"))
+    val plan = CorpusOps
+      .sampleToTokenBudget(df, "doc_id", "source", col("n_tokens"), 800L, "b")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-stratum totals must broadcast back, not shuffle the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the corpus side must never shuffle for the totals join:\n$plan")
+  }
+
+  test("segment dedup: hot-segment guard is a broadcast anti-join") {
+    val plan = CorpusOps
+      .dedupSegments(T(spark, sf, "documents"), "doc_id", "text", 8, 2)
+      .queryExecution.executedPlan.toString
+    // the >maxFreq segment set is tiny by construction — the guard must
+    // plan as BroadcastHashJoin LeftAnti, not a shuffled anti-join
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"hot-segment guard must broadcast:\n$plan")
+  }
 }
