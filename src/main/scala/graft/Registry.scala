@@ -29,7 +29,9 @@ object Registry {
       queries.CorpusQueries.all ++
       queries.GraphQueries.all ++
       queries.IncrementalQueries.all ++
-      queries.SketchQueries.all
+      queries.SketchQueries.all ++
+      queries.LayoutQueries.all ++
+      queries.ProfilingQueries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

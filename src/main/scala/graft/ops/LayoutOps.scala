@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: Z-order (Morton) clustering and its pruning
+  * payoff, computed as plain integer expressions so the whole technique is
+  * oracle-checkable.
+  *
+  * Why this matters at 100 TB: file-level min/max statistics (parquet
+  * footers, lakehouse manifests) prune a scan only if rows with nearby
+  * values sit in the same files. Sorting by ONE column clusters that
+  * column and destroys the other; interleaving the bits of two columns
+  * (the Z-curve) clusters BOTH, so a range predicate on either — or both —
+  * skips most files. This is exactly Delta/Iceberg `OPTIMIZE ZORDER BY`,
+  * re-expressed as a Spark projection + range layout.
+  *
+  * Scale shape: [[zValue2]] is a pure codegen'd projection (no shuffle,
+  * no UDF). The production write is `repartitionByRange(z)` + per-file
+  * stats — the z-range IS the file id; no global sort or window is needed
+  * because the curve's high bits already partition space into tiles
+  * ([[zTile]] — a shift, not a window).
+  */
+object LayoutOps {
+
+  /** Morton/Z-value of two non-negative ints using their low `bits` bits:
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Built from
+    * shift/and/or only — bit-identical in any engine, expressible in the
+    * DuckDB oracle verbatim. */
+  def zValue2(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits out of range")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** The spatial tile a z-value belongs to: its high bits. With `bits`-bit
+    * inputs and `tileBits` kept, space splits into 2^tileBits square-ish
+    * tiles — the file/bucket boundary at write time, as a projection (no
+    * window, no global sort). */
+  def zTile(z: Column, bits: Int, tileBits: Int): Column =
+    shiftright(z, 2 * bits - tileBits)
+
+  /** Per-tile layout statistics (row count + min/max of both dimensions)
+    * for a corpus laid out in z-order — the engine-side analog of parquet
+    * footer stats per file. One groupBy on the tile id. */
+  def zTileStats(
+      df: DataFrame, xCol: Column, yCol: Column,
+      bits: Int, tileBits: Int): DataFrame = {
+    val z = zValue2(xCol, yCol, bits)
+    df.select(xCol.as("x"), yCol.as("y"),
+        zTile(z, bits, tileBits).as("tile"))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+  }
+
+  /** Pruning effectiveness of the z-layout for a rectangle query
+    * [xLo,xHi] × [yLo,yHi]: which tiles COULD contain matches (min/max
+    * overlap — what a scan planner sees in file stats) vs the rows that
+    * actually match. One summary row:
+    * (n_tiles, n_candidate_tiles, n_rows, n_rows_scanned, n_rows_matching)
+    * — `n_rows_scanned / n_rows` is the fraction of the corpus a
+    * stats-pruned scan reads instead of 100%. */
+  def zPruneStats(
+      df: DataFrame, xCol: Column, yCol: Column, bits: Int, tileBits: Int,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
+    val stats = zTileStats(df, xCol, yCol, bits, tileBits)
+    val candidate = col("max_x") >= xLo && col("min_x") <= xHi &&
+      col("max_y") >= yLo && col("min_y") <= yHi
+    // lazy one-row frame, cross-joined (1x1) — not a driver-side count
+    val matchAgg = df.agg(
+      sum((xCol >= xLo && xCol <= xHi && yCol >= yLo && yCol <= yHi)
+        .cast("long")).as("n_rows_matching"))
+    stats.agg(
+      count(lit(1)).as("n_tiles"),
+      sum(candidate.cast("long")).as("n_candidate_tiles"),
+      sum(col("n_rows")).as("n_rows"),
+      sum(when(candidate, col("n_rows")).otherwise(0L)).as("n_rows_scanned"))
+      .crossJoin(matchAgg)
+  }
+}

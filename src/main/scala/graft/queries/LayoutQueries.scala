@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, T}
+import graft.ops.LayoutOps
+
+/** Z-order layout gate: the Morton interleave, the tile split, and the
+  * pruning payoff are all integer shift/and/or arithmetic, so the DuckDB
+  * oracle reruns the IDENTICAL bit expressions — the gate proves the
+  * layout delivers its skip-ratio, not just that z-values compute.
+  */
+object LayoutQueries {
+
+  /** The same bit-interleave [[LayoutOps.zValue2]] emits, as SQL text. */
+  private def zSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
+
+  val all: Seq[Q] = Seq(
+    // 8-bit dims, 256 tiles (z high byte), rectangle x in [32,47] x
+    // y in [64,95]: a z-layout pins both dims per tile, so file-level
+    // min/max stats admit ~2 of 256 tiles. n_rows_scanned / n_rows is
+    // what a stats-pruned scan reads; single-column sort would admit an
+    // entire stripe of the second dimension instead.
+    Q(
+      "layout_zorder_prune",
+      (s, d) =>
+        LayoutOps.zPruneStats(T(s, d, "events"),
+          col("user_id") % 256, col("event_id") % 256,
+          bits = 8, tileBits = 8,
+          xLo = 32, xHi = 47, yLo = 64, yHi = 95),
+      Some {
+        val z = zSql("x", "y", 8)
+        s"""WITH pts AS (
+           |  SELECT user_id % 256 AS x, event_id % 256 AS y FROM events),
+           |t AS (SELECT x, y, ($z) >> 8 AS tile FROM pts),
+           |s AS (SELECT tile, count(*) AS n_rows,
+           |        min(x) AS min_x, max(x) AS max_x,
+           |        min(y) AS min_y, max(y) AS max_y
+           |      FROM t GROUP BY tile),
+           |m AS (SELECT CAST(SUM(CASE WHEN x BETWEEN 32 AND 47
+           |                            AND y BETWEEN 64 AND 95
+           |                           THEN 1 ELSE 0 END) AS BIGINT)
+           |        AS n_rows_matching FROM pts)
+           |SELECT CAST(count(*) AS BIGINT) AS n_tiles,
+           |  CAST(SUM(CASE WHEN max_x >= 32 AND min_x <= 47
+           |                 AND max_y >= 64 AND min_y <= 95
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_candidate_tiles,
+           |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN max_x >= 32 AND min_x <= 47
+           |                 AND max_y >= 64 AND min_y <= 95
+           |                THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_scanned,
+           |  any_value(m.n_rows_matching) AS n_rows_matching
+           |FROM s, m""".stripMargin
+      },
+      "Z-order layout pruning: 2 of 256 tiles admit a 2-D rectangle query")
+  )
+}
