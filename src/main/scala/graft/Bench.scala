@@ -36,14 +36,28 @@ object Bench {
       // multi-second pause landing on whichever query is running —
       // round-2 medians showed exactly that. GC is instead forced
       // explicitly BETWEEN passes (below); the periodic cleaner is kept
-      // as a long-stop only.
-      .config("spark.cleaner.periodicGC.interval", "10min")
+      // as a long-stop only — and it must be LONGER than the whole run:
+      // at 10min it fired mid-pass once the second warmup pushed the run
+      // past 10 minutes of JVM lifetime, landing a multi-second pause on
+      // one roaming pass per run (observed as a 12-15s pass-total spike).
+      .config("spark.cleaner.periodicGC.interval", "30min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
+
+    // Second untimed warmup at the TIMED scale factor: the sf0.001 pass
+    // compiles the broadcast-everywhere shapes AQE picks on tiny inputs,
+    // but at the timed SF AQE re-plans sort-merge/shuffled-hash variants
+    // whose generated classes would otherwise compile inside timed pass 1
+    // (observed: pass-1 wall 2-3x passes 2/3 with 88 queries). Running
+    // the real SF once untimed moves that one-time Janino cost out of the
+    // measurement, exactly like the JVM/codegen warmup one level down.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
     // Stage the shared shingle frame for the timed corpus, untimed — the
@@ -65,6 +79,10 @@ object Bench {
     // alone can mask a real regression behind one lucky pass). Failures are
     // surfaced in an "errors" field — a swallowed exception must never
     // masquerade as a fast query.
+    // Collect warmup debt before measuring — two untimed passes leave
+    // shuffle/broadcast garbage that would otherwise land in pass 1.
+    System.gc()
+
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
