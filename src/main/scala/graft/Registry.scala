@@ -31,7 +31,8 @@ object Registry {
       queries.IncrementalQueries.all ++
       queries.SketchQueries.all ++
       queries.LayoutQueries.all ++
-      queries.ProfilingQueries.all
+      queries.ProfilingQueries.all ++
+      queries.LinkageQueries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

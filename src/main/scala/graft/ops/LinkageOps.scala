@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Record linkage / fuzzy matching: find near-identical entity rows
+  * (typo'd names, OCR noise, re-keyed imports) without the all-pairs
+  * comparison that is quadratic in the table.
+  *
+  * The standard shape, re-expressed declaratively:
+  *
+  *  1. BLOCK: derive a cheap deterministic key (name prefix, phonetic
+  *     code, sorted token signature); only rows sharing a block are ever
+  *     compared. The pair space drops from O(n²) to
+  *     O(Σ block_size²) — bounded if blocks are bounded, exactly like
+  *     the hot-shingle cap in [[DedupOps]]. A single key misses pairs
+  *     that differ inside it (the classic blocking recall trade-off);
+  *     production linkage runs SEVERAL cheap passes with different keys
+  *     and unions the candidates — [[blockedFuzzyPairs]] takes N keys
+  *     and does exactly that.
+  *  2. VERIFY: exact edit distance only on within-block candidates.
+  *     `levenshtein` is a built-in on both Spark and DuckDB with the
+  *     standard definition, so the whole operator hash-gates.
+  *
+  * Scale shape: each pass is one equi-join on its block key (shuffle
+  * keyed by block, never a cartesian); the union dedupes on the pair id —
+  * linear in candidates. The verify filter is codegen'd.
+  */
+object LinkageOps {
+
+  /** Within-block fuzzy pairs under ANY of the given blocking keys:
+    * (a, b, a_name, b_name, dist) with a < b and
+    * levenshtein(a_name, b_name) <= maxDistance. `blockKeys` are
+    * expressions over the name column's row (e.g. substrings, soundex);
+    * each adds one equi-join pass, candidates are unioned and deduped
+    * before the (cheap, already-bounded) distance verify. */
+  def blockedFuzzyPairs(
+      df: DataFrame, idCol: String, nameCol: String,
+      blockKeys: Seq[Column], maxDistance: Int): DataFrame = {
+    require(blockKeys.nonEmpty, "need at least one blocking key")
+    val candidates = blockKeys.map { key =>
+      val left = df.select(col(idCol).as("a"), col(nameCol).as("a_name"),
+        key.as("blk"))
+      val right = df.select(col(idCol).as("b"), col(nameCol).as("b_name"),
+        key.as("blk"))
+      left.join(right, Seq("blk")).filter(col("a") < col("b"))
+        .select("a", "b", "a_name", "b_name")
+    }.reduce(_ unionByName _).distinct()
+    candidates
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= maxDistance)
+  }
+}

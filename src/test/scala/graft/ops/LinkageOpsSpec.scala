@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Blocked fuzzy matching: candidate recall across blocking passes and
+  * the exactness of the distance verify. */
+class LinkageOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val people = Seq(
+    (1L, "ann smith"), (2L, "ann smyth"),  // differ at pos 7 (suffix block)
+    (3L, "bob jones"), (4L, "rob jones"),  // differ at pos 1 (prefix block)
+    (5L, "eve adams"), (6L, "zoe woods")   // unrelated
+  ).toDF("id", "name")
+
+  test("each single blocking pass misses pairs the two-pass union finds") {
+    val prefix = substring(col("name"), 1, 3)
+    val suffix = substring(col("name"), 6, 4)
+    def pairs(keys: Seq[org.apache.spark.sql.Column]) =
+      LinkageOps.blockedFuzzyPairs(people, "id", "name", keys, maxDistance = 2)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+    val byPrefix = pairs(Seq(prefix))
+    val bySuffix = pairs(Seq(suffix))
+    val both = pairs(Seq(prefix, suffix))
+    assert(byPrefix == Set((1L, 2L)), "prefix block: smith/smyth share 'ann'")
+    assert(bySuffix == Set((3L, 4L)), "suffix block: bob/rob share 'jones'")
+    assert(both == Set((1L, 2L), (3L, 4L)),
+      "the union must recover what each single pass misses")
+  }
+
+  test("distance verify is exact and the cutoff is strict") {
+    val all = LinkageOps.blockedFuzzyPairs(
+        people, "id", "name", Seq(lit(1)), maxDistance = 9)
+      .as[(Long, Long, String, String, Int)].collect()
+      .map { case (a, b, _, _, dst) => (a, b) -> dst }.toMap
+    assert(all((1L, 2L)) == 1 && all((3L, 4L)) == 1)
+    assert(all((5L, 6L)) == 6, "eve adams -> zoe woods is 6 edits")
+    val cut = LinkageOps.blockedFuzzyPairs(
+        people, "id", "name", Seq(lit(1)), maxDistance = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(cut == Set((1L, 2L), (3L, 4L)))
+  }
+}
