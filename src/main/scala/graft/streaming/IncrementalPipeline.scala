@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
@@ -96,6 +97,63 @@ object IncrementalPipeline {
     df.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.pipeline.Sinks.mergeParquetOnKey(batch, path, keyCols)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update)
+      .trigger(trigger)
+
+  /** Streaming Type-2 SCD maintenance: every micro-batch extends the
+    * versioned dimension at `path` through
+    * [[graft.ops.IncrementalOps.scdType2Apply]] — the full incremental
+    * warehouse loop (change stream in, immutable history out) with the
+    * same staged-write-then-rotate durability as the MERGE sink.
+    *
+    * `effectiveTs` maps the batch id to the version timestamp so tests
+    * and replays are deterministic; production passes the batch's event-
+    * time watermark. scdType2Apply is a no-op for unchanged re-deliveries,
+    * so checkpoint-recovery replays converge instead of growing history —
+    * the same at-least-once → effectively-once upgrade the MERGE sink
+    * gets from deterministic keys. A micro-batch can carry several
+    * versions of one key, so when `ordinalCol` names an explicit source
+    * ordinal (page*1e6+index, a CDC log offset — NEVER
+    * `monotonically_increasing_id`, which is partitioning-dependent) the
+    * batch is key-deduped keep-last on it first; without an ordinal the
+    * batch must already be key-unique.
+    */
+  def toScd2Sink(
+      df: DataFrame, path: String, checkpoint: String,
+      keyCols: Seq[String], compareCols: Seq[String],
+      effectiveTs: Long => java.sql.Timestamp,
+      ordinalCol: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val updates = ordinalCol.fold(batch) { ord =>
+          val w = Window.partitionBy(keyCols.map(col): _*)
+            .orderBy(col(ord).desc)
+          batch.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn", ord)
+        }
+        val fs = new Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dim =
+          if (!fs.exists(new Path(path)))
+            updates.select(
+              (keyCols ++ compareCols).map(col) ++ Seq(
+                lit(effectiveTs(batchId)).as("valid_from"),
+                lit(null).cast("timestamp").as("valid_to")): _*)
+          else
+            graft.ops.IncrementalOps.scdType2Apply(
+              spark.read.parquet(path), updates, keyCols, compareCols,
+              lit(effectiveTs(batchId)))
+        val staged = path + "_staging"
+        dim.write.mode("overwrite").parquet(staged)
+        graft.pipeline.Sinks.rotate(spark, path)
+        fs.rename(new Path(staged), new Path(path))
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -114,6 +114,42 @@ class IncrementalPipelineSpec extends AnyFunSuite {
       (3L, "carol", "b2")))
   }
 
+  test("streaming SCD2 sink versions the dimension across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_scd2").toString
+    val input = MemoryStream[(Long, String, Long)]
+    val df = input.toDF().toDF("id", "v", "ord")
+    val ts = (batchId: Long) =>
+      java.sql.Timestamp.valueOf(s"2026-01-0${batchId + 1} 00:00:00")
+    val q = IncrementalPipeline
+      .toScd2Sink(df, s"$dir/dim", s"$dir/ckpt", Seq("id"), Seq("v"), ts,
+        ordinalCol = Some("ord"),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    // batch 0: two keys; key 1 arrives twice — keep-last on the ordinal
+    input.addData((1L, "stale", 1L), (1L, "a", 2L), (2L, "b", 3L))
+    q.processAllAvailable()
+    // batch 1: key 1 changes (close + reopen), key 2 replays unchanged
+    // (no-op), key 3 is new
+    input.addData((1L, "A", 4L), (2L, "b", 5L), (3L, "c", 6L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(s"$dir/dim")
+      .select(col("id"), col("v"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"))
+      .as[(Long, String, String, Option[String])].collect().toSet
+    val t1 = "2026-01-01 00:00:00"
+    val t2 = "2026-01-02 00:00:00"
+    assert(rows == Set(
+      (1L, "a", t1, Some(t2)), // closed at batch-1 effective ts
+      (1L, "A", t2, None),     // reopened generation
+      (2L, "b", t1, None),     // unchanged replay never grows history
+      (3L, "c", t2, None)))    // appended new key
+    // one rotation generation retained (batch-0 dim: keys 1 and 2 open)
+    assert(spark.read.parquet(s"$dir/dim_backup").count() == 2)
+  }
+
   test("file-source stream processes a raw directory as micro-batches") {
     val dir = Files.createTempDirectory("graft_stream").toString
     val out = Files.createTempDirectory("graft_stream_out").toString
