@@ -45,7 +45,8 @@ case class LexiconVotes(child: Expression, lexicons: Seq[Seq[String]])
     m
   }
 
-  def compute(arr: ArrayData): ArrayData = {
+  /** The raw vote vector — shared with [[LexiconBest]]. */
+  private[expr] def computeRaw(arr: ArrayData): Array[Int] = {
     val votes = new Array[Int](lexicons.size)
     val n = arr.numElements()
     var i = 0
@@ -59,8 +60,11 @@ case class LexiconVotes(child: Expression, lexicons: Seq[Seq[String]])
       }
       i += 1
     }
-    new GenericArrayData(votes.map(v => Int.box(v): Any))
+    votes
   }
+
+  def compute(arr: ArrayData): ArrayData =
+    new GenericArrayData(computeRaw(arr).map(v => Int.box(v): Any))
 
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[ArrayData])
@@ -79,4 +83,63 @@ object LexiconVotes {
   def votes(tokens: Column, lexicons: Seq[Seq[String]]): Column =
     GraftColumnBridge.column(
       LexiconVotes(GraftColumnBridge.expression(tokens), lexicons))
+
+  def best(tokens: Column, lexicons: Seq[Seq[String]],
+      labels: Seq[String]): Column =
+    GraftColumnBridge.column(
+      LexiconBest(GraftColumnBridge.expression(tokens), lexicons, labels))
+}
+
+/** The vote-and-argmax fused into one pass: returns `labels(i)` for the
+  * FIRST lexicon with the strictly-highest vote count (ties keep the
+  * earlier label) — the exact semantics of folding
+  * `when(v_i > best, label_i)` over [[LexiconVotes]] output in label
+  * order, without the folded when-chain's combinatorial re-evaluation:
+  * each `when` branch references the running best TWICE, so by five
+  * lexicons the votes subtree (array materialize + every probe) is
+  * duplicated ~2^4 times per row unless common-subexpression elimination
+  * rescues it — measured 1.3 s of a 1.7 s query at sf0.1. One fused pass
+  * is O(tokens) flat. */
+case class LexiconBest(
+    child: Expression, lexicons: Seq[Seq[String]], labels: Seq[String])
+    extends UnaryExpression {
+  require(labels.length == lexicons.length, "one label per lexicon")
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lexicon_best needs array<string>, got ${other.catalogString}")
+    }
+
+  @transient private lazy val votesExpr = LexiconVotes(child, lexicons)
+  @transient private lazy val labelStrs: Array[UTF8String] =
+    labels.map(UTF8String.fromString).toArray
+
+  def compute(arr: ArrayData): UTF8String = {
+    val votes = votesExpr.computeRaw(arr)
+    var best = 0
+    var i = 1
+    while (i < votes.length) {
+      if (votes(i) > votes(best)) best = i
+      i += 1
+    }
+    labelStrs(best)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lexiconBest", this,
+      classOf[LexiconBest].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LexiconBest =
+    copy(child = newChild)
 }

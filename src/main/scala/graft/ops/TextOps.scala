@@ -132,17 +132,11 @@ object TextOps {
     * ONE native hash-probe pass over the token array (codegen'd), not a
     * higher-order filter per language (CodegenFallback — the interpreted
     * path PERF.md documents as a 10-25x blowup). */
-  def langId(text: Column): Column = {
-    val v = graft.expr.LexiconVotes.votes(tokens(lower(text)),
-      Lexicons.map(_._2))
-    val votes = Lexicons.zipWithIndex.map { case ((lang, _), i) =>
-      lang -> element_at(v, i + 1)
-    }
-    // fold: keep the first language with the strictly-highest vote count
-    votes.tail.foldLeft((lit(votes.head._1), votes.head._2)) {
-      case ((bestLang, bestVotes), (lang, vc)) =>
-        (when(vc > bestVotes, lit(lang)).otherwise(bestLang),
-          when(vc > bestVotes, vc).otherwise(bestVotes))
-    }._1
-  }
+  def langId(text: Column): Column =
+    // fused vote + first-strict-argmax in one native pass. The previous
+    // when-chain fold duplicated the running best in both branches of
+    // every step, so the votes subtree (split + every probe) exploded
+    // ~2^(n-1)-fold per row — 1.3 s of curate_corpus's 1.7 s at sf0.1.
+    graft.expr.LexiconVotes.best(tokens(lower(text)),
+      Lexicons.map(_._2), Lexicons.map(_._1))
 }
