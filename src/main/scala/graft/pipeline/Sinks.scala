@@ -112,6 +112,31 @@ object Sinks {
     path.fold(w0)(p => w0.option("path", p)).saveAsTable(table)
   }
 
+  /** Compact a parquet directory's small files into ~`targetRowsPerFile`
+    * files — the maintenance pass every incremental sink needs: streaming
+    * micro-batches and per-run MERGE staging each write a few rows per
+    * file, and at 100 TB a scan's task count (and the NameNode/liststore
+    * load) is proportional to FILE count, not data size. Reads once,
+    * `repartitionByRange` on `sortCol` (so per-file min/max stats stay
+    * tight — compaction is also the moment layout clustering happens,
+    * cf. [[graft.ops.LayoutOps]]), writes staged, then swaps via the
+    * usual one-generation rotation. Returns the new file count. */
+  def compactParquet(
+      spark: SparkSession, dir: String, targetRowsPerFile: Long,
+      sortCol: String): Int = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(dir)
+    val rows = df.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    val staged = dir + "_staging"
+    df.repartitionByRange(nFiles, col(sortCol))
+      .write.mode("overwrite").parquet(staged)
+    rotate(spark, dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new Path(staged), new Path(dir))
+    nFiles
+  }
+
   /** JDBC sink in FK dependency order, github-id lineage columns dropped
     * before load per the reference's own TODO (load.py:57). Idempotence
     * comes from deterministic keys: overwrite (or stage + MERGE on stores

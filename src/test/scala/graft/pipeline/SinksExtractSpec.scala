@@ -86,6 +86,35 @@ class SinksExtractSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir + "_backup").collect().toSet == expected)
   }
 
+  test("compaction rewrites many small files into few range-sorted ones") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    // 20 one-row files — the shape a streaming sink leaves behind
+    (0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(20).write.parquet(dir)
+    def dataFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(dataFiles >= 5, "fixture must actually be fragmented")
+    val n = Sinks.compactParquet(spark, dir, targetRowsPerFile = 10, "id")
+    assert(n == 2 && dataFiles <= 2,
+      s"20 rows at 10 rows/file must compact to 2 files, got $dataFiles")
+    val out = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(out == (0 until 20).map(i => (i.toLong, s"v$i")).toSet,
+      "compaction must be byte-for-byte content-preserving")
+    // range layout: per-file min/max must not overlap across files
+    val ranges = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => spark.read.parquet(f.getAbsolutePath)
+        .agg(min($"id"), max($"id")).as[(Long, Long)].head())
+      .sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, s"file ranges must be disjoint for tight stats: ${ranges.toSeq}")
+    // one backup generation of the fragmented layout retained
+    assert(spark.read.parquet(dir + "_backup").count() == 20)
+  }
+
   test("mergeFrames: storage-free MERGE plan is upsert-correct and idempotent") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
