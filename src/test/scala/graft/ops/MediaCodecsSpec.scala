@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-JVM WAV/BMP codecs: round trips, real-file quirks (chunk
+  * walking, row padding), and malformed-input rejection. */
+class MediaCodecsSpec extends AnyFunSuite {
+
+  test("WAV round trip: rate, frames, duration, RMS") {
+    val samples = Array.tabulate(1000)(i => ((i % 200) - 100).toShort)
+    val m = MediaCodecs.decodeWav(
+      MediaCodecs.encodeWavPcm16(16000, samples)).get
+    assert(m.sampleRate == 16000 && m.channels == 1 && m.bitsPerSample == 16)
+    assert(m.nSamples == 1000 && m.durationMs == 62) // 1000*1000/16000
+    val expectedRms = math.sqrt(
+      samples.map(s => s.toDouble * s).sum / samples.length)
+    assert(m.rms == expectedRms)
+  }
+
+  test("WAV chunk walk skips foreign chunks between fmt and data") {
+    val wav = MediaCodecs.encodeWavPcm16(8000, Array[Short](7, 7, 7, 7))
+    // splice a LIST chunk (id + size + 6 payload bytes) before `data`
+    val dataAt = 36 // canonical layout: data chunk starts here
+    val list = Array[Byte]('L', 'I', 'S', 'T', 6, 0, 0, 0, 1, 2, 3, 4, 5, 6)
+    val spliced = wav.take(dataAt) ++ list ++ wav.drop(dataAt)
+    // patch the RIFF size field (bytes 4-7, LE) for the extra 14 bytes
+    val riffSize = (wav.length - 8) + list.length
+    for (i <- 0 until 4) spliced(4 + i) = ((riffSize >> (8 * i)) & 0xff).toByte
+    val m = MediaCodecs.decodeWav(spliced).get
+    assert(m.nSamples == 4 && m.rms == 7.0)
+  }
+
+  test("BMP round trip recovers dimensions and channel means, padding included") {
+    // width 3: row = 9 bytes, padded to 12 — exercises the 4-byte pad
+    val m = MediaCodecs.decodeBmp(
+      MediaCodecs.encodeBmp24(3, 2, (x, y) => (x * 40, y * 100, 200))).get
+    assert(m.width == 3 && m.height == 2)
+    assert(m.meanR == 40.0 && m.meanG == 50.0 && m.meanB == 200.0)
+  }
+
+  test("malformed payloads decode to None, never throw") {
+    val junk = Array.tabulate(100)(_.toByte)
+    assert(MediaCodecs.decodeWav(junk).isEmpty)
+    assert(MediaCodecs.decodeBmp(junk).isEmpty)
+    assert(MediaCodecs.decodeWav(Array.empty[Byte]).isEmpty)
+    assert(MediaCodecs.decodeBmp(Array.empty[Byte]).isEmpty)
+    // truncated-but-valid-magic: claims more data than present
+    val wav = MediaCodecs.encodeWavPcm16(8000, Array.fill(100)(1.toShort))
+    assert(MediaCodecs.decodeWav(wav.take(60)).isEmpty)
+    val bmp = MediaCodecs.encodeBmp24(10, 10, (_, _) => (1, 2, 3))
+    assert(MediaCodecs.decodeBmp(bmp.take(60)).isEmpty)
+  }
+}
