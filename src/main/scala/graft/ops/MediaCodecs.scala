@@ -116,6 +116,71 @@ object MediaCodecs {
     bb.array()
   }
 
+  // ---------------------------------------------------------------- Y4M
+
+  final case class Y4mMeta(
+      width: Int, height: Int, fpsNum: Int, fpsDen: Int, nFrames: Int,
+      durationMs: Long)
+
+  /** YUV4MPEG2 (Y4M) — the standard uncompressed video interchange format
+    * (what ffmpeg pipes to codec developers): a plain-text stream header,
+    * then `FRAME\n` + raw planes per frame. `Cmono` = luma plane only. */
+  def encodeY4mMono(
+      width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.forall(_.length == width * height), "plane size mismatch")
+    val header =
+      s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A0:0 Cmono\n"
+        .getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val out = ByteBuffer.allocate(
+      header.length + frames.map(f => marker.length + f.length).sum)
+    out.put(header)
+    frames.foreach { f => out.put(marker); out.put(f) }
+    out.array()
+  }
+
+  def decodeY4mMeta(bytes: Array[Byte]): Option[Y4mMeta] = {
+    val nl = bytes.indexOf('\n'.toByte)
+    if (nl < 9) return None
+    val header = new String(bytes, 0, nl, "US-ASCII")
+    if (!header.startsWith("YUV4MPEG2")) return None
+    var (w, h, fn, fd) = (0, 0, 0, 1)
+    var mono = false
+    header.split(' ').drop(1).foreach { tag =>
+      if (tag.nonEmpty) tag.head match {
+        case 'W' => w = tag.tail.toInt
+        case 'H' => h = tag.tail.toInt
+        case 'F' =>
+          val Array(a, b) = tag.tail.split(':'); fn = a.toInt; fd = b.toInt
+        case 'C' => mono = tag.tail == "mono"
+        case _ => ()
+      }
+    }
+    if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0 || !mono) return None
+    val frameBytes = 6 + w * h // "FRAME\n" + luma plane
+    val body = bytes.length - (nl + 1)
+    if (body % frameBytes != 0) return None
+    val n = body / frameBytes
+    Some(Y4mMeta(w, h, fn, fd, n, n.toLong * 1000L * fd / fn))
+  }
+
+  /** Mean luma of frame `idx` (0-based) — the real per-frame feature
+    * extraction behind frame sampling. None if out of range / not Y4M. */
+  def y4mFrameMeanLuma(bytes: Array[Byte], idx: Int): Option[Double] =
+    decodeY4mMeta(bytes).flatMap { m =>
+      if (idx < 0 || idx >= m.nFrames) None
+      else {
+        val nl = bytes.indexOf('\n'.toByte)
+        val plane = m.width * m.height
+        val off = nl + 1 + idx * (6 + plane) + 6
+        var sum = 0L
+        var i = 0
+        while (i < plane) { sum += bytes(off + i) & 0xff; i += 1 }
+        Some(sum.toDouble / plane)
+      }
+    }
+
   def decodeBmp(bytes: Array[Byte]): Option[BmpMeta] = {
     if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte)
       return None

@@ -8,13 +8,17 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
   * typed metadata, decoded/feature-extracted in batched partition passes.
   *
-  * The Spark-side plumbing is real and tested — schema, partition-batched
-  * iteration (the Scala equivalent of a pandas-batch UDF), deterministic
-  * output shape. The actual codec call is a clearly-marked STUB: this
-  * container ships no image/audio libraries, so `decodeStub` derives
-  * metadata as a pure function of the payload bytes. Swapping in a real
-  * decoder (javax.imageio / ffmpeg JNI / a Python worker) changes only the
-  * function body, not the plan shape, partitioning, or schema.
+  * Two codec tiers share the same partition-batched plan shape (the Scala
+  * equivalent of a pandas-batch UDF — codec state amortizes per
+  * partition, not per row):
+  *
+  *  - [[decode]] / [[decodeStub]]: the original clearly-marked STUB —
+  *    metadata as a pure function of payload bytes, standing in for
+  *    codecs that genuinely need external libraries (JPEG, H.264, ...).
+  *  - [[decodeReal]] / [[sampleFramesReal]]: REAL dependency-free codecs
+  *    via [[MediaCodecs]] — BMP24 pixels, PCM-WAV samples, YUV4MPEG2
+  *    frames — parsed from actual container bytes, with corrupt payloads
+  *    degrading to typed NULLs instead of failing the job.
   */
 object MultimodalOps {
 
@@ -92,17 +96,19 @@ object MultimodalOps {
     StructField("mean_b", DoubleType, nullable = true),
     StructField("sample_rate", IntegerType, nullable = true),
     StructField("n_samples", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
     StructField("duration_ms", LongType, nullable = true),
     StructField("rms", DoubleType, nullable = true)))
 
-  /** Media table with REAL payloads: image docs carry an actual 24bpp BMP
+  /** Media table with REAL payloads, synthesized per-row from (doc_id,
+    * text) via [[MediaCodecs]]: image docs carry an actual 24bpp BMP
     * (solid deterministic color, real row padding), audio docs an actual
-    * PCM-16 WAV (constant-amplitude signal), synthesized per-row from
-    * (doc_id, text) via [[MediaCodecs]]. Video keeps the opaque fake —
-    * there is no pure-JVM video container, and pretending otherwise is
-    * exactly what the stub contract forbids. Synthesis parameters are
-    * arithmetic in doc_id/text so the decode gate's oracle can derive the
-    * expected metadata without parsing a byte. */
+    * PCM-16 WAV (constant-amplitude signal), video docs an actual
+    * YUV4MPEG2 mono stream (constant-luma frames at 25 fps — the standard
+    * uncompressed interchange format, so no codec library is needed).
+    * Synthesis parameters are arithmetic in doc_id/text so the decode and
+    * frame-sample gates' oracles can derive the expected output without
+    * parsing a byte. */
   def mediaFromDocumentsReal(docs: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
     docs.select(col("doc_id"), col("text"))
@@ -122,7 +128,10 @@ object MultimodalOps {
               Row(id, "audio",
                 MediaCodecs.encodeWavPcm16(8000, Array.fill(n)(amp)))
             case _ =>
-              Row(id, "video", text.getBytes("UTF-8"))
+              val nFrames = 2 + (id % 6).toInt
+              val frames = (0 until nFrames).map(k =>
+                Array.fill(16 * 8)(((id * 13 + k * 29) % 256).toByte))
+              Row(id, "video", MediaCodecs.encodeY4mMono(16, 8, 25, 1, frames))
           }
         }
       }(enc)
@@ -147,18 +156,52 @@ object MultimodalOps {
             if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
               MediaCodecs.decodeBmp(payload) match {
                 case Some(m) => Seq(m.width, m.height, m.meanR, m.meanG,
-                  m.meanB, null, null, null, null)
-                case None => Seq.fill(9)(null)
+                  m.meanB, null, null, null, null, null)
+                case None => Seq.fill(10)(null)
               }
             else if (payload.length >= 4 && payload(0) == 'R' &&
                 payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F')
               MediaCodecs.decodeWav(payload) match {
                 case Some(m) => Seq(null, null, null, null, null,
-                  m.sampleRate, m.nSamples, m.durationMs, m.rms)
-                case None => Seq.fill(9)(null)
+                  m.sampleRate, m.nSamples, null, m.durationMs, m.rms)
+                case None => Seq.fill(10)(null)
               }
-            else Seq.fill(9)(null)
+            else if (payload.length >= 9 &&
+                new String(payload, 0, 9, "US-ASCII") == "YUV4MPEG2")
+              MediaCodecs.decodeY4mMeta(payload) match {
+                case Some(m) => Seq(m.width, m.height, null, null, null,
+                  null, null, m.nFrames, m.durationMs, null)
+                case None => Seq.fill(10)(null)
+              }
+            else Seq.fill(10)(null)
           Row.fromSeq(base.toSeq ++ meta)
+        }
+      }(enc)
+  }
+
+  val sampledFrameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("mean_luma", DoubleType, nullable = false)))
+
+  /** REAL frame sampling: decode every `stride`-th frame of each Y4M
+    * video payload and extract its mean luma — one partition-batched scan
+    * (the decoder state amortizes per partition), rows fan out per
+    * sampled frame. Non-video / unparseable payloads contribute nothing. */
+  def sampleFramesReal(media: DataFrame, stride: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(sampledFrameSchema)
+    media
+      .select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload =
+            if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          MediaCodecs.decodeY4mMeta(payload).toSeq.flatMap { m =>
+            (0 until m.nFrames by stride).map { idx =>
+              Row(r.getLong(0), idx,
+                MediaCodecs.y4mFrameMeanLuma(payload, idx).get)
+            }
+          }
         }
       }(enc)
   }

@@ -3,9 +3,12 @@ package graft.queries
 import graft.{Q, T}
 import graft.ops.MultimodalOps
 
-/** Multimodal (binary-column) plumbing: opaque payloads + typed metadata,
-  * batched partition-wise decode with a deterministic stub codec (the
-  * container ships no media libraries — see MultimodalOps scaladoc). */
+/** Multimodal (binary-column) gates: opaque payloads + typed metadata,
+  * batched partition-wise decode. Two codec tiers: the original
+  * deterministic stub (library-free plumbing contract, `mm_decode_meta`)
+  * and REAL pure-JVM codecs — BMP24, PCM-WAV, YUV4MPEG2 — gated end to
+  * end as encode→decode round trips (`mm_decode_real`,
+  * `mm_frame_sample_real`). */
 object MultimodalQueries {
 
   val all: Seq[Q] = Seq(
@@ -40,13 +43,14 @@ object MultimodalQueries {
       None,
       "video frame sampling: every 4th 64-byte chunk with a frame hash"),
 
-    // REAL codec round trip: the engine synthesizes actual BMP/WAV bytes
-    // per row (MediaCodecs), then decodeReal parses them back — chunk
-    // walk, BGR rows, 4-byte padding, PCM RMS. The oracle never touches a
-    // byte: synthesis parameters are arithmetic in (doc_id, text), so it
-    // derives every decoded field independently — a disagreement anywhere
-    // in encode OR decode breaks the hash. Video stays NULL-metadata (no
-    // pure-JVM video container; honest stub, per contract).
+    // REAL codec round trip: the engine synthesizes actual BMP/WAV/Y4M
+    // bytes per row (MediaCodecs), then decodeReal parses them back —
+    // chunk walk, BGR rows, 4-byte padding, PCM RMS, Y4M stream header.
+    // The oracle never touches a byte: synthesis parameters are
+    // arithmetic in (doc_id, text), so it derives every decoded field
+    // independently — a disagreement anywhere in encode OR decode breaks
+    // the hash. (Y4M mono: 37-byte header "YUV4MPEG2 W16 H8 F25:1 Ip
+    // A0:0 Cmono\n", then per frame "FRAME\n" + 128 luma bytes.)
     Q(
       "mm_decode_real",
       (s, d) =>
@@ -59,20 +63,45 @@ object MultimodalQueries {
              |  CAST(CASE doc_id % 3
              |    WHEN 0 THEN 54 + (4 + doc_id % 8) * (((8 + doc_id % 16) * 3 + 3) // 4) * 4
              |    WHEN 1 THEN 44 + (200 + octet_length(encode(text)) % 800) * 2
-             |    ELSE octet_length(encode(text)) END AS INTEGER) AS n_bytes,
-             |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 16 END AS INTEGER) AS width,
-             |  CAST(CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 8 END AS INTEGER) AS height,
+             |    ELSE 37 + (2 + doc_id % 6) * 134 END AS INTEGER) AS n_bytes,
+             |  CAST(CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 16
+             |       WHEN 2 THEN 16 END AS INTEGER) AS width,
+             |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 8
+             |       WHEN 2 THEN 8 END AS INTEGER) AS height,
              |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id * 37 % 256 END AS DOUBLE) AS mean_r,
              |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id * 59 % 256 END AS DOUBLE) AS mean_g,
              |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id * 83 % 256 END AS DOUBLE) AS mean_b,
              |  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 END AS INTEGER) AS sample_rate,
              |  CAST(CASE WHEN doc_id % 3 = 1
              |       THEN 200 + octet_length(encode(text)) % 800 END AS INTEGER) AS n_samples,
-             |  CAST(CASE WHEN doc_id % 3 = 1
-             |       THEN (200 + octet_length(encode(text)) % 800) * 1000 // 8000
+             |  CAST(CASE WHEN doc_id % 3 = 2 THEN 2 + doc_id % 6 END AS INTEGER) AS n_frames,
+             |  CAST(CASE doc_id % 3
+             |       WHEN 1 THEN (200 + octet_length(encode(text)) % 800) * 1000 // 8000
+             |       WHEN 2 THEN (2 + doc_id % 6) * 40
              |       END AS BIGINT) AS duration_ms,
              |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1000 + doc_id * 97 % 20000 END AS DOUBLE) AS rms
              |FROM documents ORDER BY media_id""".stripMargin),
-      "real BMP/WAV encode->decode round trip vs an arithmetic oracle")
+      "real BMP/WAV/Y4M encode->decode round trip vs an arithmetic oracle"),
+
+    // Real frame sampling: decode every 2nd Y4M frame, extract mean luma.
+    // Same oracle principle — frame luma is (doc_id*13 + idx*29) % 256 by
+    // construction, so the oracle enumerates frames with generate_series
+    // and never parses video bytes.
+    Q(
+      "mm_frame_sample_real",
+      (s, d) =>
+        MultimodalOps
+          .sampleFramesReal(
+            MultimodalOps.mediaFromDocumentsReal(T(s, d, "documents")),
+            stride = 2)
+          .orderBy("media_id", "frame_idx"),
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(idx AS INTEGER) AS frame_idx,
+             |  CAST((doc_id * 13 + idx * 29) % 256 AS DOUBLE) AS mean_luma
+             |FROM (SELECT doc_id,
+             |        unnest(generate_series(0, CAST(1 + doc_id % 6 AS BIGINT), 2)) AS idx
+             |      FROM documents WHERE doc_id % 3 = 2)
+             |ORDER BY media_id, frame_idx""".stripMargin),
+      "real Y4M frame sampling: every 2nd frame's mean luma vs an arithmetic oracle")
   )
 }

@@ -38,12 +38,32 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(m.meanR == 40.0 && m.meanG == 50.0 && m.meanB == 200.0)
   }
 
+  test("Y4M round trip: dimensions, fps, frame count, per-frame luma") {
+    val frames = (0 until 5).map(k => Array.tabulate(12 * 4)(i =>
+      ((k * 50 + i) % 256).toByte))
+    val bytes = MediaCodecs.encodeY4mMono(12, 4, 30, 1, frames)
+    val m = MediaCodecs.decodeY4mMeta(bytes).get
+    assert(m.width == 12 && m.height == 4 && m.fpsNum == 30 && m.fpsDen == 1)
+    assert(m.nFrames == 5 && m.durationMs == 166) // 5*1000/30
+    for (k <- 0 until 5) {
+      val expected = frames(k).map(_ & 0xff).sum.toDouble / (12 * 4)
+      assert(MediaCodecs.y4mFrameMeanLuma(bytes, k).contains(expected))
+    }
+    assert(MediaCodecs.y4mFrameMeanLuma(bytes, 5).isEmpty, "out of range")
+  }
+
   test("malformed payloads decode to None, never throw") {
     val junk = Array.tabulate(100)(_.toByte)
     assert(MediaCodecs.decodeWav(junk).isEmpty)
     assert(MediaCodecs.decodeBmp(junk).isEmpty)
+    assert(MediaCodecs.decodeY4mMeta(junk).isEmpty)
     assert(MediaCodecs.decodeWav(Array.empty[Byte]).isEmpty)
     assert(MediaCodecs.decodeBmp(Array.empty[Byte]).isEmpty)
+    assert(MediaCodecs.decodeY4mMeta(Array.empty[Byte]).isEmpty)
+    // Y4M with a truncated trailing frame: body not a frame multiple
+    val y4m = MediaCodecs.encodeY4mMono(4, 4, 25, 1,
+      Seq(Array.fill(16)(9.toByte)))
+    assert(MediaCodecs.decodeY4mMeta(y4m.dropRight(3)).isEmpty)
     // truncated-but-valid-magic: claims more data than present
     val wav = MediaCodecs.encodeWavPcm16(8000, Array.fill(100)(1.toShort))
     assert(MediaCodecs.decodeWav(wav.take(60)).isEmpty)
