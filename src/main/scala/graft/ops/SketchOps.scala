@@ -69,4 +69,44 @@ object SketchOps {
           .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / col("hk")))
       .drop("hk")
   }
+
+  /** Approximate per-group quantiles from a bottom-k-by-hash ROW sample —
+    * the same deterministic mergeable state as [[kmvMinima]] (k smallest
+    * row-key hashes), but carrying the measured value: a bottom-k hash
+    * sample IS a uniform sample of the rows, so sample quantiles estimate
+    * population quantiles with the usual sqrt(k) error, and the whole
+    * thing reproduces bit-for-bit on any engine — unlike t-digest/KLL,
+    * whose compaction schedules are implementation-defined.
+    *
+    * Quantiles are DISCRETE rank selection (value at
+    * `floor((n-1)*p) + 1` in (value, hash) order — the hash breaks value
+    * ties deterministically), never interpolation: two engines'
+    * interpolation formulas need not match bit-for-bit, but "the element
+    * at a rank" does.
+    *
+    * Exact below k (the sample is the whole group). Plan: the same
+    * WindowGroupLimit-pre-pruned rank window as the KMV sketch, one more
+    * in-sample rank, one explode for the quantile list. */
+  def bottomKQuantiles(
+      df: DataFrame, keyCol: Column, valueCol: Column,
+      groupCols: Seq[String], k: Int, ps: Seq[Double],
+      salt: String = "kq"): DataFrame = {
+    require(k >= 1 && ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    val wH = Window.partitionBy(groupCols.map(col): _*).orderBy("h")
+    val sample = df
+      .select(groupCols.map(col) :+ hash52(keyCol, salt).as("h") :+
+        valueCol.as("v"): _*)
+      .withColumn("rn", row_number().over(wH))
+      .filter(col("rn") <= k)
+    val wV = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("v"), col("h"))
+    sample
+      .withColumn("vr", row_number().over(wV))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(groupCols.map(col): _*)))
+      .select(groupCols.map(col) ++ Seq(col("v"), col("vr"), col("n"),
+        explode(array(ps.map(lit): _*)).as("p")): _*)
+      .filter(col("vr") === floor((col("n") - 1) * col("p")) + 1)
+      .select(groupCols.map(col) ++ Seq(col("p"), col("v").as("q")): _*)
+  }
 }

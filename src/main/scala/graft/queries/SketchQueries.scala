@@ -17,6 +17,41 @@ object SketchQueries {
   private val K = 256
 
   val all: Seq[Q] = Seq(
+    // Bottom-k row sample → discrete rank quantiles. Same deterministic
+    // bottom-k-by-hash state as the KMV gate, carrying l_extendedprice;
+    // the oracle rebuilds the identical sample and rank selection.
+    Q(
+      "sketch_quantile_bottomk",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, concat_ws}
+        SketchOps
+          .bottomKQuantiles(T(s, d, "lineitem"),
+            concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+            col("l_extendedprice"), Seq("l_returnflag"), K,
+            ps = Seq(0.1, 0.5, 0.9))
+          .orderBy("l_returnflag", "p")
+      },
+      Some(s"""WITH s AS (
+              |  SELECT l_returnflag,
+              |    CAST(('0x' || substr(md5('kq:' || CAST(l_orderkey AS VARCHAR)
+              |      || '-' || CAST(l_linenumber AS VARCHAR)), 1, 13)) AS BIGINT) AS h,
+              |    l_extendedprice AS v
+              |  FROM lineitem),
+              |r AS (SELECT l_returnflag, h, v,
+              |        row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+              |      FROM s),
+              |smp AS (SELECT * FROM r WHERE rn <= $K),
+              |rv AS (SELECT l_returnflag, v,
+              |         row_number() OVER (PARTITION BY l_returnflag ORDER BY v, h) AS vr,
+              |         count(*) OVER (PARTITION BY l_returnflag) AS n
+              |       FROM smp)
+              |SELECT l_returnflag, p, v AS q
+              |FROM rv, (VALUES (CAST(0.1 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+              |                 (CAST(0.9 AS DOUBLE))) ps(p)
+              |WHERE vr = CAST(floor((n - 1) * p) AS BIGINT) + 1
+              |ORDER BY l_returnflag, p""".stripMargin),
+      "bottom-k sample quantiles: deterministic uniform row sample, rank-selected"),
+
     Q(
       "sketch_kmv_distinct",
       (s, d) =>

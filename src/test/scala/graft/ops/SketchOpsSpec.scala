@@ -52,6 +52,25 @@ class SketchOpsSpec extends AnyFunSuite {
       "merging per-source sketches must reproduce the whole-corpus sketch")
   }
 
+  test("bottom-k quantiles: exact below k, near-true above") {
+    import org.apache.spark.sql.functions.col
+    // group "small": 100 rows (< k) — sample IS the group, quantile exact
+    val small = (0 until 100).map(i => ("small", i.toLong, i.toDouble))
+    // group "big": 20000 rows uniform on [0, 20000)
+    val big = (0 until 20000).map(i => ("big", 1000L + i, i.toDouble))
+    val df = (small ++ big).toDF("g", "key", "v")
+    val got = SketchOps
+      .bottomKQuantiles(df, col("key"), col("v"), Seq("g"), k = 512,
+        ps = Seq(0.5))
+      .as[(String, Double, Double)].collect()
+      .map { case (g, _, q) => g -> q }.toMap
+    // small: n=100, rank floor(99*0.5)+1 = 50 → value 49 exactly
+    assert(got("small") == 49.0, "below k the rank selection is exact")
+    val relErr = math.abs(got("big") - 10000.0) / 20000.0
+    assert(relErr < 4.0 / math.sqrt(512),
+      f"sampled median ${got("big")}%.0f off true 10000 by $relErr%.4f")
+  }
+
   test("WindowGroupLimit pre-prunes the sketch shuffle map-side") {
     val df = (0 until 10000).map(i => (i % 4, s"key$i")).toDF("g", "key")
     val plan = SketchOps.kmvMinima(df, "key", Seq("g"), 64)
