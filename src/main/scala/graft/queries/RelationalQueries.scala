@@ -535,6 +535,37 @@ object RelationalQueries {
              |ORDER BY region NULLS FIRST, nation NULLS FIRST""".stripMargin),
       "ROLLUP subtotal hierarchy over the region/nation dimensions"),
 
+    // CUBE: all 2^k grouping combinations in one Expand pass — ROLLUP's
+    // sibling, with the cross-dimension subtotal rows ROLLUP omits
+    // (nation-only totals here). grouping_id disambiguates aggregation
+    // nulls from data nulls, same as the grouping-sets gate.
+    Q(
+      "agg_cube",
+      (s, d) => {
+        ord(s, d)
+          .join(broadcast(cust(s, d).select("c_custkey", "c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("segment"),
+            col("o_orderpriority").as("priority"), col("o_totalprice"))
+          .createOrReplaceTempView("graft_cube_in")
+        s.sql("""SELECT segment, priority, grouping_id() AS gid,
+                |  COUNT(*) AS n_orders,
+                |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+                |FROM graft_cube_in
+                |GROUP BY CUBE (segment, priority)
+                |ORDER BY gid, segment NULLS FIRST, priority NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT segment, priority,
+             |  CAST(GROUPING(segment) * 2 + GROUPING(priority) AS BIGINT) AS gid,
+             |  COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+             |FROM (SELECT c_mktsegment AS segment,
+             |        o_orderpriority AS priority, o_totalprice
+             |      FROM orders JOIN customer ON o_custkey = c_custkey)
+             |GROUP BY CUBE (segment, priority)
+             |ORDER BY gid, segment NULLS FIRST, priority NULLS FIRST""".stripMargin),
+      "CUBE over segment x priority: all grouping combinations in one Expand"),
+
     // Window top-N per key
     Q(
       "window_topn_per_key",

@@ -216,4 +216,15 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(again == kept.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("edge inputs: empty corpus flows through segment dedup and budget mix") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING"))
+    assert(CorpusOps.dedupSegments(empty, "doc_id", "text", 8, 2).count() == 0)
+    assert(CorpusOps.sampleToTokenBudget(
+      empty.withColumn("n_tokens", lit(1L)),
+      "doc_id", "lang", col("n_tokens"), 100L, "s").count() == 0)
+  }
 }

@@ -65,4 +65,27 @@ class IncrementalOpsSpec extends AnyFunSuite {
     assert(again.count() == out.count(),
       "re-delivered batch must be a no-op on an up-to-date dimension")
   }
+
+  test("edge inputs: empty snapshots and empty batches degrade to identity") {
+    val schema = "id BIGINT, v STRING"
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+    val some = Seq((1L, "a")).toDF("id", "v")
+    // empty old → everything is an insert; empty new → everything deleted
+    assert(IncrementalOps.snapshotDiff(empty, some, Seq("id"), Seq("v"))
+      .select("change_type").as[String].collect().toSeq == Seq("insert"))
+    assert(IncrementalOps.snapshotDiff(some, empty, Seq("id"), Seq("v"))
+      .select("change_type").as[String].collect().toSeq == Seq("delete"))
+    assert(IncrementalOps.snapshotDiff(empty, empty, Seq("id"), Seq("v"))
+      .count() == 0)
+    // empty batch leaves a dimension untouched
+    val dim = Seq((1L, "a", "2024-01-01 00:00:00", null: String))
+      .toDF("id", "v", "valid_from", "valid_to")
+      .select(col("id"), col("v"), col("valid_from").cast("timestamp"),
+        col("valid_to").cast("timestamp"))
+    val out = IncrementalOps.scdType2Apply(dim, empty, Seq("id"), Seq("v"),
+      lit("2025-01-01 00:00:00").cast("timestamp"))
+    assert(out.collect().toSeq == dim.collect().toSeq)
+  }
 }
