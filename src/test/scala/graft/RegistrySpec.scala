@@ -38,6 +38,14 @@ class RegistrySpec extends AnyFunSuite {
     SparkEntry.oracleSql.keys.foreach(k => assert(qm.contains(k)))
   }
 
+  test("registry names are unique and snake_case — map building drops nothing") {
+    val names = Registry.all.map(_.name)
+    val dupes = names.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+    assert(dupes.isEmpty,
+      s"duplicate query names silently shadow each other in queryMap: $dupes")
+    names.foreach(n => assert(n.matches("[a-z0-9_]+"), s"non-snake name: $n"))
+  }
+
   test("keep-last dedupe picks the later record") {
     import spark.implicits._
     val df = Seq(

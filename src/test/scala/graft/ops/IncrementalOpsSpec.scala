@@ -66,6 +66,23 @@ class IncrementalOpsSpec extends AnyFunSuite {
       "re-delivered batch must be a no-op on an up-to-date dimension")
   }
 
+  test("reconstruction: applying the diff to the old snapshot yields the new one") {
+    // 200 random-ish keys; new snapshot deletes %5, mutates %3, inserts 50
+    val oldSnap = (0 until 200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val newSnap = ((0 until 200).filter(_ % 5 != 0)
+      .map(i => (i.toLong, if (i % 3 == 0) s"V$i" else s"v$i")) ++
+      (1000 until 1050).map(i => (i.toLong, s"n$i"))).toDF("id", "v")
+    val diff = IncrementalOps.snapshotDiff(oldSnap, newSnap, Seq("id"), Seq("v"))
+    // apply: drop deleted+updated keys from old, add back new values
+    val changedKeys = diff.filter(col("change_type") =!= "insert").select("id")
+    val rebuilt = oldSnap.join(changedKeys, Seq("id"), "left_anti")
+      .unionByName(diff.filter(col("change_type") =!= "delete")
+        .select(col("id"), col("new_v").as("v")))
+    assert(rebuilt.as[(Long, String)].collect().toSet ==
+      newSnap.as[(Long, String)].collect().toSet,
+      "old + diff must reconstruct new exactly — the CDC contract")
+  }
+
   test("edge inputs: empty snapshots and empty batches degrade to identity") {
     val schema = "id BIGINT, v STRING"
     val empty = spark.createDataFrame(

@@ -71,6 +71,19 @@ class SketchOpsSpec extends AnyFunSuite {
       f"sampled median ${got("big")}%.0f off true 10000 by $relErr%.4f")
   }
 
+  test("quantiles are monotone in p and bracketed by the group's min/max") {
+    import org.apache.spark.sql.functions.col
+    val df = (0 until 5000).map(i => ("g", i.toLong, (i * 7 % 997).toDouble))
+      .toDF("g", "key", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    val qs = SketchOps
+      .bottomKQuantiles(df, col("key"), col("v"), Seq("g"), k = 256, ps)
+      .orderBy("p").select("q").as[Double].collect().toSeq
+    assert(qs.length == ps.length)
+    assert(qs == qs.sorted, s"quantiles must be monotone in p: $qs")
+    assert(qs.head >= 0.0 && qs.last <= 996.0)
+  }
+
   test("WindowGroupLimit pre-prunes the sketch shuffle map-side") {
     val df = (0 until 10000).map(i => (i % 4, s"key$i")).toDF("g", "key")
     val plan = SketchOps.kmvMinima(df, "key", Seq("g"), 64)
