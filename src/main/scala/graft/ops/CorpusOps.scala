@@ -94,6 +94,45 @@ object CorpusOps {
     df.filter(h < thresh)
   }
 
+  /** Upsample by per-stratum repeat factors — the other half of corpus
+    * mixing: downsampling caps dominant sources ([[sampleToTokenBudget]],
+    * [[stratifiedSampleByHash]]), REPEAT factors boost scarce
+    * high-quality ones (the "N epochs of source X" recipe in modern
+    * pretraining mixtures). A weight of 2.3 emits every row 2 times plus
+    * a 3rd copy for a deterministic 30% of rows (salted-hash Bernoulli on
+    * the fractional part), so expected copies = weight exactly, and the
+    * SAME rows carry the extra epoch on every re-run.
+    *
+    * Emits (`copy_idx`, 0-based) so downstream shuffling/sharding can
+    * decorrelate the copies (feed copy_idx into the shard salt).
+    * One projection + one explode — no shuffle; strata absent from
+    * `weights` default to weight 1.0 (single copy). */
+  def upsampleByWeight(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      weights: Map[String, Double], salt: String): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 100.0),
+      "repeat factors must be in [0, 100]")
+    val whole = weights.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (s0, w)) =>
+        val c = col(stratumCol) === s0
+        val n = lit(math.floor(w).toLong)
+        Some(acc.fold(when(c, n))(_.when(c, n)))
+    }.fold(lit(1L))(_.otherwise(1L))
+    val fracT = weights.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (s0, w)) =>
+        val c = col(stratumCol) === s0
+        val t = lit(md5Threshold(w - math.floor(w)))
+        Some(acc.fold(when(c, t))(_.when(c, t)))
+    }.fold(lit(md5Threshold(0.0)))(_.otherwise(md5Threshold(0.0)))
+    val copies = whole +
+      (saltedHash(col(keyCol), salt) < fracT).cast("long")
+    df.withColumn("_n_copies", copies)
+      .filter(col("_n_copies") > 0)
+      .withColumn("copy_idx",
+        explode(sequence(lit(0L), col("_n_copies") - 1)))
+      .drop("_n_copies")
+  }
+
   /** Split documents into fixed-size token windows with `overlap` shared
     * tokens between consecutive chunks (context-preserving chunking for
     * embedding / training-example generation). One explode, no shuffle.

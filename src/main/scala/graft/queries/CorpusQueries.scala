@@ -373,6 +373,32 @@ object CorpusQueries {
              |FROM b JOIN f USING (source)
              |WHERE total <= 800 OR h < thresh
              |ORDER BY doc_id""".stripMargin),
-      "token-budget mixing: cap each source at 800 tokens, data-derived hash threshold")
+      "token-budget mixing: cap each source at 800 tokens, data-derived hash threshold"),
+
+    // Mixture upsampling: de docs get 2.25 epochs (2 copies + a 3rd for a
+    // deterministic 25% of rows), zh docs 3.0, everything else 1.0. The
+    // oracle replays the floor + fractional-Bernoulli arithmetic and
+    // enumerates copies with generate_series.
+    Q(
+      "corpus_mix_upsample",
+      (s, d) =>
+        CorpusOps
+          .upsampleByWeight(T(s, d, "documents"), "doc_id", "lang",
+            Map("de" -> 2.25, "zh" -> 3.0), salt = "up")
+          .select("doc_id", "lang", "copy_idx")
+          .orderBy("doc_id", "copy_idx"),
+      Some(s"""WITH c AS (
+              |  SELECT doc_id, lang,
+              |    CASE lang WHEN 'de' THEN 2 WHEN 'zh' THEN 3 ELSE 1 END +
+              |    CASE WHEN lang = 'de'
+              |          AND md5('up:' || CAST(doc_id AS VARCHAR)) <
+              |              '${CorpusOps.md5Threshold(0.25)}'
+              |         THEN 1 ELSE 0 END AS n
+              |  FROM documents)
+              |SELECT doc_id, lang,
+              |  CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS copy_idx
+              |FROM c
+              |ORDER BY doc_id, copy_idx""".stripMargin),
+      "mixture upsampling: fractional repeat factors, deterministic extra-epoch rows")
   )
 }

@@ -217,6 +217,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(again == kept.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("upsampleByWeight: whole copies + deterministic fractional epoch") {
+    val out = CorpusOps.upsampleByWeight(docs, "doc_id", "lang",
+      Map("en" -> 2.5, "de" -> 0.0), salt = "u")
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val nEn = docs.filter(col("lang") === "en").count()
+    assert(!byLang.contains("de"), "weight 0 must drop the stratum entirely")
+    assert(byLang("en") >= 2 * nEn && byLang("en") <= 3 * nEn)
+    val frac = (byLang("en") - 2.0 * nEn) / nEn
+    assert(math.abs(frac - 0.5) < 0.25,
+      s"fractional epoch should cover ~50% of rows, got $frac")
+    // every row's copies are contiguous 0..n-1 and re-runs are identical
+    val copies = out.filter(col("lang") === "en").groupBy("doc_id")
+      .agg(collect_list("copy_idx").as("c"))
+      .as[(Long, Seq[Long])].collect()
+    copies.foreach { case (id, c) =>
+      assert(c.sorted == (0L until c.length), s"doc $id copies $c") }
+    val again = CorpusOps.upsampleByWeight(docs, "doc_id", "lang",
+        Map("en" -> 2.5, "de" -> 0.0), salt = "u")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(again == byLang, "re-run must emit the identical multiset")
+  }
+
   test("edge inputs: empty corpus flows through segment dedup and budget mix") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
