@@ -345,6 +345,35 @@ object AnalyticsQueries {
              |UNION ALL
              |SELECT c_custkey, 'acctbal', c_acctbal FROM customer
              |ORDER BY c_custkey, metric""".stripMargin),
-      "UNPIVOT wide measures to long rows: one Expand projection, shuffle-free")
+      "UNPIVOT wide measures to long rows: one Expand projection, shuffle-free"),
+
+    // Correlated scalar subquery + correlated EXISTS — Catalyst
+    // DECORRELATES both into joins (a left-outer aggregate join and a
+    // semi join; no per-row re-execution), which is exactly why the
+    // declarative form survives scale. Via spark.sql: subqueries are a
+    // SQL-surface feature.
+    Q(
+      "subquery_correlated",
+      (s, d) => {
+        T(s, d, "customer").createOrReplaceTempView("graft_sq_cust")
+        T(s, d, "orders").createOrReplaceTempView("graft_sq_ord")
+        s.sql("""SELECT c_custkey,
+                |  (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM graft_sq_ord
+                |   WHERE o_custkey = c_custkey) AS max_order,
+                |  EXISTS (SELECT 1 FROM graft_sq_ord
+                |          WHERE o_custkey = c_custkey
+                |            AND o_orderpriority = '1-URGENT') AS has_urgent
+                |FROM graft_sq_cust
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey,
+             |  (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders
+             |   WHERE o_custkey = c_custkey) AS max_order,
+             |  EXISTS (SELECT 1 FROM orders
+             |          WHERE o_custkey = c_custkey
+             |            AND o_orderpriority = '1-URGENT') AS has_urgent
+             |FROM customer
+             |ORDER BY c_custkey""".stripMargin),
+      "correlated scalar + EXISTS subqueries, decorrelated into joins by the planner")
   )
 }
