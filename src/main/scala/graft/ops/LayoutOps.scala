@@ -67,18 +67,24 @@ object LayoutOps {
   def zPruneStats(
       df: DataFrame, xCol: Column, yCol: Column, bits: Int, tileBits: Int,
       xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
-    val stats = zTileStats(df, xCol, yCol, bits, tileBits)
+    // ONE corpus scan: the per-tile match count rides the same aggregate
+    // as the min/max stats, so the final roll-up never re-reads the data.
+    val z = zValue2(xCol, yCol, bits)
+    val inRect = xCol >= xLo && xCol <= xHi && yCol >= yLo && yCol <= yHi
+    val stats = df
+      .select(xCol.as("x"), yCol.as("y"),
+        zTile(z, bits, tileBits).as("tile"), inRect.cast("long").as("m"))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n_rows"), sum(col("m")).as("n_match"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
     val candidate = col("max_x") >= xLo && col("min_x") <= xHi &&
       col("max_y") >= yLo && col("min_y") <= yHi
-    // lazy one-row frame, cross-joined (1x1) — not a driver-side count
-    val matchAgg = df.agg(
-      sum((xCol >= xLo && xCol <= xHi && yCol >= yLo && yCol <= yHi)
-        .cast("long")).as("n_rows_matching"))
     stats.agg(
       count(lit(1)).as("n_tiles"),
       sum(candidate.cast("long")).as("n_candidate_tiles"),
       sum(col("n_rows")).as("n_rows"),
-      sum(when(candidate, col("n_rows")).otherwise(0L)).as("n_rows_scanned"))
-      .crossJoin(matchAgg)
+      sum(when(candidate, col("n_rows")).otherwise(0L)).as("n_rows_scanned"),
+      sum(col("n_match")).as("n_rows_matching"))
   }
 }
