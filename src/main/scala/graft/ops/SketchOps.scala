@@ -70,6 +70,47 @@ object SketchOps {
       .drop("hk")
   }
 
+  /** Count-Min sketch counters: `d` rows of `w` counters, counter
+    * (i, h_i(key) mod w) accumulates every occurrence of `key`. With the
+    * salted-md5 bucket hashes the whole structure is a deterministic
+    * function of the data — unlike library CMS implementations whose
+    * seeds are instance-random — so estimates reproduce on any engine.
+    * State is d*w integers per group-less sketch (mergeable by plain
+    * counter addition), vs one counter per distinct key exactly.
+    *
+    * Plan: one explode-free pass — d projections of the same row unioned
+    * (still scan-linear; Catalyst collapses the scans at 100 TB behind a
+    * staged frame), then one partial+final sum keyed by (seed, bucket). */
+  def cmsCounters(
+      df: DataFrame, keyCol: Column, w: Int, d: Int,
+      salt: String = "cms"): DataFrame = {
+    require(w > 0 && d > 0)
+    (0 until d).map { i =>
+      df.select(lit(i).as("seed"),
+        pmod(hash52(keyCol, s"$salt$i"), lit(w.toLong)).as("bucket"))
+    }.reduce(_ unionByName _)
+      .groupBy("seed", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate the frequency of each key in `keys`: the CLASSIC
+    * count-min read — min over the d counters the key hashes into. Always
+    * an overestimate (collisions only add), within eps*N with the usual
+    * (w, d) guarantees. `counters` must come from [[cmsCounters]] with
+    * the same (w, d, salt). */
+  def cmsEstimate(
+      counters: DataFrame, keys: DataFrame, keyCol: Column,
+      w: Int, d: Int, salt: String = "cms"): DataFrame = {
+    val probes = (0 until d).map { i =>
+      keys.select(keyCol.as("key"), lit(i).as("seed"),
+        pmod(hash52(keyCol, s"$salt$i"), lit(w.toLong)).as("bucket"))
+    }.reduce(_ unionByName _)
+    probes
+      .join(counters, Seq("seed", "bucket"), "left_outer")
+      .groupBy("key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
   /** Approximate per-group quantiles from a bottom-k-by-hash ROW sample —
     * the same deterministic mergeable state as [[kmvMinima]] (k smallest
     * row-key hashes), but carrying the measured value: a bottom-k hash

@@ -52,6 +52,55 @@ object SketchQueries {
               |ORDER BY l_returnflag, p""".stripMargin),
       "bottom-k sample quantiles: deterministic uniform row sample, rank-selected"),
 
+    // Count-Min frequency sketch, completing the sketch trio (distinct /
+    // quantiles / frequencies): token counts estimated from 3x64 bounded
+    // counters instead of one counter per distinct key. Deterministic
+    // salted bucket hashes → the oracle rebuilds the identical counter
+    // table and min-read; estimates are exact-or-over by construction
+    // (asserted in SketchOpsSpec), and the gate emits exact counts next
+    // to the estimates so the error is visible data.
+    Q(
+      "sketch_cms_freq",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, count, explode, lit, split}
+        val tok = T(s, d, "documents")
+          .select(explode(split(col("text"), " +")).as("key"))
+        val counters = SketchOps.cmsCounters(tok, col("key"), w = 64, d = 3)
+        val est = SketchOps.cmsEstimate(counters, tok.distinct(), col("key"),
+          w = 64, d = 3)
+        tok.groupBy("key").agg(count(lit(1)).as("n_exact"))
+          .join(est, "key")
+          .select(col("key").as("token"), col("n_exact"), col("est_count"))
+          .orderBy("token")
+      },
+      Some {
+        def bucket(i: Int) =
+          s"CAST(('0x' || substr(md5('cms$i:' || key), 1, 13)) AS BIGINT) % 64"
+        val probes = (0 until 3).map(i =>
+          s"SELECT key, $i AS seed, ${bucket(i)} AS bucket FROM tok")
+          .mkString("\n  UNION ALL\n  ")
+        val kprobes = (0 until 3).map(i =>
+          s"SELECT key, $i AS seed, ${bucket(i)} AS bucket FROM keys")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH tok AS (
+           |  SELECT unnest(string_split_regex(text, ' +')) AS key FROM documents),
+           |probes AS (
+           |  $probes),
+           |counters AS (
+           |  SELECT seed, bucket, count(*) AS cnt FROM probes GROUP BY 1, 2),
+           |keys AS (SELECT DISTINCT key FROM tok),
+           |kp AS (
+           |  $kprobes),
+           |est AS (
+           |  SELECT key, min(coalesce(cnt, 0)) AS est_count
+           |  FROM kp LEFT JOIN counters USING (seed, bucket) GROUP BY key),
+           |exact AS (SELECT key, count(*) AS n_exact FROM tok GROUP BY key)
+           |SELECT key AS token, n_exact, est_count
+           |FROM exact JOIN est USING (key)
+           |ORDER BY token""".stripMargin
+      },
+      "count-min frequency sketch: bounded counters, min-read estimates vs exact"),
+
     Q(
       "sketch_kmv_distinct",
       (s, d) =>

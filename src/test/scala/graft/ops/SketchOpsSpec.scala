@@ -84,6 +84,36 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(qs.head >= 0.0 && qs.last <= 996.0)
   }
 
+  test("count-min: never underestimates, exact without collisions, merges by addition") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val tokens = (0 until 3000).map(i => s"t${i % 40}").toDF("key")
+    val exact = tokens.groupBy("key").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // tight sketch (w=16): collisions certain, estimates must only go UP
+    val tight = SketchOps.cmsEstimate(
+        SketchOps.cmsCounters(tokens, col("key"), 16, 3),
+        tokens.distinct(), col("key"), 16, 3)
+      .as[(String, Long)].collect().toMap
+    for ((k, n) <- exact)
+      assert(tight(k) >= n, s"$k: CMS must never underestimate")
+    // wide sketch (w=4096, 40 keys): collisions near-impossible → exact
+    val wide = SketchOps.cmsEstimate(
+        SketchOps.cmsCounters(tokens, col("key"), 4096, 3),
+        tokens.distinct(), col("key"), 4096, 3)
+      .as[(String, Long)].collect().toMap
+    assert(wide == exact, "wide sketch must be collision-free here")
+    // merge law: counters(a ++ b) == counters(a) + counters(b)
+    val (a, b) = (tokens.limit(1000), tokens.exceptAll(tokens.limit(1000)))
+    val merged = SketchOps.cmsCounters(a, col("key"), 16, 3)
+      .unionByName(SketchOps.cmsCounters(b, col("key"), 16, 3))
+      .groupBy("seed", "bucket")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = SketchOps.cmsCounters(tokens, col("key"), 16, 3)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole, "counter addition must equal the whole-corpus sketch")
+  }
+
   test("WindowGroupLimit pre-prunes the sketch shuffle map-side") {
     val df = (0 until 10000).map(i => (i % 4, s"key$i")).toDF("g", "key")
     val plan = SketchOps.kmvMinima(df, "key", Seq("g"), 64)
