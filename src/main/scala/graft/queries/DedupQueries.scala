@@ -115,13 +115,18 @@ object DedupQueries {
       Some(jaccardSql(0.8)),
       "MinHash-LSH near-dup: banded candidates + exact-Jaccard verify"),
 
+    // The oracle replicates the engine's own FNV-1a+splitmix64 token hash
+    // in SQL (constants emitted from graft.expr.Hash64 — the same pattern
+    // dedup_embedding_lsh uses for its sign matrix) and selects all pairs
+    // with Hamming <= 3, which the 4x16 banding provably also selects
+    // (pigeonhole: <= 3 differing bits leave one band identical).
     Q(
       "dedup_simhash",
       (s, d) =>
         DedupOps
           .simhashPairs(T(s, d, "documents"), "doc_id", "text", maxHamming = 3)
           .orderBy("a", "b"),
-      None,
+      Some(Hash64Oracle.simhashPairsSql(maxHamming = 3)),
       "SimHash near-dup pairs (Hamming <= 3, 4x16 banding; native hash)"),
 
     Q(

@@ -1,0 +1,166 @@
+package graft.queries
+
+/** DuckDB replica of the engine's native 64-bit hash
+  * ([[graft.expr.Hash64]]: FNV-1a with a splitmix64 finalizer), emitted as
+  * generated SQL so the `dedup_simhash` and `text_fingerprint` gates get
+  * real rows+schema+hash oracles instead of rows-only checks — the same
+  * emit-the-engine's-constants pattern `dedup_embedding_lsh` proved for
+  * its Rademacher sign matrix.
+  *
+  * Why this is expressible at all: Hash64 is pure 64-bit wraparound
+  * arithmetic (xor / shift / multiply mod 2^64) over UTF-8 bytes, and the
+  * gate corpus is ASCII (`unicode(char)` == byte). DuckDB has no wrapping
+  * multiply, but HUGEINT (int128) makes `(a*b) mod 2^64` exact when the
+  * product fits; full 64-bit constants are split into 32-bit halves so no
+  * intermediate exceeds 2^97:
+  *
+  *   (x*c) mod 2^64  =  (x*lo + ((x mod 2^32)*hi mod 2^32)*2^32) mod 2^64
+  *
+  * Each FNV/mix step lives in its own chained CTE: nesting them as one
+  * expression repeats every subexpression per reference (no CSE in the
+  * oracle engine) and blows evaluation up exponentially — measured 126 s
+  * vs 3 s for the staged form at sf0.01.
+  *
+  * All decimal constants are derived from the Long values here, never
+  * hand-transcribed (a transcribed `0xbf58476d` cost a debugging round).
+  */
+private[queries] object Hash64Oracle {
+  private val M = "18446744073709551616" // 2^64
+  private def u(x: Long): String = java.lang.Long.toUnsignedString(x)
+
+  private val Basis = u(0xcbf29ce484222325L)
+  /** FNV basis xor seed 1 — the short-document branch of Fingerprint64. */
+  private val BasisSeed1 = u(0xcbf29ce484222325L ^ 1L)
+  private val Prime = u(0x100000001b3L) // < 2^41: direct HUGEINT multiply fits
+
+  /** One `(x*c) mod 2^64` step via the 32-bit split; `{H}` is the running
+    * hash column reference. */
+  private def mulmodStep(c: Long): String = {
+    val hi = u(c >>> 32)
+    val lo = u(c & 0xffffffffL)
+    s"CAST((CAST({H} AS HUGEINT) * $lo + " +
+      s"(CAST({H} AS HUGEINT) % 4294967296) * $hi % 4294967296 * 4294967296) " +
+      s"% $M AS UBIGINT) AS h"
+  }
+
+  /** splitmix64 finalizer ([[graft.expr.Hash64.mix]]) as five staged steps. */
+  private val mixSteps: Seq[String] = Seq(
+    "xor({H}, {H} >> 30) AS h",
+    mulmodStep(0xbf58476d1ce4e5b9L),
+    "xor({H}, {H} >> 27) AS h",
+    mulmodStep(0x94d049bb133111ebL),
+    "xor({H}, {H} >> 31) AS h")
+
+  /** Chain `steps` as CTEs `<prefix>0..n`, each selecting `cols` plus the
+    * next value of `h` (with `{H}` bound to the previous CTE's column).
+    * Returns (cte text, last cte name). */
+  private def staged(
+      prev0: String, cols: String, steps: Seq[String], prefix: String): (String, String) = {
+    var prev = prev0
+    val ctes = steps.zipWithIndex.map { case (step, n) =>
+      val cur = s"$prefix$n"
+      val sql = s"$cur AS (SELECT $cols, ${step.replace("{H}", s"$prev.h")} FROM $prev)"
+      prev = cur
+      sql
+    }
+    (ctes.mkString(",\n"), prev)
+  }
+
+  /** UBIGINT h -> the signed BIGINT the engine's LongType column holds. */
+  private val SignedH =
+    "CASE WHEN h >= CAST(9223372036854775808 AS UBIGINT) " +
+      s"THEN CAST(CAST(h AS HUGEINT) - $M AS BIGINT) " +
+      "ELSE CAST(h AS BIGINT) END"
+
+  /** CTEs `tok .. bits`: FNV+mix each distinct whitespace token (recursive
+    * CTE over its chars — vocabulary-sized, not corpus-sized), then the 64
+    * per-bit +/-1 sums per document that define the SimHash signature. */
+  private def simhashBitsCtes: String = {
+    val (tCtes, tLast) = staged("fnvfin", "t", mixSteps, "tm")
+    val sums = (0 until 64)
+      .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    s"""tok AS (
+       |  SELECT DISTINCT unnest(string_split_regex(text, ' +')) AS t FROM documents
+       |),
+       |fnv AS (
+       |  SELECT t, 1 AS i, CAST($Basis AS UBIGINT) AS h FROM tok
+       |  UNION ALL
+       |  SELECT t, i+1,
+       |    CAST(CAST(xor(h, CAST(unicode(substr(t,i,1)) AS UBIGINT)) AS HUGEINT)
+       |         * $Prime % $M AS UBIGINT)
+       |  FROM fnv WHERE i <= length(t)
+       |),
+       |fnvfin AS (SELECT t, h FROM fnv WHERE i = length(t)+1),
+       |$tCtes,
+       |doctok AS (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS t FROM documents),
+       |bits AS (SELECT doc_id, $sums FROM doctok JOIN $tLast USING (t) GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Reassemble the signature from the bit sums (bit b set iff sum > 0). */
+  private val sigExpr = (0 until 64)
+    .map(b => s"CASE WHEN s$b > 0 THEN CAST(${u(1L << b)} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END")
+    .mkString(" + ")
+
+  /** Oracle for `dedup_simhash`: all pairs with Hamming(sig) <= maxHamming.
+    * Equals the engine's banded plan exactly — at maxHamming <= 3 the
+    * 4x16-bit banding is lossless by pigeonhole (enforced by the
+    * `require` in [[graft.ops.DedupOps.simhashPairs]]), so band-join +
+    * filter and all-pairs + filter select the same set. */
+  def simhashPairsSql(maxHamming: Int): String =
+    s"""WITH RECURSIVE ${simhashBitsCtes},
+       |sig AS (SELECT doc_id, ($sigExpr) AS sim FROM bits)
+       |SELECT x.doc_id AS a, y.doc_id AS b,
+       |  CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) AS hamming
+       |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sim, y.sim)) <= $maxHamming
+       |ORDER BY a, b""".stripMargin
+
+  /** Oracle for `text_fingerprint`: per-document signed SimHash signature
+    * plus the [[graft.expr.Fingerprint64]] winnowing value — minimum mixed
+    * FNV over all k-char gram positions (k = 8 unrolled as 8 staged FNV
+    * steps), with the engine's short-document branches (`len == 0 -> 0`,
+    * `len <= k -> hash of whole text with seed 1`) replicated via a
+    * second, zero-row-on-this-corpus recursive CTE. */
+  def fingerprintSql(k: Int = 8): String = {
+    require(k == 8, "gram FNV is unrolled for k = 8")
+    val fnvSteps = (0 until k).map { j =>
+      val byte = s"CAST(unicode(substr(text, i+$j, 1)) AS UBIGINT)"
+      val h = if (j == 0) s"CAST($Basis AS UBIGINT)" else "{H}"
+      s"CAST(CAST(xor($h, $byte) AS HUGEINT) * $Prime % $M AS UBIGINT) AS h"
+    }
+    val (gCtes, gLast) = staged("pos", "doc_id, text, i", fnvSteps ++ mixSteps, "g")
+    val (sCtes, sLast) = staged("sfnvfin", "doc_id", mixSteps, "sm")
+    s"""WITH RECURSIVE ${simhashBitsCtes},
+       |sigs AS (SELECT doc_id, ($sigExpr) AS h FROM bits),
+       |sig AS (SELECT doc_id, $SignedH AS simhash FROM sigs),
+       |pos AS (
+       |  SELECT doc_id, text, unnest(generate_series(1, length(text) - ${k - 1})) AS i
+       |  FROM documents WHERE length(text) > $k
+       |),
+       |$gCtes,
+       |fplong AS (SELECT doc_id, MIN($SignedH) AS fingerprint FROM $gLast GROUP BY doc_id),
+       |sfnv AS (
+       |  SELECT doc_id, text AS t, 1 AS i, CAST($BasisSeed1 AS UBIGINT) AS h
+       |  FROM documents WHERE length(text) BETWEEN 1 AND $k
+       |  UNION ALL
+       |  SELECT doc_id, t, i+1,
+       |    CAST(CAST(xor(h, CAST(unicode(substr(t,i,1)) AS UBIGINT)) AS HUGEINT)
+       |         * $Prime % $M AS UBIGINT)
+       |  FROM sfnv WHERE i <= length(t)
+       |),
+       |sfnvfin AS (SELECT doc_id, h FROM sfnv WHERE i = length(t)+1),
+       |$sCtes,
+       |fpshort AS (SELECT doc_id, $SignedH AS fingerprint FROM $sLast),
+       |fp AS (
+       |  SELECT * FROM fplong UNION ALL SELECT * FROM fpshort
+       |  UNION ALL
+       |  SELECT doc_id, 0 AS fingerprint FROM documents WHERE length(text) = 0
+       |)
+       |SELECT d.doc_id, s.simhash, fp.fingerprint
+       |FROM documents d
+       |JOIN sig s ON s.doc_id = d.doc_id
+       |JOIN fp ON fp.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+}

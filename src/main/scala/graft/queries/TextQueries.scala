@@ -7,8 +7,9 @@ import graft.expr.TextHashFunctions
 import graft.ops.TextOps
 
 /** Text analysis over `documents`: token counting, quality scoring,
-  * language-ID, hash fingerprints. All but the fingerprints (which use
-  * engine-native 64-bit hashes) are oracle-checked. */
+  * language-ID, hash fingerprints. All oracle-checked — including the
+  * native-hash fingerprints, whose oracle replays the engine's own
+  * FNV-1a + splitmix64 arithmetic in SQL (see [[Hash64Oracle]]). */
 object TextQueries {
 
   private def inList(items: Seq[String]): String =
@@ -113,6 +114,9 @@ object TextQueries {
              |ORDER BY doc_id, fp""".stripMargin),
       "true winnowing fingerprint set (k=8 grams, window 4, md5-prefix hash)"),
 
+    // Both native hash columns are oracle-checked bit-for-bit: the DuckDB
+    // SQL replays FNV-1a + splitmix64 with HUGEINT modular arithmetic
+    // (constants emitted from graft.expr.Hash64, see Hash64Oracle).
     Q(
       "text_fingerprint",
       (s, d) =>
@@ -124,7 +128,7 @@ object TextQueries {
             TextHashFunctions.fingerprint64(col("text"), 8)
               .as("fingerprint"))
           .orderBy("doc_id"),
-      None,
+      Some(Hash64Oracle.fingerprintSql(k = 8)),
       "SimHash + winnowing fingerprint via native codegen expressions"),
 
     // The training-data pipeline composed end to end: quality-score →
