@@ -2,12 +2,15 @@ package graft.ops
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Real, dependency-free media codecs: RIFF/WAV (PCM 16-bit) and BMP
-  * (24bpp bottom-up) encode + decode in pure JVM byte arithmetic. These
-  * replace the metadata half of the multimodal decode STUB with an actual
-  * container parse — chunk walking, little-endian fields, BMP's
-  * 4-byte row padding — while video (no pure-JVM container format in
-  * this sandbox) honestly stays stubbed.
+/** Real, dependency-free media codecs: RIFF/WAV (PCM 16-bit), BMP (24bpp
+  * bottom-up), and YUV4MPEG2 (uncompressed video) encode + decode in pure
+  * JVM byte arithmetic — chunk walking, little-endian fields, BMP's
+  * 4-byte row padding, Y4M's plain-text stream header.
+  *
+  * Decode contract: corrupt or truncated payloads return None — NEVER
+  * throw — because one bad object in a 100 TB corpus must degrade to a
+  * typed NULL row, not kill the executor task. Every header field is
+  * bounds-checked before use; numeric header text parses via toIntOption.
   *
   * Everything is deterministic, so the `mm_decode_real` gate can verify a
   * full encode→decode round trip against a DuckDB oracle that derives the
@@ -56,6 +59,9 @@ object MediaCodecs {
       if (size < 0 || size > bb.remaining()) return None
       id match {
         case "fmt " =>
+          // a truncated fmt body (declared size < the 16 bytes read below)
+          // could underflow at end-of-buffer; reject before reading
+          if (size < 16) return None
           val pos = bb.position()
           val fmt = bb.getShort()
           channels = bb.getShort()
@@ -147,17 +153,25 @@ object MediaCodecs {
     if (!header.startsWith("YUV4MPEG2")) return None
     var (w, h, fn, fd) = (0, 0, 0, 1)
     var mono = false
+    // malformed tags (non-numeric W/H, an F without exactly one ':') must
+    // yield None, not MatchError/NumberFormatException — the magic check
+    // alone doesn't make the rest of the header trustworthy
+    var bad = false
+    def num(s: String)(set: Int => Unit): Unit =
+      s.toIntOption match { case Some(v) => set(v); case None => bad = true }
     header.split(' ').drop(1).foreach { tag =>
       if (tag.nonEmpty) tag.head match {
-        case 'W' => w = tag.tail.toInt
-        case 'H' => h = tag.tail.toInt
-        case 'F' =>
-          val Array(a, b) = tag.tail.split(':'); fn = a.toInt; fd = b.toInt
+        case 'W' => num(tag.tail)(w = _)
+        case 'H' => num(tag.tail)(h = _)
+        case 'F' => tag.tail.split(':') match {
+          case Array(a, b) => num(a)(fn = _); num(b)(fd = _)
+          case _ => bad = true
+        }
         case 'C' => mono = tag.tail == "mono"
         case _ => ()
       }
     }
-    if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0 || !mono) return None
+    if (bad || w <= 0 || h <= 0 || fn <= 0 || fd <= 0 || !mono) return None
     val frameBytes = 6 + w * h // "FRAME\n" + luma plane
     val body = bytes.length - (nl + 1)
     if (body % frameBytes != 0) return None
@@ -191,6 +205,9 @@ object MediaCodecs {
     val bpp = bb.getShort(28)
     if (bpp != 24 || width <= 0 || height <= 0) return None
     val rowSize = ((width * 3 + 3) / 4) * 4
+    // lower bound too: a corrupt negative/tiny offset would pass the upper
+    // check and then index before the pixel array (or before byte 0)
+    if (offset < 54) return None
     if (offset.toLong + rowSize.toLong * height > bytes.length) return None
     var (sr, sg, sb2) = (0L, 0L, 0L)
     for (row <- 0 until height) {

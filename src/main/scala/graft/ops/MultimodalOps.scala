@@ -6,84 +6,21 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
-  * typed metadata, decoded/feature-extracted in batched partition passes.
+  * typed metadata, decoded/feature-extracted in batched partition passes
+  * (the Scala equivalent of a pandas-batch UDF — codec state amortizes
+  * per partition, not per row).
   *
-  * Two codec tiers share the same partition-batched plan shape (the Scala
-  * equivalent of a pandas-batch UDF — codec state amortizes per
-  * partition, not per row):
-  *
-  *  - [[decode]] / [[decodeStub]]: the original clearly-marked STUB —
-  *    metadata as a pure function of payload bytes, standing in for
-  *    codecs that genuinely need external libraries (JPEG, H.264, ...).
-  *  - [[decodeReal]] / [[sampleFramesReal]]: REAL dependency-free codecs
-  *    via [[MediaCodecs]] — BMP24 pixels, PCM-WAV samples, YUV4MPEG2
-  *    frames — parsed from actual container bytes, with corrupt payloads
-  *    degrading to typed NULLs instead of failing the job.
-  */
+  * The codecs are REAL and dependency-free ([[MediaCodecs]]): BMP24
+  * pixels, PCM-WAV samples, YUV4MPEG2 frames parsed from actual container
+  * bytes, with corrupt payloads degrading to typed NULLs instead of
+  * failing the job. Formats that genuinely need external libraries (JPEG,
+  * H.264, ...) would slot into the same partition-batched shape. */
 object MultimodalOps {
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("modality", StringType, nullable = false),
     StructField("payload", BinaryType, nullable = true)))
-
-  val decodedSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("modality", StringType, nullable = false),
-    StructField("n_bytes", IntegerType, nullable = false),
-    StructField("first_byte", IntegerType, nullable = false),
-    StructField("width", IntegerType, nullable = true),
-    StructField("height", IntegerType, nullable = true),
-    StructField("duration_ms", IntegerType, nullable = true)))
-
-  /** Derive a media table from `documents`: payload = UTF-8 bytes of the
-    * text (deterministic fake for a real object-store fetch), modality
-    * round-robins image/audio/video. */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(
-        array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast(IntegerType)).as("modality"),
-      encode(col("text"), "UTF-8").as("payload"))
-
-  /** STUB decoder ??? — replace with a real codec. Deterministic pure
-    * function of (modality, payload) so tests and oracles can pin it:
-    *   width       = 64 + n_bytes % 577         (image only)
-    *   height      = 64 + (n_bytes * 31 + first_byte) % 353
-    *   duration_ms = 1000 + (n_bytes * 17) % 59000  (audio/video only)
-    */
-  def decodeStub(modality: String, payload: Array[Byte]): (Int, Int, Option[Int], Option[Int], Option[Int]) = {
-    val n = payload.length
-    val first = if (n > 0) payload(0) & 0xff else 0
-    modality match {
-      case "image" =>
-        (n, first, Some(64 + n % 577), Some(64 + (n * 31 + first) % 353), None)
-      case _ =>
-        (n, first, None, None, Some(1000 + (n * 17) % 59000))
-    }
-  }
-
-  /** Batched decode over partitions: one iterator pass per partition, the
-    * same batch shape a real decoder needs (amortized codec init per
-    * partition, not per row). */
-  def decode(media: DataFrame): DataFrame = {
-    val enc = RowEncoder.encoderFor(decodedSchema)
-    media
-      .select("media_id", "modality", "payload")
-      .mapPartitions { rows =>
-        // real impl: initialize the codec ONCE here, then stream the batch
-        rows.map { r =>
-          val payload =
-            if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
-          val (n, first, w, h, d) = decodeStub(r.getString(1), payload)
-          Row(r.getLong(0), r.getString(1), n, first,
-            w.orNull, h.orNull, d.orNull)
-        }
-      }(enc)
-  }
-
-  // ------------------------------------------------------- real codecs
 
   val decodedRealSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -204,19 +141,5 @@ object MultimodalOps {
           }
         }
       }(enc)
-  }
-
-  /** Frame sampling for video payloads: every `stride`-th 64-byte chunk,
-    * as (media_id, frame_idx, frame_hash) — the shuffle-free scan shape a
-    * real frame extractor would have. */
-  def sampleFrames(media: DataFrame, stride: Int = 4): DataFrame = {
-    val chunks = floor((length(col("payload")) + 63) / 64).cast(IntegerType)
-    media
-      .filter(col("modality") === "video")
-      .select(col("media_id"),
-        explode(sequence(lit(0), greatest(chunks - 1, lit(0)), lit(stride)))
-          .as("frame_idx"))
-      .withColumn("frame_hash",
-        xxhash64(col("media_id"), col("frame_idx")))
   }
 }

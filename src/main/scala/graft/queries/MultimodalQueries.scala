@@ -4,45 +4,14 @@ import graft.{Q, T}
 import graft.ops.MultimodalOps
 
 /** Multimodal (binary-column) gates: opaque payloads + typed metadata,
-  * batched partition-wise decode. Two codec tiers: the original
-  * deterministic stub (library-free plumbing contract, `mm_decode_meta`)
-  * and REAL pure-JVM codecs — BMP24, PCM-WAV, YUV4MPEG2 — gated end to
-  * end as encode→decode round trips (`mm_decode_real`,
-  * `mm_frame_sample_real`). */
+  * batched partition-wise decode through REAL pure-JVM codecs — BMP24,
+  * PCM-WAV, YUV4MPEG2 — gated end to end as encode→decode round trips
+  * against arithmetic oracles. (The round-3 stub-codec tier is retired:
+  * the real codecs exercise strictly more — actual container bytes —
+  * with strictly stronger gates.) */
 object MultimodalQueries {
 
   val all: Seq[Q] = Seq(
-    Q(
-      "mm_decode_meta",
-      (s, d) =>
-        MultimodalOps
-          .decode(MultimodalOps.mediaFromDocuments(T(s, d, "documents")))
-          .orderBy("media_id"),
-      Some("""SELECT doc_id AS media_id,
-             |  ['image','audio','video'][(doc_id % 3) + 1] AS modality,
-             |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-             |  CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS INTEGER) AS first_byte,
-             |  CAST(CASE WHEN doc_id % 3 = 0 THEN 64 + octet_length(encode(text)) % 577 END AS INTEGER) AS width,
-             |  CAST(CASE WHEN doc_id % 3 = 0
-             |       THEN 64 + (octet_length(encode(text)) * 31 +
-             |            CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END) % 353
-             |       END AS INTEGER) AS height,
-             |  CAST(CASE WHEN doc_id % 3 <> 0
-             |       THEN 1000 + (octet_length(encode(text)) * 17) % 59000
-             |       END AS INTEGER) AS duration_ms
-             |FROM documents ORDER BY media_id""".stripMargin),
-      "batched binary decode -> typed metadata (stub codec, real plumbing)"),
-
-    Q(
-      "mm_frame_sample",
-      (s, d) =>
-        MultimodalOps
-          .sampleFrames(
-            MultimodalOps.mediaFromDocuments(T(s, d, "documents")), stride = 4)
-          .orderBy("media_id", "frame_idx"),
-      None,
-      "video frame sampling: every 4th 64-byte chunk with a frame hash"),
-
     // REAL codec round trip: the engine synthesizes actual BMP/WAV/Y4M
     // bytes per row (MediaCodecs), then decodeReal parses them back —
     // chunk walk, BGR rows, 4-byte padding, PCM RMS, Y4M stream header.

@@ -162,17 +162,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!capped.exists(p => p._1 == 4L || p._2 == 4L || p._2 == 5L))
   }
 
-  test("multimodal decode: stub metadata is deterministic and typed") {
-    val media = MultimodalOps.mediaFromDocuments(T(spark, sf, "documents"))
-    val out = MultimodalOps.decode(media)
+  test("multimodal decode: real-codec metadata is typed per modality") {
+    val media = MultimodalOps.mediaFromDocumentsReal(T(spark, sf, "documents"))
+    val out = MultimodalOps.decodeReal(media)
     val img = out.filter(col("modality") === "image")
+    val aud = out.filter(col("modality") === "audio")
     val vid = out.filter(col("modality") === "video")
-    assert(img.filter(col("width").isNull).count() == 0)
+    assert(img.filter(col("width").isNull || col("mean_r").isNull).count() == 0)
     assert(img.filter(col("duration_ms").isNotNull).count() == 0)
-    assert(vid.filter(col("duration_ms").isNull).count() == 0)
-    val frames = MultimodalOps.sampleFrames(media)
-    assert(frames.count() > 0)
-    assert(frames.groupBy("media_id", "frame_idx").count()
-      .filter(col("count") > 1).count() == 0)
+    assert(aud.filter(col("sample_rate").isNull || col("rms").isNull).count() == 0)
+    assert(vid.filter(col("n_frames").isNull || col("duration_ms").isNull).count() == 0)
   }
 }

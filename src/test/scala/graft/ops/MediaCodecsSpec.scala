@@ -70,4 +70,36 @@ class MediaCodecsSpec extends AnyFunSuite {
     val bmp = MediaCodecs.encodeBmp24(10, 10, (_, _) => (1, 2, 3))
     assert(MediaCodecs.decodeBmp(bmp.take(60)).isEmpty)
   }
+
+  test("malformed headers behind a valid magic decode to None, never throw") {
+    def y4m(header: String): Array[Byte] =
+      (header + "\n").getBytes("US-ASCII")
+    // F tag without a colon (the MatchError path), with two colons,
+    // and non-numeric W/H/F values (the NumberFormatException path)
+    assert(MediaCodecs.decodeY4mMeta(y4m("YUV4MPEG2 W16 H8 F25")).isEmpty)
+    assert(MediaCodecs.decodeY4mMeta(y4m("YUV4MPEG2 W16 H8 F25:1:1 Cmono")).isEmpty)
+    assert(MediaCodecs.decodeY4mMeta(y4m("YUV4MPEG2 Wx H8 F25:1 Cmono")).isEmpty)
+    assert(MediaCodecs.decodeY4mMeta(y4m("YUV4MPEG2 W16 H8 F2x:1 Cmono")).isEmpty)
+    // well-formed mono header with zero frames still decodes
+    assert(MediaCodecs.decodeY4mMeta(y4m("YUV4MPEG2 W16 H8 F25:1 Cmono"))
+      .exists(_.nFrames == 0))
+
+    // BMP with a corrupt pixel-data offset: negative and before-header
+    val bmp = MediaCodecs.encodeBmp24(4, 4, (_, _) => (9, 9, 9))
+    def withOffset(off: Int): Array[Byte] = {
+      val b = bmp.clone()
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(10, off)
+      b
+    }
+    assert(MediaCodecs.decodeBmp(withOffset(-4)).isEmpty)
+    assert(MediaCodecs.decodeBmp(withOffset(2)).isEmpty)
+
+    // WAV whose fmt chunk declares fewer than the 16 PCM-fmt bytes
+    val wav = MediaCodecs.encodeWavPcm16(8000, Array.fill(4)(1.toShort))
+    val shortFmt = wav.clone()
+    java.nio.ByteBuffer.wrap(shortFmt).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, 8) // fmt size 16 -> 8
+    assert(MediaCodecs.decodeWav(shortFmt).isEmpty)
+  }
 }
