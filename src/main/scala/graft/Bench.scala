@@ -45,9 +45,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
-    }
+    // Warmup failures are LOGGED (name + exception class), never silently
+    // swallowed: a query that crashes only at one scale factor would
+    // otherwise first surface inside timed pass 1, mis-attributed.
+    def warm(dir: String, label: String): Unit =
+      SparkEntry.queries.foreach { case (name, fn) =>
+        try fn(spark, dir).count() catch {
+          case e: Throwable => System.err.println(
+            s"[bench] warmup($label) $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    warm(warmDir, "sf0.001")
 
     // Second untimed warmup at the TIMED scale factor: the sf0.001 pass
     // compiles the broadcast-everywhere shapes AQE picks on tiny inputs,
@@ -56,9 +64,7 @@ object Bench {
     // (observed: pass-1 wall 2-3x passes 2/3 with 88 queries). Running
     // the real SF once untimed moves that one-time Janino cost out of the
     // measurement, exactly like the JVM/codegen warmup one level down.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
+    warm(sfDir, "timed-sf")
 
     // Stage the shared shingle frame for the timed corpus, untimed — the
     // production analog is computing the corpus's shingle snapshot once

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Size-bounded, access-ordered (LRU) memo cache for staged persisted
+  * DataFrames — the policy behind [[DedupOps.sharedShingles]],
+  * [[DedupOps.sharedNgramJaccardPairs]] and
+  * [[GraphOps.sharedComponents]].
+  *
+  * An unbounded DataFrame-keyed map would pin executor storage forever in
+  * a long-lived session that touches many corpora / parameter combos
+  * (each staged frame holds persisted blocks). Bounding with
+  * unpersist-on-evict caps that at `maxEntries` frames per cache while
+  * keeping the materialize-once-per-snapshot behavior for the hot keys.
+  *
+  * Evicting a frame a downstream plan still references is safe — Spark
+  * recomputes unpersisted lineage — it just loses the staging speedup, so
+  * the bound should comfortably exceed the number of corpus snapshots a
+  * session works with (default 8 at the call sites).
+  */
+final class BoundedDfCache[K](maxEntries: Int) {
+  require(maxEntries > 0, "cache bound must be positive")
+
+  private val map =
+    new java.util.LinkedHashMap[K, DataFrame](16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, DataFrame]): Boolean =
+        if (size() > maxEntries) { e.getValue.unpersist(); true } else false
+    }
+
+  /** Memoized lookup; `make` runs at most once per key while it stays
+    * resident. Synchronized — staging frames is rare and heavyweight, so
+    * a coarse lock is fine. */
+  def getOrElseUpdate(k: K)(make: => DataFrame): DataFrame = synchronized {
+    val cur = map.get(k)
+    if (cur != null) cur
+    else {
+      val v = make
+      map.put(k, v)
+      v
+    }
+  }
+
+  def size: Int = synchronized(map.size())
+
+  /** Unpersist and drop everything (test hygiene / session teardown). */
+  def clear(): Unit = synchronized {
+    map.values.forEach(df => { df.unpersist(); () })
+    map.clear()
+  }
+}

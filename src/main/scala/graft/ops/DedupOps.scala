@@ -57,23 +57,20 @@ object DedupOps {
     * single-session analog is one persisted frame memoized per
     * (source, idCol, textCol, k). Keyed by DataFrame identity — [[graft.T]]
     * memoizes relations, so the same table is the same instance per
-    * session and the cache stays bounded by the number of distinct
-    * (table, params) combinations actually used. */
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(DataFrame, String, String, Int), DataFrame]()
+    * session. LRU-bounded with unpersist-on-evict ([[BoundedDfCache]]) so
+    * a session churning many corpora / k values cannot pin executor
+    * storage without limit. */
+  private[ops] val shingleCache =
+    new BoundedDfCache[(DataFrame, String, String, Int)](maxEntries = 8)
 
   def sharedShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    shingleCache.computeIfAbsent((df, idCol, textCol, k), {
-      case (src, id, txt, kk) =>
-        shingles(src, id, txt, kk)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    shingleCache.getOrElseUpdate((df, idCol, textCol, k)) {
+      shingles(df, idCol, textCol, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Unpersist and drop every shared shingle frame (test hygiene). */
-  def clearShingleCache(): Unit = {
-    shingleCache.values.forEach(df => { df.unpersist(); () })
-    shingleCache.clear()
-  }
+  def clearShingleCache(): Unit = shingleCache.clear()
 
   /** Shared near-dup pair graph, memoized per (source, cols, k,
     * threshold) — one level up from [[sharedShingles]]: cluster
@@ -82,23 +79,19 @@ object DedupOps {
     * all downstream consumers (including [[GraphOps.sharedComponents]],
     * which keys on this frame's identity). Cache owns the persisted
     * frames; [[clearPairCache]] releases them. */
-  private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[(DataFrame, String, String, Int, Double), DataFrame]()
+  private[ops] val pairCache =
+    new BoundedDfCache[(DataFrame, String, String, Int, Double)](maxEntries = 8)
 
   def sharedNgramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame =
-    pairCache.computeIfAbsent((df, idCol, textCol, k, threshold), {
-      case (src, id, txt, kk, thr) =>
-        ngramJaccardPairs(src, id, txt, kk, thr, reuseShingles = true)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    pairCache.getOrElseUpdate((df, idCol, textCol, k, threshold)) {
+      ngramJaccardPairs(df, idCol, textCol, k, threshold, reuseShingles = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Unpersist and drop every shared pair frame (test hygiene). */
-  def clearPairCache(): Unit = {
-    pairCache.values.forEach(df => { df.unpersist(); () })
-    pairCache.clear()
-  }
+  def clearPairCache(): Unit = pairCache.clear()
 
   /** Exact dedupe: canonical (min-id) representative per key group. */
   def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame =

@@ -233,22 +233,19 @@ object GraphOps {
     * once per corpus snapshot, not once per consumer. Keyed by DataFrame
     * identity: pass a stable frame (e.g.
     * [[DedupOps.sharedNgramJaccardPairs]]) or the cache cannot hit. The
-    * cache owns the persisted frames; [[clearComponentCache]] releases
-    * them.
+    * cache owns the persisted frames — LRU-bounded with unpersist-on-evict
+    * ([[BoundedDfCache]]); [[clearComponentCache]] releases everything.
     */
-  private val componentCache =
-    new java.util.concurrent.ConcurrentHashMap[(DataFrame, String, String), DataFrame]()
+  private[ops] val componentCache =
+    new BoundedDfCache[(DataFrame, String, String)](maxEntries = 8)
 
   def sharedComponents(edges: DataFrame, aCol: String, bCol: String): DataFrame =
-    componentCache.computeIfAbsent((edges, aCol, bCol), {
-      case (e, a, b) => connectedComponents(e, a, b)
-    })
+    componentCache.getOrElseUpdate((edges, aCol, bCol)) {
+      connectedComponents(edges, aCol, bCol)
+    }
 
   /** Unpersist and drop every shared component frame (test hygiene). */
-  def clearComponentCache(): Unit = {
-    componentCache.values.forEach(df => { df.unpersist(); () })
-    componentCache.clear()
-  }
+  def clearComponentCache(): Unit = componentCache.clear()
 
   /** Keep one representative (the min-id member) per duplicate cluster:
     * drops every row of `df` whose id is a non-representative member of a

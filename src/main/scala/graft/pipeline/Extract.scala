@@ -6,8 +6,8 @@ import org.apache.spark.sql.types.StructType
 
 /** Paginated REST extraction (extract.py:43-162) with the network boundary
   * behind an injectable fetcher, so the whole pipeline runs offline against
-  * fixtures and the fetch policy (page cap, per_page, fail-stop) is
-  * testable.
+  * fixtures and the fetch policy (page cap, per_page, fail-stop on 4xx,
+  * bounded-backoff retry on transient faults) is testable.
   *
   * The pagination loop is driver-side, exactly like the reference — page
   * counts are tiny (3×100) relative to the data they gate. The per-repo
@@ -54,10 +54,53 @@ object Extract {
 
   final case class Config(owner: String, perPage: Int = 100, maxPages: Int = 3)
 
-  /** Page loop: accumulate page payloads until empty page or page cap. */
-  def fetchPages(fetcher: Fetcher, path: String, cfg: Config): Seq[String] =
+  /** A retryable fetch failure: 5xx, timeout, connection reset. */
+  final case class TransientFetchError(msg: String) extends RuntimeException(msg)
+
+  /** A non-retryable failure: 4xx auth/permission — the reference
+    * fail-stops on these (auth.py:24-39), and retrying a rejected token
+    * only burns rate limit. */
+  final case class PermanentFetchError(status: Int, msg: String)
+      extends RuntimeException(s"$status: $msg")
+
+  /** Bounded exponential backoff for transient fetch failures:
+    * `baseDelayMs * 2^(attempt-1)` capped at `maxDelayMs`, at most
+    * `maxAttempts` tries. `sleep` is injectable so tests assert the
+    * schedule without waiting it out. Serializable — the per-repo fan-out
+    * ships it to executors. */
+  final case class RetryPolicy(
+      maxAttempts: Int = 4,
+      baseDelayMs: Long = 100,
+      maxDelayMs: Long = 5000,
+      sleep: Long => Unit = Thread.sleep) extends Serializable {
+    require(maxAttempts >= 1)
+  }
+
+  /** Run `op`, retrying [[TransientFetchError]] per `policy`.
+    * [[PermanentFetchError]] (and anything else) propagates immediately —
+    * fail-stop is the reference's contract, backoff only softens genuinely
+    * transient faults. */
+  def withRetry[A](policy: RetryPolicy)(op: => A): A = {
+    var attempt = 1
+    while (true) {
+      try return op
+      catch {
+        case _: TransientFetchError if attempt < policy.maxAttempts =>
+          policy.sleep(math.min(policy.maxDelayMs,
+            policy.baseDelayMs << (attempt - 1)))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Page loop: accumulate page payloads until empty page or page cap,
+    * with bounded-backoff retry around each page fetch. */
+  def fetchPages(
+      fetcher: Fetcher, path: String, cfg: Config,
+      retry: RetryPolicy = RetryPolicy()): Seq[String] =
     (1 to cfg.maxPages).iterator
-      .map(p => fetcher(path, p))
+      .map(p => withRetry(retry)(fetcher(path, p)))
       .takeWhile(_.isDefined)
       .flatten
       .toSeq
@@ -120,7 +163,8 @@ object Extract {
     * most one partition's repos, and downstream reads hit the sink. */
   def extractPerRepo(
       spark: SparkSession, fetcher: Fetcher, cfg: Config,
-      repoNames: Seq[String], kind: String, schema: StructType): DataFrame = {
+      repoNames: Seq[String], kind: String, schema: StructType,
+      retry: RetryPolicy = RetryPolicy()): DataFrame = {
     import spark.implicits._
     val base = schema.copy(fields = schema.fields.filterNot(_.name == "repo_name"))
     val owner = cfg.owner
@@ -132,7 +176,7 @@ object Extract {
       .mapPartitions { it =>
         it.flatMap { r =>
           (1 to maxPages).iterator
-            .map(p => (p, fetcher(s"/repos/$owner/$r/$kind", p)))
+            .map(p => (p, withRetry(retry)(fetcher(s"/repos/$owner/$r/$kind", p))))
             .takeWhile(_._2.isDefined)
             .map { case (p, payload) => (r, p - 1, payload.get) }
         }

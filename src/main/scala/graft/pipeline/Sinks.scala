@@ -72,9 +72,17 @@ object Sinks {
       incoming: DataFrame, dir: String, keyCols: Seq[String]): DataFrame = {
     val spark = incoming.sparkSession
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A death between rotate and rename on a previous call leaves `dir`
+    // missing with the previous generation intact in `dir_backup`;
+    // re-merge into that instead of silently reinitializing from the
+    // incoming batch (which would drop every unmatched existing key).
+    val existing =
+      if (fs.exists(new Path(dir))) Some(spark.read.parquet(dir))
+      else if (fs.exists(new Path(dir + "_backup")))
+        Some(spark.read.parquet(dir + "_backup"))
+      else None
     val merged =
-      if (!fs.exists(new Path(dir))) incoming
-      else mergeFrames(spark.read.parquet(dir), incoming, keyCols)
+      existing.fold(incoming)(mergeFrames(_, incoming, keyCols))
     // Materialize before rotating: the merged plan reads the directory the
     // rotation is about to rename.
     val staged = dir + "_staging"
@@ -150,4 +158,91 @@ object Sinks {
       df.drop(lineage: _*)
         .write.mode("overwrite").jdbc(url, name, props)
     }
+
+  /** Per-store SQL for the staged key-matched upsert ([[mergeJdbc]]):
+    * `mergeSql` merges a staging table into the target on the key
+    * columns, `createLike` bootstraps an empty target shaped like the
+    * staging table. */
+  trait JdbcMergeDialect extends Serializable {
+    def mergeSql(target: String, staging: String,
+        cols: Seq[String], keyCols: Seq[String]): String
+    def createLike(target: String, staging: String): String
+  }
+
+  /** The reference's actual load target was SQL Server (load.py:25-55,
+    * conn_str `ODBC Driver 17 for SQL Server`); this is the T-SQL MERGE
+    * that target would run. Env-blocked here (no SQL Server), so the
+    * statement text is unit-pinned while [[AnsiMergeDialect]] proves the
+    * execution path end-to-end on embedded Derby. */
+  object TsqlMergeDialect extends JdbcMergeDialect {
+    def mergeSql(target: String, staging: String,
+        cols: Seq[String], keyCols: Seq[String]): String = {
+      val on = keyCols.map(k => s"t.[$k] = s.[$k]").mkString(" AND ")
+      val nonKeys = cols.filterNot(keyCols.contains)
+      val matched =
+        if (nonKeys.isEmpty) ""
+        else "WHEN MATCHED THEN UPDATE SET " +
+          nonKeys.map(c => s"t.[$c] = s.[$c]").mkString(", ") + " "
+      s"MERGE INTO [$target] AS t USING [$staging] AS s ON $on " +
+        matched +
+        s"WHEN NOT MATCHED THEN INSERT (${cols.map(c => s"[$c]").mkString(", ")}) " +
+        s"VALUES (${cols.map(c => s"s.[$c]").mkString(", ")});"
+    }
+    def createLike(target: String, staging: String): String =
+      s"SELECT * INTO [$target] FROM [$staging] WHERE 1 = 0"
+  }
+
+  /** ANSI MERGE (Derby 10.11+, PostgreSQL 15+, ...): same statement shape
+    * with double-quoted identifiers — Spark's JDBC writer creates staging
+    * columns as quoted (case-exact) names, so unquoted references would
+    * case-fold and miss them. This is the dialect the Derby round-trip
+    * test executes for real. */
+  object AnsiMergeDialect extends JdbcMergeDialect {
+    private def q(c: String) = "\"" + c + "\""
+    def mergeSql(target: String, staging: String,
+        cols: Seq[String], keyCols: Seq[String]): String = {
+      val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val nonKeys = cols.filterNot(keyCols.contains)
+      val matched =
+        if (nonKeys.isEmpty) ""
+        else "WHEN MATCHED THEN UPDATE SET " +
+          nonKeys.map(c => s"${q(c)} = s.${q(c)}").mkString(", ") + " "
+      s"MERGE INTO $target t USING $staging s ON $on " +
+        matched +
+        s"WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")}) " +
+        s"VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
+    }
+    def createLike(target: String, staging: String): String =
+      s"CREATE TABLE $target AS SELECT * FROM $staging WITH NO DATA"
+  }
+
+  /** Staged JDBC MERGE: write the (lineage-dropped) batch to
+    * `<table>_staging`, run the dialect's MERGE into the target (bootstrap
+    * an empty target on first load), drop the staging table. This is the
+    * idempotent warehouse load the reference intended — same-key rows
+    * update, new keys insert, unmatched keys survive — pushed down to the
+    * store instead of re-written wholesale, which at warehouse scale is
+    * the difference between shipping a delta and re-shipping the table. */
+  def mergeJdbc(
+      df: DataFrame, table: String, keyCols: Seq[String],
+      url: String, props: java.util.Properties,
+      dialect: JdbcMergeDialect = AnsiMergeDialect): Unit = {
+    val lineage = df.columns.filter(_.startsWith("github_"))
+    val clean = df.drop(lineage: _*)
+    val staging = table + "_staging"
+    clean.write.mode("overwrite").jdbc(url, staging, props)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val meta = conn.getMetaData
+      val exists = Seq(table, table.toUpperCase, table.toLowerCase)
+        .exists(t => meta.getTables(null, null, t, null).next())
+      val stmt = conn.createStatement()
+      try {
+        if (!exists) stmt.executeUpdate(dialect.createLike(table, staging))
+        stmt.executeUpdate(
+          dialect.mergeSql(table, staging, clean.columns.toSeq, keyCols))
+        stmt.executeUpdate(s"DROP TABLE $staging")
+      } finally stmt.close()
+    } finally conn.close()
+  }
 }

@@ -140,18 +140,34 @@ object IncrementalPipeline {
         }
         val fs = new Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val dim =
-          if (!fs.exists(new Path(path)))
+        // Crash-recovery ordering: the swap below is write staged ->
+        // rotate(path -> path_backup) -> rename(staged -> path). A death
+        // between rotate and rename leaves `path` missing but the full
+        // previous generation in `path_backup`; treating that as "new
+        // dimension" would silently drop ALL closed history and every key
+        // absent from the replayed batch. Recover from the backup instead
+        // — re-applying the replayed batch to it converges (scdType2Apply
+        // is a no-op for unchanged re-deliveries).
+        val base =
+          if (fs.exists(new Path(path))) Some(spark.read.parquet(path))
+          else if (fs.exists(new Path(path + "_backup")))
+            Some(spark.read.parquet(path + "_backup"))
+          else None
+        val dim = base match {
+          case Some(existing) =>
+            graft.ops.IncrementalOps.scdType2Apply(
+              existing, updates, keyCols, compareCols,
+              lit(effectiveTs(batchId)))
+          case None =>
             updates.select(
               (keyCols ++ compareCols).map(col) ++ Seq(
                 lit(effectiveTs(batchId)).as("valid_from"),
                 lit(null).cast("timestamp").as("valid_to")): _*)
-          else
-            graft.ops.IncrementalOps.scdType2Apply(
-              spark.read.parquet(path), updates, keyCols, compareCols,
-              lit(effectiveTs(batchId)))
+        }
         val staged = path + "_staging"
         dim.write.mode("overwrite").parquet(staged)
+        // rotate no-ops (and preserves the backup) when `path` is missing,
+        // so a recovery pass keeps its base generation until the rename.
         graft.pipeline.Sinks.rotate(spark, path)
         fs.rename(new Path(staged), new Path(path))
         ()

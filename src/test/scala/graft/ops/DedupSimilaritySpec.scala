@@ -162,6 +162,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!capped.exists(p => p._1 == 4L || p._2 == 4L || p._2 == 5L))
   }
 
+  test("staging caches are LRU-bounded and unpersist evicted frames") {
+    import spark.implicits._
+    DedupOps.clearShingleCache()
+    val base = spark.sparkContext.getPersistentRDDs.size
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "k l m n o p q r s t"))
+      .toDF("doc_id", "text")
+    // 12 distinct (frame, params) combos through an 8-entry cache: the
+    // oldest 4 must be evicted AND their persisted blocks released
+    for (k <- 1 to 12)
+      DedupOps.sharedShingles(docs, "doc_id", "text", k).count()
+    assert(DedupOps.shingleCache.size == 8)
+    val persisted = spark.sparkContext.getPersistentRDDs.size - base
+    assert(persisted <= 8,
+      s"evicted frames must unpersist (found $persisted persisted RDDs)")
+    // hot key stays resident across re-access (LRU, not FIFO)
+    DedupOps.sharedShingles(docs, "doc_id", "text", 12).count()
+    DedupOps.sharedShingles(docs, "doc_id", "text", 5).count() // re-stage
+    assert(DedupOps.shingleCache.size == 8)
+    DedupOps.clearShingleCache()
+    assert(spark.sparkContext.getPersistentRDDs.size == base)
+  }
+
   test("multimodal decode: real-codec metadata is typed per modality") {
     val media = MultimodalOps.mediaFromDocumentsReal(T(spark, sf, "documents"))
     val out = MultimodalOps.decodeReal(media)

@@ -64,6 +64,54 @@ class SinksExtractSpec extends AnyFunSuite {
     assert(Extract.fetchPages(endless, "/x", cfg).length == 3)
   }
 
+  test("transient fetch failures back off exponentially and then succeed") {
+    val cfg = Extract.Config("o", maxPages = 2)
+    var delays = List.empty[Long]
+    val policy = Extract.RetryPolicy(
+      maxAttempts = 4, baseDelayMs = 100, maxDelayMs = 5000,
+      sleep = d => delays = delays :+ d)
+    // page 1 fails twice (503-ish) before succeeding; page 2 ends cleanly
+    var failuresLeft = 2
+    var calls = 0
+    val flaky: Extract.Fetcher = (_, page) => {
+      calls += 1
+      if (page == 1 && failuresLeft > 0) {
+        failuresLeft -= 1
+        throw Extract.TransientFetchError("503")
+      }
+      if (page == 1) Some("""[{"p": 1}]""") else None
+    }
+    val pages = Extract.fetchPages(flaky, "/x", cfg, policy)
+    assert(pages == Seq("""[{"p": 1}]"""))
+    assert(calls == 4) // 3 attempts for page 1 + the end-of-pages probe
+    assert(delays == List(100L, 200L)) // exponential, per-attempt doubling
+  }
+
+  test("retry gives up after maxAttempts and 4xx fails fast, never retried") {
+    val cfg = Extract.Config("o", maxPages = 2)
+    var delays = List.empty[Long]
+    val policy = Extract.RetryPolicy(maxAttempts = 3,
+      sleep = d => delays = delays :+ d)
+    var calls = 0
+    val down: Extract.Fetcher = (_, _) => {
+      calls += 1; throw Extract.TransientFetchError("timeout")
+    }
+    intercept[Extract.TransientFetchError] {
+      Extract.fetchPages(down, "/x", cfg, policy)
+    }
+    assert(calls == 3 && delays.size == 2, "bounded attempts")
+
+    // 401 is permanent: one call, no sleeps, propagates (auth.py:24-39)
+    calls = 0; delays = Nil
+    val rejected: Extract.Fetcher = (_, _) => {
+      calls += 1; throw Extract.PermanentFetchError(401, "bad credentials")
+    }
+    intercept[Extract.PermanentFetchError] {
+      Extract.fetchPages(rejected, "/x", cfg, policy)
+    }
+    assert(calls == 1 && delays.isEmpty, "4xx must fail fast")
+  }
+
   test("merge sink upserts on key and re-merge is idempotent") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_merge").toString + "/users"
@@ -84,6 +132,19 @@ class SinksExtractSpec extends AnyFunSuite {
     assert(out3.collect().toSet == expected)
     // rotation: previous generation retained one deep
     assert(spark.read.parquet(dir + "_backup").collect().toSet == expected)
+
+    // crash-window recovery: simulate a death between rotate and rename
+    // (current generation gone, backup intact) — the next merge must base
+    // on the backup, not silently reinitialize from its own batch
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "_backup"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "_backup"))
+    val batch3 = Seq((4L, "dan", "v3")).toDF("id", "login", "gen")
+    val out4 = Sinks.mergeParquetOnKey(batch3, dir, Seq("id"))
+    assert(out4.collect().toSet ==
+      expected + org.apache.spark.sql.Row(4L, "dan", "v3"))
   }
 
   test("compaction rewrites many small files into few range-sorted ones") {
@@ -162,6 +223,41 @@ class SinksExtractSpec extends AnyFunSuite {
     assert(again.select("user_id", "login").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet ==
       Set((1L, "alice"), (2L, "bob")))
+  }
+
+  test("JDBC MERGE upserts through Derby and pins the T-SQL dialect text") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftmerge;create=true"
+    val props = new java.util.Properties()
+
+    // first load bootstraps the target, second updates key 2 / adds key 3,
+    // third replays batch 2 — idempotent (the reference's intended load)
+    val batch1 = Seq((1L, "alice", 101L), (2L, "bob", 102L))
+      .toDF("user_id", "login", "github_user_id")
+    Sinks.mergeJdbc(batch1, "m_users", Seq("user_id"), url, props)
+    val batch2 = Seq((2L, "bobby"), (3L, "carol")).toDF("user_id", "login")
+    Sinks.mergeJdbc(batch2, "m_users", Seq("user_id"), url, props)
+    Sinks.mergeJdbc(batch2, "m_users", Seq("user_id"), url, props)
+
+    val back = spark.read.jdbc(url, "m_users", props)
+    assert(back.columns.toSet == Set("user_id", "login"), "lineage dropped")
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "alice"), (2L, "bobby"), (3L, "carol")))
+
+    // staging table cleaned up after the merge
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try assert(!conn.getMetaData
+      .getTables(null, null, "M_USERS_STAGING", null).next())
+    finally conn.close()
+
+    // the SQL Server dialect emits the T-SQL the reference's target runs
+    assert(Sinks.TsqlMergeDialect.mergeSql(
+      "m_users", "m_users_staging", Seq("user_id", "login"), Seq("user_id")) ==
+      "MERGE INTO [m_users] AS t USING [m_users_staging] AS s " +
+        "ON t.[user_id] = s.[user_id] " +
+        "WHEN MATCHED THEN UPDATE SET t.[login] = s.[login] " +
+        "WHEN NOT MATCHED THEN INSERT ([user_id], [login]) " +
+        "VALUES (s.[user_id], s.[login]);")
   }
 
   test("co-bucketed warehouse tables join with no exchange in the plan") {

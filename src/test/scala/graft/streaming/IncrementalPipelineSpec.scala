@@ -148,6 +148,40 @@ class IncrementalPipelineSpec extends AnyFunSuite {
       (3L, "c", t2, None)))    // appended new key
     // one rotation generation retained (batch-0 dim: keys 1 and 2 open)
     assert(spark.read.parquet(s"$dir/dim_backup").count() == 2)
+
+    // --- crash-window recovery: the swap is write staged -> rotate
+    // (dim -> dim_backup) -> rename(staged -> dim). Simulate a death
+    // between rotate and rename: current generation gone, backup intact.
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$dir/dim_backup"), true)
+    hfs.rename(new org.apache.hadoop.fs.Path(s"$dir/dim"),
+      new org.apache.hadoop.fs.Path(s"$dir/dim_backup"))
+    // recovery pass delivers one change (key 2 -> b2) at t3; without
+    // backup recovery the sink would silently reinitialize from this
+    // batch alone, losing all closed history and keys 1 and 3
+    val input2 = MemoryStream[(Long, String, Long)]
+    val ts3 = (_: Long) => java.sql.Timestamp.valueOf("2026-01-03 00:00:00")
+    val q2 = IncrementalPipeline
+      .toScd2Sink(input2.toDF().toDF("id", "v", "ord"),
+        s"$dir/dim", s"$dir/ckpt2", Seq("id"), Seq("v"), ts3,
+        ordinalCol = Some("ord"),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    input2.addData((2L, "b2", 7L))
+    q2.processAllAvailable()
+    q2.stop()
+    val t3 = "2026-01-03 00:00:00"
+    val recovered = spark.read.parquet(s"$dir/dim")
+      .select(col("id"), col("v"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"))
+      .as[(Long, String, String, Option[String])].collect().toSet
+    assert(recovered == Set(
+      (1L, "a", t1, Some(t2)), // closed history survived the crash window
+      (1L, "A", t2, None),
+      (2L, "b", t1, Some(t3)), // closed by the recovery batch
+      (2L, "b2", t3, None),
+      (3L, "c", t2, None)))
   }
 
   test("file-source stream processes a raw directory as micro-batches") {
