@@ -117,4 +117,47 @@ object IncrementalOps {
       .unionByName(newlyClosed)
       .unionByName(newOpen)
   }
+
+  /** Groups whose aggregates a [[snapshotDiff]] change set dirties: every
+    * old AND new value of the grouping column mentioned by the delta. A
+    * group is touched when rows arrive, leave, change in place, or MOVE
+    * between groups — a move dirties both the source and the destination
+    * group, which is why both sides of the diff contribute. `groupCol`
+    * must be among the diff's compared columns. */
+  def touchedGroups(diff: DataFrame, groupCol: String): DataFrame =
+    diff.select(col(s"old_$groupCol").as(groupCol))
+      .unionByName(diff.select(col(s"new_$groupCol").as(groupCol)))
+      .filter(col(groupCol).isNotNull)
+      .distinct()
+
+  /** Incremental aggregate-view maintenance: refresh a per-group aggregate
+    * table after a snapshot delta WITHOUT rescanning the unchanged groups.
+    *
+    *   newAgg = (prevAgg anti-join touched) ∪ agg(newSnap semi-join touched)
+    *
+    * Untouched groups keep their previous row verbatim; touched groups are
+    * recomputed from the new snapshot only for the rows the semi-join
+    * keeps. Groups that lose every row correctly vanish (anti-join drops
+    * the stale row, the recompute emits nothing). With exact accumulators
+    * (counts, DECIMAL sums) the result is bit-identical to aggregating the
+    * full new snapshot — which is exactly what the
+    * `agg_incremental_update` gate's oracle asserts.
+    *
+    * Cost at 100 TB: one semi-join of the snapshot against the (small)
+    * touched-group set plus one aggregate over just those groups' rows —
+    * delta-proportional, never a full-table rescan. With the snapshot and
+    * aggregate table bucketed on the group key the joins co-locate with
+    * zero exchanges. `aggs` must produce the same column names as
+    * `prevAgg` for the union to line up. */
+  def incrementalAggUpdate(
+      prevAgg: DataFrame, newSnap: DataFrame, touched: DataFrame,
+      groupCols: Seq[String], aggs: Seq[Column]): DataFrame = {
+    val t = touched.select(groupCols.map(col): _*).distinct()
+    val kept = prevAgg.join(t, groupCols, "left_anti")
+    val recomputed = newSnap
+      .join(t, groupCols, "left_semi")
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    kept.unionByName(recomputed)
+  }
 }

@@ -76,6 +76,37 @@ object Extract {
     require(maxAttempts >= 1)
   }
 
+  /** Adapt a raw HTTP transport into a [[Fetcher]] with the reference's
+    * loop semantics (extract.py:43-83) expressed in the typed failure
+    * model:
+    *
+    *  - 2xx with a non-empty JSON array → the page payload
+    *  - 2xx with `[]` (or blank) → end of pagination (None)
+    *  - 404 → None: the reference treats a missing issues/branches
+    *    endpoint as "no data for this repo", not an error
+    *  - 408 / 429 / 5xx → [[TransientFetchError]] (so [[withRetry]]
+    *    backs off: timeouts, rate limits, server hiccups)
+    *  - any other 4xx → [[PermanentFetchError]] (fail-stop: bad token,
+    *    forbidden — retrying burns rate limit for nothing)
+    *
+    * `send` is the transport ((path, page) → (status, body)); a networked
+    * deployment binds it to `java.net.http.HttpClient` with the bearer
+    * token header (auth.py:24-39), tests bind stubs — the decision logic
+    * above is what this function owns and what the specs pin. */
+  def httpFetcher(send: (String, Int) => (Int, String)): Fetcher =
+    (path, page) => {
+      val (status, body) = send(path, page)
+      status match {
+        case s if s >= 200 && s < 300 =>
+          if (body == null || body.trim.isEmpty || body.trim == "[]") None
+          else Some(body)
+        case 404 => None
+        case 408 | 429 => throw TransientFetchError(s"HTTP $status on $path p$page")
+        case s if s >= 500 => throw TransientFetchError(s"HTTP $s on $path p$page")
+        case s => throw PermanentFetchError(s, s"$path p$page")
+      }
+    }
+
   /** Run `op`, retrying [[TransientFetchError]] per `policy`.
     * [[PermanentFetchError]] (and anything else) propagates immediately —
     * fail-stop is the reference's contract, backoff only softens genuinely

@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.{Q, T}
 import graft.ops.IncrementalOps
 
-/** Incremental-warehouse gates: CDC snapshot diff and Type-2 SCD apply.
-  * Both derive the "changed" side in-plan from `customer` (updates to %7
-  * keys, deletes of %11 keys, inserts at shifted %13 keys) so the gate is
-  * read-only and the oracle can rebuild the identical inputs in SQL.
+/** Incremental-warehouse gates: CDC snapshot diff, Type-2 SCD apply, and
+  * delta-driven aggregate-view maintenance. Each derives its "changed"
+  * side in-plan from the base tables (updates to %7 keys, deletes of %11
+  * keys, inserts at shifted %13 keys, ...) so the gate is read-only and
+  * the oracle can state the expected output in SQL.
   */
 object IncrementalQueries {
 
@@ -136,6 +137,45 @@ object IncrementalQueries {
              |UNION ALL SELECT * FROM newly_closed
              |UNION ALL SELECT * FROM new_open
              |ORDER BY c_custkey, valid_from""".stripMargin),
-      "Type-2 SCD apply: close-and-reopen changed keys, append new, history immutable")
+      "Type-2 SCD apply: close-and-reopen changed keys, append new, history immutable"),
+
+    // Incremental aggregate-view maintenance: the per-customer order
+    // aggregate is refreshed from a snapshot delta — untouched groups keep
+    // their previous row verbatim (anti-join), touched groups recompute
+    // from the new snapshot only (semi-join) — and must land bit-identical
+    // to aggregating the full new snapshot, which is the oracle. The
+    // synthetic "previous" snapshot exercises all four dirtying modes:
+    // inserts (%7 keys missing), updates (%11 stale price), group moves
+    // (%13 parked under the neighboring customer — BOTH groups dirty),
+    // and the untouched majority that must flow through unrecomputed.
+    Q(
+      "agg_incremental_update",
+      (s, d) => {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val orders = T(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val prev = orders.filter(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 13 === 0, col("o_custkey") + 1L)
+              .otherwise(col("o_custkey")).as("o_custkey"),
+            when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 100.0)
+              .otherwise(col("o_totalprice")).as("o_totalprice"))
+        def aggs = Seq(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4)))
+            .cast(DoubleType).as("total_price"))
+        val prevAgg = prev.groupBy("o_custkey").agg(aggs.head, aggs.tail: _*)
+        val diff = IncrementalOps.snapshotDiff(prev, orders,
+          Seq("o_orderkey"), Seq("o_custkey", "o_totalprice"))
+        val touched = IncrementalOps.touchedGroups(diff, "o_custkey")
+        IncrementalOps
+          .incrementalAggUpdate(prevAgg, orders, touched,
+            Seq("o_custkey"), aggs)
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+             |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+      "incremental aggregate maintenance: delta-driven refresh == full recompute")
   )
 }

@@ -105,4 +105,42 @@ class IncrementalOpsSpec extends AnyFunSuite {
       lit("2025-01-01 00:00:00").cast("timestamp"))
     assert(out.collect().toSeq == dim.collect().toSeq)
   }
+
+  test("incrementalAggUpdate: delta refresh equals full recompute, " +
+      "moves dirty both groups, emptied groups vanish") {
+    import spark.implicits._
+    // prev: g1 = {r1, r2}, g2 = {r3}, g3 = {r4} (will be emptied), g4 = {}
+    val prev = Seq(
+      (1L, "g1", 10.0), (2L, "g1", 20.0), (3L, "g2", 30.0), (4L, "g3", 40.0))
+      .toDF("id", "g", "v")
+    // new: r2 moves g1 -> g2, r4 (all of g3) deleted, r5 arrives in new
+    // group g4, r1 updates in place
+    val next = Seq(
+      (1L, "g1", 11.0), (2L, "g2", 20.0), (5L, "g4", 50.0))
+      .toDF("id", "g", "v")
+    def aggs = Seq(count(lit(1)).as("n"), sum(col("v")).as("total"))
+    val prevAgg = prev.groupBy("g").agg(aggs.head, aggs.tail: _*)
+    val diff = IncrementalOps.snapshotDiff(prev, next, Seq("id"), Seq("g", "v"))
+    val touched = IncrementalOps.touchedGroups(diff, "g")
+    // every group is dirty here (g1 update+move-out, g2 move-in, g3
+    // emptied, g4 new); a second case below exercises pass-through
+    assert(touched.as[String].collect().toSet == Set("g1", "g2", "g3", "g4"))
+    val out = IncrementalOps
+      .incrementalAggUpdate(prevAgg, next, touched, Seq("g"), aggs)
+    val full = next.groupBy("g").agg(aggs.head, aggs.tail: _*)
+    assert(out.collect().toSet == full.collect().toSet)
+    assert(!out.select("g").as[String].collect().contains("g3"),
+      "a group that lost every row must vanish")
+
+    // untouched groups flow through from prevAgg without recompute: diff
+    // against an identical snapshot touches nothing and keeps prevAgg
+    val noDiff = IncrementalOps.snapshotDiff(prev, prev, Seq("id"), Seq("g", "v"))
+    val none = IncrementalOps.touchedGroups(noDiff, "g")
+    val same = IncrementalOps
+      .incrementalAggUpdate(prevAgg, prev, none, Seq("g"), aggs)
+    assert(same.collect().toSet == prevAgg.collect().toSet)
+    // plan shape: pass-through is an anti join, recompute is a semi join
+    val plan = same.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftAnti") && plan.contains("LeftSemi"), plan)
+  }
 }

@@ -112,6 +112,42 @@ class SinksExtractSpec extends AnyFunSuite {
     assert(calls == 1 && delays.isEmpty, "4xx must fail fast")
   }
 
+  test("httpFetcher maps status classes to the typed failure model") {
+    val cfg = Extract.Config("o", maxPages = 5)
+    var sleeps = 0
+    val policy = Extract.RetryPolicy(maxAttempts = 3, sleep = _ => sleeps += 1)
+
+    // 2xx payload pages, then a 2xx empty array ending pagination
+    val ok = Extract.httpFetcher((_, p) =>
+      if (p <= 2) (200, s"""[{"p": $p}]""") else (200, "[]"))
+    assert(Extract.fetchPages(ok, "/x", cfg, policy).length == 2)
+
+    // 404 = no data for this endpoint, not an error (reference semantics)
+    val missing = Extract.httpFetcher((_, _) => (404, "Not Found"))
+    assert(Extract.fetchPages(missing, "/x", cfg, policy).isEmpty)
+
+    // 429 rate limit is transient: retried with backoff, then succeeds
+    var rateLimited = true
+    val limited = Extract.httpFetcher { (_, p) =>
+      if (p == 1 && rateLimited) { rateLimited = false; (429, "slow down") }
+      else if (p == 1) (200, """[{"p": 1}]""")
+      else (200, "[]")
+    }
+    assert(Extract.fetchPages(limited, "/x", cfg, policy).length == 1)
+    assert(sleeps == 1, "the 429 must back off once")
+
+    // 403 is permanent: fail-stop without retry
+    intercept[Extract.PermanentFetchError] {
+      Extract.fetchPages(
+        Extract.httpFetcher((_, _) => (403, "forbidden")), "/x", cfg, policy)
+    }
+    // 500 exhausts retries as transient
+    intercept[Extract.TransientFetchError] {
+      Extract.fetchPages(
+        Extract.httpFetcher((_, _) => (500, "boom")), "/x", cfg, policy)
+    }
+  }
+
   test("merge sink upserts on key and re-merge is idempotent") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_merge").toString + "/users"
