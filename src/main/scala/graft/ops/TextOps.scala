@@ -56,9 +56,10 @@ object TextOps {
     *
     * The gram hash is the 16-char prefix of `md5` — a fixed-length
     * lowercase-hex string, so the lexicographic `min` IS the numeric min
-    * and the whole operator is bit-identically expressible in the DuckDB
-    * oracle (unlike the engine-native `Fingerprint64`, which stays the
-    * rows-only perf path). Shape: one explode (chars-linear), one window
+    * and the whole operator is bit-identically expressible in plain
+    * oracle SQL. The engine-native `Fingerprint64` is the one-value-per-doc
+    * perf path, itself oracle-checked bit-exactly via the FNV replica in
+    * `queries.Hash64Oracle`. Shape: one explode (chars-linear), one window
     * shuffle keyed by document — scan-scale at 100 TB. */
   def winnowFingerprints(
       df: DataFrame, idCol: String, textCol: String,

@@ -11,8 +11,10 @@ import graft.expr.GraftFunctions
   *
   * Two key flavors:
   *  - `uuid5` (SHA-1, RFC-exact, the reference's scheme) — verified against
-  *    the reference's committed GUIDs in NamespacedUuidSpec; registered here
-  *    WITHOUT an oracle (DuckDB has no sha1), driver does the rows-only check.
+  *    the reference's committed GUIDs in NamespacedUuidSpec, and hash-gated
+  *    by `e1_uuid5_keys` whose oracle is a VALUES literal of those same
+  *    committed GUIDs (DuckDB has no sha1, so the reference's own output
+  *    IS the oracle).
   *  - `uuid3Label` (MD5 under a string namespace) — same operator shape,
   *    fully expressible in DuckDB SQL, so the hash gate covers the
   *    key-derivation logic end to end.

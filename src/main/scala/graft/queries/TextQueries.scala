@@ -83,8 +83,8 @@ object TextQueries {
     // True winnowing (sliding-window minima over positional k-gram
     // hashes). Gram hash = 16-char md5 prefix: fixed-length lowercase
     // hex, so lexicographic MIN == numeric min in both engines and the
-    // full operator is oracle-checked; the native Fingerprint64 below
-    // stays the rows-only perf path. The gate input is bounded to
+    // full operator is oracle-checked; the native Fingerprint64 below is
+    // the perf path, itself oracled via Hash64Oracle. The gate input is bounded to
     // doc_id < 2000 — a superset of the whole sf0.01 corpus the
     // correctness gate runs on, while keeping the per-position explode
     // (~1k rows/doc) from dominating suite bench time at larger SFs;
