@@ -27,16 +27,25 @@ final class BoundedDfCache[K](maxEntries: Int) {
         if (size() > maxEntries) { e.getValue.unpersist(); true } else false
     }
 
-  /** Memoized lookup; `make` runs at most once per key while it stays
-    * resident. Synchronized — staging frames is rare and heavyweight, so
-    * a coarse lock is fine. */
-  def getOrElseUpdate(k: K)(make: => DataFrame): DataFrame = synchronized {
-    val cur = map.get(k)
-    if (cur != null) cur
-    else {
-      val v = make
-      map.put(k, v)
-      v
+  /** Memoized lookup. `make` runs OUTSIDE the lock: building a staged
+    * frame can itself run Spark jobs (connected components checkpoints
+    * per round), and holding a cache-wide monitor through that would
+    * serialize unrelated corpora behind one computation. The cost is a
+    * benign race — two threads missing on the same key both build, the
+    * loser's frame is unpersisted and dropped. */
+  def getOrElseUpdate(k: K)(make: => DataFrame): DataFrame = {
+    synchronized {
+      val cur = map.get(k)
+      if (cur != null) return cur
+    }
+    val v = make
+    synchronized {
+      val cur = map.get(k)
+      if (cur != null) { v.unpersist(); cur }
+      else {
+        map.put(k, v)
+        v
+      }
     }
   }
 

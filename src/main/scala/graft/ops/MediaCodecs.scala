@@ -68,11 +68,13 @@ object MediaCodecs {
           sampleRate = bb.getInt()
           bits = { bb.getInt(); bb.getShort(); bb.getShort() }
           if (fmt != 1) return None // PCM only
-          bb.position(pos + size + (size & 1))
+          // odd-sized chunk at EOF: the +1 pad byte may not exist — clamp
+          // to limit so the walk ends instead of position() throwing
+          bb.position(math.min(pos + size + (size & 1), bb.limit()))
         case "data" =>
           data = Some((bb.position(), size))
         case _ =>
-          bb.position(bb.position() + size + (size & 1))
+          bb.position(math.min(bb.position() + size + (size & 1), bb.limit()))
       }
     }
     data.flatMap { case (off, size) =>
@@ -172,10 +174,12 @@ object MediaCodecs {
       }
     }
     if (bad || w <= 0 || h <= 0 || fn <= 0 || fd <= 0 || !mono) return None
-    val frameBytes = 6 + w * h // "FRAME\n" + luma plane
-    val body = bytes.length - (nl + 1)
+    // Long: a corrupt ~2^16 x 2^16 header would overflow w*h to <= 0 and
+    // the modulo below would divide by zero (or accept garbage)
+    val frameBytes = 6L + w.toLong * h // "FRAME\n" + luma plane
+    val body = (bytes.length - (nl + 1)).toLong
     if (body % frameBytes != 0) return None
-    val n = body / frameBytes
+    val n = (body / frameBytes).toInt
     Some(Y4mMeta(w, h, fn, fd, n, n.toLong * 1000L * fd / fn))
   }
 
@@ -204,14 +208,18 @@ object MediaCodecs {
     val height = bb.getInt(22)
     val bpp = bb.getShort(28)
     if (bpp != 24 || width <= 0 || height <= 0) return None
-    val rowSize = ((width * 3 + 3) / 4) * 4
+    // Long arithmetic: width*3 on a corrupt ~2^30 width overflows Int to a
+    // negative rowSize that would sail through the bounds check below
+    val rowSize = ((width.toLong * 3 + 3) / 4) * 4
     // lower bound too: a corrupt negative/tiny offset would pass the upper
     // check and then index before the pixel array (or before byte 0)
     if (offset < 54) return None
-    if (offset.toLong + rowSize.toLong * height > bytes.length) return None
+    if (offset.toLong + rowSize * height > bytes.length) return None
     var (sr, sg, sb2) = (0L, 0L, 0L)
     for (row <- 0 until height) {
-      var base = offset + row * rowSize
+      // safe: the Long bounds check above caps offset + rowSize*height at
+      // bytes.length, so this fits an Int
+      var base = (offset + row * rowSize).toInt
       var x = 0
       while (x < width) {
         sb2 += bytes(base) & 0xff

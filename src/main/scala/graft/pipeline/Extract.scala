@@ -73,7 +73,8 @@ object Extract {
       baseDelayMs: Long = 100,
       maxDelayMs: Long = 5000,
       sleep: Long => Unit = Thread.sleep) extends Serializable {
-    require(maxAttempts >= 1)
+    require(maxAttempts >= 1 && baseDelayMs >= 0 &&
+      maxDelayMs >= 0 && maxDelayMs <= Long.MaxValue / 2)
   }
 
   /** Adapt a raw HTTP transport into a [[Fetcher]] with the reference's
@@ -113,12 +114,15 @@ object Extract {
     * transient faults. */
   def withRetry[A](policy: RetryPolicy)(op: => A): A = {
     var attempt = 1
+    // saturating doubling: a shift (base << attempt) would wrap negative
+    // past attempt ~57 and feed Thread.sleep a negative delay
+    var delay = policy.baseDelayMs
     while (true) {
       try return op
       catch {
         case _: TransientFetchError if attempt < policy.maxAttempts =>
-          policy.sleep(math.min(policy.maxDelayMs,
-            policy.baseDelayMs << (attempt - 1)))
+          policy.sleep(math.min(policy.maxDelayMs, delay))
+          if (delay < policy.maxDelayMs) delay *= 2
           attempt += 1
       }
     }

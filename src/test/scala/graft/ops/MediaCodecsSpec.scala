@@ -102,4 +102,33 @@ class MediaCodecsSpec extends AnyFunSuite {
       .putInt(16, 8) // fmt size 16 -> 8
     assert(MediaCodecs.decodeWav(shortFmt).isEmpty)
   }
+
+  test("integer-overflow headers decode to None, never throw") {
+    // BMP: width*3 would wrap Int negative and defeat the bounds check
+    val bmp = MediaCodecs.encodeBmp24(4, 4, (_, _) => (9, 9, 9))
+    val hugeW = bmp.clone()
+    java.nio.ByteBuffer.wrap(hugeW).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 715827883) // width: *3 overflows to negative
+    assert(MediaCodecs.decodeBmp(hugeW).isEmpty)
+
+    // Y4M: w*h wrapping to -6 would make frameBytes 0 (divide by zero);
+    // with Long arithmetic the empty-body stream parses as zero frames
+    val y4m = ("YUV4MPEG2 W45210182 H95 F25:1 Cmono\n").getBytes("US-ASCII")
+    assert(MediaCodecs.decodeY4mMeta(y4m).exists(_.nFrames == 0))
+    // ...and a non-empty body that can't be a whole frame is rejected
+    assert(MediaCodecs.decodeY4mMeta(y4m ++ Array.fill(10)(1.toByte)).isEmpty)
+
+    // WAV: odd-sized trailing chunk ending exactly at EOF — the +1 pad
+    // byte does not exist; the walk must end, not throw
+    val bb = java.nio.ByteBuffer.allocate(49)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(41)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("LIST".getBytes("US-ASCII")).putInt(5)
+      .put(Array.fill(5)(7.toByte))
+    assert(MediaCodecs.decodeWav(bb.array()).isEmpty) // no data chunk -> None
+  }
 }
