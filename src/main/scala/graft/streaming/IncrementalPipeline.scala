@@ -72,6 +72,32 @@ object IncrementalPipeline {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Stream-stream interval join (the click↔impression staple): each left
+    * row joins right rows sharing `keyCol` whose event time falls within
+    * `[leftTs - tolerance, leftTs]`. Watermarks on BOTH inputs are what
+    * bound the join state — Spark derives each side's retention from the
+    * watermark plus the interval condition, so buffered state is
+    * (watermark + tolerance) deep per key rather than unbounded, which is
+    * the knob that keeps a 100 TB/day attribution join runnable. The
+    * streaming dual of the batch [[graft.ops.AsOfJoin]] /
+    * [[graft.ops.RangeJoin]] (same bounded-window semantics, no
+    * cartesian). Right-side columns keep their names; the right key is
+    * dropped after the equi-condition. */
+  def intervalJoin(
+      left: DataFrame, leftTsCol: String,
+      right: DataFrame, rightTsCol: String,
+      keyCol: String, tolerance: String, watermark: String): DataFrame = {
+    val rKey = s"_r_$keyCol"
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right.withColumnRenamed(keyCol, rKey)
+      .withWatermark(rightTsCol, watermark)
+    l.join(r,
+        col(keyCol) === col(rKey) &&
+          col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL $tolerance") &&
+          col(rightTsCol) <= col(leftTsCol))
+      .drop(rKey)
+  }
+
   /** Append-mode parquet sink with checkpointing — the streaming
     * equivalent of the rotation sink (the checkpoint ledger replaces the
     * one-generation backup). */

@@ -184,6 +184,35 @@ class IncrementalPipelineSpec extends AnyFunSuite {
       (3L, "c", t2, None)))
   }
 
+  test("stream-stream interval join matches within tolerance, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, String)]
+    val clicks = MemoryStream[(Long, String)]
+    val impDf = imps.toDF().toDF("ad_id", "ts")
+      .select(col("ad_id"), col("ts").cast("timestamp").as("imp_time"))
+    val clickDf = clicks.toDF().toDF("ad_id", "ts")
+      .select(col("ad_id"), col("ts").cast("timestamp").as("click_time"))
+    val joined = IncrementalPipeline.intervalJoin(
+      clickDf, "click_time", impDf, "imp_time",
+      "ad_id", "10 MINUTES", "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    imps.addData((1L, "2026-01-01 10:00:00"), (2L, "2026-01-01 10:00:00"))
+    clicks.addData(
+      (1L, "2026-01-01 10:05:00"), // within 10 min of ad 1's impression
+      (1L, "2026-01-01 11:00:00"), // too late: outside the interval
+      (3L, "2026-01-01 10:05:00")) // no impression at all
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attrib")
+      .select(col("ad_id"), col("click_time").cast("string"),
+        col("imp_time").cast("string"))
+      .as[(Long, String, String)].collect().toSet
+    assert(rows == Set(
+      (1L, "2026-01-01 10:05:00", "2026-01-01 10:00:00")))
+  }
+
   test("file-source stream processes a raw directory as micro-batches") {
     val dir = Files.createTempDirectory("graft_stream").toString
     val out = Files.createTempDirectory("graft_stream_out").toString
