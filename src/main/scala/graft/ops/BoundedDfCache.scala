@@ -32,7 +32,12 @@ final class BoundedDfCache[K](maxEntries: Int) {
     * per round), and holding a cache-wide monitor through that would
     * serialize unrelated corpora behind one computation. The cost is a
     * benign race — two threads missing on the same key both build, the
-    * loser's frame is unpersisted and dropped. */
+    * loser's frame is simply dropped. `make` must be deterministic per
+    * key (all call sites build the same plan from the key), so the
+    * racing persist() calls land on ONE CacheManager entry — which is
+    * also why the loser must NOT be unpersisted: Spark caches by logical
+    * plan, and unpersisting the identical-plan loser would silently
+    * uncache the winner too. */
   def getOrElseUpdate(k: K)(make: => DataFrame): DataFrame = {
     synchronized {
       val cur = map.get(k)
@@ -41,7 +46,7 @@ final class BoundedDfCache[K](maxEntries: Int) {
     val v = make
     synchronized {
       val cur = map.get(k)
-      if (cur != null) { v.unpersist(); cur }
+      if (cur != null) cur
       else {
         map.put(k, v)
         v

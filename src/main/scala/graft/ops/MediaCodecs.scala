@@ -214,7 +214,9 @@ object MediaCodecs {
     // lower bound too: a corrupt negative/tiny offset would pass the upper
     // check and then index before the pixel array (or before byte 0)
     if (offset < 54) return None
-    if (offset.toLong + rowSize * height > bytes.length) return None
+    // divide, don't multiply: rowSize * height can overflow even a Long
+    // (width = height = Int.MaxValue), wrapping negative past the check
+    if ((bytes.length.toLong - offset) / rowSize < height) return None
     var (sr, sg, sb2) = (0L, 0L, 0L)
     for (row <- 0 until height) {
       // safe: the Long bounds check above caps offset + rowSize*height at

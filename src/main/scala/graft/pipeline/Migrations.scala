@@ -26,15 +26,6 @@ object Migrations {
 
   val LedgerTable = "schema_migrations"
 
-  private def ledgerExists(conn: Connection): Boolean = {
-    val meta = conn.getMetaData
-    // escape '_' — getTables takes a pattern (same pitfall as Sinks.mergeJdbc)
-    val esc = meta.getSearchStringEscape
-    val pat = LedgerTable.replace("_", esc + "_")
-    Seq(pat, pat.toUpperCase).exists(p =>
-      meta.getTables(null, null, p, null).next())
-  }
-
   private def applied(conn: Connection): Set[String] = {
     val rs = conn.createStatement()
       .executeQuery(s"SELECT migration_name FROM $LedgerTable")
@@ -48,11 +39,14 @@ object Migrations {
   def migrate(
       url: String, props: java.util.Properties,
       migrations: Seq[Migration]): Seq[String] = {
-    require(migrations.map(_.name).distinct.size == migrations.size,
+    // force strictness up front: a lazy Seq would defer filter/map past
+    // the finally that closes the connection
+    val all = migrations.toList
+    require(all.map(_.name).distinct.size == all.size,
       "duplicate migration names")
     val conn = DriverManager.getConnection(url, props)
     try {
-      if (!ledgerExists(conn)) {
+      if (!JdbcMeta.tableExists(conn, LedgerTable)) {
         conn.createStatement().executeUpdate(
           s"""CREATE TABLE $LedgerTable (
              |  migration_name VARCHAR(255) NOT NULL PRIMARY KEY,
@@ -60,27 +54,49 @@ object Migrations {
              |)""".stripMargin)
       }
       val done = applied(conn)
-      val todo = migrations.filterNot(m => done.contains(m.name))
+      val todo = all.filterNot(m => done.contains(m.name))
       conn.setAutoCommit(false)
-      todo.map { m =>
-        try {
-          val stmt = conn.createStatement()
+      val ins = conn.prepareStatement(
+        s"INSERT INTO $LedgerTable (migration_name) VALUES (?)")
+      try {
+        todo.map { m =>
           try {
-            m.statements.foreach(stmt.executeUpdate)
-            val ins = conn.prepareStatement(
-              s"INSERT INTO $LedgerTable (migration_name) VALUES (?)")
-            ins.setString(1, m.name)
-            ins.executeUpdate()
-          } finally stmt.close()
-          conn.commit()
-          m.name
-        } catch {
-          case e: Throwable =>
-            conn.rollback() // the failed migration leaves no trace
-            throw new IllegalStateException(
-              s"migration ${m.name} failed and was rolled back", e)
+            val stmt = conn.createStatement()
+            try {
+              m.statements.foreach(stmt.executeUpdate)
+              ins.setString(1, m.name)
+              ins.executeUpdate()
+            } finally stmt.close()
+            conn.commit()
+            m.name
+          } catch {
+            case e: Throwable =>
+              conn.rollback() // the failed migration leaves no trace
+              throw new IllegalStateException(
+                s"migration ${m.name} failed and was rolled back", e)
+          }
         }
-      }
+      } finally ins.close()
     } finally conn.close()
+  }
+}
+
+/** One shared implementation of the JDBC metadata table-existence probe:
+  * `DatabaseMetaData.getTables` takes a PATTERN, so '_' and '%' in a
+  * table name must be escaped or an unrelated table can fake a match
+  * (MXUSERS vs m_users), and the search is pinned to the connection's
+  * current schema so another application's ledger in a sibling schema
+  * can't shadow ours. */
+private[pipeline] object JdbcMeta {
+  def tableExists(conn: Connection, table: String): Boolean = {
+    val meta = conn.getMetaData
+    val esc = meta.getSearchStringEscape
+    def escaped(t: String): String =
+      t.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+    val schema =
+      try Option(conn.getSchema).filter(_.nonEmpty).orNull
+      catch { case _: Throwable => null } // drivers may not implement it
+    Seq(table, table.toUpperCase, table.toLowerCase)
+      .exists(t => meta.getTables(null, schema, escaped(t), null).next())
   }
 }

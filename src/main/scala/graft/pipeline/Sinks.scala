@@ -233,15 +233,7 @@ object Sinks {
     clean.write.mode("overwrite").jdbc(url, staging, props)
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      val meta = conn.getMetaData
-      // getTables takes a PATTERN: '_' in a table name is a single-char
-      // wildcard, so an unrelated table (MXUSERS vs m_users) could fake
-      // existence and skip the bootstrap — escape metacharacters
-      val esc = meta.getSearchStringEscape
-      def escaped(t: String): String =
-        t.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
-      val exists = Seq(table, table.toUpperCase, table.toLowerCase)
-        .exists(t => meta.getTables(null, null, escaped(t), null).next())
+      val exists = JdbcMeta.tableExists(conn, table)
       val stmt = conn.createStatement()
       try {
         if (!exists) stmt.executeUpdate(dialect.createLike(table, staging))

@@ -81,21 +81,20 @@ object IncrementalPipeline {
     * the knob that keeps a 100 TB/day attribution join runnable. The
     * streaming dual of the batch [[graft.ops.AsOfJoin]] /
     * [[graft.ops.RangeJoin]] (same bounded-window semantics, no
-    * cartesian). Right-side columns keep their names; the right key is
-    * dropped after the equi-condition. */
+    * cartesian). Columns resolve dataset-qualified, so the two streams
+    * may even share column names (e.g. both call their event time `ts`);
+    * the right copy of the key is dropped from the output. */
   def intervalJoin(
       left: DataFrame, leftTsCol: String,
       right: DataFrame, rightTsCol: String,
       keyCol: String, tolerance: String, watermark: String): DataFrame = {
-    val rKey = s"_r_$keyCol"
     val l = left.withWatermark(leftTsCol, watermark)
-    val r = right.withColumnRenamed(keyCol, rKey)
-      .withWatermark(rightTsCol, watermark)
+    val r = right.withWatermark(rightTsCol, watermark)
     l.join(r,
-        col(keyCol) === col(rKey) &&
-          col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL $tolerance") &&
-          col(rightTsCol) <= col(leftTsCol))
-      .drop(rKey)
+        l(keyCol) === r(keyCol) &&
+          r(rightTsCol) >= l(leftTsCol) - expr(s"INTERVAL $tolerance") &&
+          r(rightTsCol) <= l(leftTsCol))
+      .drop(r(keyCol))
   }
 
   /** Append-mode parquet sink with checkpointing — the streaming

@@ -110,6 +110,11 @@ class MediaCodecsSpec extends AnyFunSuite {
     java.nio.ByteBuffer.wrap(hugeW).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(18, 715827883) // width: *3 overflows to negative
     assert(MediaCodecs.decodeBmp(hugeW).isEmpty)
+    // and the Long-overflow flavor: rowSize * height wraps even a Long
+    val hugeWh = bmp.clone()
+    java.nio.ByteBuffer.wrap(hugeWh).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, Int.MaxValue).putInt(22, Int.MaxValue)
+    assert(MediaCodecs.decodeBmp(hugeWh).isEmpty)
 
     // Y4M: w*h wrapping to -6 would make frameBytes 0 (divide by zero);
     // with Long arithmetic the empty-body stream parses as zero frames

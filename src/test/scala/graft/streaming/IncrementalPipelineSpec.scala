@@ -211,6 +211,23 @@ class IncrementalPipelineSpec extends AnyFunSuite {
       .as[(Long, String, String)].collect().toSet
     assert(rows == Set(
       (1L, "2026-01-01 10:05:00", "2026-01-01 10:00:00")))
+
+    // the common naming collision — BOTH streams call their event time
+    // "ts" — must resolve (dataset-qualified refs), not throw AMBIGUOUS
+    val imps2 = MemoryStream[(Long, String)]
+    val clicks2 = MemoryStream[(Long, String)]
+    def ts(df: org.apache.spark.sql.DataFrame) = df.toDF("ad_id", "s")
+      .select(col("ad_id"), col("s").cast("timestamp").as("ts"))
+    val joined2 = IncrementalPipeline.intervalJoin(
+      ts(clicks2.toDF()), "ts", ts(imps2.toDF()), "ts",
+      "ad_id", "10 MINUTES", "30 minutes")
+    val q2 = joined2.writeStream.format("memory").queryName("attrib2")
+      .outputMode("append").start()
+    imps2.addData((7L, "2026-01-01 10:00:00"))
+    clicks2.addData((7L, "2026-01-01 10:01:00"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.table("attrib2").count() == 1)
   }
 
   test("file-source stream processes a raw directory as micro-batches") {
