@@ -130,10 +130,79 @@ object Fingerprint64 {
   }
 }
 
+/** Full winnowing fingerprint SET (Schleimer/Wilkerson/Aiken), natively:
+  * per k-byte gram position a mixed FNV hash, minimum per sliding window
+  * of `w` grams, distinct minima sorted ascending — all in ONE pass per
+  * row inside codegen. The declarative formulation
+  * ([[graft.ops.TextOps.winnowFingerprints]]) explodes one row per gram
+  * position and shuffles them through a per-document window: a ~500x row
+  * inflation that at 100 TB dominates the job. This expression is the
+  * scan-only production path — no explode, no shuffle, same semantics —
+  * and because the gram hash is [[Hash64]], the `text_winnow_native` gate
+  * oracles it bit-exactly via the SQL hash replica
+  * ([[graft.queries.Hash64Oracle]]). Short documents (<= k bytes) yield
+  * the single seed-1 whole-text hash, matching [[Fingerprint64]]'s short
+  * branch; empty/missing text yields an empty set. */
+case class WinnowSet(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowSet.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.WinnowSet$$.MODULE$$.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSet =
+    copy(child = newChild)
+}
+
+object WinnowSet {
+  def compute(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val b = s.getBytes
+    if (b.length == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    if (b.length <= k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(Hash64.hashBytes(b, 1L)))
+    val ng = b.length - k + 1
+    val hs = new Array[Long](ng)
+    var i = 0
+    while (i < ng) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + k) { h ^= (b(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+      hs(i) = Hash64.mix(h)
+      i += 1
+    }
+    // windows start at 1..max(ng-w+1, 1); a document with fewer than w
+    // grams gets one window over all of them (the md5 yardstick's guard)
+    val nWin = math.max(ng - w + 1, 1)
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    i = 0
+    while (i < nWin) {
+      var min = hs(i)
+      var j = i + 1
+      val end = math.min(i + w, ng)
+      while (j < end) { if (hs(j) < min) min = hs(j); j += 1 }
+      seen.add(min)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object TextHashFunctions {
   def simhash64(c: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c)))
 
   def fingerprint64(c: Column, k: Int = 8): Column =
     GraftColumnBridge.column(Fingerprint64(GraftColumnBridge.expression(c), k))
+
+  def winnowSet(c: Column, k: Int = 8, w: Int = 4): Column =
+    GraftColumnBridge.column(WinnowSet(GraftColumnBridge.expression(c), k, w))
 }

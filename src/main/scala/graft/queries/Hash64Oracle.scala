@@ -116,13 +116,12 @@ private[queries] object Hash64Oracle {
        |WHERE bit_count(xor(x.sim, y.sim)) <= $maxHamming
        |ORDER BY a, b""".stripMargin
 
-  /** Oracle for `text_fingerprint`: per-document signed SimHash signature
-    * plus the [[graft.expr.Fingerprint64]] winnowing value — minimum mixed
-    * FNV over all k-char gram positions (k = 8 unrolled as 8 staged FNV
-    * steps), with the engine's short-document branches (`len == 0 -> 0`,
-    * `len <= k -> hash of whole text with seed 1`) replicated via a
-    * second, zero-row-on-this-corpus recursive CTE. */
-  def fingerprintSql(k: Int = 8): String = {
+  /** The per-position k-gram hash pipeline shared by the fingerprint and
+    * winnowing oracles: `pos` explodes gram start positions for documents
+    * longer than k, then k unrolled FNV steps + the mix chain yield one
+    * mixed hash per (doc, position). Returns (pos cte, chain ctes, last
+    * name). */
+  private def gramSection(k: Int): (String, String, String) = {
     require(k == 8, "gram FNV is unrolled for k = 8")
     val fnvSteps = (0 until k).map { j =>
       val byte = s"CAST(unicode(substr(text, i+$j, 1)) AS UBIGINT)"
@@ -130,26 +129,48 @@ private[queries] object Hash64Oracle {
       s"CAST(CAST(xor($h, $byte) AS HUGEINT) * $Prime % $M AS UBIGINT) AS h"
     }
     val (gCtes, gLast) = staged("pos", "doc_id, text, i", fnvSteps ++ mixSteps, "g")
+    val pos =
+      s"""pos AS (
+         |  SELECT doc_id, text, unnest(generate_series(1, length(text) - ${k - 1})) AS i
+         |  FROM documents WHERE length(text) > $k
+         |)""".stripMargin
+    (pos, gCtes, gLast)
+  }
+
+  /** Short-document (1..k bytes) seed-1 whole-text hash, as CTEs ending in
+    * a (doc_id, h) relation named by the returned last name. */
+  private def shortDocSection(k: Int): (String, String) = {
     val (sCtes, sLast) = staged("sfnvfin", "doc_id", mixSteps, "sm")
+    val ctes =
+      s"""sfnv AS (
+         |  SELECT doc_id, text AS t, 1 AS i, CAST($BasisSeed1 AS UBIGINT) AS h
+         |  FROM documents WHERE length(text) BETWEEN 1 AND $k
+         |  UNION ALL
+         |  SELECT doc_id, t, i+1,
+         |    CAST(CAST(xor(h, CAST(unicode(substr(t,i,1)) AS UBIGINT)) AS HUGEINT)
+         |         * $Prime % $M AS UBIGINT)
+         |  FROM sfnv WHERE i <= length(t)
+         |),
+         |sfnvfin AS (SELECT doc_id, h FROM sfnv WHERE i = length(t)+1),
+         |$sCtes""".stripMargin
+    (ctes, sLast)
+  }
+
+  /** Oracle for `text_fingerprint`: per-document signed SimHash signature
+    * plus the [[graft.expr.Fingerprint64]] winnowing value — minimum mixed
+    * FNV over all k-char gram positions (k = 8 unrolled as 8 staged FNV
+    * steps), with the engine's short-document branches (`len == 0 -> 0`,
+    * `len <= k -> hash of whole text with seed 1`) replicated via a
+    * second, zero-row-on-this-corpus recursive CTE. */
+  def fingerprintSql(k: Int = 8): String = {
+    val (posCte, gCtes, gLast) = gramSection(k)
+    val (sCtes, sLast) = shortDocSection(k)
     s"""WITH RECURSIVE ${simhashBitsCtes},
        |sigs AS (SELECT doc_id, ($sigExpr) AS h FROM bits),
        |sig AS (SELECT doc_id, $SignedH AS simhash FROM sigs),
-       |pos AS (
-       |  SELECT doc_id, text, unnest(generate_series(1, length(text) - ${k - 1})) AS i
-       |  FROM documents WHERE length(text) > $k
-       |),
+       |$posCte,
        |$gCtes,
        |fplong AS (SELECT doc_id, MIN($SignedH) AS fingerprint FROM $gLast GROUP BY doc_id),
-       |sfnv AS (
-       |  SELECT doc_id, text AS t, 1 AS i, CAST($BasisSeed1 AS UBIGINT) AS h
-       |  FROM documents WHERE length(text) BETWEEN 1 AND $k
-       |  UNION ALL
-       |  SELECT doc_id, t, i+1,
-       |    CAST(CAST(xor(h, CAST(unicode(substr(t,i,1)) AS UBIGINT)) AS HUGEINT)
-       |         * $Prime % $M AS UBIGINT)
-       |  FROM sfnv WHERE i <= length(t)
-       |),
-       |sfnvfin AS (SELECT doc_id, h FROM sfnv WHERE i = length(t)+1),
        |$sCtes,
        |fpshort AS (SELECT doc_id, $SignedH AS fingerprint FROM $sLast),
        |fp AS (
@@ -161,6 +182,44 @@ private[queries] object Hash64Oracle {
        |FROM documents d
        |JOIN sig s ON s.doc_id = d.doc_id
        |JOIN fp ON fp.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Oracle for `text_winnow_native` ([[graft.expr.WinnowSet]]): the full
+    * winnowing fingerprint SET — per-window minimum of the SIGNED mixed
+    * gram hashes (the engine compares Longs signed, so the conversion
+    * happens BEFORE the window min), windows starting at
+    * 1..max(ng-w+1, 1), distinct minima sorted ascending and joined into
+    * one comma-separated string (a canonical scalar dodges any
+    * array-hashing ambiguity in the compare harness). Short documents
+    * yield the single seed-1 hash; empty text the empty string. */
+  def winnowSetSql(k: Int = 8, w: Int = 4): String = {
+    val (posCte, gCtes, gLast) = gramSection(k)
+    val (sCtes, sLast) = shortDocSection(k)
+    s"""WITH RECURSIVE $posCte,
+       |$gCtes,
+       |sg AS (
+       |  SELECT doc_id, i,
+       |    greatest(length(text) - ${k - 1} - ${w - 1}, 1) AS lastw,
+       |    $SignedH AS sh
+       |  FROM $gLast),
+       |wm AS (
+       |  SELECT doc_id, i, lastw,
+       |    MIN(sh) OVER (PARTITION BY doc_id ORDER BY i
+       |                  ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS m
+       |  FROM sg),
+       |sel AS (SELECT DISTINCT doc_id, m FROM wm WHERE i <= lastw),
+       |agglong AS (
+       |  SELECT doc_id, array_to_string(list(m ORDER BY m), ',') AS fps
+       |  FROM sel GROUP BY doc_id),
+       |$sCtes,
+       |aggshort AS (SELECT doc_id, CAST($SignedH AS VARCHAR) AS fps FROM $sLast),
+       |agg AS (
+       |  SELECT * FROM agglong UNION ALL SELECT * FROM aggshort
+       |  UNION ALL SELECT doc_id, '' AS fps FROM documents WHERE length(text) = 0
+       |)
+       |SELECT d.doc_id, agg.fps
+       |FROM documents d JOIN agg ON agg.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
 }

@@ -114,6 +114,25 @@ object TextQueries {
              |ORDER BY doc_id, fp""".stripMargin),
       "true winnowing fingerprint set (k=8 grams, window 4, md5-prefix hash)"),
 
+    // The scan-only winnowing production path: WinnowSet computes the
+    // full fingerprint set per row inside codegen — no explode, no
+    // per-document window shuffle (the ~500x row inflation the
+    // declarative text_winnow_fingerprint formulation pays). Same
+    // window-min semantics; the set is emitted as a canonical sorted
+    // comma-joined string and the oracle replays the engine's own hash
+    // (Hash64Oracle), so the native path is gated bit-for-bit.
+    Q(
+      "text_winnow_native",
+      (s, d) =>
+        T(s, d, "documents")
+          .select(col("doc_id"),
+            array_join(
+              TextHashFunctions.winnowSet(col("text"), k = 8, w = 4)
+                .cast("array<string>"), ",").as("fps"))
+          .orderBy("doc_id"),
+      Some(Hash64Oracle.winnowSetSql(k = 8, w = 4)),
+      "native one-pass winnowing fingerprint set (no explode, no shuffle)"),
+
     // Both native hash columns are oracle-checked bit-for-bit: the DuckDB
     // SQL replays FNV-1a + splitmix64 with HUGEINT modular arithmetic
     // (constants emitted from graft.expr.Hash64, see Hash64Oracle).

@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Permanent version of the per-round anti-pattern sweep: no registered
+  * gate query may plan a cartesian product, and nested-loop joins are
+  * allowed only in the explicitly declared exact baselines (the all-pairs
+  * yardsticks) and the tiny-centroid k-means broadcast. A new operator
+  * that accidentally degrades to an unbounded join fails HERE, not at
+  * 100 TB. */
+class PlanGuardSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Exact all-pairs baselines (scaladoc-declared) + IVF's centroid
+    * cross join (k centroids, broadcast by construction). */
+  private val declaredNestedLoop =
+    Set("dedup_embedding_cosine", "sim_topk_bruteforce", "sim_topk_ivf")
+
+  test("no gate plans a cartesian; nested-loop joins only where declared") {
+    Registry.all.foreach { q =>
+      val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct")
+      if (!declaredNestedLoop(q.name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans a BroadcastNestedLoopJoin")
+    }
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkTestSession, T}
-import graft.expr.{Fingerprint64, SimHash64}
+import graft.expr.{Fingerprint64, SimHash64, WinnowSet}
 
 class DedupSimilaritySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -75,6 +75,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val f3 = Fingerprint64.compute(UTF8String.fromString("XX hello world of data"), 8)
     assert(f1 == f2)
     assert(f1 == f3 || f1 != 0L)
+  }
+
+  test("winnow set: edges, robustness to edits, contains the global min") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ws(s: String, k: Int = 8, w: Int = 4): Seq[Long] =
+      WinnowSet.compute(UTF8String.fromString(s), k, w).toLongArray().toSeq
+    // edges: empty text -> empty set; short text -> single seed-1 hash
+    assert(ws("") == Seq.empty)
+    assert(ws("tiny") ==
+      Seq(graft.expr.Hash64.hashBytes("tiny".getBytes("UTF-8"), 1L)))
+    // sorted ascending, distinct, deterministic
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val set = ws(text)
+    assert(set == set.sorted && set.distinct == set && set == ws(text))
+    // the global minimum gram hash (Fingerprint64) is always selected:
+    // every gram position is covered by some window
+    assert(set.min == Fingerprint64.compute(UTF8String.fromString(text), 8))
+    // robustness: a point edit disturbs only the windows it touches, so
+    // most fingerprints survive (the property exact-hash dedup lacks)
+    val edited = text.replace("jumps", "leaps")
+    val overlap = (set.toSet intersect ws(edited).toSet).size.toDouble / set.size
+    assert(overlap > 0.5, s"winnowing should be edit-robust, overlap=$overlap")
   }
 
   test("LSH top-k recall vs brute force is measured and sane") {
