@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -28,6 +28,17 @@ object Hash64 {
     x ^= (x >>> 30); x *= 0xbf58476d1ce4e5b9L
     x ^= (x >>> 27); x *= 0x94d049bb133111ebL
     x ^ (x >>> 31)
+  }
+
+  /** Mixed FNV hash of the k bytes starting at `i` — the ONE k-gram hash
+    * both [[Fingerprint64]] and [[WinnowSet]] select from (they must stay
+    * bit-identical: the global-min invariant and the shared SQL oracle
+    * replica depend on it). */
+  def gramHash(b: Array[Byte], i: Int, k: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var j = i
+    while (j < i + k) { h ^= (b(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+    mix(h)
   }
 }
 
@@ -118,11 +129,7 @@ object Fingerprint64 {
     var min = Long.MaxValue
     var i = 0
     while (i + k <= b.length) {
-      // polynomial rolling window hashed through the finalizer
-      var h = 0xcbf29ce484222325L
-      var j = i
-      while (j < i + k) { h ^= (b(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
-      val m = Hash64.mix(h)
+      val m = Hash64.gramHash(b, i, k)
       if (m < min) min = m
       i += 1
     }
@@ -146,6 +153,16 @@ object Fingerprint64 {
 case class WinnowSet(child: Expression, k: Int, w: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_set needs string, got ${other.catalogString}")
+    }
+  }
+
   override def nullSafeEval(input: Any): Any =
     WinnowSet.compute(input.asInstanceOf[UTF8String], k, w)
 
@@ -161,38 +178,37 @@ object WinnowSet {
   def compute(s: UTF8String, k: Int, w: Int): ArrayData = {
     val b = s.getBytes
     if (b.length == 0)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+      return new GenericArrayData(Array.empty[Long])
     if (b.length <= k)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        Array(Hash64.hashBytes(b, 1L)))
+      return new GenericArrayData(Array(Hash64.hashBytes(b, 1L)))
     val ng = b.length - k + 1
     val hs = new Array[Long](ng)
     var i = 0
-    while (i < ng) {
-      var h = 0xcbf29ce484222325L
-      var j = i
-      while (j < i + k) { h ^= (b(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
-      hs(i) = Hash64.mix(h)
-      i += 1
-    }
+    while (i < ng) { hs(i) = Hash64.gramHash(b, i, k); i += 1 }
     // windows start at 1..max(ng-w+1, 1); a document with fewer than w
-    // grams gets one window over all of them (the md5 yardstick's guard)
+    // grams gets one window over all of them (the md5 yardstick's guard).
+    // Primitive arrays + sort + in-place dedup — this runs per row of the
+    // scan, so no boxing, no tree nodes (w is tiny, the O(ng*w) rescan is
+    // cheaper than a deque's bookkeeping).
     val nWin = math.max(ng - w + 1, 1)
-    val seen = new java.util.TreeSet[java.lang.Long]()
+    val mins = new Array[Long](nWin)
     i = 0
     while (i < nWin) {
       var min = hs(i)
       var j = i + 1
       val end = math.min(i + w, ng)
       while (j < end) { if (hs(j) < min) min = hs(j); j += 1 }
-      seen.add(min)
+      mins(i) = min
       i += 1
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
+    java.util.Arrays.sort(mins)
+    var n = 0
     i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    while (i < nWin) {
+      if (i == 0 || mins(i) != mins(i - 1)) { mins(n) = mins(i); n += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(mins, n))
   }
 }
 

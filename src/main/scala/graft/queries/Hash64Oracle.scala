@@ -180,9 +180,12 @@ private[queries] object Hash64Oracle {
        |)
        |SELECT d.doc_id, s.simhash, fp.fingerprint
        |FROM documents d
-       |JOIN sig s ON s.doc_id = d.doc_id
-       |JOIN fp ON fp.doc_id = d.doc_id
+       |LEFT JOIN sig s ON s.doc_id = d.doc_id
+       |LEFT JOIN fp ON fp.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+    // LEFT joins: a NULL-text document falls out of every CTE above and
+    // must still emit (doc_id, NULL, NULL), exactly as the engine's
+    // null-propagating expressions do.
   }
 
   /** Oracle for `text_winnow_native` ([[graft.expr.WinnowSet]]): the full
@@ -219,7 +222,10 @@ private[queries] object Hash64Oracle {
        |  UNION ALL SELECT doc_id, '' AS fps FROM documents WHERE length(text) = 0
        |)
        |SELECT d.doc_id, agg.fps
-       |FROM documents d JOIN agg ON agg.doc_id = d.doc_id
+       |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+    // LEFT join: a NULL-text document matches no branch of `agg` and must
+    // still emit (doc_id, NULL), like the engine's null-propagating
+    // winnow_set -> array_join chain.
   }
 }
