@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * Implemented as union + one ordered window per key (the linear plan):
   * both sides land in a single shuffle keyed by the join key, sorted by
-  * (time, side) with right rows first at equal timestamps, and a
-  * last-non-null window carries each right payload forward to the left
-  * rows it covers. Cost is one shuffle + one sort — never a range cross
+  * (time, side) with right rows first at equal timestamps, and one
+  * last-non-null window over a presence STRUCT carries the newest right
+  * payload forward to the left rows it covers (struct non-nullness marks
+  * "a right row", so NULL payload values propagate correctly). Cost is one shuffle + one sort — never a range cross
   * join, and skew maps to key skew (saltable). This is preference-order
   * (a) from the build rules: composed from built-ins because the
   * semantics fit exactly; no custom SparkPlan needed. */
@@ -32,40 +33,43 @@ object AsOfJoin {
       payload: Seq[(String, String)]): DataFrame = {
 
     val leftCols = left.columns
+    // ALL payload columns ride in ONE struct whose non-nullness marks "a
+    // right row": last(_, ignoreNulls) must skip only the left rows' empty
+    // slots, never a right row whose payload VALUE is legitimately NULL —
+    // per-column ignoreNulls would carry a stale older value over the
+    // newest (NULL-valued) state.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map { case (from, to) =>
+        org.apache.spark.sql.types.StructField(
+          to, right.schema(from).dataType, nullable = true)
+      })
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
+      .withColumn("_p", lit(null).cast(payloadType))
     val r0 = right
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
-    // align schemas: left gets null payload slots, right gets null left cols
-    val lAligned = payload.foldLeft(l) { case (df, (from, to)) =>
-      val _ = from
-      df.withColumn(s"_p_$to", lit(null).cast(right.schema(from).dataType))
-    }
-    val rAligned = leftCols.foldLeft(
-      payload.foldLeft(r0) { case (df, (from, to)) =>
-        df.withColumn(s"_p_$to", col(from))
-      }) { (df, c) =>
+      .withColumn("_p",
+        struct(payload.map { case (from, to) => col(from).as(to) }: _*))
+    // align schemas: right gets null left cols
+    val rAligned = leftCols.foldLeft(r0) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
 
-    val unionCols = (leftCols.toSeq :+ key).distinct ++
-      Seq("_t", "_side") ++ payload.map { case (_, to) => s"_p_$to" }
-    val unioned = lAligned.select(unionCols.distinct.map(col): _*)
-      .unionByName(rAligned.select(unionCols.distinct.map(col): _*))
+    val unionCols = ((leftCols.toSeq :+ key).distinct ++ Seq("_t", "_side", "_p")).distinct
+    val unioned = l.select(unionCols.map(col): _*)
+      .unionByName(rAligned.select(unionCols.map(col): _*))
 
     // right rows sort before left rows at equal time => "<=" semantics
     val w = Window.partitionBy(key).orderBy(col("_t").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { case (df, (_, to)) =>
-      df.withColumn(s"_c_$to", last(col(s"_p_$to"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned
+      .withColumn("_c", last(col("_p"), ignoreNulls = true).over(w))
 
-    val out = carried.filter(col("_side") === 1)
-    payload.foldLeft(out) { case (df, (_, to)) =>
-      df.withColumn(to, col(s"_c_$to"))
-    }.select((leftCols.toSeq ++ payload.map(_._2)).map(col): _*)
+    carried.filter(col("_side") === 1)
+      .select(leftCols.toSeq.map(col) ++
+        payload.map { case (_, to) => col(s"_c.$to").as(to) }: _*)
   }
 }

@@ -13,8 +13,15 @@ import graft.expr.TextHashFunctions
   *  - n-gram Jaccard: explode distinct shingles, self-join on shingle,
   *    count intersections. The `maxShingleFreq` cap drops ultra-common
   *    shingles before the join — without it a stop-shingle appearing in
-  *    10^6 docs creates a 10^12-row join at 100 TB. Capped output is a
-  *    strict subset only when a pair shares *nothing but* hot shingles.
+  *    10^6 docs creates a 10^12-row join at 100 TB. NOTE the capped
+  *    variant computes Jaccard over the CAPPED shingle universe (sizes
+  *    included): dropping hot shingles can remove pairs (shared content
+  *    was mostly hot) OR add pairs (each side's unshared shingles were
+  *    hot, inflating the effective similarity) relative to exact Jaccard.
+  *    It is a different, deliberately-bounded similarity measure — the
+  *    oracle applies the identical filter — not a strict subset of the
+  *    exact result; don't treat it as precision-safe for destructive
+  *    dedup without reviewing the cap.
   *  - MinHash-LSH: 16 minhashes → 4 bands of 4 → candidates share a band
   *    hash → verified against true Jaccard. Candidate generation is
   *    linear in docs (groupBy band), never all-pairs.

@@ -123,11 +123,18 @@ object IncrementalOps {
     * group is touched when rows arrive, leave, change in place, or MOVE
     * between groups — a move dirties both the source and the destination
     * group, which is why both sides of the diff contribute. `groupCol`
-    * must be among the diff's compared columns. */
+    * must be among the diff's compared columns.
+    *
+    * Sides are selected by `change_type`, not by null-filtering: an
+    * insert has no old side and a delete no new side (those NULLs mean
+    * "absent", not "the NULL group"), while a genuinely NULL-valued group
+    * IS a group Spark aggregates and must be refreshable like any other. */
   def touchedGroups(diff: DataFrame, groupCol: String): DataFrame =
-    diff.select(col(s"old_$groupCol").as(groupCol))
-      .unionByName(diff.select(col(s"new_$groupCol").as(groupCol)))
-      .filter(col(groupCol).isNotNull)
+    diff.filter(col("change_type").isin("delete", "update"))
+      .select(col(s"old_$groupCol").as(groupCol))
+      .unionByName(
+        diff.filter(col("change_type").isin("insert", "update"))
+          .select(col(s"new_$groupCol").as(groupCol)))
       .distinct()
 
   /** Incremental aggregate-view maintenance: refresh a per-group aggregate
@@ -152,10 +159,16 @@ object IncrementalOps {
   def incrementalAggUpdate(
       prevAgg: DataFrame, newSnap: DataFrame, touched: DataFrame,
       groupCols: Seq[String], aggs: Seq[Column]): DataFrame = {
-    val t = touched.select(groupCols.map(col): _*).distinct()
-    val kept = prevAgg.join(t, groupCols, "left_anti")
+    // null-safe joins throughout: a NULL-valued group is a real group in
+    // Spark aggregation, and plain equi-joins would never match it —
+    // leaving its stale aggregate in place forever
+    val t = touched
+      .select(groupCols.map(c => col(c).as(s"_t_$c")): _*).distinct()
+    val antiCond = groupCols.map(c => prevAgg(c) <=> t(s"_t_$c")).reduce(_ && _)
+    val kept = prevAgg.join(t, antiCond, "left_anti")
+    val semiCond = groupCols.map(c => newSnap(c) <=> t(s"_t_$c")).reduce(_ && _)
     val recomputed = newSnap
-      .join(t, groupCols, "left_semi")
+      .join(t, semiCond, "left_semi")
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     kept.unionByName(recomputed)

@@ -39,8 +39,13 @@ object LayoutOps {
     * inputs and `tileBits` kept, space splits into 2^tileBits square-ish
     * tiles — the file/bucket boundary at write time, as a projection (no
     * window, no global sort). */
-  def zTile(z: Column, bits: Int, tileBits: Int): Column =
+  def zTile(z: Column, bits: Int, tileBits: Int): Column = {
+    // a negative shift distance silently reduces mod 64 (Java shift
+    // semantics) and collapses every z into garbage tiles
+    require(tileBits >= 0 && tileBits <= 2 * bits,
+      s"tileBits=$tileBits out of range for $bits-bit inputs")
     shiftright(z, 2 * bits - tileBits)
+  }
 
   /** Per-tile layout statistics (row count + min/max of both dimensions)
     * for a corpus laid out in z-order — the engine-side analog of parquet

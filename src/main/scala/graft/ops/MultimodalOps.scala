@@ -126,6 +126,9 @@ object MultimodalOps {
     * (the decoder state amortizes per partition), rows fan out per
     * sampled frame. Non-video / unparseable payloads contribute nothing. */
   def sampleFramesReal(media: DataFrame, stride: Int): DataFrame = {
+    // fail at the driver: stride 0 would throw "step cannot be 0" inside
+    // every executor task, and a negative stride silently samples nothing
+    require(stride > 0, s"stride=$stride must be positive")
     val enc = RowEncoder.encoderFor(sampledFrameSchema)
     media
       .select("media_id", "payload")

@@ -36,10 +36,13 @@ object SketchOps {
     * exact in both a BIGINT and a double mantissa on any engine. */
   val HashSpace: Double = 4503599627370496.0
 
-  /** Uniform 52-bit integer hash of a key (salted md5 prefix). */
+  /** Uniform 52-bit integer hash of a key: the corpus-wide salted-md5
+    * construction ([[CorpusOps.saltedHash]] — ONE definition of
+    * "salt:key" hashing across sampling, splits, and sketches) with the
+    * 13-hex-digit prefix parsed as an integer. */
   def hash52(keyCol: Column, salt: String): Column =
-    conv(substring(md5(concat_ws(":", lit(salt), keyCol.cast("string"))), 1, 13),
-      16, 10).cast("long")
+    conv(substring(CorpusOps.saltedHash(keyCol, salt), 1, 13), 16, 10)
+      .cast("long")
 
   /** The sketch state itself: per group, the k smallest distinct hash
     * values of the key. Merge = union ∘ re-take-k-smallest (asserted
@@ -133,7 +136,12 @@ object SketchOps {
       groupCols: Seq[String], k: Int, ps: Seq[Double],
       salt: String = "kq"): DataFrame = {
     require(k >= 1 && ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
-    val wH = Window.partitionBy(groupCols.map(col): _*).orderBy("h")
+    // (h, v) order: if keyCol is not row-unique, equal-h rows would rank
+    // in partition-arrival order and a row straddling the rn <= k boundary
+    // would flap between runs; the v tiebreak makes the SAMPLE (and so
+    // the output) deterministic — equal (h, v) rows are interchangeable
+    val wH = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("h"), col("v"))
     val sample = df
       .select(groupCols.map(col) :+ hash52(keyCol, salt).as("h") :+
         valueCol.as("v"): _*)

@@ -10,15 +10,27 @@ import org.apache.spark.sql.types._
   * re-associate exactly, so the result is identical to the direct
   * groupBy — asserted by the shared oracle. AQE's skew handling covers
   * joins; aggregate skew on a pathological key still wants the explicit
-  * salt at 100 TB. */
+  * salt at 100 TB.
+  *
+  * The salt is a CONTENT hash of the whole row, never
+  * `spark_partition_id`/`monotonically_increasing_id`: those change when
+  * a lost map task recomputes after a fetch failure, silently moving rows
+  * between already-fetched reduce partitions (double-counted or dropped
+  * rows — the classic nondeterministic-shuffle-key bug). The trade-off is
+  * that bit-identical duplicate rows share a salt bucket; a corpus whose
+  * hot key is millions of IDENTICAL rows should exact-dedup (or
+  * count-compress) first, which is the cheaper plan anyway. */
 object SkewOps {
+
+  /** Deterministic per-row salt: hash of every column, stable across
+    * retries, repartitioning, and re-runs. */
+  private def contentSalt(df: DataFrame, buckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(buckets.toLong))
 
   def saltedCountSum(
       df: DataFrame, key: String, valueCol: String,
       buckets: Int = 16): DataFrame = {
-    val salted = df.withColumn("_salt",
-      pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()),
-        lit(buckets.toLong)))
+    val salted = df.withColumn("_salt", contentSalt(df, buckets))
     val partial = salted
       .groupBy(col(key), col("_salt"))
       .agg(
@@ -36,9 +48,7 @@ object SkewOps {
   def saltedJoin(
       big: DataFrame, small: DataFrame, key: String,
       buckets: Int = 16): DataFrame = {
-    val bigSalted = big.withColumn("_salt",
-      pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()),
-        lit(buckets.toLong)))
+    val bigSalted = big.withColumn("_salt", contentSalt(big, buckets))
     val smallReplicated = small
       .withColumn("_salt", explode(sequence(lit(0L), lit(buckets - 1L))))
     bigSalted.join(smallReplicated, Seq(key, "_salt")).drop("_salt")

@@ -42,7 +42,10 @@ object TextOps {
       .withColumn("stopword_ratio",
         stop.cast(DoubleType) / greatest(nTok, lit(1)).cast(DoubleType))
       .withColumn("mean_token_len",
-        (nChar - (nTok - lit(1))).cast(DoubleType) /
+        // total token characters / token count — measured on the joined
+        // tokens, not as nChar minus assumed single-space separators
+        // (multi-space or edge whitespace would inflate the old formula)
+        length(array_join(toks, "")).cast(DoubleType) /
           greatest(nTok, lit(1)).cast(DoubleType))
   }
 
@@ -73,7 +76,7 @@ object TextOps {
         greatest(length(col(textCol)) - (k - 1), lit(1)).as("ng"),
         substring(md5(
           when(length(col(textCol)) < k, col(textCol))
-            .otherwise(expr(s"substring($textCol, i, $k)"))), 1, 16).as("h"))
+            .otherwise(col(textCol).substr(col("i"), lit(k)))), 1, 16).as("h"))
     val win = Window.partitionBy(col(idCol)).orderBy(col("i"))
       .rowsBetween(Window.currentRow, w - 1)
     grams

@@ -38,7 +38,7 @@ object SketchQueries {
               |    l_extendedprice AS v
               |  FROM lineitem),
               |r AS (SELECT l_returnflag, h, v,
-              |        row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+              |        row_number() OVER (PARTITION BY l_returnflag ORDER BY h, v) AS rn
               |      FROM s),
               |smp AS (SELECT * FROM r WHERE rn <= $K),
               |rv AS (SELECT l_returnflag, v,

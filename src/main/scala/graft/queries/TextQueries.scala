@@ -33,7 +33,7 @@ object TextQueries {
            |    / greatest(length(text), 1) AS alpha_ratio,
            |  CAST(len(list_filter(string_split_regex(text, ' +'), t -> t IN $stop)) AS DOUBLE)
            |    / greatest(len(string_split_regex(text, ' +')), 1) AS stopword_ratio,
-           |  CAST(length(text) - (len(string_split_regex(text, ' +')) - 1) AS DOUBLE)
+           |  CAST(length(array_to_string(string_split_regex(text, ' +'), '')) AS DOUBLE)
            |    / greatest(len(string_split_regex(text, ' +')), 1) AS mean_token_len
            |FROM documents ORDER BY doc_id""".stripMargin
       },

@@ -40,6 +40,27 @@ class AsOfJoinSpec extends AnyFunSuite {
       (4L, Some(200L)))) // equal timestamp joins (<= semantics)
   }
 
+  test("as-of carries a genuinely NULL newest payload, not a stale older one") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // right state: v=5 at 00:01, then v goes NULL at 00:02 (e.g. a field
+    // cleared in the source) — a probe at 00:03 must see NULL, not 5
+    val right = Seq(
+      (1L, ts("2026-01-01 00:00:01"), Option(5L)),
+      (1L, ts("2026-01-01 00:00:02"), Option.empty[Long]))
+      .toDF("k", "rts", "v")
+    val left = Seq((1L, ts("2026-01-01 00:00:03"), "probe"))
+      .toDF("k", "lts", "tag")
+    val out = AsOfJoin.asOf(left, right, "k", "lts", "rts",
+      Seq("v" -> "v", "rts" -> "state_ts")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.isNullAt(r.fieldIndex("v")),
+      "the newest state's NULL value must win over the older non-null")
+    assert(r.getTimestamp(r.fieldIndex("state_ts")) == ts("2026-01-01 00:00:02"),
+      "the carried row is still the newest one")
+  }
+
   test("salted aggregation equals direct groupBy exactly") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (i % 7L, i * 1.01)).toDF("k", "v")

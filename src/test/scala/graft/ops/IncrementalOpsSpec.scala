@@ -143,4 +143,27 @@ class IncrementalOpsSpec extends AnyFunSuite {
     val plan = same.queryExecution.optimizedPlan.toString
     assert(plan.contains("LeftAnti") && plan.contains("LeftSemi"), plan)
   }
+
+  test("incrementalAggUpdate refreshes the NULL-valued group too") {
+    import spark.implicits._
+    // Spark aggregates NULL as a real group; a delta touching it must
+    // refresh it (null-safe joins), and an insert's absent old side must
+    // NOT be mistaken for the NULL group (change_type-based selection)
+    val prev = Seq((1L, Option("g1"), 10.0), (2L, Option.empty[String], 20.0),
+      (3L, Option.empty[String], 30.0)).toDF("id", "g", "v")
+    // row 3 leaves the NULL group; row 4 is inserted into g2
+    val next = Seq((1L, Option("g1"), 10.0), (2L, Option.empty[String], 20.0),
+      (4L, Option("g2"), 40.0)).toDF("id", "g", "v")
+    def aggs = Seq(count(lit(1)).as("n"), sum(col("v")).as("total"))
+    val prevAgg = prev.groupBy("g").agg(aggs.head, aggs.tail: _*)
+    val diff = IncrementalOps.snapshotDiff(prev, next, Seq("id"), Seq("g", "v"))
+    val touched = IncrementalOps.touchedGroups(diff, "g")
+    assert(touched.collect().map(r => Option(r.getString(0))).toSet ==
+      Set(None, Some("g2")), "NULL group dirty, g1 untouched")
+    val out = IncrementalOps
+      .incrementalAggUpdate(prevAgg, next, touched, Seq("g"), aggs)
+    val full = next.groupBy("g").agg(aggs.head, aggs.tail: _*)
+    assert(out.collect().toSet == full.collect().toSet,
+      "the NULL group's aggregate must refresh, not stay stale")
+  }
 }
