@@ -19,6 +19,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Hash64Oracle's SQL replicas equate characters with UTF-8 bytes
+    // (DuckDB `unicode(substr(text,i,1))` == byte i) — sound only for a
+    // pure-ASCII corpus. Enforce that assumption HERE, where the corpus
+    // meets the gates, so a future non-ASCII corpus fails with this
+    // message instead of as three opaque hash-gate mismatches.
+    val hashGates = Set("dedup_simhash", "text_fingerprint", "text_winnow_native")
+    if (only.forall(_.exists(hashGates.contains))) {
+      val nonAscii = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(org.apache.spark.sql.functions.col("text").rlike("[^\\u0000-\\u007f]"))
+        .count()
+      require(nonAscii == 0L,
+        s"$nonAscii documents contain non-ASCII text: graft.queries.Hash64Oracle " +
+          "replays the engine's byte-level hashes via per-CHARACTER DuckDB SQL, " +
+          "which only matches UTF-8 bytes for ASCII — extend the oracle to " +
+          "byte-level (or re-scope the hash gates) before gating this corpus")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -18,7 +18,7 @@ import org.apache.spark.sql.DataFrame
   * the bound should comfortably exceed the number of corpus snapshots a
   * session works with (default 8 at the call sites).
   */
-final class BoundedDfCache[K](maxEntries: Int) {
+final class BoundedDfCache[K](maxEntries: Int, racingPlansIdentical: Boolean = true) {
   require(maxEntries > 0, "cache bound must be positive")
 
   private val map =
@@ -35,9 +35,15 @@ final class BoundedDfCache[K](maxEntries: Int) {
     * loser's frame is simply dropped. `make` must be deterministic per
     * key (all call sites build the same plan from the key), so the
     * racing persist() calls land on ONE CacheManager entry — which is
-    * also why the loser must NOT be unpersisted: Spark caches by logical
-    * plan, and unpersisting the identical-plan loser would silently
-    * uncache the winner too. */
+    * also why the loser must NOT be unpersisted when
+    * `racingPlansIdentical` (the default): Spark caches by logical plan,
+    * and unpersisting the identical-plan loser would silently uncache
+    * the winner too. Caches whose frames are backed by run-unique
+    * lineage (e.g. [[GraphOps.sharedComponents]] — each run checkpoints
+    * fresh RDDs, so two racing builds have DISTINCT plans) must pass
+    * `racingPlansIdentical = false`; there the loser's plan is its own
+    * CacheManager entry and NOT unpersisting it would leak its storage
+    * until session end. */
   def getOrElseUpdate(k: K)(make: => DataFrame): DataFrame = {
     synchronized {
       val cur = map.get(k)
@@ -46,8 +52,10 @@ final class BoundedDfCache[K](maxEntries: Int) {
     val v = make
     synchronized {
       val cur = map.get(k)
-      if (cur != null) cur
-      else {
+      if (cur != null) {
+        if (!racingPlansIdentical) v.unpersist()
+        cur
+      } else {
         map.put(k, v)
         v
       }

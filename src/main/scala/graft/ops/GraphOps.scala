@@ -237,7 +237,11 @@ object GraphOps {
     * ([[BoundedDfCache]]); [[clearComponentCache]] releases everything.
     */
   private[ops] val componentCache =
-    new BoundedDfCache[(DataFrame, String, String)](maxEntries = 8)
+    // racingPlansIdentical = false: component frames sit on run-unique
+    // localCheckpoint RDDs, so two racing builds have DISTINCT logical
+    // plans and the race loser must be unpersisted or its blocks leak.
+    new BoundedDfCache[(DataFrame, String, String)](
+      maxEntries = 8, racingPlansIdentical = false)
 
   def sharedComponents(edges: DataFrame, aCol: String, bCol: String): DataFrame =
     componentCache.getOrElseUpdate((edges, aCol, bCol)) {

@@ -17,20 +17,26 @@ import org.apache.spark.sql.types._
   * a lost map task recomputes after a fetch failure, silently moving rows
   * between already-fetched reduce partitions (double-counted or dropped
   * rows — the classic nondeterministic-shuffle-key bug). The trade-off is
-  * that bit-identical duplicate rows share a salt bucket; a corpus whose
-  * hot key is millions of IDENTICAL rows should exact-dedup (or
-  * count-compress) first, which is the cheaper plan anyway. */
+  * that bit-identical duplicate rows share a salt bucket; when the data
+  * carries a stable unique id, pass it as `saltCols` and the salt hashes
+  * THAT instead, spreading even identical-content rows. Without one, a
+  * corpus whose hot key is millions of IDENTICAL rows should exact-dedup
+  * (or count-compress) first, which is the cheaper plan anyway. */
 object SkewOps {
 
-  /** Deterministic per-row salt: hash of every column, stable across
-    * retries, repartitioning, and re-runs. */
-  private def contentSalt(df: DataFrame, buckets: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(buckets.toLong))
+  /** Deterministic per-row salt, stable across retries, repartitioning,
+    * and re-runs: hash of `saltCols` when given (a stable unique id
+    * spreads bit-identical duplicate rows too), else of every column. */
+  private[ops] def contentSalt(
+      df: DataFrame, buckets: Int, saltCols: Seq[String]): Column = {
+    val basis = if (saltCols.nonEmpty) saltCols else df.columns.toSeq
+    pmod(xxhash64(basis.map(col): _*), lit(buckets.toLong))
+  }
 
   def saltedCountSum(
       df: DataFrame, key: String, valueCol: String,
-      buckets: Int = 16): DataFrame = {
-    val salted = df.withColumn("_salt", contentSalt(df, buckets))
+      buckets: Int = 16, saltCols: Seq[String] = Nil): DataFrame = {
+    val salted = df.withColumn("_salt", contentSalt(df, buckets, saltCols))
     val partial = salted
       .groupBy(col(key), col("_salt"))
       .agg(
@@ -47,8 +53,8 @@ object SkewOps {
     * times, salt the big side, join on (key, salt). */
   def saltedJoin(
       big: DataFrame, small: DataFrame, key: String,
-      buckets: Int = 16): DataFrame = {
-    val bigSalted = big.withColumn("_salt", contentSalt(big, buckets))
+      buckets: Int = 16, saltCols: Seq[String] = Nil): DataFrame = {
+    val bigSalted = big.withColumn("_salt", contentSalt(big, buckets, saltCols))
     val smallReplicated = small
       .withColumn("_salt", explode(sequence(lit(0L), lit(buckets - 1L))))
     bigSalted.join(smallReplicated, Seq(key, "_salt")).drop("_salt")

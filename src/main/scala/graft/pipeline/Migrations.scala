@@ -19,6 +19,15 @@ import java.sql.{Connection, DriverManager}
   * The DDL strings themselves stay dialect-specific (the reference's are
   * T-SQL; the Derby test uses ANSI DDL) — the LEDGER mechanics are what
   * this module owns.
+  *
+  * CONTRACT: atomic rollback of a failed migration requires the backend
+  * to support transactional DDL (Derby, PostgreSQL, SQL Server with
+  * XACT_ABORT — the reference's target). Backends that auto-commit each
+  * DDL statement (MySQL, Oracle) would leave a partially applied
+  * migration committed with no ledger row, so [[migrate]] probes
+  * `DatabaseMetaData.supportsDataDefinitionAndDataManipulationTransactions`
+  * / `dataDefinitionCausesTransactionCommit` and fails fast BEFORE
+  * applying anything rather than corrupt silently.
   */
 object Migrations {
 
@@ -46,6 +55,7 @@ object Migrations {
       "duplicate migration names")
     val conn = DriverManager.getConnection(url, props)
     try {
+      requireTransactionalDdl(conn)
       if (!JdbcMeta.tableExists(conn, LedgerTable)) {
         conn.createStatement().executeUpdate(
           s"""CREATE TABLE $LedgerTable (
@@ -79,6 +89,28 @@ object Migrations {
       } finally ins.close()
     } finally conn.close()
   }
+
+  /** Fail fast on backends where DDL auto-commits: there, a mid-migration
+    * failure could NOT be rolled back and the ledger's atomicity promise
+    * would silently not hold. Metadata probes that themselves throw are
+    * treated as "unknown" and allowed through (some drivers stub them) —
+    * the guard targets backends that ADMIT non-transactional DDL. */
+  private def requireTransactionalDdl(conn: Connection): Unit = {
+    val meta = conn.getMetaData
+    def probe(f: => Boolean, default: Boolean): Boolean =
+      try f catch { case _: Throwable => default }
+    val ddlInTxn =
+      probe(meta.supportsDataDefinitionAndDataManipulationTransactions(), true)
+    val ddlCommits = probe(meta.dataDefinitionCausesTransactionCommit(), false)
+    val ddlIgnored = probe(meta.dataDefinitionIgnoredInTransactions(), false)
+    require(ddlInTxn && !ddlCommits && !ddlIgnored,
+      s"backend ${probe2(meta)} does not support transactional DDL " +
+        "(DDL auto-commits or is ignored in transactions); the migration " +
+        "ledger cannot guarantee atomic rollback there — refusing to run")
+  }
+
+  private def probe2(meta: java.sql.DatabaseMetaData): String =
+    try meta.getDatabaseProductName catch { case _: Throwable => "<unknown>" }
 }
 
 /** One shared implementation of the JDBC metadata table-existence probe:

@@ -81,19 +81,27 @@ object IncrementalPipeline {
     * the knob that keeps a 100 TB/day attribution join runnable. The
     * streaming dual of the batch [[graft.ops.AsOfJoin]] /
     * [[graft.ops.RangeJoin]] (same bounded-window semantics, no
-    * cartesian). Columns resolve dataset-qualified, so the two streams
-    * may even share column names (e.g. both call their event time `ts`);
-    * the right copy of the key is dropped from the output. */
+    * cartesian). The two streams may share column names (e.g. both call
+    * their event time `ts`): the right copy of the key is dropped and
+    * every other right-side collision is renamed `right_<name>` so the
+    * output stays unambiguous to downstream select-by-name — a join that
+    * resolves but emits two identically named columns would just move
+    * the AMBIGUOUS_REFERENCE error one operator later. */
   def intervalJoin(
       left: DataFrame, leftTsCol: String,
       right: DataFrame, rightTsCol: String,
       keyCol: String, tolerance: String, watermark: String): DataFrame = {
     val l = left.withWatermark(leftTsCol, watermark)
-    val r = right.withWatermark(rightTsCol, watermark)
+    val collisions = right.columns.toSet.intersect(left.columns.toSet) - keyCol
+    // rename AFTER the watermark so the event-time metadata rides along
+    val r = collisions.foldLeft(right.withWatermark(rightTsCol, watermark)) {
+      (d, c) => d.withColumnRenamed(c, s"right_$c")
+    }
+    val rTs = if (collisions(rightTsCol)) s"right_$rightTsCol" else rightTsCol
     l.join(r,
         l(keyCol) === r(keyCol) &&
-          r(rightTsCol) >= l(leftTsCol) - expr(s"INTERVAL $tolerance") &&
-          r(rightTsCol) <= l(leftTsCol))
+          r(rTs) >= l(leftTsCol) - expr(s"INTERVAL $tolerance") &&
+          r(rTs) <= l(leftTsCol))
       .drop(r(keyCol))
   }
 

@@ -77,4 +77,33 @@ class SkewAqeSpec extends AnyFunSuite {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("saltCols disambiguator spreads bit-identical duplicate rows") {
+    // the documented trade-off of a pure content salt: a hot key made of
+    // IDENTICAL rows collapses into one bucket. With a stable unique id
+    // passed as saltCols, the same rows spread — and the aggregate is
+    // unchanged either way.
+    val dup = spark.range(1024L)
+      .select(lit(1L).as("k"), lit(2.5).as("v"), col("id").as("row_id"))
+    val buckets = 16
+
+    val fullRowSalt = dup.drop("row_id")
+    val collapsed = fullRowSalt
+      .select(SkewOps.contentSalt(fullRowSalt, buckets, Nil).as("s"))
+      .distinct().count()
+    assert(collapsed == 1, "identical rows share one content-salt bucket")
+
+    val spread = dup
+      .select(SkewOps.contentSalt(dup, buckets, Seq("row_id")).as("s"))
+      .distinct().count()
+    assert(spread == buckets, "id-based salt uses every bucket")
+
+    val direct = dup.groupBy("k").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("v").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = SkewOps.saltedCountSum(dup, "k", "v", buckets, Seq("row_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == direct)
+  }
 }

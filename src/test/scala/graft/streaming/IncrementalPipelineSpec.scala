@@ -213,7 +213,8 @@ class IncrementalPipelineSpec extends AnyFunSuite {
       (1L, "2026-01-01 10:05:00", "2026-01-01 10:00:00")))
 
     // the common naming collision — BOTH streams call their event time
-    // "ts" — must resolve (dataset-qualified refs), not throw AMBIGUOUS
+    // "ts" — must resolve, and the colliding right column must come out
+    // renamed (right_ts) so downstream select-by-name stays unambiguous
     val imps2 = MemoryStream[(Long, String)]
     val clicks2 = MemoryStream[(Long, String)]
     def ts(df: org.apache.spark.sql.DataFrame) = df.toDF("ad_id", "s")
@@ -221,13 +222,18 @@ class IncrementalPipelineSpec extends AnyFunSuite {
     val joined2 = IncrementalPipeline.intervalJoin(
       ts(clicks2.toDF()), "ts", ts(imps2.toDF()), "ts",
       "ad_id", "10 MINUTES", "30 minutes")
+    assert(joined2.columns.toSeq == Seq("ad_id", "ts", "right_ts"))
     val q2 = joined2.writeStream.format("memory").queryName("attrib2")
       .outputMode("append").start()
     imps2.addData((7L, "2026-01-01 10:00:00"))
     clicks2.addData((7L, "2026-01-01 10:01:00"))
     q2.processAllAvailable()
     q2.stop()
-    assert(spark.table("attrib2").count() == 1)
+    val row2 = spark.table("attrib2")
+      .select(col("ad_id"), col("ts").cast("string"),
+        col("right_ts").cast("string")) // select-by-name must not throw
+      .as[(Long, String, String)].collect().toSet
+    assert(row2 == Set((7L, "2026-01-01 10:01:00", "2026-01-01 10:00:00")))
   }
 
   test("file-source stream processes a raw directory as micro-batches") {
