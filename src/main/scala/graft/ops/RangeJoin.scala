@@ -46,6 +46,32 @@ object RangeJoin {
       .drop("_bucket")
   }
 
+  /** Batch twin of [[graft.streaming.IncrementalPipeline.intervalJoin]]:
+    * each left row joins right rows sharing `keyCol` whose event time
+    * falls within `[leftTs - toleranceSecs, leftTs]` — identical
+    * semantics, same right-side collision renaming (`right_<name>`), so
+    * the streaming operator has an oracle-checkable batch reference.
+    * Composed over [[pointInInterval]]: the RIGHT rows are the points
+    * (one bucket each) and each LEFT row's window replicates to the ≤
+    * tolerance/bucket + 1 buckets it spans — linear, never the
+    * BroadcastNestedLoopJoin a raw inequality join plans. */
+  def intervalJoin(
+      left: DataFrame, leftTsCol: String,
+      right: DataFrame, rightTsCol: String,
+      keyCol: String, toleranceSecs: Long,
+      bucketSecs: Long): DataFrame = {
+    val collisions = right.columns.toSet.intersect(left.columns.toSet) - keyCol
+    val r = collisions.foldLeft(right) {
+      (d, c) => d.withColumnRenamed(c, s"right_$c")
+    }
+    val rTs = if (collisions(rightTsCol)) s"right_$rightTsCol" else rightTsCol
+    val lw = left.withColumn("_w_start",
+      col(leftTsCol) - expr(s"INTERVAL $toleranceSecs SECONDS"))
+    pointInInterval(r, lw, rTs, "_w_start", leftTsCol,
+        bucketSecs, extraKey = Some(keyCol))
+      .drop("_w_start")
+  }
+
   /** Convenience: columns version of the exact containment predicate, for
     * callers composing their own post-filter. */
   def contains(point: Column, start: Column, end: Column): Column =

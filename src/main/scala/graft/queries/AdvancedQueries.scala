@@ -15,16 +15,28 @@ object AdvancedQueries {
     // As-of join: latest click at-or-before each purchase, per user.
     // Composed as union + one ordered window (single shuffle, no range
     // cross join) — see ops.AsOfJoin. Oracle: DuckDB's native ASOF JOIN.
+    // A sentinel key (-999: one purchase in 1990, its only click AFTER
+    // the purchase) is unioned into BOTH sides so the no-prior-state
+    // boundary — a key whose first left event precedes every right row —
+    // is guaranteed in the gate corpus at any SF, not data-dependent.
     Q(
       "asof_join",
       (s, d) => {
         val ev = T(s, d, "events")
         val purchases = ev.filter(col("event_type") === "purchase")
           .select("event_id", "user_id", "ts")
+          .unionByName(s.sql(
+            """SELECT CAST(-1 AS BIGINT) AS event_id,
+              |  CAST(-999 AS BIGINT) AS user_id,
+              |  TIMESTAMP'1990-01-01 00:00:00' AS ts""".stripMargin))
         val clicks = ev.filter(col("event_type") === "click")
           .groupBy("user_id", "ts")
           .agg(max("event_id").as("click_id"))
           .withColumnRenamed("ts", "click_ts")
+          .unionByName(s.sql(
+            """SELECT CAST(-999 AS BIGINT) AS user_id,
+              |  TIMESTAMP'1990-06-01 00:00:00' AS click_ts,
+              |  CAST(-2 AS BIGINT) AS click_id""".stripMargin))
         AsOfJoin
           .asOf(purchases, clicks, "user_id",
             leftTime = "ts", rightTime = "click_ts",
@@ -32,14 +44,50 @@ object AdvancedQueries {
           .orderBy("event_id")
       },
       Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
-             |           WHERE event_type = 'purchase'),
+             |           WHERE event_type = 'purchase'
+             |      UNION ALL
+             |      SELECT -1, -999, TIMESTAMP '1990-01-01 00:00:00'),
              |c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id
-             |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+             |      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+             |      UNION ALL
+             |      SELECT -999, TIMESTAMP '1990-06-01 00:00:00', -2)
              |SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
              |FROM p ASOF LEFT JOIN c
              |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
              |ORDER BY p.event_id""".stripMargin),
       "as-of join via union + ordered window (linear; DuckDB ASOF oracle)"),
+
+    // Batch twin of the streaming interval join (attribution: clicks
+    // within the 10 minutes AFTER each impression — here: click events
+    // within 10 min at-or-before each purchase, per user). Same
+    // tolerance semantics and right_<name> collision renaming as
+    // streaming.IncrementalPipeline.intervalJoin, so the watermark-bounded
+    // streaming operator has this oracle-checked batch reference. Oracle:
+    // the plain inequality join, exact.
+    Q(
+      "interval_join_batch",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        RangeJoin
+          .intervalJoin(purchases, "ts", clicks, "ts", "user_id",
+            toleranceSecs = 600L, bucketSecs = 600L)
+          .select("purchase_id", "user_id", "ts", "click_id", "right_ts")
+          .orderBy("purchase_id", "click_id")
+      },
+      Some("""WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+             |           FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT event_id AS click_id, user_id, ts
+             |      FROM events WHERE event_type = 'click')
+             |SELECT p.purchase_id, p.user_id, p.ts, c.click_id,
+             |  c.ts AS right_ts
+             |FROM p JOIN c ON p.user_id = c.user_id
+             |  AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+             |ORDER BY purchase_id, click_id""".stripMargin),
+      "batch interval join == streaming tolerance semantics (bucketed, linear)"),
 
     // Salted two-phase aggregation: bit-identical to the direct groupBy
     // (counts and DECIMAL sums re-associate exactly) while a hot key's
