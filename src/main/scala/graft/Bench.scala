@@ -42,6 +42,7 @@ object Bench {
       // one roaming pass per run (observed as a 12-15s pass-total spike).
       .config("spark.cleaner.periodicGC.interval", "30min")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

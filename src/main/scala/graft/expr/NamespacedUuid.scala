@@ -137,30 +137,96 @@ object GraftFunctions {
   def branchKey(c: Column): Column = uuid5(NamespacedUuid.NsBranch, c)
   def userKey(c: Column): Column = uuid5(NamespacedUuid.NsUser, c)
 
-  /** SQL registration for every engine-native expression:
-    * `uuid5('<hex-ns>', col)`, `uuid3('<hex-ns>', col)`,
-    * `simhash64(array<string>)`, `fingerprint64(str, k)`,
+  /** SQL surface for every engine-native expression — ONE definition
+    * list serving both registration paths:
+    *
+    *  - [[register]] installs them into an existing session's
+    *    `FunctionRegistry` (notebook / library use);
+    *  - [[graft.GraftExtensions]] injects the same list through
+    *    `SparkSessionExtensions`, so a SQL-first deployment reaches them
+    *    with nothing but `--conf spark.sql.extensions=graft.GraftExtensions`
+    *    — no Scala imports, and `newSession()` children inherit them.
+    *
+    * Functions: `uuid5('<hex-ns>', col)`, `uuid3('<hex-ns>', col)`,
+    * `simhash64(array<string>)`, `fingerprint64(str[, k])`,
+    * `winnow_set(str[, k[, w]])`,
     * `dot_product(array<double>, array<double>)`,
-    * `sign_sketch64(array<double>)`. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
+    * `sign_sketch64(array<double>)`,
+    * `lexicon_votes(array<string>, array<array<string>>)`,
+    * `lexicon_best(array<string>, array<array<string>>, array<string>)`.
+    * Config-like arguments (namespace, k/w, lexicons, labels) must be
+    * literals — they parameterize the expression instance itself. */
+  val descriptions: Seq[(String, Seq[Expression] => Expression)] = {
     def uuidBuilder(version: Int): Seq[Expression] => Expression = { exprs =>
       require(exprs.length == 2, s"uuid$version(namespaceHex, name)")
-      val ns = exprs.head.eval(null).toString
-      NamespacedUuid(exprs(1), ns, version)
+      NamespacedUuid(exprs(1), litValue(exprs.head, "namespaceHex").toString, version)
     }
-    reg.createOrReplaceTempFunction("uuid5", uuidBuilder(5), "built-in")
-    reg.createOrReplaceTempFunction("uuid3", uuidBuilder(3), "built-in")
-    reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("fingerprint64", { exprs =>
-      val k = if (exprs.length > 1)
-        exprs(1).eval(null).asInstanceOf[Number].intValue() else 8
-      Fingerprint64(exprs.head, k)
-    }, "built-in")
-    reg.createOrReplaceTempFunction("dot_product",
-      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("sign_sketch64",
-      exprs => SignSketch64(exprs.head), "built-in")
+    Seq(
+      "uuid5" -> uuidBuilder(5),
+      "uuid3" -> uuidBuilder(3),
+      "simhash64" -> { exprs =>
+        require(exprs.length == 1, "simhash64(tokens)")
+        SimHash64(exprs.head)
+      },
+      "fingerprint64" -> { exprs =>
+        require(exprs.length == 1 || exprs.length == 2, "fingerprint64(text[, k])")
+        Fingerprint64(exprs.head, litInt(exprs, 1, default = 8))
+      },
+      "winnow_set" -> { exprs =>
+        require(exprs.nonEmpty && exprs.length <= 3, "winnow_set(text[, k[, w]])")
+        WinnowSet(exprs.head, litInt(exprs, 1, default = 8), litInt(exprs, 2, default = 4))
+      },
+      "dot_product" -> { exprs =>
+        require(exprs.length == 2, "dot_product(a, b)")
+        DotProduct(exprs(0), exprs(1))
+      },
+      "sign_sketch64" -> { exprs =>
+        require(exprs.length == 1, "sign_sketch64(vec)")
+        SignSketch64(exprs.head)
+      },
+      "lexicon_votes" -> { exprs =>
+        require(exprs.length == 2, "lexicon_votes(tokens, lexicons)")
+        LexiconVotes(exprs.head, litStringSeqSeq(exprs(1), "lexicons"))
+      },
+      "lexicon_best" -> { exprs =>
+        require(exprs.length == 3, "lexicon_best(tokens, lexicons, labels)")
+        LexiconBest(exprs.head, litStringSeqSeq(exprs(1), "lexicons"),
+          litStringSeq(exprs(2), "labels"))
+      })
+  }
+
+  /** Install [[descriptions]] into an already-built session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    descriptions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+
+  private def litValue(e: Expression, what: String): Any = {
+    require(e.foldable, s"$what must be a literal")
+    val v = e.eval(null)
+    require(v != null, s"$what must not be NULL")
+    v
+  }
+
+  private def litInt(exprs: Seq[Expression], idx: Int, default: Int): Int =
+    if (exprs.length > idx)
+      litValue(exprs(idx), s"argument ${idx + 1}").asInstanceOf[Number].intValue()
+    else default
+
+  private def litStringSeq(e: Expression, what: String): Seq[String] = {
+    val ad = litValue(e, what)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
+  }
+
+  private def litStringSeqSeq(e: Expression, what: String): Seq[Seq[String]] = {
+    val ad = litValue(e, what)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until ad.numElements()).map { i =>
+      val inner = ad.getArray(i)
+      (0 until inner.numElements()).map(j => inner.getUTF8String(j).toString)
+    }
   }
 }

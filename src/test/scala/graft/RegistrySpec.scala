@@ -12,6 +12,10 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the deployment-grade SQL surface: the test session is built the
+      // way a cluster user would build theirs, so specs can assert the
+      // config-only path end-to-end (GraftExtensionsSpec)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
