@@ -90,10 +90,10 @@ object Extract {
     *  - any other 4xx → [[PermanentFetchError]] (fail-stop: bad token,
     *    forbidden — retrying burns rate limit for nothing)
     *
-    * `send` is the transport ((path, page) → (status, body)); a networked
-    * deployment binds it to `java.net.http.HttpClient` with the bearer
-    * token header (auth.py:24-39), tests bind stubs — the decision logic
-    * above is what this function owns and what the specs pin. */
+    * `send` is the transport ((path, page) → (status, body)); [[http]]
+    * binds it to `java.net.http.HttpClient` with the bearer token header
+    * (auth.py:24-39), tests bind stubs — the decision logic above is what
+    * this function owns and what the specs pin. */
   def httpFetcher(send: (String, Int) => (Int, String)): Fetcher =
     (path, page) => {
       val (status, body) = send(path, page)
@@ -107,6 +107,61 @@ object Extract {
         case s => throw PermanentFetchError(s, s"$path p$page")
       }
     }
+
+  /** The real transport: `java.net.http.HttpClient` GETs of
+    * `<baseUrl><path>?per_page=<n>&page=<p>` with the bearer-token and
+    * GitHub media-type headers (auth.py:24-39; pagination params
+    * extract.py:43-56). Serializable so the per-repo fan-out can ship it
+    * to executors — what travels is the CONFIG (base URL, token,
+    * timeouts); the client itself is `@transient lazy`, built once per
+    * JVM. I/O faults (connect refused, read timeout) surface as
+    * [[TransientFetchError]] so [[withRetry]] backs off exactly as for a
+    * 5xx. */
+  final class HttpTransport(
+      baseUrl: String, token: String, perPage: Int,
+      connectTimeoutMs: Long, requestTimeoutMs: Long)
+      extends ((String, Int) => (Int, String)) with Serializable {
+
+    @transient private lazy val client: java.net.http.HttpClient =
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
+        .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+        .build()
+
+    override def apply(path: String, page: Int): (Int, String) = {
+      val sep = if (path.contains("?")) "&" else "?"
+      val uri = java.net.URI.create(
+        s"$baseUrl$path${sep}per_page=$perPage&page=$page")
+      val req = java.net.http.HttpRequest.newBuilder(uri)
+        .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
+        .header("Authorization", s"Bearer $token")
+        .header("Accept", "application/vnd.github+json")
+        .GET().build()
+      try {
+        val resp = client.send(
+          req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      } catch {
+        case e: java.io.IOException =>
+          throw TransientFetchError(s"I/O on $uri: ${e.getMessage}")
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw TransientFetchError(s"interrupted on $uri")
+      }
+    }
+  }
+
+  /** Networked [[Fetcher]]: [[HttpTransport]] routed through
+    * [[httpFetcher]]'s status mapping. `baseUrl` defaults to the public
+    * GitHub API; tests point it at a local stub server. */
+  def http(
+      token: String,
+      baseUrl: String = "https://api.github.com",
+      perPage: Int = 100,
+      connectTimeoutMs: Long = 10000,
+      requestTimeoutMs: Long = 30000): Fetcher =
+    httpFetcher(new HttpTransport(
+      baseUrl, token, perPage, connectTimeoutMs, requestTimeoutMs))
 
   /** Run `op`, retrying [[TransientFetchError]] per `policy`.
     * [[PermanentFetchError]] (and anything else) propagates immediately —

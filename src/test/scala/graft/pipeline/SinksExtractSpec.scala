@@ -368,4 +368,114 @@ class SinksExtractSpec extends AnyFunSuite {
     val branches = Extract.extractBranches(spark, fetcher, cfg, eligible)
     assert(branches.select("repo_name").head().getString(0) == "ok")
   }
+
+  /** In-process HTTP stub on a real socket for the [[Extract.http]]
+    * transport tests: records every request (path, query, auth header)
+    * and serves a programmable handler. */
+  private def withStubServer[A](
+      handler: (String, String) => (Int, String))(
+      body: (String, () => Seq[(String, String, String)]) => A): A = {
+    val server = com.sun.net.httpserver.HttpServer
+      .create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[(String, String, String)]
+    server.createContext("/", { exchange =>
+      val path = exchange.getRequestURI.getPath
+      val query = Option(exchange.getRequestURI.getQuery).getOrElse("")
+      val auth = Option(exchange.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      seen.add((path, query, auth))
+      val (status, payload) = handler(path, query)
+      val bytes = payload.getBytes("UTF-8")
+      exchange.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}",
+      () => { import scala.jdk.CollectionConverters._; seen.asScala.toSeq })
+    finally server.stop(0)
+  }
+
+  test("HttpClient fetcher over a real socket: pages, auth header, empty-page stop") {
+    withStubServer((path, query) =>
+      if (path == "/users/o/repos") {
+        val page = query.split("&").collectFirst {
+          case s if s.startsWith("page=") => s.drop(5).toInt
+        }.getOrElse(1)
+        if (page <= 2) (200, s"""[{"p": $page}]""") else (200, "[]")
+      } else (404, "nope")
+    ) { (base, seen) =>
+      val fetcher = Extract.http("tok123", baseUrl = base, perPage = 2)
+      val cfg = Extract.Config("o", perPage = 2, maxPages = 5)
+      val pages = Extract.fetchPages(fetcher, "/users/o/repos", cfg)
+      assert(pages == Seq("""[{"p": 1}]""", """[{"p": 2}]"""))
+      val reqs = seen()
+      assert(reqs.length == 3, "two payload pages + the empty stop page")
+      assert(reqs.forall(_._3 == "Bearer tok123"),
+        "every request carries the bearer token (auth.py:24-39)")
+      assert(reqs.map(_._2) ==
+        Seq("per_page=2&page=1", "per_page=2&page=2", "per_page=2&page=3"))
+      // 404 endpoint = no data, not an error (reference semantics)
+      assert(Extract.fetchPages(fetcher, "/repos/o/gone/issues", cfg).isEmpty)
+    }
+  }
+
+  test("HttpClient fetcher over a real socket: 429 retries, 401 fails fast") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    withStubServer((path, _) =>
+      path match {
+        case "/flaky" =>
+          if (hits.incrementAndGet() == 1) (429, "slow down")
+          else (200, """[{"ok": true}]""")
+        case "/rejected" => (401, "bad credentials")
+        case _ => (200, "[]")
+      }
+    ) { (base, seen) =>
+      val fetcher = Extract.http("tok123", baseUrl = base)
+      var sleeps = List.empty[Long]
+      val policy = Extract.RetryPolicy(maxAttempts = 3, sleep = sleeps :+= _)
+      val cfg = Extract.Config("o", maxPages = 1)
+
+      // 429 → one backoff, then the retried request succeeds
+      assert(Extract.fetchPages(fetcher, "/flaky", cfg, policy)
+        == Seq("""[{"ok": true}]"""))
+      assert(sleeps.length == 1, "exactly one backoff for the one 429")
+
+      // 401 → PermanentFetchError without ANY retry (fail-stop)
+      val before = seen().count(_._1 == "/rejected")
+      val e = intercept[Extract.PermanentFetchError] {
+        Extract.fetchPages(fetcher, "/rejected", cfg, policy)
+      }
+      assert(e.status == 401)
+      assert(seen().count(_._1 == "/rejected") == before + 1,
+        "a rejected token must not be retried")
+    }
+  }
+
+  test("HttpClient fetcher: connection failure is transient (retried), and executors can use it") {
+    // unroutable port: connect fails → TransientFetchError → withRetry
+    var sleeps = 0
+    val policy = Extract.RetryPolicy(maxAttempts = 2, sleep = _ => sleeps += 1)
+    val dead = Extract.http("t", baseUrl = "http://127.0.0.1:1",
+      connectTimeoutMs = 200, requestTimeoutMs = 200)
+    intercept[Extract.TransientFetchError] {
+      Extract.withRetry(policy)(dead("/x", 1))
+    }
+    assert(sleeps == 1, "connect-refused backs off like a 5xx")
+
+    // the transport must survive the executor closure (Serializable with
+    // a @transient lazy client): run the per-repo fan-out through Spark
+    withStubServer((path, query) =>
+      // endsWith, not contains: "per_page=100" also contains "page=1"
+      if (path.endsWith("/branches") && query.endsWith("&page=1"))
+        (200, """[{"name": "main", "protected": true, "commit": {"sha": "a", "url": "u"}}]""")
+      else (200, "[]")
+    ) { (base, _) =>
+      val fetcher = Extract.http("tok", baseUrl = base)
+      val cfg = Extract.Config("o", maxPages = 2)
+      val branches = Extract.extractBranches(
+        spark, fetcher, cfg, Seq("r1", "r2"))
+      assert(branches.select("repo_name").collect().map(_.getString(0)).sorted
+        .toSeq == Seq("r1", "r2"))
+    }
+  }
 }
