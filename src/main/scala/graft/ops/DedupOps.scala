@@ -227,6 +227,40 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Winnowing-fingerprint near-dup pairs (Schleimer/Wilkerson/Aiken's
+    * MOSS candidate set): documents sharing at least `minShared` winnow
+    * fingerprints, computed from the native one-pass
+    * [[graft.expr.WinnowSet]] — the scan emits each document's bounded
+    * fingerprint set directly (no gram explode, no per-gram shuffle; only
+    * the ~2/(w+1)-selected minima ever leave the scan). Hot fingerprints
+    * (common boilerplate k-grams) are capped by document frequency before
+    * the equi-join, the same guard that bounds the shingle join in
+    * [[ngramJaccardPairs]] — with it the join is linear in
+    * fingerprints × cap, never all-pairs. Unlike Jaccard this matches on
+    * raw BYTE k-grams, so it catches near-dups that token-level shingles
+    * miss (reordered sentences, moved paragraphs) — the plagiarism-
+    * detection shape, at corpus scale. */
+  def winnowPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minShared: Int = 3,
+      maxFpFreq: Option[Int] = None): DataFrame = {
+    val fps = df.select(col(idCol),
+      explode(TextHashFunctions.winnowSet(col(textCol), k, w)).as("fp"))
+    val kept = maxFpFreq match {
+      case Some(cap) =>
+        val hot = fps.groupBy("fp").agg(count(lit(1)).as("f"))
+          .filter(col("f") > cap).select("fp")
+        fps.join(broadcast(hot), Seq("fp"), "left_anti")
+      case None => fps
+    }
+    val a = kept.select(col(idCol).as("a"), col("fp"))
+    val b = kept.select(col(idCol).as("b"), col("fp"))
+    a.join(b, "fp")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Exact cosine near-dup over embeddings (brute-force baseline). */
   def embeddingNearDupPairs(
       emb: DataFrame, idCol: String, vecCol: String,

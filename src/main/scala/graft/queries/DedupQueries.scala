@@ -129,6 +129,20 @@ object DedupQueries {
       Some(Hash64Oracle.simhashPairsSql(maxHamming = 3)),
       "SimHash near-dup pairs (Hamming <= 3, 4x16 banding; native hash)"),
 
+    // MOSS-style winnowing dedup: byte-k-gram fingerprint sets from the
+    // native one-pass WinnowSet, df-capped, pairs sharing >= minShared.
+    // Oracle: the same staged SQL replica of the engine hash that backs
+    // text_winnow_native, extended with the cap + pair join.
+    Q(
+      "dedup_winnow",
+      (s, d) =>
+        DedupOps
+          .winnowPairs(T(s, d, "documents"), "doc_id", "text",
+            k = 8, w = 4, minShared = 3, maxFpFreq = Some(8))
+          .orderBy("a", "b"),
+      Some(Hash64Oracle.winnowPairsSql(k = 8, w = 4, minShared = 3, cap = 8)),
+      "winnowing-fingerprint near-dup pairs (byte k-grams, df-capped, native)"),
+
     Q(
       "dedup_embedding_cosine",
       (s, d) =>

@@ -196,26 +196,36 @@ private[queries] object Hash64Oracle {
     * one comma-separated string (a canonical scalar dodges any
     * array-hashing ambiguity in the compare harness). Short documents
     * yield the single seed-1 hash; empty text the empty string. */
-  def winnowSetSql(k: Int = 8, w: Int = 4): String = {
+  /** Shared core of the winnowing oracles: CTE text ending in `sel`
+    * (DISTINCT (doc_id, m) window minima for long documents) plus the
+    * short-document section's last CTE name. */
+  private def winnowCoreCtes(k: Int, w: Int): (String, String) = {
     val (posCte, gCtes, gLast) = gramSection(k)
     val (sCtes, sLast) = shortDocSection(k)
-    s"""WITH RECURSIVE $posCte,
-       |$gCtes,
-       |sg AS (
-       |  SELECT doc_id, i,
-       |    greatest(length(text) - ${k - 1} - ${w - 1}, 1) AS lastw,
-       |    $SignedH AS sh
-       |  FROM $gLast),
-       |wm AS (
-       |  SELECT doc_id, i, lastw,
-       |    MIN(sh) OVER (PARTITION BY doc_id ORDER BY i
-       |                  ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS m
-       |  FROM sg),
-       |sel AS (SELECT DISTINCT doc_id, m FROM wm WHERE i <= lastw),
+    val core =
+      s"""$posCte,
+         |$gCtes,
+         |sg AS (
+         |  SELECT doc_id, i,
+         |    greatest(length(text) - ${k - 1} - ${w - 1}, 1) AS lastw,
+         |    $SignedH AS sh
+         |  FROM $gLast),
+         |wm AS (
+         |  SELECT doc_id, i, lastw,
+         |    MIN(sh) OVER (PARTITION BY doc_id ORDER BY i
+         |                  ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS m
+         |  FROM sg),
+         |sel AS (SELECT DISTINCT doc_id, m FROM wm WHERE i <= lastw),
+         |$sCtes""".stripMargin
+    (core, sLast)
+  }
+
+  def winnowSetSql(k: Int = 8, w: Int = 4): String = {
+    val (core, sLast) = winnowCoreCtes(k, w)
+    s"""WITH RECURSIVE $core,
        |agglong AS (
        |  SELECT doc_id, array_to_string(list(m ORDER BY m), ',') AS fps
        |  FROM sel GROUP BY doc_id),
-       |$sCtes,
        |aggshort AS (SELECT doc_id, CAST($SignedH AS VARCHAR) AS fps FROM $sLast),
        |agg AS (
        |  SELECT * FROM agglong UNION ALL SELECT * FROM aggshort
@@ -227,5 +237,24 @@ private[queries] object Hash64Oracle {
     // LEFT join: a NULL-text document matches no branch of `agg` and must
     // still emit (doc_id, NULL), like the engine's null-propagating
     // winnow_set -> array_join chain.
+  }
+
+  /** Oracle for `dedup_winnow` ([[graft.ops.DedupOps.winnowPairs]]): the
+    * per-document fingerprint sets (long-branch window minima ∪
+    * short-branch seed-1 hash; empty/NULL text contributes nothing), a
+    * document-frequency cap on hot fingerprints, then pairs sharing at
+    * least `minShared` surviving fingerprints — the MOSS candidate set. */
+  def winnowPairsSql(
+      k: Int = 8, w: Int = 4, minShared: Int, cap: Int): String = {
+    val (core, sLast) = winnowCoreCtes(k, w)
+    s"""WITH RECURSIVE $core,
+       |selshort AS (SELECT doc_id, $SignedH AS m FROM $sLast),
+       |fps AS (SELECT * FROM sel UNION ALL SELECT * FROM selshort),
+       |keep AS (SELECT m FROM fps GROUP BY m HAVING COUNT(*) <= $cap),
+       |fpk AS (SELECT fps.doc_id, fps.m FROM fps JOIN keep USING (m))
+       |SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
+       |FROM fpk x JOIN fpk y ON x.m = y.m AND x.doc_id < y.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared
+       |ORDER BY a, b""".stripMargin
   }
 }

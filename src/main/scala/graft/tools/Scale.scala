@@ -1,0 +1,150 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{CorpusOps, DedupOps, GraphOps, LinkageOps}
+
+/** Wall-time scaling curves for the five operators whose LINEARITY is
+  * load-bearing in every 100 TB claim: connected components (iterative +
+  * star-contraction), decontamination, capped n-gram Jaccard, blocked
+  * fuzzy linkage, and MinHash-LSH. Synthetic corpora at three sizes
+  * spanning two decades; a superlinear bend here means the asymptotic
+  * argument in the scaladoc is wrong in practice.
+  *
+  * Corpus model (all derived from `spark.range` + deterministic hashes —
+  * distributed generation, no driver-side data):
+  *
+  *  - documents: 40 tokens each, vocabulary ∝ corpus size (a growing
+  *    corpus grows by NEW content, so per-shingle document frequency
+  *    stays flat — the regime the operators are designed for; a corpus
+  *    whose vocabulary saturates instead is exactly what the hot-shingle
+  *    cap handles, measured separately by the cap itself). Every 10th
+  *    doc is a planted near-dup of its predecessor (3-gram Jaccard ≈ .9).
+  *  - names: blocks of 4 sharing a 16-char prefix, differing in a final
+  *    ordinal char — every block contributes bounded candidates, like
+  *    the deletion-neighborhood keys in the linkage gate.
+  *  - edges: chains of 20 nodes (components of constant size, count ∝ n
+  *    — the duplicate-cluster shape at corpus scale).
+  *
+  * Two trials per (operator, size), min reported (first trial at the
+  * smallest size also pays codegen/JIT; min-of-2 removes that without
+  * hiding steady-state cost). Output: one JSON line per measurement plus
+  * a markdown table for PERF.md. */
+object Scale {
+
+  private def docs(spark: SparkSession, n: Long): DataFrame = {
+    val vocab = n // ∝ n: flat shingle df as the corpus grows
+    val src = when(col("id") % 10 === 0 && col("id") > 0, col("id") - 1)
+      .otherwise(col("id"))
+    val toks = transform(sequence(lit(0L), lit(39L)),
+      j => concat(lit("w"),
+        pmod(xxhash64(src * 1000L + j), lit(vocab)).cast("string")))
+    val base = concat_ws(" ", toks)
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      // near-dup: the source text plus a unique tail token (J ≈ 38/42)
+      when(col("id") % 10 === 0 && col("id") > 0,
+        concat(base, lit(" zz"), col("id").cast("string")))
+        .otherwise(base).as("text"))
+  }
+
+  private def names(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("nid"),
+      concat(lit("n"),
+        // floor division: `/` on longs is DOUBLE division and would leak
+        // ".25" fractions into the "shared" prefix (blocks of size 1)
+        lpad(floor(col("id") / 4).cast("long").cast("string"), 15, "0"),
+        pmod(col("id"), lit(4)).cast("string")).as("name"))
+
+  private def edges(spark: SparkSession, nNodes: Long): DataFrame =
+    spark.range(nNodes)
+      .filter(col("id") % 20 =!= 19) // break chains every 20 nodes
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+
+  private def time(f: => Long): Double = {
+    val t0 = System.nanoTime()
+    val n = f
+    val secs = (System.nanoTime() - t0) / 1e9
+    require(n > 0, "operator produced no rows — the measurement is vacuous")
+    secs
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes: Seq[Long] =
+      if (args.nonEmpty) args(0).split(",").map(_.trim.toLong).toSeq
+      else Seq(5000L, 50000L, 500000L)
+    val trials = 3 // min-of-3: host noise at small n is several seconds
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Double)]
+
+    for (n <- sizes) {
+      val d = docs(spark, n).persist()
+      val nm = names(spark, n).persist()
+      val e = edges(spark, 2 * n).persist()
+      (d.count(), nm.count(), e.count()) // materialize outside the clock
+
+      val ops: Seq[(String, () => Long)] = Seq(
+        "ngram_jaccard_capped" -> (() =>
+          DedupOps.ngramJaccardPairs(d, "doc_id", "text",
+            k = 3, threshold = 0.8, maxShingleFreq = Some(8)).count()),
+        "minhash_lsh" -> (() =>
+          DedupOps.minhashLshPairs(d, "doc_id", "text",
+            k = 3, threshold = 0.8).count()),
+        "decontaminate" -> (() =>
+          CorpusOps.decontaminationPairs(d, "doc_id", "text",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            salt = "split", trainLabel = "train",
+            k = 3, minContainment = 0.6).count()),
+        "linkage_blocked" -> (() =>
+          LinkageOps.blockedFuzzyPairs(nm, "nid", "name",
+            Seq(substring(col("name"), 1, 16)), maxDistance = 1).count()),
+        "connected_components" -> (() => {
+          val cc = GraphOps.connectedComponents(e, "a", "b")
+          val rows = cc.count()
+          cc.unpersist()
+          rows
+        }),
+        "star_contraction" -> (() => {
+          val sc = GraphOps.starContraction(e, "a", "b")
+          val rows = sc.count()
+          sc.unpersist()
+          rows
+        }))
+
+      for ((name, op) <- ops) {
+        System.gc() // don't let one op's garbage land in the next's clock
+        val secs = (1 to trials).map(_ => time(op())).min
+        results += ((name, n, secs))
+        println(f"""{"op":"$name","n":$n,"secs":$secs%.2f}""")
+      }
+      d.unpersist(); nm.unpersist(); e.unpersist()
+    }
+
+    // markdown table: rows = ops, one column per size, plus the growth
+    // exponent alpha over the full range (t ~ n^alpha; alpha <= ~1.15
+    // reads as linear-with-overhead, >1.3 is a superlinear bend)
+    println("\n| operator | " + sizes.map(s => s"n=$s").mkString(" | ") +
+      " | alpha |")
+    println("|---|" + sizes.map(_ => "---|").mkString + "---|")
+    for (op <- results.map(_._1).distinct) {
+      val times = sizes.map(s =>
+        results.find(r => r._1 == op && r._2 == s).get._3)
+      val alpha = math.log(times.last / times.head) /
+        math.log(sizes.last.toDouble / sizes.head)
+      println(s"| $op | " + times.map(t => f"$t%.2f s").mkString(" | ") +
+        f" | $alpha%.2f |")
+    }
+    spark.stop()
+  }
+}

@@ -99,6 +99,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(overlap > 0.5, s"winnowing should be edit-robust, overlap=$overlap")
   }
 
+  test("winnow pairs: catches a REORDERED near-dup, caps hot fingerprints") {
+    import spark.implicits._
+    val s1 = "the quick brown fox jumps over the lazy dog in the park"
+    // sentence-reordered variant: token-shingle Jaccard on 3-grams drops
+    // (crossings break shingles) but byte-gram winnow fingerprints mostly
+    // survive — the MOSS property this operator exists for
+    val s2 = "in the park the quick brown fox jumps over the lazy dog"
+    val df = Seq((1L, s1), (2L, s2), (3L, "completely unrelated content xyzq"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps
+      .winnowPairs(df, "doc_id", "text", k = 8, w = 4, minShared = 3)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+
+    // df cap: a fingerprint present in EVERY doc (shared boilerplate) is
+    // dropped before the join, so boilerplate alone cannot pair documents
+    val boiler = "standard header boilerplate text here"
+    val bdf = (1L to 6L).map(i => (i, s"$boiler unique tail $i ${i * 7}"))
+      .toDF("doc_id", "text")
+    val uncapped = DedupOps
+      .winnowPairs(bdf, "doc_id", "text", minShared = 3).count()
+    val capped = DedupOps
+      .winnowPairs(bdf, "doc_id", "text", minShared = 3,
+        maxFpFreq = Some(3)).count()
+    assert(uncapped > 0, "shared boilerplate pairs everything uncapped")
+    assert(capped == 0, "df-capped fingerprints drop the boilerplate pairs")
+  }
+
   test("LSH top-k recall vs brute force is measured and sane") {
     val emb = T(spark, sf, "embeddings")
     val brute = SimilarityOps
