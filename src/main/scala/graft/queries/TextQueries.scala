@@ -150,6 +150,30 @@ object TextQueries {
       Some(Hash64Oracle.fingerprintSql(k = 8)),
       "SimHash + winnowing fingerprint via native codegen expressions"),
 
+    // The SQL registration surface itself, oracle-gated: the same native
+    // expressions as text_fingerprint/text_winnow_native but invoked
+    // through spark.sql(...) against the extension-injected functions
+    // (GraftExtensions — Verify's session is built with the config), so
+    // a SQL-path regression (builder arity, literal decoding, analyzer
+    // resolution) fails a hash gate, not just a unit test.
+    Q(
+      "sql_native_surface",
+      (s, d) => {
+        T(s, d, "documents").createOrReplaceTempView("documents_sqlsurface")
+        s.sql(
+          """SELECT doc_id,
+            |  simhash64(split(text, ' +')) AS simhash,
+            |  fingerprint64(text, 8) AS fingerprint,
+            |  array_join(CAST(winnow_set(text, 8, 4) AS ARRAY<STRING>), ',') AS fps
+            |FROM documents_sqlsurface ORDER BY doc_id""".stripMargin)
+      },
+      Some(s"""SELECT f.doc_id, f.simhash, f.fingerprint, w.fps
+              |FROM (${Hash64Oracle.fingerprintSql(k = 8)}) f
+              |JOIN (${Hash64Oracle.winnowSetSql(k = 8, w = 4)}) w
+              |  ON f.doc_id = w.doc_id
+              |ORDER BY f.doc_id""".stripMargin),
+      "native expressions through the injected SQL surface (hash-gated)"),
+
     // The training-data pipeline composed end to end: quality-score →
     // threshold filter → language filter → exact dedup (min-id survivor,
     // copies counted). One declarative plan — Catalyst fuses the scoring

@@ -101,6 +101,9 @@ object Scale {
         "minhash_lsh" -> (() =>
           DedupOps.minhashLshPairs(d, "doc_id", "text",
             k = 3, threshold = 0.8).count()),
+        "winnow_pairs" -> (() =>
+          DedupOps.winnowPairs(d, "doc_id", "text",
+            k = 8, w = 4, minShared = 3, maxFpFreq = Some(8)).count()),
         "decontaminate" -> (() =>
           CorpusOps.decontaminationPairs(d, "doc_id", "text",
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
