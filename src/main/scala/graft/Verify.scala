@@ -25,7 +25,8 @@ object Verify {
     // pure-ASCII corpus. Enforce that assumption HERE, where the corpus
     // meets the gates, so a future non-ASCII corpus fails with this
     // message instead of as three opaque hash-gate mismatches.
-    val hashGates = Set("dedup_simhash", "text_fingerprint", "text_winnow_native")
+    val hashGates = Set("dedup_simhash", "text_fingerprint",
+      "text_winnow_native", "dedup_winnow", "sql_native_surface")
     if (only.forall(_.exists(hashGates.contains))) {
       val nonAscii = spark.read.parquet(s"$sfDir/documents.parquet")
         .filter(org.apache.spark.sql.functions.col("text").rlike("[^\\u0000-\\u007f]"))
