@@ -227,6 +227,49 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Incremental (delta-vs-corpus) n-gram Jaccard near-dup: pairs
+    * `(a = base doc, b = delta doc)` with Jaccard >= threshold, NEVER
+    * base×base — the operator an *incremental* pipeline actually runs
+    * per ingest. Work is delta-proportional: the delta is shingled
+    * fresh, the base side can be the staged corpus shingle frame
+    * (at warehouse scale: the materialized shingle index), and the
+    * equi-join only ever touches base shingles that also occur in the
+    * delta. `maxShingleFreq` caps document frequency measured across
+    * BOTH sides (a stop-shingle is hot regardless of which side it is
+    * on), the same guard as [[ngramJaccardPairs]]. Sides are assumed
+    * id-disjoint (an id in both would pair with itself). */
+  def ngramJaccardPairsBetween(
+      base: DataFrame, delta: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double,
+      maxShingleFreq: Option[Int] = None,
+      reuseBaseShingles: Boolean = false): DataFrame = {
+    val shB0 =
+      if (reuseBaseShingles) sharedShingles(base, idCol, textCol, k)
+      else shingles(base, idCol, textCol, k)
+    val shD0 = shingles(delta, idCol, textCol, k)
+    val (shB, shD) = maxShingleFreq match {
+      case Some(cap) =>
+        val hot = shB0.select("shingle").unionAll(shD0.select("shingle"))
+          .groupBy("shingle").agg(count(lit(1)).as("f"))
+          .filter(col("f") > cap).select("shingle")
+        (shB0.join(broadcast(hot), Seq("shingle"), "left_anti"),
+          shD0.join(broadcast(hot), Seq("shingle"), "left_anti"))
+      case None => (shB0, shD0)
+    }
+    val sizesB = shB.groupBy(col(idCol)).agg(count(lit(1)).as("na"))
+    val sizesD = shD.groupBy(col(idCol)).agg(count(lit(1)).as("nb"))
+    val common = shB.select(col(idCol).as("a"), col("shingle"))
+      .join(shD.select(col(idCol).as("b"), col("shingle")), "shingle")
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    common
+      .join(sizesB.withColumnRenamed(idCol, "a"), "a")
+      .join(sizesD.withColumnRenamed(idCol, "b"), "b")
+      .withColumn("jaccard",
+        col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
   /** Winnowing-fingerprint near-dup pairs (Schleimer/Wilkerson/Aiken's
     * MOSS candidate set): documents sharing at least `minShared` winnow
     * fingerprints, computed from the native one-pass

@@ -14,7 +14,9 @@ object DedupQueries {
     * checked against. `cap` replicates `maxShingleFreq`: shingles present
     * in more than `cap` documents are dropped before sizes/intersections,
     * exactly as the Spark-side left-anti filter does. */
-  private[queries] def jaccardPairCtes(threshold: Double, cap: Option[Int] = None): String = {
+  private[queries] def jaccardPairCtes(
+      threshold: Double, cap: Option[Int] = None,
+      pairPred: String = "a.doc_id < b.doc_id"): String = {
     val capCtes = cap.fold("") { c =>
       s"""kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $c),
          |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
@@ -29,7 +31,7 @@ object DedupQueries {
        |  FROM toks)),
        |${capCtes}sizes AS (SELECT doc_id, count(*) AS n FROM $shTable GROUP BY 1),
        |common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
-       |  FROM $shTable a JOIN $shTable b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM $shTable a JOIN $shTable b ON a.shingle = b.shingle AND $pairPred
        |  GROUP BY 1, 2),
        |pairs AS (SELECT a, b, c * 1.0 / (sa.n + sb.n - c) AS jaccard
        |  FROM common
@@ -98,6 +100,28 @@ object DedupQueries {
           .orderBy("a", "b"),
       Some(jaccardSql(0.8, cap = Some(4))),
       "capped 3-gram Jaccard (df<=4 shingles only): the bounded-join scale path"),
+
+    // Incremental dedup: the delta (odd doc_ids) checked against the
+    // existing corpus (even doc_ids) — delta-proportional work, never
+    // base×base. The oracle is the same shingle/cap/Jaccard SQL with the
+    // pair predicate swapped from a<b to base-side × delta-side.
+    Q(
+      "dedup_incremental_delta",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val base = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val delta = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        DedupOps
+          .ngramJaccardPairsBetween(base, delta, "doc_id", "text",
+            k = 3, threshold = 0.8, maxShingleFreq = Some(4))
+          .orderBy("a", "b")
+      },
+      Some {
+        s"""WITH ${jaccardPairCtes(0.8, cap = Some(4),
+             pairPred = "a.doc_id % 2 = 0 AND b.doc_id % 2 = 1")}
+           |SELECT a, b, jaccard FROM pairs ORDER BY a, b""".stripMargin
+      },
+      "incremental delta-vs-corpus near-dup (delta-proportional, capped)"),
 
     // MinHash-LSH: candidates from banded minhash signatures, verified
     // against true Jaccard. On this corpus LSH recall is exhaustive (the

@@ -99,6 +99,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(overlap > 0.5, s"winnowing should be edit-robust, overlap=$overlap")
   }
 
+  test("incremental delta-vs-corpus pairs == full pairs restricted to cross-side") {
+    import spark.implicits._
+    // planted near-dups BOTH across the base/delta boundary (1~2, 4~7)
+    // and within one side (1~3 base×base, 5~7 delta×delta) — the latter
+    // must NOT appear in the incremental result
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"), // ~1 (cross: odd vs even? 1 odd, 2 even)
+      (3L, "a b c d e f g h i l"), // ~1 (odd-odd: within delta)
+      (4L, "p q r s t u v w x y"),
+      (5L, "m n o aa bb cc dd ee ff gg"),
+      (7L, "p q r s t u v w x z"), // ~4 (cross), and 5~7 unrelated
+      (6L, "zz yy xx ww vv uu tt ss rr qq"))
+      .toDF("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+
+    val full = DedupOps
+      .ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = full.collect {
+      case (a, b, j) if a % 2 != b % 2 =>
+        (if (a % 2 == 0) a else b, if (a % 2 == 0) b else a, j)
+    }.toSet
+    assert(expected.nonEmpty, "fixture must have cross-side pairs")
+    assert(full.exists(p => p._1 % 2 == p._2 % 2),
+      "fixture must have within-side pairs the incremental op excludes")
+
+    val between = DedupOps
+      .ngramJaccardPairsBetween(base, delta, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(between == expected)
+  }
+
   test("winnow pairs: catches a REORDERED near-dup, caps hot fingerprints") {
     import spark.implicits._
     val s1 = "the quick brown fox jumps over the lazy dog in the park"
