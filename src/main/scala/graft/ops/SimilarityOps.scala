@@ -222,6 +222,60 @@ object SimilarityOps {
     * into the SQL from [[graft.expr.SignSketch64.sign]]), so correctness
     * is exact regardless of recall; recall vs the exhaustive baseline is
     * asserted separately in DedupSimilaritySpec. */
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings and pruning near-duplicates
+    * WITHIN clusters only. Returns every row as `(id, cid, kept)`: a row
+    * is dropped iff its cluster contains a LOWER-id row with cosine >=
+    * threshold (the paper keeps an arbitrary representative per
+    * duplicate neighborhood; lowest-id is the deterministic choice, and
+    * it needs no iterative component propagation — one join decides).
+    *
+    * The cluster bound is what makes embedding dedup feasible at 100 TB:
+    * the pair join is an equi-join keyed by centroid id, so the
+    * all-pairs cost is confined to E[(n/nlist)^2 * nlist] = n^2/nlist
+    * candidate pairs (nlist ~ sqrt(n) => ~n^1.5, processed perfectly
+    * shuffle-parallel per cluster) instead of a global n^2 cross join. A
+    * pathologically hot cluster degrades gracefully: its rows land in
+    * one shuffle partition where [[bandedCosineNearDup]]'s sketch-band
+    * candidate generation is the drop-in refinement.
+    *
+    * The coarse quantizer is the same deterministic first-`nlist`-ids
+    * scheme as [[ivfTopK]] — centroids broadcast, cosine-argmax
+    * assignment with centroid-id tie-break — so the DuckDB oracle
+    * replicates the whole operator (`dedup_semdedup` gate); a
+    * [[kmeansCodebook]] is a drop-in for recall at real scale. */
+  def semDedup(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, threshold: Double): DataFrame = {
+    val c = withNorm(emb.select(col(idCol).as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+    val cent = c.filter(col("id") < nlist)
+      .select(col("id").as("cid"), col("v").as("centv"),
+        col("nrm").as("centn"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("_csim").desc, col("cid").asc)
+    val asg = c.join(broadcast(cent), lit(true))
+      .withColumn("_csim",
+        dot(col("v"), col("centv")) / (col("nrm") * col("centn")))
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1)
+      .select(col("id"), col("cid"), col("v"), col("nrm"))
+    val aSide = asg.select(col("cid"), col("id").as("a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val bSide = asg.select(col("cid"), col("id").as("b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = aSide.join(bSide, Seq("cid"))
+      .filter(col("a") < col("b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("b").as("id"))
+      .distinct()
+    asg.select("id", "cid")
+      .join(dropped.withColumn("_drop", lit(1)), Seq("id"), "left_outer")
+      .withColumn("kept", col("_drop").isNull)
+      .drop("_drop")
+  }
+
   def bandedCosineNearDup(
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {

@@ -9,14 +9,20 @@ import org.apache.spark.sql.functions._
   * ships k values per group regardless of cardinality and merges
   * associatively across partitions, days, and reruns.
   *
-  * KMV (k-minimum-values, Bar-Yossef et al. 2002) rather than
-  * HyperLogLog, deliberately: the sketch state is "the k smallest hash
-  * values of the key set" — a deterministic function of the data,
-  * reproducible on any engine from the same hash, so the estimator is
-  * DuckDB-oracle-able bit for bit (`kmv_distinct` gate). HLL's register
-  * layout is implementation-defined; its results can only be
-  * tolerance-tested. Same asymptotics (relative error ~ 1/sqrt(k)),
-  * exact below k by construction.
+  * KMV (k-minimum-values, Bar-Yossef et al. 2002) first: the sketch
+  * state is "the k smallest hash values of the key set" — a
+  * deterministic function of the data, reproducible on any engine from
+  * the same hash, so the estimator is DuckDB-oracle-able bit for bit
+  * (`kmv_distinct` gate). Relative error ~ 1/sqrt(k), exact below k by
+  * construction.
+  *
+  * HyperLogLog ([[hllDistinct]]) is also provided — LIBRARY HLLs have an
+  * implementation-defined register layout and can only be
+  * tolerance-tested, but this one PINS the register spec (hash52, low-p
+  * bucket bits, rho = leading zeros of the remaining window + 1), so the
+  * whole estimator is just as oracle-able. HLL's win over KMV is state
+  * size: m 6-bit registers (64 buckets = fixed 48 bytes) vs k 52-bit
+  * minima, and register merge is a plain per-bucket MAX.
   *
   * Estimator: with U(k) = h_k / 2^52 the k-th smallest of n uniform
   * hashes, E[U(k)] = k/(n+1), so n̂ = (k-1)/U(k) (the unbiased form).
@@ -157,5 +163,126 @@ object SketchOps {
         explode(array(ps.map(lit): _*)).as("p")): _*)
       .filter(col("vr") === floor((col("n") - 1) * col("p")) + 1)
       .select(groupCols.map(col) ++ Seq(col("p"), col("v").as("q")): _*)
+  }
+
+  // ---- HyperLogLog with a PINNED register specification ----------------
+
+  /** Bias-correction constant alpha_m (Flajolet et al., AofA 2007). */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** The exact double constant `alpha_m * m^2 * 2^(windowBits+1)` used by
+    * the estimator — public so the DuckDB oracle can embed the IDENTICAL
+    * IEEE value (Double.toString round-trips). */
+  def hllNumerator(p: Int): Double = {
+    val m = 1 << p
+    hllAlpha(m) * (m.toLong * m).toDouble * java.lang.Math.pow(2.0, 53 - p)
+  }
+
+  /** HLL register table per group: `(groupCols..., bucket, m_rho)`.
+    *
+    * Register spec — pinned, so any engine reproduces it: with
+    * h = [[hash52]](key, salt), bucket = the low p bits (h % 2^p) and the
+    * rank observation is rho = (leading zeros of the remaining
+    * (52-p)-bit window) + 1, i.e. `53 - p - bitlength(h >> p)` with the
+    * all-zero window mapping to 53-p. The register is MAX(rho) per
+    * bucket — so merging sketches across partitions, days, or reruns is
+    * a plain per-(group, bucket) MAX, and the partial aggregation Spark
+    * inserts before the shuffle IS the per-executor sketch: each map
+    * task ships at most m rows per group no matter how many rows it
+    * scanned. That bounded-state merge is the whole reason to run HLL at
+    * 100 TB instead of `count(DISTINCT key)`, whose shuffle carries every
+    * distinct (group, key) pair. */
+  def hllRegisters(
+      df: DataFrame, keyCol: Column, groupCols: Seq[String],
+      p: Int = 6, salt: String = "hll"): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p: need 4 <= p <= 16")
+    val wBits = 52 - p
+    val h = hash52(keyCol, salt)
+    val win = shiftrightunsigned(h, p)
+    val rho = when(win === 0L, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(win)))
+    df.select(groupCols.map(col) :+ pmod(h, lit(1L << p)).as("bucket") :+
+        rho.as("rho"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("m_rho"))
+  }
+
+  /** Approximate distinct keys per group from the HLL registers.
+    *
+    * The harmonic-mean sum is accumulated in INTEGER space —
+    * `S = sum(2^(wBits+1-M_j))` with empty buckets contributing
+    * `2^(wBits+1)` — so it is exact (max 2^53 at p=6, inside BIGINT and
+    * the double mantissa), and the only floating-point step is ONE
+    * division of two exact values by the pinned [[hllNumerator]]
+    * constant: bit-identical on any IEEE engine, hence hash-gateable
+    * (`sketch_hll_distinct`). The small-range branch (est <= 2.5m with
+    * empty buckets) is the standard linear-counting correction
+    * `m * ln(m/V)`; ln is the one transcendental in the operator, so
+    * accuracy there is spec-tested rather than oracle-gated — gate
+    * inputs keep cardinality well above 2.5m. */
+  def hllDistinct(
+      df: DataFrame, keyCol: Column, groupCols: Seq[String],
+      p: Int = 6, salt: String = "hll"): DataFrame = {
+    val m = 1L << p
+    val wb1 = 53 - p
+    hllRegisters(df, keyCol, groupCols, p, salt)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(expr(s"shiftleft(1L, $wb1 - m_rho)")).as("sp"),
+        count(lit(1)).as("nb"))
+      .withColumn("s_total",
+        col("sp") + (lit(m) - col("nb")) * lit(1L << wb1))
+      .withColumn("n_empty", lit(m) - col("nb"))
+      .withColumn("est_raw", lit(hllNumerator(p)) / col("s_total").cast("double"))
+      .withColumn("est_distinct",
+        when(col("est_raw") <= lit(2.5 * m) && col("n_empty") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("n_empty").cast("double")))
+          .otherwise(col("est_raw")))
+      .select(groupCols.map(col) :+ col("est_distinct"): _*)
+  }
+
+  // ---- KMV set-operation estimates -------------------------------------
+
+  /** Set-operation estimates from two KMV sketches alone — never the
+    * sets (the theta-sketch trick; Beyer et al., SIGMOD 2007). The union
+    * sketch is the k smallest of the two sketches' merged minima (the
+    * KMV merge law), `jaccard` is the fraction of those union minima
+    * present in BOTH input sketches, and `est_intersection = jaccard *
+    * est_union`. Everything except two exact double divisions is
+    * rank/integer state from the same pinned [[hash52]], so the whole
+    * estimator reproduces bit for bit (`sketch_kmv_setops` gate).
+    *
+    * At 100 TB this is the pattern for "distinct overlap between two
+    * 10-billion-key sets": each side reduces to k values (map-side
+    * WindowGroupLimit pre-prunes every partition to its local bottom-k
+    * before the shuffle), and the set algebra runs on 2k rows. Exact
+    * below k on the union by construction. */
+  def kmvSetEstimates(
+      a: DataFrame, b: DataFrame, keyCol: String, k: Int,
+      salt: String = "kmv"): DataFrame = {
+    require(k >= 2, s"k=$k: the estimator needs at least 2 minima")
+    val ma = kmvMinima(a, keyCol, Nil, k, salt).select(col("h"), lit(1).as("ina"))
+    val mb = kmvMinima(b, keyCol, Nil, k, salt).select(col("h"), lit(1).as("inb"))
+    val u = ma.join(mb, Seq("h"), "full_outer")
+      .select(col("h"), coalesce(col("ina"), lit(0)).as("ina"),
+        coalesce(col("inb"), lit(0)).as("inb"))
+    val topk = u
+      .withColumn("rn", row_number().over(Window.orderBy("h")))
+      .filter(col("rn") <= k)
+    topk
+      .agg(count(lit(1)).as("n_u"),
+        max(when(col("rn") === k, col("h"))).as("hk"),
+        sum(col("ina") * col("inb")).as("n_both"))
+      .withColumn("est_union",
+        when(col("n_u") < k, col("n_u").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / col("hk")))
+      .withColumn("jaccard",
+        col("n_both").cast("double") / col("n_u").cast("double"))
+      .withColumn("est_intersection", col("jaccard") * col("est_union"))
+      .select("est_union", "jaccard", "est_intersection")
   }
 }

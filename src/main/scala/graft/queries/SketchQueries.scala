@@ -123,6 +123,116 @@ object SketchQueries {
               |  END AS est_distinct
               |FROM r WHERE rn <= $K
               |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
-      "KMV distinct-count sketch per group: deterministic, mergeable, oracle-exact")
+      "KMV distinct-count sketch per group: deterministic, mergeable, oracle-exact"),
+
+    // HyperLogLog with a PINNED register spec (hash52, low-6-bit bucket,
+    // rho = leading zeros of the 46-bit window + 1): unlike library HLLs
+    // the whole estimator is reproducible on any engine, so the oracle
+    // rebuilds the registers and the harmonic mean bit for bit. The sum
+    // is integer-space (exact), the single double division uses the
+    // identical IEEE constant on both sides, and the exact distinct count
+    // rides along so the ~1.04/sqrt(64) error is visible data.
+    Q(
+      "sketch_hll_distinct",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, countDistinct}
+        val li = T(s, d, "lineitem")
+        val est = SketchOps.hllDistinct(li, col("l_orderkey"),
+          Seq("l_returnflag"), p = 6)
+        li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+          .join(est, "l_returnflag")
+          .select("l_returnflag", "n_exact", "est_distinct")
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH h AS (
+              |  SELECT l_returnflag AS g,
+              |    CAST(('0x' || substr(md5('hll:' || CAST(l_orderkey AS VARCHAR)), 1, 13))
+              |      AS BIGINT) AS h
+              |  FROM lineitem),
+              |d AS (SELECT DISTINCT g, h FROM h),
+              |r AS (SELECT g, h % 64 AS bucket,
+              |        CASE WHEN h // 64 = 0 THEN 47
+              |             ELSE 47 - length(format('{:b}', h // 64)) END AS rho
+              |      FROM d),
+              |reg AS (SELECT g, bucket, max(rho) AS m_rho FROM r GROUP BY g, bucket),
+              |s AS (SELECT g, sum(CAST(1 AS BIGINT) << (47 - m_rho)) AS sp,
+              |        count(*) AS nb
+              |      FROM reg GROUP BY g),
+              |est AS (SELECT g,
+              |    CASE WHEN ${SketchOps.hllNumerator(6)} /
+              |              CAST(sp + (64 - nb) * (CAST(1 AS BIGINT) << 47) AS DOUBLE) <= 160.0
+              |              AND (64 - nb) > 0
+              |         THEN 64e0 * ln(64e0 / CAST(64 - nb AS DOUBLE))
+              |         ELSE ${SketchOps.hllNumerator(6)} /
+              |              CAST(sp + (64 - nb) * (CAST(1 AS BIGINT) << 47) AS DOUBLE)
+              |    END AS est_distinct
+              |  FROM s),
+              |ex AS (SELECT l_returnflag AS g, count(DISTINCT l_orderkey) AS n_exact
+              |       FROM lineitem GROUP BY 1)
+              |SELECT ex.g AS l_returnflag, n_exact, est_distinct
+              |FROM ex JOIN est ON ex.g = est.g ORDER BY 1""".stripMargin),
+      "HyperLogLog distinct per group: pinned register spec, 48-byte state, " +
+        "per-bucket-MAX merge, oracle-exact estimator"),
+
+    // KMV set operations: |A ∪ B|, Jaccard, |A ∩ B| estimated from the
+    // two k-minima sketches ALONE (theta-sketch trick) — the pattern for
+    // "distinct overlap of two 10-billion-key sets" where the exact
+    // full-outer join on keys is the thing being avoided. Exact counts
+    // ride along as visible truth.
+    Q(
+      "sketch_kmv_setops",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+        val o = T(s, d, "orders")
+        val a = o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("k"))
+        val b = o.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("k"))
+        val est = SketchOps.kmvSetEstimates(a, b, "k", K)
+        val exact = a.distinct().withColumn("ina", lit(1))
+          .join(b.distinct().withColumn("inb", lit(1)), Seq("k"), "full_outer")
+          .agg(count(lit(1)).as("exact_union"),
+            sum(coalesce(col("ina"), lit(0)) * coalesce(col("inb"), lit(0)))
+              .as("exact_intersection"))
+        exact.withColumn("_j", lit(1))
+          .join(est.withColumn("_j", lit(1)), "_j")
+          .select("exact_union", "exact_intersection", "est_union",
+            "jaccard", "est_intersection")
+      },
+      Some {
+        def side(name: String, status: String) =
+          s"""${name}_h AS (
+             |  SELECT DISTINCT CAST(('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 13))
+             |    AS BIGINT) AS h
+             |  FROM orders WHERE o_orderstatus = '$status'),
+             |${name}_r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ${name}_h),
+             |${name}_m AS (SELECT h FROM ${name}_r WHERE rn <= $K)""".stripMargin
+        s"""WITH ${side("a", "F")},
+           |${side("b", "O")},
+           |u AS (SELECT coalesce(a_m.h, b_m.h) AS h,
+           |        CASE WHEN a_m.h IS NOT NULL THEN 1 ELSE 0 END AS ina,
+           |        CASE WHEN b_m.h IS NOT NULL THEN 1 ELSE 0 END AS inb
+           |      FROM a_m FULL JOIN b_m ON a_m.h = b_m.h),
+           |tk AS (SELECT h, ina, inb, row_number() OVER (ORDER BY h) AS rn FROM u),
+           |agg AS (SELECT count(*) AS n_u, max(CASE WHEN rn = $K THEN h END) AS hk,
+           |          CAST(sum(ina * inb) AS BIGINT) AS n_both
+           |        FROM tk WHERE rn <= $K),
+           |est AS (SELECT
+           |    CASE WHEN n_u < $K THEN CAST(n_u AS DOUBLE)
+           |         ELSE ${K - 1}e0 * 4503599627370496e0 / hk END AS est_union,
+           |    CAST(n_both AS DOUBLE) / CAST(n_u AS DOUBLE) AS jaccard
+           |  FROM agg),
+           |ea AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+           |eb AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+           |ex AS (SELECT count(*) AS exact_union,
+           |         CAST(sum(CASE WHEN ea.k IS NOT NULL AND eb.k IS NOT NULL
+           |                       THEN 1 ELSE 0 END) AS BIGINT) AS exact_intersection
+           |       FROM ea FULL JOIN eb ON ea.k = eb.k)
+           |SELECT exact_union, exact_intersection, est_union, jaccard,
+           |       jaccard * est_union AS est_intersection FROM est, ex""".stripMargin
+      },
+      "KMV set-operation estimates: union/Jaccard/intersection from the " +
+        "sketches alone, exact counts alongside")
   )
 }
