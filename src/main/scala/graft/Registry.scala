@@ -61,16 +61,27 @@ object T {
       else s.read.parquet(s"$dir/$name.parquet")
     })
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright. Read nanos as raw INT64 and rebuild a microsecond
-    * TimestampType column (integer division — lossless for this data,
-    * which carries no sub-microsecond component).
+  /** Driver-generated `events.parquet` files have carried `ts` in three
+    * physical encodings across testdata generations: TIMESTAMP(NANOS)
+    * (which Spark 4 rejects outright without `nanosAsLong`),
+    * TIMESTAMP(MICROS) tz-naive (which Spark 4 infers as TIMESTAMP_NTZ),
+    * and plain instant timestamps. Normalize all three to a session-tz
+    * TimestampType — every query and every DuckDB oracle treats `ts` as
+    * a UTC instant, and Verify/Bench pin the session timezone to UTC, so
+    * NTZ→LTZ cast and nanos÷1000 both reproduce identical instants.
     */
   private def loadEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000L")))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => // nanos surfaced as raw INT64: lossless for this data
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000L")))
+      case TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 }

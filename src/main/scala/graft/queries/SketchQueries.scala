@@ -195,8 +195,10 @@ object SketchQueries {
           .agg(count(lit(1)).as("exact_union"),
             sum(coalesce(col("ina"), lit(0)) * coalesce(col("inb"), lit(0)))
               .as("exact_intersection"))
-        exact.withColumn("_j", lit(1))
-          .join(est.withColumn("_j", lit(1)), "_j")
+        // Both sides are single-row aggregates: an explicit 1x1 cross
+        // join (declared in PlanGuardSpec) — scalar-by-construction, so
+        // the nested-loop plan is O(1) regardless of input scale.
+        exact.crossJoin(est)
           .select("exact_union", "exact_intersection", "est_union",
             "jaccard", "est_intersection")
       },

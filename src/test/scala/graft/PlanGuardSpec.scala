@@ -12,10 +12,13 @@ class PlanGuardSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  /** Exact all-pairs baselines (scaladoc-declared) + IVF's centroid
-    * cross join (k centroids, broadcast by construction). */
+  /** Exact all-pairs baselines (scaladoc-declared), IVF's centroid
+    * cross join (k centroids, broadcast by construction), and the KMV
+    * set-op query's 1x1 scalar cross join (two single-row aggregates —
+    * O(1) at any input scale). */
   private val declaredNestedLoop =
-    Set("dedup_embedding_cosine", "sim_topk_bruteforce", "sim_topk_ivf")
+    Set("dedup_embedding_cosine", "sim_topk_bruteforce", "sim_topk_ivf",
+      "sketch_kmv_setops")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>
