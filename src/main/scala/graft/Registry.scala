@@ -26,6 +26,7 @@ object Registry {
       queries.MultimodalQueries.all ++
       queries.AdvancedQueries.all ++
       queries.AnalyticsQueries.all ++
+      queries.BehaviorQueries.all ++
       queries.CorpusQueries.all ++
       queries.GraphQueries.all ++
       queries.IncrementalQueries.all ++

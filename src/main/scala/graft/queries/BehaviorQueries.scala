@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, T}
+
+/** User-behavior analytics over the `events` stream table: funnel
+  * conversion, cohort retention, and Markov transition counts — the
+  * product-analytics battery a warehouse engine is expected to run over
+  * event logs (north-star operators per SURVEY §7.4; the reference's
+  * pandas pipeline has no event analytics).
+  *
+  * Scale notes (the whole module is one-pass-per-shape):
+  *  - Every per-user computation is a window over ONE
+  *    `hashpartitioning(user_id)` exchange — funnel stages chain three
+  *    window expressions over the same partitioning, so Catalyst plans a
+  *    single shuffle however many stages the funnel has.
+  *  - All compared arithmetic is exact: counts, timestamps, and single
+  *    integer→double divisions (IEEE correctly-rounded in any engine).
+  *    No transcendental functions, no accumulated floating point.
+  */
+object BehaviorQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Ordered conversion funnel view → click → purchase. Stage N's
+    // timestamp is min(ts | type_N ∧ ts > stage_{N-1}), so each user
+    // must pass the stages IN ORDER (a click before the first view does
+    // not count). All three stage windows ride one user_id exchange;
+    // the rollup is a two-row-group aggregate. Conversion ratios are
+    // single long→double divisions — bit-exact cross-engine.
+    Q(
+      "funnel_conversion",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+        val tA = min(when(col("event_type") === "view", col("ts"))).over(w)
+        val staged = T(s, d, "events")
+          .select("user_id", "ts", "event_type")
+          .withColumn("t_view", tA)
+        val tB = min(when(col("event_type") === "click" &&
+          col("ts") > col("t_view"), col("ts"))).over(w)
+        val staged2 = staged.withColumn("t_click", tB)
+        val tC = min(when(col("event_type") === "purchase" &&
+          col("ts") > col("t_click"), col("ts"))).over(w)
+        staged2.withColumn("t_purchase", tC)
+          .groupBy("user_id")
+          .agg(min("t_view").as("tv"), min("t_click").as("tc"),
+            min("t_purchase").as("tp"))
+          .agg(
+            count(col("tv")).as("n_view"),
+            count(col("tc")).as("n_click"),
+            count(col("tp")).as("n_purchase"))
+          .select(col("n_view"), col("n_click"), col("n_purchase"),
+            (col("n_click").cast("double") / col("n_view"))
+              .as("view_to_click"),
+            (col("n_purchase").cast("double") / col("n_click"))
+              .as("click_to_purchase"))
+      },
+      Some("""WITH s1 AS (
+             |  SELECT user_id, ts, event_type,
+             |    min(CASE WHEN event_type = 'view' THEN ts END)
+             |      OVER (PARTITION BY user_id) AS t_view
+             |  FROM events),
+             |s2 AS (
+             |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view
+             |                     THEN ts END)
+             |    OVER (PARTITION BY user_id) AS t_click
+             |  FROM s1),
+             |s3 AS (
+             |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click
+             |                     THEN ts END)
+             |    OVER (PARTITION BY user_id) AS t_purchase
+             |  FROM s2),
+             |u AS (SELECT user_id, min(t_view) AS tv, min(t_click) AS tc,
+             |        min(t_purchase) AS tp
+             |      FROM s3 GROUP BY user_id)
+             |SELECT count(tv) AS n_view, count(tc) AS n_click,
+             |  count(tp) AS n_purchase,
+             |  CAST(count(tc) AS DOUBLE) / count(tv) AS view_to_click,
+             |  CAST(count(tp) AS DOUBLE) / count(tc) AS click_to_purchase
+             |FROM u""".stripMargin),
+      "ordered view→click→purchase funnel: chained stage windows on one " +
+        "user shuffle, exact-arithmetic conversion ratios"),
+
+    // Weekly cohort retention: users bucketed by first-seen ISO week,
+    // counted once per (cohort_week, week_offset) they were active in.
+    // Week offsets are exact (both timestamps truncate to Monday, so the
+    // day diff is always a multiple of 7). The plan is: one user_id
+    // window for the cohort week, a distinct on the tiny
+    // (user, cohort, week) triple, one final group-by — all keyed,
+    // all linear.
+    Q(
+      "cohort_retention",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+        T(s, d, "events")
+          .select(col("user_id"), col("ts"))
+          .withColumn("cohort_week",
+            date_trunc("week", min(col("ts")).over(w)).cast("date"))
+          .withColumn("active_week",
+            date_trunc("week", col("ts")).cast("date"))
+          .select("user_id", "cohort_week", "active_week")
+          .distinct()
+          .withColumn("week_offset",
+            expr("datediff(active_week, cohort_week) DIV 7").cast("int"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id,
+             |    CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id))
+             |      AS DATE) AS cohort_week,
+             |    CAST(date_trunc('week', ts) AS DATE) AS active_week
+             |  FROM events),
+             |u AS (SELECT DISTINCT user_id, cohort_week, active_week FROM c)
+             |SELECT cohort_week,
+             |  CAST(date_diff('day', cohort_week, active_week) // 7 AS INTEGER)
+             |    AS week_offset,
+             |  count(*) AS n_users
+             |FROM u GROUP BY cohort_week, week_offset
+             |ORDER BY cohort_week, week_offset""".stripMargin),
+      "weekly cohort retention matrix: first-seen week × active-week " +
+        "offset, one user window + one distinct + one rollup"),
+
+    // First-order Markov transition matrix over each user's ordered
+    // event stream: lag(event_type) on the (ts, event_id)-ordered user
+    // partition, then count per (prev, next) with the per-prev row
+    // probability as a single count/count division. One user_id window
+    // exchange + one 25-row aggregate.
+    Q(
+      "event_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        T(s, d, "events")
+          .select("user_id", "ts", "event_id", "event_type")
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p_next",
+            col("n").cast("double") /
+              sum(col("n")).over(Window.partitionBy("prev_type")))
+          .select(col("prev_type"), col("event_type").as("next_type"),
+            col("n"), col("p_next"))
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |                          ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |m AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+             |      FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT prev_type, next_type, n,
+             |  CAST(n AS DOUBLE) /
+             |    (CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)) AS p_next
+             |FROM m ORDER BY prev_type, next_type""".stripMargin),
+      "per-user Markov transition counts + row-normalized probabilities")
+  )
+}

@@ -247,6 +247,51 @@ object TextQueries {
              |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin),
       "corpus token frequency top-k (explode + aggregate + ordered limit)"),
 
+    // Per-document top-k characteristic terms by tf/df ranking. The
+    // score is raw term frequency over corpus document frequency —
+    // tf-idf up to the constant corpus-size factor N, which cannot
+    // change any per-document ranking, so the plan needs NO scalar
+    // count subquery (a raw tf*idf(N) formulation would cross-join a
+    // 1-row aggregate into every row). One (doc,token) count, one
+    // token-keyed df rollup re-joined on token, one per-doc rank window
+    // that Spark 4's WindowGroupLimit prunes to k map-side before the
+    // shuffle — every stage keyed and linear. The score is a single
+    // long→double division: bit-exact in any IEEE engine, no
+    // transcendentals in the compare path.
+    Q(
+      "text_tfidf_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = T(s, d, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy("doc_id", "token")
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("token"))
+        tf.join(df, "token")
+          .withColumn("score", col("tf").cast("double") / col("df"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select("doc_id", "token", "tf", "df", "score", "rnk")
+          .orderBy("doc_id", "rnk")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS token
+             |  FROM documents),
+             |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+             |sc AS (
+             |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             |    CAST(tf.tf AS DOUBLE) / df.df AS score,
+             |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.token) AS rnk
+             |  FROM tf JOIN df USING (token))
+             |SELECT doc_id, token, tf, df, score, rnk
+             |FROM sc WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin),
+      "per-doc top-5 characteristic terms by tf/df (rank-equivalent to " +
+        "tf-idf), keyed joins only — no scalar subquery"),
+
     // Gopher-style repetition filters: duplicate-3-gram fraction and the
     // most-frequent-gram share per document. DuckDB's SUM over BIGINT
     // yields HUGEINT, so the oracle casts the total back to BIGINT.
