@@ -30,7 +30,28 @@ object AsOfJoin {
   def asOf(
       left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
-      payload: Seq[(String, String)]): DataFrame = {
+      payload: Seq[(String, String)]): DataFrame =
+    asOfImpl(left, right, key, leftTime, rightTime, payload,
+      forward = false)
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * `rightTime >= leftTime` on the same key — the mirror of [[asOf]]
+    * (next state change, time-to-next-event, response attribution).
+    * Same single-shuffle union + one ordered window plan; only the
+    * carry direction flips (first-non-null over the FOLLOWING frame,
+    * with right rows ordered after left rows at equal timestamps so
+    * ">=" stays inclusive). */
+  def asOfForward(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[(String, String)]): DataFrame =
+    asOfImpl(left, right, key, leftTime, rightTime, payload,
+      forward = true)
+
+  private def asOfImpl(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[(String, String)], forward: Boolean): DataFrame = {
 
     val leftCols = left.columns
     // ALL payload columns ride in ONE struct whose non-nullness marks "a
@@ -62,11 +83,24 @@ object AsOfJoin {
     val unioned = l.select(unionCols.map(col): _*)
       .unionByName(rAligned.select(unionCols.map(col): _*))
 
-    // right rows sort before left rows at equal time => "<=" semantics
-    val w = Window.partitionBy(key).orderBy(col("_t").asc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned
-      .withColumn("_c", last(col("_p"), ignoreNulls = true).over(w))
+    // Backward: right rows sort BEFORE left rows at equal time and the
+    // newest prior payload carries forward ("<=" inclusive). Forward:
+    // right rows sort AFTER left rows at equal time and the earliest
+    // following payload carries back (">=" inclusive).
+    val carried =
+      if (forward) {
+        val w = Window.partitionBy(key)
+          .orderBy(col("_t").asc, col("_side").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        unioned.withColumn("_c",
+          first(col("_p"), ignoreNulls = true).over(w))
+      } else {
+        val w = Window.partitionBy(key)
+          .orderBy(col("_t").asc, col("_side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned.withColumn("_c",
+          last(col("_p"), ignoreNulls = true).over(w))
+      }
 
     carried.filter(col("_side") === 1)
       .select(leftCols.toSeq.map(col) ++

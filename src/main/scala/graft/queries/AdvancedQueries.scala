@@ -57,6 +57,50 @@ object AdvancedQueries {
              |ORDER BY p.event_id""".stripMargin),
       "as-of join via union + ordered window (linear; DuckDB ASOF oracle)"),
 
+    // Forward as-of: the EARLIEST click at-or-after each view per user
+    // (time-to-response alignment) — the mirror gate of asof_join, via
+    // ops.AsOfJoin.asOfForward's FOLLOWING-frame carry. The sentinel key
+    // (-998) has its only click BEFORE its view, guaranteeing the
+    // no-following-state boundary (NULL carry) in the corpus at any SF.
+    Q(
+      "asof_join_forward",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts")
+          .unionByName(s.sql(
+            """SELECT CAST(-3 AS BIGINT) AS event_id,
+              |  CAST(-998 AS BIGINT) AS user_id,
+              |  TIMESTAMP'1990-06-01 00:00:00' AS ts""".stripMargin))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts")
+          .agg(max("event_id").as("click_id"))
+          .withColumnRenamed("ts", "click_ts")
+          .unionByName(s.sql(
+            """SELECT CAST(-998 AS BIGINT) AS user_id,
+              |  TIMESTAMP'1990-01-01 00:00:00' AS click_ts,
+              |  CAST(-4 AS BIGINT) AS click_id""".stripMargin))
+        AsOfJoin
+          .asOfForward(views, clicks, "user_id",
+            leftTime = "ts", rightTime = "click_ts",
+            payload = Seq("click_id" -> "click_id", "click_ts" -> "click_ts"))
+          .orderBy("event_id")
+      },
+      Some("""WITH v AS (SELECT event_id, user_id, ts FROM events
+             |           WHERE event_type = 'view'
+             |      UNION ALL
+             |      SELECT -3, -998, TIMESTAMP '1990-06-01 00:00:00'),
+             |c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+             |      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+             |      UNION ALL
+             |      SELECT -998, TIMESTAMP '1990-01-01 00:00:00', -4)
+             |SELECT v.event_id, v.user_id, v.ts, c.click_id, c.click_ts
+             |FROM v ASOF LEFT JOIN c
+             |  ON v.user_id = c.user_id AND v.ts <= c.click_ts
+             |ORDER BY v.event_id""".stripMargin),
+      "forward as-of join: earliest at-or-after state, FOLLOWING-frame " +
+        "carry (linear; DuckDB ASOF oracle)"),
+
     // Batch twin of the streaming interval join (attribution: clicks
     // within the 10 minutes AFTER each impression — here: click events
     // within 10 min at-or-before each purchase, per user). Same

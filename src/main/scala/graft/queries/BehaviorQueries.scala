@@ -124,6 +124,55 @@ object BehaviorQueries {
       "weekly cohort retention matrix: first-seen week × active-week " +
         "offset, one user window + one distinct + one rollup"),
 
+    // Dense hourly resample per event type: aggregate to the hour, then
+    // fill every missing hour in each type's [min, max] span with an
+    // explicit zero row — the gap-filling step every downstream
+    // time-series consumer (forecasting, anomaly windows, charting)
+    // needs before it can difference or roll. The spine is generated
+    // per-group from that group's OWN bounds (groups × span hours rows —
+    // bounded by calendar time, never by event volume) and left-joins
+    // the hourly rollup; no scalar subquery, no global min/max. Value
+    // sums DECIMAL-accumulate (order-independent, cross-engine exact)
+    // and gap rows coalesce to exact literals.
+    Q(
+      "timeseries_gapfill",
+      (s, d) => {
+        val hourly = T(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,4)")).cast("double")
+              .as("sum_value"))
+        val spine = hourly.groupBy("event_type")
+          .agg(min("hour").as("h0"), max("hour").as("h1"))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"),
+              expr("INTERVAL 1 HOUR"))).as("hour"))
+        spine.join(hourly, Seq("event_type", "hour"), "left")
+          .select(col("event_type"), col("hour"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+          .orderBy("event_type", "hour")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS hour,
+             |    count(*) AS n,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |  FROM events GROUP BY 1, 2),
+             |spine AS (
+             |  SELECT event_type,
+             |    unnest(generate_series(min(hour), max(hour),
+             |                           INTERVAL 1 HOUR)) AS hour
+             |  FROM hourly GROUP BY event_type)
+             |SELECT s.event_type, s.hour,
+             |  coalesce(h.n, 0) AS n,
+             |  coalesce(h.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
+             |FROM spine s LEFT JOIN hourly h
+             |  ON s.event_type = h.event_type AND s.hour = h.hour
+             |ORDER BY s.event_type, s.hour""".stripMargin),
+      "hourly resample with zero-filled gaps: per-group spine from own " +
+        "bounds, calendar-bounded — no scalar subquery"),
+
     // First-order Markov transition matrix over each user's ordered
     // event stream: lag(event_type) on the (ts, event_id)-ordered user
     // partition, then count per (prev, next) with the per-prev row
