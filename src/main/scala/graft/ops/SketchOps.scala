@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -284,5 +286,63 @@ object SketchOps {
         col("n_both").cast("double") / col("n_u").cast("double"))
       .withColumn("est_intersection", col("jaccard") * col("est_union"))
       .select("est_union", "jaccard", "est_intersection")
+  }
+
+  // ---- Bloom-filter semi-join pruning ----------------------------------
+
+  /** One Bloom filter over `keyCol` of `df`, as a single-row DataFrame
+    * with one binary column `bloom` — Spark's own
+    * `BloomFilterAggregate` (the sketch behind its runtime row-level
+    * filtering), reached through the Column bridge because the SQL
+    * function is not registered publicly. The aggregate is partial+final
+    * like any other: each partition builds a local filter, merge is
+    * bitwise OR. */
+  def bloomFilterOf(
+      df: DataFrame, keyCol: Column,
+      expectedItems: Long, numBits: Long): DataFrame = {
+    val agg = new BloomFilterAggregate(
+      GraftColumnBridge.expression(xxhash64(keyCol)),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    df.agg(GraftColumnBridge.column(agg).as("bloom"))
+  }
+
+  /** The might-contain probe itself: `might_contain(<scalar subquery
+    * over bloomDf>, xxhash64(key))`. `BloomFilterMightContain` requires
+    * its filter side to be a constant or a scalar subquery (never a
+    * joined attribute), so the single-row aggregate rides in as a
+    * [[ScalarSubquery]] — the same shape Spark's own
+    * `InjectRuntimeFilter` emits: the subquery executes once, its
+    * result is shipped to every probe task as a literal, and the probe
+    * is a plain codegen'd filter (no join of any kind on the fact
+    * side). */
+  def bloomMightContain(bloomDf: DataFrame, keyCol: Column): Column =
+    GraftColumnBridge.column(BloomFilterMightContain(
+      ScalarSubquery(bloomDf.queryExecution.analyzed),
+      GraftColumnBridge.expression(xxhash64(keyCol))))
+
+  /** Semi join with Bloom pre-pruning: keep `fact` rows whose `factKey`
+    * appears in `dim`'s `dimKey` set, but test every fact row against a
+    * Bloom filter of the dim keys BEFORE the exact semi join, so only
+    * might-contain survivors (true matches + the filter's ~1% false
+    * positives) ever reach the shuffle. Results are EXACTLY the plain
+    * semi join — the Bloom filter admits false positives, never false
+    * negatives, and the exact join removes the former (the
+    * `bloom_semi_prune` gate's oracle is the plain semi join for
+    * precisely this reason).
+    *
+    * This is the manual form of the engine-injected runtime filter, for
+    * when the dim side is a computed set AQE cannot see through. At
+    * 100 TB the pruned fact side is what makes the semi join affordable:
+    * the shuffle carries ~selectivity × |fact| rows instead of |fact|;
+    * the filter itself is one scalar-subquery aggregate (a few hundred
+    * KB computed once, shipped as a literal). */
+  def bloomSemiJoin(
+      fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      expectedItems: Long, numBits: Long): DataFrame = {
+    val bf = bloomFilterOf(dim, col(dimKey), expectedItems, numBits)
+    fact.where(bloomMightContain(bf, col(factKey)))
+      .join(dim.select(col(dimKey).as(factKey)).distinct(),
+        Seq(factKey), "left_semi")
   }
 }

@@ -175,6 +175,34 @@ object SketchQueries {
       "HyperLogLog distinct per group: pinned register spec, 48-byte state, " +
         "per-bucket-MAX merge, oracle-exact estimator"),
 
+    // Bloom-pruned semi join: lineitem rows for urgent orders, with every
+    // fact row tested against a broadcast Bloom filter of the order-key
+    // set BEFORE the exact semi join (SketchOps.bloomSemiJoin — Spark's
+    // own BloomFilterAggregate via the Column bridge). The oracle is the
+    // PLAIN semi join: the filter admits false positives, never false
+    // negatives, and the exact join removes the former — so the gate
+    // proves the pruning path changes nothing. BloomPruneSpec measures
+    // that it actually prunes.
+    Q(
+      "bloom_semi_prune",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val urgent = T(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+        SketchOps
+          .bloomSemiJoin(T(s, d, "lineitem"), urgent,
+            "l_orderkey", "o_orderkey",
+            expectedItems = 40000L, numBits = 400000L)
+          .select("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+             |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+             |                     WHERE o_orderpriority = '1-URGENT')
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      "Bloom-filter pre-pruned semi join: broadcast sketch guards the " +
+        "shuffle, exact join keeps it lossless"),
+
     // KMV set operations: |A ∪ B|, Jaccard, |A ∩ B| estimated from the
     // two k-minima sketches ALONE (theta-sketch trick) — the pattern for
     // "distinct overlap of two 10-billion-key sets" where the exact

@@ -15,7 +15,8 @@ class PlanGuardSpec extends AnyFunSuite {
   /** Exact all-pairs baselines (scaladoc-declared), IVF's centroid
     * cross join (k centroids, broadcast by construction), and the KMV
     * set-op query's 1x1 scalar cross join (two single-row aggregates —
-    * O(1) at any input scale). */
+    * O(1) at any input scale). The Bloom prune needs no declaration:
+    * its filter rides in as a scalar subquery, not a join. */
   private val declaredNestedLoop =
     Set("dedup_embedding_cosine", "sim_topk_bruteforce", "sim_topk_ivf",
       "sketch_kmv_setops")
