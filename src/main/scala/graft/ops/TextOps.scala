@@ -107,6 +107,33 @@ object TextOps {
         (col("top_cnt").cast(DoubleType) /
           col("n_grams").cast(DoubleType)).as("top_gram_frac"))
 
+  /** Per-document top-k characteristic terms ranked by tf/df — tf-idf
+    * up to the constant corpus-size factor N, which cannot change any
+    * per-document ranking, so no scalar count subquery rides the plan.
+    * Plan shape: one (doc, token) count, one token-keyed df rollup
+    * re-joined on token, one per-doc rank window that Spark 4's
+    * WindowGroupLimit prunes to k map-side before the shuffle — every
+    * stage keyed and linear (`text_tfidf_topk` gate + plan-asserted in
+    * BehaviorPlanSpec). The score is a single long→double division:
+    * bit-exact in any IEEE engine. */
+  def tfidfTopK(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .withColumn("score", col("tf").cast(DoubleType) / col("df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        col("score"), col("rnk"))
+  }
+
   /** Per-language function-word lexicons for the vote-based language-ID
     * heuristic. Deterministic and fully SQL-expressible (the DuckDB oracle
     * runs the same votes). The native one-pass vote counter

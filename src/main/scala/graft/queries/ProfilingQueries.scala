@@ -111,6 +111,33 @@ object ProfilingQueries {
              |  sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
              |       / (n - 1))) > 1.5
              |ORDER BY c_custkey""".stripMargin),
-      "per-group z-score outliers from exact decimal moments: even the scores hash-match")
+      "per-group z-score outliers from exact decimal moments: even the scores hash-match"),
+
+    // Fixed-width value histogram per event type: bin = floor(value /
+    // width) — one double division + floor, bit-exact cross-engine — and
+    // the bin edge re-derives as bin * width (exact: small-int × literal).
+    // One map-side-combinable groupBy; bins the data does not hit simply
+    // do not appear (dense display is timeseries_gapfill's spine trick,
+    // not the profiler's job). The at-scale histogram primitive: state is
+    // (groups × occupied bins), never data-sized.
+    Q(
+      "profile_histogram",
+      (s, d) => {
+        val width = 25.0
+        T(s, d, "events")
+          .groupBy(col("event_type"),
+            floor(col("value") / lit(width)).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("bin_lo", col("bin") * lit(width))
+          .select("event_type", "bin", "bin_lo", "n")
+          .orderBy("event_type", "bin")
+      },
+      Some("""SELECT event_type,
+             |  CAST(floor(value / 25.0) AS BIGINT) AS bin,
+             |  CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS bin_lo,
+             |  count(*) AS n
+             |FROM events GROUP BY 1, 2
+             |ORDER BY event_type, bin""".stripMargin),
+      "fixed-width histogram per group: occupied bins only, one rollup")
   )
 }

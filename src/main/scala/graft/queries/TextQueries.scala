@@ -260,22 +260,9 @@ object TextQueries {
     // transcendentals in the compare path.
     Q(
       "text_tfidf_topk",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val tf = T(s, d, "documents")
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-          .groupBy("doc_id", "token")
-          .agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-        val w = Window.partitionBy("doc_id")
-          .orderBy(col("score").desc, col("token"))
-        tf.join(df, "token")
-          .withColumn("score", col("tf").cast("double") / col("df"))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 5)
-          .select("doc_id", "token", "tf", "df", "score", "rnk")
-          .orderBy("doc_id", "rnk")
-      },
+      (s, d) =>
+        TextOps.tfidfTopK(T(s, d, "documents"), "doc_id", "text", k = 5)
+          .orderBy("doc_id", "rnk"),
       Some("""WITH tok AS (
              |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS token
              |  FROM documents),
@@ -291,6 +278,39 @@ object TextQueries {
              |FROM sc WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin),
       "per-doc top-5 characteristic terms by tf/df (rank-equivalent to " +
         "tf-idf), keyed joins only — no scalar subquery"),
+
+    // Inverted index build: token → document frequency + ordered postings
+    // list — the retrieval primitive under BM25/ANN hybrid search. One
+    // (doc, token) distinct, one token-keyed rollup; postings serialize
+    // as zero-padded ids so lexicographic sort == numeric sort in BOTH
+    // engines and in the driver's string hasher (arrays hash
+    // engine-specifically; the fixed-width join is the cross-engine
+    // canonical form). At 100 TB postings for stop-tokens are the skew
+    // risk — df rides along so a consumer caps or shards them; state
+    // per token is its postings, never the corpus.
+    Q(
+      "text_inverted_index",
+      (s, d) =>
+        T(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("token"))
+          .distinct()
+          .groupBy("token")
+          .agg(count(lit(1)).as("df"),
+            array_join(array_sort(
+              collect_set(lpad(col("doc_id").cast("string"), 8, "0"))), ",")
+              .as("postings"))
+          .orderBy("token"),
+      Some("""WITH dt AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(string_split_regex(text, ' +')) AS token
+             |  FROM documents)
+             |SELECT token, count(*) AS df,
+             |  string_agg(lpad(CAST(doc_id AS VARCHAR), 8, '0'), ','
+             |             ORDER BY lpad(CAST(doc_id AS VARCHAR), 8, '0'))
+             |    AS postings
+             |FROM dt GROUP BY token ORDER BY token""".stripMargin),
+      "inverted index: token -> df + ordered postings (retrieval primitive)"),
 
     // Gopher-style repetition filters: duplicate-3-gram fraction and the
     // most-frequent-gram share per document. DuckDB's SUM over BIGINT

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CorpusOps, DedupOps, GraphOps, LinkageOps}
+import graft.ops.{CorpusOps, DedupOps, GraphOps, LinkageOps, SketchOps, TextOps}
 
 /** Wall-time scaling curves for the five operators whose LINEARITY is
   * load-bearing in every 100 TB claim: connected components (iterative +
@@ -123,7 +123,23 @@ object Scale {
           val rows = sc.count()
           sc.unpersist()
           rows
-        }))
+        }),
+        // tf/df ranking: vocabulary ∝ n (the docs() model), so the df
+        // rollup and the token join both grow linearly with the corpus —
+        // the case where a superlinear bend would appear if the rank
+        // window or the join misbehaved
+        "tfidf_topk" -> (() =>
+          TextOps.tfidfTopK(d, "doc_id", "text", k = 5).count()),
+        // Bloom prune: dim = every 50th doc id (2% selectivity), filter
+        // sized at ~20 bits/item for the dim side; fact scan + scalar
+        // subquery + pruned semi join should track n
+        "bloom_semi_join" -> (() =>
+          SketchOps.bloomSemiJoin(
+            d.select(col("doc_id")),
+            d.select(col("doc_id")).filter(col("doc_id") % 50 === 0),
+            "doc_id", "doc_id",
+            expectedItems = math.max(n / 50, 16L),
+            numBits = math.max(n / 50, 16L) * 20).count()))
 
       for ((name, op) <- ops) {
         System.gc() // don't let one op's garbage land in the next's clock
