@@ -271,6 +271,40 @@ object CorpusOps {
       .drop("_stratum_tokens")
   }
 
+  /** Deterministic weight-priority sample of `k` rows: each row draws
+    * `weight` (a positive capped integer) independent salted hashes and
+    * keeps the MINIMUM as its priority; the k globally smallest
+    * priorities win. More weight → lower expected minimum → higher
+    * selection probability, monotone in weight, and — unlike
+    * `df.sample()` or exponential-key A-ES — every step is integer/hash
+    * arithmetic that reproduces bit-identically on any engine and any
+    * partitioning (the `corpus_sample_weighted` gate oracles the full
+    * selection).
+    *
+    * Shape at 100 TB: one bounded explode (≤ cap rows per doc — cap the
+    * weight, never explode raw token counts), one keyed min-aggregate,
+    * and a global top-k that plans as TakeOrdered (per-partition
+    * partial top-k, never a single-partition sort). Winners re-join the
+    * corpus broadcast (k rows).
+    *
+    * @param weightCol integer column, already capped by the caller
+    *                  (values are clamped to [1, 64] defensively) */
+  def weightedSampleTopK(
+      df: DataFrame, keyCol: String, weightCol: Column,
+      k: Int, salt: String): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    val w = greatest(lit(1), least(weightCol.cast("int"), lit(64)))
+    val winners = df
+      .select(col(keyCol), explode(sequence(lit(1), w)).as("_r"))
+      .select(col(keyCol),
+        saltedHash(concat_ws(":", col(keyCol), col("_r")), salt).as("_h"))
+      .groupBy(col(keyCol))
+      .agg(min(col("_h")).as("pri"))
+      .orderBy(col("pri"))
+      .limit(k)
+    df.join(broadcast(winners), Seq(keyCol))
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val UrlRe = "https?://[^\\s]+"
   private val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"

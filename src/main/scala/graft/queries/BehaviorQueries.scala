@@ -173,6 +173,77 @@ object BehaviorQueries {
       "hourly resample with zero-filled gaps: per-group spine from own " +
         "bounds, calendar-bounded — no scalar subquery"),
 
+    // Rolling 7-day distinct users per day (WAU) — the sliding-window
+    // DISTINCT no window function can express (count distinct over a
+    // moving frame needs per-frame state). The scale pattern instead:
+    // reduce events to distinct (user, day) FIRST (the only data-sized
+    // shuffle), then each active day contributes to the 7 calendar days
+    // it covers via a bounded ×7 explode of the much smaller distinct
+    // frame, and one count-distinct rollup per day. Output restricted to
+    // days observed in the data (broadcast semi join with the day set),
+    // so trailing partial windows past the data's edge don't appear.
+    Q(
+      "rolling_distinct_users",
+      (s, d) => {
+        val ud = T(s, d, "events")
+          .select(col("user_id"),
+            date_trunc("day", col("ts")).cast("date").as("d"))
+          .distinct()
+        val days = ud.select(col("d").as("day")).distinct()
+        ud.withColumn("day",
+            explode(sequence(col("d"), date_add(col("d"), 6))))
+          .join(days, "day")
+          .groupBy("day")
+          .agg(countDistinct("user_id").as("wau_users"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(date_trunc('day', ts) AS DATE) AS d
+             |  FROM events),
+             |days AS (SELECT DISTINCT d FROM ud),
+             |c AS (SELECT user_id,
+             |        CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+             |                                    INTERVAL 1 DAY)) AS DATE) AS day
+             |      FROM ud)
+             |SELECT c.day, count(DISTINCT c.user_id) AS wau_users
+             |FROM c JOIN days ON c.day = days.d
+             |GROUP BY c.day ORDER BY c.day""".stripMargin),
+      "7-day rolling distinct users per day: distinct-first + bounded " +
+        "x7 expansion — the sliding-distinct no window frame can run"),
+
+    // Most frequent event type per user with a deterministic tie-break
+    // (count desc, then type asc) — grouped mode. One (user, type)
+    // rollup, one WindowGroupLimit-prunable rank. The exact-mode shape:
+    // state is group x distinct-value counts, resolved by rank, never a
+    // value histogram on the driver.
+    Q(
+      "agg_mode_per_key",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("n").desc, col("event_type"))
+        T(s, d, "events")
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(col("user_id"), col("event_type").as("mode_type"),
+            col("n"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, event_type, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT user_id, event_type, n,
+             |        ROW_NUMBER() OVER (PARTITION BY user_id
+             |          ORDER BY n DESC, event_type) AS rnk
+             |      FROM c)
+             |SELECT user_id, event_type AS mode_type, n
+             |FROM r WHERE rnk = 1 ORDER BY user_id""".stripMargin),
+      "grouped mode with deterministic tie-break: rollup + rank, no " +
+        "driver-side histogram"),
+
     // First-order Markov transition matrix over each user's ordered
     // event stream: lag(event_type) on the (ts, event_id)-ordered user
     // partition, then count per (prev, next) with the per-prev row

@@ -31,6 +31,39 @@ object CorpusQueries {
              |ORDER BY doc_id""".stripMargin),
       "deterministic Bernoulli sample: salted md5 threshold, re-run stable"),
 
+    // Weighted deterministic sample: weight = 1 + n_chars DIV 100 capped
+    // at 8, each doc's priority = min of `weight` salted hashes, global
+    // 200 smallest win (CorpusOps.weightedSampleTopK — TakeOrdered, no
+    // single-partition sort). Monotone in weight, partitioning- and
+    // re-run-stable; the oracle replays the full draw.
+    Q(
+      "corpus_sample_weighted",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, expr}
+        val w = expr("least(greatest(1 + n_chars DIV 100, 1), 64)")
+        CorpusOps
+          .weightedSampleTopK(T(s, d, "documents"), "doc_id",
+            w, k = 200, salt = "ws")
+          .select(col("doc_id"), col("lang"), w.cast("int").as("w"),
+            col("pri"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH wt AS (
+             |  SELECT doc_id, lang,
+             |    CAST(least(greatest(1 + n_chars // 100, 1), 64) AS INTEGER) AS w
+             |  FROM documents),
+             |e AS (SELECT doc_id, unnest(generate_series(1, w)) AS r FROM wt),
+             |p AS (SELECT doc_id,
+             |        min(md5('ws:' || CAST(doc_id AS VARCHAR) || ':' ||
+             |                CAST(r AS VARCHAR))) AS pri
+             |      FROM e GROUP BY doc_id),
+             |k AS (SELECT doc_id, pri FROM p ORDER BY pri LIMIT 200)
+             |SELECT wt.doc_id, wt.lang, wt.w, k.pri
+             |FROM k JOIN wt ON k.doc_id = wt.doc_id
+             |ORDER BY wt.doc_id""".stripMargin),
+      "weight-priority sample: min of w salted hashes per doc, global " +
+        "top-k, bit-stable across engines and partitionings"),
+
     Q(
       "corpus_split_assign",
       (s, d) =>
