@@ -229,10 +229,22 @@ object SketchOps {
     * inputs keep cardinality well above 2.5m. */
   def hllDistinct(
       df: DataFrame, keyCol: Column, groupCols: Seq[String],
-      p: Int = 6, salt: String = "hll"): DataFrame = {
+      p: Int = 6, salt: String = "hll"): DataFrame =
+    hllEstimate(hllRegisters(df, keyCol, groupCols, p, salt), groupCols, p)
+
+  /** The estimator alone, over an existing register table
+    * (`groupCols..., bucket, m_rho`) — split out so MERGED registers
+    * (per-bucket MAX across sketches: days, sources, partitions) feed
+    * the identical arithmetic. Register merge is what makes HLL state
+    * durable at 100 TB: per-source sketches persist, and any grouping
+    * of sources is one tiny max-rollup away from its estimate
+    * (`sketch_hll_union` gate proves merged == direct-over-the-union
+    * bit for bit). */
+  def hllEstimate(
+      registers: DataFrame, groupCols: Seq[String], p: Int = 6): DataFrame = {
     val m = 1L << p
     val wb1 = 53 - p
-    hllRegisters(df, keyCol, groupCols, p, salt)
+    registers
       .groupBy(groupCols.map(col): _*)
       .agg(sum(expr(s"shiftleft(1L, $wb1 - m_rho)")).as("sp"),
         count(lit(1)).as("nb"))
@@ -246,6 +258,14 @@ object SketchOps {
           .otherwise(col("est_raw")))
       .select(groupCols.map(col) :+ col("est_distinct"): _*)
   }
+
+  /** Merge register tables by per-bucket MAX — the HLL merge law.
+    * Dropping group columns from `toGroups` unions those sketches. */
+  def hllMergeRegisters(
+      registers: DataFrame, toGroups: Seq[String]): DataFrame =
+    registers
+      .groupBy((toGroups.map(col) :+ col("bucket")): _*)
+      .agg(max(col("m_rho")).as("m_rho"))
 
   // ---- KMV set-operation estimates -------------------------------------
 

@@ -9,6 +9,94 @@ import graft.ops.SimilarityOps
 object SimilarityQueries {
 
   val all: Seq[Q] = Seq(
+    // Per-label centroid of fixed-point-quantized embeddings — the
+    // feature-aggregation shape under classifier quality filters, IVF
+    // codebook seeding, and class prototypes. Kept EXACT the only way a
+    // float centroid can be: each element quantizes to floor(x * 1000)
+    // (float→double is exact, one IEEE multiply, one floor — all
+    // deterministic), sums ride in BIGINT, and the mean is a single
+    // long→double division. A raw double mean would be partition-order-
+    // dependent and could never hash-gate. Long format (label, pos)
+    // rather than arrays: element-wise aggregation is one keyed rollup
+    // at any scale, and the output is labels × dims rows regardless of
+    // corpus size.
+    Q(
+      "sim_centroid_per_label",
+      (s, d) =>
+        T(s, d, "embeddings")
+          .select(col("label"), posexplode(col("embedding")))
+          .select(col("label"), (col("pos") + 1).as("pos"),
+            floor(col("col").cast("double") * lit(1000.0)).cast("long")
+              .as("q"))
+          .groupBy("label", "pos")
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+          .withColumn("mean_q", col("sum_q").cast("double") / col("n"))
+          .orderBy("label", "pos"),
+      Some("""SELECT label, i AS pos, count(*) AS n,
+             |  CAST(SUM(CAST(floor(e[i] * 1000.0) AS BIGINT)) AS BIGINT)
+             |    AS sum_q,
+             |  CAST(SUM(CAST(floor(e[i] * 1000.0) AS BIGINT)) AS DOUBLE)
+             |    / count(*) AS mean_q
+             |FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+             |     generate_series(1, 64) AS t(i)
+             |GROUP BY label, i ORDER BY label, pos""".stripMargin),
+      "per-label centroid over fixed-point-quantized embeddings: exact " +
+        "integer accumulation, one keyed rollup"),
+
+    // kNN majority-vote classification: for each query vector, the top-5
+    // exact-cosine neighbors vote with their labels; deterministic
+    // tie-break (votes desc, label asc). The classifier-based quality-
+    // filter shape (label a corpus by its nearest curated exemplars) —
+    // composed from the brute-force baseline here so the GATE is exact;
+    // the production candidate source is the banded/IVF path gated
+    // separately. Declared all-pairs (PlanGuardSpec), like its base.
+    Q(
+      "sim_knn_classify",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = T(s, d, "embeddings")
+        val nbrs = SimilarityOps
+          .bruteForceTopK(emb.filter(col("vec_id") < 50), emb,
+            "vec_id", "embedding", k = 5)
+        val w = Window.partitionBy("qid")
+          .orderBy(col("votes").desc, col("label"))
+        nbrs
+          .join(emb.select(col("vec_id").as("nid"), col("label")), "nid")
+          .groupBy("qid", "label")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .join(emb.select(col("vec_id").as("qid"),
+            col("label").as("true_label")), "qid")
+          .select(col("qid"), col("label").as("pred_label"),
+            col("votes"), col("true_label"))
+          .orderBy("qid")
+      },
+      Some("""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+             |           FROM embeddings),
+             |n AS (SELECT vec_id, label, e,
+             |        sqrt(list_dot_product(e, e)) AS nrm FROM v),
+             |scored AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS nid, c.label,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |  FROM n q JOIN n c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+             |top AS (SELECT qid, nid, label FROM (
+             |  SELECT qid, nid, label, ROW_NUMBER() OVER (
+             |    PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+             |  FROM scored) WHERE rank <= 5),
+             |votes AS (SELECT qid, label, count(*) AS votes
+             |          FROM top GROUP BY 1, 2),
+             |win AS (SELECT qid, label, votes FROM (
+             |  SELECT qid, label, votes, ROW_NUMBER() OVER (
+             |    PARTITION BY qid ORDER BY votes DESC, label ASC) AS rnk
+             |  FROM votes) WHERE rnk = 1)
+             |SELECT w.qid, w.label AS pred_label, w.votes,
+             |  v.label AS true_label
+             |FROM win w JOIN v ON v.vec_id = w.qid
+             |ORDER BY w.qid""".stripMargin),
+      "kNN majority-vote labels from exact top-5 neighbors, " +
+        "deterministic tie-break"),
+
     Q(
       "sim_topk_bruteforce",
       (s, d) => {

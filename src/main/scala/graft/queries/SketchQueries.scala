@@ -175,6 +175,54 @@ object SketchQueries {
       "HyperLogLog distinct per group: pinned register spec, 48-byte state, " +
         "per-bucket-MAX merge, oracle-exact estimator"),
 
+    // The HLL MERGE law as a gate: per-group register tables (the state
+    // a 100 TB pipeline persists per source/day) merged by per-bucket
+    // MAX into ONE global sketch, estimated with the identical
+    // arithmetic (SketchOps.hllEstimate — shared with the per-group
+    // gate). The oracle computes the direct global sketch: merge and
+    // direct are equal BY THE MERGE LAW (max is associative), so a
+    // divergence in the engine's merge path fails the hash. Exact count
+    // rides along as visible truth. The 1x1 scalar cross join is
+    // declared in PlanGuardSpec.
+    Q(
+      "sketch_hll_union",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, countDistinct}
+        val li = T(s, d, "lineitem")
+        val perGroup = SketchOps.hllRegisters(
+          li, col("l_orderkey"), Seq("l_returnflag"))
+        val est = SketchOps.hllEstimate(
+          SketchOps.hllMergeRegisters(perGroup, Nil), Nil)
+        est.crossJoin(
+          li.agg(countDistinct(col("l_orderkey")).as("n_exact")))
+      },
+      Some(s"""WITH h AS (
+              |  SELECT DISTINCT
+              |    CAST(('0x' || substr(md5('hll:' || CAST(l_orderkey AS VARCHAR)), 1, 13))
+              |      AS BIGINT) AS h
+              |  FROM lineitem),
+              |r AS (SELECT h % 64 AS bucket,
+              |        CASE WHEN h // 64 = 0 THEN 47
+              |             ELSE 47 - length(format('{:b}', h // 64)) END AS rho
+              |      FROM h),
+              |reg AS (SELECT bucket, max(rho) AS m_rho FROM r GROUP BY bucket),
+              |s AS (SELECT sum(CAST(1 AS BIGINT) << (47 - m_rho)) AS sp,
+              |        count(*) AS nb
+              |      FROM reg)
+              |SELECT
+              |  CASE WHEN ${SketchOps.hllNumerator(6)} /
+              |            CAST(sp + (64 - nb) * (CAST(1 AS BIGINT) << 47) AS DOUBLE) <= 160.0
+              |            AND (64 - nb) > 0
+              |       THEN 64e0 * ln(64e0 / CAST(64 - nb AS DOUBLE))
+              |       ELSE ${SketchOps.hllNumerator(6)} /
+              |            CAST(sp + (64 - nb) * (CAST(1 AS BIGINT) << 47) AS DOUBLE)
+              |  END AS est_distinct,
+              |  (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+              |    AS n_exact
+              |FROM s""".stripMargin),
+      "HLL register merge across groups == direct global sketch (the " +
+        "merge law, hash-gated); exact count alongside"),
+
     // Bloom-pruned semi join: lineitem rows for urgent orders, with every
     // fact row tested against a broadcast Bloom filter of the order-key
     // set BEFORE the exact semi join (SketchOps.bloomSemiJoin — Spark's

@@ -19,7 +19,7 @@ class PlanGuardSpec extends AnyFunSuite {
     * its filter rides in as a scalar subquery, not a join. */
   private val declaredNestedLoop =
     Set("dedup_embedding_cosine", "sim_topk_bruteforce", "sim_topk_ivf",
-      "sketch_kmv_setops")
+      "sim_knn_classify", "sketch_kmv_setops", "sketch_hll_union")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

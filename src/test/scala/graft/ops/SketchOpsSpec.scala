@@ -52,6 +52,32 @@ class SketchOpsSpec extends AnyFunSuite {
       "merging per-source sketches must reproduce the whole-corpus sketch")
   }
 
+  test("HLL merge law: per-source registers max-merged == whole-corpus registers") {
+    val left = (0 until 4000).map(i => ("s1", s"a$i")).toDF("src", "key")
+    val right = (0 until 4000).map(i => ("s2", s"${if (i % 3 == 0) "a" else "b"}$i"))
+      .toDF("src", "key") // overlapping keys across sources
+    val whole = SketchOps
+      .hllRegisters(left.union(right), col("key"), Nil)
+      .select("bucket", "m_rho").as[(Long, Int)].collect().toMap
+    val merged = SketchOps
+      .hllMergeRegisters(
+        SketchOps.hllRegisters(left.union(right).select("src", "key"),
+          col("key"), Seq("src")), Nil)
+      .select("bucket", "m_rho").as[(Long, Int)].collect().toMap
+    assert(merged == whole,
+      "max-merging per-source registers must reproduce the union's registers")
+    // and the estimates (same registers -> same arithmetic) agree too
+    val eW = SketchOps.hllEstimate(
+      SketchOps.hllRegisters(left.union(right), col("key"), Nil), Nil)
+      .select("est_distinct").as[Double].head()
+    val eM = SketchOps.hllEstimate(
+      SketchOps.hllMergeRegisters(
+        SketchOps.hllRegisters(left.union(right).select("src", "key"),
+          col("key"), Seq("src")), Nil), Nil)
+      .select("est_distinct").as[Double].head()
+    assert(eW == eM)
+  }
+
   test("bottom-k quantiles: exact below k, near-true above") {
     import org.apache.spark.sql.functions.col
     // group "small": 100 rows (< k) — sample IS the group, quantile exact
