@@ -266,6 +266,54 @@ object AnalyticsQueries {
              |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin),
       "shipping-priority shape: selective joins, decimal revenue, ordered topN"),
 
+    // TPC-H Q5 shape: the six-table star-chain join (region → nation →
+    // customer/supplier → orders → lineitem) with the local-supplier
+    // constraint (customer and supplier in the SAME nation — the join
+    // graph's cycle) + decimal revenue rollup per nation. The optimizer
+    // stress gate: dims broadcast, the two fact joins shuffle on their
+    // keys, and the cycle closes as an equi-condition on the already-
+    // joined nationkeys, never a second pass.
+    Q(
+      "q5_local_supplier_volume",
+      (s, d) => {
+        val price = col("l_extendedprice").cast(DecimalType(12, 4))
+        val disc = col("l_discount").cast(DecimalType(8, 6))
+        val one = lit(1).cast(DecimalType(8, 6))
+        val lo = lit("1996-01-01").cast(TimestampType)
+        val hi = lit("1997-01-01").cast(TimestampType)
+        T(s, d, "region").filter(col("r_name") === "ASIA")
+          .join(T(s, d, "nation"), col("n_regionkey") === col("r_regionkey"))
+          .join(T(s, d, "customer"), col("c_nationkey") === col("n_nationkey"))
+          .join(T(s, d, "orders")
+            .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+            col("o_custkey") === col("c_custkey"))
+          .join(T(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .join(T(s, d, "supplier"),
+            col("s_suppkey") === col("l_suppkey") &&
+              col("s_nationkey") === col("c_nationkey"))
+          .groupBy("n_name")
+          .agg(sum(price * (one - disc)).cast(DecimalType(28, 4))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+             |       (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6))))
+             |    AS DECIMAL(28,4)) AS DOUBLE) AS revenue
+             |FROM region
+             |JOIN nation ON n_regionkey = r_regionkey
+             |JOIN customer ON c_nationkey = n_nationkey
+             |JOIN orders ON o_custkey = c_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |             AND s_nationkey = c_nationkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+      "Q5 shape: six-table join with a cyclic local-supplier constraint, " +
+        "decimal revenue per nation"),
+
     // Scalar string/null battery: regexp extract, case, trim/pad-free
     // deterministic funcs, coalesce/nullif/greatest/least
     Q(
