@@ -40,6 +40,15 @@ object Sinks {
     df.write.mode("overwrite").json(dir)
   }
 
+  /** ORC with the same rotation contract — for warehouses standardized
+    * on ORC (Hive-lineage stacks) rather than parquet; Spark's reader
+    * gives ORC the same pushdown/pruning treatment, asserted in
+    * SinksExtractSpec. */
+  def writeOrcWithRotation(df: DataFrame, dir: String): Unit = {
+    rotate(df.sparkSession, dir)
+    df.write.mode("overwrite").orc(dir)
+  }
+
   /** Key-matched MERGE/upsert into a parquet warehouse table — the
     * reference's intended load (load.py:57 "githubIDs … can be dropped"
     * TODO; PK/UNIQUE DDL at migrations/001_core_schema.sql:46-66), which

@@ -279,6 +279,69 @@ object TextQueries {
       "per-doc top-5 characteristic terms by tf/df (rank-equivalent to " +
         "tf-idf), keyed joins only — no scalar subquery"),
 
+    // Bigram-coverage quality score — the language-model-proxy filter:
+    // what fraction of a document's distinct word bigrams appear in the
+    // corpus's top-200 bigram list? Low coverage flags gibberish,
+    // boilerplate and wrong-language text without any model artifact
+    // (the deterministic stand-in for CCNet's LM-perplexity bucket, same
+    // plumbing). Two rollups build the reference list (rank ties broken
+    // lexicographically); per-doc coverage is a broadcast semi-probe +
+    // one integer-over-integer division — exact. At 100 TB the
+    // reference list is tiny by construction (top-k), the probe is a
+    // broadcast join, and the per-doc rollup is one keyed aggregate.
+    Q(
+      "text_bigram_coverage",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val bigrams = docs
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+          // sub-2-token docs have no bigrams; filter BEFORE sequence()
+          // (Spark's sequence(1, 0) would count DOWN, not come back empty)
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(
+            expr("transform(sequence(1, size(t) - 1)," +
+              " i -> concat(t[i-1], ' ', t[i]))")).as("bg"))
+          .distinct()
+        // top-k by orderBy+limit, NOT a global row_number window: Spark
+        // plans TakeOrderedAndProject (per-partition heap + driver merge
+        // of k rows), where the window would move every distinct bigram
+        // count onto one partition. Same deterministic order.
+        val top = bigrams.groupBy("bg").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bg"))
+          .limit(200)
+          .select("bg")
+        bigrams
+          .join(broadcast(top).withColumn("hit", lit(1)), Seq("bg"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(coalesce(col("hit"), lit(0))).as("n_common"))
+          .withColumn("coverage",
+            col("n_common").cast("double") / col("n_bigrams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(text, ' +') AS t
+             |  FROM documents),
+             |bg AS (
+             |  SELECT DISTINCT doc_id, bg FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(generate_series(1, len(t) - 1),
+             |                            i -> t[i] || ' ' || t[i+1])) AS bg
+             |    FROM t WHERE len(t) >= 2)),
+             |top AS (SELECT bg FROM (
+             |  SELECT bg, count(*) AS n,
+             |    ROW_NUMBER() OVER (ORDER BY count(*) DESC, bg) AS rnk
+             |  FROM bg GROUP BY bg) WHERE rnk <= 200)
+             |SELECT b.doc_id, count(*) AS n_bigrams,
+             |  CAST(sum(CASE WHEN top.bg IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_common,
+             |  CAST(sum(CASE WHEN top.bg IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / count(*) AS coverage
+             |FROM bg b LEFT JOIN top ON b.bg = top.bg
+             |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin),
+      "bigram coverage vs corpus top-200: the model-free LM-perplexity " +
+        "stand-in for quality filtering"),
+
     // Inverted index build: token → document frequency + ordered postings
     // list — the retrieval primitive under BM25/ANN hybrid search. One
     // (doc, token) distinct, one token-keyed rollup; postings serialize

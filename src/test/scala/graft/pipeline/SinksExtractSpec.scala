@@ -329,6 +329,29 @@ class SinksExtractSpec extends AnyFunSuite {
     }
   }
 
+  test("ORC sink round-trips with rotation and gets scan-level pushdown") {
+    val sf = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft_orc").toString + "/t"
+    val src = graft.T(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    Sinks.writeOrcWithRotation(src, tmp)
+    val back = spark.read.orc(tmp)
+    assert(back.schema == src.schema, "ORC must preserve the schema")
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "ORC round trip must preserve every row")
+    // same rotation contract as parquet: second write keeps a backup gen
+    Sinks.writeOrcWithRotation(src.limit(10), tmp)
+    assert(spark.read.orc(tmp).count() == 10)
+    assert(spark.read.orc(tmp + "_backup").count() == src.count(),
+      "previous generation must survive as the backup")
+    // ORC scans get the same filter pushdown treatment as parquet
+    val plan = spark.read.orc(tmp)
+      .filter(col("o_orderstatus") === "F").queryExecution.executedPlan
+    assert(plan.toString.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"ORC scan must push the filter:\n$plan")
+  }
+
   test("executor-side fan-out plans one scan node, not an N-branch union") {
     val fetcher: Extract.Fetcher = (path, page) =>
       if (page > 1) None
