@@ -422,6 +422,82 @@ object AnalyticsQueries {
              |            AND o_orderpriority = '1-URGENT') AS has_urgent
              |FROM customer
              |ORDER BY c_custkey""".stripMargin),
-      "correlated scalar + EXISTS subqueries, decorrelated into joins by the planner")
+      "correlated scalar + EXISTS subqueries, decorrelated into joins by the planner"),
+
+    // Per-group least-squares regression + Pearson r of extendedprice on
+    // quantity — the statistical-aggregate family (corr / covar / regr_*)
+    // made hash-exact. Built-in corr() accumulates doubles in scan order
+    // (different across engines AND across Spark runs), and even
+    // DECIMAL-summed moments diverge in the final cast (DuckDB's
+    // int128/10^scale → double double-rounds vs Spark's correctly-rounded
+    // BigDecimal). So the gate quantizes both measures to integers first
+    // (floor — the same fixed-point discipline as sim_centroid_per_label):
+    // every moment sum is then an exact BIGINT below 2^53 at gate SF, its
+    // double cast is exact in both engines, and the closed forms are
+    // IDENTICAL IEEE expression trees (incl. correctly-rounded sqrt) →
+    // bit-equal. One shuffle (map-side partials), 3 rows out. At 100 TB
+    // the only change is widening the sums to DECIMAL(38,0).
+    Q(
+      "stat_regression_per_key",
+      (s, d) => {
+        T(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            floor(col("l_quantity")).cast(LongType).as("qi"),
+            floor(col("l_extendedprice")).cast(LongType).as("pi"))
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("qi")).as("sx"), sum(col("pi")).as("sy"),
+            sum(col("qi") * col("pi")).as("sxy"),
+            sum(col("qi") * col("qi")).as("sxx"),
+            sum(col("pi") * col("pi")).as("syy"))
+          .select(col("l_returnflag"), col("n"),
+            col("n").cast("double").as("nd"),
+            col("sx").cast("double").as("sxd"),
+            col("sy").cast("double").as("syd"),
+            col("sxy").cast("double").as("sxyd"),
+            col("sxx").cast("double").as("sxxd"),
+            col("syy").cast("double").as("syyd"))
+          .withColumn("cov", col("nd") * col("sxyd") - col("sxd") * col("syd"))
+          .withColumn("var_x", col("nd") * col("sxxd") - col("sxd") * col("sxd"))
+          .withColumn("var_y", col("nd") * col("syyd") - col("syd") * col("syd"))
+          .select(col("l_returnflag"), col("n"),
+            (col("cov") / col("var_x")).as("slope"),
+            ((col("syd") - (col("cov") / col("var_x")) * col("sxd")) /
+              col("nd")).as("intercept"),
+            (col("cov") / sqrt(col("var_x") * col("var_y"))).as("r"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH q AS (
+             |  SELECT l_returnflag,
+             |    CAST(floor(l_quantity) AS BIGINT) AS qi,
+             |    CAST(floor(l_extendedprice) AS BIGINT) AS pi
+             |  FROM lineitem),
+             |a AS (
+             |  SELECT l_returnflag, count(*) AS n,
+             |    CAST(SUM(qi) AS BIGINT) AS sx, CAST(SUM(pi) AS BIGINT) AS sy,
+             |    CAST(SUM(qi * pi) AS BIGINT) AS sxy,
+             |    CAST(SUM(qi * qi) AS BIGINT) AS sxx,
+             |    CAST(SUM(pi * pi) AS BIGINT) AS syy
+             |  FROM q GROUP BY l_returnflag),
+             |b AS (
+             |  SELECT l_returnflag, n,
+             |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+             |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+             |  FROM a),
+             |c AS (
+             |  SELECT l_returnflag, n, nd, sxd, syd,
+             |    nd*sxyd - sxd*syd AS cov,
+             |    nd*sxxd - sxd*sxd AS var_x,
+             |    nd*syyd - syd*syd AS var_y
+             |  FROM b)
+             |SELECT l_returnflag, n,
+             |  cov/var_x AS slope,
+             |  (syd - (cov/var_x)*sxd)/nd AS intercept,
+             |  cov/sqrt(var_x*var_y) AS r
+             |FROM c ORDER BY l_returnflag""".stripMargin),
+      "per-group regression slope/intercept + Pearson r from quantized " +
+        "integer moment sums — hash-stable corr/regr_* family")
   )
 }

@@ -311,6 +311,65 @@ object SketchQueries {
            |       jaccard * est_union AS est_intersection FROM est, ex""".stripMargin
       },
       "KMV set-operation estimates: union/Jaccard/intersection from the " +
-        "sketches alone, exact counts alongside")
+        "sketches alone, exact counts alongside"),
+
+    // Histogram-binned approximate quantiles — the quantile shape that
+    // actually runs at 100 TB (exact percentile_disc needs a full sort
+    // or per-group materialization; the binned sketch needs ONE keyed
+    // count rollup whose state is bins = value-range / width per group,
+    // independent of row count — this is t-digest/KLL's niche filled
+    // with a fixed-width histogram). Everything compared is integer or
+    // an exact double (bin edges are bin*100 integers; the rank target
+    // ceil(p*n) is one IEEE multiply+ceil, identical cross-engine). The
+    // answer is the lower edge of the first bin whose cumulative count
+    // reaches the target rank — error bounded by bin width by
+    // construction.
+    Q(
+      "sketch_quantile_binned",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val bins = T(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            floor(col("l_extendedprice") / 100.0).cast("long").as("bin"))
+          .groupBy("l_returnflag", "bin")
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("l_returnflag").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = bins.withColumn("cum", sum(col("c")).over(w))
+        val targets = bins.groupBy("l_returnflag")
+          .agg(sum(col("c")).as("n"))
+          .select(col("l_returnflag"), col("n"),
+            explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+          .withColumn("k", ceil(col("p") * col("n")))
+        cum.join(targets, "l_returnflag")
+          .filter(col("cum") >= col("k"))
+          .groupBy("l_returnflag", "p")
+          .agg((min(col("bin")) * 100).cast("double").as("approx_q"))
+          .orderBy("l_returnflag", "p")
+      },
+      Some("""WITH b AS (
+             |  SELECT l_returnflag,
+             |    CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS bin,
+             |    count(*) AS c
+             |  FROM lineitem GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT l_returnflag, bin,
+             |    CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM b),
+             |t AS (SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n
+             |      FROM b GROUP BY 1),
+             |tgt AS (
+             |  SELECT l_returnflag, p, CAST(ceil(p * n) AS BIGINT) AS k
+             |  FROM t, (SELECT unnest([0.5, 0.9, 0.99]) AS p))
+             |SELECT cum.l_returnflag, tgt.p,
+             |  CAST(min(cum.bin) * 100 AS DOUBLE) AS approx_q
+             |FROM cum JOIN tgt ON cum.l_returnflag = tgt.l_returnflag
+             |WHERE cum.cum >= tgt.k
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin),
+      "approximate quantiles from a fixed-width histogram: state is " +
+        "bins per group, never rows — the scalable quantile path")
   )
 }

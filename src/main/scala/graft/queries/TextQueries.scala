@@ -342,6 +342,65 @@ object TextQueries {
       "bigram coverage vs corpus top-200: the model-free LM-perplexity " +
         "stand-in for quality filtering"),
 
+    // Term co-occurrence counts over a capped vocabulary — the table
+    // under PMI / word-embedding / topic work. The vocabulary cap is the
+    // scale contract: restrict to the top-50 tokens by document
+    // frequency (TakeOrderedAndProject + broadcast semi probe), so the
+    // per-document pair explosion is ≤ C(50,2) however long the document
+    // is, and the doc-keyed self-join stays linear in documents. Output
+    // carries each token's doc frequency alongside the pair count (the
+    // PMI numerator/denominators) as exact integers — the log itself is
+    // left to the consumer (libm log is not cross-engine reproducible).
+    Q(
+      "text_cooccurrence",
+      (s, d) => {
+        val dt0 = T(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("tok"))
+          .distinct()
+        val vocab = dt0.groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(50)
+          .select("tok")
+        val dt = dt0.join(broadcast(vocab), Seq("tok"), "left_semi")
+        val df = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+        val pairs = dt.as("a")
+          .join(dt.as("b"), col("a.doc_id") === col("b.doc_id") &&
+            col("a.tok") < col("b.tok"))
+          .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+          .agg(count(lit(1)).as("n_pair"))
+        pairs
+          .join(broadcast(df).withColumnRenamed("tok", "tok_a")
+            .withColumnRenamed("df", "df_a"), "tok_a")
+          .join(broadcast(df).withColumnRenamed("tok", "tok_b")
+            .withColumnRenamed("df", "df_b"), "tok_b")
+          .select("tok_a", "tok_b", "n_pair", "df_a", "df_b")
+          .orderBy("tok_a", "tok_b")
+      },
+      Some("""WITH dt0 AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(string_split_regex(text, ' +')) AS tok
+             |  FROM documents),
+             |vocab AS (SELECT tok FROM (
+             |  SELECT tok, count(*) AS n FROM dt0 GROUP BY tok
+             |  ORDER BY n DESC, tok LIMIT 50)),
+             |dt AS (SELECT doc_id, tok FROM dt0
+             |       WHERE tok IN (SELECT tok FROM vocab)),
+             |df AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+             |pairs AS (
+             |  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_pair
+             |  FROM dt a JOIN dt b
+             |    ON a.doc_id = b.doc_id AND a.tok < b.tok
+             |  GROUP BY 1, 2)
+             |SELECT tok_a, tok_b, n_pair, fa.df AS df_a, fb.df AS df_b
+             |FROM pairs
+             |JOIN df fa ON pairs.tok_a = fa.tok
+             |JOIN df fb ON pairs.tok_b = fb.tok
+             |ORDER BY tok_a, tok_b""".stripMargin),
+      "doc-level term co-occurrence + doc frequencies over a top-50 " +
+        "vocabulary: the exact-integer PMI table, pair work capped by " +
+        "the vocabulary"),
+
     // Inverted index build: token → document frequency + ordered postings
     // list — the retrieval primitive under BM25/ANN hybrid search. One
     // (doc, token) distinct, one token-keyed rollup; postings serialize
