@@ -134,6 +134,73 @@ object TextOps {
         col("score"), col("rnk"))
   }
 
+  /** Doc-level term co-occurrence counts over a capped vocabulary — the
+    * exact-integer table under PMI / word-embedding / topic work. The
+    * vocabulary cap (top `vocabK` tokens by document frequency, via
+    * TakeOrderedAndProject + a broadcast semi probe) bounds the per-doc
+    * pair fan-out at C(vocabK, 2) regardless of document length, so the
+    * doc-keyed self-join stays linear in documents (`text_cooccurrence`
+    * gate; scaling measured in tools/Scale). Output carries each token's
+    * doc frequency alongside the pair count — the PMI numerator and
+    * denominators as exact integers; the log itself is left to the
+    * consumer (libm log is not cross-engine reproducible). */
+  def cooccurrencePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      vocabK: Int): DataFrame = {
+    val dt0 = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .distinct()
+    val vocab = dt0.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(vocabK)
+      .select("tok")
+    val dt = dt0.join(broadcast(vocab), Seq("tok"), "left_semi")
+    val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+    val pairs = dt.as("a")
+      .join(dt.as("b"), col(s"a.$idCol") === col(s"b.$idCol") &&
+        col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("n_pair"))
+    pairs
+      .join(broadcast(dfreq).withColumnRenamed("tok", "tok_a")
+        .withColumnRenamed("df", "df_a"), "tok_a")
+      .join(broadcast(dfreq).withColumnRenamed("tok", "tok_b")
+        .withColumnRenamed("df", "df_b"), "tok_b")
+      .select("tok_a", "tok_b", "n_pair", "df_a", "df_b")
+  }
+
+  /** Per-document coverage of the corpus's top-`topK` bigram list — the
+    * model-free LM-perplexity stand-in for quality filtering (low
+    * coverage flags gibberish, boilerplate, wrong-language text). The
+    * reference list is tiny by construction (top-k via
+    * TakeOrderedAndProject — never a single-partition global window),
+    * the per-doc probe is a broadcast left join, and the rollup is one
+    * keyed aggregate; coverage is a single integer→double division —
+    * exact (`text_bigram_coverage` gate). */
+  def bigramCoverage(
+      df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
+    val bigrams = df
+      .select(col(idCol), tokens(col(textCol)).as("t"))
+      // sub-2-token docs have no bigrams; filter BEFORE sequence()
+      // (Spark's sequence(1, 0) would count DOWN, not come back empty)
+      .filter(size(col("t")) >= 2)
+      .select(col(idCol), explode(
+        expr("transform(sequence(1, size(t) - 1)," +
+          " i -> concat(t[i-1], ' ', t[i]))")).as("bg"))
+      .distinct()
+    val top = bigrams.groupBy("bg").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg"))
+      .limit(topK)
+      .select("bg")
+    bigrams
+      .join(broadcast(top).withColumn("hit", lit(1)), Seq("bg"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("hit"), lit(0))).as("n_common"))
+      .withColumn("coverage",
+        col("n_common").cast("double") / col("n_bigrams"))
+  }
+
   /** Per-language function-word lexicons for the vote-based language-ID
     * heuristic. Deterministic and fully SQL-expressible (the DuckDB oracle
     * runs the same votes). The native one-pass vote counter

@@ -291,34 +291,10 @@ object TextQueries {
     // broadcast join, and the per-doc rollup is one keyed aggregate.
     Q(
       "text_bigram_coverage",
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        val bigrams = docs
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-          // sub-2-token docs have no bigrams; filter BEFORE sequence()
-          // (Spark's sequence(1, 0) would count DOWN, not come back empty)
-          .filter(size(col("t")) >= 2)
-          .select(col("doc_id"), explode(
-            expr("transform(sequence(1, size(t) - 1)," +
-              " i -> concat(t[i-1], ' ', t[i]))")).as("bg"))
-          .distinct()
-        // top-k by orderBy+limit, NOT a global row_number window: Spark
-        // plans TakeOrderedAndProject (per-partition heap + driver merge
-        // of k rows), where the window would move every distinct bigram
-        // count onto one partition. Same deterministic order.
-        val top = bigrams.groupBy("bg").agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("bg"))
-          .limit(200)
-          .select("bg")
-        bigrams
-          .join(broadcast(top).withColumn("hit", lit(1)), Seq("bg"), "left")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            sum(coalesce(col("hit"), lit(0))).as("n_common"))
-          .withColumn("coverage",
-            col("n_common").cast("double") / col("n_bigrams"))
-          .orderBy("doc_id")
-      },
+      (s, d) =>
+        TextOps.bigramCoverage(T(s, d, "documents"), "doc_id", "text",
+            topK = 200)
+          .orderBy("doc_id"),
       Some("""WITH t AS (
              |  SELECT doc_id, string_split_regex(text, ' +') AS t
              |  FROM documents),
@@ -353,30 +329,10 @@ object TextQueries {
     // left to the consumer (libm log is not cross-engine reproducible).
     Q(
       "text_cooccurrence",
-      (s, d) => {
-        val dt0 = T(s, d, "documents")
-          .select(col("doc_id"),
-            explode(TextOps.tokens(col("text"))).as("tok"))
-          .distinct()
-        val vocab = dt0.groupBy("tok").agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("tok"))
-          .limit(50)
-          .select("tok")
-        val dt = dt0.join(broadcast(vocab), Seq("tok"), "left_semi")
-        val df = dt.groupBy("tok").agg(count(lit(1)).as("df"))
-        val pairs = dt.as("a")
-          .join(dt.as("b"), col("a.doc_id") === col("b.doc_id") &&
-            col("a.tok") < col("b.tok"))
-          .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
-          .agg(count(lit(1)).as("n_pair"))
-        pairs
-          .join(broadcast(df).withColumnRenamed("tok", "tok_a")
-            .withColumnRenamed("df", "df_a"), "tok_a")
-          .join(broadcast(df).withColumnRenamed("tok", "tok_b")
-            .withColumnRenamed("df", "df_b"), "tok_b")
-          .select("tok_a", "tok_b", "n_pair", "df_a", "df_b")
-          .orderBy("tok_a", "tok_b")
-      },
+      (s, d) =>
+        TextOps.cooccurrencePairs(T(s, d, "documents"), "doc_id", "text",
+            vocabK = 50)
+          .orderBy("tok_a", "tok_b"),
       Some("""WITH dt0 AS (
              |  SELECT DISTINCT doc_id,
              |    unnest(string_split_regex(text, ' +')) AS tok

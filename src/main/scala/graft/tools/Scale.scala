@@ -139,9 +139,27 @@ object Scale {
             d.select(col("doc_id")).filter(col("doc_id") % 50 === 0),
             "doc_id", "doc_id",
             expectedItems = math.max(n / 50, 16L),
-            numBits = math.max(n / 50, 16L) * 20).count()))
+            numBits = math.max(n / 50, 16L) * 20).count()),
+        // co-occurrence: the vocabulary cap (50) fixes per-doc pair
+        // fan-out, so the doc-keyed self-join should track n even though
+        // vocabulary ∝ n makes the cap maximally selective — a
+        // superlinear bend here means the pair join escaped the cap
+        "cooccurrence" -> (() =>
+          TextOps.cooccurrencePairs(d, "doc_id", "text",
+            vocabK = 50).count()),
+        // bigram coverage: distinct bigrams grow ∝ n (vocabulary ∝ n),
+        // the top-200 list is TakeOrdered (per-partition heaps), the
+        // probe is a broadcast join — end-to-end should track n
+        "bigram_coverage" -> (() =>
+          TextOps.bigramCoverage(d, "doc_id", "text",
+            topK = 200).count()))
 
-      for ((name, op) <- ops) {
+      // optional args(1): comma-separated op names — run only those
+      // (refresh individual curves without paying the full sweep)
+      val opFilter: Option[Set[String]] =
+        if (args.length > 1) Some(args(1).split(",").map(_.trim).toSet)
+        else None
+      for ((name, op) <- ops if opFilter.forall(_.contains(name))) {
         System.gc() // don't let one op's garbage land in the next's clock
         val secs = (1 to trials).map(_ => time(op())).min
         results += ((name, n, secs))
