@@ -86,6 +86,22 @@ object DedupQueries {
       Some(jaccardSql(0.8)),
       "exact 3-gram Jaccard near-dup pairs (>= 0.8)"),
 
+    // PPJoin prefix filter: candidates only from each doc's
+    // n - ceil(t*n) + 1 globally-rarest shingles, verified by exact
+    // per-candidate intersection. The filter is LOSSLESS, so the oracle
+    // is the plain exact-join SQL — this gate hash-passes iff the
+    // prefix-filter theorem actually holds in the implementation.
+    Q(
+      "dedup_prefix_filter",
+      (s, d) =>
+        DedupOps
+          .prefixFilterJaccardPairs(T(s, d, "documents"), "doc_id", "text",
+            k = 3, threshold = 0.8, reuseShingles = true)
+          .orderBy("a", "b"),
+      Some(jaccardSql(0.8)),
+      "PPJoin prefix-filtered exact Jaccard: prefix-sized join, " +
+        "exact-join results — oracled against the exact join itself"),
+
     // Production-path variant: shingles present in more than `cap` docs
     // are dropped before the self-join. At 100 TB this is what bounds the
     // join: a stop-shingle in 10^6 docs otherwise contributes 10^12

@@ -101,6 +101,12 @@ object Scale {
         "minhash_lsh" -> (() =>
           DedupOps.minhashLshPairs(d, "doc_id", "text",
             k = 3, threshold = 0.8).count()),
+        // prefix filter: candidates come from the n-ceil(t*n)+1 rarest
+        // shingles per doc; with vocabulary ∝ n the prefix join should
+        // track n while returning the EXACT join's pairs
+        "prefix_filter_jaccard" -> (() =>
+          DedupOps.prefixFilterJaccardPairs(d, "doc_id", "text",
+            k = 3, threshold = 0.8).count()),
         "winnow_pairs" -> (() =>
           DedupOps.winnowPairs(d, "doc_id", "text",
             k = 8, w = 4, minShared = 3, maxFpFreq = Some(8)).count()),
