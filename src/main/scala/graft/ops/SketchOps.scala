@@ -365,4 +365,36 @@ object SketchOps {
       .join(dim.select(col(dimKey).as(factKey)).distinct(),
         Seq(factKey), "left_semi")
   }
+
+  /** Histogram-binned approximate quantiles — the quantile shape that
+    * runs at 100 TB (exact per-group percentiles need a per-group sort
+    * or materialization; this needs ONE keyed count rollup whose state
+    * is bins = value-range / width per group, independent of row count).
+    * Answer = the lower edge of the first bin whose cumulative count
+    * reaches rank ceil(p·n); error bounded by `width` by construction
+    * (property-tested in SketchOpsSpec, hash-gated as
+    * `sketch_quantile_binned`). Every compared value is an exact
+    * integer or a single IEEE multiply — cross-engine reproducible. */
+  def binnedQuantiles(
+      df: DataFrame, groupCol: String, valueCol: String,
+      width: Double, ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = df
+      .select(col(groupCol),
+        floor(col(valueCol) / width).cast("long").as("bin"))
+      .groupBy(groupCol, "bin")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(groupCol).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins.withColumn("cum", sum(col("c")).over(w))
+    val targets = bins.groupBy(groupCol)
+      .agg(sum(col("c")).as("n"))
+      .select(col(groupCol), col("n"),
+        explode(array(ps.map(lit(_)): _*)).as("p"))
+      .withColumn("k", ceil(col("p") * col("n")))
+    cum.join(targets, groupCol)
+      .filter(col("cum") >= col("k"))
+      .groupBy(groupCol, "p")
+      .agg((min(col("bin")) * width).cast("double").as("approx_q"))
+  }
 }

@@ -326,28 +326,11 @@ object SketchQueries {
     // construction.
     Q(
       "sketch_quantile_binned",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        import org.apache.spark.sql.functions._
-        val bins = T(s, d, "lineitem")
-          .select(col("l_returnflag"),
-            floor(col("l_extendedprice") / 100.0).cast("long").as("bin"))
-          .groupBy("l_returnflag", "bin")
-          .agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy("l_returnflag").orderBy("bin")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = bins.withColumn("cum", sum(col("c")).over(w))
-        val targets = bins.groupBy("l_returnflag")
-          .agg(sum(col("c")).as("n"))
-          .select(col("l_returnflag"), col("n"),
-            explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
-          .withColumn("k", ceil(col("p") * col("n")))
-        cum.join(targets, "l_returnflag")
-          .filter(col("cum") >= col("k"))
-          .groupBy("l_returnflag", "p")
-          .agg((min(col("bin")) * 100).cast("double").as("approx_q"))
-          .orderBy("l_returnflag", "p")
-      },
+      (s, d) =>
+        SketchOps
+          .binnedQuantiles(T(s, d, "lineitem"), "l_returnflag",
+            "l_extendedprice", width = 100.0, ps = Seq(0.5, 0.9, 0.99))
+          .orderBy("l_returnflag", "p"),
       Some("""WITH b AS (
              |  SELECT l_returnflag,
              |    CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS bin,

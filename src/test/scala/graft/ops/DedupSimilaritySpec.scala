@@ -270,6 +270,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.size == base)
   }
 
+  test("prefix filter is lossless on random high-collision corpora") {
+    import spark.implicits._
+    // tiny vocabulary + short docs force shared shingles, borderline
+    // Jaccard values, and sub-k docs (whole-text shingles) — the corners
+    // where a wrong prefix length or positional bound silently drops
+    // pairs. Fixed seeds keep the draws reproducible.
+    for (seed <- Seq(1, 2, 3); threshold <- Seq(0.5, 0.8)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+      // random high-collision texts, every 5th doc a planted near-dup of
+      // its predecessor (previous text + one token) so exact pairs exist
+      // at every threshold; the purely random rest supplies borderline
+      // and sub-threshold pairs
+      val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (i <- 0 until 60) {
+        val len = 2 + rnd.nextInt(10)
+        val t = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        texts += (if (i % 5 == 0 && i > 0) texts(i - 1) + " " + vocab.head
+                  else t)
+      }
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i + 1L, t) }.toSeq.toDF("doc_id", "text")
+      def norm(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val exact = norm(DedupOps.ngramJaccardPairs(
+        docs, "doc_id", "text", k = 3, threshold = threshold))
+      val pf = norm(DedupOps.prefixFilterJaccardPairs(
+        docs, "doc_id", "text", k = 3, threshold = threshold))
+      assert(exact.nonEmpty, s"seed=$seed t=$threshold: vacuous draw")
+      assert(pf == exact,
+        s"seed=$seed t=$threshold: missed ${exact -- pf}, extra ${pf -- exact}")
+    }
+  }
+
   test("multimodal decode: real-codec metadata is typed per modality") {
     val media = MultimodalOps.mediaFromDocumentsReal(T(spark, sf, "documents"))
     val out = MultimodalOps.decodeReal(media)

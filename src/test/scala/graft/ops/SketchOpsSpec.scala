@@ -147,4 +147,27 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"rank-filter top-k must pre-prune before the exchange:\n$plan")
   }
+
+  test("binned quantiles land within one bin width of the exact quantile") {
+    val width = 50.0
+    val ps = Seq(0.5, 0.9, 0.99)
+    for (seed <- Seq(11, 12, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 2000).map(_ =>
+        (s"g${rnd.nextInt(3)}", rnd.nextDouble() * 1000.0))
+      val df = rows.toDF("g", "v")
+      val got = SketchOps.binnedQuantiles(df, "g", "v", width, ps)
+        .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2)))
+        .toMap
+      val byG = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(_._2).sorted
+      }
+      for ((g, sorted) <- byG; p <- ps) {
+        val exact = sorted(math.ceil(p * sorted.size).toInt - 1)
+        val approx = got((g, p))
+        assert(approx <= exact && exact < approx + width,
+          s"seed=$seed $g p=$p: exact=$exact not in [$approx, ${approx + width})")
+      }
+    }
+  }
 }
