@@ -175,6 +175,46 @@ object AnalyticsQueries {
              |ORDER BY user_id, session_seq""".stripMargin),
       "30-min-gap sessionization: lag + running sum + per-session rollup"),
 
+    // Spark's NATIVE session_window (the state-store-backed grouping
+    // Structured Streaming uses for streaming sessionization) run in
+    // batch, oracled against an independent manual reconstruction — the
+    // gate proves the built-in and the lag+cumsum formulation agree
+    // event-for-event. Semantics pinned by the oracle: windows are
+    // half-open [start, last_event + gap), so a gap of EXACTLY 30 min
+    // starts a new session (>= in the oracle, vs the manual `sessionize`
+    // gate's strict->merge choice).
+    Q(
+      "sessionize_native",
+      (s, d) =>
+        T(s, d, "events")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("sw.start").as("session_start"),
+            col("sw.end").as("session_end"),
+            col("n_events"))
+          .orderBy("user_id", "session_start"),
+      Some(s"""WITH m AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR date_diff('microsecond', lag(ts) OVER w, ts) >= $GapUs
+             |         THEN 1 ELSE 0 END AS ns
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+             |  FROM m)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |  COUNT(*) AS n_events
+             |FROM s GROUP BY user_id, seq
+             |ORDER BY user_id, session_start""".stripMargin),
+      "native session_window vs independent manual reconstruction: " +
+        "the streaming sessionization primitive, batch-oracled"),
+
     // Pivoted per-user activity counts (fixed value list -> static schema)
     Q(
       "pivot_event_counts",
@@ -439,35 +479,11 @@ object AnalyticsQueries {
     // the only change is widening the sums to DECIMAL(38,0).
     Q(
       "stat_regression_per_key",
-      (s, d) => {
-        T(s, d, "lineitem")
-          .select(col("l_returnflag"),
-            floor(col("l_quantity")).cast(LongType).as("qi"),
-            floor(col("l_extendedprice")).cast(LongType).as("pi"))
-          .groupBy("l_returnflag")
-          .agg(
-            count(lit(1)).as("n"),
-            sum(col("qi")).as("sx"), sum(col("pi")).as("sy"),
-            sum(col("qi") * col("pi")).as("sxy"),
-            sum(col("qi") * col("qi")).as("sxx"),
-            sum(col("pi") * col("pi")).as("syy"))
-          .select(col("l_returnflag"), col("n"),
-            col("n").cast("double").as("nd"),
-            col("sx").cast("double").as("sxd"),
-            col("sy").cast("double").as("syd"),
-            col("sxy").cast("double").as("sxyd"),
-            col("sxx").cast("double").as("sxxd"),
-            col("syy").cast("double").as("syyd"))
-          .withColumn("cov", col("nd") * col("sxyd") - col("sxd") * col("syd"))
-          .withColumn("var_x", col("nd") * col("sxxd") - col("sxd") * col("sxd"))
-          .withColumn("var_y", col("nd") * col("syyd") - col("syd") * col("syd"))
-          .select(col("l_returnflag"), col("n"),
-            (col("cov") / col("var_x")).as("slope"),
-            ((col("syd") - (col("cov") / col("var_x")) * col("sxd")) /
-              col("nd")).as("intercept"),
-            (col("cov") / sqrt(col("var_x") * col("var_y"))).as("r"))
-          .orderBy("l_returnflag")
-      },
+      (s, d) =>
+        graft.ops.StatOps
+          .quantizedRegression(T(s, d, "lineitem"), "l_returnflag",
+            "l_quantity", "l_extendedprice", scale = 1.0)
+          .orderBy("l_returnflag"),
       Some("""WITH q AS (
              |  SELECT l_returnflag,
              |    CAST(floor(l_quantity) AS BIGINT) AS qi,
