@@ -48,6 +48,41 @@ object AnalyticsQueries {
              |ORDER BY o_custkey, o_orderkey""".stripMargin),
       "ranking/navigation window battery sharing one shuffle"),
 
+    // Forward/backward fill (LOCF / NOCB) — the imputation step between
+    // raw sensor/event data and any time-series consumer: error rows'
+    // values are masked to NULL, then carried from the last (and next)
+    // valid observation per user. IGNORE NULLS navigation over running
+    // frames; both directions share ONE user exchange + sort (the
+    // FOLLOWING frame reuses the same ordering). Values move untouched
+    // (exact doubles), so the gate is hash-stable.
+    Q(
+      "window_forward_fill",
+      (s, d) => {
+        val base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        T(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            when(col("event_type") =!= "error", col("value")).as("v"))
+          .withColumn("v_locf", last(col("v"), ignoreNulls = true).over(back))
+          .withColumn("v_nocb", first(col("v"), ignoreNulls = true).over(fwd))
+          .select("user_id", "event_id", "ts", "v", "v_locf", "v_nocb")
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some("""SELECT user_id, event_id, ts, v,
+             |  last_value(v IGNORE NULLS) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS v_locf,
+             |  first_value(v IGNORE NULLS) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_nocb
+             |FROM (SELECT user_id, event_id, ts,
+             |        CASE WHEN event_type <> 'error' THEN value END AS v
+             |      FROM events)
+             |ORDER BY user_id, ts, event_id""".stripMargin),
+      "forward + backward fill (LOCF/NOCB) via IGNORE NULLS navigation, " +
+        "both directions on one user shuffle"),
+
     // GROUPING SETS beyond rollup/cube: two independent single-column
     // aggregations plus the grand total in one pass (Expand-based), with
     // grouping_id disambiguating aggregation-produced nulls.

@@ -33,6 +33,12 @@ class SketchStatPlanSpec extends AnyFunSuite {
       s"bin counts must aggregate on a keyed shuffle:\n$p")
   }
 
+  test("forward/backward fill share ONE user exchange") {
+    val p = plan("window_forward_fill")
+    assert(countOf(p, "Exchange hashpartitioning\\(user_id") == 1,
+      s"LOCF and NOCB must ride the same user shuffle:\n$p")
+  }
+
   test("co-occurrence: keyed self-join, never a cartesian/nested-loop") {
     val p = plan("text_cooccurrence")
     assert(!p.contains("CartesianProduct"),
