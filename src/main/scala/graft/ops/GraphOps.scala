@@ -251,6 +251,129 @@ object GraphOps {
   /** Unpersist and drop every shared component frame (test hygiene). */
   def clearComponentCache(): Unit = componentCache.clear()
 
+  /** Fixed-iteration PageRank in exact integer (fixed-point) arithmetic.
+    *
+    * Ranks are carried as `unit`-scaled BIGINT "rank units" and every
+    * division is integer division, so the result is bit-identical on any
+    * engine and any partitioning — floating-point PageRank accumulates
+    * doubles in scan order and can never hash-gate (the same reason
+    * [[graft.ops.StatOps]] quantizes its moments). Per iteration the
+    * update is the standard damped form, with two documented exactness
+    * choices: each node's contribution is `r div outdeg` (the sub-unit
+    * remainder is dropped, not redistributed) and dangling-node mass is
+    * dropped rather than respread (the common simplification; the
+    * stationary ranking is unaffected for the connected case).
+    *
+    * Scale shape: `edges` is joined with its out-degrees ONCE and
+    * persisted; each iteration is then one shuffle of the (small) rank
+    * frame to the edge partitioning, a map-side-combinable sum per
+    * destination, and a narrow left join back to the node universe —
+    * O(E) per round with no growing state. The loop is driver-side
+    * counters only; every round's rank frame is checkpoint-truncated so
+    * plan depth stays O(1) per round (same discipline as
+    * [[connectedComponents]]).
+    *
+    * @return one row per node: (`id`, `rank_units`) where `rank_units`
+    *         ~= rank probability × `unit` × N up to the documented
+    *         truncation.
+    */
+  def pageRankUnits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, dampNum: Int = 85, dampDen: Int = 100,
+      unit: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampDen > dampNum && unit > 0,
+      s"pageRankUnits: bad parameters ($iters, $dampNum/$dampDen, $unit)")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Out-degrees ride the edge rows so the per-iteration join is a
+    // single equi-join on src — degree lookup costs nothing per round.
+    val eDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val base = unit * (dampDen - dampNum) / dampDen // exact for the defaults
+    var ranks = nodes.select(col("id"), lit(unit).as("r"))
+      .localCheckpoint(true)
+    var round = 0
+    while (round < iters) {
+      val contrib = eDeg
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("c"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(base) +
+            expr(s"(${dampNum.toLong}L * coalesce(c, 0L)) div ${dampDen.toLong}L"))
+            .as("r"))
+        .localCheckpoint(true)
+      round += 1
+    }
+    nodes.unpersist()
+    eDeg.unpersist()
+    ranks.select(col("id"), col("r").as("rank_units"))
+  }
+
+  /** Per-node triangle counts by degree-ordered edge orientation — the
+    * classic O(m^1.5)-work enumeration (Schank & Wagner / Cohen's
+    * MapReduce formulation) instead of the naive wedge join whose work is
+    * Σ deg² (quadratic in the hottest hub's degree).
+    *
+    * Every undirected edge is oriented from its lower endpoint to its
+    * higher endpoint in the total order (degree, id) — so wedges are only
+    * enumerated at their LOWEST-degree apex, which bounds per-node wedge
+    * work by O(√m) regardless of skew: a celebrity hub with millions of
+    * neighbors generates no wedges at all unless both neighbors have even
+    * higher degree. Each triangle is then found exactly once (its
+    * smallest vertex is the apex) by probing the oriented edge set for
+    * the closing edge — two shuffle joins total, no state beyond the
+    * edge list.
+    *
+    * @param edges undirected edge list (direction/duplicates ignored).
+    * @return (`id`, `triangles`) for every node in at least one triangle.
+    */
+  def triangleCounts(
+      edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("id"))
+      .union(canon.select(col("v").as("id")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("d"))
+    // Orient low (deg, id) → high (deg, id); persist once, probed twice.
+    val oriented = canon
+      .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val wedges = oriented.select(col("s").as("a"), col("t").as("b"))
+      .join(oriented.select(col("s").as("b"), col("t").as("c")), "b")
+    val triangles = wedges
+      .join(oriented.select(col("s").as("a"), col("t").as("c")), Seq("a", "c"))
+    val counts = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("triangles"))
+    counts
+  }
+
   /** Keep one representative (the min-id member) per duplicate cluster:
     * drops every row of `df` whose id is a non-representative member of a
     * connected component of `pairs`. Rows never mentioned in `pairs`

@@ -81,6 +81,80 @@ object GraphQueries {
               |SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS component
               |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
               |ORDER BY id""".stripMargin),
-      "cluster labels completed over the corpus universe: singletons are their own component")
+      "cluster labels completed over the corpus universe: singletons are their own component"),
+
+    // Fixed-iteration PageRank over the customer→supplier trade graph in
+    // exact fixed-point integer arithmetic ([[GraphOps.pageRankUnits]]) —
+    // floating-point PageRank is scan-order-dependent and could never
+    // hash-gate. The oracle unrolls the same three integer-division
+    // iterations as CTEs. Node ids are disjointly encoded (cust*2,
+    // supp*2+1) so the two key spaces cannot collide.
+    Q(
+      "graph_pagerank",
+      (s, d) => {
+        val e = T(s, d, "orders")
+          .join(T(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        GraphOps.pageRankUnits(e, "src", "dst", iters = 3)
+          .orderBy("id")
+      },
+      Some {
+        val iters = 3
+        val unit = 1000000L
+        val base = unit * 15 / 100
+        val iterCtes = (1 to iters).map { i =>
+          s"""c$i AS (SELECT e.dst AS id, SUM(r.r // d.outdeg) AS c
+             |  FROM edges e JOIN r${i - 1} r ON r.id = e.src
+             |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+             |r$i AS (SELECT n.id, $base + (85 * COALESCE(c.c, 0)) // 100 AS r
+             |  FROM nodes n LEFT JOIN c$i c ON c.id = n.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH edges AS (
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+           |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+           |r0 AS (SELECT id, CAST($unit AS BIGINT) AS r FROM nodes),
+           |$iterCtes
+           |SELECT id, CAST(r AS BIGINT) AS rank_units FROM r$iters ORDER BY id""".stripMargin
+      },
+      "fixed-point integer PageRank (3 damped iterations) over the customer→supplier graph"),
+
+    // Per-node triangle counts over the part co-purchase graph (parts
+    // sharing an URGENT order), by degree-ordered orientation
+    // ([[GraphOps.triangleCounts]]): wedges enumerate only at their
+    // lowest-degree apex, so hub skew cannot blow the join up. The oracle
+    // is the naive id-ordered triple self-join — same triangles, the
+    // quadratic formulation the engine side exists to avoid.
+    Q(
+      "graph_triangle_count",
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+          .join(T(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val e = li.as("x")
+          .join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("u"), col("y.p").as("v"))
+          .distinct()
+        GraphOps.triangleCounts(e, "u", "v").orderBy("id")
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderpriority = '1-URGENT'),
+             |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+             |      FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+             |tri AS (SELECT p1.u AS a, p1.v AS b, p2.v AS c
+             |        FROM e p1 JOIN e p2 ON p2.u = p1.v
+             |        JOIN e p3 ON p3.u = p1.u AND p3.v = p2.v)
+             |SELECT id, count(*) AS triangles
+             |FROM (SELECT unnest([a, b, c]) AS id FROM tri)
+             |GROUP BY id ORDER BY id""".stripMargin),
+      "per-node triangle counts via degree-ordered orientation (skew-proof wedge work)")
   )
 }

@@ -115,6 +115,70 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 8L))
   }
 
+  test("pageRankUnits matches a scalar fixed-point reference") {
+    import spark.implicits._
+    // Directed: 1→2, 1→3, 2→3, 3→1 (a cycle plus a chord; node 1 has
+    // outdeg 2). Scalar reference replicates the exact integer updates.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("s", "t")
+    val got = GraphOps.pageRankUnits(edges, "s", "t", iters = 3)
+      .as[(Long, Long)].collect().toMap
+
+    val out = Map(1L -> Seq(2L, 3L), 2L -> Seq(3L), 3L -> Seq(1L))
+    var r = Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L)
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      out.foreach { case (u, vs) =>
+        val c = r(u) / vs.size
+        vs.foreach(v => contrib(v) += c)
+      }
+      r = r.keys.map(n => n -> (150000L + 85L * contrib(n) / 100L)).toMap
+    }
+    assert(got == r)
+  }
+
+  test("pageRankUnits: dangling and source-only nodes get the base rank") {
+    import spark.implicits._
+    // 1→2 only: node 2 is dangling (keeps receiving), node 1 receives
+    // nothing → settles at the base 150000.
+    val got = GraphOps.pageRankUnits(Seq((1L, 2L)).toDF("s", "t"), "s", "t",
+      iters = 3).as[(Long, Long)].collect().toMap
+    assert(got(1L) == 150000L)
+    // r2 after i1: 150000+85*1000000/100=1000000; i2: 150000+85*150000/100=277500
+    // (node 1 already at base from i1); i3 same → fixpoint.
+    assert(got(2L) == 277500L)
+  }
+
+  test("triangleCounts: known small graph, orientation-independent") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, every node in 3) plus pendant 4-5
+    // (in no triangle) — edges given in mixed orientation with a dup.
+    val edges = Seq(
+      (1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L), (3L, 4L),
+      (5L, 4L), (2L, 1L)).toDF("a", "b")
+    val got = GraphOps.triangleCounts(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts agrees with a brute-force oracle on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val edges = (1 to 300).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val canon = edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val es = canon.toSet
+    val oracle = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val ids = canon.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    for {
+      i <- ids; j <- ids if j > i; k <- ids if k > j
+      if es((i, j)) && es((j, k)) && es((i, k))
+    } Seq(i, j, k).foreach(x => oracle(x) += 1)
+    val got = GraphOps.triangleCounts(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == oracle.toMap)
+  }
+
   test("sharedComponents memoizes per pair-frame identity") {
     import spark.implicits._
     GraphOps.clearComponentCache()
