@@ -277,6 +277,52 @@ object BehaviorQueries {
              |  CAST(n AS DOUBLE) /
              |    (CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)) AS p_next
              |FROM m ORDER BY prev_type, next_type""".stripMargin),
-      "per-user Markov transition counts + row-normalized probabilities")
+      "per-user Markov transition counts + row-normalized probabilities"),
+
+    // Gaps-and-islands: each event projects a 5-minute activity interval
+    // [ts, ts+5min]; overlapping/touching intervals per user merge into
+    // maximal islands ([[graft.ops.IntervalOps.mergeIntervals]] — the
+    // running-max formulation, since a long interval can swallow several
+    // later short ones, which a lag-based gap test gets wrong). ONE
+    // shuffle+sort per key serves the running max, the island counter and
+    // the rollup. Complements `sessionize` (gap between POINTS) with true
+    // interval-overlap semantics.
+    Q(
+      "interval_merge_islands",
+      (s, d) => {
+        val iv = T(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            col("ts").as("s"),
+            (col("ts") + expr("INTERVAL 5 MINUTES")).as("e"))
+        graft.ops.IntervalOps
+          .mergeIntervals(iv, "user_id", "s", "e", tieCols = Seq("event_id"))
+          .orderBy("user_id", "island")
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, event_id, ts AS s,
+             |         ts + INTERVAL 5 MINUTE AS e
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, event_id, s, e,
+             |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS pm
+             |  FROM iv),
+             |f AS (
+             |  SELECT user_id, event_id, s, e,
+             |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw
+             |  FROM m),
+             |i AS (
+             |  SELECT user_id, s, e,
+             |    SUM(nw) OVER (PARTITION BY user_id ORDER BY s, event_id
+             |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS island
+             |  FROM f)
+             |SELECT user_id, CAST(island AS BIGINT) AS island,
+             |  min(s) AS island_start, max(e) AS island_end,
+             |  count(*) AS n_rows
+             |FROM i GROUP BY user_id, island
+             |ORDER BY user_id, island""".stripMargin),
+      "merge overlapping per-user activity intervals into maximal islands (one sort)")
   )
 }

@@ -138,6 +138,116 @@ object ProfilingQueries {
              |  count(*) AS n
              |FROM events GROUP BY 1, 2
              |ORDER BY event_type, bin""".stripMargin),
-      "fixed-width histogram per group: occupied bins only, one rollup")
+      "fixed-width histogram per group: occupied bins only, one rollup"),
+
+    // Robust outliers by median absolute deviation (|v − med| > 3·MAD),
+    // the estimator a few giant outliers cannot drag (z-scores move with
+    // the very contamination they hunt — breakdown 0% vs MAD's 50%).
+    // Medians are stored elements at explicit ranks under a total order
+    // ([[graft.ops.StatOps.madOutliers]]), so even the scores hash-match;
+    // interpolating quantiles never could. The oracle replicates the
+    // rank selection with row_number windows.
+    Q(
+      "stats_mad_outliers",
+      (s, d) =>
+        graft.ops.StatOps
+          .madOutliers(T(s, d, "events"), "event_type", "value", "event_id",
+            k = 3.0)
+          .orderBy("event_id"),
+      Some("""WITH r AS (
+             |  SELECT event_type, event_id, value,
+             |    row_number() OVER (PARTITION BY event_type
+             |                       ORDER BY value, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events),
+             |med AS (SELECT event_type, value AS med FROM r
+             |        WHERE rn = (n + 1) // 2),
+             |dv AS (
+             |  SELECT e.event_type, e.event_id, e.value, m.med,
+             |    abs(e.value - m.med) AS dev
+             |  FROM events e JOIN med m ON m.event_type = e.event_type),
+             |dr AS (
+             |  SELECT event_type, dev,
+             |    row_number() OVER (PARTITION BY event_type
+             |                       ORDER BY dev, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM dv),
+             |mad AS (SELECT event_type, dev AS mad FROM dr
+             |        WHERE rn = (n + 1) // 2)
+             |SELECT d.event_type, d.event_id, d.value, d.med, a.mad, d.dev
+             |FROM dv d JOIN mad a ON a.event_type = d.event_type
+             |WHERE d.dev > 3.0 * a.mad
+             |ORDER BY d.event_id""".stripMargin),
+      "median-absolute-deviation outliers: robust flags from exact element-selection medians"),
+
+    // Per-group winsorization to the [p05, p95] band — both bounds are
+    // stored elements at ceil(pct·n/100) ranks, no interpolation
+    // ([[graft.ops.StatOps.winsorize]]). The standard heavy-tail clamp
+    // before feature export; one sort shuffle for both bounds.
+    Q(
+      "stats_winsorize",
+      (s, d) =>
+        graft.ops.StatOps
+          .winsorize(T(s, d, "events"), "event_type", "value", "event_id",
+            loPct = 5, hiPct = 95)
+          .orderBy("event_id"),
+      Some("""WITH r AS (
+             |  SELECT event_type, event_id, value,
+             |    row_number() OVER (PARTITION BY event_type
+             |                       ORDER BY value, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events),
+             |b AS (
+             |  SELECT event_type,
+             |    min(CASE WHEN rn = greatest(1, (5 * n + 99) // 100)
+             |             THEN value END) AS lo,
+             |    max(CASE WHEN rn = (95 * n + 99) // 100
+             |             THEN value END) AS hi
+             |  FROM r GROUP BY event_type)
+             |SELECT e.event_type, e.event_id, e.value, b.lo, b.hi,
+             |  least(greatest(e.value, b.lo), b.hi) AS clipped
+             |FROM events e JOIN b ON b.event_type = e.event_type
+             |ORDER BY e.event_id""".stripMargin),
+      "per-group p05/p95 winsorization: element-selection bounds, heavy tails clamped"),
+
+    // Functional-dependency audit: does lhs → rhs hold, and how badly is
+    // it violated? One countDistinct rollup per candidate FD (the
+    // schema-discovery / data-quality primitive: a violated "key" or a
+    // drifting dimension shows up as n_violating > 0). Each check is one
+    // map-side-combinable aggregate over its table; nothing row-sized
+    // leaves the executors.
+    Q(
+      "profile_fd_violations",
+      (s, d) => {
+        def check(table: String, lhs: String, rhs: String) =
+          T(s, d, table)
+            .groupBy(col(lhs))
+            .agg(countDistinct(col(rhs)).as("nd"))
+            .agg(
+              lit(s"$table: $lhs -> $rhs").as("fd"),
+              count(lit(1)).as("n_groups"),
+              sum((col("nd") > 1).cast("long")).as("n_violating"),
+              max(col("nd")).as("max_distinct"))
+        check("orders", "o_custkey", "o_orderpriority")
+          .unionAll(check("lineitem", "l_partkey", "l_suppkey"))
+          .unionAll(check("customer", "c_custkey", "c_name"))
+          .orderBy("fd")
+      },
+      Some {
+        def check(table: String, lhs: String, rhs: String) =
+          s"""SELECT '$table: $lhs -> $rhs' AS fd,
+             |  count(*) AS n_groups,
+             |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_violating,
+             |  CAST(max(nd) AS BIGINT) AS max_distinct
+             |FROM (SELECT $lhs, count(DISTINCT $rhs) AS nd
+             |      FROM $table GROUP BY $lhs)""".stripMargin
+        Seq(
+          check("orders", "o_custkey", "o_orderpriority"),
+          check("lineitem", "l_partkey", "l_suppkey"),
+          check("customer", "c_custkey", "c_name"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+      },
+      "functional-dependency audit: violation counts for candidate lhs→rhs rules")
   )
 }

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class IntervalStatOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  // ---- IntervalOps.mergeIntervals ----
+
+  private def islands(rows: Seq[(String, Long, Long, Long)]) = {
+    import spark.implicits._
+    IntervalOps
+      .mergeIntervals(rows.toDF("k", "id", "s", "e"), "k", "s", "e",
+        tieCols = Seq("id"))
+      .as[(String, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+  }
+
+  test("mergeIntervals: containment chain that defeats the lag-gap test") {
+    // [0,100] swallows [10,20] and [30,40]; [150,160] is separate.
+    // A lag-based test would see 30 > prev_end=20 and wrongly split.
+    val got = islands(Seq(
+      ("a", 1L, 0L, 100L), ("a", 2L, 10L, 20L), ("a", 3L, 30L, 40L),
+      ("a", 4L, 150L, 160L)))
+    assert(got == Seq(
+      ("a", 1L, 0L, 100L, 3L),
+      ("a", 2L, 150L, 160L, 1L)))
+  }
+
+  test("mergeIntervals: touching intervals merge, strict gaps split, keys isolate") {
+    val got = islands(Seq(
+      ("a", 1L, 0L, 10L), ("a", 2L, 10L, 20L), // touching → merge
+      ("a", 3L, 21L, 30L), // gap of 1 → new island
+      ("b", 4L, 0L, 5L))) // other key unaffected
+    assert(got == Seq(
+      ("a", 1L, 0L, 20L, 2L),
+      ("a", 2L, 21L, 30L, 1L),
+      ("b", 1L, 0L, 5L, 1L)))
+  }
+
+  test("mergeIntervals plans exactly one shuffle (windows + rollup share it)") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 0L, 10L), ("a", 2L, 5L, 15L)).toDF("k", "id", "s", "e")
+    val out = IntervalOps.mergeIntervals(df, "k", "s", "e", Seq("id"))
+    val p = out.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 exchange, got $shuffles:\n$p")
+  }
+
+  // ---- StatOps.madOutliers / winsorize ----
+
+  test("madOutliers flags the planted outlier and survives contamination") {
+    import spark.implicits._
+    // Group g: values 10..19 (median 14 lower), one wild outlier 1000.
+    // MAD stays small, so 1000 is flagged; nothing else is.
+    val rows = (1L to 10L).map(i => ("g", i, 9.0 + i)) :+ ("g", 99L, 1000.0)
+    val got = StatOps
+      .madOutliers(rows.toDF("k", "id", "v"), "k", "v", "id", k = 3.0)
+      .as[(String, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(got.map(_._2) == Seq(99L))
+    val (_, _, v, med, mad, dev) = got.head
+    assert(v == 1000.0 && med == 15.0) // 11 values → rank 6 of sorted
+    assert(mad == 3.0) // devs: 0..5 and 985 → lower median = 3
+    assert(dev == 985.0)
+  }
+
+  test("madOutliers: even group size takes the lower median") {
+    import spark.implicits._
+    // 4 values → rank (4+1) div 2 = 2 → lower middle element.
+    val rows = Seq(("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 3.0), ("g", 4L, 100.0))
+    val got = StatOps.madOutliers(rows.toDF("k", "id", "v"), "k", "v", "id")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    assert(got.forall(_._4 == 2.0)) // med = 2.0, the rank-2 element
+    assert(got.map(_._2).toSeq == Seq(4L)) // dev 98 > 3 * mad(=1)
+  }
+
+  test("winsorize clips to explicit ceil-rank bounds and keeps interior rows") {
+    import spark.implicits._
+    // 20 values 1..20: lo rank = ceil(5*20/100)=1 → 1.0;
+    // hi rank = ceil(95*20/100)=19 → 19.0. 20.0 clips to 19.0.
+    val rows = (1L to 20L).map(i => ("g", i, i.toDouble))
+    val got = StatOps.winsorize(rows.toDF("k", "id", "v"), "k", "v", "id")
+      .as[(String, Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._2)
+    assert(got.forall(r => r._4 == 1.0 && r._5 == 19.0))
+    assert(got.map(_._6).toSeq == (1L to 19L).map(_.toDouble) :+ 19.0)
+  }
+
+  test("winsorize: tiny group degenerates to lo == hi without error") {
+    import spark.implicits._
+    val rows = Seq(("g", 1L, 7.0))
+    val got = StatOps.winsorize(rows.toDF("k", "id", "v"), "k", "v", "id")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    assert(got.head._4 == 7.0 && got.head._5 == 7.0 && got.head._6 == 7.0)
+  }
+}
