@@ -74,6 +74,20 @@ object CorpusOps {
     df.withColumn(outCol, assign)
   }
 
+  /** K-fold cross-validation assignment: every row gets a fold label
+    * `fold0..fold{k-1}` by equal cumulative hash ranges over the salted
+    * key hash — [[assignSplit]] with k equal fractions. Disjoint,
+    * exhaustive, reproducible under re-runs/repartition, and independent
+    * of any other salted decision (different salt ⇒ independent hash).
+    * Pure projection: no shuffle, no state. */
+  def assignKFolds(
+      df: DataFrame, keyCol: String, k: Int, salt: String,
+      outCol: String = "fold"): DataFrame = {
+    require(k >= 2, s"assignKFolds: k must be >= 2, got $k")
+    assignSplit(df, keyCol,
+      (0 until k).map(i => s"fold$i" -> 1.0 / k), salt, outCol)
+  }
+
   /** Stratified deterministic sample: per-stratum keep fractions (corpus
     * mixing — e.g. downsample dominant languages, keep all of rare ones).
     * Strata absent from `fractions` fall back to `defaultFraction`.

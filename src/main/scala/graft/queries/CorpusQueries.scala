@@ -79,6 +79,30 @@ object CorpusQueries {
              |FROM documents ORDER BY doc_id""".stripMargin),
       "train/val/test assignment by cumulative hash ranges: disjoint, exhaustive, leak-free across re-runs"),
 
+    // K-fold cross-validation assignment: 5 equal cumulative hash ranges
+    // over a fold-specific salt ([[CorpusOps.assignKFolds]]). Pure
+    // projection — the fold decision rides the scan, so CV shards come
+    // from ONE pass however large the corpus; independent of the
+    // train/val/test salt above by construction.
+    Q(
+      "corpus_kfold_assign",
+      (s, d) =>
+        CorpusOps
+          .assignKFolds(T(s, d, "documents"), "doc_id", k = 5, salt = "cv")
+          .select("doc_id", "lang", "fold")
+          .orderBy("doc_id"),
+      Some {
+        val cuts = (1 to 4).map(i => CorpusOps.md5Threshold(i / 5.0))
+        val cases = cuts.zipWithIndex.map { case (t, i) =>
+          s"WHEN md5('cv:' || CAST(doc_id AS VARCHAR)) < '$t' THEN 'fold$i'"
+        }.mkString("\n       ")
+        s"""SELECT doc_id, lang,
+           |  CASE $cases
+           |       ELSE 'fold4' END AS fold
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+      "5-fold CV assignment by equal hash ranges: disjoint, exhaustive, shuffle-free"),
+
     Q(
       "corpus_sample_stratified",
       (s, d) =>

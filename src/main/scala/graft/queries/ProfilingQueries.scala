@@ -248,6 +248,35 @@ object ProfilingQueries {
           check("customer", "c_custkey", "c_name"))
           .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
       },
-      "functional-dependency audit: violation counts for candidate lhs→rhs rules")
+      "functional-dependency audit: violation counts for candidate lhs→rhs rules"),
+
+    // 2-D skyline / Pareto frontier of URGENT orders: minimize price,
+    // maximize recency — "no cheaper-and-newer order exists". The engine
+    // runs the distributive local-skyline-then-merge sweep
+    // ([[graft.ops.StatOps.skyline2D]]): distinct points, per-bucket
+    // sorted sweep, exact merge over the frontier-sized candidate set.
+    // The oracle is the quadratic NOT EXISTS the sweep exists to avoid.
+    Q(
+      "stats_skyline_2d",
+      (s, d) =>
+        graft.ops.StatOps
+          .skyline2D(
+            T(s, d, "orders")
+              .filter(col("o_orderpriority") === "1-URGENT"),
+            "o_totalprice", "o_orderdate")
+          .orderBy("o_totalprice"),
+      Some("""WITH pts AS (
+             |  SELECT o_totalprice, o_orderdate, count(*) AS n_rows
+             |  FROM orders WHERE o_orderpriority = '1-URGENT'
+             |  GROUP BY 1, 2)
+             |SELECT o_totalprice, o_orderdate, n_rows FROM pts p
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM pts q
+             |  WHERE q.o_totalprice <= p.o_totalprice
+             |    AND q.o_orderdate >= p.o_orderdate
+             |    AND (q.o_totalprice < p.o_totalprice
+             |         OR q.o_orderdate > p.o_orderdate))
+             |ORDER BY o_totalprice""".stripMargin),
+      "Pareto frontier (min price, max recency): linear sorted sweep vs the quadratic oracle")
   )
 }

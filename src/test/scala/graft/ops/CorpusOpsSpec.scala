@@ -53,6 +53,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(split.collect().toSeq == again.collect().toSeq)
   }
 
+  test("assignKFolds: exhaustive, roughly balanced, independent of split salt") {
+    val folds = CorpusOps.assignKFolds(docs, "doc_id", k = 5, salt = "cv")
+    val byFold = folds.groupBy("fold").count().as[(String, Long)].collect().toMap
+    assert(byFold.keySet == (0 until 5).map(i => s"fold$i").toSet)
+    assert(byFold.values.sum == 400L, "every row in exactly one fold")
+    assert(byFold.values.forall(n => n > 40 && n < 120),
+      s"uniform hash should roughly balance 5 folds of 400: $byFold")
+    // Different salt ⇒ different (independent) assignment for some rows.
+    val other = CorpusOps.assignKFolds(docs, "doc_id", k = 5, salt = "cv2")
+    val joined = folds.select(col("doc_id"), col("fold").as("f1"))
+      .join(other.select(col("doc_id"), col("fold").as("f2")), "doc_id")
+    assert(joined.filter(col("f1") =!= col("f2")).count() > 100)
+  }
+
   test("stratifiedSampleByHash applies per-stratum fractions") {
     val out = CorpusOps.stratifiedSampleByHash(
       docs, "doc_id", "lang", Map("en" -> 1.0), defaultFraction = 0.0, "m")

@@ -89,6 +89,31 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     assert(got.map(_._6).toSeq == (1L to 19L).map(_.toDouble) :+ 19.0)
   }
 
+  test("skyline2D matches the quadratic oracle on random points, any bucketing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // Small value domain forces duplicates (multiplicity path) and ties.
+    val pts = (1 to 400).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    def dominated(p: (Long, Long)) = pts.exists(q =>
+      q._1 <= p._1 && q._2 >= p._2 && (q._1 < p._1 || q._2 > p._2))
+    val oracle = pts.distinct.filterNot(dominated)
+      .map(p => (p._1, p._2, pts.count(_ == p).toLong)).sortBy(_._1)
+    for (b <- Seq(1, 7, 64)) {
+      val got = StatOps.skyline2D(pts.toDF("x", "y"), "x", "y", buckets = b)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == oracle, s"buckets=$b")
+    }
+  }
+
+  test("skyline2D: a single all-dominating point collapses the frontier") {
+    import spark.implicits._
+    val pts = Seq((5L, 5L), (0L, 9L), (3L, 9L), (0L, 2L))
+    // (0,9) dominates everything else (min x, max y).
+    val got = StatOps.skyline2D(pts.toDF("x", "y"), "x", "y")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 9L, 1L)))
+  }
+
   test("winsorize: tiny group degenerates to lo == hi without error") {
     import spark.implicits._
     val rows = Seq(("g", 1L, 7.0))
