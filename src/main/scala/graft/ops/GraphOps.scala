@@ -280,26 +280,37 @@ object GraphOps {
   def pageRankUnits(
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, dampNum: Int = 85, dampDen: Int = 100,
-      unit: Long = 1000000L): DataFrame = {
+      unit: Long = 1000000L, checkpointEvery: Int = 4): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampDen > dampNum && unit > 0,
       s"pageRankUnits: bad parameters ($iters, $dampNum/$dampDen, $unit)")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    // The normalized edge list feeds FOUR consumers (the degree rollup,
+    // the degree join, and both node-universe branches) — persist it or
+    // the upstream edge derivation runs four times.
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Both loop-invariant frames are persisted PRE-PARTITIONED on their
+    // join keys: the cached partitioning satisfies the join requirement
+    // every round, so each iteration shuffles only the (node-sized) rank
+    // frame — the edge list never moves again. This is the bucketed-edge
+    // layout a 100 TB deployment would keep on disk, expressed in cache.
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
+      .repartition(col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Out-degrees ride the edge rows so the per-iteration join is a
     // single equi-join on src — degree lookup costs nothing per round.
     val eDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val base = unit * (dampDen - dampNum) / dampDen // exact for the defaults
     var ranks = nodes.select(col("id"), lit(unit).as("r"))
-      .localCheckpoint(true)
     var round = 0
     while (round < iters) {
       val contrib = eDeg
@@ -313,12 +324,24 @@ object GraphOps {
           (lit(base) +
             expr(s"(${dampNum.toLong}L * coalesce(c, 0L)) div ${dampDen.toLong}L"))
             .as("r"))
-        .localCheckpoint(true)
+      // Each round references `ranks` twice, so plan size doubles per
+      // round — truncate every `checkpointEvery` rounds instead of every
+      // round: short loops (the common 3–5-iteration case) stay ONE lazy
+      // job with zero intermediate materializations, deep loops keep
+      // plans O(2^checkpointEvery) and gain executor-loss restart points.
       round += 1
+      if (round % checkpointEvery == 0 && round < iters)
+        ranks = ranks.localCheckpoint(true)
     }
+    // One materializing action for the whole loop (the lazy rounds fold
+    // into it); only then is it safe to release the loop-invariant
+    // frames the final plan no longer references.
+    val out = ranks.select(col("id"), col("r").as("rank_units"))
+      .localCheckpoint(true)
     nodes.unpersist()
     eDeg.unpersist()
-    ranks.select(col("id"), col("r").as("rank_units"))
+    e.unpersist()
+    out
   }
 
   /** Per-node triangle counts by degree-ordered edge orientation — the
@@ -341,11 +364,14 @@ object GraphOps {
     */
   def triangleCounts(
       edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // canon feeds three consumers (two degree branches + the orientation
+    // join) — persist it or the caller's edge derivation runs three times.
     val canon = edges
       .select(least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = canon.select(col("u").as("id"))
       .union(canon.select(col("v").as("id")))
       .groupBy("id")
@@ -367,10 +393,14 @@ object GraphOps {
       .join(oriented.select(col("s").as("b"), col("t").as("c")), "b")
     val triangles = wedges
       .join(oriented.select(col("s").as("a"), col("t").as("c")), Seq("a", "c"))
+    // Materialize before releasing the staged frames the plan reads.
     val counts = triangles
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id")
       .agg(count(lit(1)).as("triangles"))
+      .localCheckpoint(true)
+    canon.unpersist()
+    oriented.unpersist()
     counts
   }
 
