@@ -323,6 +323,117 @@ object BehaviorQueries {
              |  count(*) AS n_rows
              |FROM i GROUP BY user_id, island
              |ORDER BY user_id, island""".stripMargin),
-      "merge overlapping per-user activity intervals into maximal islands (one sort)")
+      "merge overlapping per-user activity intervals into maximal islands (one sort)"),
+
+    // Two-proportion z-test for an A/B experiment: users are assigned to
+    // arms by the same salted-md5 machinery as corpus splits
+    // ([[graft.ops.CorpusOps.saltedHash]] — reproducible, independent of
+    // any other hash decision), conversion = "has a purchase event". All
+    // counts are exact integers; the z statistic is a fixed chain of
+    // IEEE-double ops + one correctly-rounded sqrt over those integers,
+    // so even the statistic hash-matches. One user shuffle + one scalar
+    // rollup, however many events.
+    Q(
+      "stats_ab_ztest",
+      (s, d) => {
+        val t50 = graft.ops.CorpusOps.md5Threshold(0.5)
+        val u = T(s, d, "events")
+          .groupBy("user_id")
+          // conversion = "made a purchase over 100" — a rate strictly
+          // inside (0,1) at every test SF; a saturated rate (pooled p of
+          // 0 or 1) would make the z denominator 0, and ANSI mode
+          // correctly refuses to divide by it
+          .agg(max((col("event_type") === "purchase" && col("value") > 100)
+            .cast("long")).as("conv"))
+          .withColumn("arm",
+            when(graft.ops.CorpusOps.saltedHash(col("user_id"), "ab") < lit(t50),
+              "A").otherwise("B"))
+        val a = u.agg(
+          sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === "A", col("conv")).otherwise(0L)).as("conv_a"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === "B", col("conv")).otherwise(0L)).as("conv_b"))
+        val pA = col("conv_a").cast("double") / col("n_a")
+        val pB = col("conv_b").cast("double") / col("n_b")
+        val pp = (col("conv_a") + col("conv_b")).cast("double") /
+          (col("n_a") + col("n_b"))
+        a.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          pA.as("p_a"), pB.as("p_b"),
+          ((pA - pB) /
+            sqrt(pp * (lit(1.0) - pp) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))).as("z"))
+      },
+      Some {
+        val t50 = graft.ops.CorpusOps.md5Threshold(0.5)
+        s"""WITH u AS (
+           |  SELECT user_id,
+           |    CASE WHEN md5('ab:' || CAST(user_id AS VARCHAR)) < '$t50'
+           |         THEN 'A' ELSE 'B' END AS arm,
+           |    max(CASE WHEN event_type = 'purchase' AND value > 100
+           |             THEN 1 ELSE 0 END) AS conv
+           |  FROM events GROUP BY user_id),
+           |a AS (SELECT
+           |  CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           |  CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+           |  CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           |  CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+           |  FROM u)
+           |SELECT n_a, conv_a, n_b, conv_b,
+           |  CAST(conv_a AS DOUBLE) / n_a AS p_a,
+           |  CAST(conv_b AS DOUBLE) / n_b AS p_b,
+           |  (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+           |  sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+           |       (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+           |       (1.0 / n_a + 1.0 / n_b)) AS z
+           |FROM a""".stripMargin
+      },
+      "A/B two-proportion z-test from hash-assigned arms: exact counts, bit-stable statistic"),
+
+    // Time-weighted average value per user (TWAP): each observation
+    // holds until the next one (LOCF weighting); weights are exact
+    // microsecond durations, values are quantized to integer cents
+    // (floor(v·100) — one exact-rounded multiply + floor, identical on
+    // any engine), so both sums are exact BIGINTs and only the final
+    // ratio is floating point. Why not SUM(value*dur) directly: double
+    // accumulation is scan-order-dependent and could never hash-gate.
+    // ONE user shuffle: the lead() window and the rollup share it.
+    Q(
+      "timeseries_twap",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        T(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            floor(col("value") * 100).cast("long").as("vq"))
+          .withColumn("dur",
+            lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+          .filter(col("dur").isNotNull)
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_segments"),
+            sum("dur").as("total_dur_us"),
+            sum(col("vq") * col("dur")).as("wsum"))
+          // a user whose whole history shares one timestamp has no span
+          // to average over — exclude BEFORE dividing (ANSI-safe)
+          .filter(col("total_dur_us") > 0)
+          .select(col("user_id"), col("n_segments"), col("total_dur_us"),
+            (col("wsum").cast("double") / col("total_dur_us").cast("double") /
+              lit(100.0)).as("twap"))
+          .orderBy("user_id")
+      },
+      Some("""WITH sgm AS (
+             |  SELECT user_id,
+             |    CAST(floor(value * 100) AS BIGINT) AS vq,
+             |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+             |                             ORDER BY ts, event_id)
+             |      - epoch_us(ts) AS dur
+             |  FROM events)
+             |SELECT user_id, count(*) AS n_segments,
+             |  CAST(SUM(dur) AS BIGINT) AS total_dur_us,
+             |  CAST(SUM(vq * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE)
+             |    / 100.0 AS twap
+             |FROM sgm WHERE dur IS NOT NULL
+             |GROUP BY user_id HAVING SUM(dur) > 0
+             |ORDER BY user_id""".stripMargin),
+      "last-observation-carried-forward time-weighted average: exact integer weights, one shuffle")
   )
 }

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CorpusOps, DedupOps, GraphOps, LinkageOps, SketchOps, TextOps}
+import graft.ops.{CorpusOps, DedupOps, GraphOps, IntervalOps, LinkageOps, SketchOps, StatOps, TextOps}
 
 /** Wall-time scaling curves for the five operators whose LINEARITY is
   * load-bearing in every 100 TB claim: connected components (iterative +
@@ -63,6 +63,39 @@ object Scale {
       .filter(col("id") % 20 =!= 19) // break chains every 20 nodes
       .select(col("id").as("a"), (col("id") + 1).as("b"))
 
+  /** Disjoint triangles (3k, 3k+1, 3k+2): triangle count ∝ n, max degree
+    * 2 — the constant-degree regime where triangle work must track the
+    * edge count. */
+  private def triEdges(spark: SparkSession, nNodes: Long): DataFrame = {
+    val base = spark.range(nNodes / 3).select((col("id") * 3).as("k"))
+    base.select(col("k").as("a"), (col("k") + 1).as("b"))
+      .union(base.select((col("k") + 1).as("a"), (col("k") + 2).as("b")))
+      .union(base.select(col("k").as("a"), (col("k") + 2).as("b")))
+  }
+
+  /** Keyed intervals, 100 per key, starts every 10 ticks with lengths
+    * cycling 0/8/16 — mixes merges (16 covers the next start) with gaps,
+    * so islands per key stay a nontrivial constant fraction. */
+  private def intervals(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("iid"),
+      expr("id div 100").as("k"),
+      (col("id") % 100 * 10).as("s"),
+      (col("id") % 100 * 10 + (col("id") % 3) * 8).as("e"))
+
+  /** Hash-valued measurements in 64 groups (plus a rank-skewed tail so
+    * MAD flags ~constant-fraction outliers) and a 2-D point cloud for the
+    * skyline sweep. */
+  private def measures(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("mid"),
+      pmod(col("id"), lit(64)).as("g"),
+      (pmod(xxhash64(col("id")), lit(1000)) +
+        when(col("id") % 97 === 0, lit(100000L)).otherwise(lit(0L)))
+        .cast("double").as("v"),
+      pmod(xxhash64(col("id"), lit(1)), lit(100000)).as("x"),
+      pmod(xxhash64(col("id"), lit(2)), lit(100000)).as("y"))
+
   private def time(f: => Long): Double = {
     val t0 = System.nanoTime()
     val n = f
@@ -92,7 +125,11 @@ object Scale {
       val d = docs(spark, n).persist()
       val nm = names(spark, n).persist()
       val e = edges(spark, 2 * n).persist()
-      (d.count(), nm.count(), e.count()) // materialize outside the clock
+      val te = triEdges(spark, 2 * n).persist()
+      val iv = intervals(spark, n).persist()
+      val ms = measures(spark, n).persist()
+      // materialize outside the clock
+      (d.count(), nm.count(), e.count(), te.count(), iv.count(), ms.count())
 
       val ops: Seq[(String, () => Long)] = Seq(
         "ngram_jaccard_capped" -> (() =>
@@ -158,7 +195,26 @@ object Scale {
         // probe is a broadcast join — end-to-end should track n
         "bigram_coverage" -> (() =>
           TextOps.bigramCoverage(d, "doc_id", "text",
-            topK = 200).count()))
+            topK = 200).count()),
+        // PageRank: chains of 20, 3 rounds — per-round work is one rank
+        // shuffle over a fixed edge layout, so wall time must track E
+        "pagerank_3iter" -> (() =>
+          GraphOps.pageRankUnits(e, "a", "b", iters = 3).count()),
+        // triangles: disjoint 3-cliques, degree <= 2 — wedge work per
+        // node is O(1), so the two joins must track the edge count
+        "triangle_counts" -> (() =>
+          GraphOps.triangleCounts(te, "a", "b").count()),
+        // interval islands: one sort per key partition — n log n at worst
+        "interval_merge" -> (() =>
+          IntervalOps.mergeIntervals(iv, "k", "s", "e",
+            tieCols = Seq("iid")).count()),
+        // MAD outliers: two element-selection medians = two sorts
+        "mad_outliers" -> (() =>
+          StatOps.madOutliers(ms, "g", "v", "mid", k = 3.0).count()),
+        // skyline: distinct rollup + bucketed sweep; candidate set is
+        // frontier-sized, so the global stage must not grow with n
+        "skyline_2d" -> (() =>
+          StatOps.skyline2D(ms, "x", "y").count()))
 
       // optional args(1): comma-separated op names — run only those
       // (refresh individual curves without paying the full sweep)
@@ -172,6 +228,7 @@ object Scale {
         println(f"""{"op":"$name","n":$n,"secs":$secs%.2f}""")
       }
       d.unpersist(); nm.unpersist(); e.unpersist()
+      te.unpersist(); iv.unpersist(); ms.unpersist()
     }
 
     // markdown table: rows = ops, one column per size, plus the growth

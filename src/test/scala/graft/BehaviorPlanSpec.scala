@@ -36,6 +36,18 @@ class BehaviorPlanSpec extends AnyFunSuite {
     assert(countOf(p, "Exchange hashpartitioning\\(user_id") == 1, p)
   }
 
+  test("twap: lead window and rollup share ONE user_id exchange") {
+    val p = plan("timeseries_twap")
+    assert(countOf(p, "Exchange hashpartitioning\\(user_id") == 1,
+      s"LOCF weighting + rollup should shuffle by user exactly once:\n$p")
+  }
+
+  test("interval islands: both windows and the rollup share ONE user exchange") {
+    val p = plan("interval_merge_islands")
+    assert(countOf(p, "Exchange hashpartitioning\\(user_id") == 1,
+      s"running max, island counter and rollup should share one shuffle:\n$p")
+  }
+
   test("tfidf: per-doc rank is WindowGroupLimit-pruned map-side") {
     val p = plan("text_tfidf_topk")
     assert(p.contains("WindowGroupLimit"),
