@@ -136,6 +136,42 @@ object StatOps {
         col("lo"), col("hi"), col("clipped"))
   }
 
+  /** Per-group robust standardization: (value − median) / IQR, with
+    * median and quartiles as stored elements at explicit ranks (lower
+    * median; ceil(25n/100) / ceil(75n/100) quartiles) under the total
+    * order (`valueCol`, `idCol`) — the engine-portable quantile
+    * definition ([[madOutliers]]). The feature-scaling transform that
+    * shrugs off the outliers that wreck mean/stddev standardization.
+    * Degenerate groups (IQR 0) yield NULL `scaled` instead of an ANSI
+    * division error. One sort shuffle derives all three statistics.
+    */
+  def robustScale(
+      df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(idCol))
+    val stats = df.select(col(groupCol), col(valueCol), col(idCol))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .withColumn("med_rn", expr("(n + 1) div 2"))
+      .withColumn("q1_rn", expr("greatest(1L, (25 * n + 99) div 100)"))
+      .withColumn("q3_rn", expr("(75 * n + 99) div 100"))
+      .filter(col("rn") === col("med_rn") || col("rn") === col("q1_rn") ||
+        col("rn") === col("q3_rn"))
+      .groupBy(groupCol)
+      .agg(
+        min(when(col("rn") === col("med_rn"), col(valueCol))).as("med"),
+        min(when(col("rn") === col("q1_rn"), col(valueCol))).as("q1"),
+        max(when(col("rn") === col("q3_rn"), col(valueCol))).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+    df.select(col(groupCol), col(idCol), col(valueCol))
+      .join(stats, Seq(groupCol))
+      .select(col(groupCol), col(idCol), col(valueCol),
+        col("med"), col("iqr"),
+        when(col("iqr") =!= 0.0,
+          (col(valueCol) - col("med")) / col("iqr"))
+          .otherwise(lit(null).cast("double")).as("scaled"))
+  }
+
   /** 2-D skyline (Pareto frontier): the distinct (`minCol`, `maxCol`)
     * points not dominated by any other point, where q dominates p iff
     * q.min ≤ p.min ∧ q.max ≥ p.max with at least one strict. Returns the

@@ -434,6 +434,57 @@ object BehaviorQueries {
              |FROM sgm WHERE dur IS NOT NULL
              |GROUP BY user_id HAVING SUM(dur) > 0
              |ORDER BY user_id""".stripMargin),
-      "last-observation-carried-forward time-weighted average: exact integer weights, one shuffle")
+      "last-observation-carried-forward time-weighted average: exact integer weights, one shuffle"),
+
+    // Last-touch attribution with a 1-hour lookback: every purchase is
+    // attributed to the user's most recent click at most an hour older,
+    // else labeled organic. Composes [[graft.ops.AsOfJoin.asOf]] (one
+    // shuffle+sort union window, never a range cross join) with a
+    // tolerance post-filter — the marketing-attribution shape, and a
+    // demonstration that the as-of operator composes instead of needing
+    // a bespoke "attribution join". Oracle: DuckDB ASOF + the same CASE.
+    Q(
+      "attribution_last_touch",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts")
+          .agg(max("event_id").as("click_id"))
+          .withColumnRenamed("ts", "click_ts")
+        val within = col("click_ts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("click_ts")) <=
+            lit(3600L * 1000000L)
+        graft.ops.AsOfJoin
+          .asOf(purchases, clicks, "user_id",
+            leftTime = "ts", rightTime = "click_ts",
+            payload = Seq("click_id" -> "click_id", "click_ts" -> "click_ts"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            when(within, col("click_id")).as("attributed_click_id"),
+            when(within, col("click_ts")).as("attributed_click_ts"),
+            when(within, lit("attributed")).otherwise(lit("organic"))
+              .as("attribution"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+             |           WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+             |      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             |j AS (SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
+             |      FROM p ASOF LEFT JOIN c
+             |        ON p.user_id = c.user_id AND p.ts >= c.click_ts)
+             |SELECT event_id, user_id, ts,
+             |  CASE WHEN click_ts IS NOT NULL
+             |        AND epoch_us(ts) - epoch_us(click_ts) <= 3600000000
+             |       THEN click_id END AS attributed_click_id,
+             |  CASE WHEN click_ts IS NOT NULL
+             |        AND epoch_us(ts) - epoch_us(click_ts) <= 3600000000
+             |       THEN click_ts END AS attributed_click_ts,
+             |  CASE WHEN click_ts IS NOT NULL
+             |        AND epoch_us(ts) - epoch_us(click_ts) <= 3600000000
+             |       THEN 'attributed' ELSE 'organic' END AS attribution
+             |FROM j ORDER BY event_id""".stripMargin),
+      "last-touch purchase attribution: as-of join + 1h tolerance, organic fallback")
   )
 }

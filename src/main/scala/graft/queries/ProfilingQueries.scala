@@ -277,6 +277,39 @@ object ProfilingQueries {
              |    AND (q.o_totalprice < p.o_totalprice
              |         OR q.o_orderdate > p.o_orderdate))
              |ORDER BY o_totalprice""".stripMargin),
-      "Pareto frontier (min price, max recency): linear sorted sweep vs the quadratic oracle")
+      "Pareto frontier (min price, max recency): linear sorted sweep vs the quadratic oracle"),
+
+    // Robust standardization (value − median)/IQR per group — the
+    // feature-scaling transform outliers cannot drag, from the same
+    // element-selection order statistics as the MAD gate
+    // ([[graft.ops.StatOps.robustScale]]); degenerate IQR-0 groups
+    // yield NULL instead of an ANSI division error.
+    Q(
+      "stats_robust_scale",
+      (s, d) =>
+        graft.ops.StatOps
+          .robustScale(T(s, d, "events"), "event_type", "value", "event_id")
+          .orderBy("event_id"),
+      Some("""WITH r AS (
+             |  SELECT event_type, event_id, value,
+             |    row_number() OVER (PARTITION BY event_type
+             |                       ORDER BY value, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events),
+             |b AS (
+             |  SELECT event_type,
+             |    min(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med,
+             |    min(CASE WHEN rn = greatest(1, (25 * n + 99) // 100)
+             |             THEN value END) AS q1,
+             |    max(CASE WHEN rn = (75 * n + 99) // 100
+             |             THEN value END) AS q3
+             |  FROM r GROUP BY event_type)
+             |SELECT e.event_type, e.event_id, e.value, b.med,
+             |  b.q3 - b.q1 AS iqr,
+             |  CASE WHEN b.q3 - b.q1 <> 0.0
+             |       THEN (e.value - b.med) / (b.q3 - b.q1) END AS scaled
+             |FROM events e JOIN b ON b.event_type = e.event_type
+             |ORDER BY e.event_id""".stripMargin),
+      "median/IQR robust feature scaling: element-selection statistics, NULL-safe degenerate groups")
   )
 }

@@ -89,6 +89,23 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     assert(got.map(_._6).toSeq == (1L to 19L).map(_.toDouble) :+ 19.0)
   }
 
+  test("robustScale: known quartiles, outlier-immune, IQR-0 gives NULL") {
+    import spark.implicits._
+    // 1..20 plus a wild outlier: med = rank 11 lower-median element of
+    // 21 values, q1 = rank ceil(25*21/100)=6, q3 = rank ceil(75*21/100)=16.
+    val rows = (1L to 20L).map(i => ("g", i, i.toDouble)) :+ ("g", 99L, 1e9)
+    val got = StatOps.robustScale(rows.toDF("k", "id", "v"), "k", "v", "id")
+      .as[(String, Long, Double, Double, Double, Option[Double])]
+      .collect().sortBy(_._2)
+    assert(got.forall(r => r._4 == 11.0 && r._5 == 10.0)) // med 11, IQR 16-6
+    assert(got.head._6.contains((1.0 - 11.0) / 10.0))
+    // constant group → IQR 0 → NULL scaled, no ANSI error
+    val const = Seq(("c", 1L, 5.0), ("c", 2L, 5.0))
+    val g2 = StatOps.robustScale(const.toDF("k", "id", "v"), "k", "v", "id")
+      .as[(String, Long, Double, Double, Double, Option[Double])].collect()
+    assert(g2.forall(r => r._5 == 0.0 && r._6.isEmpty))
+  }
+
   test("skyline2D matches the quadratic oracle on random points, any bucketing") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
