@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -395,5 +396,79 @@ object DedupOps {
         SimilarityOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")
+  }
+
+  /** Positional k-gram stream: one row per gram OCCURRENCE with its
+    * 1-based token position — the input to substring-level matching
+    * (shingle streams drop positions; spans need them). Docs shorter
+    * than k emit nothing: they cannot host a ≥k-token span. */
+  private[ops] def posGrams(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = col("_toks")
+    df.select(col(idCol), split(col(textCol), " +").as("_toks"))
+      .filter(size(toks) >= k)
+      .select(col(idCol), toks,
+        explode(sequence(lit(1), size(toks) - (k - 1))).as("pos"))
+      .select(col(idCol), col("pos"),
+        array_join(slice(toks, col("pos"), lit(k)), " ").as("gram"))
+  }
+
+  /** Cross-document repeated-substring detection (the exact-substring
+    * tier of training-data dedup, à la Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better"): for every document
+    * pair, every maximal shared token span of at least `minLen` tokens.
+    * Token-level Jaccard misses a verbatim paragraph pasted into an
+    * otherwise-different document; this operator is exactly what finds
+    * it.
+    *
+    * Suffix-array formulations need a global sort of the concatenated
+    * corpus; the distributed shape here is k-gram anchoring instead:
+    * match positional k-grams across documents (equi-join), then merge
+    * runs of consecutive matches at the same diagonal (pa − pb) into
+    * maximal spans — a gaps-and-islands pass per (a, b, diagonal), one
+    * window + rollup on the same shuffle. A run of c consecutive
+    * matching k-grams certifies a shared span of c + k − 1 tokens.
+    *
+    * Scale guards: grams in more than `maxGramFreq` documents are
+    * dropped before the join (boilerplate cap — same discipline as the
+    * hot-shingle cap, and the reason the match join is bounded); the
+    * span merge is linear in match count. minLen ≥ k spans survive the
+    * cap unless EVERY anchoring gram is corpus-boilerplate, the
+    * documented recall tradeoff.
+    *
+    * @return (`a`, `b`, `a_start`, `b_start`, `span_len`) per maximal
+    *         shared span, a < b, positions 1-based. */
+  def substringSpanPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, minLen: Int = 8,
+      maxGramFreq: Option[Int] = Some(8)): DataFrame = {
+    require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
+    val g0 = posGrams(df, idCol, textCol, k)
+    val g = maxGramFreq match {
+      case Some(cap) =>
+        val kept = g0.groupBy("gram")
+          .agg(countDistinct(col(idCol)).as("df"))
+          .filter(col("df") <= cap)
+          .select("gram")
+        g0.join(kept, Seq("gram"))
+      case None => g0
+    }
+    val x = g.select(col(idCol).as("a"), col("pos").as("pa"), col("gram"))
+    val y = g.select(col(idCol).as("b"), col("pos").as("pb"), col("gram"))
+    val m = x.join(y, Seq("gram")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("pa"), (col("pa") - col("pb")).as("diag"))
+    val w = Window.partitionBy("a", "b", "diag").orderBy("pa")
+    val runSum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.withColumn("_prev", lag(col("pa"), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("pa") - col("_prev") > 1, 1L)
+          .otherwise(0L))
+      .withColumn("_isl", sum(col("_new")).over(runSum))
+      .groupBy("a", "b", "diag", "_isl")
+      .agg(min("pa").as("a_start"), count(lit(1)).as("_c"))
+      .select(col("a"), col("b"), col("a_start"),
+        (col("a_start") - col("diag")).as("b_start"),
+        (col("_c") + (k - 1)).as("span_len"))
+      .filter(col("span_len") >= minLen)
   }
 }

@@ -215,6 +215,51 @@ object DedupQueries {
             threshold = 0.45)
           .orderBy("a", "b"),
       Some(bandedCosineSql(0.45)),
-      "bucketed embedding near-dup: sketch-band candidates + exact-cosine verify")
+      "bucketed embedding near-dup: sketch-band candidates + exact-cosine verify"),
+
+    // Exact-substring tier (Lee et al. 2021): maximal shared token spans
+    // ≥ 8 across document pairs, via positional 4-gram anchors matched on
+    // one equi-join and merged per (pair, diagonal) with a gaps-and-
+    // islands window ([[graft.ops.DedupOps.substringSpanPairs]]). Catches
+    // the verbatim-paragraph-in-a-different-document case Jaccard misses.
+    // Hot grams (boilerplate, > 8 docs) are capped out before the join —
+    // the same discipline that bounds every shingle join here.
+    Q(
+      "dedup_substring_spans",
+      (s, d) =>
+        DedupOps
+          .substringSpanPairs(T(s, d, "documents"), "doc_id", "text",
+            k = 4, minLen = 8, maxGramFreq = Some(8))
+          .orderBy("a", "b", "a_start", "b_start"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents),
+             |g0 AS (SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, len(t) - 3),
+             |      i -> {'pos': i, 'gram': array_to_string(t[i:i+3], ' ')})) AS pg
+             |  FROM toks WHERE len(t) >= 4),
+             |g AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g0),
+             |kept AS (SELECT gram FROM g GROUP BY gram
+             |         HAVING count(DISTINCT doc_id) <= 8),
+             |gk AS (SELECT g.* FROM g JOIN kept USING (gram)),
+             |m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa,
+             |        x.pos - y.pos AS diag
+             |      FROM gk x JOIN gk y ON x.gram = y.gram
+             |        AND x.doc_id < y.doc_id),
+             |i0 AS (SELECT a, b, diag, pa,
+             |    CASE WHEN lag(pa) OVER w IS NULL
+             |           OR pa - lag(pa) OVER w > 1 THEN 1 ELSE 0 END AS nw
+             |  FROM m WINDOW w AS (PARTITION BY a, b, diag ORDER BY pa)),
+             |i1 AS (SELECT a, b, diag, pa,
+             |    SUM(nw) OVER (PARTITION BY a, b, diag ORDER BY pa
+             |                  ROWS UNBOUNDED PRECEDING) AS isl
+             |  FROM i0),
+             |spans AS (SELECT a, b, min(pa) AS a_start,
+             |    min(pa) - diag AS b_start,
+             |    CAST(count(*) + 3 AS BIGINT) AS span_len
+             |  FROM i1 GROUP BY a, b, diag, isl)
+             |SELECT a, b, a_start, b_start, span_len FROM spans
+             |WHERE span_len >= 8
+             |ORDER BY a, b, a_start, b_start""".stripMargin),
+      "maximal shared token spans (exact-substring dedup tier): gram anchors + diagonal islands")
   )
 }

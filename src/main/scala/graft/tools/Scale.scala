@@ -196,6 +196,12 @@ object Scale {
         "bigram_coverage" -> (() =>
           TextOps.bigramCoverage(d, "doc_id", "text",
             topK = 200).count()),
+        // substring spans: every 10th doc shares its predecessor's full
+        // 40-token body (one long diagonal run each) and vocabulary ∝ n
+        // keeps grams rare — match volume ∝ n, islands linear
+        "substring_spans" -> (() =>
+          DedupOps.substringSpanPairs(d, "doc_id", "text",
+            k = 4, minLen = 8, maxGramFreq = Some(8)).count()),
         // PageRank: chains of 20, 3 rounds — per-round work is one rank
         // shuffle over a fixed edge layout, so wall time must track E
         "pagerank_3iter" -> (() =>

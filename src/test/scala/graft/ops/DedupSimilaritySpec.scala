@@ -316,4 +316,55 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(aud.filter(col("sample_rate").isNull || col("rms").isNull).count() == 0)
     assert(vid.filter(col("n_frames").isNull || col("duration_ms").isNull).count() == 0)
   }
+
+  test("substringSpanPairs finds a planted verbatim paragraph with exact offsets") {
+    import spark.implicits._
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val para = words("shared", 12) // a 12-token verbatim paragraph
+    val docs = Seq(
+      (1L, s"${words("alpha", 5)} $para ${words("tailone", 4)}"),
+      (2L, s"${words("beta", 9)} $para"),
+      (3L, words("unrelated", 20))).toDF("doc_id", "text")
+    val got = DedupOps
+      .substringSpanPairs(docs, "doc_id", "text", k = 4, minLen = 8,
+        maxGramFreq = None)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // Doc 1: para at tokens 6-17; doc 2: at tokens 10-21. Span = 12.
+    assert(got == Seq((1L, 2L, 6L, 10L, 12L)))
+  }
+
+  test("substringSpanPairs: a gap splits spans; sub-minLen runs are dropped") {
+    import spark.implicits._
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val s1 = words("one", 9) // long enough to survive minLen = 8
+    val s2 = words("two", 8) // exactly at the minLen = 8 threshold
+    val s3 = words("thr", 7) // 7 < 8 → dropped
+    val docs = Seq(
+      (1L, s"$s1 ${words("fillA", 3)} $s2 ${words("fillB", 3)} $s3"),
+      (2L, s"$s1 ${words("fillC", 3)} $s2 ${words("fillD", 3)} $s3"))
+      .toDF("doc_id", "text")
+    val got = DedupOps
+      .substringSpanPairs(docs, "doc_id", "text", k = 4, minLen = 8,
+        maxGramFreq = None)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._3).toSeq
+    // Same diagonal (identical layout) but three separated runs: the two
+    // fills differ so matching stops at each boundary. s3's span is 7 < 8.
+    assert(got == Seq((1L, 2L, 1L, 1L, 9L), (1L, 2L, 13L, 13L, 8L)))
+  }
+
+  test("substringSpanPairs: boilerplate cap drops the corpus-wide gram anchors") {
+    import spark.implicits._
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val boiler = words("footer", 10)
+    // The footer appears in every doc; with cap < corpus df its grams
+    // anchor nothing, with no cap it matches every pair.
+    val docs = (1L to 5L)
+      .map(i => (i, s"${words(s"body$i", 6)} $boiler")).toDF("doc_id", "text")
+    val capped = DedupOps.substringSpanPairs(docs, "doc_id", "text",
+      k = 4, minLen = 8, maxGramFreq = Some(3))
+    assert(capped.isEmpty)
+    val uncapped = DedupOps.substringSpanPairs(docs, "doc_id", "text",
+      k = 4, minLen = 8, maxGramFreq = None)
+    assert(uncapped.count() == 10L) // C(5,2) pairs share the footer
+  }
 }
