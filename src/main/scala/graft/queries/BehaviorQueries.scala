@@ -485,6 +485,70 @@ object BehaviorQueries {
              |        AND epoch_us(ts) - epoch_us(click_ts) <= 3600000000
              |       THEN 'attributed' ELSE 'organic' END AS attribution
              |FROM j ORDER BY event_id""".stripMargin),
-      "last-touch purchase attribution: as-of join + 1h tolerance, organic fallback")
+      "last-touch purchase attribution: as-of join + 1h tolerance, organic fallback"),
+
+    // CUPED variance reduction (Deng et al., WSDM'13): adjust each
+    // user's experiment-period metric by their pre-period covariate,
+    // adjusted = y − θ·(x − x̄) with θ = cov(x,y)/var(x). Both metrics
+    // are exact integer cent sums per user (floor(v·100), the
+    // quantized-moments discipline of `stat_regression_per_key`); θ and
+    // x̄ come from one scalar moment rollup, broadcast back, and the
+    // adjustment is a fixed IEEE chain — every adjusted value
+    // hash-matches. Two keyed aggregations + one broadcast join.
+    Q(
+      "stats_cuped_adjust",
+      (s, d) => {
+        val cut = lit("2024-01-16").cast("timestamp")
+        val u = T(s, d, "events")
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("ts") < cut, floor(col("value") * 100).cast("long"))
+              .otherwise(0L)).as("x"),
+            sum(when(col("ts") >= cut, floor(col("value") * 100).cast("long"))
+              .otherwise(0L)).as("y"))
+        val m = u.agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        val nd = col("n").cast("double")
+        val theta = (nd * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (nd * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"))
+        val stats = m.select(theta.as("theta"),
+          (col("sx").cast("double") / col("n")).as("xbar"))
+        u.join(broadcast(stats))
+          .select(col("user_id"), col("x"), col("y"),
+            (col("y").cast("double") -
+              col("theta") * (col("x").cast("double") - col("xbar")))
+              .as("adjusted"))
+          .orderBy("user_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+             |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+             |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+             |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+             |  FROM events GROUP BY user_id),
+             |m AS (SELECT
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx
+             |  FROM u),
+             |st AS (SELECT
+             |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+             |    CAST(sx AS DOUBLE) / n AS xbar
+             |  FROM m)
+             |SELECT u.user_id, u.x, u.y,
+             |  CAST(u.y AS DOUBLE) - st.theta * (CAST(u.x AS DOUBLE) - st.xbar)
+             |    AS adjusted
+             |FROM u, st ORDER BY u.user_id""".stripMargin),
+      "CUPED pre-period adjustment: quantized integer moments, bit-stable adjusted metrics")
   )
 }

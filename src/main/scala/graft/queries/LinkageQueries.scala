@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{Q, T}
-import graft.ops.LinkageOps
+import graft.ops.{GraphOps, LinkageOps}
 
 /** Record-linkage gate: deletion-neighborhood blocked fuzzy matching over
   * customer names, verified by exact levenshtein — both engines implement
@@ -30,6 +30,25 @@ object LinkageQueries {
   private def maskSql(p: Int, t: String) =
     s"substr($t.c_name, 1, ${p - 1}) || substr($t.c_name, ${p + 1}, ${19 - p})"
 
+  /** The fuzzy pair graph as CTEs (`pairs(a, b)`) — shared by the pair
+    * gate and the entity-resolution composition below. */
+  private def pairCtes: String = {
+    val passes = (14 to 18).map { p =>
+      s"""  SELECT l.c_custkey AS a, r.c_custkey AS b,
+         |         l.c_name AS a_name, r.c_name AS b_name
+         |  FROM customer l JOIN customer r
+         |    ON ${maskSql(p, "l")} = ${maskSql(p, "r")}
+         |   AND l.c_custkey < r.c_custkey""".stripMargin
+    }.mkString("\n  UNION\n")
+    s"""cand AS (
+       |$passes),
+       |pairs AS (
+       |  SELECT a, b, a_name, b_name,
+       |    CAST(levenshtein(a_name, b_name) AS INTEGER) AS dist
+       |  FROM cand
+       |  WHERE levenshtein(a_name, b_name) <= 1)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "linkage_fuzzy_blocked",
@@ -38,22 +57,45 @@ object LinkageQueries {
           .blockedFuzzyPairs(T(s, d, "customer"), "c_custkey", "c_name",
             (14 to 18).map(mask), maxDistance = 1)
           .orderBy("a", "b"),
-      Some {
-        val passes = (14 to 18).map { p =>
-          s"""  SELECT l.c_custkey AS a, r.c_custkey AS b,
-             |         l.c_name AS a_name, r.c_name AS b_name
-             |  FROM customer l JOIN customer r
-             |    ON ${maskSql(p, "l")} = ${maskSql(p, "r")}
-             |   AND l.c_custkey < r.c_custkey""".stripMargin
-        }.mkString("\n  UNION\n")
-        s"""WITH cand AS (
-           |$passes)
-           |SELECT a, b, a_name, b_name,
-           |  CAST(levenshtein(a_name, b_name) AS INTEGER) AS dist
-           |FROM cand
-           |WHERE levenshtein(a_name, b_name) <= 1
-           |ORDER BY a, b""".stripMargin
+      Some(s"""WITH $pairCtes
+             |SELECT a, b, a_name, b_name, dist FROM pairs
+             |ORDER BY a, b""".stripMargin),
+      "deletion-neighborhood blocked fuzzy matching: bounded blocks, exact d<=1 recall"),
+
+    // Entity resolution end-to-end: the fuzzy pair graph collapses to
+    // canonical entity ids via connected components (min-label
+    // propagation, [[GraphOps.connectedComponents]]) completed over the
+    // whole customer universe ([[GraphOps.withSingletons]]) — every
+    // customer gets exactly one entity id, matched groups share theirs.
+    // The composition every MDM/dedup pipeline runs after pair scoring;
+    // both building blocks are separately gated, this gates the
+    // composition itself against a recursive-CTE oracle.
+    Q(
+      "linkage_entity_resolve",
+      (s, d) => {
+        val pairs = LinkageOps
+          .blockedFuzzyPairs(T(s, d, "customer"), "c_custkey", "c_name",
+            (14 to 18).map(mask), maxDistance = 1)
+          .select("a", "b")
+        GraphOps
+          .withSingletons(
+            GraphOps.connectedComponents(pairs, "a", "b"),
+            T(s, d, "customer"), "c_custkey")
+          .withColumnRenamed("component", "entity_id")
+          .orderBy("id")
       },
-      "deletion-neighborhood blocked fuzzy matching: bounded blocks, exact d<=1 recall")
+      Some(s"""WITH RECURSIVE $pairCtes,
+             |edges AS (SELECT a AS u, b AS v FROM pairs
+             |  UNION SELECT b AS u, a AS v FROM pairs),
+             |reach AS (
+             |  SELECT u AS id, v AS r FROM edges
+             |  UNION
+             |  SELECT reach.id, e.v AS r FROM reach JOIN edges e ON reach.r = e.u),
+             |comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+             |SELECT c.c_custkey AS id,
+             |  coalesce(comp.component, c.c_custkey) AS entity_id
+             |FROM customer c LEFT JOIN comp ON comp.id = c.c_custkey
+             |ORDER BY id""".stripMargin),
+      "entity resolution: fuzzy pairs → connected components → universe-complete canonical ids")
   )
 }
