@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Seeded-random model checks: each distributed operator is replayed by
+  * an independent scalar reference implementation on the driver and the
+  * results must match EXACTLY — the same discipline as the DuckDB gate,
+  * but over adversarially-shaped random inputs the fixed gate corpus
+  * cannot cover (multi-component digraphs, pathological interval nests,
+  * repeated grams at many diagonals). */
+class RandomModelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("pageRankUnits == scalar fixed-point simulation on random digraphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 10
+      val edges = (1 to n * 3)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .distinct
+      val iters = 1 + trial // also exercises the checkpointEvery boundary
+      val got = GraphOps
+        .pageRankUnits(edges.toDF("s", "t"), "s", "t", iters = iters,
+          checkpointEvery = 2)
+        .as[(Long, Long)].collect().toMap
+
+      val out = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      var r = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val contrib = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
+        out.foreach { case (u, vs) =>
+          val c = r(u) / vs.size
+          vs.foreach(v => contrib(v) += c)
+        }
+        r = nodes.map(x => x -> (150000L + 85L * contrib(x) / 100L)).toMap
+      }
+      assert(got == r, s"trial $trial (n=$n, iters=$iters)")
+    }
+  }
+
+  test("mergeIntervals == scalar island merge on random nested intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 3) {
+      // wildly varying lengths force containment chains and exact-touch
+      val rows = (1 to 120).map { i =>
+        val k = s"k${rnd.nextInt(4)}"
+        val s = rnd.nextInt(200).toLong
+        (k, i.toLong, s, s + (if (rnd.nextBoolean()) rnd.nextInt(50) else rnd.nextInt(5)).toLong)
+      }
+      val got = IntervalOps
+        .mergeIntervals(rows.toDF("k", "id", "s", "e"), "k", "s", "e",
+          tieCols = Seq("id"))
+        .as[(String, Long, Long, Long, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+
+      val oracle = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+        val sorted = rs.sortBy(r => (r._3, r._2))
+        val islands = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long)] // start, end, count
+        var maxEnd = Long.MinValue
+        sorted.foreach { case (_, _, s, e) =>
+          if (islands.isEmpty || s > maxEnd)
+            islands += ((s, e, 1L))
+          else {
+            val (is, ie, c) = islands.last
+            islands(islands.size - 1) = (is, math.max(ie, e), c + 1)
+          }
+          maxEnd = math.max(maxEnd, e)
+        }
+        islands.zipWithIndex.map { case ((s, e, c), i) =>
+          (k, (i + 1).toLong, s, e, c)
+        }
+      }.sortBy(r => (r._1, r._2))
+      assert(got == oracle, s"trial $trial")
+    }
+  }
+
+  test("substringSpanPairs == brute-force diagonal runs on random repetitive text") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val k = 3; val minLen = 5
+    // tiny vocabulary → heavy accidental gram collisions at many diagonals
+    def doc(n: Int) = (1 to n).map(_ => s"w${rnd.nextInt(6)}")
+    val base = doc(30)
+    val docs = (1L to 8L).map { i =>
+      // even docs embed a random slice of doc 1 at a random offset →
+      // guaranteed planted spans on top of the accidental collisions
+      val body =
+        if (i % 2 == 0) {
+          val from = rnd.nextInt(10); val len = 6 + rnd.nextInt(12)
+          doc(rnd.nextInt(8)) ++ base.slice(from, from + len) ++ doc(rnd.nextInt(8))
+        } else if (i == 1L) base
+        else doc(12 + rnd.nextInt(14))
+      (i, body.mkString(" "))
+    }
+    val got = DedupOps
+      .substringSpanPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+        k = k, minLen = minLen, maxGramFreq = None)
+      .as[(Long, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2, r._3, r._4)).toSeq
+
+    val toks = docs.map { case (i, t) => i -> t.split(" +") }.toMap
+    def grams(id: Long) = {
+      val t = toks(id)
+      (0 to t.length - k).map(p => (p + 1).toLong -> t.slice(p, p + k).mkString(" "))
+    }
+    val oracle = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      ga = grams(a); gb = grams(b)
+      matches = for ((pa, s1) <- ga; (pb, s2) <- gb if s1 == s2)
+        yield (pa, pa - pb)
+      (diag, ps) <- matches.groupBy(_._2).toSeq
+      run <- {
+        val sorted = ps.map(_._1).sorted
+        val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[Long]]
+        sorted.foreach { p =>
+          if (runs.nonEmpty && p == runs.last.last + 1)
+            runs(runs.size - 1) = runs.last :+ p
+          else runs += Vector(p)
+        }
+        runs
+      }
+      spanLen = run.size + k - 1 if spanLen >= minLen
+    } yield (a, b, run.head, run.head - diag, spanLen.toLong))
+      .sortBy(r => (r._1, r._2, r._3, r._4))
+    assert(got == oracle)
+    assert(oracle.nonEmpty, "vacuous: random corpus produced no spans")
+  }
+}
