@@ -404,6 +404,57 @@ object GraphOps {
     counts
   }
 
+  /** The k-core of an undirected graph: the (unique) maximal subgraph in
+    * which every node has degree ≥ k, by iterative peeling — each round
+    * drops every node below degree k and the edges touching it, until a
+    * fixpoint. The standard dense-community / graph-cleanup primitive
+    * (spam rings and bot clusters survive in high cores; stragglers
+    * peel away).
+    *
+    * Per round: one degree rollup + two semi-join filters over the
+    * current edge set — O(E) — and ONE action (the eager checkpoint;
+    * the convergence test reads the cached count). Peeling is monotone,
+    * so rounds are bounded by the graph's degeneracy ordering depth;
+    * the fixpoint is unique regardless of peel order, which is what
+    * makes the operator oracle-able.
+    *
+    * @return (`id`, `degree`) for every node of the k-core, with its
+    *         degree inside the core. Empty when no k-core exists.
+    */
+  def kCoreNodes(
+      edges: DataFrame, aCol: String, bCol: String, k: Int,
+      maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, s"kCoreNodes: k must be >= 1, got $k")
+    var e = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var cnt = e.count()
+    var prev = -1L
+    var rounds = 0
+    while (cnt != prev && cnt > 0 && rounds < maxRounds) {
+      prev = cnt
+      val deg = e.select(col("u").as("id"))
+        .unionAll(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("id")
+      e = e
+        .join(keep.withColumnRenamed("id", "u"), "u")
+        .join(keep.withColumnRenamed("id", "v"), "v")
+        .select("u", "v")
+        .localCheckpoint(true)
+      cnt = e.count()
+      rounds += 1
+    }
+    // cnt == prev ⟺ no node was removed (every removed node had ≥ 1
+    // incident edge) ⟺ fixpoint.
+    e.select(col("u").as("id"))
+      .unionAll(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+  }
+
   /** Keep one representative (the min-id member) per duplicate cluster:
     * drops every row of `df` whose id is a non-representative member of a
     * connected component of `pairs`. Rows never mentioned in `pairs`

@@ -155,6 +155,56 @@ object GraphQueries {
              |SELECT id, count(*) AS triangles
              |FROM (SELECT unnest([a, b, c]) AS id FROM tri)
              |GROUP BY id ORDER BY id""".stripMargin),
-      "per-node triangle counts via degree-ordered orientation (skew-proof wedge work)")
+      "per-node triangle counts via degree-ordered orientation (skew-proof wedge work)"),
+
+    // 15-core of the part co-purchase graph by iterative peeling
+    // ([[GraphOps.kCoreNodes]]) — takes 15 peel rounds to converge on
+    // this corpus (measured), so the gate genuinely exercises the
+    // fixpoint loop, and the surviving core is non-empty at every test
+    // SF. The k-core is UNIQUE whatever the peel order, which is what
+    // lets a fixed-round unrolled oracle (24 rounds, with margin) check
+    // an iterate-until-converged engine.
+    Q(
+      "graph_kcore",
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+          .join(T(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val e = li.as("x")
+          .join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("u"), col("y.p").as("v"))
+        GraphOps.kCoreNodes(e, "u", "v", k = 15).orderBy("id")
+      },
+      Some {
+        // AS MATERIALIZED: each round references its predecessor three
+        // times; default CTE inlining would expand the chain 3^24-fold
+        // (first symptom: DuckDB exhausting file handles on the
+        // re-inlined parquet scans).
+        val rounds = 24
+        val peel = (1 to rounds).map { i =>
+          s"""d$i AS MATERIALIZED (SELECT id, count(*) AS dg FROM (
+             |    SELECT u AS id FROM e${i - 1}
+             |    UNION ALL SELECT v AS id FROM e${i - 1}) GROUP BY id),
+             |k$i AS MATERIALIZED (SELECT id FROM d$i WHERE dg >= 15),
+             |e$i AS MATERIALIZED (SELECT e${i - 1}.u, e${i - 1}.v FROM e${i - 1}
+             |  JOIN k$i x ON x.id = e${i - 1}.u
+             |  JOIN k$i y ON y.id = e${i - 1}.v)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH li AS MATERIALIZED (
+           |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  WHERE o_orderpriority = '1-URGENT'),
+           |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+           |       FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+           |$peel
+           |SELECT id, count(*) AS degree FROM (
+           |  SELECT u AS id FROM e$rounds
+           |  UNION ALL SELECT v AS id FROM e$rounds) GROUP BY id
+           |ORDER BY id""".stripMargin
+      },
+      "15-core via iterative peeling: unique fixpoint, checked by an unrolled-round oracle")
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, T}
@@ -310,6 +311,41 @@ object ProfilingQueries {
              |       THEN (e.value - b.med) / (b.q3 - b.q1) END AS scaled
              |FROM events e JOIN b ON b.event_type = e.event_type
              |ORDER BY e.event_id""".stripMargin),
-      "median/IQR robust feature scaling: element-selection statistics, NULL-safe degenerate groups")
+      "median/IQR robust feature scaling: element-selection statistics, NULL-safe degenerate groups"),
+
+    // Equi-depth (equi-height) histogram: 8 buckets per group assigned
+    // POSITIONALLY — bucket = (rank−1)·B div n under the total order
+    // (value, id) — so bucket populations are exactly balanced and the
+    // whole thing is integer arithmetic; value-based edge derivation
+    // (NTILE-free interpolation) never hash-gates. The optimizer-stats
+    // histogram shape (Spark's own ANALYZE uses equi-height); one sort
+    // shuffle, rollup shares it.
+    Q(
+      "profile_equidepth_hist",
+      (s, d) => {
+        val b = 8
+        val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        T(s, d, "events")
+          .select(col("event_type"), col("event_id"), col("value"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy("event_type")))
+          .withColumn("bucket", expr(s"(rn - 1) * $b div n"))
+          .groupBy("event_type", "bucket")
+          .agg(min("value").as("lo"), max("value").as("hi"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""WITH r AS (
+             |  SELECT event_type, event_id, value,
+             |    row_number() OVER (PARTITION BY event_type
+             |                       ORDER BY value, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events)
+             |SELECT event_type, (rn - 1) * 8 // n AS bucket,
+             |  min(value) AS lo, max(value) AS hi, count(*) AS n_rows
+             |FROM r GROUP BY 1, 2
+             |ORDER BY event_type, bucket""".stripMargin),
+      "equi-depth histogram: positional buckets, balanced populations, pure integer assignment")
   )
 }

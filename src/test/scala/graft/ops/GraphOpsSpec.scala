@@ -179,6 +179,47 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == oracle.toMap)
   }
 
+  test("kCoreNodes: cascade peel, pendant removal, empty core") {
+    import spark.implicits._
+    // K4 {1,2,3,4} + pendant chain 4-5-6: the 3-core is exactly K4, and
+    // removing 6 (deg 1) must cascade into removing 5 (deg 2 → 1).
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val got = GraphOps.kCoreNodes(edges, "a", "b", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the max clique degree → empty core, no error
+    assert(GraphOps.kCoreNodes(edges, "a", "b", k = 4).isEmpty)
+  }
+
+  test("kCoreNodes agrees with a scalar peeling oracle on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val n = 30
+    val edges = (1 to 120)
+      .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    for (k <- Seq(2, 4, 6)) {
+      var es = edges.toSet
+      var changed = true
+      while (changed) {
+        val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (x, xs) => x -> xs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = es.filter(e => keep(e._1) && keep(e._2))
+        changed = next != es
+        es = next
+      }
+      val oracle = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (x, xs) => x -> xs.size.toLong }
+      val got = GraphOps.kCoreNodes(edges.toDF("a", "b"), "a", "b", k)
+        .as[(Long, Long)].collect().toMap
+      assert(got == oracle, s"k=$k")
+    }
+  }
+
   test("sharedComponents memoizes per pair-frame identity") {
     import spark.implicits._
     GraphOps.clearComponentCache()
