@@ -13,13 +13,17 @@ class PlanGuardSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   /** Exact all-pairs baselines (scaladoc-declared), IVF's centroid
-    * cross join (k centroids, broadcast by construction), and the KMV
+    * cross join (k centroids, broadcast by construction), the KMV
     * set-op query's 1x1 scalar cross join (two single-row aggregates —
-    * O(1) at any input scale). The Bloom prune needs no declaration:
-    * its filter rides in as a scalar subquery, not a join. */
+    * O(1) at any input scale), and CUPED's broadcast of its single-row
+    * (θ, x̄) statistics frame against the per-user metrics — a 1xN
+    * condition-free join that stays O(N) at any scale. The Bloom prune
+    * needs no declaration: its filter rides in as a scalar subquery,
+    * not a join. */
   private val declaredNestedLoop =
     Set("dedup_embedding_cosine", "sim_topk_bruteforce", "sim_topk_ivf",
-      "sim_knn_classify", "sketch_kmv_setops", "sketch_hll_union")
+      "sim_knn_classify", "sketch_kmv_setops", "sketch_hll_union",
+      "stats_cuped_adjust")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>
