@@ -549,6 +549,124 @@ object BehaviorQueries {
              |  CAST(u.y AS DOUBLE) - st.theta * (CAST(u.x AS DOUBLE) - st.xbar)
              |    AS adjusted
              |FROM u, st ORDER BY u.user_id""".stripMargin),
-      "CUPED pre-period adjustment: quantized integer moments, bit-stable adjusted metrics")
+      "CUPED pre-period adjustment: quantized integer moments, bit-stable adjusted metrics"),
+
+    // Rolling z-score anomaly detection: each event scored against the
+    // trailing 20-observation window of its own user's history. The
+    // rolling count/sum/sum-of-squares are exact integer (cent-quantized)
+    // frame aggregates — float accumulation over sliding frames is the
+    // classic nondeterminism trap — and mean/var/z are one fixed IEEE
+    // chain per row. Degenerate frames (n < 2 or zero variance) yield
+    // NULL. ONE user shuffle serves all three frame aggregates.
+    Q(
+      "timeseries_rolling_z",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-19, Window.currentRow)
+        val nd = col("n").cast("double")
+        val mean = col("s1").cast("double") / nd
+        val variance = (col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / nd) /
+          (nd - lit(1.0))
+        T(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            floor(col("value") * 100).cast("long").as("vq"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("s1", sum("vq").over(w))
+          .withColumn("s2", sum(col("vq") * col("vq")).over(w))
+          .select(col("user_id"), col("event_id"), col("vq"), col("n"),
+            when(col("n") >= 2 && variance > 0.0,
+              (col("vq").cast("double") - mean) / sqrt(variance))
+              .as("z"))
+          .orderBy("event_id")
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, event_id,
+             |    CAST(floor(value * 100) AS BIGINT) AS vq,
+             |    count(*) OVER w AS n,
+             |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER w
+             |         AS BIGINT) AS s1,
+             |    CAST(SUM(CAST(floor(value * 100) AS BIGINT) *
+             |             CAST(floor(value * 100) AS BIGINT)) OVER w
+             |         AS BIGINT) AS s2
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+             |SELECT user_id, event_id, vq, n,
+             |  CASE WHEN n >= 2 AND
+             |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+             |       / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) > 0.0
+             |  THEN (CAST(vq AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) /
+             |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+             |       / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+             |  END AS z
+             |FROM r ORDER BY event_id""".stripMargin),
+      "trailing-window anomaly z-scores: exact integer frame sums, one user shuffle"),
+
+    // Chi-square test of independence over the event_type × arm
+    // contingency table — the >2-group sibling of the z-test. Every cell
+    // term (oN − rc)²/(rcN) is exact-integer numerator/denominator with
+    // ONE double division, and the terms are summed by an ORDERED fold
+    // (sorted cell structs → left fold) — an unordered SUM of doubles is
+    // partition-order-dependent and could never hash-gate. Two keyed
+    // rollups + a scalar fold.
+    Q(
+      "stats_chi2_independence",
+      (s, d) => {
+        val t50 = graft.ops.CorpusOps.md5Threshold(0.5)
+        val cells = T(s, d, "events")
+          .withColumn("arm",
+            when(graft.ops.CorpusOps.saltedHash(col("user_id"), "ab") < lit(t50),
+              "A").otherwise("B"))
+          .groupBy("event_type", "arm")
+          .agg(count(lit(1)).as("o"))
+        val withTotals = cells
+          .withColumn("r", sum("o").over(Window.partitionBy("event_type")))
+          .withColumn("c", sum("o").over(Window.partitionBy("arm")))
+          .withColumn("nn", sum("o").over(Window.partitionBy()))
+          .withColumn("num", col("o") * col("nn") - col("r") * col("c"))
+          .withColumn("term",
+            (col("num") * col("num")).cast("double") /
+              (col("r") * col("c") * col("nn")).cast("double"))
+        withTotals
+          .agg(
+            aggregate(
+              transform(
+                array_sort(collect_list(struct(col("event_type"), col("arm"),
+                  col("term")))),
+                s0 => s0.getField("term")),
+              lit(0.0), (acc, x) => acc + x).as("chi2"),
+            ((countDistinct("event_type") - 1) *
+              (countDistinct("arm") - 1)).as("dof"),
+            max("nn").as("n"))
+      },
+      Some {
+        val t50 = graft.ops.CorpusOps.md5Threshold(0.5)
+        s"""WITH cells AS (
+           |  SELECT event_type,
+           |    CASE WHEN md5('ab:' || CAST(user_id AS VARCHAR)) < '$t50'
+           |         THEN 'A' ELSE 'B' END AS arm,
+           |    count(*) AS o
+           |  FROM events GROUP BY 1, 2),
+           |t AS (SELECT event_type, arm, o,
+           |    CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+           |    CAST(SUM(o) OVER (PARTITION BY arm) AS BIGINT) AS c,
+           |    CAST(SUM(o) OVER () AS BIGINT) AS nn
+           |  FROM cells),
+           |terms AS (SELECT event_type, arm, nn,
+           |    CAST((o * nn - r * c) * (o * nn - r * c) AS DOUBLE) /
+           |    CAST(r * c * nn AS DOUBLE) AS term
+           |  FROM t)
+           |SELECT
+           |  list_reduce(
+           |    list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(CAST(term AS DOUBLE) ORDER BY event_type, arm)),
+           |    (acc, x) -> acc + x) AS chi2,
+           |  CAST((count(DISTINCT event_type) - 1) *
+           |       (count(DISTINCT arm) - 1) AS BIGINT) AS dof,
+           |  CAST(max(nn) AS BIGINT) AS n
+           |FROM terms""".stripMargin
+      },
+      "chi-square independence over type×arm: exact integer cell terms, order-fixed fold")
   )
 }
