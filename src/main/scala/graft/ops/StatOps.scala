@@ -172,6 +172,42 @@ object StatOps {
           .otherwise(lit(null).cast("double")).as("scaled"))
   }
 
+  /** Global row number under a total order WITHOUT a single-partition
+    * sort — the scalable form of `row_number() OVER (ORDER BY …)`,
+    * which Spark executes by moving ALL data to one partition (it even
+    * logs a warning). Plan: range-repartition on the order columns and
+    * PIN the sampled range boundaries with an eager checkpoint (the
+    * boundary sample is job-nondeterministic, so the offset pass and
+    * the rank pass must see the SAME partitioning), then per-partition
+    * row_number plus broadcast partition offsets. The offsets rollup is
+    * #partitions rows — the only "global" window runs over that, never
+    * over data. Ranks equal the total-order ranks whatever boundaries
+    * the sampler picked.
+    *
+    * `order` must be a TOTAL order (add a key tiebreaker) or ranks at
+    * ties become partitioning-dependent.
+    */
+  def globalRowNumber(
+      df: DataFrame, order: Seq[Column], outCol: String,
+      partitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "globalRowNumber: empty ordering")
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val staged = df.repartitionByRange(p, order: _*).localCheckpoint(true)
+    val withPid = staged
+      .withColumn("_pid", org.apache.spark.sql.functions.spark_partition_id())
+    val offsets = withPid.groupBy("_pid").agg(count(lit(1)).as("_c"))
+      .withColumn("_offset",
+        sum("_c").over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("_pid"), coalesce(col("_offset"), lit(0L)).as("_offset"))
+    withPid.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(outCol,
+        row_number().over(Window.partitionBy("_pid").orderBy(order: _*)) +
+          col("_offset"))
+      .drop("_pid", "_offset")
+  }
+
   /** 2-D skyline (Pareto frontier): the distinct (`minCol`, `maxCol`)
     * points not dominated by any other point, where q dominates p iff
     * q.min ≤ p.min ∧ q.max ≥ p.max with at least one strict. Returns the

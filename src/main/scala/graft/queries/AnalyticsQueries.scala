@@ -549,6 +549,110 @@ object AnalyticsQueries {
              |  cov/sqrt(var_x*var_y) AS r
              |FROM c ORDER BY l_returnflag""".stripMargin),
       "per-group regression slope/intercept + Pearson r from quantized " +
-        "integer moment sums — hash-stable corr/regr_* family")
+        "integer moment sums — hash-stable corr/regr_* family"),
+
+    // RFM customer segmentation: recency (latest order date), frequency
+    // (order count), monetary (DECIMAL-exact cents) per customer, each
+    // scored 1–5 POSITIONALLY — score = (rank−1)·5 div n under an
+    // explicit total order — the equi-depth discipline (NTILE over a
+    // non-total order would tie-break nondeterministically; value-edge
+    // quantiles would not hash-gate). One customer rollup + three
+    // shared-shuffle-free window scorings + a label concat.
+    Q(
+      "rfm_segmentation",
+      (s, d) => {
+        val base = T(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(
+            max("o_orderdate").as("last_order"),
+            count(lit(1)).as("freq"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+        // Each rank via the scalable global row number (range partition +
+        // offsets; [[graft.ops.StatOps.globalRowNumber]]) — a bare
+        // `row_number() OVER (ORDER BY …)` would single-partition the
+        // customer universe.
+        val ranked = Seq(
+          ("last_order", "rn_last_order"),
+          ("freq", "rn_freq"),
+          ("monetary", "rn_monetary"))
+          .foldLeft(base) { case (df, (c, out)) =>
+            graft.ops.StatOps.globalRowNumber(
+              df, Seq(col(c), col("o_custkey")), out)
+          }
+        // n = max global rank — a distributed aggregate + 1-row
+        // broadcast, never a whole-universe single-partition window
+        val nRow = ranked.agg(max("rn_monetary").as("n"))
+        val scored = ranked
+          .join(broadcast(nRow))
+          .withColumn("r_score", expr("(rn_last_order - 1) * 5 div n") + 1)
+          .withColumn("f_score", expr("(rn_freq - 1) * 5 div n") + 1)
+          .withColumn("m_score", expr("(rn_monetary - 1) * 5 div n") + 1)
+        scored.select(col("o_custkey"), col("last_order"), col("freq"),
+          col("monetary").cast("string").as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"),
+          concat(col("r_score"), col("f_score"), col("m_score"))
+            .as("segment"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_custkey, max(o_orderdate) AS last_order,
+             |    count(*) AS freq,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+             |  FROM orders GROUP BY o_custkey),
+             |r AS (SELECT *,
+             |    row_number() OVER (ORDER BY last_order, o_custkey) AS rn_l,
+             |    row_number() OVER (ORDER BY freq, o_custkey) AS rn_f,
+             |    row_number() OVER (ORDER BY monetary, o_custkey) AS rn_m,
+             |    count(*) OVER () AS n
+             |  FROM base)
+             |SELECT o_custkey, last_order, freq,
+             |  CAST(monetary AS VARCHAR) AS monetary,
+             |  CAST((rn_l - 1) * 5 // n + 1 AS BIGINT) AS r_score,
+             |  CAST((rn_f - 1) * 5 // n + 1 AS BIGINT) AS f_score,
+             |  CAST((rn_m - 1) * 5 // n + 1 AS BIGINT) AS m_score,
+             |  CAST((rn_l - 1) * 5 // n + 1 AS VARCHAR) ||
+             |  CAST((rn_f - 1) * 5 // n + 1 AS VARCHAR) ||
+             |  CAST((rn_m - 1) * 5 // n + 1 AS VARCHAR) AS segment
+             |FROM r ORDER BY o_custkey""".stripMargin),
+      "RFM 1-5 segmentation: positional quintiles under total orders, DECIMAL-exact monetary"),
+
+    // Month-over-month growth per order priority: monthly DECIMAL-exact
+    // revenue, previous month via lag over the month sequence, growth =
+    // one double division. The reporting staple; one rollup + one
+    // ordered window per priority.
+    Q(
+      "timeseries_mom_growth",
+      (s, d) => {
+        val monthly = T(s, d, "orders")
+          .groupBy(col("o_orderpriority"),
+            date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        val w = Window.partitionBy("o_orderpriority").orderBy("month")
+        monthly
+          .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+          .select(col("o_orderpriority"), col("month"),
+            col("rev").cast("string").as("rev"),
+            col("prev_rev").cast("string").as("prev_rev"),
+            when(col("prev_rev").isNotNull,
+              (col("rev").cast("double") - col("prev_rev").cast("double")) /
+                col("prev_rev").cast("double")).as("growth"))
+          .orderBy("o_orderpriority", "month")
+      },
+      Some("""WITH m AS (
+             |  SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+             |  FROM orders GROUP BY 1, 2),
+             |g AS (SELECT *,
+             |    lag(rev) OVER (PARTITION BY o_orderpriority ORDER BY month)
+             |      AS prev_rev
+             |  FROM m)
+             |SELECT o_orderpriority, month,
+             |  CAST(rev AS VARCHAR) AS rev,
+             |  CAST(prev_rev AS VARCHAR) AS prev_rev,
+             |  CASE WHEN prev_rev IS NOT NULL THEN
+             |    (CAST(rev AS DOUBLE) - CAST(prev_rev AS DOUBLE)) /
+             |    CAST(prev_rev AS DOUBLE) END AS growth
+             |FROM g ORDER BY o_orderpriority, month""".stripMargin),
+      "month-over-month revenue growth per priority: DECIMAL-exact sums, one lag window")
   )
 }

@@ -346,6 +346,58 @@ object ProfilingQueries {
              |  min(value) AS lo, max(value) AS hi, count(*) AS n_rows
              |FROM r GROUP BY 1, 2
              |ORDER BY event_type, bucket""".stripMargin),
-      "equi-depth histogram: positional buckets, balanced populations, pure integer assignment")
+      "equi-depth histogram: positional buckets, balanced populations, pure integer assignment"),
+
+    // Join-key skew diagnostics — the pre-flight check before any big
+    // join: per-key frequency distribution of lineitem.l_partkey
+    // (n_keys, max/p50/p99 frequency by element selection, and the
+    // max/mean skew ratio as one double division). A skew ratio in the
+    // hundreds is the signal to reach for SkewOps salting / AQE skew
+    // join. Two rollups on one key.
+    Q(
+      "profile_skew_stats",
+      (s, d) => {
+        val freq = T(s, d, "lineitem")
+          .groupBy("l_partkey").agg(count(lit(1)).as("f"))
+        // scalable global rank (range partition + offsets) — a bare
+        // ORDER BY window would single-partition the key universe; n =
+        // max rank via a distributed aggregate + 1-row broadcast
+        val ranked = graft.ops.StatOps.globalRowNumber(
+          freq, Seq(col("f"), col("l_partkey")), "rn")
+        ranked
+          .join(broadcast(ranked.agg(max("rn").as("n"))))
+          .agg(
+            max("n").as("n_keys"),
+            sum("f").as("n_rows"),
+            max("f").as("max_f"),
+            max(when(col("rn") === expr("(n + 1) div 2"), col("f")))
+              .as("p50_f"),
+            max(when(col("rn") === expr("(99 * n + 99) div 100"), col("f")))
+              .as("p99_f"))
+          .withColumn("skew_ratio",
+            col("max_f").cast("double") /
+              (col("n_rows").cast("double") / col("n_keys").cast("double")))
+      },
+      Some("""WITH freq AS (
+             |  SELECT l_partkey, count(*) AS f FROM lineitem GROUP BY 1),
+             |r AS (SELECT f,
+             |    row_number() OVER (ORDER BY f, l_partkey) AS rn,
+             |    count(*) OVER () AS n
+             |  FROM freq),
+             |a AS (SELECT
+             |    CAST(max(n) AS BIGINT) AS n_keys,
+             |    CAST(SUM(f) AS BIGINT) AS n_rows,
+             |    CAST(max(f) AS BIGINT) AS max_f,
+             |    CAST(max(CASE WHEN rn = (n + 1) // 2 THEN f END) AS BIGINT)
+             |      AS p50_f,
+             |    CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN f END)
+             |         AS BIGINT) AS p99_f
+             |  FROM r)
+             |SELECT n_keys, n_rows, max_f, p50_f, p99_f,
+             |  CAST(max_f AS DOUBLE) /
+             |    (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))
+             |    AS skew_ratio
+             |FROM a""".stripMargin),
+      "join-key skew census: frequency order statistics + max/mean ratio, the salting pre-check")
   )
 }

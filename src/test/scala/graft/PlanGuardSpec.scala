@@ -23,7 +23,10 @@ class PlanGuardSpec extends AnyFunSuite {
   private val declaredNestedLoop =
     Set("dedup_embedding_cosine", "sim_topk_bruteforce", "sim_topk_ivf",
       "sim_knn_classify", "sketch_kmv_setops", "sketch_hll_union",
-      "stats_cuped_adjust")
+      "stats_cuped_adjust",
+      // single-row "n = max global rank" broadcasts (same O(N) shape
+      // as CUPED's stats frame)
+      "rfm_segmentation", "profile_skew_stats")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

@@ -89,6 +89,36 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     assert(got.map(_._6).toSeq == (1L to 19L).map(_.toDouble) :+ 19.0)
   }
 
+  test("globalRowNumber equals the total-order rank, any partition count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(23)
+    // duplicate values force the tiebreaker; shuffled insertion order
+    val rows = rnd.shuffle((1L to 500L).map(i => (i, (i % 37).toDouble)))
+    val expected = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    for (p <- Seq(1, 5, 32)) {
+      val got = StatOps
+        .globalRowNumber(rows.toDF("id", "v"), Seq(col("v"), col("id")),
+          "rank", partitions = p)
+        .select("id", "rank").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"partitions=$p")
+    }
+  }
+
+  test("globalRowNumber never plans a single-partition data window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 100L).map(i => (i, i % 7)).toDF("id", "v")
+    val out = StatOps.globalRowNumber(df, Seq(col("v"), col("id")), "rank")
+    val p = out.queryExecution.executedPlan.toString
+    // the only windows are per-_pid (rank) and over the tiny offsets
+    // rollup; no `Window [...] []` over the data without partitioning
+    val dataWindows = "Window \\[row_number".r.findAllIn(p).toSeq
+    assert(dataWindows.nonEmpty)
+    assert(p.contains("_pid"), s"rank window must partition by _pid:\n$p")
+  }
+
   test("robustScale: known quartiles, outlier-immune, IQR-0 gives NULL") {
     import spark.implicits._
     // 1..20 plus a wild outlier: med = rank 11 lower-median element of
