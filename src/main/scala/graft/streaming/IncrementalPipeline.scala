@@ -43,6 +43,21 @@ object IncrementalPipeline {
     df.withWatermark(eventTimeCol, watermark)
       .dropDuplicates(keys :+ eventTimeCol)
 
+  /** Key-only streaming dedupe within the watermark window
+    * (`dropDuplicatesWithinWatermark`): deduplicates on the BUSINESS key
+    * alone, so a re-delivery whose event time was re-stamped (the
+    * at-least-once-with-jittered-ingest-ts case) still collapses —
+    * [[streamingDedupe]] keys on (key, event time) and would pass both
+    * copies through. State per key is bounded by the watermark delay;
+    * the tradeoff is that a GENUINE new event for a key inside the
+    * window is also suppressed, which is exactly the contract the name
+    * states. */
+  def streamingDedupeWithinWatermark(
+      df: DataFrame, keys: Seq[String],
+      eventTimeCol: String, watermark: String): DataFrame =
+    df.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Windowed per-entity activity counts (the DDL's index-implied
     * time-range queries as a live aggregation, A1/A3 as a stream). */
   def windowedCounts(

@@ -38,6 +38,30 @@ class IncrementalPipelineSpec extends AnyFunSuite {
     assert(rows == Seq(1L, 2L, 3L))
   }
 
+  test("dedupeWithinWatermark collapses re-stamped replays; plain dedupe can't") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = input.toDF().toDF("user_id", "name", "ts")
+    val deduped = IncrementalPipeline.streamingDedupeWithinWatermark(
+      df, Seq("user_id"), "ts", "1 hour")
+    val q = deduped.writeStream
+      .format("memory").queryName("dedupe_wm_out")
+      .outputMode(OutputMode.Append).start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:07")
+    input.addData((1L, "alice", t0), (2L, "bob", t0))
+    q.processAllAvailable()
+    // user 1 re-delivered with a RE-STAMPED event time: key-only dedupe
+    // must drop it (the (key, ts) variant would emit it again)
+    input.addData((1L, "alice", t1), (3L, "carol", t0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT user_id FROM dedupe_wm_out")
+      .as[Long].collect().sorted.toSeq
+    q.stop()
+    assert(rows == Seq(1L, 2L, 3L))
+  }
+
   test("session windows merge gap-close events and close on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
