@@ -230,6 +230,68 @@ object TextOps {
     * ONE native hash-probe pass over the token array (codegen'd), not a
     * higher-order filter per language (CodegenFallback — the interpreted
     * path PERF.md documents as a 10-25x blowup). */
+  /** Token-level BPE merge induction: `steps` rounds of (count adjacent
+    * token pairs corpus-wide → pick the most frequent, ties broken
+    * lexicographically → rewrite every document, fusing that pair with
+    * a `+`). The core loop of byte-pair-encoding tokenizer training
+    * (Sennrich et al. 2016), lifted to token level so the whole round
+    * is three codegen'd DataFrame stages: a positional pair explode +
+    * one count rollup, a 1-row argmax broadcast, and a `replace`
+    * projection. The fused pair participates in later rounds (that is
+    * what makes it BPE and not just frequent-bigram mining).
+    *
+    * Rewrites use leftmost non-overlapping ` a b ` string replacement —
+    * back-to-back occurrences sharing a boundary space keep their
+    * second occurrence unfused in that round (both engines implement
+    * replace identically, so the choice is deterministic; canonical BPE
+    * has the same greedy-scan property).
+    *
+    * Each round's corpus is checkpoint-truncated: round i+1 references
+    * round i twice (pair counts + rewrite), so lazy chaining would
+    * double the plan per round. Driver state is the merge LOG only
+    * (`steps` rows), never the corpus.
+    *
+    * @return one row per merge step: (step, pair, merged, cnt).
+    */
+  def bpeMerges(
+      df: DataFrame, textCol: String, steps: Int): DataFrame = {
+    require(steps >= 1, s"bpeMerges: steps must be >= 1, got $steps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var corpus = df
+      .select(concat(lit(" "),
+        regexp_replace(trim(col(textCol)), " +", " "), lit(" ")).as("t"))
+      .localCheckpoint(true)
+    val log = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    while (step <= steps) {
+      val toks = split(trim(col("t")), " ")
+      val pairs = corpus
+        .select(toks.as("k"))
+        .filter(size(col("k")) >= 2)
+        .select(explode(sequence(lit(1), size(col("k")) - 1)).as("i"),
+          col("k"))
+        .select(concat(element_at(col("k"), col("i")), lit(" "),
+          element_at(col("k"), col("i") + 1)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .as[(String, Long)].collect()
+      if (top.isEmpty) {
+        step = steps + 1 // corpus degenerated to single tokens
+      } else {
+        val (pair, cnt) = top.head
+        val merged = pair.replace(' ', '+')
+        log += ((step, pair, merged, cnt))
+        corpus = corpus
+          .select(replace(col("t"), lit(s" $pair "), lit(s" $merged "))
+            .as("t"))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    log.toSeq.toDF("step", "pair", "merged", "cnt")
+  }
+
   def langId(text: Column): Column =
     // fused vote + first-strict-argmax in one native pass. The previous
     // when-chain fold duplicated the running best in both branches of

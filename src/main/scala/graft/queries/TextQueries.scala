@@ -410,6 +410,49 @@ object TextQueries {
              |  1.0 - COUNT(*) / (SUM(cnt) * 1.0) AS dup_gram_frac,
              |  MAX(cnt) / (SUM(cnt) * 1.0) AS top_gram_frac
              |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      "intra-doc repetition: dup-3-gram fraction + top-gram share (quality filter)")
+      "intra-doc repetition: dup-3-gram fraction + top-gram share (quality filter)"),
+
+    // BPE tokenizer induction, 5 merge rounds ([[TextOps.bpeMerges]]):
+    // corpus-wide adjacent-pair counts → lexicographic-tiebreak argmax →
+    // fuse the winning pair everywhere, and the FUSED token competes in
+    // later rounds. The oracle unrolls the same 5 rounds as MATERIALIZED
+    // CTEs (each round reads its predecessor twice — default inlining
+    // would double the tree per round); the merge choice is a scalar
+    // subquery instead of the engine's 1-row broadcast, same argmax.
+    Q(
+      "text_bpe_merges",
+      (s, d) =>
+        TextOps.bpeMerges(T(s, d, "documents"), "text", steps = 5)
+          .orderBy("step"),
+      Some {
+        val steps = 5
+        val rounds = (1 to steps).map { i =>
+          s"""p$i AS MATERIALIZED (
+             |  SELECT pair, count(*) AS cnt FROM (
+             |    SELECT unnest(list_transform(generate_series(1, len(k) - 1),
+             |        j -> k[j] || ' ' || k[j + 1])) AS pair
+             |    FROM (SELECT string_split(trim(t), ' ') AS k FROM t${i - 1})
+             |    WHERE len(k) >= 2)
+             |  GROUP BY pair),
+             |m$i AS MATERIALIZED (
+             |  SELECT pair, replace(pair, ' ', '+') AS merged, cnt
+             |  FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
+             |t$i AS MATERIALIZED (
+             |  SELECT replace(t, ' ' || (SELECT pair FROM m$i) || ' ',
+             |                 ' ' || (SELECT merged FROM m$i) || ' ') AS t
+             |  FROM t${i - 1})""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to steps)
+          .map(i => s"SELECT $i AS step, pair, merged, cnt FROM m$i")
+          .mkString("\nUNION ALL\n")
+        s"""WITH t0 AS MATERIALIZED (
+           |  SELECT ' ' || array_to_string(
+           |      string_split_regex(trim(text), ' +'), ' ') || ' ' AS t
+           |  FROM documents),
+           |$rounds
+           |$out
+           |ORDER BY step""".stripMargin
+      },
+      "BPE merge induction: 5 corpus-wide pair-fusion rounds, fused tokens compete on")
   )
 }

@@ -59,4 +59,43 @@ class TextOpsSpec extends AnyFunSuite {
       .head().getSeq[String](0)
     assert(toks == Seq("hello", "world", "42"))
   }
+
+  test("bpeMerges: fused token competes in later rounds (true BPE cascade)") {
+    import spark.implicits._
+    // "a b" dominates round 1 (4 occurrences); after fusing, "a+b c"
+    // (3 occurrences) must win round 2 — a frequent-bigram miner that
+    // recounts the ORIGINAL corpus would pick "b c" instead.
+    val docs = Seq(
+      "a b c x a b c y a b c",
+      "a b z q r s q r s").toDF("text")
+    val log = TextOps.bpeMerges(docs, "text", steps = 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(log == Seq(
+      (1, "a b", "a+b", 4L),
+      (2, "a+b c", "a+b+c", 3L)))
+  }
+
+  test("bpeMerges: back-to-back pairs keep the boundary-sharing copies unfused") {
+    import spark.implicits._
+    // " a a a a " counts 3 adjacent "a a" positions, but every " a a "
+    // occurrence after the first shares its leading space with the
+    // previous match — leftmost non-overlapping replace fuses ONLY the
+    // first, leaving "a+a a a" (the documented greedy-scan property).
+    val docs = Seq("a a a a").toDF("text")
+    val log1 = TextOps.bpeMerges(docs, "text", steps = 1)
+      .as[(Int, String, String, Long)].collect()
+    assert(log1.toSeq == Seq((1, "a a", "a+a", 3L))) // COUNT sees all 3
+    val log2 = TextOps.bpeMerges(docs, "text", steps = 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    // round 2 over [a+a, a, a]: pairs "a+a a" and "a a" tie at 1;
+    // lexicographic tiebreak picks "a a"
+    assert(log2(1) == (2, "a a", "a+a", 1L))
+  }
+
+  test("bpeMerges: degenerate corpus stops early without error") {
+    import spark.implicits._
+    val docs = Seq("solo", "", "one").toDF("text")
+    val log = TextOps.bpeMerges(docs, "text", steps = 3).collect()
+    assert(log.isEmpty) // no adjacent pairs anywhere → empty merge log
+  }
 }
