@@ -667,6 +667,40 @@ object BehaviorQueries {
            |  CAST(max(nn) AS BIGINT) AS n
            |FROM terms""".stripMargin
       },
-      "chi-square independence over type×arm: exact integer cell terms, order-fixed fold")
+      "chi-square independence over type×arm: exact integer cell terms, order-fixed fold"),
+
+    // Frequent behavior sequences: top-20 event-type trigrams over
+    // per-user ordered histories — the sequential-pattern tier above
+    // the Markov transition gate (pairs). Two lags on ONE user window,
+    // a trigram rollup, and a deterministic (count desc, trigram asc)
+    // top-k via TakeOrdered — no global sort.
+    Q(
+      "behavior_top_sequences",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        T(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("p1", lag("event_type", 1).over(w))
+          .withColumn("p2", lag("event_type", 2).over(w))
+          .filter(col("p2").isNotNull)
+          .select(concat_ws(">", col("p2"), col("p1"), col("event_type"))
+            .as("trigram"))
+          .groupBy("trigram").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("trigram").asc)
+          .limit(20)
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id, event_type,
+             |    lag(event_type, 1) OVER w AS p1,
+             |    lag(event_type, 2) OVER w AS p2
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT p2 || '>' || p1 || '>' || event_type AS trigram,
+             |  count(*) AS cnt
+             |FROM t WHERE p2 IS NOT NULL
+             |GROUP BY 1 ORDER BY cnt DESC, trigram ASC
+             |LIMIT 20""".stripMargin),
+      "top-20 behavior trigrams: sequential patterns above the Markov pair tier")
   )
 }

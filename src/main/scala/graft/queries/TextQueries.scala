@@ -453,6 +453,32 @@ object TextQueries {
            |$out
            |ORDER BY step""".stripMargin
       },
-      "BPE merge induction: 5 corpus-wide pair-fusion rounds, fused tokens compete on")
+      "BPE merge induction: 5 corpus-wide pair-fusion rounds, fused tokens compete on"),
+
+    // The hashing trick (feature hashing): every token maps to one of 256
+    // fixed buckets by hash — the fixed-width featurizer that needs NO
+    // vocabulary pass, no dictionary state, and is mergeable across any
+    // corpus split (Weinberger et al. 2009). Bucket = first md5 byte as
+    // hex, so the oracle replays it with the same built-in; counts are a
+    // plain keyed rollup. Sparse output: only occupied (doc, bucket)
+    // cells exist.
+    Q(
+      "text_feature_hashing",
+      (s, d) =>
+        T(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(col("text"), " +")).as("tok"))
+          .select(col("doc_id"), substring(md5(col("tok")), 1, 2).as("bucket"))
+          .groupBy("doc_id", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("doc_id", "bucket"),
+      Some("""SELECT doc_id, substr(md5(tok), 1, 2) AS bucket,
+             |  count(*) AS cnt
+             |FROM (SELECT doc_id,
+             |        unnest(string_split_regex(text, ' +')) AS tok
+             |      FROM documents)
+             |GROUP BY 1, 2
+             |ORDER BY doc_id, bucket""".stripMargin),
+      "hashing-trick featurizer: 256 hash buckets, vocabulary-free, split-mergeable")
   )
 }
