@@ -88,6 +88,25 @@ object CorpusOps {
       (0 until k).map(i => s"fold$i" -> 1.0 / k), salt, outCol)
   }
 
+  /** Cap each group's contribution at `n` rows, selected by salted-hash
+    * priority (deterministic under re-runs/repartition, independent per
+    * salt) — the bounded-contribution step of corpus mixing: no single
+    * domain/source/user may dominate the training set, whatever its raw
+    * volume. One keyed window; WindowGroupLimit pre-prunes each map
+    * partition to its local top-n before the shuffle, so the exchange
+    * carries at most n rows per (partition, group). */
+  def capPerGroup(
+      df: DataFrame, keyCol: String, groupCol: String, n: Int,
+      salt: String): DataFrame = {
+    require(n >= 1, s"capPerGroup: n must be >= 1, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(saltedHash(col(keyCol), salt), col(keyCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+
   /** Stratified deterministic sample: per-stratum keep fractions (corpus
     * mixing — e.g. downsample dominant languages, keep all of rare ones).
     * Strata absent from `fractions` fall back to `defaultFraction`.

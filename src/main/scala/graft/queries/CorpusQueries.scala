@@ -103,6 +103,30 @@ object CorpusQueries {
       },
       "5-fold CV assignment by equal hash ranges: disjoint, exhaustive, shuffle-free"),
 
+    // Bounded per-source contribution ([[CorpusOps.capPerGroup]]): at
+    // most 10 docs per source survive, chosen by salted-hash priority —
+    // the anti-domination mixing step (a crawl where one domain is 40%
+    // of raw volume must not be 40% of training data). Deterministic
+    // under re-runs; WindowGroupLimit bounds the shuffle at n per
+    // (map partition, group).
+    Q(
+      "corpus_cap_per_source",
+      (s, d) =>
+        CorpusOps
+          .capPerGroup(T(s, d, "documents"), "doc_id", "source", n = 10,
+            salt = "cap")
+          .select("doc_id", "source", "lang")
+          .orderBy("doc_id"),
+      Some("""WITH r AS (
+             |  SELECT doc_id, source, lang,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id)
+             |      AS rn
+             |  FROM documents)
+             |SELECT doc_id, source, lang FROM r WHERE rn <= 10
+             |ORDER BY doc_id""".stripMargin),
+      "per-source contribution cap: hash-priority top-10 per source, anti-domination mixing"),
+
     Q(
       "corpus_sample_stratified",
       (s, d) =>

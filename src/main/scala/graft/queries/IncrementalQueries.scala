@@ -176,6 +176,63 @@ object IncrementalQueries {
       Some("""SELECT o_custkey, COUNT(*) AS n_orders,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
              |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
-      "incremental aggregate maintenance: delta-driven refresh == full recompute")
+      "incremental aggregate maintenance: delta-driven refresh == full recompute"),
+
+    // Right-to-be-forgotten cascade: a deterministic ~10% customer
+    // deletion set propagates through the FK graph (customer → orders →
+    // lineitem), reporting per-table deleted/remaining counts — the
+    // audit record a GDPR deletion job must produce. Each hop is ONE
+    // semi join on the parent's deleted keys; at 100 TB the deletion-set
+    // side is the small one and broadcasts.
+    Q(
+      "gdpr_cascade_delete",
+      (s, d) => {
+        val t10 = graft.ops.CorpusOps.md5Threshold(0.1)
+        val victims = T(s, d, "customer")
+          .filter(graft.ops.CorpusOps.saltedHash(col("c_custkey"), "gdpr")
+            < lit(t10))
+          .select(col("c_custkey"))
+        val delOrders = T(s, d, "orders")
+          .join(victims, col("o_custkey") === col("c_custkey"), "left_semi")
+        val delLineitem = T(s, d, "lineitem")
+          .join(delOrders.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")
+        def row(table: String, deleted: org.apache.spark.sql.DataFrame,
+            total: org.apache.spark.sql.DataFrame) =
+          deleted.agg(count(lit(1)).as("n_deleted"))
+            .crossJoin(total.agg(count(lit(1)).as("n_total")))
+            .select(lit(table).as("table_name"), col("n_deleted"),
+              (col("n_total") - col("n_deleted")).as("n_remaining"))
+        row("customer", victims, T(s, d, "customer"))
+          .unionAll(row("orders", delOrders, T(s, d, "orders")))
+          .unionAll(row("lineitem", delLineitem, T(s, d, "lineitem")))
+          .orderBy("table_name")
+      },
+      Some {
+        val t10 = graft.ops.CorpusOps.md5Threshold(0.1)
+        s"""WITH victims AS (
+           |  SELECT c_custkey FROM customer
+           |  WHERE md5('gdpr:' || CAST(c_custkey AS VARCHAR)) < '$t10'),
+           |del_orders AS (
+           |  SELECT o_orderkey FROM orders
+           |  WHERE o_custkey IN (SELECT c_custkey FROM victims)),
+           |del_li AS (
+           |  SELECT 1 AS x FROM lineitem
+           |  WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+           |SELECT 'customer' AS table_name,
+           |  (SELECT count(*) FROM victims) AS n_deleted,
+           |  (SELECT count(*) FROM customer) - (SELECT count(*) FROM victims)
+           |    AS n_remaining
+           |UNION ALL
+           |SELECT 'orders',
+           |  (SELECT count(*) FROM del_orders),
+           |  (SELECT count(*) FROM orders) - (SELECT count(*) FROM del_orders)
+           |UNION ALL
+           |SELECT 'lineitem',
+           |  (SELECT count(*) FROM del_li),
+           |  (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM del_li)
+           |ORDER BY table_name""".stripMargin
+      },
+      "GDPR cascade-delete audit: FK-propagated deletion counts, one semi join per hop")
   )
 }

@@ -26,7 +26,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "stats_cuped_adjust",
       // single-row "n = max global rank" broadcasts (same O(N) shape
       // as CUPED's stats frame)
-      "rfm_segmentation", "profile_skew_stats")
+      "rfm_segmentation", "profile_skew_stats",
+      // 1x1 scalar cross joins of per-table deleted/total count rows
+      "gdpr_cascade_delete")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

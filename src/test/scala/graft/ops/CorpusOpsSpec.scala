@@ -67,6 +67,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(joined.filter(col("f1") =!= col("f2")).count() > 100)
   }
 
+  test("capPerGroup bounds every group, keeps small groups whole, re-runs stable") {
+    val capped = CorpusOps.capPerGroup(docs, "doc_id", "lang", n = 50, salt = "c")
+    val byLang = capped.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // docs: ~134 'en' (i%3==0), ~266 'de' — both above the cap
+    assert(byLang.values.forall(_ == 50L), s"every group capped at 50: $byLang")
+    val loose = CorpusOps.capPerGroup(docs, "doc_id", "lang", n = 1000, salt = "c")
+    assert(loose.count() == 400L, "cap above group size keeps everything")
+    val again = CorpusOps.capPerGroup(docs, "doc_id", "lang", n = 50, salt = "c")
+    assert(capped.select("doc_id").as[Long].collect().sorted.toSeq ==
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+    // different salt → different survivors (independent priority draw)
+    val other = CorpusOps.capPerGroup(docs, "doc_id", "lang", n = 50, salt = "c2")
+    assert(other.select("doc_id").as[Long].collect().toSet !=
+      capped.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("stratifiedSampleByHash applies per-stratum fractions") {
     val out = CorpusOps.stratifiedSampleByHash(
       docs, "doc_id", "lang", Map("en" -> 1.0), defaultFraction = 0.0, "m")
