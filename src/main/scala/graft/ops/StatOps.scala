@@ -208,6 +208,37 @@ object StatOps {
       .drop("_pid", "_offset")
   }
 
+  /** Global running (prefix) sum under a total order without a
+    * single-partition window — the companion of [[globalRowNumber]] for
+    * cumulative-share analytics (Pareto/ABC curves, cumulative
+    * coverage). Same plan: checkpoint-pinned range repartition, then
+    * per-partition running sum plus broadcast per-partition prefix
+    * totals. Pass an EXACT-typed value column (integer cents, DECIMAL):
+    * the prefix offsets make float accumulation order explicit, but
+    * only exact types make it engine-portable. */
+  def globalRunningSum(
+      df: DataFrame, order: Seq[Column], valueCol: String, outCol: String,
+      partitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "globalRunningSum: empty ordering")
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val staged = df.repartitionByRange(p, order: _*).localCheckpoint(true)
+    val withPid = staged
+      .withColumn("_pid", org.apache.spark.sql.functions.spark_partition_id())
+    val totals = withPid.groupBy("_pid").agg(sum(col(valueCol)).as("_t"))
+    val zero = lit(0).cast(totals.schema("_t").dataType)
+    val offsets = totals
+      .withColumn("_offset",
+        sum("_t").over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("_pid"), coalesce(col("_offset"), zero).as("_offset"))
+    val run = Window.partitionBy("_pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withPid.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(outCol, sum(col(valueCol)).over(run) + col("_offset"))
+      .drop("_pid", "_offset")
+  }
+
   /** 2-D skyline (Pareto frontier): the distinct (`minCol`, `maxCol`)
     * points not dominated by any other point, where q dominates p iff
     * q.min ≤ p.min ∧ q.max ≥ p.max with at least one strict. Returns the

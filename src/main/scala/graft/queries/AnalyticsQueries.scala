@@ -653,6 +653,93 @@ object AnalyticsQueries {
              |    (CAST(rev AS DOUBLE) - CAST(prev_rev AS DOUBLE)) /
              |    CAST(prev_rev AS DOUBLE) END AS growth
              |FROM g ORDER BY o_orderpriority, month""".stripMargin),
-      "month-over-month revenue growth per priority: DECIMAL-exact sums, one lag window")
+      "month-over-month revenue growth per priority: DECIMAL-exact sums, one lag window"),
+
+    // ABC / Pareto classification: customers ranked by revenue
+    // descending, class A until 70% of cumulative revenue, B until 90%,
+    // C after. The cumulative sum is [[graft.ops.StatOps.globalRunningSum]]
+    // (range partition + prefix offsets — a bare cumulative window would
+    // single-partition the customer universe) over exact integer cents;
+    // only the share division is floating point.
+    Q(
+      "orders_abc_classification",
+      (s, d) => {
+        val base = T(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(sum(floor(col("o_totalprice") * 100).cast("long"))
+            .as("cents"))
+        val cum = graft.ops.StatOps.globalRunningSum(
+          base, Seq(col("cents").desc, col("o_custkey").asc),
+          "cents", "cum_cents")
+        val tot = cum.agg(max("cum_cents").as("total_cents"))
+        cum.join(broadcast(tot))
+          .withColumn("share",
+            col("cum_cents").cast("double") / col("total_cents").cast("double"))
+          .withColumn("abc_class",
+            when(col("share") <= 0.7, "A")
+              .when(col("share") <= 0.9, "B")
+              .otherwise("C"))
+          .select("o_custkey", "cents", "cum_cents", "share", "abc_class")
+          .orderBy("o_custkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_custkey,
+             |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM orders GROUP BY o_custkey),
+             |c AS (SELECT o_custkey, cents,
+             |    CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum_cents,
+             |    CAST(SUM(cents) OVER () AS BIGINT) AS total_cents
+             |  FROM base)
+             |SELECT o_custkey, cents, cum_cents,
+             |  CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS share,
+             |  CASE WHEN CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+             |         <= 0.7 THEN 'A'
+             |       WHEN CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+             |         <= 0.9 THEN 'B'
+             |       ELSE 'C' END AS abc_class
+             |FROM c ORDER BY o_custkey""".stripMargin),
+      "Pareto/ABC revenue classes: scalable prefix sums over exact cents"),
+
+    // Gini coefficient of order-value inequality — the scalar diversity/
+    // concentration metric (a curation pipeline runs the same statistic
+    // over per-source token counts). G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n with x
+    // ascending: ranks from [[graft.ops.StatOps.globalRowNumber]], both
+    // sums exact (the rank-weighted one in DECIMAL(38,0) — n·x·rank can
+    // pass 2^63 at SF ≥ 1), three IEEE ops at the end.
+    Q(
+      "stats_gini_inequality",
+      (s, d) => {
+        val cents = T(s, d, "orders")
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val ranked = graft.ops.StatOps.globalRowNumber(
+          cents, Seq(col("cents").asc, col("o_orderkey").asc), "i")
+        ranked.agg(
+          count(lit(1)).as("n"),
+          sum("cents").as("total_cents"),
+          sum((col("i") * col("cents")).cast("decimal(38,0)")).as("s1"))
+          .select(col("n"), col("total_cents"),
+            (lit(2.0) * col("s1").cast("double") /
+              (col("n").cast("double") * col("total_cents").cast("double")) -
+              (col("n") + 1).cast("double") / col("n").cast("double"))
+              .as("gini"))
+      },
+      Some("""WITH cents AS (
+             |  SELECT o_orderkey,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |r AS (SELECT cents,
+             |    row_number() OVER (ORDER BY cents ASC, o_orderkey ASC) AS i
+             |  FROM cents)
+             |SELECT count(*) AS n,
+             |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+             |  2.0 * CAST(SUM(CAST(i * cents AS HUGEINT)) AS DOUBLE) /
+             |    (CAST(count(*) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)) -
+             |  CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gini
+             |FROM r""".stripMargin),
+      "Gini inequality of order values: exact rank-weighted sums, scalable ranking")
   )
 }

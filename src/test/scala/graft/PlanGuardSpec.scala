@@ -28,7 +28,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // as CUPED's stats frame)
       "rfm_segmentation", "profile_skew_stats",
       // 1x1 scalar cross joins of per-table deleted/total count rows
-      "gdpr_cascade_delete")
+      "gdpr_cascade_delete",
+      // single-row total-revenue broadcast against the cumulative frame
+      "orders_abc_classification")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

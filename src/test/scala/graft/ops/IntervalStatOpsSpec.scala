@@ -119,6 +119,23 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     assert(p.contains("_pid"), s"rank window must partition by _pid:\n$p")
   }
 
+  test("globalRunningSum equals the sequential prefix sum, any partition count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(29)
+    val rows = rnd.shuffle((1L to 300L).map(i => (i, rnd.nextInt(1000).toLong)))
+    val expected = rows.sortBy(r => (-r._2, r._1))
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (id, v)) => (id, v, acc + v) }
+      .drop(1).map(r => r._1 -> r._3).toMap
+    for (p <- Seq(1, 4, 32)) {
+      val got = StatOps.globalRunningSum(
+        rows.toDF("id", "v"), Seq(col("v").desc, col("id").asc), "v", "cum",
+        partitions = p)
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"partitions=$p")
+    }
+  }
+
   test("robustScale: known quartiles, outlier-immune, IQR-0 gives NULL") {
     import spark.implicits._
     // 1..20 plus a wild outlier: med = rank 11 lower-median element of

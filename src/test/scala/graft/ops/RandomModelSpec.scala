@@ -82,6 +82,57 @@ class RandomModelSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeMerges == scalar BPE simulation on random small-vocab corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    for (trial <- 1 to 2) {
+      val docs = (1 to 12).map(_ =>
+        (1 to 8 + rnd.nextInt(10)).map(_ => s"t${rnd.nextInt(4)}").mkString(" "))
+      val got = graft.ops.TextOps
+        .bpeMerges(docs.toDF("text"), "text", steps = 3)
+        .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+
+      // scalar model: same normalize → count pairs → argmax(count desc,
+      // pair asc) → leftmost non-overlapping literal replace
+      var corpus = docs.map(t => " " + t.trim.split(" +").mkString(" ") + " ")
+      val log = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var step = 1
+      var stop = false
+      while (step <= 3 && !stop) {
+        val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        corpus.foreach { t =>
+          val k = t.trim.split(" ")
+          if (k.length >= 2)
+            (0 until k.length - 1).foreach(i => counts(s"${k(i)} ${k(i + 1)}") += 1)
+        }
+        if (counts.isEmpty) stop = true
+        else {
+          val (pair, cnt) = counts.toSeq.sortBy { case (p, c) => (-c, p) }.head
+          val merged = pair.replace(' ', '+')
+          log += ((step, pair, merged, cnt))
+          corpus = corpus.map(_.replace(s" $pair ", s" $merged "))
+          step += 1
+        }
+      }
+      assert(got == log.toSeq, s"trial $trial")
+    }
+  }
+
+  test("capPerGroup == scalar hash-priority selection") {
+    import spark.implicits._
+    val rows = (1L to 100L).map(i => (i, s"g${i % 3}"))
+    val got = graft.ops.CorpusOps
+      .capPerGroup(rows.toDF("id", "g"), "id", "g", n = 7, salt = "s")
+      .select("id").as[Long].collect().toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(i: Long) = md.digest(s"s:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val oracle = rows.groupBy(_._2).values.flatMap { g =>
+      g.map(_._1).sortBy(i => (h(i), i)).take(7)
+    }.toSet
+    assert(got == oracle)
+  }
+
   test("substringSpanPairs == brute-force diagonal runs on random repetitive text") {
     import spark.implicits._
     val rnd = new scala.util.Random(59)
