@@ -50,4 +50,27 @@ object LinkageOps {
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
       .filter(col("dist") <= maxDistance)
   }
+
+  /** Memoized pair graph ([[blockedFuzzyPairs]] staged once per input
+    * frame) — the [[DedupOps.sharedNgramJaccardPairs]] pattern for
+    * linkage: the pair gate, entity resolution, and any repeated
+    * execution consume the SAME persisted frame, and its identity keys
+    * [[GraphOps.sharedComponents]] so the component loop also runs once.
+    * Blocking keys can't key a cache map (Column has no value equality),
+    * so the cache keys on (frame, id, name, salt) — pass a distinct
+    * `variant` when the same frame is blocked two different ways. */
+  private[ops] val pairCache =
+    new BoundedDfCache[(DataFrame, String, String, String)](maxEntries = 8)
+
+  def sharedBlockedFuzzyPairs(
+      df: DataFrame, idCol: String, nameCol: String,
+      blockKeys: Seq[Column], maxDistance: Int,
+      variant: String = ""): DataFrame =
+    pairCache.getOrElseUpdate((df, idCol, nameCol, s"$maxDistance:$variant")) {
+      blockedFuzzyPairs(df, idCol, nameCol, blockKeys, maxDistance)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Unpersist and drop every shared pair frame (test hygiene). */
+  def clearPairCache(): Unit = pairCache.clear()
 }

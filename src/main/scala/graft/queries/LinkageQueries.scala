@@ -54,7 +54,7 @@ object LinkageQueries {
       "linkage_fuzzy_blocked",
       (s, d) =>
         LinkageOps
-          .blockedFuzzyPairs(T(s, d, "customer"), "c_custkey", "c_name",
+          .sharedBlockedFuzzyPairs(T(s, d, "customer"), "c_custkey", "c_name",
             (14 to 18).map(mask), maxDistance = 1)
           .orderBy("a", "b"),
       Some(s"""WITH $pairCtes
@@ -73,13 +73,15 @@ object LinkageQueries {
     Q(
       "linkage_entity_resolve",
       (s, d) => {
+        // the SAME staged pair frame as the pair gate above, so its
+        // identity also keys sharedComponents — pairs and the CC loop
+        // each run once per corpus snapshot however many consumers
         val pairs = LinkageOps
-          .blockedFuzzyPairs(T(s, d, "customer"), "c_custkey", "c_name",
+          .sharedBlockedFuzzyPairs(T(s, d, "customer"), "c_custkey", "c_name",
             (14 to 18).map(mask), maxDistance = 1)
-          .select("a", "b")
         GraphOps
           .withSingletons(
-            GraphOps.connectedComponents(pairs, "a", "b"),
+            GraphOps.sharedComponents(pairs, "a", "b"),
             T(s, d, "customer"), "c_custkey")
           .withColumnRenamed("component", "entity_id")
           .orderBy("id")
