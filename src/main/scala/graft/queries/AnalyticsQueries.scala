@@ -740,6 +740,100 @@ object AnalyticsQueries {
              |    (CAST(count(*) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)) -
              |  CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gini
              |FROM r""".stripMargin),
-      "Gini inequality of order values: exact rank-weighted sums, scalable ranking")
+      "Gini inequality of order values: exact rank-weighted sums, scalable ranking"),
+
+    // Year-over-year growth by CALENDAR join, not row lag: the
+    // comparison month is `month − 12 months` via an equi-join on exact
+    // month arithmetic, so a priority with gap months never compares
+    // against the wrong row (lag(12) silently would). DECIMAL-exact
+    // revenue; one keyed self-join.
+    Q(
+      "timeseries_yoy_growth",
+      (s, d) => {
+        val monthly = T(s, d, "orders")
+          .groupBy(col("o_orderpriority"),
+            date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        val prev = monthly.select(
+          col("o_orderpriority"),
+          (col("month") + expr("INTERVAL 12 MONTHS")).as("month"),
+          col("rev").as("prev_rev"))
+        monthly.join(prev, Seq("o_orderpriority", "month"), "left")
+          .select(col("o_orderpriority"), col("month"),
+            col("rev").cast("string").as("rev"),
+            col("prev_rev").cast("string").as("prev_rev"),
+            when(col("prev_rev").isNotNull,
+              (col("rev").cast("double") - col("prev_rev").cast("double")) /
+                col("prev_rev").cast("double")).as("yoy_growth"))
+          .orderBy("o_orderpriority", "month")
+      },
+      Some("""WITH m AS (
+             |  SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT cur.o_orderpriority, cur.month,
+             |  CAST(cur.rev AS VARCHAR) AS rev,
+             |  CAST(prev.rev AS VARCHAR) AS prev_rev,
+             |  CASE WHEN prev.rev IS NOT NULL THEN
+             |    (CAST(cur.rev AS DOUBLE) - CAST(prev.rev AS DOUBLE)) /
+             |    CAST(prev.rev AS DOUBLE) END AS yoy_growth
+             |FROM m cur LEFT JOIN m prev
+             |  ON prev.o_orderpriority = cur.o_orderpriority
+             | AND prev.month + INTERVAL 12 MONTH = cur.month
+             |ORDER BY cur.o_orderpriority, cur.month""".stripMargin),
+      "year-over-year growth by calendar join (gap-month-safe), DECIMAL-exact revenue"),
+
+    // Seasonal-naive forecast evaluation: forecast(month) =
+    // revenue(month − 12), scored per priority with MAE and MAPE. The
+    // error sums are exact (DECIMAL |diff|, and MAPE's per-month ratios
+    // are each ONE double division collected through an ordered fold —
+    // the chi-square discipline, since unordered double SUM cannot
+    // hash-gate). The baseline every fancier forecaster must beat.
+    Q(
+      "forecast_seasonal_naive",
+      (s, d) => {
+        val monthly = T(s, d, "orders")
+          .groupBy(col("o_orderpriority"),
+            date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        val prev = monthly.select(
+          col("o_orderpriority"),
+          (col("month") + expr("INTERVAL 12 MONTHS")).as("month"),
+          col("rev").as("fc"))
+        monthly.join(prev, Seq("o_orderpriority", "month"))
+          .withColumn("abs_err",
+            abs((col("rev") - col("fc")).cast("decimal(18,2)")))
+          .withColumn("ape",
+            col("abs_err").cast("double") / col("rev").cast("double"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_months"),
+            (sum("abs_err").cast("double") / count(lit(1))).as("mae"),
+            (aggregate(
+              transform(array_sort(collect_list(struct(col("month"), col("ape")))),
+                s0 => s0.getField("ape")),
+              lit(0.0), (acc, x) => acc + x) / count(lit(1))).as("mape"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH m AS (
+             |  SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+             |  FROM orders GROUP BY 1, 2),
+             |j AS (SELECT cur.o_orderpriority, cur.month, cur.rev, prev.rev AS fc,
+             |    CAST(abs(CAST(cur.rev - prev.rev AS DECIMAL(18,2)))
+             |         AS DECIMAL(18,2)) AS abs_err
+             |  FROM m cur JOIN m prev
+             |    ON prev.o_orderpriority = cur.o_orderpriority
+             |   AND prev.month + INTERVAL 12 MONTH = cur.month)
+             |SELECT o_orderpriority, count(*) AS n_months,
+             |  CAST(SUM(abs_err) AS DOUBLE) / count(*) AS mae,
+             |  list_reduce(
+             |    list_prepend(CAST(0.0 AS DOUBLE),
+             |      list(CAST(abs_err AS DOUBLE) / CAST(rev AS DOUBLE)
+             |           ORDER BY month)),
+             |    (acc, x) -> acc + x) / count(*) AS mape
+             |FROM j GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      "seasonal-naive forecast scorecard: exact MAE, ordered-fold MAPE per priority")
   )
 }
