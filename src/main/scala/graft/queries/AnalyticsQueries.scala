@@ -834,6 +834,52 @@ object AnalyticsQueries {
              |    (acc, x) -> acc + x) / count(*) AS mape
              |FROM j GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin),
-      "seasonal-naive forecast scorecard: exact MAE, ordered-fold MAPE per priority")
+      "seasonal-naive forecast scorecard: exact MAE, ordered-fold MAPE per priority"),
+
+    // Market-basket association: top part pairs by LIFT —
+    // P(a,b)/(P(a)P(b)) = c_ab·N/(c_a·c_b), exact integers into one
+    // double division — with a support floor (≥ 2 co-orders) so the
+    // ranking isn't noise pairs. Baskets are per-order distinct parts;
+    // the pair expansion is bounded by basket size (≤ 7 lineitems), the
+    // same cap argument as the co-occurrence gate. Deterministic top-20
+    // via (lift desc, pair asc) TakeOrdered.
+    Q(
+      "basket_lift_pairs",
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val nOrders = li.select("ok").distinct().agg(count(lit(1)).as("n"))
+        val item = li.groupBy("p").agg(count(lit(1)).as("c"))
+        val pair = li.as("x")
+          .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+          .agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 2)
+        pair
+          .join(item.select(col("p").as("a"), col("c").as("c_a")), "a")
+          .join(item.select(col("p").as("b"), col("c").as("c_b")), "b")
+          .join(broadcast(nOrders))
+          .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+            ((col("c_ab") * col("n")).cast("double") /
+              (col("c_a") * col("c_b")).cast("double")).as("lift"))
+          .orderBy(col("lift").desc, col("a").asc, col("b").asc)
+          .limit(20)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+             |            FROM lineitem),
+             |n AS (SELECT count(DISTINCT ok) AS n FROM li),
+             |item AS (SELECT p, count(*) AS c FROM li GROUP BY p),
+             |pair AS (
+             |  SELECT x.p AS a, y.p AS b, count(*) AS c_ab
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p
+             |  GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT a, b, c_ab, ia.c AS c_a, ib.c AS c_b,
+             |  CAST(c_ab * n.n AS DOUBLE) / CAST(ia.c * ib.c AS DOUBLE) AS lift
+             |FROM pair JOIN item ia ON ia.p = a
+             |JOIN item ib ON ib.p = b, n
+             |ORDER BY lift DESC, a ASC, b ASC
+             |LIMIT 20""".stripMargin),
+      "market-basket lift: exact-integer association scores, support-floored top-20")
   )
 }
