@@ -29,8 +29,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "rfm_segmentation", "profile_skew_stats",
       // 1x1 scalar cross joins of per-table deleted/total count rows
       "gdpr_cascade_delete",
-      // single-row total-revenue broadcast against the cumulative frame
-      "orders_abc_classification")
+      // single-row total broadcasts against a data-sized frame
+      "orders_abc_classification", "basket_lift_pairs")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>
