@@ -479,6 +479,49 @@ object TextQueries {
              |      FROM documents)
              |GROUP BY 1, 2
              |ORDER BY doc_id, bucket""".stripMargin),
-      "hashing-trick featurizer: 256 hash buckets, vocabulary-free, split-mergeable")
+      "hashing-trick featurizer: 256 hash buckets, vocabulary-free, split-mergeable"),
+
+    // Readability scoring (Flesch reading-ease with a vowel-group
+    // syllable proxy — the standard dictionary-free approximation):
+    // words, syllables and sentences are exact integer counts (regex
+    // `[aeiou]+` group count, `[.!?]+` sentence split, both with
+    // identical semantics in Java regex and RE2), and the score is a
+    // fixed three-term IEEE chain over those integers. The classic
+    // text-quality signal beside length/stopword ratios; sentence count
+    // floors at 1 so unpunctuated corpora degrade gracefully.
+    Q(
+      "text_readability",
+      (s, d) =>
+        T(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(trim(col("text")), " +")).cast("long").as("words"),
+            size(regexp_extract_all(col("text"), lit("[aeiou]+"), lit(0)))
+              .cast("long").as("syllables"),
+            greatest(lit(1L),
+              size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+                .cast("long")).as("sentences"))
+          .withColumn("flesch",
+            lit(206.835) -
+              lit(1.015) * (col("words").cast("double") /
+                col("sentences").cast("double")) -
+              lit(84.6) * (col("syllables").cast("double") /
+                col("words").cast("double")))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+             |    AS words,
+             |  CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+             |    AS syllables,
+             |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+             |       AS BIGINT) AS sentences,
+             |  206.835 -
+             |  1.015 * (CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) /
+             |           CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+             |                AS DOUBLE)) -
+             |  84.6 * (CAST(len(regexp_extract_all(text, '[aeiou]+')) AS DOUBLE) /
+             |          CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE))
+             |    AS flesch
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "Flesch reading-ease with vowel-group syllables: exact counts, fixed IEEE score")
   )
 }

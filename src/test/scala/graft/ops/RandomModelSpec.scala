@@ -118,6 +118,32 @@ class RandomModelSpec extends AnyFunSuite {
     }
   }
 
+  test("madOutliers == scalar median/MAD model on random contaminated groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    val rows = (1L to 200L).map { i =>
+      val g = s"g${i % 4}"
+      val v = if (i % 23 == 0) 1e6 + rnd.nextInt(100) // planted contamination
+        else rnd.nextInt(500).toDouble
+      (g, i, v)
+    }
+    val got = StatOps.madOutliers(rows.toDF("k", "id", "v"), "k", "v", "id")
+      .select("id").as[Long].collect().toSet
+
+    def lowerMedian(xs: Seq[(Double, Long)]): Double = {
+      val s = xs.sortBy(identity)
+      s((s.size + 1) / 2 - 1)._1
+    }
+    val oracle = rows.groupBy(_._1).values.flatMap { g =>
+      val med = lowerMedian(g.map(r => (r._3, r._2)))
+      val devs = g.map(r => (math.abs(r._3 - med), r._2))
+      val mad = lowerMedian(devs)
+      g.filter(r => math.abs(r._3 - med) > 3.0 * mad).map(_._2)
+    }.toSet
+    assert(got == oracle)
+    assert(oracle.nonEmpty, "vacuous: no contamination flagged")
+  }
+
   test("capPerGroup == scalar hash-priority selection") {
     import spark.implicits._
     val rows = (1L to 100L).map(i => (i, s"g${i % 3}"))
