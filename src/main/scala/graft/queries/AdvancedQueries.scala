@@ -221,6 +221,59 @@ object AdvancedQueries {
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
              |  COUNT(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
-      "distinct-count aggregate per group")
+      "distinct-count aggregate per group"),
+
+    // Recursive CTE (Spark 4's WITH RECURSIVE) — ancestor-chain closure
+    // over a synthetic customer hierarchy (parent = id div 10): every
+    // customer walks to its single-digit root, carrying the depth. The
+    // SQL-surface twin of the DataFrame-loop iteration the graph tier
+    // does by hand; recursion depth is log₁₀(keyspace), and each
+    // recursion step is one self-join — the engine executes it as an
+    // iterative union, no driver loop. Only the integer-division
+    // spelling differs between engines (DIV vs //).
+    Q(
+      "sql_recursive_hierarchy",
+      (s, d) => {
+        T(s, d, "customer").createOrReplaceTempView("customer_rh")
+        s.sql("""WITH RECURSIVE h(id, node, depth) AS (
+                |  SELECT c_custkey, c_custkey, 0 FROM customer_rh
+                |  UNION ALL
+                |  SELECT id, node DIV 10, depth + 1 FROM h WHERE node >= 10)
+                |SELECT id, node AS root, CAST(depth AS BIGINT) AS depth
+                |FROM h WHERE node < 10
+                |ORDER BY id""".stripMargin)
+      },
+      Some("""WITH RECURSIVE h(id, node, depth) AS (
+             |  SELECT c_custkey, c_custkey, 0 FROM customer
+             |  UNION ALL
+             |  SELECT id, node // 10, depth + 1 FROM h WHERE node >= 10)
+             |SELECT id, node AS root, CAST(depth AS BIGINT) AS depth
+             |FROM h WHERE node < 10
+             |ORDER BY id""".stripMargin),
+      "WITH RECURSIVE ancestor closure: per-customer root + depth, iterative-union execution"),
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — "top-2 orders
+    // per customer" in the SQL spelling analysts actually write. Spark
+    // decorrelates the lateral into a ranked join (same plan family as
+    // the window top-n gate), so per-row re-execution never happens.
+    Q(
+      "sql_lateral_topn",
+      (s, d) => {
+        T(s, d, "customer").createOrReplaceTempView("customer_lt")
+        T(s, d, "orders").createOrReplaceTempView("orders_lt")
+        s.sql("""SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+                |FROM customer_lt c,
+                |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lt
+                |         WHERE o_custkey = c.c_custkey
+                |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+                |ORDER BY c.c_custkey, l.o_orderkey""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+             |FROM customer c,
+             |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             |         WHERE o_custkey = c.c_custkey
+             |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+             |ORDER BY c.c_custkey, l.o_orderkey""".stripMargin),
+      "correlated LATERAL top-n per key: decorrelated to a ranked join, never per-row")
   )
 }
