@@ -701,6 +701,38 @@ object BehaviorQueries {
              |FROM t WHERE p2 IS NOT NULL
              |GROUP BY 1 ORDER BY cnt DESC, trigram ASC
              |LIMIT 20""".stripMargin),
-      "top-20 behavior trigrams: sequential patterns above the Markov pair tier")
+      "top-20 behavior trigrams: sequential patterns above the Markov pair tier"),
+
+    // DAU/MAU stickiness — the product-health scalar: average daily
+    // distinct users over monthly distinct users. Exact distinct counts,
+    // one integer-sum-over-days, two double divisions; the daily
+    // distinct rollup is the only data-sized aggregation.
+    Q(
+      "behavior_dau_mau",
+      (s, d) => {
+        val daily = T(s, d, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(countDistinct("user_id").as("dau"))
+        val mau = T(s, d, "events")
+          .agg(countDistinct("user_id").as("mau"))
+        daily
+          .agg(count(lit(1)).as("n_days"), sum("dau").as("dau_sum"))
+          .join(broadcast(mau))
+          .select(col("n_days"), col("dau_sum"), col("mau"),
+            (col("dau_sum").cast("double") / col("n_days") / col("mau"))
+              .as("stickiness"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT date_trunc('day', ts) AS day,
+             |    count(DISTINCT user_id) AS dau
+             |  FROM events GROUP BY 1),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+             |        CAST(SUM(dau) AS BIGINT) AS dau_sum FROM daily),
+             |m AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+             |      FROM events)
+             |SELECT n_days, dau_sum, mau,
+             |  CAST(dau_sum AS DOUBLE) / n_days / mau AS stickiness
+             |FROM a, m""".stripMargin),
+      "DAU/MAU stickiness scalar: exact distincts, one daily rollup")
   )
 }

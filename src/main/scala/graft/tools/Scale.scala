@@ -220,7 +220,14 @@ object Scale {
         // skyline: distinct rollup + bucketed sweep; candidate set is
         // frontier-sized, so the global stage must not grow with n
         "skyline_2d" -> (() =>
-          StatOps.skyline2D(ms, "x", "y").count()))
+          StatOps.skyline2D(ms, "x", "y").count()),
+        // global ranking: range partition + per-partition rank + offsets
+        // — THE claim is that no single-partition sort appears, so wall
+        // time must track n through the two shuffles
+        "global_rank" -> (() =>
+          StatOps.globalRowNumber(ms,
+            Seq(org.apache.spark.sql.functions.col("v"),
+              org.apache.spark.sql.functions.col("mid")), "r").count()))
 
       // optional args(1): comma-separated op names — run only those
       // (refresh individual curves without paying the full sweep)

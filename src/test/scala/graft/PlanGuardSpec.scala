@@ -30,7 +30,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // 1x1 scalar cross joins of per-table deleted/total count rows
       "gdpr_cascade_delete",
       // single-row total broadcasts against a data-sized frame
-      "orders_abc_classification", "basket_lift_pairs")
+      "orders_abc_classification", "basket_lift_pairs",
+      // 1x1 scalar join of the daily rollup row with the MAU row
+      "behavior_dau_mau")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

@@ -114,6 +114,27 @@ class IncrementalPipelineSpec extends AnyFunSuite {
     assert(out == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("SLIDING windowed counts assign one event to every overlapping frame") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    // 10-minute windows sliding every 5: an event at 00:07 lands in
+    // [00:00,00:10) AND [00:05,00:15).
+    val counts = IncrementalPipeline.windowedCounts(
+      df, "ts", "10 minutes", "5 minutes", "1 hour")
+    val q = counts.writeStream
+      .format("memory").queryName("win_slide_out")
+      .outputMode(OutputMode.Complete).start()
+    input.addData((java.sql.Timestamp.valueOf("2026-01-01 00:07:00"), "click", 1.0))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT window.start, n FROM win_slide_out")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+    q.stop()
+    assert(out == Set(
+      ("2026-01-01 00:00:00.0", 1L), ("2026-01-01 00:05:00.0", 1L)))
+  }
+
   test("streaming merge sink upserts each micro-batch; replays converge") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
