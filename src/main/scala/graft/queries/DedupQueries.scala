@@ -260,6 +260,49 @@ object DedupQueries {
              |SELECT a, b, a_start, b_start, span_len FROM spans
              |WHERE span_len >= 8
              |ORDER BY a, b, a_start, b_start""".stripMargin),
-      "maximal shared token spans (exact-substring dedup tier): gram anchors + diagonal islands")
+      "maximal shared token spans (exact-substring dedup tier): gram anchors + diagonal islands"),
+
+    // Corpus health report — the one-row dashboard a curation pipeline
+    // publishes per snapshot: corpus size, exact-duplicate rate, near-dup
+    // pair count and the fraction of documents entangled in a near-dup
+    // cluster. Every input is a STAGED frame other gates already consume
+    // (shared pair graph + shared component labels), so the report costs
+    // three scalar rollups, not a recomputation of the dedup stack.
+    Q(
+      "corpus_health_report",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val exactDup = docs.groupBy("text").agg(count(lit(1)).as("c"))
+          .agg(sum(when(col("c") > 1, col("c")).otherwise(0L))
+            .as("n_exact_dup_docs"))
+        val pairs = DedupOps.sharedNgramJaccardPairs(docs, "doc_id", "text",
+          k = 3, threshold = 0.8)
+        val nPairs = pairs.agg(count(lit(1)).as("n_near_pairs"))
+        val clustered = graft.ops.GraphOps.sharedComponents(pairs, "a", "b")
+          .agg(count(lit(1)).as("n_docs_in_clusters"))
+        nDocs.crossJoin(exactDup).crossJoin(nPairs).crossJoin(clustered)
+          .select(col("n_docs"), col("n_exact_dup_docs"),
+            col("n_near_pairs"), col("n_docs_in_clusters"),
+            (col("n_exact_dup_docs").cast("double") / col("n_docs"))
+              .as("exact_dup_rate"),
+            (col("n_docs_in_clusters").cast("double") / col("n_docs"))
+              .as("near_dup_rate"))
+      },
+      Some(s"""WITH RECURSIVE ${jaccardPairCtes(0.8)},
+              |edges AS (SELECT a AS u, b AS v FROM pairs
+              |  UNION SELECT b AS u, a AS v FROM pairs),
+              |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+              |ed AS (SELECT CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+              |         AS n_exact_dup_docs
+              |       FROM (SELECT count(*) AS c FROM documents GROUP BY text)),
+              |np AS (SELECT CAST(count(*) AS BIGINT) AS n_near_pairs FROM pairs),
+              |nc AS (SELECT CAST(count(DISTINCT u) AS BIGINT)
+              |         AS n_docs_in_clusters FROM edges)
+              |SELECT n_docs, n_exact_dup_docs, n_near_pairs, n_docs_in_clusters,
+              |  CAST(n_exact_dup_docs AS DOUBLE) / n_docs AS exact_dup_rate,
+              |  CAST(n_docs_in_clusters AS DOUBLE) / n_docs AS near_dup_rate
+              |FROM nd, ed, np, nc""".stripMargin),
+      "one-row corpus health dashboard from the staged dedup frames: dup rates + cluster entanglement")
   )
 }

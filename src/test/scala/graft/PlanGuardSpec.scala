@@ -32,7 +32,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // single-row total broadcasts against a data-sized frame
       "orders_abc_classification", "basket_lift_pairs",
       // 1x1 scalar join of the daily rollup row with the MAU row
-      "behavior_dau_mau")
+      "behavior_dau_mau",
+      // 1x1x1x1 scalar cross of the four health-report rollup rows
+      "corpus_health_report")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>
