@@ -398,6 +398,38 @@ object ProfilingQueries {
              |    (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))
              |    AS skew_ratio
              |FROM a""".stripMargin),
-      "join-key skew census: frequency order statistics + max/mean ratio, the salting pre-check")
+      "join-key skew census: frequency order statistics + max/mean ratio, the salting pre-check"),
+
+    // Benford first-digit audit: the leading-digit distribution of order
+    // totals with each digit's observed share — the classic
+    // fabricated-data screen (organic multiplicative amounts follow
+    // log10(1+1/d); uniform or spiky digits are the red flag). Digit
+    // extraction is integer/string only, shares are one double division;
+    // the expected Benford share is emitted as a rational-free reference
+    // via log10 of SMALL INTEGER ratios? No — log is not cross-engine
+    // reproducible, so the gate emits observed counts/shares only and
+    // leaves the log10 comparison to the consumer (same policy as the
+    // PMI gate's "log left to the consumer").
+    Q(
+      "profile_benford_digits",
+      (s, d) => {
+        val total = T(s, d, "orders").agg(count(lit(1)).as("n"))
+        T(s, d, "orders")
+          .select(substring(floor(col("o_totalprice")).cast("long")
+            .cast("string"), 1, 1).as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("cnt"))
+          .join(broadcast(total))
+          .select(col("digit"), col("cnt"),
+            (col("cnt").cast("double") / col("n")).as("share"))
+          .orderBy("digit")
+      },
+      Some("""WITH t AS (SELECT count(*) AS n FROM orders),
+             |d AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+             |                         AS VARCHAR), 1, 1) AS digit,
+             |        count(*) AS cnt
+             |      FROM orders GROUP BY 1)
+             |SELECT digit, cnt, CAST(cnt AS DOUBLE) / n AS share
+             |FROM d, t ORDER BY digit""".stripMargin),
+      "Benford leading-digit audit: observed digit shares, the fabricated-data screen")
   )
 }

@@ -34,7 +34,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // 1x1 scalar join of the daily rollup row with the MAU row
       "behavior_dau_mau",
       // 1x1x1x1 scalar cross of the four health-report rollup rows
-      "corpus_health_report")
+      "corpus_health_report",
+      // 1-row order-count broadcast against the 9-digit rollup
+      "profile_benford_digits")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>
