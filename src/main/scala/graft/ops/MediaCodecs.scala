@@ -199,6 +199,30 @@ object MediaCodecs {
       }
     }
 
+  /** Nearest-neighbor resize of a 24bpp BMP payload, re-encoded as a
+    * fresh BMP (standard NN mapping src = floor(dst·srcDim/dstDim) — the
+    * thumbnail/downsample step of an image-preprocessing pipeline).
+    * Returns None for anything [[decodeBmp]] would reject; reuses its
+    * corrupt-header hardening (Long row arithmetic, offset bounds) by
+    * validating through it first. */
+  def resizeBmpNearest(
+      bytes: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    if (outW <= 0 || outH <= 0) return None
+    decodeBmp(bytes).map { meta =>
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val offset = bb.getInt(10)
+      val rowSize = ((meta.width.toLong * 3 + 3) / 4) * 4
+      encodeBmp24(outW, outH, (x, y) => {
+        val sx = (x.toLong * meta.width / outW).toInt
+        val sy = (y.toLong * meta.height / outH).toInt
+        // stored bottom-up: image row sy lives at stored row height-1-sy
+        val base =
+          (offset + (meta.height - 1L - sy) * rowSize + sx * 3L).toInt
+        (bytes(base + 2) & 0xff, bytes(base + 1) & 0xff, bytes(base) & 0xff)
+      })
+    }
+  }
+
   def decodeBmp(bytes: Array[Byte]): Option[BmpMeta] = {
     if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte)
       return None

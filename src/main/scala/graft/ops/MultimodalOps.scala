@@ -145,4 +145,37 @@ object MultimodalOps {
         }
       }(enc)
   }
+
+  val resizedImageSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false)))
+
+  /** REAL image resize: every BMP payload is nearest-neighbor resampled
+    * to (outW, outH) ([[MediaCodecs.resizeBmpNearest]]), re-encoded, and
+    * the RESIZED payload is decoded again for its dimensions and channel
+    * means — the full thumbnail round trip through real bytes, batch-
+    * mapped per partition like the other media ops. Non-image or
+    * unparseable payloads contribute nothing (degrade, don't kill). */
+  def resizeImagesReal(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, s"bad target size ${outW}x$outH")
+    val enc = RowEncoder.encoderFor(resizedImageSchema)
+    media
+      .select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload =
+            if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          for {
+            resized <- MediaCodecs.resizeBmpNearest(payload, outW, outH)
+            m <- MediaCodecs.decodeBmp(resized)
+          } yield Row(r.getLong(0), m.width, m.height, resized.length,
+            m.meanR, m.meanG, m.meanB)
+        }
+      }(enc)
+  }
 }

@@ -71,6 +71,32 @@ object MultimodalQueries {
              |        unnest(generate_series(0, CAST(1 + doc_id % 6 AS BIGINT), 2)) AS idx
              |      FROM documents WHERE doc_id % 3 = 2)
              |ORDER BY media_id, frame_idx""".stripMargin),
-      "real Y4M frame sampling: every 2nd frame's mean luma vs an arithmetic oracle")
+      "real Y4M frame sampling: every 2nd frame's mean luma vs an arithmetic oracle"),
+
+    // REAL image resize: BMP payloads nearest-neighbor downsampled to
+    // 4×2, re-encoded, and the RESIZED bytes decoded again
+    // ([[graft.ops.MultimodalOps.resizeImagesReal]]) — the thumbnail
+    // round trip. The corpus images are solid-color, so the resized
+    // channel means equal the synthesis color exactly whatever pixels NN
+    // picked (the sampling behavior itself is pinned by a gradient unit
+    // test); n_bytes is the 4×2 BMP's exact 78 (54 header + 12-byte
+    // padded rows × 2).
+    Q(
+      "mm_resize_real",
+      (s, d) =>
+        MultimodalOps
+          .resizeImagesReal(
+            MultimodalOps.mediaFromDocumentsReal(T(s, d, "documents")),
+            outW = 4, outH = 2)
+          .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(4 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+             |  CAST(78 AS INTEGER) AS n_bytes,
+             |  CAST(doc_id * 37 % 256 AS DOUBLE) AS mean_r,
+             |  CAST(doc_id * 59 % 256 AS DOUBLE) AS mean_g,
+             |  CAST(doc_id * 83 % 256 AS DOUBLE) AS mean_b
+             |FROM documents WHERE doc_id % 3 = 0
+             |ORDER BY media_id""".stripMargin),
+      "real BMP nearest-neighbor resize round trip: resized bytes re-decoded vs arithmetic oracle")
   )
 }

@@ -136,4 +136,24 @@ class MediaCodecsSpec extends AnyFunSuite {
       .put(Array.fill(5)(7.toByte))
     assert(MediaCodecs.decodeWav(bb.array()).isEmpty) // no data chunk -> None
   }
+
+  test("resizeBmpNearest picks floor-mapped source pixels, exact round trip") {
+    // 4x2 gradient: pixel (x, y) = (10x, 100+10y, 200+x+y) — every pixel
+    // unique, so the NN choice is observable. Downsample to 2x1:
+    // dst (0,0) -> src (0*4/2, 0*2/1) = (0,0); dst (1,0) -> src (2,0).
+    val src = MediaCodecs.encodeBmp24(4, 2,
+      (x, y) => (10 * x, 100 + 10 * y, 200 + x + y))
+    val out = MediaCodecs.resizeBmpNearest(src, 2, 1).get
+    val meta = MediaCodecs.decodeBmp(out).get
+    assert(meta.width == 2 && meta.height == 1)
+    // chosen pixels: (0,0)=(0,100,200) and (2,0)=(20,100,202)
+    assert(meta.meanR == 10.0 && meta.meanG == 100.0 && meta.meanB == 201.0)
+    // upsample keeps solid regions exact: 1x1 of the same corner
+    val one = MediaCodecs.resizeBmpNearest(src, 1, 1).get
+    val m1 = MediaCodecs.decodeBmp(one).get
+    assert((m1.meanR, m1.meanG, m1.meanB) == (0.0, 100.0, 200.0))
+    // corrupt payloads degrade to None, never throw
+    assert(MediaCodecs.resizeBmpNearest(Array[Byte](1, 2, 3), 2, 2).isEmpty)
+    assert(MediaCodecs.resizeBmpNearest(src, 0, 2).isEmpty)
+  }
 }
