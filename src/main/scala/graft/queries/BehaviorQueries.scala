@@ -733,6 +733,41 @@ object BehaviorQueries {
              |SELECT n_days, dau_sum, mau,
              |  CAST(dau_sum AS DOUBLE) / n_days / mau AS stickiness
              |FROM a, m""".stripMargin),
-      "DAU/MAU stickiness scalar: exact distincts, one daily rollup")
+      "DAU/MAU stickiness scalar: exact distincts, one daily rollup"),
+
+    // Rolling exact median (trailing 10 observations per user) — the
+    // robust sibling of the rolling z-score: frame values are collected,
+    // sorted, and the lower-median ELEMENT selected, so the result is a
+    // stored cent-quantized integer — no interpolation, no float
+    // accumulation, nothing engine-specific. Frame state is 10 values
+    // per row by construction (the bounded-frame contract); one user
+    // shuffle serves both frame aggregates.
+    Q(
+      "timeseries_rolling_median",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-9, Window.currentRow)
+        T(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            floor(col("value") * 100).cast("long").as("vq"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("med_q",
+            element_at(sort_array(collect_list(col("vq")).over(w)),
+              expr("CAST((n + 1) div 2 AS INT)")))
+          .select(col("user_id"), col("event_id"), col("vq"), col("n"),
+            (col("med_q").cast("double") / 100.0).as("rolling_median"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(floor(value * 100) AS BIGINT) AS vq,
+             |  count(*) OVER w AS n,
+             |  CAST(list_sort(list(CAST(floor(value * 100) AS BIGINT)) OVER w)
+             |         [(count(*) OVER w + 1) // 2] AS DOUBLE) / 100.0
+             |    AS rolling_median
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin),
+      "trailing-10 exact rolling median: sorted frame element selection, zero interpolation")
   )
 }
