@@ -223,6 +223,69 @@ object SketchQueries {
       "HLL register merge across groups == direct global sketch (the " +
         "merge law, hash-gated); exact count alongside"),
 
+    // Rolling 7-day WAU from SKETCHES: per-day HLL registers (64 rows a
+    // day, whatever the traffic), expanded ×7 to the trailing windows
+    // they serve and merged by per-bucket MAX — the production WAU at
+    // 100 TB, where re-scanning 7 days of raw events per day
+    // (`rolling_distinct_users`, gated exact) stops being an option. The
+    // gate emits the merged register state (nb, sp) and the RAW
+    // estimator: the linear-counting small-range branch uses ln(), which
+    // is not bit-reproducible across engines — state + raw estimator
+    // are, and the state is the artifact a warehouse actually stores.
+    Q(
+      "sketch_hll_rolling_wau",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val ev = T(s, d, "events")
+          .select(col("user_id"),
+            date_trunc("day", col("ts")).cast("date").as("d"))
+        val perDay = SketchOps.hllRegisters(ev, col("user_id"), Seq("d"))
+        val days = ev.select(col("d").as("day")).distinct()
+        val merged = SketchOps.hllMergeRegisters(
+          perDay
+            .withColumn("day", explode(sequence(col("d"), date_add(col("d"), 6))))
+            .join(days, "day"),
+          Seq("day"))
+        merged.groupBy("day")
+          .agg(count(lit(1)).as("nb"),
+            sum(expr("shiftleft(1L, 47 - m_rho)")).as("sp"))
+          .withColumn("est_raw",
+            lit(SketchOps.hllNumerator(6)) /
+              (col("sp") + (lit(64L) - col("nb")) * lit(1L << 47))
+                .cast("double"))
+          .orderBy("day")
+      },
+      Some(s"""WITH ud AS (
+              |  SELECT DISTINCT user_id,
+              |    CAST(date_trunc('day', ts) AS DATE) AS d
+              |  FROM events),
+              |days AS (SELECT DISTINCT d FROM ud),
+              |h AS (SELECT d,
+              |    CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 13))
+              |      AS BIGINT) AS h
+              |  FROM ud),
+              |r AS (SELECT d, h % 64 AS bucket,
+              |        CASE WHEN h // 64 = 0 THEN 47
+              |             ELSE 47 - length(format('{:b}', h // 64)) END AS rho
+              |      FROM h),
+              |e AS (SELECT
+              |        CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+              |                                    INTERVAL 1 DAY)) AS DATE) AS day,
+              |        bucket, rho
+              |      FROM r),
+              |reg AS (SELECT e.day, bucket, max(rho) AS m_rho
+              |        FROM e JOIN days ON e.day = days.d GROUP BY 1, 2),
+              |st AS (SELECT day, count(*) AS nb,
+              |         CAST(sum(CAST(1 AS BIGINT) << (47 - m_rho)) AS BIGINT) AS sp
+              |       FROM reg GROUP BY day)
+              |SELECT day, nb, sp,
+              |  ${SketchOps.hllNumerator(6)} /
+              |    CAST(sp + (64 - nb) * (CAST(1 AS BIGINT) << 47) AS DOUBLE)
+              |    AS est_raw
+              |FROM st ORDER BY day""".stripMargin),
+      "rolling WAU from merged per-day HLL sketches: register state + raw estimator, " +
+        "64 rows/day however large the traffic"),
+
     // Bloom-pruned semi join: lineitem rows for urgent orders, with every
     // fact row tested against a broadcast Bloom filter of the order-key
     // set BEFORE the exact semi join (SketchOps.bloomSemiJoin — Spark's
