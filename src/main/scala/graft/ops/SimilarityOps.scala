@@ -295,4 +295,59 @@ object SimilarityOps {
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")
   }
+
+  /** Greedy max-min (k-center / farthest-first) diversity selection:
+    * start from the minimum id, then repeatedly pick the candidate whose
+    * distance to its NEAREST already-selected vector is LARGEST (squared
+    * Euclidean via dot products — no sqrt, so every compared value is a
+    * fixed IEEE chain over the bit-identical sequential-fold dots). The
+    * coreset/diversity-sampling step of training-data curation: k
+    * maximally-spread exemplars, 2-approximation to the optimal k-center
+    * cover (Gonzalez 1985).
+    *
+    * Each round is one scan of the candidates against a ≤k-row broadcast
+    * of the selected set + a 1-row argmax (driver holds only the
+    * selection LOG, the [[graft.ops.TextOps.bpeMerges]] discipline).
+    * Ties break on vec_id, so the selection is deterministic anywhere.
+    *
+    * @return (`sel_order`, `id`, `min_dist2`) — `min_dist2` is the
+    *         selection-time farthest-nearest distance (NULL for the
+    *         seed row).
+    */
+  def maxMinDiverse(
+      df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"maxMinDiverse: k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("nn", dot(col("v"), col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+
+    val seed = base.agg(min("id")).as[Long].head()
+    val log = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Option[Double])]
+    log += ((1, seed, None))
+    var round = 2
+    while (round <= k) {
+      val selIds = log.map(_._2).toSeq
+      val sel = base.filter(col("id").isin(selIds: _*))
+        .select(col("id").as("sid"), col("v").as("sv"), col("nn").as("snn"))
+      val next = base.filter(!col("id").isin(selIds: _*))
+        .crossJoin(broadcast(sel))
+        .withColumn("dist2",
+          col("nn") + col("snn") - lit(2.0) * dot(col("v"), col("sv")))
+        .groupBy("id").agg(min("dist2").as("md"))
+        .orderBy(col("md").desc, col("id").asc)
+        .limit(1)
+        .as[(Long, Double)].collect()
+      if (next.isEmpty) round = k + 1
+      else {
+        log += ((round, next.head._1, Some(next.head._2)))
+        round += 1
+      }
+    }
+    base.unpersist()
+    log.toSeq.toDF("sel_order", "id", "min_dist2")
+  }
 }

@@ -198,6 +198,50 @@ object SimilarityQueries {
              |  FROM scored) t WHERE rank <= 10
              |ORDER BY qid, rank""".stripMargin),
       "IVF-bucketed cosine top-10 (inverted lists + probe + exact re-rank; " +
-        "oracle replicates assignment and probing)")
+        "oracle replicates assignment and probing)"),
+
+    // Greedy max-min (k-center) diversity selection
+    // ([[graft.ops.SimilarityOps.maxMinDiverse]]): 5 maximally-spread
+    // exemplars by farthest-first traversal — the coreset/diversity
+    // sampling step of embedding-based curation. Squared Euclidean via
+    // the bit-identical fold dots (no sqrt), id tie-breaks; the oracle
+    // unrolls the same 5 greedy rounds as MATERIALIZED CTEs with
+    // `list_dot_product`.
+    Q(
+      "sim_diverse_maxmin",
+      (s, d) =>
+        SimilarityOps
+          .maxMinDiverse(T(s, d, "embeddings"), "vec_id", "embedding", k = 5)
+          .orderBy("sel_order"),
+      Some {
+        val k = 5
+        val rounds = (2 to k).map { i =>
+          val prev = s"p${i - 1}"
+          s"""d$i AS MATERIALIZED (
+             |  SELECT c.id,
+             |    min(c.nn + s.nn - 2.0 * list_dot_product(c.v, s.v)) AS md
+             |  FROM n c JOIN n s ON s.id IN (SELECT id FROM $prev)
+             |  WHERE c.id NOT IN (SELECT id FROM $prev)
+             |  GROUP BY c.id),
+             |s$i AS MATERIALIZED (
+             |  SELECT id, md FROM d$i ORDER BY md DESC, id LIMIT 1),
+             |p$i AS MATERIALIZED (
+             |  SELECT id FROM $prev UNION ALL SELECT id FROM s$i)""".stripMargin
+        }.mkString(",\n")
+        val out = (2 to k)
+          .map(i => s"SELECT $i AS sel_order, id, md AS min_dist2 FROM s$i")
+          .mkString("\nUNION ALL\n")
+        s"""WITH n AS MATERIALIZED (
+           |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+           |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nn
+           |  FROM embeddings),
+           |p1 AS MATERIALIZED (SELECT min(id) AS id FROM n),
+           |$rounds
+           |SELECT 1 AS sel_order, id, CAST(NULL AS DOUBLE) AS min_dist2 FROM p1
+           |UNION ALL
+           |$out
+           |ORDER BY sel_order""".stripMargin
+      },
+      "farthest-first k-center diversity selection: 5 greedy rounds, unrolled-CTE oracle")
   )
 }

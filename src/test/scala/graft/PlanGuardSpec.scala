@@ -36,7 +36,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // 1x1x1x1 scalar cross of the four health-report rollup rows
       "corpus_health_report",
       // 1-row order-count broadcast against the 9-digit rollup
-      "profile_benford_digits")
+      "profile_benford_digits",
+      // candidates x (<=k)-row selected-set broadcast per greedy round
+      "sim_diverse_maxmin")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

@@ -317,6 +317,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(vid.filter(col("n_frames").isNull || col("duration_ms").isNull).count() == 0)
   }
 
+  test("maxMinDiverse follows the farthest-first order on crafted points") {
+    import spark.implicits._
+    // 1-D embeddings at 0, 1, 10, 100: seed = min id (at 0.0), then the
+    // farthest-from-selected chain is 100, 10, 1.
+    val vecs = Seq(
+      (1L, Array(0.0f)), (2L, Array(1.0f)), (3L, Array(10.0f)),
+      (4L, Array(100.0f))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.maxMinDiverse(vecs, "vec_id", "embedding", k = 4)
+      .as[(Int, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got.map(_._2) == Seq(1L, 4L, 3L, 2L))
+    assert(got.head._3.isEmpty) // seed has no distance
+    assert(got(1)._3.contains(10000.0)) // 100² from the seed
+    // round 3: cand 10 has min(dist²(10,0)=100, dist²(10,100)=8100) = 100,
+    // beating cand 1's min(1, 9801) = 1
+    assert(got(2)._3.contains(100.0))
+    assert(got(3)._3.contains(1.0))
+  }
+
   test("substringSpanPairs finds a planted verbatim paragraph with exact offsets") {
     import spark.implicits._
     def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
