@@ -218,25 +218,72 @@ object StatOps {
     * only exact types make it engine-portable. */
   def globalRunningSum(
       df: DataFrame, order: Seq[Column], valueCol: String, outCol: String,
+      partitions: Int = 0): DataFrame =
+    globalRunningSums(df, order, Seq(valueCol -> outCol), partitions)
+
+  /** Multi-column variant of [[globalRunningSum]]: all prefix sums share
+    * ONE range staging and one offsets broadcast (the KS statistic needs
+    * two cumulative counts under the same total order — staging twice
+    * would be two shuffles for no reason). */
+  def globalRunningSums(
+      df: DataFrame, order: Seq[Column], valueCols: Seq[(String, String)],
       partitions: Int = 0): DataFrame = {
-    require(order.nonEmpty, "globalRunningSum: empty ordering")
+    require(order.nonEmpty, "globalRunningSums: empty ordering")
+    require(valueCols.nonEmpty, "globalRunningSums: no value columns")
     val p = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val staged = df.repartitionByRange(p, order: _*).localCheckpoint(true)
     val withPid = staged
       .withColumn("_pid", org.apache.spark.sql.functions.spark_partition_id())
-    val totals = withPid.groupBy("_pid").agg(sum(col(valueCol)).as("_t"))
-    val zero = lit(0).cast(totals.schema("_t").dataType)
-    val offsets = totals
-      .withColumn("_offset",
-        sum("_t").over(Window.orderBy("_pid")
-          .rowsBetween(Window.unboundedPreceding, -1)))
-      .select(col("_pid"), coalesce(col("_offset"), zero).as("_offset"))
+    val totals = withPid.groupBy("_pid").agg(
+      valueCols.map { case (v, _) => sum(col(v)).as(s"_t_$v") }.head,
+      valueCols.map { case (v, _) => sum(col(v)).as(s"_t_$v") }.tail: _*)
+    val offsets = valueCols.foldLeft(totals) { case (t, (v, _)) =>
+      val zero = lit(0).cast(totals.schema(s"_t_$v").dataType)
+      t.withColumn(s"_off_$v",
+        coalesce(
+          sum(s"_t_$v").over(Window.orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          zero))
+    }.select(col("_pid") +: valueCols.map { case (v, _) => col(s"_off_$v") }: _*)
     val run = Window.partitionBy("_pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withPid.join(broadcast(offsets), Seq("_pid"))
-      .withColumn(outCol, sum(col(valueCol)).over(run) + col("_offset"))
-      .drop("_pid", "_offset")
+    val joined = withPid.join(broadcast(offsets), Seq("_pid"))
+    valueCols.foldLeft(joined) { case (d, (v, out)) =>
+      d.withColumn(out, sum(col(v)).over(run) + col(s"_off_$v"))
+    }.drop("_pid" +: valueCols.map { case (v, _) => s"_off_$v" }: _*)
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the rows
+    * where `flagCol` is 1 (sample A) and 0 (sample B): D = max over the
+    * merged order of |F_A − F_B|, computed as max |c_A·n_B − c_B·n_A| /
+    * (n_A·n_B) — the numerator is pure INTEGER arithmetic over prefix
+    * counts, so the statistic is bit-exact on any engine (the classical
+    * nonparametric A/B distribution test, no normality assumption,
+    * unlike the z-test's proportion comparison). Empirical CDFs are
+    * evaluated per row of the (`valueCol`, `idCol`) total order; with
+    * tied values across samples this is a pinned, documented convention
+    * (it coincides with the classical D when values are distinct).
+    * One range-staged pass for both prefix counts; one scalar rollup.
+    */
+  def ksStatistic(
+      df: DataFrame, flagCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val base = df.select(col(valueCol), col(idCol),
+      col(flagCol).cast("long").as("_fa"),
+      (lit(1L) - col(flagCol).cast("long")).as("_fb"))
+    val cum = globalRunningSums(base,
+      Seq(col(valueCol), col(idCol)),
+      Seq("_fa" -> "c_a", "_fb" -> "c_b"))
+    val n = cum.agg(max("c_a").as("n_a"), max("c_b").as("n_b"))
+    cum.join(broadcast(n))
+      .withColumn("_dn",
+        abs(col("c_a") * col("n_b") - col("c_b") * col("n_a")))
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        max("_dn").as("d_num"))
+      .withColumn("d",
+        col("d_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"))
   }
 
   /** 2-D skyline (Pareto frontier): the distinct (`minCol`, `maxCol`)

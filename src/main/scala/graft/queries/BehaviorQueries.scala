@@ -768,6 +768,43 @@ object BehaviorQueries {
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
              |ORDER BY event_id""".stripMargin),
-      "trailing-10 exact rolling median: sorted frame element selection, zero interpolation")
+      "trailing-10 exact rolling median: sorted frame element selection, zero interpolation"),
+
+    // Two-sample Kolmogorov–Smirnov over the A/B arms' VALUE
+    // distributions — the nonparametric companion of the z-test (which
+    // only compares a conversion proportion): D = max |F_A − F_B| as a
+    // pure-integer numerator max over one range-staged pass
+    // ([[graft.ops.StatOps.ksStatistic]]), bit-exact on any engine.
+    Q(
+      "stats_ks_test",
+      (s, d) => {
+        val t50 = graft.ops.CorpusOps.md5Threshold(0.5)
+        val flagged = T(s, d, "events")
+          .select(col("value"), col("event_id"),
+            when(graft.ops.CorpusOps.saltedHash(col("user_id"), "ab") < lit(t50),
+              1L).otherwise(0L).as("fa"))
+        graft.ops.StatOps.ksStatistic(flagged, "fa", "value", "event_id")
+      },
+      Some {
+        val t50 = graft.ops.CorpusOps.md5Threshold(0.5)
+        s"""WITH t AS (
+           |  SELECT value, event_id,
+           |    CASE WHEN md5('ab:' || CAST(user_id AS VARCHAR)) < '$t50'
+           |         THEN 1 ELSE 0 END AS fa
+           |  FROM events),
+           |c AS (SELECT value, event_id, fa,
+           |    SUM(fa) OVER w AS c_a,
+           |    SUM(1 - fa) OVER w AS c_b
+           |  FROM t WINDOW w AS (ORDER BY value, event_id
+           |                      ROWS UNBOUNDED PRECEDING)),
+           |n AS (SELECT CAST(max(c_a) AS BIGINT) AS n_a,
+           |        CAST(max(c_b) AS BIGINT) AS n_b FROM c)
+           |SELECT n_a, n_b,
+           |  CAST(max(abs(c_a * n_b - c_b * n_a)) AS BIGINT) AS d_num,
+           |  CAST(max(abs(c_a * n_b - c_b * n_a)) AS DOUBLE) /
+           |    CAST(n_a * n_b AS DOUBLE) AS d
+           |FROM c, n GROUP BY n_a, n_b""".stripMargin
+      },
+      "exact two-sample KS statistic between A/B value distributions: integer-numerator max")
   )
 }

@@ -38,7 +38,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // 1-row order-count broadcast against the 9-digit rollup
       "profile_benford_digits",
       // candidates x (<=k)-row selected-set broadcast per greedy round
-      "sim_diverse_maxmin")
+      "sim_diverse_maxmin",
+      // 1-row (n_a, n_b) broadcast against the prefix-count frame
+      "stats_ks_test")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

@@ -144,6 +144,31 @@ class RandomModelSpec extends AnyFunSuite {
     assert(oracle.nonEmpty, "vacuous: no contamination flagged")
   }
 
+  test("ksStatistic == scalar prefix-count model on random two-sample data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(101)
+    // shifted distributions + deliberate cross-sample ties
+    val rows = (1L to 300L).map { i =>
+      val a = i % 3 != 0
+      val v = (rnd.nextInt(40) + (if (a) 0 else 8)).toDouble
+      (v, i, if (a) 1L else 0L)
+    }
+    val got = StatOps
+      .ksStatistic(rows.toDF("v", "id", "fa"), "fa", "v", "id")
+      .as[(Long, Long, Long, Double)].head()
+
+    val sorted = rows.sortBy(r => (r._1, r._2))
+    val nA = rows.count(_._3 == 1L).toLong
+    val nB = rows.size - nA
+    var (ca, cb, dnum) = (0L, 0L, 0L)
+    sorted.foreach { case (_, _, fa) =>
+      if (fa == 1L) ca += 1 else cb += 1
+      dnum = math.max(dnum, math.abs(ca * nB - cb * nA))
+    }
+    assert(got == ((nA, nB, dnum, dnum.toDouble / (nA * nB))))
+    assert(dnum > 0, "vacuous: identical samples")
+  }
+
   test("capPerGroup == scalar hash-priority selection") {
     import spark.implicits._
     val rows = (1L to 100L).map(i => (i, s"g${i % 3}"))
