@@ -286,6 +286,35 @@ object StatOps {
           (col("n_a") * col("n_b")).cast("double"))
   }
 
+  /** Exact Mann–Whitney U (rank-sum) between the `flagCol`-1 sample (A)
+    * and the rest (B), with the standard average-rank tie handling —
+    * carried as DOUBLED integers (a tie-averaged rank is (first+last)/2,
+    * so 2·rank is always integral) until the single final halving, so
+    * the whole statistic is exact integer arithmetic. U_A = R_A −
+    * n_A(n_A+1)/2; the KS test ([[ksStatistic]]) compares CDF shape,
+    * this one ranks — the two standard nonparametric A/B tests.
+    * Plan: one global rank ([[globalRowNumber]]), one per-value tie
+    * rollup joined back, one scalar aggregate.
+    */
+  def mannWhitneyU(
+      df: DataFrame, flagCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val ranked = globalRowNumber(
+      df.select(col(valueCol), col(idCol),
+        col(flagCol).cast("long").as("_fa")),
+      Seq(col(valueCol), col(idCol)), "_i")
+    val ties = ranked.groupBy(col(valueCol))
+      .agg((min("_i") + max("_i")).as("_avg2")) // 2x the tie-averaged rank
+    ranked.join(ties, Seq(valueCol))
+      .agg(
+        sum("_fa").as("n_a"),
+        (count(lit(1)) - sum("_fa")).as("n_b"),
+        sum(when(col("_fa") === 1L, col("_avg2")).otherwise(0L)).as("r2_a"))
+      .withColumn("u_a",
+        (col("r2_a") - col("n_a") * (col("n_a") + 1)).cast("double") / 2.0)
+      .select(col("n_a"), col("n_b"), col("r2_a"), col("u_a"))
+  }
+
   /** 2-D skyline (Pareto frontier): the distinct (`minCol`, `maxCol`)
     * points not dominated by any other point, where q dominates p iff
     * q.min ≤ p.min ∧ q.max ≥ p.max with at least one strict. Returns the

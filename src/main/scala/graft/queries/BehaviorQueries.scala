@@ -805,6 +805,42 @@ object BehaviorQueries {
            |    CAST(n_a * n_b AS DOUBLE) AS d
            |FROM c, n GROUP BY n_a, n_b""".stripMargin
       },
-      "exact two-sample KS statistic between A/B value distributions: integer-numerator max")
+      "exact two-sample KS statistic between A/B value distributions: integer-numerator max"),
+
+    // Mann–Whitney U between the arms' value distributions — the
+    // rank-sum nonparametric test beside KS. Tie-averaged ranks ride as
+    // DOUBLED integers (always integral) until one final halving, so
+    // the statistic is exact ([[graft.ops.StatOps.mannWhitneyU]]).
+    Q(
+      "stats_mannwhitney_u",
+      (s, d) => {
+        val t50 = graft.ops.CorpusOps.md5Threshold(0.5)
+        val flagged = T(s, d, "events")
+          .select(col("value"), col("event_id"),
+            when(graft.ops.CorpusOps.saltedHash(col("user_id"), "ab") < lit(t50),
+              1L).otherwise(0L).as("fa"))
+        graft.ops.StatOps.mannWhitneyU(flagged, "fa", "value", "event_id")
+      },
+      Some {
+        val t50 = graft.ops.CorpusOps.md5Threshold(0.5)
+        s"""WITH t AS (
+           |  SELECT value, event_id,
+           |    CASE WHEN md5('ab:' || CAST(user_id AS VARCHAR)) < '$t50'
+           |         THEN 1 ELSE 0 END AS fa
+           |  FROM events),
+           |r AS (SELECT value, fa,
+           |    row_number() OVER (ORDER BY value, event_id) AS i
+           |  FROM t),
+           |tie AS (SELECT value, min(i) + max(i) AS avg2 FROM r GROUP BY value),
+           |j AS (SELECT r.fa, tie.avg2 FROM r JOIN tie ON tie.value = r.value)
+           |SELECT
+           |  CAST(SUM(fa) AS BIGINT) AS n_a,
+           |  CAST(count(*) - SUM(fa) AS BIGINT) AS n_b,
+           |  CAST(SUM(CASE WHEN fa = 1 THEN avg2 ELSE 0 END) AS BIGINT) AS r2_a,
+           |  CAST(CAST(SUM(CASE WHEN fa = 1 THEN avg2 ELSE 0 END) AS BIGINT)
+           |       - SUM(fa) * (SUM(fa) + 1) AS DOUBLE) / 2.0 AS u_a
+           |FROM j""".stripMargin
+      },
+      "Mann-Whitney U with exact doubled tie-averaged ranks: the rank-sum A/B test")
   )
 }

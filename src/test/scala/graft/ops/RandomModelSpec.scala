@@ -169,6 +169,30 @@ class RandomModelSpec extends AnyFunSuite {
     assert(dnum > 0, "vacuous: identical samples")
   }
 
+  test("mannWhitneyU == scalar tie-averaged rank model on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(113)
+    val rows = (1L to 240L).map { i =>
+      val a = i % 2 == 0
+      // small value domain → heavy ties, the case the doubling exists for
+      (rnd.nextInt(12).toDouble, i, if (a) 1L else 0L)
+    }
+    val got = StatOps
+      .mannWhitneyU(rows.toDF("v", "id", "fa"), "fa", "v", "id")
+      .as[(Long, Long, Long, Double)].head()
+
+    val sorted = rows.sortBy(r => (r._1, r._2)).zipWithIndex
+      .map { case ((v, id, fa), i) => (v, id, fa, (i + 1).toLong) }
+    val avg2 = sorted.groupBy(_._1).map { case (v, g) =>
+      v -> (g.map(_._4).min + g.map(_._4).max)
+    }
+    val nA = rows.count(_._3 == 1L).toLong
+    val nB = rows.size - nA
+    val r2a = sorted.filter(_._3 == 1L).map(r => avg2(r._1)).sum
+    val uA = (r2a - nA * (nA + 1)).toDouble / 2.0
+    assert(got == ((nA, nB, r2a, uA)))
+  }
+
   test("capPerGroup == scalar hash-priority selection") {
     import spark.implicits._
     val rows = (1L to 100L).map(i => (i, s"g${i % 3}"))
