@@ -315,6 +315,33 @@ object StatOps {
       .select(col("n_a"), col("n_b"), col("r2_a"), col("u_a"))
   }
 
+  /** Exact Wilcoxon signed-rank statistic over paired differences
+    * (`diffCol`, one row per pair): zero differences are dropped (the
+    * standard convention), |d| is ranked with tie-averaged ranks carried
+    * as DOUBLED integers ([[mannWhitneyU]]'s trick), and W+ = Σ ranks of
+    * positive differences. The paired nonparametric test — pre/post per
+    * entity, no normality assumption. Returns (n_pairs, n_zero, w2_plus,
+    * w_plus) with w2_plus the exact doubled integer.
+    */
+  def wilcoxonSignedRank(
+      df: DataFrame, diffCol: String, idCol: String): DataFrame = {
+    val nz = df.select(col(diffCol), col(idCol))
+      .filter(col(diffCol) =!= 0)
+      .withColumn("_ad", abs(col(diffCol)))
+    val ranked = globalRowNumber(nz, Seq(col("_ad"), col(idCol)), "_i")
+    val ties = ranked.groupBy(col("_ad"))
+      .agg((min("_i") + max("_i")).as("_avg2"))
+    val zeros = df.filter(col(diffCol) === 0)
+      .agg(count(lit(1)).as("n_zero"))
+    ranked.join(ties, Seq("_ad"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col(diffCol) > 0, col("_avg2")).otherwise(0L)).as("w2_plus"))
+      .crossJoin(broadcast(zeros))
+      .select(col("n_pairs"), col("n_zero"), col("w2_plus"),
+        (col("w2_plus").cast("double") / 2.0).as("w_plus"))
+  }
+
   /** 2-D skyline (Pareto frontier): the distinct (`minCol`, `maxCol`)
     * points not dominated by any other point, where q dominates p iff
     * q.min ≤ p.min ∧ q.max ≥ p.max with at least one strict. Returns the

@@ -841,6 +841,48 @@ object BehaviorQueries {
            |       - SUM(fa) * (SUM(fa) + 1) AS DOUBLE) / 2.0 AS u_a
            |FROM j""".stripMargin
       },
-      "Mann-Whitney U with exact doubled tie-averaged ranks: the rank-sum A/B test")
+      "Mann-Whitney U with exact doubled tie-averaged ranks: the rank-sum A/B test"),
+
+    // Wilcoxon signed-rank over per-user pre/post cent differences (the
+    // CUPED gate's periods) — the PAIRED nonparametric test completing
+    // the trio beside KS and Mann–Whitney. Zero diffs dropped per the
+    // standard convention; |d| tie-ranks ride doubled
+    // ([[graft.ops.StatOps.wilcoxonSignedRank]]).
+    Q(
+      "stats_wilcoxon_signed",
+      (s, d) => {
+        val cut = lit("2024-01-16").cast("timestamp")
+        val u = T(s, d, "events")
+          .groupBy("user_id")
+          .agg(
+            (sum(when(col("ts") >= cut, floor(col("value") * 100).cast("long"))
+              .otherwise(0L)) -
+              sum(when(col("ts") < cut, floor(col("value") * 100).cast("long"))
+                .otherwise(0L))).as("diff"))
+        graft.ops.StatOps.wilcoxonSignedRank(u, "diff", "user_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+             |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+             |      - SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+             |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+             |      AS diff
+             |  FROM events GROUP BY user_id),
+             |nz AS (SELECT user_id, diff, abs(diff) AS ad FROM u WHERE diff <> 0),
+             |r AS (SELECT user_id, diff, ad,
+             |    row_number() OVER (ORDER BY ad, user_id) AS i
+             |  FROM nz),
+             |tie AS (SELECT ad, min(i) + max(i) AS avg2 FROM r GROUP BY ad),
+             |z AS (SELECT CAST(count(*) AS BIGINT) AS n_zero FROM u WHERE diff = 0)
+             |SELECT
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  (SELECT n_zero FROM z) AS n_zero,
+             |  CAST(SUM(CASE WHEN r.diff > 0 THEN tie.avg2 ELSE 0 END) AS BIGINT)
+             |    AS w2_plus,
+             |  CAST(CAST(SUM(CASE WHEN r.diff > 0 THEN tie.avg2 ELSE 0 END)
+             |       AS BIGINT) AS DOUBLE) / 2.0 AS w_plus
+             |FROM r JOIN tie ON tie.ad = r.ad""".stripMargin),
+      "Wilcoxon signed-rank on pre/post pairs: exact doubled tie ranks, zero-diff drop")
   )
 }

@@ -40,7 +40,7 @@ class PlanGuardSpec extends AnyFunSuite {
       // candidates x (<=k)-row selected-set broadcast per greedy round
       "sim_diverse_maxmin",
       // 1-row (n_a, n_b) broadcast against the prefix-count frame
-      "stats_ks_test", "stats_mannwhitney_u")
+      "stats_ks_test", "stats_mannwhitney_u", "stats_wilcoxon_signed")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>
