@@ -193,6 +193,28 @@ class RandomModelSpec extends AnyFunSuite {
     assert(got == ((nA, nB, r2a, uA)))
   }
 
+  test("winsorize == scalar ceil-rank clipping model on random groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(131)
+    val rows = (1L to 180L).map { i =>
+      (s"g${i % 3}", i, rnd.nextInt(50).toDouble) // heavy ties
+    }
+    val got = StatOps
+      .winsorize(rows.toDF("k", "id", "v"), "k", "v", "id",
+        loPct = 10, hiPct = 90)
+      .as[(String, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._2 -> (r._4, r._5, r._6)).toMap
+
+    val oracle = rows.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.map(r => (r._3, r._2)).sortBy(identity)
+      val n = sorted.size
+      val lo = sorted(math.max(1, (10 * n + 99) / 100) - 1)._1
+      val hi = sorted((90 * n + 99) / 100 - 1)._1
+      g.map(r => r._2 -> (lo, hi, math.min(math.max(r._3, lo), hi)))
+    }.toMap
+    assert(got == oracle)
+  }
+
   test("capPerGroup == scalar hash-priority selection") {
     import spark.implicits._
     val rows = (1L to 100L).map(i => (i, s"g${i % 3}"))
