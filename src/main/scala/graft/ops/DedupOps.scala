@@ -401,11 +401,14 @@ object DedupOps {
   /** Positional k-gram stream: one row per gram OCCURRENCE with its
     * 1-based token position — the input to substring-level matching
     * (shingle streams drop positions; spans need them). Docs shorter
-    * than k emit nothing: they cannot host a ≥k-token span. */
+    * than k emit nothing: they cannot host a ≥k-token span. Tokenizes
+    * `trim`med text (the [[TextOps.bpeMerges]] normalization): a leading
+    * space would otherwise emit an empty first token that shifts every
+    * 1-based position and anchors spurious empty-string grams. */
   private[ops] def posGrams(
       df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = col("_toks")
-    df.select(col(idCol), split(col(textCol), " +").as("_toks"))
+    df.select(col(idCol), split(trim(col(textCol)), " +").as("_toks"))
       .filter(size(toks) >= k)
       .select(col(idCol), toks,
         explode(sequence(lit(1), size(toks) - (k - 1))).as("pos"))
@@ -432,9 +435,10 @@ object DedupOps {
     * Scale guards: grams in more than `maxGramFreq` documents are
     * dropped before the join (boilerplate cap — same discipline as the
     * hot-shingle cap, and the reason the match join is bounded); the
-    * span merge is linear in match count. minLen ≥ k spans survive the
-    * cap unless EVERY anchoring gram is corpus-boilerplate, the
-    * documented recall tradeoff.
+    * span merge is linear in match count. Recall tradeoff: ANY capped
+    * interior gram breaks its diagonal run, and the resulting fragments
+    * must each independently clear `minLen` — so a span can be lost
+    * when even a single anchoring gram is corpus-boilerplate.
     *
     * @return (`a`, `b`, `a_start`, `b_start`, `span_len`) per maximal
     *         shared span, a < b, positions 1-based. */

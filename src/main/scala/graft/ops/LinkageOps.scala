@@ -56,9 +56,10 @@ object LinkageOps {
     * linkage: the pair gate, entity resolution, and any repeated
     * execution consume the SAME persisted frame, and its identity keys
     * [[GraphOps.sharedComponents]] so the component loop also runs once.
-    * Blocking keys can't key a cache map (Column has no value equality),
-    * so the cache keys on (frame, id, name, salt) — pass a distinct
-    * `variant` when the same frame is blocked two different ways. */
+    * Blocking keys can't key a cache map directly (Column has no value
+    * equality), so the salt folds in each key's deterministic expression
+    * rendering — two call sites blocking the same frame differently get
+    * distinct entries without remembering to pass a `variant`. */
   private[ops] val pairCache =
     new BoundedDfCache[(DataFrame, String, String, String)](maxEntries = 8)
 
@@ -66,7 +67,8 @@ object LinkageOps {
       df: DataFrame, idCol: String, nameCol: String,
       blockKeys: Seq[Column], maxDistance: Int,
       variant: String = ""): DataFrame =
-    pairCache.getOrElseUpdate((df, idCol, nameCol, s"$maxDistance:$variant")) {
+    pairCache.getOrElseUpdate((df, idCol, nameCol,
+      s"$maxDistance:$variant:${blockKeys.map(_.toString).mkString("|")}")) {
       blockedFuzzyPairs(df, idCol, nameCol, blockKeys, maxDistance)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }

@@ -323,7 +323,13 @@ object SimilarityOps {
       col(vecCol).cast(ArrayType(DoubleType)).as("v"))
       .withColumn("nn", dot(col("v"), col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    base.count()
+    if (base.count() == 0L) {
+      // min(id) on an empty frame is NULL and would fail the Long decode
+      // with an opaque error — return the empty selection log instead
+      base.unpersist()
+      return Seq.empty[(Int, Long, Option[Double])]
+        .toDF("sel_order", "id", "min_dist2")
+    }
 
     val seed = base.agg(min("id")).as[Long].head()
     val log = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Option[Double])]

@@ -261,9 +261,12 @@ object StatOps {
     * counts, so the statistic is bit-exact on any engine (the classical
     * nonparametric A/B distribution test, no normality assumption,
     * unlike the z-test's proportion comparison). Empirical CDFs are
-    * evaluated per row of the (`valueCol`, `idCol`) total order; with
-    * tied values across samples this is a pinned, documented convention
-    * (it coincides with the classical D when values are distinct).
+    * evaluated only at the LAST row of each distinct-value block — the
+    * classical statistic. Evaluating mid-block prefixes would bias D
+    * upward under cross-sample ties (two identical tied samples would
+    * report D ≈ 0.5 instead of 0); since both prefix counts are
+    * nondecreasing, the per-value CDF step is exactly (max c_A,
+    * max c_B) within the block, one keyed rollup on the staged pass.
     * One range-staged pass for both prefix counts; one scalar rollup.
     */
   def ksStatistic(
@@ -275,6 +278,8 @@ object StatOps {
     val cum = globalRunningSums(base,
       Seq(col(valueCol), col(idCol)),
       Seq("_fa" -> "c_a", "_fb" -> "c_b"))
+      .groupBy(col(valueCol))
+      .agg(max("c_a").as("c_a"), max("c_b").as("c_b"))
     val n = cum.agg(max("c_a").as("n_a"), max("c_b").as("n_b"))
     cum.join(broadcast(n))
       .withColumn("_dn",

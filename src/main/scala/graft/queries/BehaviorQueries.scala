@@ -792,11 +792,13 @@ object BehaviorQueries {
            |    CASE WHEN md5('ab:' || CAST(user_id AS VARCHAR)) < '$t50'
            |         THEN 1 ELSE 0 END AS fa
            |  FROM events),
-           |c AS (SELECT value, event_id, fa,
+           |c0 AS (SELECT value, event_id, fa,
            |    SUM(fa) OVER w AS c_a,
            |    SUM(1 - fa) OVER w AS c_b
            |  FROM t WINDOW w AS (ORDER BY value, event_id
            |                      ROWS UNBOUNDED PRECEDING)),
+           |c AS (SELECT value, max(c_a) AS c_a, max(c_b) AS c_b
+           |  FROM c0 GROUP BY value),
            |n AS (SELECT CAST(max(c_a) AS BIGINT) AS n_a,
            |        CAST(max(c_b) AS BIGINT) AS n_b FROM c)
            |SELECT n_a, n_b,

@@ -232,7 +232,8 @@ object DedupQueries {
             k = 4, minLen = 8, maxGramFreq = Some(8))
           .orderBy("a", "b", "a_start", "b_start"),
       Some("""WITH toks AS (
-             |  SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents),
+             |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+             |  FROM documents),
              |g0 AS (SELECT doc_id,
              |    unnest(list_transform(generate_series(1, len(t) - 3),
              |      i -> {'pos': i, 'gram': array_to_string(t[i:i+3], ' ')})) AS pg

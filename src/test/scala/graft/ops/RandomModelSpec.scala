@@ -157,16 +157,32 @@ class RandomModelSpec extends AnyFunSuite {
       .ksStatistic(rows.toDF("v", "id", "fa"), "fa", "v", "id")
       .as[(Long, Long, Long, Double)].head()
 
+    // classical D: the CDF difference is evaluated only at the final row
+    // of each distinct-value block (mid-block prefixes are not CDF steps)
     val sorted = rows.sortBy(r => (r._1, r._2))
     val nA = rows.count(_._3 == 1L).toLong
     val nB = rows.size - nA
     var (ca, cb, dnum) = (0L, 0L, 0L)
-    sorted.foreach { case (_, _, fa) =>
+    sorted.zipWithIndex.foreach { case ((v, _, fa), i) =>
       if (fa == 1L) ca += 1 else cb += 1
-      dnum = math.max(dnum, math.abs(ca * nB - cb * nA))
+      val lastOfBlock = i == sorted.size - 1 || sorted(i + 1)._1 != v
+      if (lastOfBlock) dnum = math.max(dnum, math.abs(ca * nB - cb * nA))
     }
     assert(got == ((nA, nB, dnum, dnum.toDouble / (nA * nB))))
     assert(dnum > 0, "vacuous: identical samples")
+  }
+
+  test("ksStatistic reports D = 0 for identical tied samples") {
+    import spark.implicits._
+    // 2 copies of each value in each arm: per-row prefix evaluation
+    // would report D ≈ 0.5 here; the classical statistic is exactly 0.
+    val rows = (1L to 80L).map { i =>
+      ((i % 10).toDouble, i, if (i <= 40) 1L else 0L)
+    }
+    val got = StatOps
+      .ksStatistic(rows.toDF("v", "id", "fa"), "fa", "v", "id")
+      .as[(Long, Long, Long, Double)].head()
+    assert(got == ((40L, 40L, 0L, 0.0)))
   }
 
   test("mannWhitneyU == scalar tie-averaged rank model on random data") {
