@@ -255,6 +255,16 @@ object TextOps {
     */
   def bpeMerges(
       df: DataFrame, textCol: String, steps: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeMergesLog(df, textCol, steps).toDF("step", "pair", "merged", "cnt")
+  }
+
+  /** [[bpeMerges]]' driver-side merge log — the form [[bpeEncode]]
+    * consumes (the table IS driver state by design: `steps` rows). */
+  def bpeMergesLog(
+      df: DataFrame, textCol: String,
+      steps: Int): Seq[(Int, String, String, Long)] = {
     require(steps >= 1, s"bpeMerges: steps must be >= 1, got $steps")
     val spark = df.sparkSession
     import spark.implicits._
@@ -289,8 +299,32 @@ object TextOps {
         step += 1
       }
     }
-    log.toSeq.toDF("step", "pair", "merged", "cnt")
+    log.toSeq
   }
+
+  /** BPE ENCODE: tokenize every document with a learned merge table —
+    * the per-ingest companion of [[bpeMerges]]' one-time induction. Each
+    * merge is applied in table order with the induction loop's exact
+    * leftmost non-overlapping ` a b ` → ` a+b ` rewrite, so encoding a
+    * corpus with its own induced merges reproduces the induction's final
+    * fused corpus byte-for-byte (unit-tested, and the gate oracle
+    * replays the same cascade as CTEs).
+    *
+    * The whole operation is ONE corpus scan: the merge table rides with
+    * the serialized [[graft.expr.BpeApply]] expression (per-task, not
+    * per-row) and the per-row cost is a tight loop over the table —
+    * rounds iterate over the MERGE LIST, never the corpus, which is the
+    * shape that survives a 30k-entry production table at 100 TB (a fold
+    * of N `replace` columns would overflow codegen's 64 KB method limit).
+    *
+    * @return (`idCol`, `enc` space-joined encoded tokens, `n_tokens`).
+    */
+  def bpeEncode(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    df.select(col(idCol),
+        graft.expr.BpeApply(col(textCol), merges).as("enc"))
+      .withColumn("n_tokens", size(split(col("enc"), " ")).cast("long"))
 
   def langId(text: Column): Column =
     // fused vote + first-strict-argmax in one native pass. The previous

@@ -455,6 +455,52 @@ object TextQueries {
       },
       "BPE merge induction: 5 corpus-wide pair-fusion rounds, fused tokens compete on"),
 
+    // BPE ENCODE — apply the induced merge table to tokenize every
+    // document ([[TextOps.bpeEncode]]): the per-ingest operation, vs
+    // induction which runs once. One scan; the table rides with the
+    // scan-native [[graft.expr.BpeApply]] expression and each row loops
+    // over the merges in table order with the induction's exact
+    // leftmost-nonoverlapping rewrite. The oracle replays the SAME
+    // 5-round induction cascade with doc_id carried through, so its t5
+    // IS the encoded corpus — encode∘induce ≡ induction's final state.
+    Q(
+      "text_bpe_encode",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val merges = TextOps.bpeMergesLog(docs, "text", steps = 5)
+          .map { case (_, pair, merged, _) => (pair, merged) }
+        TextOps.bpeEncode(docs, "doc_id", "text", merges)
+          .orderBy("doc_id")
+      },
+      Some {
+        val steps = 5
+        val rounds = (1 to steps).map { i =>
+          s"""p$i AS MATERIALIZED (
+             |  SELECT pair, count(*) AS cnt FROM (
+             |    SELECT unnest(list_transform(generate_series(1, len(k) - 1),
+             |        j -> k[j] || ' ' || k[j + 1])) AS pair
+             |    FROM (SELECT string_split(trim(t), ' ') AS k FROM t${i - 1})
+             |    WHERE len(k) >= 2)
+             |  GROUP BY pair),
+             |m$i AS MATERIALIZED (
+             |  SELECT pair, replace(pair, ' ', '+') AS merged, cnt
+             |  FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
+             |t$i AS MATERIALIZED (
+             |  SELECT doc_id, replace(t, ' ' || (SELECT pair FROM m$i) || ' ',
+             |                 ' ' || (SELECT merged FROM m$i) || ' ') AS t
+             |  FROM t${i - 1})""".stripMargin
+        }.mkString(",\n")
+        s"""WITH t0 AS MATERIALIZED (
+           |  SELECT doc_id, ' ' || array_to_string(
+           |      string_split_regex(trim(text), ' +'), ' ') || ' ' AS t
+           |  FROM documents),
+           |$rounds
+           |SELECT doc_id, trim(t) AS enc,
+           |  CAST(len(string_split(trim(t), ' ')) AS BIGINT) AS n_tokens
+           |FROM t$steps ORDER BY doc_id""".stripMargin
+      },
+      "BPE encode: apply the 5 induced merges to tokenize every document, one scan"),
+
     // The hashing trick (feature hashing): every token maps to one of 256
     // fixed buckets by hash — the fixed-width featurizer that needs NO
     // vocabulary pass, no dictionary state, and is mergeable across any

@@ -115,6 +115,16 @@ class RandomModelSpec extends AnyFunSuite {
         }
       }
       assert(got == log.toSeq, s"trial $trial")
+
+      // encode∘induce ≡ induction's final corpus: applying the learned
+      // table reproduces the scalar model's fully-fused state, and the
+      // codegen'd expression agrees with a fold of replace columns
+      val ids = docs.indices.map(_.toLong)
+      val withId = ids.zip(docs).toDF("id", "text")
+      val merges = log.toSeq.map { case (_, pair, merged, _) => (pair, merged) }
+      val enc = graft.ops.TextOps.bpeEncode(withId, "id", "text", merges)
+        .orderBy("id").select("enc").as[String].collect().toSeq
+      assert(enc == corpus.map(_.trim), s"trial $trial encode")
     }
   }
 
