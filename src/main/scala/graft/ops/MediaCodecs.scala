@@ -258,4 +258,64 @@ object MediaCodecs {
     Some(BmpMeta(width, height,
       sr.toDouble / n, sg.toDouble / n, sb2.toDouble / n))
   }
+
+  // ------------------------------------------ PNG / JPEG (javax.imageio)
+
+  /** Encode via the JDK's bundled ImageIO plugins — pure JVM, zero new
+    * dependencies. `format` is an ImageIO writer name ("png", "jpg").
+    * PNG is lossless, so a decode of an encodePng payload returns the
+    * source pixels bit-exactly; JPEG is lossy by design (DCT +
+    * quantization), so only its DIMENSIONS are exactly recoverable. */
+  def encodeImageIO(
+      format: String, width: Int, height: Int,
+      pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in tasks
+    javax.imageio.ImageIO.write(img, format, baos)
+    baos.toByteArray
+  }
+
+  /** Decode any ImageIO-supported container (PNG, JPEG, GIF, BMP...) to
+    * dimensions + exact per-channel means. Same contract as the
+    * hand-rolled codecs: corrupt/truncated/unrecognized payloads return
+    * None — ImageIO signals corruption both ways (null return AND
+    * IIOException), and one bad object in a 100 TB corpus must degrade
+    * to a typed NULL row, not kill the executor task. Channel sums are
+    * exact integers; the mean is one final IEEE division, so lossless
+    * sources (PNG) gate against an arithmetic oracle bit-exactly. */
+  def decodeImageIO(bytes: Array[Byte]): Option[BmpMeta] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var i = 0
+        while (i < px.length) {
+          sr += (px(i) >> 16) & 0xff
+          sg += (px(i) >> 8) & 0xff
+          sb += px(i) & 0xff
+          i += 1
+        }
+        val n = w.toLong * h
+        Some(BmpMeta(w, h,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+      }
+    } catch { case _: Exception => None }
 }

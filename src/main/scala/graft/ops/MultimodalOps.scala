@@ -178,4 +178,73 @@ object MultimodalOps {
         }
       }(enc)
   }
+
+  val webImageSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  val decodedWebSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("mean_r", DoubleType, nullable = true),
+    StructField("mean_g", DoubleType, nullable = true),
+    StructField("mean_b", DoubleType, nullable = true)))
+
+  /** Web-format image table: every document carries a REAL PNG (even
+    * doc_id) or JPEG (odd doc_id) payload encoded by the JDK's ImageIO —
+    * the formats an actual web corpus holds, vs the byte-level teaching
+    * codecs above. Pixels are a per-channel linear GRADIENT in (x, y)
+    * (mod 256), so a decoder that peeks one pixel instead of traversing
+    * the raster cannot fake the means; dimensions and gradient
+    * coefficients are arithmetic in doc_id so the decode gate's oracle
+    * derives PNG means without parsing a byte. */
+  def mediaFromDocumentsWeb(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(webImageSchema)
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (w, h) = (8 + (id % 16).toInt, 4 + (id % 8).toInt)
+          val fmt = if (id % 2 == 0) "png" else "jpg"
+          val px = (x: Int, y: Int) => (
+            ((id * 31 + 7 * x + 11 * y) % 256).toInt,
+            ((id * 53 + 5 * x + 3 * y) % 256).toInt,
+            ((id * 71 + 2 * x + 13 * y) % 256).toInt)
+          Row(id, MediaCodecs.encodeImageIO(fmt, w, h, px))
+        }
+      }(enc)
+  }
+
+  /** Decode PNG/JPEG payloads ([[MediaCodecs.decodeImageIO]]): sniff the
+    * container magic, parse dimensions + exact per-channel means in one
+    * partition-batched pass (decoder state amortizes per partition).
+    * Corrupt or unrecognized payloads degrade to typed NULLs. PNG being
+    * lossless, its means replay arithmetically from the synthesis
+    * gradient (the gate's oracle); JPEG means are real decoded values
+    * whose DCT quantization no SQL oracle can replay — the gate nulls
+    * them and a unit test bounds them against the source gradient. */
+  def decodeWebImages(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedWebSchema)
+    media
+      .select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val p =
+            if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          val fmt =
+            if (p.length >= 4 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
+              p(2) == 'N' && p(3) == 'G') "png"
+            else if (p.length >= 3 && (p(0) & 0xff) == 0xff &&
+              (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff) "jpeg"
+            else null
+          (if (fmt == null) None else MediaCodecs.decodeImageIO(p)) match {
+            case Some(m) => Row(r.getLong(0), fmt, m.width, m.height,
+              m.meanR, m.meanG, m.meanB)
+            case None => Row(r.getLong(0), fmt, null, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
 }

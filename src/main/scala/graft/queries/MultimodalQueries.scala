@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.{Q, T}
 import graft.ops.MultimodalOps
 
@@ -97,6 +99,53 @@ object MultimodalQueries {
              |  CAST(doc_id * 83 % 256 AS DOUBLE) AS mean_b
              |FROM documents WHERE doc_id % 3 = 0
              |ORDER BY media_id""".stripMargin),
-      "real BMP nearest-neighbor resize round trip: resized bytes re-decoded vs arithmetic oracle")
+      "real BMP nearest-neighbor resize round trip: resized bytes re-decoded vs arithmetic oracle"),
+
+    // PNG/JPEG decode through the JDK's ImageIO — the formats a real web
+    // corpus holds ([[MultimodalOps.decodeWebImages]]). Payloads are
+    // per-channel GRADIENT images (a one-pixel peek can't fake the
+    // means). PNG is lossless: dimensions AND exact channel means gate
+    // against the synthesis arithmetic (integer channel sums, one final
+    // IEEE division, mirrored in SQL). JPEG's DCT quantization is not
+    // SQL-replayable, so the gate nulls its means and checks dimensions;
+    // the decoded JPEG means are bounded against the source gradient by
+    // a unit test (MediaCodecsSpec) instead.
+    Q(
+      "mm_decode_jpeg",
+      (s, d) =>
+        MultimodalOps
+          .decodeWebImages(
+            MultimodalOps.mediaFromDocumentsWeb(T(s, d, "documents")))
+          .withColumn("mean_r", when(col("format") === "jpeg",
+            lit(null).cast("double")).otherwise(col("mean_r")))
+          .withColumn("mean_g", when(col("format") === "jpeg",
+            lit(null).cast("double")).otherwise(col("mean_g")))
+          .withColumn("mean_b", when(col("format") === "jpeg",
+            lit(null).cast("double")).otherwise(col("mean_b")))
+          .orderBy("media_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, CAST(8 + doc_id % 16 AS INTEGER) AS w,
+             |    CAST(4 + doc_id % 8 AS INTEGER) AS h
+             |  FROM documents),
+             |px AS (SELECT doc_id, w, h,
+             |    unnest(generate_series(0, w * h - 1)) AS i
+             |  FROM dims),
+             |m AS (SELECT doc_id,
+             |    CAST(sum((doc_id*31 + 7*(i % w) + 11*(i // w)) % 256)
+             |         AS DOUBLE) / (w * h) AS mr,
+             |    CAST(sum((doc_id*53 + 5*(i % w) + 3*(i // w)) % 256)
+             |         AS DOUBLE) / (w * h) AS mg,
+             |    CAST(sum((doc_id*71 + 2*(i % w) + 13*(i // w)) % 256)
+             |         AS DOUBLE) / (w * h) AS mb
+             |  FROM px GROUP BY doc_id, w, h)
+             |SELECT d.doc_id AS media_id,
+             |  CASE WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+             |  d.w AS width, d.h AS height,
+             |  CASE WHEN d.doc_id % 2 = 0 THEN m.mr END AS mean_r,
+             |  CASE WHEN d.doc_id % 2 = 0 THEN m.mg END AS mean_g,
+             |  CASE WHEN d.doc_id % 2 = 0 THEN m.mb END AS mean_b
+             |FROM dims d JOIN m USING (doc_id)
+             |ORDER BY media_id""".stripMargin),
+      "PNG/JPEG ImageIO decode: exact PNG gradient means + JPEG dimensions vs arithmetic oracle")
   )
 }

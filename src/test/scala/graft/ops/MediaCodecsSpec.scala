@@ -156,4 +156,48 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.resizeBmpNearest(Array[Byte](1, 2, 3), 2, 2).isEmpty)
     assert(MediaCodecs.resizeBmpNearest(src, 0, 2).isEmpty)
   }
+
+  test("PNG ImageIO round trip is lossless: exact gradient channel means") {
+    val (w, h) = (13, 7)
+    val px = (x: Int, y: Int) => ((7 * x + 11 * y) % 256,
+      (5 * x + 3 * y) % 256, (2 * x + 13 * y) % 256)
+    val bytes = MediaCodecs.encodeImageIO("png", w, h, px)
+    // container magic is real PNG
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P')
+    val m = MediaCodecs.decodeImageIO(bytes).get
+    assert(m.width == w && m.height == h)
+    val pts = for (y <- 0 until h; x <- 0 until w) yield px(x, y)
+    val n = (w * h).toDouble
+    assert(m.meanR == pts.map(_._1.toLong).sum / n)
+    assert(m.meanG == pts.map(_._2.toLong).sum / n)
+    assert(m.meanB == pts.map(_._3.toLong).sum / n)
+  }
+
+  test("JPEG ImageIO decode: exact dimensions, means within DCT tolerance") {
+    val (w, h) = (16, 8)
+    val px = (x: Int, y: Int) => (40 + 2 * x, 80 + 3 * y, 120 + x + y)
+    val bytes = MediaCodecs.encodeImageIO("jpg", w, h, px)
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+    val m = MediaCodecs.decodeImageIO(bytes).get
+    assert(m.width == w && m.height == h) // dimensions survive lossy coding
+    val pts = for (y <- 0 until h; x <- 0 until w) yield px(x, y)
+    val n = (w * h).toDouble
+    // smooth gradient: quantization error on the mean stays within a few
+    // levels (per-pixel error can be larger; the mean averages it out)
+    assert(math.abs(m.meanR - pts.map(_._1.toLong).sum / n) < 4.0)
+    assert(math.abs(m.meanG - pts.map(_._2.toLong).sum / n) < 4.0)
+    assert(math.abs(m.meanB - pts.map(_._3.toLong).sum / n) < 4.0)
+  }
+
+  test("ImageIO decode degrades corrupt payloads to None, never throws") {
+    assert(MediaCodecs.decodeImageIO(Array.empty[Byte]).isEmpty)
+    assert(MediaCodecs.decodeImageIO(Array[Byte](1, 2, 3, 4)).isEmpty)
+    val png = MediaCodecs.encodeImageIO("png", 6, 4, (_, _) => (9, 9, 9))
+    assert(MediaCodecs.decodeImageIO(png.take(20)).isEmpty) // truncated
+    val jpg = MediaCodecs.encodeImageIO("jpg", 6, 4, (_, _) => (9, 9, 9))
+    val garbled = jpg.clone(); garbled(4) = 0x7f // corrupt the header body
+    // must not throw regardless of whether the plugin salvages metadata
+    MediaCodecs.decodeImageIO(garbled)
+    assert(MediaCodecs.decodeImageIO(jpg.take(6)).isEmpty)
+  }
 }
