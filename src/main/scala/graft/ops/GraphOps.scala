@@ -226,6 +226,66 @@ object GraphOps {
       .join(labels, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
 
+  /** INCREMENTAL component-label maintenance: merge a batch of delta
+    * edges into persisted labels without recomputing the base pair
+    * graph — the operation an incremental dedup service runs per ingest
+    * (the full-recompute path rebuilds CC from every pair ever found;
+    * this touches delta-proportional state plus one relabel pass).
+    *
+    * Exactness: `baseLabels` is a star forest (every node → the MIN id
+    * of its base component), so contracting each delta endpoint to its
+    * base root — itself when the endpoint is new — preserves
+    * components, and the contracted graph has ≤ |delta| edges. Running
+    * [[connectedComponents]] on it yields, per merged group, the min
+    * over {member roots, new ids} = the min over ALL member ids (each
+    * root IS its component's min). Base components the delta never
+    * touches keep their labels through the left-join patch unchanged —
+    * so the result is hash-identical to a full recompute over base ∪
+    * delta edges (gated, plus a random-graph unit test).
+    *
+    * Plan shape: two broadcast-friendly lookups delta-side, one CC loop
+    * over the contracted (delta-sized) graph, one relabel join over the
+    * base labels keyed on `component`. At warehouse scale the relabel
+    * is the patch a merge-on-read table applies; nothing rescans base
+    * EDGES, which is what makes the pass delta-proportional.
+    *
+    * @param baseLabels (`id`, `component`) with component = min member
+    *        id, e.g. a prior [[connectedComponents]] output.
+    * @return (`id`, `component`) over base nodes ∪ delta endpoints.
+    */
+  def incrementalComponents(
+      baseLabels: DataFrame, deltaEdges: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val lbl = baseLabels.select(col("id"), col("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val contracted = deltaEdges
+      .select(col(aCol).as("ea"), col(bCol).as("eb"))
+      .join(lbl.select(col("id").as("ea"), col("component").as("ra")),
+        Seq("ea"), "left_outer")
+      .join(lbl.select(col("id").as("eb"), col("component").as("rb")),
+        Seq("eb"), "left_outer")
+      .select(coalesce(col("ra"), col("ea")).as("a"),
+        coalesce(col("rb"), col("eb")).as("b"))
+      .filter(col("a") =!= col("b"))
+    // (root-or-new-id, merged component): min over the merged group
+    val merged = connectedComponents(contracted, "a", "b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val patched = lbl
+      .join(merged.select(col("id").as("component"),
+        col("component").as("newc")), Seq("component"), "left_outer")
+      .select(col("id"), coalesce(col("newc"), col("component")).as("component"))
+    val newNodes = deltaEdges.select(col(aCol).as("id"))
+      .union(deltaEdges.select(col(bCol).as("id")))
+      .distinct()
+      .join(lbl.select("id"), Seq("id"), "left_anti")
+      .join(merged.withColumnRenamed("component", "newc"),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("newc"), col("id")).as("component"))
+    val out = patched.unionByName(newNodes).localCheckpoint(true)
+    lbl.unpersist(); merged.unpersist()
+    out
+  }
+
   /** Shared connected-components labels, memoized per (edge frame, cols)
     * — the pair-graph analog of [[DedupOps.sharedShingles]]. Resolving
     * clusters and keeping representatives always consume the SAME labels

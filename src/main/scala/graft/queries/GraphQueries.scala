@@ -83,6 +83,41 @@ object GraphQueries {
               |ORDER BY id""".stripMargin),
       "cluster labels completed over the corpus universe: singletons are their own component"),
 
+    // INCREMENTAL cluster-label maintenance
+    // ([[GraphOps.incrementalComponents]]): base labels (even-doc_id
+    // corpus) are merged with the delta's new edges — delta-delta pairs
+    // plus cross base-delta pairs, both delta-proportional — WITHOUT
+    // recomputing the base pair graph. The oracle is the FULL-corpus
+    // recompute (the same recursive-CTE components as
+    // dedup_cluster_resolve): hash equality IS the gate's claim, that
+    // incremental merge ≡ recompute-from-scratch. Pair generation is
+    // uncapped so the three pair sets partition the union graph exactly
+    // (a frequency cap measured per side would differ from one measured
+    // corpus-wide).
+    Q(
+      "dedup_cluster_incremental",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val base = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val delta = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        val baseLabels = GraphOps.connectedComponents(
+          DedupOps.ngramJaccardPairs(base, "doc_id", "text",
+            k = 3, threshold = 0.8), "a", "b")
+        val deltaEdges = DedupOps
+          .ngramJaccardPairs(delta, "doc_id", "text", k = 3, threshold = 0.8)
+          .select("a", "b")
+          .unionByName(DedupOps
+            .ngramJaccardPairsBetween(base, delta, "doc_id", "text",
+              k = 3, threshold = 0.8)
+            .select("a", "b"))
+        GraphOps.incrementalComponents(baseLabels, deltaEdges, "a", "b")
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE ${DedupQueries.jaccardPairCtes(0.8)},
+              |$componentCtes
+              |SELECT id, component FROM comp ORDER BY id""".stripMargin),
+      "incremental label merge of delta edges into persisted base labels ≡ full recompute"),
+
     // Fixed-iteration PageRank over the customer→supplier trade graph in
     // exact fixed-point integer arithmetic ([[GraphOps.pageRankUnits]]) —
     // floating-point PageRank is scan-order-dependent and could never

@@ -105,6 +105,37 @@ class GraphOpsSpec extends AnyFunSuite {
     GraphOps.clearComponentCache()
   }
 
+  test("incrementalComponents == full recompute on seeded random graph splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 3) {
+      val all = (1 to 60).map(_ =>
+        (rnd.nextInt(30).toLong + 1, rnd.nextInt(30).toLong + 1))
+        .filter { case (a, b) => a != b }.distinct
+      // delta gets ~1/3 of the edges — including ones that bridge base
+      // components and ones introducing brand-new nodes
+      val (delta, base) = all.partition(_ => rnd.nextInt(3) == 0)
+      val baseLabels = GraphOps.connectedComponents(base.toDF("a", "b"), "a", "b")
+      val got = GraphOps
+        .incrementalComponents(baseLabels, delta.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == runCC(all), s"trial $trial (base=${base.size}, delta=${delta.size})")
+      baseLabels.unpersist()
+    }
+  }
+
+  test("incrementalComponents: empty delta returns base labels unchanged") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (4L, 5L))
+    val baseLabels = GraphOps.connectedComponents(base.toDF("a", "b"), "a", "b")
+    val got = GraphOps
+      .incrementalComponents(baseLabels,
+        Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
+    baseLabels.unpersist()
+  }
+
   test("withSingletons completes the label frame over a universe") {
     import spark.implicits._
     val labels = GraphOps.connectedComponents(
