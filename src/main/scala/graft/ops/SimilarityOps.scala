@@ -209,6 +209,109 @@ object SimilarityOps {
       .select("qid", "rank", "nid", "cosine")
   }
 
+  /** IVF-PQ top-k: inverted lists + PRODUCT-QUANTIZED residual codes
+    * (Jégou/Douze/Schmid, TPAMI 2011) — the memory-bounded ANN tier.
+    * [[ivfTopK]] stores full vectors per posting; at 100 TB of
+    * embeddings what fits is m sub-codebook CODES per vector (here
+    * m=4 bytes against a 64-dim double vector's 512 — a 128×
+    * posting-list compression), with search ranked by ASYMMETRIC
+    * distance: the query's exact residual against each candidate's
+    * quantized one, summed over subspaces.
+    *
+    * Shape: coarse-assign corpus vectors to their cosine-nearest of
+    * `nlist` centroids and take the residual v − centroid; slice
+    * residuals into `m` subvectors; per subspace, the codebook is the
+    * residual subvectors of the first `ksub` corpus ids (the same
+    * deterministic slice scheme as [[ivfTopK]]'s coarse quantizer, so
+    * the gate oracle replays every step; [[kmeansCodebook]]-style
+    * training is a drop-in — only the codebook table changes). Encoding
+    * is an L2² argmin against the broadcast m×ksub codebook; queries
+    * probe `nprobe` lists, build their ADC table (query-residual ×
+    * codebook, nprobe·m·ksub rows per query), and candidates score as
+    * Σ_j d²(q_j, cb[code_j]) — joined on (cid, j, code), folded in
+    * FIXED subspace order so the IEEE sum hash-gates. All distances
+    * decompose into [[dot]] products (bit-exact sequential folds).
+    *
+    * @return (`qid`, `rank`, `nid`, `adist2`): top-k by approximate
+    *         squared L2 distance, ascending, nid tie-break. Recall vs
+    *         the exact-L2 baseline is measured in DedupSimilaritySpec.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 4, ksub: Int = 16): DataFrame = {
+    val c = withNorm(corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+      .select(col("nid"), col("v").as("cv"), col("nrm").as("cn"))
+    val cent = withNorm(corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cid"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+      .select(col("cid"), col("v").as("centv"), col("nrm").as("centn"))
+
+    // coarse assignment KEEPING the centroid vector (residuals need it)
+    def assign(side: DataFrame, id: String, v: String, n: String, keep: Int) = {
+      val w = Window.partitionBy(id)
+        .orderBy(col("_csim").desc, col("cid").asc)
+      side.join(broadcast(cent), lit(true))
+        .withColumn("_csim",
+          dot(col(v), col("centv")) / (col(n) * col("centn")))
+        .withColumn("_crank", row_number().over(w))
+        .filter(col("_crank") <= keep)
+        .withColumn("rv", zip_with(col(v), col("centv"), (x, y) => x - y))
+        .drop("centv", "centn", "_csim", "_crank")
+    }
+    val dim = m // subspace count; subdim derived from the vector length
+    def subspaces(rv: Column): Column = {
+      val subdim = (size(rv) / lit(dim)).cast("int")
+      explode(array((0 until dim).map(j =>
+        struct(lit(j).as("j"),
+          slice(rv, lit(j) * subdim + lit(1), subdim).as("sv"))): _*))
+    }
+    def d2(a: Column, b: Column): Column =
+      dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
+
+    val lists = assign(c, "nid", "cv", "cn", 1)
+    val sub = lists.select(col("nid"), col("cid"), subspaces(col("rv")).as("_s"))
+      .select(col("nid"), col("cid"), col("_s.j").as("j"), col("_s.sv").as("sv"))
+    val cb = sub.filter(col("nid") < ksub)
+      .select(col("j"), col("nid").as("code"), col("sv").as("cbv"))
+    val encW = Window.partitionBy("nid", "j")
+      .orderBy(col("_d2").asc, col("code").asc)
+    val enc = sub.join(broadcast(cb), Seq("j"))
+      .withColumn("_d2", d2(col("sv"), col("cbv")))
+      .withColumn("_r", row_number().over(encW))
+      .filter(col("_r") === 1)
+      .select("nid", "cid", "j", "code")
+
+    val q = withNorm(queries.select(col(idCol).as("qid"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+      .select(col("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val probes = assign(q, "qid", "qv", "qn", nprobe)
+    val qsub = probes.select(col("qid"), col("cid"), subspaces(col("rv")).as("_s"))
+      .select(col("qid"), col("cid"), col("_s.j").as("j"), col("_s.sv").as("qsv"))
+    val adc = qsub.join(broadcast(cb), Seq("j"))
+      .withColumn("qd2", d2(col("qsv"), col("cbv")))
+      .select("qid", "cid", "j", "code", "qd2")
+
+    // pivot the m subspace terms into columns: the fold order is FIXED,
+    // so the summed double is bit-identical on any engine/partitioning
+    val terms = (0 until dim).map(j =>
+      max(when(col("j") === j, col("qd2"))).as(s"_d$j"))
+    val scored = adc.join(enc, Seq("cid", "j", "code"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy("qid", "nid")
+      .agg(terms.head, terms.tail: _*)
+      .withColumn("adist2",
+        (1 until dim).foldLeft(col("_d0"))((acc, j) => acc + col(s"_d$j")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("adist2").asc, col("nid").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "adist2")
+  }
+
   /** Bucketed embedding near-dup: sketch-band candidates + exact-cosine
     * verify — the 100 TB path for near-duplicate detection over an
     * embedding column. Candidate generation is linear (groupBy band,

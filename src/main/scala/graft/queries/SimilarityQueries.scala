@@ -200,6 +200,89 @@ object SimilarityQueries {
       "IVF-bucketed cosine top-10 (inverted lists + probe + exact re-rank; " +
         "oracle replicates assignment and probing)"),
 
+    // IVF-PQ: inverted lists + product-quantized RESIDUAL codes
+    // ([[SimilarityOps.ivfPqTopK]]) — the memory-bounded tier above
+    // sim_topk_ivf (m=4 one-byte codes per posting instead of the full
+    // 64-dim vector). Asymmetric distance: exact query residual vs each
+    // candidate's quantized one, summed over subspaces in FIXED order.
+    // The oracle replays the whole pipeline — coarse assignment,
+    // residuals, subspace slicing, codebook argmin encoding, ADC table,
+    // fixed-order fold — as SQL over the same deterministic
+    // first-ids codebooks, so the gate is a hash match, not rows-only.
+    Q(
+      "sim_topk_ivfpq",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        SimilarityOps
+          .ivfPqTopK(
+            emb.filter(col("vec_id") < 5), emb,
+            "vec_id", "embedding", k = 10,
+            nlist = 16, nprobe = 4, m = 4, ksub = 16)
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+             |cent AS (SELECT vec_id AS cid, v AS centv, nrm AS centn FROM n WHERE vec_id < 16),
+             |lists AS (
+             |  SELECT nid, cid, rv FROM (
+             |    SELECT c.vec_id AS nid, cent.cid,
+             |      list_transform(generate_series(1, len(c.v)),
+             |                     i -> c.v[i] - cent.centv[i]) AS rv,
+             |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+             |        list_dot_product(c.v, cent.centv) / (c.nrm * cent.centn) DESC,
+             |        cent.cid ASC) AS r
+             |    FROM n c CROSS JOIN cent) t WHERE r = 1),
+             |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+             |sub AS (
+             |  SELECT nid, cid, j,
+             |    rv[j*(len(rv)//4)+1 : (j+1)*(len(rv)//4)] AS sv
+             |  FROM lists CROSS JOIN js),
+             |cb AS (SELECT j, nid AS code, sv AS cbv FROM sub WHERE nid < 16),
+             |enc AS (
+             |  SELECT nid, cid, j, code FROM (
+             |    SELECT s.nid, s.cid, s.j, cb.code,
+             |      ROW_NUMBER() OVER (PARTITION BY s.nid, s.j ORDER BY
+             |        list_dot_product(s.sv, s.sv) + list_dot_product(cb.cbv, cb.cbv)
+             |          - 2.0 * list_dot_product(s.sv, cb.cbv) ASC,
+             |        cb.code ASC) AS r
+             |    FROM sub s JOIN cb ON cb.j = s.j) t WHERE r = 1),
+             |probes AS (
+             |  SELECT qid, cid, qrv FROM (
+             |    SELECT q.vec_id AS qid, cent.cid,
+             |      list_transform(generate_series(1, len(q.v)),
+             |                     i -> q.v[i] - cent.centv[i]) AS qrv,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             |        list_dot_product(q.v, cent.centv) / (q.nrm * cent.centn) DESC,
+             |        cent.cid ASC) AS r
+             |    FROM n q CROSS JOIN cent WHERE q.vec_id < 5) t WHERE r <= 4),
+             |qsub AS (
+             |  SELECT qid, cid, j,
+             |    qrv[j*(len(qrv)//4)+1 : (j+1)*(len(qrv)//4)] AS qsv
+             |  FROM probes CROSS JOIN js),
+             |adc AS (
+             |  SELECT qid, cid, qsub.j, cb.code,
+             |    list_dot_product(qsv, qsv) + list_dot_product(cb.cbv, cb.cbv)
+             |      - 2.0 * list_dot_product(qsv, cb.cbv) AS qd2
+             |  FROM qsub JOIN cb ON cb.j = qsub.j),
+             |pairs AS (
+             |  SELECT a.qid, e2.nid,
+             |    max(CASE WHEN a.j = 0 THEN qd2 END) AS d0,
+             |    max(CASE WHEN a.j = 1 THEN qd2 END) AS d1,
+             |    max(CASE WHEN a.j = 2 THEN qd2 END) AS d2,
+             |    max(CASE WHEN a.j = 3 THEN qd2 END) AS d3
+             |  FROM adc a JOIN enc e2
+             |    ON e2.cid = a.cid AND e2.j = a.j AND e2.code = a.code
+             |  WHERE a.qid <> e2.nid
+             |  GROUP BY a.qid, e2.nid),
+             |scored AS (SELECT qid, nid, ((d0 + d1) + d2) + d3 AS adist2 FROM pairs)
+             |SELECT qid, rank, nid, adist2 FROM (
+             |  SELECT qid, nid, adist2, ROW_NUMBER() OVER (
+             |    PARTITION BY qid ORDER BY adist2 ASC, nid ASC) AS rank
+             |  FROM scored) t WHERE rank <= 10
+             |ORDER BY qid, rank""".stripMargin),
+      "IVF-PQ top-10: product-quantized residual codes + asymmetric distance; " +
+        "oracle replays coarse assignment, encoding, and the ADC fold"),
+
     // Greedy max-min (k-center) diversity selection
     // ([[graft.ops.SimilarityOps.maxMinDiverse]]): 5 maximally-spread
     // exemplars by farthest-first traversal — the coreset/diversity

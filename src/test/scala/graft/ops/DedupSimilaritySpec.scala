@@ -194,6 +194,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ivf.map(_._1) == brute.map(_._1))
   }
 
+  test("IVF-PQ top-k: recall vs exact L2 measured, codes not vectors") {
+    val emb = T(spark, sf, "embeddings")
+    // exact-L2 baseline computed scalar-side (ivfPqTopK ranks by
+    // approximate squared L2, the classical PQ metric — not cosine)
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2TopK(qid: Long, k: Int): Set[Long] = {
+      val q = vecs(qid)
+      vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) =>
+          val d = v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d, id)
+        }
+        .sortBy(identity).take(k).map(_._2).toSet
+    }
+    val brute = (0L until 5L).flatMap(q => l2TopK(q, 10).map(q -> _)).toSet
+    val pq = SimilarityOps
+      .ivfPqTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 4, m = 4, ksub = 16)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    info(f"IVF-PQ top-k recall vs exact L2 (nprobe=4/16, m=4, ksub=16): $recall%.2f")
+    assert(pq.map(_._1) == brute.map(_._1)) // every query produced rows
+    assert(recall > 0.1, s"degenerate recall $recall")
+  }
+
   test("k-means-trained IVF codebook: valid centroids, recall measured") {
     val emb = T(spark, sf, "embeddings")
     val codebook = SimilarityOps
