@@ -52,6 +52,41 @@ object TextOps {
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
 
+  /** Hashed linear quality classifier — fastText-style (Joulin et al.
+    * 2016) bag-of-hashed-features INFERENCE: every token hashes to one
+    * of 256 buckets (the [[graft.queries.TextQueries]] feature-hashing
+    * convention, first md5 byte), each bucket carries an integer weight,
+    * and a document's score is the exact integer sum of its token
+    * weights — the model-based tier above [[qualityScore]]'s heuristic
+    * ratios. One scan: explode tokens, map-side partial sums, one keyed
+    * rollup; no vocabulary state, mergeable across corpus splits.
+    *
+    * The weight table is a PINNED arithmetic function of the bucket
+    * ((b·37 + 11) mod 17 − 8 ∈ [−8, 8]) standing in for trained
+    * parameters, so the gate's DuckDB oracle replays inference exactly;
+    * a trained weight vector is a drop-in broadcast map — identical
+    * plan, different table. Scores stay integral until the single
+    * per-token-rate division, so the output hash-gates cross-engine.
+    *
+    * @return (`idCol`, `n_tokens`, `score`, `score_rate`, `keep`) with
+    *         keep = score_rate >= 0 (the threshold filter).
+    */
+  def qualityClassifier(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " +")).as("tok"))
+      .withColumn("bucket", substring(md5(col("tok")), 1, 2))
+      // hex pair -> 0..255 via character position (portable SQL: instr
+      // over the hex alphabet; (c1+1)*16 + (c2+1) - 17 = c1*16 + c2)
+      .withColumn("_b",
+        expr("instr('0123456789abcdef', substring(bucket, 1, 1)) * 16 + " +
+          "instr('0123456789abcdef', substring(bucket, 2, 1)) - 17"))
+      .withColumn("w", (col("_b") * 37 + 11) % 17 - 8)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("w").cast("long").as("score"))
+      .withColumn("score_rate",
+        col("score").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("keep", col("score_rate") >= 0.0)
+
   /** True winnowing fingerprint set (Schleimer/Wilkerson/Aiken): k-char
     * grams hash per position, minimum per sliding window of `w` grams,
     * distinct minima per document. Robust to insertions: an edit disturbs

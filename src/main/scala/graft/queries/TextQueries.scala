@@ -527,6 +527,34 @@ object TextQueries {
              |ORDER BY doc_id, bucket""".stripMargin),
       "hashing-trick featurizer: 256 hash buckets, vocabulary-free, split-mergeable"),
 
+    // Hashed linear quality classifier ([[TextOps.qualityClassifier]]):
+    // the feature-hashing buckets composed with a pinned integer weight
+    // table into per-doc inference — score = Σ token weights (exact
+    // integers), rate = one IEEE division, keep = rate >= 0. The oracle
+    // replays the md5 bucket, the instr-based hex decode, the weight
+    // arithmetic, and the rollup verbatim.
+    Q(
+      "text_quality_classifier",
+      (s, d) =>
+        TextOps.qualityClassifier(T(s, d, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(w) AS BIGINT) AS score,
+             |  CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS score_rate,
+             |  (CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE)) >= 0.0 AS keep
+             |FROM (
+             |  SELECT doc_id,
+             |    ((instr('0123456789abcdef', substr(b, 1, 1)) * 16 +
+             |      instr('0123456789abcdef', substr(b, 2, 1)) - 17)
+             |     * 37 + 11) % 17 - 8 AS w
+             |  FROM (SELECT doc_id, substr(md5(tok), 1, 2) AS b
+             |        FROM (SELECT doc_id,
+             |                unnest(string_split_regex(text, ' +')) AS tok
+             |              FROM documents)))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "hashed linear classifier inference: pinned integer weights over md5 buckets"),
+
     // Readability scoring (Flesch reading-ease with a vowel-group
     // syllable proxy — the standard dictionary-free approximation):
     // words, syllables and sentences are exact integer counts (regex
