@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.ops.Staging.StagedDf
+
 /** Graph operators for duplicate-cluster resolution (SURVEY §7.4 endgame).
   *
   * Near-dup operators ([[DedupOps]]) emit *pairs*; acting on them at scale
@@ -37,15 +39,16 @@ import org.apache.spark.storage.StorageLevel
   *     switch instead of a query failure.
   *
   * Every round materializes its label frame with TRUNCATED lineage
-  * (`localCheckpoint(eager = true)`): a round's output references its
-  * input more than once, so carrying logical plans across rounds grows
-  * them exponentially — analysis alone would dominate long before the
-  * data does. Checkpointing per round keeps the plan O(1) per round
-  * (exactly why GraphFrames' connectedComponents checkpoints
-  * periodically); on a real cluster you would use a reliable checkpoint
-  * directory so an executor loss can't kill a deep iteration. Replaced
-  * rounds' blocks are reclaimed by the ContextCleaner once unreferenced.
-  * The driver-side loop holds only iteration counters, never data.
+  * ([[Staging.pin]]): a round's output references its input more than
+  * once, so carrying logical plans across rounds grows them
+  * exponentially — analysis alone would dominate long before the data
+  * does. Checkpointing per round keeps the plan O(1) per round (exactly
+  * why GraphFrames' connectedComponents checkpoints periodically); on a
+  * real cluster set `spark.graft.reliableCheckpoints=true` plus a
+  * checkpoint dir so an executor loss can't kill a deep iteration.
+  * Replaced rounds' blocks are reclaimed by the ContextCleaner once
+  * unreferenced. The driver loop holds only iteration counters, never
+  * data.
   */
 object GraphOps {
 
@@ -76,7 +79,7 @@ object GraphOps {
       .select(col("u").as("id"))
       .distinct()
       .select(col("id"), col("id").as("component"))
-      .localCheckpoint(true)
+      .stagePin()
     var changed = labels.count() // 0 rows → already converged
     val idType = labels.schema("component").dataType
 
@@ -102,7 +105,7 @@ object GraphOps {
           sum((col("component") =!= col("prev")).cast("long")),
           lit(0L)).as("changed"))
         .select("id", "component")
-        .localCheckpoint(true)
+        .stagePin()
       changed = obs.get("changed").asInstanceOf[Long]
       round += 1
     }
@@ -125,7 +128,7 @@ object GraphOps {
           Seq("component"), "left_outer")
         .select(col("id"),
           coalesce(col("root"), col("component")).as("component"))
-        .localCheckpoint(true)
+        .stagePin()
     }
     sym.unpersist()
     labels
@@ -158,7 +161,7 @@ object GraphOps {
         least(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .stagePin()
     var eCount = e.count()
 
     var converged = eCount == 0L
@@ -187,7 +190,7 @@ object GraphOps {
         .select(col("v").as("u"), col("m").as("v"))
         .union(smins.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint(true)
+        .stagePin()
       val nCount = next.count()
       // Fixpoint = identical edge set. Both frames are materialized and
       // deduplicated, so subset + equal count ⇔ equality; this is the
@@ -281,7 +284,7 @@ object GraphOps {
       .join(merged.withColumnRenamed("component", "newc"),
         Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("newc"), col("id")).as("component"))
-    val out = patched.unionByName(newNodes).localCheckpoint(true)
+    val out = patched.unionByName(newNodes).stagePin()
     lbl.unpersist(); merged.unpersist()
     out
   }
@@ -391,13 +394,13 @@ object GraphOps {
       // plans O(2^checkpointEvery) and gain executor-loss restart points.
       round += 1
       if (round % checkpointEvery == 0 && round < iters)
-        ranks = ranks.localCheckpoint(true)
+        ranks = ranks.stagePin()
     }
     // One materializing action for the whole loop (the lazy rounds fold
     // into it); only then is it safe to release the loop-invariant
     // frames the final plan no longer references.
     val out = ranks.select(col("id"), col("r").as("rank_units"))
-      .localCheckpoint(true)
+      .stagePin()
     nodes.unpersist()
     eDeg.unpersist()
     e.unpersist()
@@ -458,7 +461,7 @@ object GraphOps {
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id")
       .agg(count(lit(1)).as("triangles"))
-      .localCheckpoint(true)
+      .stagePin()
     canon.unpersist()
     oriented.unpersist()
     counts
@@ -490,7 +493,7 @@ object GraphOps {
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .stagePin()
     var cnt = e.count()
     var prev = -1L
     var rounds = 0
@@ -504,7 +507,7 @@ object GraphOps {
         .join(keep.withColumnRenamed("id", "u"), "u")
         .join(keep.withColumnRenamed("id", "v"), "v")
         .select("u", "v")
-        .localCheckpoint(true)
+        .stagePin()
       cnt = e.count()
       rounds += 1
     }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ops.Staging.StagedDf
+
 /** Statistical aggregates built for cross-engine reproducibility.
   *
   * Spark's own corr()/covar_samp()/regr_* accumulate doubles in scan
@@ -193,7 +195,7 @@ object StatOps {
     require(order.nonEmpty, "globalRowNumber: empty ordering")
     val p = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val staged = df.repartitionByRange(p, order: _*).localCheckpoint(true)
+    val staged = df.repartitionByRange(p, order: _*).stagePin()
     val withPid = staged
       .withColumn("_pid", org.apache.spark.sql.functions.spark_partition_id())
     val offsets = withPid.groupBy("_pid").agg(count(lit(1)).as("_c"))
@@ -232,7 +234,7 @@ object StatOps {
     require(valueCols.nonEmpty, "globalRunningSums: no value columns")
     val p = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val staged = df.repartitionByRange(p, order: _*).localCheckpoint(true)
+    val staged = df.repartitionByRange(p, order: _*).stagePin()
     val withPid = staged
       .withColumn("_pid", org.apache.spark.sql.functions.spark_partition_id())
     val totals = withPid.groupBy("_pid").agg(

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.ops.Staging.StagedDf
+
 /** Text-analysis operators for a training-data pipeline, all built from
   * codegen'd `functions._` primitives so they stay inside whole-stage
   * codegen at 100 TB: token counting, quality scoring, language-ID by
@@ -306,7 +308,7 @@ object TextOps {
     var corpus = df
       .select(concat(lit(" "),
         regexp_replace(trim(col(textCol)), " +", " "), lit(" ")).as("t"))
-      .localCheckpoint(true)
+      .stagePin()
     val log = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     while (step <= steps) {
@@ -330,7 +332,7 @@ object TextOps {
         corpus = corpus
           .select(replace(col("t"), lit(s" $pair "), lit(s" $merged "))
             .as("t"))
-          .localCheckpoint(true)
+          .stagePin()
         step += 1
       }
     }

