@@ -474,12 +474,17 @@ object GraphOps {
     * (spam rings and bot clusters survive in high cores; stragglers
     * peel away).
     *
-    * Per round: one degree rollup + two semi-join filters over the
-    * current edge set — O(E) — and ONE action (the eager checkpoint;
-    * the convergence test reads the cached count). Peeling is monotone,
-    * so rounds are bounded by the graph's degeneracy ordering depth;
-    * the fixpoint is unique regardless of peel order, which is what
-    * makes the operator oracle-able.
+    * Each scheduled round BATCHES TWO peels into one lazy plan before
+    * the pin: the second peel reads the first's uncommitted result, so
+    * one action (checkpoint + count) advances the fixpoint two steps —
+    * halving the round count on peel-chain-shaped graphs, where the
+    * per-round scheduler overhead, not data, is the cost (the identical
+    * first-peel subtrees inside the plan collapse into one execution
+    * via Spark's exchange reuse). Peeling is idempotent at the
+    * fixpoint, so the possible extra half-peel in the final round is a
+    * no-op; peel order never changes the (unique) k-core, which is what
+    * keeps the operator oracle-able and hash-stable. Rounds are bounded
+    * by the degeneracy ordering depth (now divided by two).
     *
     * @return (`id`, `degree`) for every node of the k-core, with its
     *         degree inside the core. Empty when no k-core exists.
@@ -488,6 +493,16 @@ object GraphOps {
       edges: DataFrame, aCol: String, bCol: String, k: Int,
       maxRounds: Int = 100): DataFrame = {
     require(k >= 1, s"kCoreNodes: k must be >= 1, got $k")
+    def peel(cur: DataFrame): DataFrame = {
+      val deg = cur.select(col("u").as("id"))
+        .unionAll(cur.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("id")
+      cur
+        .join(keep.withColumnRenamed("id", "u"), "u")
+        .join(keep.withColumnRenamed("id", "v"), "v")
+        .select("u", "v")
+    }
     var e = edges
       .select(least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
@@ -499,24 +514,21 @@ object GraphOps {
     var rounds = 0
     while (cnt != prev && cnt > 0 && rounds < maxRounds) {
       prev = cnt
-      val deg = e.select(col("u").as("id"))
-        .unionAll(e.select(col("v").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= k).select("id")
-      e = e
-        .join(keep.withColumnRenamed("id", "u"), "u")
-        .join(keep.withColumnRenamed("id", "v"), "v")
-        .select("u", "v")
-        .stagePin()
+      e = Staging.pin(peel(peel(e)))
       cnt = e.count()
       rounds += 1
     }
-    // cnt == prev ⟺ no node was removed (every removed node had ≥ 1
-    // incident edge) ⟺ fixpoint.
+    kCoreLastRounds.set(rounds)
+    // cnt == prev ⟺ no node was removed across a full double peel
+    // (every removed node had ≥ 1 incident edge) ⟺ fixpoint.
     e.select(col("u").as("id"))
       .unionAll(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
   }
+
+  /** Scheduled-round count of the last [[kCoreNodes]] call on this JVM
+    * (each round = two peels) — test instrumentation for the batching. */
+  private[ops] val kCoreLastRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
 
   /** Keep one representative (the min-id member) per duplicate cluster:
     * drops every row of `df` whose id is a non-representative member of a

@@ -193,12 +193,13 @@ object GraphQueries {
       "per-node triangle counts via degree-ordered orientation (skew-proof wedge work)"),
 
     // 15-core of the part co-purchase graph by iterative peeling
-    // ([[GraphOps.kCoreNodes]]) — takes 15 peel rounds to converge on
-    // this corpus (measured), so the gate genuinely exercises the
-    // fixpoint loop, and the surviving core is non-empty at every test
-    // SF. The k-core is UNIQUE whatever the peel order, which is what
-    // lets a fixed-round unrolled oracle (24 rounds, with margin) check
-    // an iterate-until-converged engine.
+    // ([[GraphOps.kCoreNodes]]) — needs 15 peels to converge on this
+    // corpus (measured; ~8 scheduled rounds with two peels batched per
+    // action), so the gate genuinely exercises the fixpoint loop, and
+    // the surviving core is non-empty at every test SF. The k-core is
+    // UNIQUE whatever the peel order or batching, which is what lets a
+    // fixed-round unrolled oracle (24 rounds, with margin) check an
+    // iterate-until-converged engine.
     Q(
       "graph_kcore",
       (s, d) => {

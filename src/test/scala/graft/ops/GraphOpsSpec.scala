@@ -224,6 +224,18 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.kCoreNodes(edges, "a", "b", k = 4).isEmpty)
   }
 
+  test("kCoreNodes batches two peels per scheduled round") {
+    import spark.implicits._
+    // path of 13 nodes, k=2: each peel strips the two endpoints, so the
+    // 2-core (empty) needs 6 single peels; double-peel batching must
+    // finish in ceil(6/2) + 1 verification round = 4 scheduled rounds
+    val path = (1L to 12L).map(i => (i, i + 1)).toDF("a", "b")
+    assert(GraphOps.kCoreNodes(path, "a", "b", k = 2).isEmpty)
+    val rounds = GraphOps.kCoreLastRounds.get()
+    assert(rounds <= 4, s"double-peel batching regressed: $rounds rounds")
+    assert(rounds >= 3, s"suspicious round count $rounds for a 6-peel chain")
+  }
+
   test("kCoreNodes agrees with a scalar peeling oracle on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
