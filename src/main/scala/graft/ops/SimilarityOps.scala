@@ -236,21 +236,25 @@ object SimilarityOps {
     *         squared L2 distance, ascending, nid tie-break. Recall vs
     *         the exact-L2 baseline is measured in DedupSimilaritySpec.
     */
-  def ivfPqTopK(
-      queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4,
-      m: Int = 4, ksub: Int = 16): DataFrame = {
-    val c = withNorm(corpus.select(col(idCol).as("nid"),
+  /** The PQ state shared by search ([[ivfPqTopK]]) and storage encoding
+    * ([[pqEncode]]): (centroid table, subspace codebook, per-vector
+    * codes), plus the assignment/slicing/distance helpers bundled as a
+    * small strategy object so the query side reuses the exact same
+    * arithmetic. */
+  private final class PqState(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, m: Int, ksub: Int) {
+    private val c = withNorm(corpus.select(col(idCol).as("nid"),
       col(vecCol).cast(ArrayType(DoubleType)).as("v")))
       .select(col("nid"), col("v").as("cv"), col("nrm").as("cn"))
-    val cent = withNorm(corpus.filter(col(idCol) < nlist)
+    val cent: DataFrame = withNorm(corpus.filter(col(idCol) < nlist)
       .select(col(idCol).as("cid"),
         col(vecCol).cast(ArrayType(DoubleType)).as("v")))
       .select(col("cid"), col("v").as("centv"), col("nrm").as("centn"))
 
     // coarse assignment KEEPING the centroid vector (residuals need it)
-    def assign(side: DataFrame, id: String, v: String, n: String, keep: Int) = {
+    def assign(side: DataFrame, id: String, v: String, n: String,
+        keep: Int): DataFrame = {
       val w = Window.partitionBy(id)
         .orderBy(col("_csim").desc, col("cid").asc)
       side.join(broadcast(cent), lit(true))
@@ -261,28 +265,65 @@ object SimilarityOps {
         .withColumn("rv", zip_with(col(v), col("centv"), (x, y) => x - y))
         .drop("centv", "centn", "_csim", "_crank")
     }
-    val dim = m // subspace count; subdim derived from the vector length
     def subspaces(rv: Column): Column = {
-      val subdim = (size(rv) / lit(dim)).cast("int")
-      explode(array((0 until dim).map(j =>
+      val subdim = (size(rv) / lit(m)).cast("int")
+      explode(array((0 until m).map(j =>
         struct(lit(j).as("j"),
           slice(rv, lit(j) * subdim + lit(1), subdim).as("sv"))): _*))
     }
     def d2(a: Column, b: Column): Column =
       dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
 
-    val lists = assign(c, "nid", "cv", "cn", 1)
-    val sub = lists.select(col("nid"), col("cid"), subspaces(col("rv")).as("_s"))
+    private val lists = assign(c, "nid", "cv", "cn", 1)
+    private val sub = lists
+      .select(col("nid"), col("cid"), subspaces(col("rv")).as("_s"))
       .select(col("nid"), col("cid"), col("_s.j").as("j"), col("_s.sv").as("sv"))
-    val cb = sub.filter(col("nid") < ksub)
+    val cb: DataFrame = sub.filter(col("nid") < ksub)
       .select(col("j"), col("nid").as("code"), col("sv").as("cbv"))
-    val encW = Window.partitionBy("nid", "j")
-      .orderBy(col("_d2").asc, col("code").asc)
-    val enc = sub.join(broadcast(cb), Seq("j"))
-      .withColumn("_d2", d2(col("sv"), col("cbv")))
-      .withColumn("_r", row_number().over(encW))
-      .filter(col("_r") === 1)
-      .select("nid", "cid", "j", "code")
+    val enc: DataFrame = {
+      val encW = Window.partitionBy("nid", "j")
+        .orderBy(col("_d2").asc, col("code").asc)
+      sub.join(broadcast(cb), Seq("j"))
+        .withColumn("_d2", d2(col("sv"), col("cbv")))
+        .withColumn("_r", row_number().over(encW))
+        .filter(col("_r") === 1)
+        .select("nid", "cid", "j", "code")
+    }
+  }
+
+  /** PQ STORAGE encoding: the (coarse list id, m subspace codes) tuple a
+    * 100 TB vector store persists INSTEAD of the raw embedding —
+    * [[ivfPqTopK]]'s posting-list representation surfaced as its own
+    * operator (m + ~1 small ints per vector vs dim doubles; here 4
+    * codes against a 64-dim double vector, 128×). Codes are pivoted
+    * into subspace order, so the row is exactly reconstructable into
+    * the ADC form at query time. Deterministic first-ids codebooks
+    * (gate-replayable); a trained codebook is a drop-in. */
+  def pqEncode(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, m: Int = 4, ksub: Int = 16): DataFrame = {
+    val st = new PqState(corpus, idCol, vecCol, nlist, m, ksub)
+    st.enc
+      .groupBy("nid")
+      .agg(max(col("cid")).as("cid"), // one cid per nid (single coarse list)
+        array((0 until m).map(j =>
+          max(when(col("j") === j, col("code")))): _*).as("codes"))
+      .select(col("nid").as("id"), col("cid"), col("codes"))
+  }
+
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 4, ksub: Int = 16): DataFrame = {
+    val st = new PqState(corpus, idCol, vecCol, nlist, m, ksub)
+    val dim = m
+    val cb = st.cb
+    val enc = st.enc
+    def assign(side: DataFrame, id: String, v: String, n: String, keep: Int) =
+      st.assign(side, id, v, n, keep)
+    def subspaces(rv: Column): Column = st.subspaces(rv)
+    def d2(a: Column, b: Column): Column = st.d2(a, b)
 
     val q = withNorm(queries.select(col(idCol).as("qid"),
       col(vecCol).cast(ArrayType(DoubleType)).as("v")))

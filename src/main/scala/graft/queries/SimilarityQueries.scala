@@ -8,7 +8,59 @@ import graft.ops.SimilarityOps
 /** Approximate-nearest-neighbor search over `embeddings.embedding`. */
 object SimilarityQueries {
 
+  /** The PQ encode cascade shared by the sim_topk_ivfpq and
+    * sim_pq_encode oracles: coarse assignment → residuals → subspace
+    * slices → codebook → per-subspace argmin codes (`enc`). Mirrors
+    * [[graft.ops.SimilarityOps]]' PqState step for step. */
+  private val pqEncCtes: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |cent AS (SELECT vec_id AS cid, v AS centv, nrm AS centn FROM n WHERE vec_id < 16),
+      |lists AS (
+      |  SELECT nid, cid, rv FROM (
+      |    SELECT c.vec_id AS nid, cent.cid,
+      |      list_transform(generate_series(1, len(c.v)),
+      |                     i -> c.v[i] - cent.centv[i]) AS rv,
+      |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+      |        list_dot_product(c.v, cent.centv) / (c.nrm * cent.centn) DESC,
+      |        cent.cid ASC) AS r
+      |    FROM n c CROSS JOIN cent) t WHERE r = 1),
+      |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+      |sub AS (
+      |  SELECT nid, cid, j,
+      |    rv[j*(len(rv)//4)+1 : (j+1)*(len(rv)//4)] AS sv
+      |  FROM lists CROSS JOIN js),
+      |cb AS (SELECT j, nid AS code, sv AS cbv FROM sub WHERE nid < 16),
+      |enc AS (
+      |  SELECT nid, cid, j, code FROM (
+      |    SELECT s.nid, s.cid, s.j, cb.code,
+      |      ROW_NUMBER() OVER (PARTITION BY s.nid, s.j ORDER BY
+      |        list_dot_product(s.sv, s.sv) + list_dot_product(cb.cbv, cb.cbv)
+      |          - 2.0 * list_dot_product(s.sv, cb.cbv) ASC,
+      |        cb.code ASC) AS r
+      |    FROM sub s JOIN cb ON cb.j = s.j) t WHERE r = 1)""".stripMargin
+
   val all: Seq[Q] = Seq(
+    // PQ STORAGE codes ([[SimilarityOps.pqEncode]]): what a 100 TB
+    // vector store persists per embedding — the coarse list id + m
+    // subspace codes — instead of dim raw doubles (128× smaller at
+    // dim 64 / m 4). The oracle replays assignment, residuals, and the
+    // per-subspace argmin, then pivots codes into subspace order.
+    Q(
+      "sim_pq_encode",
+      (s, d) =>
+        SimilarityOps
+          .pqEncode(T(s, d, "embeddings"), "vec_id", "embedding",
+            nlist = 16, m = 4, ksub = 16)
+          .orderBy("id"),
+      Some(s"""WITH $pqEncCtes
+              |SELECT nid AS id, max(cid) AS cid,
+              |  [max(CASE WHEN j = 0 THEN code END),
+              |   max(CASE WHEN j = 1 THEN code END),
+              |   max(CASE WHEN j = 2 THEN code END),
+              |   max(CASE WHEN j = 3 THEN code END)] AS codes
+              |FROM enc GROUP BY nid ORDER BY id""".stripMargin),
+      "PQ storage encoding: coarse list id + m subspace codes per vector"),
     // Per-label centroid of fixed-point-quantized embeddings — the
     // feature-aggregation shape under classifier quality filters, IVF
     // codebook seeding, and class prototypes. Kept EXACT the only way a
@@ -220,32 +272,7 @@ object SimilarityQueries {
             nlist = 16, nprobe = 4, m = 4, ksub = 16)
           .orderBy("qid", "rank")
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-             |cent AS (SELECT vec_id AS cid, v AS centv, nrm AS centn FROM n WHERE vec_id < 16),
-             |lists AS (
-             |  SELECT nid, cid, rv FROM (
-             |    SELECT c.vec_id AS nid, cent.cid,
-             |      list_transform(generate_series(1, len(c.v)),
-             |                     i -> c.v[i] - cent.centv[i]) AS rv,
-             |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
-             |        list_dot_product(c.v, cent.centv) / (c.nrm * cent.centn) DESC,
-             |        cent.cid ASC) AS r
-             |    FROM n c CROSS JOIN cent) t WHERE r = 1),
-             |js AS (SELECT unnest(generate_series(0, 3)) AS j),
-             |sub AS (
-             |  SELECT nid, cid, j,
-             |    rv[j*(len(rv)//4)+1 : (j+1)*(len(rv)//4)] AS sv
-             |  FROM lists CROSS JOIN js),
-             |cb AS (SELECT j, nid AS code, sv AS cbv FROM sub WHERE nid < 16),
-             |enc AS (
-             |  SELECT nid, cid, j, code FROM (
-             |    SELECT s.nid, s.cid, s.j, cb.code,
-             |      ROW_NUMBER() OVER (PARTITION BY s.nid, s.j ORDER BY
-             |        list_dot_product(s.sv, s.sv) + list_dot_product(cb.cbv, cb.cbv)
-             |          - 2.0 * list_dot_product(s.sv, cb.cbv) ASC,
-             |        cb.code ASC) AS r
-             |    FROM sub s JOIN cb ON cb.j = s.j) t WHERE r = 1),
+      Some(s"""WITH $pqEncCtes,
              |probes AS (
              |  SELECT qid, cid, qrv FROM (
              |    SELECT q.vec_id AS qid, cent.cid,
