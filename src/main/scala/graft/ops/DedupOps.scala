@@ -461,6 +461,16 @@ object DedupOps {
     val y = g.select(col(idCol).as("b"), col("pos").as("pb"), col("gram"))
     val m = x.join(y, Seq("gram")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), col("pa"), (col("pa") - col("pb")).as("diag"))
+    diagonalSpans(m, k, minLen)
+  }
+
+  /** Gaps-and-islands merge of positional gram matches into maximal
+    * spans — shared by [[substringSpanPairs]] (within-corpus) and
+    * [[substringSpanPairsBetween]] (cross-split). Expects (`a`, `b`,
+    * `pa`, `diag` = pa − pb); one window + rollup on the same shuffle.
+    * A run of c consecutive matching k-grams certifies c + k − 1
+    * shared tokens. */
+  private def diagonalSpans(m: DataFrame, k: Int, minLen: Int): DataFrame = {
     val w = Window.partitionBy("a", "b", "diag").orderBy("pa")
     val runSum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     m.withColumn("_prev", lag(col("pa"), 1).over(w))
@@ -474,5 +484,48 @@ object DedupOps {
         (col("a_start") - col("diag")).as("b_start"),
         (col("_c") + (k - 1)).as("span_len"))
       .filter(col("span_len") >= minLen)
+  }
+
+  /** CROSS-SPLIT exact-substring detection — span-level train→eval
+    * decontamination (Lee et al. 2021 §5 apply the same machinery
+    * across splits): every maximal shared token span of ≥ `minLen`
+    * tokens between a `base` (train) and `delta` (eval) document.
+    * The shingle-containment decontamination pass
+    * ([[CorpusOps]]) scores set overlap; this finds the verbatim
+    * leaked PASSAGE with its exact offsets on both sides — the
+    * evidence a curation pipeline logs before dropping the train doc.
+    *
+    * Same distributed shape as [[substringSpanPairs]]: positional
+    * k-gram anchors equi-joined ACROSS sides only (never train×train —
+    * the join is eval-proportional), diagonal islands merged on one
+    * window. `maxGramFreq` caps document frequency over BOTH sides
+    * combined, the [[ngramJaccardPairsBetween]] discipline; sides are
+    * assumed id-disjoint.
+    *
+    * @return (`a` = base/train doc, `b` = delta/eval doc, `a_start`,
+    *         `b_start`, `span_len`), positions 1-based. */
+  def substringSpanPairsBetween(
+      base: DataFrame, delta: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, minLen: Int = 8,
+      maxGramFreq: Option[Int] = Some(8)): DataFrame = {
+    require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
+    val gb0 = posGrams(base, idCol, textCol, k)
+    val gd0 = posGrams(delta, idCol, textCol, k)
+    val (gb, gd) = maxGramFreq match {
+      case Some(cap) =>
+        val kept = gb0.select(col(idCol), col("gram"))
+          .unionAll(gd0.select(col(idCol), col("gram")))
+          .groupBy("gram")
+          .agg(countDistinct(col(idCol)).as("df"))
+          .filter(col("df") <= cap)
+          .select("gram")
+        (gb0.join(kept, Seq("gram")), gd0.join(kept, Seq("gram")))
+      case None => (gb0, gd0)
+    }
+    val x = gb.select(col(idCol).as("a"), col("pos").as("pa"), col("gram"))
+    val y = gd.select(col(idCol).as("b"), col("pos").as("pb"), col("gram"))
+    val m = x.join(y, Seq("gram"))
+      .select(col("a"), col("b"), col("pa"), (col("pa") - col("pb")).as("diag"))
+    diagonalSpans(m, k, minLen)
   }
 }

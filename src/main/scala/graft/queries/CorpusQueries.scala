@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.{Q, T}
-import graft.ops.CorpusOps
+import graft.ops.{CorpusOps, DedupOps}
 
 /** Corpus-preparation battery over `documents`: deterministic hash
   * sampling / split assignment, stratified corpus mixing, fixed-window
@@ -231,6 +231,64 @@ object CorpusQueries {
            |ORDER BY eval_id, train_id""".stripMargin
       },
       "train->eval contamination pairs: cross-split shingle containment >= 0.6"),
+
+    // SPAN-LEVEL decontamination ([[DedupOps.substringSpanPairsBetween]]):
+    // the verbatim leaked PASSAGE between a train and an eval document,
+    // with exact 1-based offsets on both sides — shingle containment
+    // (above) scores set overlap; this is the evidence line a curation
+    // pipeline logs before dropping the train doc. Positional 4-gram
+    // anchors are equi-joined ACROSS splits only (never train×train),
+    // the doc-frequency cap is measured over both sides combined, and
+    // diagonal runs merge on one window — the dedup_substring_spans
+    // machinery pointed across the split boundary.
+    Q(
+      "corpus_decontaminate_spans",
+      (s, d) => {
+        val labeled = CorpusOps.assignSplit(T(s, d, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split")
+        DedupOps.substringSpanPairsBetween(
+          labeled.filter(col("split") === "train"),
+          labeled.filter(col("split") =!= "train"),
+          "doc_id", "text", k = 4, minLen = 8, maxGramFreq = Some(8))
+          .orderBy("a", "b", "a_start", "b_start")
+      },
+      Some {
+        val h = "md5('split:' || CAST(doc_id AS VARCHAR))"
+        s"""WITH lab AS (
+           |  SELECT doc_id, text,
+           |    CASE WHEN $h < '$T80' THEN 'train' ELSE 'other' END AS split
+           |  FROM documents),
+           |toks AS (SELECT doc_id, split,
+           |    string_split_regex(trim(text), ' +') AS t FROM lab),
+           |g0 AS (SELECT doc_id, split,
+           |    unnest(list_transform(generate_series(1, len(t) - 3),
+           |      i -> {'pos': i, 'gram': array_to_string(t[i:i+3], ' ')})) AS pg
+           |  FROM toks WHERE len(t) >= 4),
+           |g AS (SELECT doc_id, split, pg.pos AS pos, pg.gram AS gram FROM g0),
+           |kept AS (SELECT gram FROM g GROUP BY gram
+           |         HAVING count(DISTINCT doc_id) <= 8),
+           |gk AS (SELECT g.* FROM g JOIN kept USING (gram)),
+           |m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa,
+           |        x.pos - y.pos AS diag
+           |      FROM gk x JOIN gk y ON x.gram = y.gram
+           |      WHERE x.split = 'train' AND y.split <> 'train'),
+           |i0 AS (SELECT a, b, diag, pa,
+           |    CASE WHEN lag(pa) OVER w IS NULL
+           |           OR pa - lag(pa) OVER w > 1 THEN 1 ELSE 0 END AS nw
+           |  FROM m WINDOW w AS (PARTITION BY a, b, diag ORDER BY pa)),
+           |i1 AS (SELECT a, b, diag, pa,
+           |    SUM(nw) OVER (PARTITION BY a, b, diag ORDER BY pa
+           |                  ROWS UNBOUNDED PRECEDING) AS isl
+           |  FROM i0),
+           |spans AS (SELECT a, b, min(pa) AS a_start,
+           |    min(pa) - diag AS b_start,
+           |    CAST(count(*) + 3 AS BIGINT) AS span_len
+           |  FROM i1 GROUP BY a, b, diag, isl)
+           |SELECT a, b, a_start, b_start, span_len FROM spans
+           |WHERE span_len >= 8
+           |ORDER BY a, b, a_start, b_start""".stripMargin
+      },
+      "span-level train->eval decontamination: leaked passages with exact offsets"),
 
     // Sequence packing: fill 2048-token training sequences per shard, in
     // the deterministic shuffle order. pack_id = floor(exclusive-running-

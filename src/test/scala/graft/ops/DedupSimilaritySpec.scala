@@ -379,6 +379,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 6L, 10L, 12L)))
   }
 
+  test("substringSpanPairsBetween reports only cross-split spans") {
+    import spark.implicits._
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val leak = words("leak", 10)
+    val trainDup = words("traindup", 11) // shared train-train: must NOT appear
+    val train = Seq(
+      (1L, s"${words("a", 4)} $leak"),
+      (2L, s"$trainDup ${words("b", 3)}"),
+      (3L, s"${words("c", 2)} $trainDup")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, s"${words("q", 6)} $leak ${words("r", 2)}"),
+      (11L, words("clean", 15))).toDF("doc_id", "text")
+    val got = DedupOps
+      .substringSpanPairsBetween(train, eval_, "doc_id", "text",
+        k = 4, minLen = 8, maxGramFreq = None)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // only the train->eval leak, with exact offsets: doc 1 tokens 5-14,
+    // doc 10 tokens 7-16; the train-train duplicate never pairs
+    assert(got == Seq((1L, 10L, 5L, 7L, 10L)))
+  }
+
   test("substringSpanPairs: a gap splits spans; sub-minLen runs are dropped") {
     import spark.implicits._
     def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
