@@ -318,4 +318,41 @@ object MediaCodecs {
           sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
       }
     } catch { case _: Exception => None }
+
+  /** Nearest-neighbor resize of any ImageIO-decodable payload (PNG,
+    * JPEG, ...) re-encoded as PNG — the web-corpus thumbnail step. The
+    * pixel mapping is the explicit floor map dst(x,y) ← src(x·w/outW,
+    * y·h/outH), the same arithmetic as [[resizeBmpNearest]] — NOT
+    * Graphics2D scaling, whose interpolation/antialiasing choices are
+    * renderer-dependent and could never gate. PNG output is lossless,
+    * so resize(png gradient) replays arithmetically in the oracle.
+    * Corrupt/unrecognized input or non-positive target → None. */
+  def resizeImageNearest(
+      bytes: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] =
+    if (outW <= 0 || outH <= 0) None
+    else
+      try {
+        javax.imageio.ImageIO.setUseCache(false)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val out = new java.awt.image.BufferedImage(
+            outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < outH) {
+            var x = 0
+            while (x < outW) {
+              out.setRGB(x, y,
+                img.getRGB(x * w / outW, y * h / outH) & 0xffffff)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", baos)
+          Some(baos.toByteArray)
+        }
+      } catch { case _: Exception => None }
 }

@@ -247,4 +247,29 @@ object MultimodalOps {
         }
       }(enc)
   }
+
+  /** Web-format thumbnail round trip: each PNG/JPEG payload is
+    * nearest-neighbor resized to (outW, outH), re-encoded as PNG
+    * ([[MediaCodecs.resizeImageNearest]]), and the RESIZED payload is
+    * decoded again for dimensions + exact channel means — the
+    * [[resizeImagesReal]] pipeline over the formats a web corpus
+    * actually holds. Unparseable payloads contribute nothing (degrade,
+    * don't kill). */
+  def resizeWebImages(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, s"bad target size ${outW}x$outH")
+    val enc = RowEncoder.encoderFor(resizedImageSchema)
+    media
+      .select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val p =
+            if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          for {
+            resized <- MediaCodecs.resizeImageNearest(p, outW, outH)
+            m <- MediaCodecs.decodeImageIO(resized)
+          } yield Row(r.getLong(0), m.width, m.height, resized.length,
+            m.meanR, m.meanG, m.meanB)
+        }
+      }(enc)
+  }
 }

@@ -146,6 +146,43 @@ object MultimodalQueries {
              |  CASE WHEN d.doc_id % 2 = 0 THEN m.mb END AS mean_b
              |FROM dims d JOIN m USING (doc_id)
              |ORDER BY media_id""".stripMargin),
-      "PNG/JPEG ImageIO decode: exact PNG gradient means + JPEG dimensions vs arithmetic oracle")
+      "PNG/JPEG ImageIO decode: exact PNG gradient means + JPEG dimensions vs arithmetic oracle"),
+
+    // Web-format thumbnail round trip ([[MultimodalOps.resizeWebImages]]):
+    // PNG gradients nearest-neighbor resized to 4x2 with the explicit
+    // floor map (never Graphics2D scaling — renderer-dependent), re-
+    // encoded as PNG, re-decoded. Restricted to the PNG half (lossless
+    // end to end), so the oracle derives each thumbnail pixel straight
+    // from the synthesis gradient; n_bytes is deflate-dependent and
+    // projected away.
+    Q(
+      "mm_resize_web",
+      (s, d) =>
+        MultimodalOps
+          .resizeWebImages(
+            MultimodalOps.mediaFromDocumentsWeb(T(s, d, "documents"))
+              .filter(col("media_id") % 2 === 0),
+            outW = 4, outH = 2)
+          .drop("n_bytes")
+          .orderBy("media_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 8 + doc_id % 16 AS w, 4 + doc_id % 8 AS h
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |px AS (SELECT doc_id, w, h,
+             |    unnest(generate_series(0, 7)) AS i
+             |  FROM dims),
+             |p AS (SELECT doc_id,
+             |    ((i % 4) * w) // 4 AS x, ((i // 4) * h) // 2 AS y
+             |  FROM px),
+             |m AS (SELECT doc_id,
+             |    CAST(sum((doc_id*31 + 7*x + 11*y) % 256) AS DOUBLE) / 8 AS mr,
+             |    CAST(sum((doc_id*53 + 5*x + 3*y) % 256) AS DOUBLE) / 8 AS mg,
+             |    CAST(sum((doc_id*71 + 2*x + 13*y) % 256) AS DOUBLE) / 8 AS mb
+             |  FROM p GROUP BY doc_id)
+             |SELECT doc_id AS media_id,
+             |  CAST(4 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+             |  mr AS mean_r, mg AS mean_g, mb AS mean_b
+             |FROM m ORDER BY media_id""".stripMargin),
+      "web-format thumbnails: NN resize + PNG re-encode round trip vs gradient oracle")
   )
 }

@@ -189,6 +189,23 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(math.abs(m.meanB - pts.map(_._3.toLong).sum / n) < 4.0)
   }
 
+  test("resizeImageNearest floor-maps pixels; PNG round trip exact") {
+    val src = MediaCodecs.encodeImageIO("png", 4, 2,
+      (x, y) => (10 * x, 100 + 10 * y, 200 + x + y))
+    val out = MediaCodecs.resizeImageNearest(src, 2, 1).get
+    val m = MediaCodecs.decodeImageIO(out).get
+    assert(m.width == 2 && m.height == 1)
+    // chosen pixels: (0,0)=(0,100,200) and (2,0)=(20,100,202) — the
+    // exact floor mapping resizeBmpNearest pins
+    assert(m.meanR == 10.0 && m.meanG == 100.0 && m.meanB == 201.0)
+    // JPEG input decodes and resizes without error (lossy values)
+    val jpg = MediaCodecs.encodeImageIO("jpg", 8, 8, (_, _) => (50, 60, 70))
+    assert(MediaCodecs.resizeImageNearest(jpg, 2, 2).isDefined)
+    // corrupt input and degenerate targets degrade to None
+    assert(MediaCodecs.resizeImageNearest(Array[Byte](9, 9), 2, 2).isEmpty)
+    assert(MediaCodecs.resizeImageNearest(src, 0, 2).isEmpty)
+  }
+
   test("ImageIO decode degrades corrupt payloads to None, never throws") {
     assert(MediaCodecs.decodeImageIO(Array.empty[Byte]).isEmpty)
     assert(MediaCodecs.decodeImageIO(Array[Byte](1, 2, 3, 4)).isEmpty)
