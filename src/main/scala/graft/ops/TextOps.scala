@@ -73,6 +73,41 @@ object TextOps {
     * @return (`idCol`, `n_tokens`, `score`, `score_rate`, `keep`) with
     *         keep = score_rate >= 0 (the threshold filter).
     */
+  /** Gopher quality-rule battery (Rae et al. 2021, appendix A1.1 — the
+    * canonical rule-based document filter): word-count band, mean word
+    * length band, minimum alphabetic-word fraction, minimum distinct
+    * common-stopword hits, and a symbol-to-word ratio cap, composed
+    * into a per-document `keep`. One explode + one keyed rollup; every
+    * rule is decided on EXACT INTEGER comparisons (0.8·n as 5·alpha ≥
+    * 4·n, ratios cross-multiplied), so the verdicts — and the one
+    * reported IEEE mean — hash-gate cross-engine. The rule-based
+    * sibling of [[qualityClassifier]]'s learned scorer. */
+  def gopherRules(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stop = Stopwords
+    df.select(col(idCol), explode(split(trim(col(textCol)), " +")).as("tok"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("tok"))).cast("long").as("_chars"),
+        sum(col("tok").rlike("[a-zA-Z]").cast("long")).as("_alpha"),
+        countDistinct(when(col("tok").isInCollection(stop), col("tok")))
+          .as("_stops"),
+        sum(col("tok").rlike("#|\\.\\.\\.").cast("long")).as("_sym"))
+      .select(col(idCol), col("n_words"),
+        (col("_chars").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .as("mean_word_len"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).as("r_wordcount"),
+        (col("_chars") >= lit(3) * col("n_words") &&
+          col("_chars") <= lit(10) * col("n_words")).as("r_meanlen"),
+        (lit(5) * col("_alpha") >= lit(4) * col("n_words")).as("r_alpha"),
+        (col("_stops") >= 2).as("r_stop"),
+        (lit(10) * col("_sym") < col("n_words")).as("r_symbol"))
+      .withColumn("keep",
+        col("r_wordcount") && col("r_meanlen") && col("r_alpha") &&
+          col("r_stop") && col("r_symbol"))
+  }
+
   def qualityClassifier(
       df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(split(col(textCol), " +")).as("tok"))

@@ -555,6 +555,47 @@ object TextQueries {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "hashed linear classifier inference: pinned integer weights over md5 buckets"),
 
+    // Gopher rule battery ([[TextOps.gopherRules]]): the canonical
+    // rule-based document filter — word-count and mean-word-length
+    // bands, alphabetic-word fraction, distinct-stopword floor,
+    // symbol-ratio cap — all decided on exact integer comparisons so
+    // the verdicts hash-gate. The oracle replays the explode + rollup
+    // + cross-multiplied rules verbatim.
+    Q(
+      "text_gopher_rules",
+      (s, d) =>
+        TextOps.gopherRules(T(s, d, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some {
+        val stop = inList(TextOps.Stopwords)
+        s"""SELECT doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(length(tok)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           |    AS mean_word_len,
+           |  count(*) BETWEEN 50 AND 100000 AS r_wordcount,
+           |  sum(length(tok)) >= 3 * count(*) AND
+           |    sum(length(tok)) <= 10 * count(*) AS r_meanlen,
+           |  5 * sum(CASE WHEN regexp_matches(tok, '[a-zA-Z]')
+           |              THEN 1 ELSE 0 END) >= 4 * count(*) AS r_alpha,
+           |  count(DISTINCT CASE WHEN tok IN $stop THEN tok END) >= 2
+           |    AS r_stop,
+           |  10 * sum(CASE WHEN regexp_matches(tok, '#|\\.\\.\\.')
+           |              THEN 1 ELSE 0 END) < count(*) AS r_symbol,
+           |  (count(*) BETWEEN 50 AND 100000) AND
+           |  (sum(length(tok)) >= 3 * count(*) AND
+           |     sum(length(tok)) <= 10 * count(*)) AND
+           |  (5 * sum(CASE WHEN regexp_matches(tok, '[a-zA-Z]')
+           |              THEN 1 ELSE 0 END) >= 4 * count(*)) AND
+           |  (count(DISTINCT CASE WHEN tok IN $stop THEN tok END) >= 2) AND
+           |  (10 * sum(CASE WHEN regexp_matches(tok, '#|\\.\\.\\.')
+           |              THEN 1 ELSE 0 END) < count(*)) AS keep
+           |FROM (SELECT doc_id,
+           |        unnest(string_split_regex(trim(text), ' +')) AS tok
+           |      FROM documents)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+      "Gopher rule battery: five exact-integer document-quality rules + composed keep"),
+
     // Readability scoring (Flesch reading-ease with a vowel-group
     // syllable proxy — the standard dictionary-free approximation):
     // words, syllables and sentences are exact integer counts (regex
