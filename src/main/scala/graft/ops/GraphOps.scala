@@ -548,8 +548,17 @@ object GraphOps {
     */
   def keepClusterRepresentatives(
       df: DataFrame, idCol: String,
-      pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
-    val losers = sharedComponents(pairs, aCol, bCol)
+      pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame =
+    keepWithLabels(df, idCol, sharedComponents(pairs, aCol, bCol))
+
+  /** [[keepClusterRepresentatives]] against PRECOMPUTED labels — the form
+    * an incremental pipeline composes with [[incrementalComponents]]:
+    * labels are maintained per ingest, and the keep-set refresh is just
+    * this one un-hinted anti-join (same AQE-decides-broadcast rationale
+    * as above). */
+  def keepWithLabels(
+      df: DataFrame, idCol: String, labels: DataFrame): DataFrame = {
+    val losers = labels
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

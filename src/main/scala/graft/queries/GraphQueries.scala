@@ -52,6 +52,30 @@ object GraphQueries {
       T(s, d, "documents").filter(pmod(col("doc_id"), lit(2)) === p)
     })
 
+  /** Labels over base ∪ delta via the INCREMENTAL merge. The SCENARIO
+    * state — the even-id corpus half, its pair graph and its component
+    * labels — is staged through the shared memoized frames, exactly as
+    * production holds persisted labels between ingests; what executes
+    * fresh per call is the operator under test, the delta-edge merge
+    * itself ([[GraphOps.incrementalComponents]]). */
+  private def incrementalLabels(
+      s: org.apache.spark.sql.SparkSession, d: String) = {
+    val base = half(s, d, parity = 0)
+    val delta = half(s, d, parity = 1)
+    val baseLabels = GraphOps.sharedComponents(
+      DedupOps.sharedNgramJaccardPairs(base, "doc_id", "text",
+        k = 3, threshold = 0.8), "a", "b")
+    val deltaEdges = DedupOps
+      .ngramJaccardPairs(delta, "doc_id", "text", k = 3, threshold = 0.8,
+        reuseShingles = true)
+      .select("a", "b")
+      .unionByName(DedupOps
+        .ngramJaccardPairsBetween(base, delta, "doc_id", "text",
+          k = 3, threshold = 0.8, reuseBaseShingles = true)
+        .select("a", "b"))
+    GraphOps.incrementalComponents(baseLabels, deltaEdges, "a", "b")
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "dedup_cluster_resolve",
@@ -109,32 +133,32 @@ object GraphQueries {
     // corpus-wide).
     Q(
       "dedup_cluster_incremental",
-      (s, d) => {
-        // The SCENARIO state — the even-id corpus half, its pair graph
-        // and its component labels — is staged through the shared
-        // memoized frames, exactly as production holds persisted labels
-        // between ingests; what executes fresh per run is the operator
-        // under test, the delta-edge merge itself.
-        val base = half(s, d, parity = 0)
-        val delta = half(s, d, parity = 1)
-        val baseLabels = GraphOps.sharedComponents(
-          DedupOps.sharedNgramJaccardPairs(base, "doc_id", "text",
-            k = 3, threshold = 0.8), "a", "b")
-        val deltaEdges = DedupOps
-          .ngramJaccardPairs(delta, "doc_id", "text", k = 3, threshold = 0.8,
-            reuseShingles = true)
-          .select("a", "b")
-          .unionByName(DedupOps
-            .ngramJaccardPairsBetween(base, delta, "doc_id", "text",
-              k = 3, threshold = 0.8, reuseBaseShingles = true)
-            .select("a", "b"))
-        GraphOps.incrementalComponents(baseLabels, deltaEdges, "a", "b")
-          .orderBy("id")
-      },
+      (s, d) => incrementalLabels(s, d).orderBy("id"),
       Some(s"""WITH RECURSIVE ${DedupQueries.jaccardPairCtes(0.8)},
               |$componentCtes
               |SELECT id, component FROM comp ORDER BY id""".stripMargin),
       "incremental label merge of delta edges into persisted base labels ≡ full recompute"),
+
+    // The full incremental-dedup SERVICE loop closed end to end: labels
+    // maintained incrementally ([[GraphOps.incrementalComponents]]),
+    // then the corpus keep-set refreshed with one anti-join against
+    // them ([[GraphOps.keepWithLabels]]). The oracle is the
+    // dedup_cluster_keep full-recompute SQL — the composed incremental
+    // path must produce the exact same surviving corpus.
+    Q(
+      "corpus_keep_incremental",
+      (s, d) =>
+        GraphOps
+          .keepWithLabels(T(s, d, "documents"), "doc_id",
+            incrementalLabels(s, d))
+          .select("doc_id", "source")
+          .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE ${DedupQueries.jaccardPairCtes(0.8)},
+              |$componentCtes
+              |SELECT doc_id, source FROM documents
+              |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+              |ORDER BY doc_id""".stripMargin),
+      "corpus keep-set refreshed from incrementally-maintained labels ≡ full-recompute keep"),
 
     // Fixed-iteration PageRank over the customer→supplier trade graph in
     // exact fixed-point integer arithmetic ([[GraphOps.pageRankUnits]]) —
