@@ -358,4 +358,100 @@ object CorpusOps {
     * hashing / shingling, so layout differences don't defeat dedup. */
   def normalizeWhitespace(textCol: Column): Column =
     trim(regexp_replace(textCol, "\\s+", " "))
+
+  /** Deterministic masked-LM corruption (the BERT-style data-prep step):
+    * mask each token position independently w.p. `fraction`, decided by
+    * the salted hash of (doc, position) — so the corruption is
+    * re-run-stable, split-independent (own salt), and replayable in SQL,
+    * unlike an RNG draw. One positional explode + one keyed rollup;
+    * reassembly sorts the (pos, token) structs per document, which is
+    * exact because positions are unique within a doc. The masked-count
+    * is decided by the same hash predicate (never by matching the mask
+    * literal — a document could legitimately contain it).
+    *
+    * @return (`idCol`, `n_tokens`, `n_masked`, `masked_text`).
+    */
+  def maskTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      fraction: Double, salt: String,
+      maskTok: String = "[MASK]"): DataFrame = {
+    val t = md5Threshold(fraction)
+    df.select(col(idCol),
+        posexplode(split(trim(col(textCol)), " +")).as(Seq("pos", "tok")))
+      .withColumn("_m",
+        saltedHash(concat_ws(":", col(idCol), col("pos")), salt) < lit(t))
+      .withColumn("_out", when(col("_m"), lit(maskTok)).otherwise(col("tok")))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("_m").cast("long")).as("n_masked"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(pos, _out)))," +
+            " e -> e._out)"), " ").as("masked_text"))
+  }
+
+  /** Deterministic T5-style SPAN corruption (Raffel et al. 2020):
+    * positions mask by the same salted (doc, position) hash as
+    * [[maskTokens]], but contiguous masked RUNS collapse to one numbered
+    * sentinel in the corrupted input, and the target is the sentinel
+    * sequence with the dropped tokens — the (input, target) pair of
+    * denoising pre-training. Runs merge with the gaps-and-islands
+    * pattern (pos − rank is constant per contiguous run); sentinels
+    * number 0.. in positional order per document.
+    *
+    * One explode feeds three keyed rollups (runs, corrupted input,
+    * per-doc stats); reassembly sorts (pos, token) structs, exact
+    * because positions are unique. Documents with no masked position
+    * keep their text verbatim with an empty target.
+    *
+    * @return (`idCol`, `n_tokens`, `n_masked`, `n_spans`,
+    *         `corrupted_text`, `target_text`).
+    */
+  def spanCorrupt(
+      df: DataFrame, idCol: String, textCol: String,
+      fraction: Double, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = md5Threshold(fraction)
+    val base = df.select(col(idCol),
+        posexplode(split(trim(col(textCol)), " +")).as(Seq("pos", "tok")))
+      .withColumn("_m",
+        saltedHash(concat_ws(":", col(idCol), col("pos")), salt) < lit(t))
+    val byPos = Window.partitionBy(col(idCol)).orderBy("pos")
+    val masked = base.filter(col("_m"))
+      .withColumn("_rn", row_number().over(byPos))
+      .withColumn("_grp", col("pos") - col("_rn"))
+      .withColumn("k",
+        dense_rank().over(Window.partitionBy(col(idCol)).orderBy("_grp"))
+          - 1)
+    val runs = masked.groupBy(col(idCol), col("k"))
+      .agg(min("pos").as("pos"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(pos, tok)))," +
+            " e -> e.tok)"), " ").as("_run"))
+      .withColumn("_sent",
+        concat(lit("<extra_id_"), col("k").cast(StringType), lit(">")))
+    val corrupted = base.filter(!col("_m"))
+      .select(col(idCol), col("pos"), col("tok"))
+      .unionByName(runs.select(col(idCol), col("pos"), col("_sent").as("tok")))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(pos, tok)))," +
+          " e -> e.tok)"), " ").as("corrupted_text"))
+    val targets = runs
+      .withColumn("_piece", concat(col("_sent"), lit(" "), col("_run")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(k, _piece)))," +
+            " e -> e._piece)"), " ").as("target_text"))
+    base.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("_m").cast("long")).as("n_masked"))
+      .join(corrupted, Seq(idCol))
+      .join(targets, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_tokens"), col("n_masked"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        col("corrupted_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"))
+  }
 }

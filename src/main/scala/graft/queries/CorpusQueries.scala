@@ -290,6 +290,96 @@ object CorpusQueries {
       },
       "span-level train->eval decontamination: leaked passages with exact offsets"),
 
+    // Deterministic MLM corruption ([[CorpusOps.maskTokens]]): each token
+    // position masked w.p. 0.15 by the salted (doc, position) hash —
+    // re-run-stable and SQL-replayable, unlike an RNG draw. The oracle
+    // rebuilds the masked text with list_transform over 1-based indices
+    // (the engine's positions are 0-based: i-1 in the hash key) and
+    // counts masks by the same hash predicate.
+    Q(
+      "corpus_mask_tokens",
+      (s, d) =>
+        CorpusOps
+          .maskTokens(T(s, d, "documents"), "doc_id", "text",
+            fraction = 0.15, salt = "msk")
+          .orderBy("doc_id"),
+      Some {
+        val t15 = CorpusOps.md5Threshold(0.15)
+        def hit(idx: String) =
+          s"md5('msk:' || CAST(doc_id AS VARCHAR) || ':' || " +
+            s"CAST($idx AS VARCHAR)) < '$t15'"
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(t) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_filter(generate_series(1, len(t)),
+           |           i -> ${hit("i - 1")})) AS BIGINT) AS n_masked,
+           |  array_to_string(list_transform(generate_series(1, len(t)),
+           |    i -> CASE WHEN ${hit("i - 1")} THEN '[MASK]' ELSE t[i] END),
+           |    ' ') AS masked_text
+           |FROM toks ORDER BY doc_id""".stripMargin
+      },
+      "deterministic MLM token masking: salted positional hash, re-run-stable, SQL-replayable"),
+
+    // T5-style span corruption ([[CorpusOps.spanCorrupt]]): contiguous
+    // masked runs collapse to numbered sentinels in the input; the
+    // target pairs each sentinel with its dropped tokens — the
+    // denoising (input, target) pair. The oracle replays the islands
+    // merge (pos − row_number per doc), sentinel numbering, and both
+    // ordered reassemblies with string_agg(... ORDER BY).
+    Q(
+      "corpus_span_corrupt",
+      (s, d) =>
+        CorpusOps
+          .spanCorrupt(T(s, d, "documents"), "doc_id", "text",
+            fraction = 0.15, salt = "msk")
+          .orderBy("doc_id"),
+      Some {
+        val t15 = CorpusOps.md5Threshold(0.15)
+        def hit(idx: String) =
+          s"md5('msk:' || CAST(doc_id AS VARCHAR) || ':' || " +
+            s"CAST($idx AS VARCHAR)) < '$t15'"
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+           |  FROM documents),
+           |p AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+           |  FROM toks),
+           |q AS (SELECT doc_id, i, t[i] AS tok, ${hit("i - 1")} AS m FROM p),
+           |mk AS (SELECT doc_id, i, tok,
+           |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+           |  FROM q WHERE m),
+           |ks AS (SELECT doc_id, i, tok,
+           |    DENSE_RANK() OVER (PARTITION BY doc_id ORDER BY i - rn) - 1 AS k
+           |  FROM mk),
+           |runs AS (SELECT doc_id, k, min(i) AS start_i,
+           |    '<extra_id_' || CAST(k AS VARCHAR) || '>' AS sent,
+           |    string_agg(tok, ' ' ORDER BY i) AS run_toks
+           |  FROM ks GROUP BY doc_id, k),
+           |inp AS (
+           |  SELECT doc_id, i, tok FROM q WHERE NOT m
+           |  UNION ALL
+           |  SELECT doc_id, start_i AS i, sent AS tok FROM runs),
+           |agg_in AS (SELECT doc_id,
+           |    string_agg(tok, ' ' ORDER BY i) AS corrupted_text
+           |  FROM inp GROUP BY doc_id),
+           |agg_tg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           |    string_agg(sent || ' ' || run_toks, ' ' ORDER BY k)
+           |      AS target_text
+           |  FROM runs GROUP BY doc_id)
+           |SELECT toks.doc_id,
+           |  CAST(len(t) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_filter(generate_series(1, len(t)),
+           |           i -> ${hit("i - 1")})) AS BIGINT) AS n_masked,
+           |  coalesce(n_spans, 0) AS n_spans,
+           |  agg_in.corrupted_text,
+           |  coalesce(target_text, '') AS target_text
+           |FROM toks JOIN agg_in USING (doc_id)
+           |LEFT JOIN agg_tg USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      },
+      "T5 span corruption: islands->sentinels input + sentinel-paired target, hash-deterministic"),
+
     // Sequence packing: fill 2048-token training sequences per shard, in
     // the deterministic shuffle order. pack_id = floor(exclusive-running-
     // token-total / budget) — contiguous fill with boundary splitting, the

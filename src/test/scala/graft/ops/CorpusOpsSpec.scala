@@ -91,6 +91,56 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.count() == docs.filter($"lang" === "en").count())
   }
 
+  test("maskTokens: mask count matches, unmasked tokens ride through in order") {
+    val out = CorpusOps.maskTokens(docs, "doc_id", "text", 0.25, "mt")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    orig.foreach { case (id, text) =>
+      val toks = text.trim.split(" +").toSeq
+      val (n, nm, masked) = out(id)
+      val mtoks = masked.split(" ", -1).toSeq
+      assert(n == toks.size && mtoks.size == toks.size)
+      assert(nm == mtoks.count(_ == "[MASK]"))
+      // every unmasked position is the original token
+      toks.zip(mtoks).foreach { case (o, m) =>
+        assert(m == "[MASK]" || m == o)
+      }
+    }
+    assert(out.values.map(_._2).sum > 0, "vacuous: nothing masked")
+  }
+
+  test("spanCorrupt: sentinel round trip restores the original text") {
+    val out = CorpusOps.spanCorrupt(docs, "doc_id", "text", 0.3, "sc").collect()
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sentRe = "<extra_id_(\\d+)>".r
+    var sawSpan = false
+    out.foreach { r =>
+      val (id, nTok, nMask, nSpans) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (corr, targ) = (r.getString(4), r.getString(5))
+      val toks = orig(id).trim.split(" +").toSeq
+      assert(nTok == toks.size)
+      // parse the target into k -> dropped tokens
+      val marks = sentRe.findAllMatchIn(targ).toSeq
+      assert(marks.size == nSpans)
+      val spans = marks.zipWithIndex.map { case (m, i) =>
+        val end = if (i + 1 < marks.size) marks(i + 1).start else targ.length
+        m.group(1).toInt ->
+          targ.substring(m.end, end).trim.split(" +").filter(_.nonEmpty).toSeq
+      }.toMap
+      assert(spans.values.map(_.size).sum == nMask)
+      if (nSpans > 0) sawSpan = true
+      // substitute each sentinel with its span: must restore the original
+      val restored = corr.split(" ", -1).toSeq.flatMap {
+        case sentRe(k) => spans(k.toInt)
+        case tok => Seq(tok)
+      }
+      assert(restored == toks, s"doc $id round trip")
+    }
+    assert(sawSpan, "vacuous: no spans produced")
+  }
+
   test("chunkDocs windows reassemble the token stream") {
     val chunked = CorpusOps.chunkDocs(docs, "doc_id", "text", 32, 8)
     val byDoc = chunked.orderBy("doc_id", "chunk_id")
