@@ -96,6 +96,15 @@ object Scale {
       pmod(xxhash64(col("id"), lit(1)), lit(100000)).as("x"),
       pmod(xxhash64(col("id"), lit(2)), lit(100000)).as("y"))
 
+  /** 16-dim hash-derived embeddings (values in [0, 10)) — enough
+    * structure for IVF-PQ's coarse lists to be non-degenerate. */
+  private def vecs(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0L), lit(15L)),
+        j => (pmod(xxhash64(col("id") * 16L + j), lit(1000))
+          .cast("double") / lit(100.0))).as("embedding"))
+
   private def time(f: => Long): Double = {
     val t0 = System.nanoTime()
     val n = f
@@ -128,8 +137,17 @@ object Scale {
       val te = triEdges(spark, 2 * n).persist()
       val iv = intervals(spark, n).persist()
       val ms = measures(spark, n).persist()
-      // materialize outside the clock
-      (d.count(), nm.count(), e.count(), te.count(), iv.count(), ms.count())
+      val vc = vecs(spark, n).persist()
+      val baseE = e.filter(col("a") % 20 =!= 9).persist()
+      val deltaE = e.filter(col("a") % 20 === 9).persist()
+      // materialize outside the clock; incremental CC's scenario state
+      // (base labels, BPE merge table) is likewise pre-built — the timed
+      // pass is the per-ingest operator, as in production
+      (d.count(), nm.count(), e.count(), te.count(), iv.count(), ms.count(),
+        vc.count(), baseE.count(), deltaE.count())
+      val baseLabels = GraphOps.connectedComponents(baseE, "a", "b")
+      val bpeTable = TextOps.bpeMergesLog(d, "text", steps = 5)
+        .map(m => (m._2, m._3))
 
       val ops: Seq[(String, () => Long)] = Seq(
         "ngram_jaccard_capped" -> (() =>
@@ -227,7 +245,47 @@ object Scale {
         "global_rank" -> (() =>
           StatOps.globalRowNumber(ms,
             Seq(org.apache.spark.sql.functions.col("v"),
-              org.apache.spark.sql.functions.col("mid")), "r").count()))
+              org.apache.spark.sql.functions.col("mid")), "r").count()),
+        // BPE encode: the merge table (induced outside the clock, driver
+        // state) rides the expression; one scan with a fixed per-row
+        // loop over it — the curve must track the corpus alone
+        "bpe_encode" -> (() => {
+          TextOps.bpeEncode(d, "doc_id", "text", bpeTable)
+            .select(sum(length(col("enc")))).head().getLong(0)
+        }),
+        // incremental CC: base labels persisted outside the clock; the
+        // timed pass is the delta merge only (delta = the n/10 chain
+        // reconnection edges) — the service-loop cost, delta-linear
+        "incremental_cc" -> (() => {
+          val labels = GraphOps.incrementalComponents(
+            baseLabels, deltaE, "a", "b")
+          val rows = labels.count()
+          labels.unpersist()
+          rows
+        }),
+        // IVF-PQ: assignment is n x nlist broadcast, encoding n x m x
+        // ksub — both linear in the corpus; the query side is O(1)
+        "ivfpq_topk" -> (() =>
+          graft.ops.SimilarityOps.ivfPqTopK(
+            vc.filter(col("vec_id") < 5), vc, "vec_id", "embedding",
+            k = 10, nlist = 16, nprobe = 4, m = 4, ksub = 16).count()),
+        // span corruption: explode + islands windows keyed by doc — the
+        // windows partition on doc_id so work must track token count
+        "span_corrupt" -> (() =>
+          CorpusOps.spanCorrupt(d, "doc_id", "text",
+            fraction = 0.15, salt = "sc").count()),
+        // cross-split span decontamination: anchors join ACROSS the
+        // 80/20 split only; with vocabulary ∝ n the match volume stays
+        // ∝ n (the planted near-dup pairs straddling the split)
+        "decontaminate_spans" -> (() => {
+          val lab = CorpusOps.assignSplit(d, "doc_id",
+            Seq("train" -> 0.8, "eval" -> 0.2), salt = "ds")
+          DedupOps.substringSpanPairsBetween(
+            lab.filter(col("split") === "train"),
+            lab.filter(col("split") =!= "train"),
+            "doc_id", "text", k = 4, minLen = 8,
+            maxGramFreq = Some(8)).count()
+        }))
 
       // optional args(1): comma-separated op names — run only those
       // (refresh individual curves without paying the full sweep)
@@ -242,6 +300,8 @@ object Scale {
       }
       d.unpersist(); nm.unpersist(); e.unpersist()
       te.unpersist(); iv.unpersist(); ms.unpersist()
+      vc.unpersist(); baseE.unpersist(); deltaE.unpersist()
+      baseLabels.unpersist()
     }
 
     // markdown table: rows = ops, one column per size, plus the growth
