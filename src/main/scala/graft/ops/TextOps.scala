@@ -398,6 +398,40 @@ object TextOps {
         graft.expr.BpeApply(col(textCol), merges).as("enc"))
       .withColumn("n_tokens", size(split(col("enc"), " ")).cast("long"))
 
+  /** Tokenize to INTEGER IDS — the artifact a training pipeline actually
+    * ships: [[bpeEncode]] the corpus with the merge table, then assign
+    * each surviving token its rank in the corpus vocabulary (count
+    * descending, token ascending — the standard frequency-ordered id
+    * space, deterministic under ties) and emit per-document id arrays
+    * in position order.
+    *
+    * The vocabulary ranking uses [[StatOps.globalRowNumber]] — range
+    * partition + broadcast offsets — NEVER a single-partition
+    * `row_number() OVER (ORDER BY ...)`: a 100 TB corpus has a
+    * vocabulary in the millions, and this is exactly the stage where a
+    * naive global window would bottleneck. Id arrays reassemble by
+    * sorting (pos, id) structs per document, exact because positions
+    * are unique.
+    *
+    * @return (`idCol`, `n_tokens`, `ids` array in token order).
+    */
+  def bpeEncodeIds(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val tok = bpeEncode(df, idCol, textCol, merges)
+      .select(col(idCol),
+        posexplode(split(col("enc"), " ")).as(Seq("pos", "tok")))
+    val vocab = StatOps.globalRowNumber(
+        tok.groupBy("tok").agg(count(lit(1)).as("cnt")),
+        Seq(col("cnt").desc, col("tok").asc), "vid")
+      .select(col("tok"), (col("vid") - 1).as("vid"))
+    tok.join(vocab, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("transform(array_sort(collect_list(struct(pos, vid)))," +
+          " e -> e.vid)").as("ids"))
+  }
+
   def langId(text: Column): Column =
     // fused vote + first-strict-argmax in one native pass. The previous
     // when-chain fold duplicated the running best in both branches of

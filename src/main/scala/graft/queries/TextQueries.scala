@@ -15,6 +15,33 @@ object TextQueries {
   private def inList(items: Seq[String]): String =
     items.map(s => s"'$s'").mkString("(", ",", ")")
 
+  /** The doc_id-carrying BPE induction cascade `t0..t{steps}` shared by
+    * the text_bpe_encode and text_bpe_ids oracles (see text_bpe_merges
+    * for the cascade's commentary): t{steps} IS the encoded corpus. */
+  private def bpeCascadeCtes(steps: Int): String = {
+    val rounds = (1 to steps).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT pair, count(*) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(k) - 1),
+         |        j -> k[j] || ' ' || k[j + 1])) AS pair
+         |    FROM (SELECT string_split(trim(t), ' ') AS k FROM t${i - 1})
+         |    WHERE len(k) >= 2)
+         |  GROUP BY pair),
+         |m$i AS MATERIALIZED (
+         |  SELECT pair, replace(pair, ' ', '+') AS merged, cnt
+         |  FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |t$i AS MATERIALIZED (
+         |  SELECT doc_id, replace(t, ' ' || (SELECT pair FROM m$i) || ' ',
+         |                 ' ' || (SELECT merged FROM m$i) || ' ') AS t
+         |  FROM t${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""t0 AS MATERIALIZED (
+       |  SELECT doc_id, ' ' || array_to_string(
+       |      string_split_regex(trim(text), ' +'), ' ') || ' ' AS t
+       |  FROM documents),
+       |$rounds""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "text_stats",
@@ -473,33 +500,44 @@ object TextQueries {
           .orderBy("doc_id")
       },
       Some {
-        val steps = 5
-        val rounds = (1 to steps).map { i =>
-          s"""p$i AS MATERIALIZED (
-             |  SELECT pair, count(*) AS cnt FROM (
-             |    SELECT unnest(list_transform(generate_series(1, len(k) - 1),
-             |        j -> k[j] || ' ' || k[j + 1])) AS pair
-             |    FROM (SELECT string_split(trim(t), ' ') AS k FROM t${i - 1})
-             |    WHERE len(k) >= 2)
-             |  GROUP BY pair),
-             |m$i AS MATERIALIZED (
-             |  SELECT pair, replace(pair, ' ', '+') AS merged, cnt
-             |  FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
-             |t$i AS MATERIALIZED (
-             |  SELECT doc_id, replace(t, ' ' || (SELECT pair FROM m$i) || ' ',
-             |                 ' ' || (SELECT merged FROM m$i) || ' ') AS t
-             |  FROM t${i - 1})""".stripMargin
-        }.mkString(",\n")
-        s"""WITH t0 AS MATERIALIZED (
-           |  SELECT doc_id, ' ' || array_to_string(
-           |      string_split_regex(trim(text), ' +'), ' ') || ' ' AS t
-           |  FROM documents),
-           |$rounds
+        s"""WITH ${bpeCascadeCtes(5)}
            |SELECT doc_id, trim(t) AS enc,
            |  CAST(len(string_split(trim(t), ' ')) AS BIGINT) AS n_tokens
-           |FROM t$steps ORDER BY doc_id""".stripMargin
+           |FROM t5 ORDER BY doc_id""".stripMargin
       },
       "BPE encode: apply the 5 induced merges to tokenize every document, one scan"),
+
+    // Tokenize to INTEGER IDS ([[TextOps.bpeEncodeIds]]): encode with
+    // the induced merges, rank the resulting vocabulary by (count desc,
+    // token asc) — via the range-staged global rank, never a
+    // single-partition window — and emit per-doc id arrays in position
+    // order. The oracle extends the encode cascade with the same
+    // frequency ranking and an ordered list() reassembly.
+    Q(
+      "text_bpe_ids",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val merges = TextOps.bpeMergesLog(docs, "text", steps = 5)
+          .map { case (_, pair, merged, _) => (pair, merged) }
+        TextOps.bpeEncodeIds(docs, "doc_id", "text", merges)
+          .orderBy("doc_id")
+      },
+      Some {
+        s"""WITH ${bpeCascadeCtes(5)},
+           |tok AS (
+           |  SELECT doc_id, i, toks[i] AS tok FROM (
+           |    SELECT doc_id, string_split(trim(t), ' ') AS toks FROM t5),
+           |    unnest(generate_series(1, len(toks))) AS u(i)),
+           |v0 AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+           |vocab AS (SELECT tok,
+           |    ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) - 1 AS vid
+           |  FROM v0)
+           |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  list(v.vid ORDER BY t.i) AS ids
+           |FROM tok t JOIN vocab v USING (tok)
+           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+      },
+      "BPE token-id encoding: frequency-ranked vocabulary ids per document, in order"),
 
     // The hashing trick (feature hashing): every token maps to one of 256
     // fixed buckets by hash — the fixed-width featurizer that needs NO
