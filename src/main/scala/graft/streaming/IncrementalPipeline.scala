@@ -43,6 +43,23 @@ object IncrementalPipeline {
     df.withWatermark(eventTimeCol, watermark)
       .dropDuplicates(keys :+ eventTimeCol)
 
+  /** Streaming dedupe against a STATIC base corpus: drop every incoming
+    * row whose fingerprint already exists in the persisted base — the
+    * per-ingest front door of an incremental dedup service (new-vs-new
+    * duplicates are [[streamingDedupe]]'s job; this one stops re-ingests
+    * of ALREADY-CURATED content before they enter the pipeline at all).
+    * Stream-static left_anti joins are executed per micro-batch against
+    * the batch plan, so the base may be a parquet table of fingerprints
+    * refreshed between restarts; Spark broadcasts it when it fits and
+    * shuffles the batch side otherwise — the same AQE-decides posture
+    * as [[graft.ops.GraphOps.keepWithLabels]].
+    *
+    * @param base static frame holding `fpCol` (e.g. the curated corpus'
+    *        fingerprint column, one row per known document). */
+  def streamingDedupeAgainstBase(
+      stream: DataFrame, base: DataFrame, fpCol: String): DataFrame =
+    stream.join(base.select(fpCol).distinct(), Seq(fpCol), "left_anti")
+
   /** Key-only streaming dedupe within the watermark window
     * (`dropDuplicatesWithinWatermark`): deduplicates on the BUSINESS key
     * alone, so a re-delivery whose event time was re-stamped (the

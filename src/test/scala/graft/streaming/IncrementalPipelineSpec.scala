@@ -38,6 +38,28 @@ class IncrementalPipelineSpec extends AnyFunSuite {
     assert(rows == Seq(1L, 2L, 3L))
   }
 
+  test("stream-static dedupe drops re-ingests of already-curated content") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the curated base: fingerprints of documents already in the corpus
+    val base = Seq(("fp_a", 1L), ("fp_b", 2L)).toDF("fp", "base_doc")
+    val input = MemoryStream[(String, String)]
+    val df = input.toDF().toDF("fp", "text")
+    val fresh = IncrementalPipeline.streamingDedupeAgainstBase(df, base, "fp")
+    val q = fresh.writeStream
+      .format("memory").queryName("base_dedupe_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(("fp_a", "known doc"), ("fp_c", "new doc"))
+    q.processAllAvailable()
+    input.addData(("fp_b", "known doc 2"), ("fp_d", "new doc 2"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT fp FROM base_dedupe_out")
+      .as[String].collect().sorted.toSeq
+    q.stop()
+    // only content absent from the base survives to ingestion
+    assert(rows == Seq("fp_c", "fp_d"))
+  }
+
   test("dedupeWithinWatermark collapses re-stamped replays; plain dedupe can't") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
