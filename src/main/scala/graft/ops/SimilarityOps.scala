@@ -243,14 +243,23 @@ object SimilarityOps {
     * arithmetic. */
   private final class PqState(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, m: Int, ksub: Int) {
+      nlist: Int, m: Int, ksub: Int,
+      coarse: Option[DataFrame] = None) {
     private val c = withNorm(corpus.select(col(idCol).as("nid"),
       col(vecCol).cast(ArrayType(DoubleType)).as("v")))
       .select(col("nid"), col("v").as("cv"), col("nrm").as("cn"))
-    val cent: DataFrame = withNorm(corpus.filter(col(idCol) < nlist)
-      .select(col(idCol).as("cid"),
-        col(vecCol).cast(ArrayType(DoubleType)).as("v")))
-      .select(col("cid"), col("v").as("centv"), col("nrm").as("centn"))
+    // coarse quantizer: the deterministic first-ids slice by default
+    // (gate-replayable), or any (cid, centv) codebook — e.g.
+    // [[kmeansCodebook]] — as the literal drop-in the docs claim
+    val cent: DataFrame = coarse match {
+      case Some(cb) =>
+        if (cb.columns.contains("centn")) cb
+        else cb.withColumn("centn", sqrt(dot(col("centv"), col("centv"))))
+      case None => withNorm(corpus.filter(col(idCol) < nlist)
+        .select(col(idCol).as("cid"),
+          col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+        .select(col("cid"), col("v").as("centv"), col("nrm").as("centn"))
+    }
 
     // coarse assignment KEEPING the centroid vector (residuals need it)
     def assign(side: DataFrame, id: String, v: String, n: String,
@@ -315,8 +324,9 @@ object SimilarityOps {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
-      m: Int = 4, ksub: Int = 16): DataFrame = {
-    val st = new PqState(corpus, idCol, vecCol, nlist, m, ksub)
+      m: Int = 4, ksub: Int = 16,
+      coarse: Option[DataFrame] = None): DataFrame = {
+    val st = new PqState(corpus, idCol, vecCol, nlist, m, ksub, coarse)
     val dim = m
     val cb = st.cb
     val enc = st.enc

@@ -222,6 +222,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall > 0.1, s"degenerate recall $recall")
   }
 
+  test("IVF-PQ with a k-means-trained coarse codebook is a drop-in") {
+    val emb = T(spark, sf, "embeddings")
+    val codebook = SimilarityOps
+      .kmeansCodebook(emb, "vec_id", "embedding", nlist = 16, iters = 2)
+    val pq = SimilarityOps
+      .ivfPqTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 4, m = 4, ksub = 16,
+        coarse = Some(codebook))
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // same plan, different centroid table: every query still ranks rows
+    assert(pq.map(_._1).toSet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(pq.length == pq.distinct.length)
+  }
+
   test("k-means-trained IVF codebook: valid centroids, recall measured") {
     val emb = T(spark, sf, "embeddings")
     val codebook = SimilarityOps
