@@ -530,6 +530,81 @@ object GraphOps {
     * (each round = two peels) — test instrumentation for the batching. */
   private[ops] val kCoreLastRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
 
+  /** The k-TRUSS of an undirected graph: the maximal subgraph in which
+    * every EDGE closes at least k−2 triangles within the subgraph —
+    * the cohesion tier above [[kCoreNodes]] (every k-truss is inside
+    * the (k−1)-core, but trusses demand mutual triangles, not just
+    * degree, so loosely-attached hubs peel away). The dense-community
+    * primitive for near-dup cluster QA: a truss survives only where
+    * duplicates corroborate each other pairwise.
+    *
+    * Per round: one triangle enumeration over the current edge set with
+    * the [[triangleCounts]] discipline — edges oriented low→high by
+    * (current degree, id), so every wedge is generated at its
+    * lowest-degree endpoint and the join is skew-proof, O(m^1.5) not
+    * O(m·d_max) — then per-edge support from exploding each triangle's
+    * three canonical edges, and one support filter. Deletion is
+    * monotone and the fixpoint unique whatever the peel order (the
+    * standard k-truss result), which is what lets a fixed-round
+    * unrolled SQL oracle check an iterate-until-converged engine. Each
+    * round is pinned ([[Staging.pin]]) with ONE action; rounds are
+    * bounded by the support-peeling depth.
+    *
+    * @return surviving canonical edges with their in-truss support:
+    *         (`u`, `v`, `support`), u < v. Empty when no k-truss exists.
+    */
+  def kTrussEdges(
+      edges: DataFrame, aCol: String, bCol: String, k: Int,
+      maxRounds: Int = 50): DataFrame = {
+    require(k >= 3, s"kTrussEdges: k must be >= 3, got $k")
+    def supports(e: DataFrame): DataFrame = {
+      val deg = e.select(col("u").as("id"))
+        .unionAll(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val oriented = e
+        .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("s"),
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("t"))
+      val tri = oriented.select(col("s").as("a"), col("t").as("b"))
+        .join(oriented.select(col("s").as("b"), col("t").as("c")), "b")
+        .join(oriented.select(col("s").as("a"), col("t").as("c")), Seq("a", "c"))
+      tri.select(explode(array(
+          struct(least(col("a"), col("b")).as("u"),
+            greatest(col("a"), col("b")).as("v")),
+          struct(least(col("b"), col("c")).as("u"),
+            greatest(col("b"), col("c")).as("v")),
+          struct(least(col("a"), col("c")).as("u"),
+            greatest(col("a"), col("c")).as("v")))).as("ed"))
+        .select(col("ed.u").as("u"), col("ed.v").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+    }
+    var e = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .stagePin()
+    var cnt = e.count()
+    var prev = -1L
+    var rounds = 0
+    while (cnt != prev && cnt > 0 && rounds < maxRounds) {
+      prev = cnt
+      // inner join: an edge in no triangle has no support row -> dropped
+      e = Staging.pin(
+        e.join(supports(e).filter(col("support") >= k - 2), Seq("u", "v"))
+          .select("u", "v"))
+      cnt = e.count()
+      rounds += 1
+    }
+    e.join(supports(e), Seq("u", "v")) // final in-truss support per edge
+  }
+
   /** Keep one representative (the min-id member) per duplicate cluster:
     * drops every row of `df` whose id is a non-representative member of a
     * connected component of `pairs`. Rows never mentioned in `pairs`

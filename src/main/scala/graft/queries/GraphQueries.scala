@@ -175,6 +175,68 @@ object GraphQueries {
               |ORDER BY doc_id""".stripMargin),
       "corpus keep-set refreshed from incrementally-maintained labels ≡ full-recompute keep"),
 
+    // 5-TRUSS of the (urgent, finished) part co-purchase graph
+    // ([[GraphOps.kTrussEdges]]) — the cohesion tier above graph_kcore:
+    // every surviving EDGE closes ≥ 3 triangles inside the subgraph,
+    // so loosely-attached hubs that degree alone would keep peel away.
+    // Takes 3 support-peel rounds to converge on this corpus
+    // (measured), so the fixpoint loop is genuinely exercised; the
+    // truss is UNIQUE whatever the peel order, which lets a fixed
+    // 8-round unrolled oracle (margin over the measured 3) check an
+    // iterate-until-converged engine. Final support is re-enumerated
+    // over the converged edge set — the in-truss support per edge.
+    Q(
+      "graph_ktruss",
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+          .join(T(s, d, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT" &&
+              col("o_orderstatus") === "F"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val e = li.as("x")
+          .join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("u"), col("y.p").as("v"))
+        GraphOps.kTrussEdges(e, "u", "v", k = 5).orderBy("u", "v")
+      },
+      Some {
+        val k = 5
+        val rounds = (1 to 9).map { i =>
+          val p = i - 1
+          s"""tri$i AS MATERIALIZED (
+             |  SELECT x.u AS a, x.v AS b, y.v AS c
+             |  FROM t$p x JOIN t$p y ON x.v = y.u
+             |  JOIN t$p z ON z.u = x.u AND z.v = y.v),
+             |sup$i AS MATERIALIZED (
+             |  SELECT u, v, count(*) AS support FROM (
+             |    SELECT a AS u, b AS v FROM tri$i
+             |    UNION ALL SELECT b AS u, c AS v FROM tri$i
+             |    UNION ALL SELECT a AS u, c AS v FROM tri$i) GROUP BY u, v),
+             |t$i AS MATERIALIZED (
+             |  SELECT t.u, t.v FROM t$p t JOIN sup$i s
+             |    ON s.u = t.u AND s.v = t.v
+             |  WHERE s.support >= ${k - 2})""".stripMargin
+        }.mkString(",\n")
+        s"""WITH t0 AS MATERIALIZED (
+           |  SELECT DISTINCT x.p AS u, y.p AS v FROM
+           |    (SELECT DISTINCT o.o_orderkey AS ok, l.l_partkey AS p
+           |     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |     WHERE o.o_orderpriority = '1-URGENT'
+           |       AND o.o_orderstatus = 'F') x
+           |  JOIN (SELECT DISTINCT o.o_orderkey AS ok, l.l_partkey AS p
+           |     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |     WHERE o.o_orderpriority = '1-URGENT'
+           |       AND o.o_orderstatus = 'F') y
+           |  ON x.ok = y.ok AND x.p < y.p),
+           |$rounds
+           |SELECT t8.u AS u, t8.v AS v, sup9.support
+           |FROM t8 JOIN sup9 ON sup9.u = t8.u AND sup9.v = t8.v
+           |ORDER BY t8.u, t8.v""".stripMargin
+      },
+      "5-truss edges with in-truss support: iterative triangle-support peel, unique fixpoint"),
+
     // Fixed-iteration PageRank over the customer→supplier trade graph in
     // exact fixed-point integer arithmetic ([[GraphOps.pageRankUnits]]) —
     // floating-point PageRank is scan-order-dependent and could never

@@ -224,6 +224,68 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.kCoreNodes(edges, "a", "b", k = 4).isEmpty)
   }
 
+  /** Scalar k-truss oracle: iterative support peel over an edge set. */
+  private def trussOracle(
+      edges: Seq[(Long, Long)], k: Int): Map[(Long, Long), Long] = {
+    var e = edges.map(t => (math.min(t._1, t._2), math.max(t._1, t._2)))
+      .filter(t => t._1 != t._2).toSet
+    def sup(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val s = scala.collection.mutable.Map[(Long, Long), Long]()
+        .withDefaultValue(0L)
+      val nodes = es.flatMap(t => Seq(t._1, t._2)).toSeq.distinct.sorted
+      for {
+        (a, b) <- es; c <- nodes
+        if c > b && es((b, c)) && es((a, c))
+      } { s((a, b)) += 1; s((b, c)) += 1; s((a, c)) += 1 }
+      s.toMap
+    }
+    var changed = true
+    while (changed) {
+      val s = sup(e)
+      val keep = e.filter(t => s.getOrElse(t, 0L) >= k - 2)
+      changed = keep != e
+      e = keep
+    }
+    sup(e)
+  }
+
+  test("kTrussEdges: K4 survives at k=4, an attached triangle peels") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every edge in 2 triangles) plus triangle {4,5,6}
+    // attached at node 4 — its edges close only 1 triangle each
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("a", "b")
+    val got4 = GraphOps.kTrussEdges(edges, "a", "b", k = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got4 == Set((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+    // k=3 keeps every edge that closes a triangle — both cliques
+    val got3 = GraphOps.kTrussEdges(edges, "a", "b", k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got3.map(t => (t._1, t._2)) ==
+      edges.as[(Long, Long)].collect().toSet)
+    // k above any support: empty, no error
+    assert(GraphOps.kTrussEdges(edges, "a", "b", k = 5).isEmpty)
+  }
+
+  test("kTrussEdges agrees with a scalar peeling oracle on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 2) {
+      val n = 24
+      val edges = (1 to 140)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val got = GraphOps.kTrussEdges(edges.toDF("a", "b"), "a", "b", k = 4)
+        .as[(Long, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      assert(got == trussOracle(edges, 4), s"trial $trial")
+    }
+  }
+
   test("kCoreNodes batches two peels per scheduled round") {
     import spark.implicits._
     // path of 13 nodes, k=2: each peel strips the two endpoints, so the
