@@ -75,4 +75,39 @@ object LinkageOps {
 
   /** Unpersist and drop every shared pair frame (test hygiene). */
   def clearPairCache(): Unit = pairCache.clear()
+
+  /** SURVIVORSHIP: collapse each resolved entity cluster to one golden
+    * record — the step after entity resolution in every MDM/dedup
+    * pipeline (clusters alone still hold conflicting attribute values;
+    * something must pick). Rules, all deterministic:
+    *  - `modeCols`: the most frequent value, ties broken by the
+    *    smallest value (struct-min over (−count, value) — one keyed
+    *    rollup per column, no window);
+    *  - `maxCols`: the maximum (the best-value rule for measures like
+    *    account balance — a COMPARISON of stored values, no float
+    *    arithmetic, so it hash-gates);
+    *  - `n_members`: cluster size.
+    *
+    * @param labels (`id`, `component`) over the full universe (e.g.
+    *        [[GraphOps.withSingletons]] of the resolved clusters);
+    *        component becomes `entity_id`.
+    */
+  def goldenRecords(
+      df: DataFrame, idCol: String, labels: DataFrame,
+      modeCols: Seq[String], maxCols: Seq[String]): DataFrame = {
+    val base = df.join(
+      labels.select(col("id").as(idCol), col("component").as("entity_id")),
+      Seq(idCol))
+    val head = base.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+        maxCols.map(c => max(col(c)).as(c)): _*)
+    modeCols.foldLeft(head) { (acc, c) =>
+      val m = base.groupBy(col("entity_id"), col(c))
+        .agg(count(lit(1)).as("_cnt"))
+        .groupBy(col("entity_id"))
+        .agg(min(struct((-col("_cnt")).as("nc"), col(c).as("v"))).as("_w"))
+        .select(col("entity_id"), col("_w.v").as(c))
+      acc.join(m, Seq("entity_id"))
+    }
+  }
 }

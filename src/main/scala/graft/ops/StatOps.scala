@@ -256,6 +256,38 @@ object StatOps {
     }.drop("_pid" +: valueCols.map { case (v, _) => s"_off_$v" }: _*)
   }
 
+  /** Exact per-group WEIGHTED lower median: the smallest value whose
+    * cumulative weight reaches half the group total under the
+    * (`valueCol`, `idCol`) total order — the order-statistic family's
+    * weighted member (volume-weighted price midpoints, sample-weighted
+    * survey medians). Pure integer arithmetic: weights cast to long,
+    * the qualifying test is 2·cumw ≥ totw (no halving), and the result
+    * is a STORED element — engine-portable like [[madOutliers]]'
+    * medians, never interpolated. Rows with non-positive weight are
+    * excluded (they cannot host mass and would tie cumulative sums).
+    * One sort shuffle per group; the argmin over the qualifying suffix
+    * rides the same pass as a struct-min aggregate.
+    *
+    * @return (`groupCol`, `weighted_median`, `total_weight`).
+    */
+  def weightedMedian(
+      df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(idCol))
+    df.select(col(groupCol), col(valueCol), col(idCol),
+        col(weightCol).cast("long").as("_w"))
+      .filter(col("_w") > 0)
+      .withColumn("_cw", sum("_w").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_tw", sum("_w").over(Window.partitionBy(groupCol)))
+      .filter(col("_cw") * 2 >= col("_tw"))
+      .groupBy(col(groupCol))
+      .agg(min(struct(col("_cw"), col(valueCol).as("v"))).as("_m"),
+        max("_tw").as("total_weight"))
+      .select(col(groupCol), col("_m.v").as("weighted_median"),
+        col("total_weight"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic between the rows
     * where `flagCol` is 1 (sample A) and 0 (sample B): D = max over the
     * merged order of |F_A − F_B|, computed as max |c_A·n_B − c_B·n_A| /

@@ -283,6 +283,44 @@ object AnalyticsQueries {
              |FROM events ORDER BY event_id""".stripMargin),
       "JSON path extraction + typed cast from a string payload column"),
 
+    // Exact per-group WEIGHTED median ([[graft.ops.StatOps
+    // .weightedMedian]]): the volume-weighted midpoint price per return
+    // flag — price cents (floored, IEEE-identical) weighted by
+    // quantity, the 2·cumw ≥ totw stored-element selection under the
+    // (value, id) total order. The oracle replays the running-weight
+    // window and the first-qualifying-row pick.
+    Q(
+      "agg_weighted_median",
+      (s, d) =>
+        graft.ops.StatOps.weightedMedian(
+          T(s, d, "lineitem").select(
+            col("l_returnflag"),
+            floor(col("l_extendedprice") * 100).cast("long").as("v"),
+            col("l_quantity").cast("long").as("w"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("id")),
+          "l_returnflag", "v", "w", "id")
+          .orderBy("l_returnflag"),
+      Some("""WITH t AS (
+             |  SELECT l_returnflag,
+             |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+             |    CAST(l_quantity AS BIGINT) AS w,
+             |    l_orderkey * 10 + l_linenumber AS id
+             |  FROM lineitem WHERE CAST(l_quantity AS BIGINT) > 0),
+             |c AS (
+             |  SELECT l_returnflag, v, w, id,
+             |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v, id
+             |                 ROWS UNBOUNDED PRECEDING) AS cw,
+             |    SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+             |  FROM t)
+             |SELECT l_returnflag, v AS weighted_median,
+             |  CAST(tw AS BIGINT) AS total_weight
+             |FROM (SELECT l_returnflag, v, tw,
+             |        ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |                           ORDER BY cw, v) AS rn
+             |      FROM c WHERE cw * 2 >= tw) q
+             |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin),
+      "exact weighted lower median: 2-cumw stored-element selection, integer weights"),
+
     // Exact percentiles (sort-based; values here interpolate onto exact
     // grid points, so the DuckDB quantile_cont oracle matches)
     Q(

@@ -30,6 +30,26 @@ object LinkageQueries {
   private def maskSql(p: Int, t: String) =
     s"substr($t.c_name, 1, ${p - 1}) || substr($t.c_name, ${p + 1}, ${19 - p})"
 
+  /** [[pairCtes]] with matching blocked WITHIN c_nationkey — the
+    * golden-record gate's variant (name variant + same country). */
+  private def natPairCtes: String = {
+    val passes = (14 to 18).map { p =>
+      s"""  SELECT l.c_custkey AS a, r.c_custkey AS b,
+         |         l.c_name AS a_name, r.c_name AS b_name
+         |  FROM customer l JOIN customer r
+         |    ON l.c_nationkey = r.c_nationkey
+         |   AND ${maskSql(p, "l")} = ${maskSql(p, "r")}
+         |   AND l.c_custkey < r.c_custkey""".stripMargin
+    }.mkString("\n  UNION\n")
+    s"""cand AS (
+       |$passes),
+       |pairs AS (
+       |  SELECT a, b, a_name, b_name,
+       |    CAST(levenshtein(a_name, b_name) AS INTEGER) AS dist
+       |  FROM cand
+       |  WHERE levenshtein(a_name, b_name) <= 1)""".stripMargin
+  }
+
   /** The fuzzy pair graph as CTEs (`pairs(a, b)`) — shared by the pair
     * gate and the entity-resolution composition below. */
   private def pairCtes: String = {
@@ -98,6 +118,63 @@ object LinkageQueries {
              |  coalesce(comp.component, c.c_custkey) AS entity_id
              |FROM customer c LEFT JOIN comp ON comp.id = c.c_custkey
              |ORDER BY id""".stripMargin),
-      "entity resolution: fuzzy pairs → connected components → universe-complete canonical ids")
+      "entity resolution: fuzzy pairs → connected components → universe-complete canonical ids"),
+
+    // SURVIVORSHIP ([[LinkageOps.goldenRecords]]): each resolved entity
+    // collapses to ONE golden record — mode-with-smallest-tie-break for
+    // name and market segment (one keyed rollup per attribute, no
+    // window), max for account balance (stored-value comparison, no
+    // float arithmetic), plus cluster size. The MDM step after
+    // linkage_entity_resolve. Matching here is blocked WITHIN
+    // c_nationkey (name variant + same country — the realistic MDM
+    // rule): the unconstrained distance-1 graph over sequential
+    // synthetic names chains the whole table into one entity, which
+    // would make survivorship vacuous. Different blocking, same frame —
+    // the pair cache keys on the blocking expressions, so this variant
+    // never collides with the name-only gate's entry. The oracle
+    // replays the nation-blocked pairs, component CTEs, per-attribute
+    // mode ranks, and the measure rollup.
+    Q(
+      "linkage_golden_record",
+      (s, d) => {
+        val natMask = (14 to 18).map(p =>
+          concat(col("c_nationkey").cast("string"), lit("|"), mask(p)))
+        val pairs = LinkageOps
+          .sharedBlockedFuzzyPairs(T(s, d, "customer"), "c_custkey", "c_name",
+            natMask, maxDistance = 1)
+        val labels = GraphOps.withSingletons(
+          GraphOps.sharedComponents(pairs, "a", "b"),
+          T(s, d, "customer"), "c_custkey")
+        LinkageOps.goldenRecords(T(s, d, "customer"), "c_custkey", labels,
+          modeCols = Seq("c_name", "c_mktsegment"),
+          maxCols = Seq("c_acctbal"))
+          .orderBy("entity_id")
+      },
+      Some(s"""WITH RECURSIVE $natPairCtes,
+             |edges AS (SELECT a AS u, b AS v FROM pairs
+             |  UNION SELECT b AS u, a AS v FROM pairs),
+             |reach AS (
+             |  SELECT u AS id, v AS r FROM edges
+             |  UNION
+             |  SELECT reach.id, e.v AS r FROM reach JOIN edges e ON reach.r = e.u),
+             |comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+             |lab AS (SELECT c.*, coalesce(comp.component, c.c_custkey) AS entity_id
+             |        FROM customer c LEFT JOIN comp ON comp.id = c.c_custkey),
+             |head AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+             |           max(c_acctbal) AS c_acctbal
+             |         FROM lab GROUP BY entity_id),
+             |mname AS (SELECT entity_id, c_name FROM (
+             |  SELECT entity_id, c_name, ROW_NUMBER() OVER (
+             |    PARTITION BY entity_id ORDER BY count(*) DESC, c_name ASC) AS rn
+             |  FROM lab GROUP BY entity_id, c_name) q WHERE rn = 1),
+             |mseg AS (SELECT entity_id, c_mktsegment FROM (
+             |  SELECT entity_id, c_mktsegment, ROW_NUMBER() OVER (
+             |    PARTITION BY entity_id ORDER BY count(*) DESC, c_mktsegment ASC) AS rn
+             |  FROM lab GROUP BY entity_id, c_mktsegment) q WHERE rn = 1)
+             |SELECT h.entity_id, h.n_members, h.c_acctbal,
+             |  mname.c_name, mseg.c_mktsegment
+             |FROM head h JOIN mname USING (entity_id) JOIN mseg USING (entity_id)
+             |ORDER BY entity_id""".stripMargin),
+      "survivorship golden records: per-entity mode/max/count rules after resolution")
   )
 }
