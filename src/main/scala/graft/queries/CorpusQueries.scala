@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.{Q, T}
-import graft.ops.{CorpusOps, DedupOps}
+import graft.ops.{CorpusOps, DedupOps, TextOps}
 
 /** Corpus-preparation battery over `documents`: deterministic hash
   * sampling / split assignment, stratified corpus mixing, fixed-window
@@ -379,6 +379,82 @@ object CorpusQueries {
            |ORDER BY doc_id""".stripMargin
       },
       "T5 span corruption: islands->sentinels input + sentinel-paired target, hash-deterministic"),
+
+    // TOKENIZE-AND-EXPORT end to end — the round-9 tier composed the way
+    // a training-data export actually runs: Gopher rule filter → BPE
+    // tokenizer INDUCED ON THE KEPT CORPUS (filter first, then train —
+    // the production order) → encode every surviving doc → 4-way hash
+    // sharding → 128-token greedy packing in the deterministic
+    // per-shard shuffle order. Each stage is separately gated
+    // (text_gopher_rules, text_bpe_encode, corpus_split_assign,
+    // corpus_pack_sequences); this gates their COMPOSITION, including
+    // the subtlety that the merge table differs from the full-corpus
+    // one because induction sees only kept docs.
+    Q(
+      "corpus_tokenize_export",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = T(s, d, "documents")
+        val kept = docs.join(
+          TextOps.gopherRules(docs, "doc_id", "text")
+            .filter(col("keep")).select("doc_id"),
+          Seq("doc_id"))
+        val merges = TextOps.bpeMergesLog(kept, "text", steps = 5)
+          .map { case (_, p, m, _) => (p, m) }
+        val enc = TextOps.bpeEncode(kept, "doc_id", "text", merges)
+          .select("doc_id", "n_tokens")
+        val sharded = CorpusOps.assignSplit(
+          enc.withColumn("pri", CorpusOps.saltedHash(col("doc_id"), "exp")),
+          "doc_id", (0 until 4).map(i => s"shard$i" -> 0.25),
+          salt = "xshard", outCol = "shard")
+        val pw = Window.partitionBy("shard").orderBy("pri", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sharded
+          .withColumn("pack_id",
+            floor((sum(col("n_tokens")).over(pw) - col("n_tokens")) / 128.0)
+              .cast("long"))
+          .select("doc_id", "shard", "n_tokens", "pack_id")
+          .orderBy("doc_id")
+      },
+      Some {
+        val stop = TextOps.Stopwords.map(s => s"'$s'")
+          .mkString("(", ",", ")")
+        val cuts = (1 to 3).map(i => CorpusOps.md5Threshold(i / 4.0))
+        val hh = "md5('xshard:' || CAST(doc_id AS VARCHAR))"
+        s"""WITH gk AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id, count(*) AS n, sum(length(tok)) AS ch,
+           |      sum(CASE WHEN regexp_matches(tok, '[a-zA-Z]')
+           |          THEN 1 ELSE 0 END) AS al,
+           |      count(DISTINCT CASE WHEN tok IN $stop THEN tok END) AS st,
+           |      sum(CASE WHEN regexp_matches(tok, '#|\\.\\.\\.')
+           |          THEN 1 ELSE 0 END) AS sy
+           |    FROM (SELECT doc_id,
+           |            unnest(string_split_regex(trim(text), ' +')) AS tok
+           |          FROM documents)
+           |    GROUP BY doc_id) q
+           |  WHERE n BETWEEN 50 AND 100000 AND ch >= 3 * n AND ch <= 10 * n
+           |    AND 5 * al >= 4 * n AND st >= 2 AND 10 * sy < n),
+           |kept AS (SELECT d.doc_id, d.text
+           |         FROM documents d JOIN gk USING (doc_id)),
+           |${TextQueries.bpeCascadeCtes(5, src = "kept")},
+           |enc AS (SELECT doc_id,
+           |    CAST(len(string_split(trim(t), ' ')) AS BIGINT) AS n_tokens
+           |  FROM t5),
+           |sh AS (SELECT doc_id, n_tokens,
+           |    CASE WHEN $hh < '${cuts(0)}' THEN 'shard0'
+           |         WHEN $hh < '${cuts(1)}' THEN 'shard1'
+           |         WHEN $hh < '${cuts(2)}' THEN 'shard2'
+           |         ELSE 'shard3' END AS shard,
+           |    md5('exp:' || CAST(doc_id AS VARCHAR)) AS pri
+           |  FROM enc)
+           |SELECT doc_id, shard, n_tokens,
+           |  CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard
+           |      ORDER BY pri, doc_id ROWS UNBOUNDED PRECEDING)
+           |    - n_tokens) / 128.0) AS BIGINT) AS pack_id
+           |FROM sh ORDER BY doc_id""".stripMargin
+      },
+      "tokenize-and-export e2e: Gopher filter -> BPE trained on kept corpus -> shard -> pack"),
 
     // Sequence packing: fill 2048-token training sequences per shard, in
     // the deterministic shuffle order. pack_id = floor(exclusive-running-

@@ -18,7 +18,8 @@ object TextQueries {
   /** The doc_id-carrying BPE induction cascade `t0..t{steps}` shared by
     * the text_bpe_encode and text_bpe_ids oracles (see text_bpe_merges
     * for the cascade's commentary): t{steps} IS the encoded corpus. */
-  private def bpeCascadeCtes(steps: Int): String = {
+  private[queries] def bpeCascadeCtes(
+      steps: Int, src: String = "documents"): String = {
     val rounds = (1 to steps).map { i =>
       s"""p$i AS MATERIALIZED (
          |  SELECT pair, count(*) AS cnt FROM (
@@ -38,7 +39,7 @@ object TextQueries {
     s"""t0 AS MATERIALIZED (
        |  SELECT doc_id, ' ' || array_to_string(
        |      string_split_regex(trim(text), ' +'), ' ') || ' ' AS t
-       |  FROM documents),
+       |  FROM $src),
        |$rounds""".stripMargin
   }
 

@@ -24,8 +24,9 @@ class PlanGuardSpec extends AnyFunSuite {
     Set("dedup_embedding_cosine", "sim_topk_bruteforce", "sim_topk_ivf",
       // IVF-PQ's centroid assignment is the same broadcast centroid
       // cross join as sim_topk_ivf (nlist rows, broadcast by
-      // construction); its codebook joins are equi-joins on j
-      "sim_topk_ivfpq",
+      // construction); its codebook joins are equi-joins on j. The PQ
+      // storage encoder shares the identical assignment stage.
+      "sim_topk_ivfpq", "sim_pq_encode",
       "sim_knn_classify", "sketch_kmv_setops", "sketch_hll_union",
       "stats_cuped_adjust",
       // single-row "n = max global rank" broadcasts (same O(N) shape
