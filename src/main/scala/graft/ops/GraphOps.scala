@@ -270,9 +270,10 @@ object GraphOps {
       .select(coalesce(col("ra"), col("ea")).as("a"),
         coalesce(col("rb"), col("eb")).as("b"))
       .filter(col("a") =!= col("b"))
-    // (root-or-new-id, merged component): min over the merged group
+    // (root-or-new-id, merged component): min over the merged group.
+    // connectedComponents returns an eagerly PINNED frame — no second
+    // persist; both downstream joins read the checkpoint blocks.
     val merged = connectedComponents(contracted, "a", "b")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val patched = lbl
       .join(merged.select(col("id").as("component"),
         col("component").as("newc")), Seq("component"), "left_outer")
@@ -285,7 +286,7 @@ object GraphOps {
         Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("newc"), col("id")).as("component"))
     val out = patched.unionByName(newNodes).stagePin()
-    lbl.unpersist(); merged.unpersist()
+    lbl.unpersist()
     out
   }
 
@@ -593,16 +594,25 @@ object GraphOps {
     var cnt = e.count()
     var prev = -1L
     var rounds = 0
-    while (cnt != prev && cnt > 0 && rounds < maxRounds) {
+    var converged = false
+    while (!converged && cnt > 0 && rounds < maxRounds) {
       prev = cnt
-      // inner join: an edge in no triangle has no support row -> dropped
+      // inner join: an edge in no triangle has no support row -> dropped.
+      // The support COLUMN rides through the pin: at convergence (the
+      // filter removed nothing) it was measured on an edge set equal to
+      // the final one, so the converged frame already carries the
+      // in-truss support — no second O(m^1.5) triangle enumeration.
       e = Staging.pin(
-        e.join(supports(e).filter(col("support") >= k - 2), Seq("u", "v"))
-          .select("u", "v"))
+        e.select("u", "v")
+          .join(supports(e.select("u", "v"))
+            .filter(col("support") >= k - 2), Seq("u", "v")))
       cnt = e.count()
+      converged = cnt == prev
       rounds += 1
     }
-    e.join(supports(e), Seq("u", "v")) // final in-truss support per edge
+    if (converged && e.columns.contains("support")) e
+    else // empty input or the maxRounds backstop: supports may be stale
+      e.select("u", "v").join(supports(e.select("u", "v")), Seq("u", "v"))
   }
 
   /** Keep one representative (the min-id member) per duplicate cluster:

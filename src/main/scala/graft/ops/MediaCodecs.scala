@@ -283,9 +283,21 @@ object MediaCodecs {
     }
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in tasks
-    javax.imageio.ImageIO.write(img, format, baos)
+    // write returns false (without writing a byte) when no writer is
+    // registered for `format` — a CALLER misconfiguration, which must
+    // fail loudly, not masquerade as a corrupt payload downstream
+    require(javax.imageio.ImageIO.write(img, format, baos),
+      s"no ImageIO writer registered for format '$format'")
     baos.toByteArray
   }
+
+  /** Decode-size ceiling: a few-KB adversarial payload can DECLARE a
+    * 50000×50000 raster whose pixel array would be ~10 GB — an
+    * OutOfMemoryError (an Error, uncatchable by the Exception handler)
+    * that would kill the task in defiance of the degrade-to-NULL
+    * contract. 16.7M pixels (4096²) covers any legitimate corpus image
+    * at this tier; larger payloads degrade to None BEFORE allocation. */
+  private val MaxDecodePixels = 1L << 24
 
   /** Decode any ImageIO-supported container (PNG, JPEG, GIF, BMP...) to
     * dimensions + exact per-channel means. Same contract as the
@@ -300,7 +312,8 @@ object MediaCodecs {
       javax.imageio.ImageIO.setUseCache(false)
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
-      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0 ||
+        img.getWidth.toLong * img.getHeight > MaxDecodePixels) None
       else {
         val w = img.getWidth
         val h = img.getHeight
@@ -335,7 +348,8 @@ object MediaCodecs {
         javax.imageio.ImageIO.setUseCache(false)
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
-        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0 ||
+          img.getWidth.toLong * img.getHeight > MaxDecodePixels) None
         else {
           val (w, h) = (img.getWidth, img.getHeight)
           val out = new java.awt.image.BufferedImage(

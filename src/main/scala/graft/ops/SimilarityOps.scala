@@ -245,6 +245,15 @@ object SimilarityOps {
       corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, m: Int, ksub: Int,
       coarse: Option[DataFrame] = None) {
+    // subspace slicing silently DROPS trailing dimensions when the
+    // vector length is not divisible by m — fail fast at the driver
+    // instead of ranking neighbors on a truncated vector (one LIMIT-1
+    // scan, paid once per state construction)
+    corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.foreach { r =>
+        require(r.getInt(0) % m == 0,
+          s"PQ subspace count m=$m must divide the vector dim ${r.getInt(0)}")
+      }
     private val c = withNorm(corpus.select(col(idCol).as("nid"),
       col(vecCol).cast(ArrayType(DoubleType)).as("v")))
       .select(col("nid"), col("v").as("cv"), col("nrm").as("cn"))

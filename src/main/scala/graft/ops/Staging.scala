@@ -20,6 +20,16 @@ import org.apache.spark.sql.DataFrame
   *    executors. Same semantics, same plan truncation; only the block
   *    durability changes, which is why the spec re-runs the iterative
   *    operators under this mode and asserts identical results.
+  *
+  * Reliable mode ALSO requires
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
+  * context-start conf): without it Spark never reclaims reliable
+  * checkpoint files, so every pinned round of a deep iteration would
+  * accumulate on the checkpoint filesystem until the app exits — a
+  * 100-round fixpoint leaving 100 full label copies behind. With it,
+  * replaced rounds' files are deleted by the ContextCleaner once the
+  * pinned frame is unreferenced, matching local mode's block
+  * reclamation. Both requirements fail fast at the driver.
   */
 object Staging {
   val ReliableKey = "spark.graft.reliableCheckpoints"
@@ -27,12 +37,29 @@ object Staging {
   def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val reliable = spark.conf.getOption(ReliableKey).exists(_.toBoolean)
-    if (reliable) {
-      require(spark.sparkContext.getCheckpointDir.isDefined,
-        s"$ReliableKey=true requires SparkContext.setCheckpointDir " +
-          "(the reliable checkpoint filesystem)")
-      df.checkpoint(true)
-    } else df.localCheckpoint(true)
+    if (reliable)
+      pinReliable(df,
+        dirDefined = spark.sparkContext.getCheckpointDir.isDefined,
+        cleanerEnabled = spark.sparkContext.getConf.getBoolean(
+          "spark.cleaner.referenceTracking.cleanCheckpoints", false))
+    else df.localCheckpoint(true)
+  }
+
+  /** The reliable branch with its preconditions explicit — split out so
+    * the guard is testable regardless of the shared test session's
+    * context state (a checkpoint dir, once set, cannot be unset). */
+  private[ops] def pinReliable(
+      df: DataFrame, dirDefined: Boolean,
+      cleanerEnabled: Boolean): DataFrame = {
+    require(dirDefined,
+      s"$ReliableKey=true requires SparkContext.setCheckpointDir " +
+        "(the reliable checkpoint filesystem)")
+    require(cleanerEnabled,
+      s"$ReliableKey=true requires " +
+        "spark.cleaner.referenceTracking.cleanCheckpoints=true at context " +
+        "start — otherwise every pinned round accumulates on the " +
+        "checkpoint filesystem until the app exits")
+    df.checkpoint(true)
   }
 
   /** `df.stagePin()` — drop-in for `df.localCheckpoint(true)` honoring

@@ -73,6 +73,23 @@ object TextOps {
     * @return (`idCol`, `n_tokens`, `score`, `score_rate`, `keep`) with
     *         keep = score_rate >= 0 (the threshold filter).
     */
+  def qualityClassifier(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(split(trim(col(textCol)), " +")).as("tok"))
+      .withColumn("bucket", substring(md5(col("tok")), 1, 2))
+      // hex pair -> 0..255 via character position (portable SQL: instr
+      // over the hex alphabet; (c1+1)*16 + (c2+1) - 17 = c1*16 + c2)
+      .withColumn("_b",
+        expr("instr('0123456789abcdef', substring(bucket, 1, 1)) * 16 + " +
+          "instr('0123456789abcdef', substring(bucket, 2, 1)) - 17"))
+      .withColumn("w", (col("_b") * 37 + 11) % 17 - 8)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("w").cast("long").as("score"))
+      .withColumn("score_rate",
+        col("score").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("keep", col("score_rate") >= 0.0)
+
   /** Gopher quality-rule battery (Rae et al. 2021, appendix A1.1 — the
     * canonical rule-based document filter): word-count band, mean word
     * length band, minimum alphabetic-word fraction, minimum distinct
@@ -107,22 +124,6 @@ object TextOps {
         col("r_wordcount") && col("r_meanlen") && col("r_alpha") &&
           col("r_stop") && col("r_symbol"))
   }
-
-  def qualityClassifier(
-      df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(split(col(textCol), " +")).as("tok"))
-      .withColumn("bucket", substring(md5(col("tok")), 1, 2))
-      // hex pair -> 0..255 via character position (portable SQL: instr
-      // over the hex alphabet; (c1+1)*16 + (c2+1) - 17 = c1*16 + c2)
-      .withColumn("_b",
-        expr("instr('0123456789abcdef', substring(bucket, 1, 1)) * 16 + " +
-          "instr('0123456789abcdef', substring(bucket, 2, 1)) - 17"))
-      .withColumn("w", (col("_b") * 37 + 11) % 17 - 8)
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum("w").cast("long").as("score"))
-      .withColumn("score_rate",
-        col("score").cast(DoubleType) / col("n_tokens").cast(DoubleType))
-      .withColumn("keep", col("score_rate") >= 0.0)
 
   /** True winnowing fingerprint set (Schleimer/Wilkerson/Aiken): k-char
     * grams hash per position, minimum per sliding window of `w` grams,
@@ -396,7 +397,11 @@ object TextOps {
       merges: Seq[(String, String)]): DataFrame =
     df.select(col(idCol),
         graft.expr.BpeApply(col(textCol), merges).as("enc"))
-      .withColumn("n_tokens", size(split(col("enc"), " ")).cast("long"))
+      // split("") yields [""] (size 1) — an empty/whitespace-only doc
+      // must report ZERO tokens, not one phantom empty token
+      .withColumn("n_tokens",
+        when(col("enc") === "", lit(0L))
+          .otherwise(size(split(col("enc"), " ")).cast("long")))
 
   /** Tokenize to INTEGER IDS — the artifact a training pipeline actually
     * ships: [[bpeEncode]] the corpus with the merge table, then assign
@@ -421,6 +426,10 @@ object TextOps {
     val tok = bpeEncode(df, idCol, textCol, merges)
       .select(col(idCol),
         posexplode(split(col("enc"), " ")).as(Seq("pos", "tok")))
+      // an empty doc's lone "" pseudo-token must not enter the
+      // vocabulary (it would claim a frequency-ranked id); such docs
+      // drop from the output — they have no ids to emit
+      .filter(col("tok") =!= "")
     val vocab = StatOps.globalRowNumber(
         tok.groupBy("tok").agg(count(lit(1)).as("cnt")),
         Seq(col("cnt").desc, col("tok").asc), "vid")

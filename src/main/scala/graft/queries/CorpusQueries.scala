@@ -439,7 +439,9 @@ object CorpusQueries {
            |         FROM documents d JOIN gk USING (doc_id)),
            |${TextQueries.bpeCascadeCtes(5, src = "kept")},
            |enc AS (SELECT doc_id,
-           |    CAST(len(string_split(trim(t), ' ')) AS BIGINT) AS n_tokens
+           |    CAST(CASE WHEN trim(t) = '' THEN 0
+           |         ELSE len(string_split(trim(t), ' ')) END AS BIGINT)
+           |      AS n_tokens
            |  FROM t5),
            |sh AS (SELECT doc_id, n_tokens,
            |    CASE WHEN $hh < '${cuts(0)}' THEN 'shard0'

@@ -503,7 +503,9 @@ object TextQueries {
       Some {
         s"""WITH ${bpeCascadeCtes(5)}
            |SELECT doc_id, trim(t) AS enc,
-           |  CAST(len(string_split(trim(t), ' ')) AS BIGINT) AS n_tokens
+           |  CAST(CASE WHEN trim(t) = '' THEN 0
+           |       ELSE len(string_split(trim(t), ' ')) END AS BIGINT)
+           |    AS n_tokens
            |FROM t5 ORDER BY doc_id""".stripMargin
       },
       "BPE encode: apply the 5 induced merges to tokenize every document, one scan"),
@@ -528,7 +530,8 @@ object TextQueries {
            |tok AS (
            |  SELECT doc_id, i, toks[i] AS tok FROM (
            |    SELECT doc_id, string_split(trim(t), ' ') AS toks FROM t5),
-           |    unnest(generate_series(1, len(toks))) AS u(i)),
+           |    unnest(generate_series(1, len(toks))) AS u(i)
+           |  WHERE toks[i] <> ''),
            |v0 AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
            |vocab AS (SELECT tok,
            |    ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) - 1 AS vid
@@ -589,7 +592,7 @@ object TextQueries {
              |     * 37 + 11) % 17 - 8 AS w
              |  FROM (SELECT doc_id, substr(md5(tok), 1, 2) AS b
              |        FROM (SELECT doc_id,
-             |                unnest(string_split_regex(text, ' +')) AS tok
+             |                unnest(string_split_regex(trim(text), ' +')) AS tok
              |              FROM documents)))
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "hashed linear classifier inference: pinned integer weights over md5 buckets"),
