@@ -329,6 +329,35 @@ object SimilarityOps {
       .select(col("nid").as("id"), col("cid"), col("codes"))
   }
 
+  /** INT8 scalar quantization — the storage tier BESIDE [[pqEncode]]:
+    * one byte per dimension (8× smaller than float64, full-dimension
+    * fidelity, vs PQ's 128× with subspace codes). Per-dimension affine
+    * codes against the corpus min/max: code_d = floor((x − mn_d)·255 /
+    * (mx_d − mn_d)), clamped to 255 for the boundary ulp, 0 on a
+    * degenerate constant dimension. The stats table is dim-sized and
+    * broadcast; everything else is one explode + one keyed reassembly.
+    * All arithmetic is a fixed IEEE chain over exact min/max, so the
+    * codes hash-gate cross-engine.
+    *
+    * @return (`id`, `codes` int array in dimension order). Reconstruct
+    *         with x̂_d = mn_d + code_d·(mx_d − mn_d)/255.
+    */
+  def sq8Encode(
+      emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val x = emb.select(col(idCol).as("id"),
+      posexplode(col(vecCol).cast(ArrayType(DoubleType))).as(Seq("d", "x")))
+    val stats = x.groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+    x.join(broadcast(stats), Seq("d"))
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("x") - col("mn")) * 255.0 / (col("mx") - col("mn"))),
+            lit(255L))))
+      .groupBy("id")
+      .agg(expr("transform(array_sort(collect_list(struct(d, code)))," +
+        " e -> CAST(e.code AS INT))").as("codes"))
+  }
+
   def ivfPqTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,

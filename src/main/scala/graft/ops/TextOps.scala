@@ -441,6 +441,29 @@ object TextOps {
           " e -> e.vid)").as("ids"))
   }
 
+  /** Language-ID with a CONFIDENCE margin: the predicted language plus
+    * the vote gap between the top two lexicons — the signal a curation
+    * pipeline routes on (a zero-margin doc is code/noise/mixed-language
+    * and belongs in a review bucket, not in the corpus under a guessed
+    * label). One native vote pass ([[graft.expr.LexiconVotes]]); the
+    * margin is a sort of the 5-element vote array, trivially codegen'd.
+    *
+    * @return df + (`lang_pred`, `top_votes`, `second_votes`, `margin`,
+    *         `confident` = margin >= minMargin).
+    */
+  def langIdConfidence(
+      df: DataFrame, textCol: String, minMargin: Int = 2): DataFrame = {
+    val votes = graft.expr.LexiconVotes.votes(
+      tokens(lower(col(textCol))), Lexicons.map(_._2))
+    df.withColumn("lang_pred", langId(col(textCol)))
+      .withColumn("_sv", sort_array(votes, asc = false))
+      .withColumn("top_votes", element_at(col("_sv"), 1))
+      .withColumn("second_votes", element_at(col("_sv"), 2))
+      .withColumn("margin", col("top_votes") - col("second_votes"))
+      .withColumn("confident", col("margin") >= minMargin)
+      .drop("_sv")
+  }
+
   def langId(text: Column): Column =
     // fused vote + first-strict-argmax in one native pass. The previous
     // when-chain fold duplicated the running best in both branches of

@@ -61,6 +61,27 @@ object SimilarityQueries {
               |   max(CASE WHEN j = 3 THEN code END)] AS codes
               |FROM enc GROUP BY nid ORDER BY id""".stripMargin),
       "PQ storage encoding: coarse list id + m subspace codes per vector"),
+
+    // INT8 scalar quantization ([[SimilarityOps.sq8Encode]]): one byte
+    // per dimension against per-dimension corpus min/max — the
+    // full-fidelity storage tier beside PQ's subspace codes. The oracle
+    // replays the affine code arithmetic over the same exact min/max.
+    Q(
+      "sim_sq8_encode",
+      (s, d) =>
+        SimilarityOps.sq8Encode(T(s, d, "embeddings"), "vec_id", "embedding")
+          .orderBy("id"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |x AS (SELECT vec_id, i - 1 AS d, v[i] AS x
+             |      FROM e, unnest(generate_series(1, len(v))) AS u(i)),
+             |st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM x GROUP BY d)
+             |SELECT vec_id AS id,
+             |  list(CAST(CASE WHEN mx = mn THEN 0
+             |       ELSE least(floor((x - mn) * 255.0 / (mx - mn)), 255)
+             |       END AS INTEGER) ORDER BY d) AS codes
+             |FROM x JOIN st USING (d)
+             |GROUP BY vec_id ORDER BY id""".stripMargin),
+      "int8 scalar-quantized embedding codes: per-dim affine vs exact corpus min/max"),
     // Per-label centroid of fixed-point-quantized embeddings — the
     // feature-aggregation shape under classifier quality filters, IVF
     // codebook seeding, and class prototypes. Kept EXACT the only way a

@@ -95,6 +95,45 @@ object TextQueries {
       },
       "lexicon-vote language ID, deterministic first-wins argmax"),
 
+    // Language-ID with a CONFIDENCE margin ([[TextOps.langIdConfidence]]):
+    // the vote gap between the top two lexicons — zero-margin docs are
+    // code/noise/mixed-language and route to review, not into the corpus
+    // under a guessed label. The oracle sorts the same 5-vote list.
+    Q(
+      "text_langid_margin",
+      (s, d) =>
+        TextOps.langIdConfidence(
+            T(s, d, "documents").select("doc_id", "text"), "text",
+            minMargin = 2)
+          .select("doc_id", "lang_pred", "top_votes", "second_votes",
+            "margin", "confident")
+          .orderBy("doc_id"),
+      Some {
+        val v = TextOps.Lexicons.map { case (lang, lex) =>
+          lang ->
+            s"len(list_filter(string_split_regex(lower(text), ' +'), t -> t IN ${inList(lex)}))"
+        }.toMap
+        s"""SELECT doc_id,
+           |  CASE
+           |    WHEN v_zh > greatest(v_de, v_en, v_es, v_fr) THEN 'zh'
+           |    WHEN v_fr > greatest(v_de, v_en, v_es) THEN 'fr'
+           |    WHEN v_es > greatest(v_de, v_en) THEN 'es'
+           |    WHEN v_en > v_de THEN 'en'
+           |    ELSE 'de' END AS lang_pred,
+           |  CAST(sv[1] AS INTEGER) AS top_votes,
+           |  CAST(sv[2] AS INTEGER) AS second_votes,
+           |  CAST(sv[1] - sv[2] AS INTEGER) AS margin,
+           |  sv[1] - sv[2] >= 2 AS confident
+           |FROM (SELECT doc_id,
+           |        ${v("de")} AS v_de, ${v("en")} AS v_en, ${v("es")} AS v_es,
+           |        ${v("fr")} AS v_fr, ${v("zh")} AS v_zh,
+           |        list_reverse_sort([${v("de")}, ${v("en")}, ${v("es")},
+           |                           ${v("fr")}, ${v("zh")}]) AS sv
+           |      FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      },
+      "language-ID confidence: top-two lexicon vote margin, review-bucket routing"),
+
     Q(
       "text_tokens_bpeish",
       (s, d) =>

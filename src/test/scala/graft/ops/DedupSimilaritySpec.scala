@@ -222,6 +222,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall > 0.1, s"degenerate recall $recall")
   }
 
+  test("sq8Encode: reconstruction error bounded by one quantization step") {
+    val emb = T(spark, sf, "embeddings")
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dims = vecs.values.head.length
+    val mn = (0 until dims).map(d => vecs.values.map(_(d)).min)
+    val mx = (0 until dims).map(d => vecs.values.map(_(d)).max)
+    val codes = SimilarityOps.sq8Encode(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.size == vecs.size)
+    codes.foreach { case (id, cs) =>
+      assert(cs.length == dims)
+      cs.zipWithIndex.foreach { case (c, d) =>
+        assert(c >= 0 && c <= 255)
+        val step = (mx(d) - mn(d)) / 255.0
+        val recon = mn(d) + c * step
+        assert(math.abs(recon - vecs(id)(d)) <= step + 1e-12,
+          s"vec $id dim $d: |${vecs(id)(d)} - $recon| > step $step")
+      }
+    }
+  }
+
   test("IVF-PQ with a k-means-trained coarse codebook is a drop-in") {
     val emb = T(spark, sf, "embeddings")
     val codebook = SimilarityOps
