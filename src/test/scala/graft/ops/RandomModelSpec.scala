@@ -195,6 +195,43 @@ class RandomModelSpec extends AnyFunSuite {
     assert(got == ((40L, 40L, 0L, 0.0)))
   }
 
+  test("weightedMedian == scalar cumulative-weight model on random groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val rows = (1L to 300L).map { i =>
+      (s"g${i % 5}", (rnd.nextInt(50)).toLong, (rnd.nextInt(9)).toLong, i)
+    } // (group, value, weight 0..8 — zeros exercise the exclusion, id)
+    val got = StatOps
+      .weightedMedian(rows.toDF("g", "v", "w", "id"), "g", "v", "w", "id")
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val oracle = rows.filter(_._3 > 0).groupBy(_._1).map { case (g, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._4))
+      val tot = sorted.map(_._3).sum
+      var cw = 0L
+      val med = sorted.find { r => cw += r._3; 2 * cw >= tot }.get._2
+      g -> ((med, tot))
+    }
+    assert(got == oracle)
+  }
+
+  test("goldenRecords == scalar survivorship model on crafted clusters") {
+    import spark.implicits._
+    // entity 1 = {1,2,3}: name mode 'ann' (2 votes), segment tie b/a ->
+    // 'a' by smallest-value tie-break, max bal 9.0; entity 4 singleton
+    val df = Seq(
+      (1L, "ann", "b", 5.0), (2L, "ann", "a", 9.0), (3L, "bob", "a", 1.0),
+      (4L, "eve", "c", 2.0)).toDF("id", "name", "seg", "bal")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("id", "component")
+    val got = graft.ops.LinkageOps
+      .goldenRecords(df, "id", labels, modeCols = Seq("name", "seg"),
+        maxCols = Seq("bal"))
+      .select("entity_id", "n_members", "bal", "name", "seg")
+      .as[(Long, Long, Double, String, String)].collect().toSet
+    assert(got == Set((1L, 3L, 9.0, "ann", "a"), (4L, 1L, 2.0, "eve", "c")))
+  }
+
   test("mannWhitneyU == scalar tie-averaged rank model on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(113)
