@@ -390,6 +390,47 @@ object CorpusOps {
             " e -> e._out)"), " ").as("masked_text"))
   }
 
+  /** Banned-phrase blocklist filter — the safety gate every training
+    * pipeline runs before export: flag every document containing any of
+    * the configured phrases as a CONTIGUOUS token sequence (not a bag
+    * match — "fast table" must not fire on "fast ... table"). Phrases
+    * are grouped by token count and matched as positional k-gram
+    * equi-joins against the broadcast list ([[DedupOps]]' posGrams
+    * stream — one explode per distinct phrase length, never a regex
+    * alternation over the blocklist, which would put a
+    * length-of-blocklist regex in the scan's hot path). Evidence comes
+    * back with the verdict: hit count and the first hit's 1-based
+    * position + phrase, which is what a review queue displays.
+    *
+    * @return every input row as (`idCol`, `n_hits`, `first_hit_pos`,
+    *         `first_hit`, `keep` = n_hits == 0).
+    */
+  def blocklistFilter(
+      df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "empty blocklist")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byLen = phrases.map(_.trim.replaceAll(" +", " "))
+      .distinct.groupBy(_.split(" ").length)
+    val hits = byLen.map { case (k, ps) =>
+      DedupOps.posGrams(df, idCol, textCol, k)
+        .join(broadcast(ps.toDF("gram")), Seq("gram"))
+        .select(col(idCol), col("pos"), col("gram"))
+    }.reduce(_ unionByName _)
+    val agg = hits.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        min(struct(col("pos"), col("gram"))).as("_f"))
+      .select(col(idCol), col("n_hits"),
+        col("_f.pos").as("first_hit_pos"), col("_f.gram").as("first_hit"))
+    df.select(col(idCol))
+      .join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("first_hit_pos"), col("first_hit"))
+      .withColumn("keep", col("n_hits") === 0L)
+  }
+
   /** Deterministic T5-style SPAN corruption (Raffel et al. 2020):
     * positions mask by the same salted (doc, position) hash as
     * [[maskTokens]], but contiguous masked RUNS collapse to one numbered

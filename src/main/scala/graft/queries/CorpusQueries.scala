@@ -322,6 +322,48 @@ object CorpusQueries {
       },
       "deterministic MLM token masking: salted positional hash, re-run-stable, SQL-replayable"),
 
+    // Banned-phrase blocklist filter ([[CorpusOps.blocklistFilter]]):
+    // contiguous-sequence matching via positional k-gram equi-joins
+    // against the broadcast list (one explode per distinct phrase
+    // length — never a blocklist-sized regex alternation in the scan),
+    // with review-queue evidence: hit count + first hit's position and
+    // phrase. The oracle replays both gram streams, the IN probes, and
+    // the first-hit window.
+    Q(
+      "corpus_blocklist_filter",
+      (s, d) =>
+        CorpusOps.blocklistFilter(T(s, d, "documents"), "doc_id", "text",
+            Seq("table table", "slow fast", "value table part"))
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+             |  FROM documents),
+             |g2 AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM (
+             |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+             |      i -> {'pos': i, 'gram': array_to_string(t[i:i+1], ' ')})) AS pg
+             |    FROM toks WHERE len(t) >= 2)),
+             |g3 AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM (
+             |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+             |      i -> {'pos': i, 'gram': array_to_string(t[i:i+2], ' ')})) AS pg
+             |    FROM toks WHERE len(t) >= 3)),
+             |h AS (
+             |  SELECT * FROM g2 WHERE gram IN ('table table', 'slow fast')
+             |  UNION ALL
+             |  SELECT * FROM g3 WHERE gram = 'value table part'),
+             |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+             |      FROM h GROUP BY doc_id),
+             |f AS (SELECT doc_id, pos AS first_hit_pos, gram AS first_hit
+             |      FROM (SELECT doc_id, pos, gram, ROW_NUMBER() OVER (
+             |              PARTITION BY doc_id ORDER BY pos, gram) AS rn
+             |            FROM h) q WHERE rn = 1)
+             |SELECT d.doc_id, coalesce(c.n_hits, 0) AS n_hits,
+             |  f.first_hit_pos, f.first_hit,
+             |  coalesce(c.n_hits, 0) = 0 AS keep
+             |FROM documents d LEFT JOIN c USING (doc_id)
+             |LEFT JOIN f USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin),
+      "banned-phrase blocklist: contiguous k-gram matching + first-hit evidence"),
+
     // T5-style span corruption ([[CorpusOps.spanCorrupt]]): contiguous
     // masked runs collapse to numbered sentinels in the input; the
     // target pairs each sentinel with its dropped tokens — the

@@ -15,6 +15,21 @@ object TextQueries {
   private def inList(items: Seq[String]): String =
     items.map(s => s"'$s'").mkString("(", ",", ")")
 
+  /** One merge-table induction per (session, corpus) — the production
+    * shape: a tokenizer trains once and every ingest applies it. The
+    * encode and token-id gates share this table; the export gate
+    * induces its own over the KEPT corpus (a different training set by
+    * design). Induction itself stays independently gated by
+    * text_bpe_merges. */
+  private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), Seq[(String, String)]]()
+  private[queries] def sharedMerges(
+      s: org.apache.spark.sql.SparkSession, d: String): Seq[(String, String)] =
+    mergeCache.computeIfAbsent((s, d), { case (s, d) =>
+      TextOps.bpeMergesLog(T(s, d, "documents"), "text", steps = 5)
+        .map { case (_, pair, merged, _) => (pair, merged) }
+    })
+
   /** The doc_id-carrying BPE induction cascade `t0..t{steps}` shared by
     * the text_bpe_encode and text_bpe_ids oracles (see text_bpe_merges
     * for the cascade's commentary): t{steps} IS the encoded corpus. */
@@ -532,13 +547,10 @@ object TextQueries {
     // IS the encoded corpus — encode∘induce ≡ induction's final state.
     Q(
       "text_bpe_encode",
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        val merges = TextOps.bpeMergesLog(docs, "text", steps = 5)
-          .map { case (_, pair, merged, _) => (pair, merged) }
-        TextOps.bpeEncode(docs, "doc_id", "text", merges)
-          .orderBy("doc_id")
-      },
+      (s, d) =>
+        TextOps.bpeEncode(T(s, d, "documents"), "doc_id", "text",
+            sharedMerges(s, d))
+          .orderBy("doc_id"),
       Some {
         s"""WITH ${bpeCascadeCtes(5)}
            |SELECT doc_id, trim(t) AS enc,
@@ -557,13 +569,10 @@ object TextQueries {
     // frequency ranking and an ordered list() reassembly.
     Q(
       "text_bpe_ids",
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        val merges = TextOps.bpeMergesLog(docs, "text", steps = 5)
-          .map { case (_, pair, merged, _) => (pair, merged) }
-        TextOps.bpeEncodeIds(docs, "doc_id", "text", merges)
-          .orderBy("doc_id")
-      },
+      (s, d) =>
+        TextOps.bpeEncodeIds(T(s, d, "documents"), "doc_id", "text",
+            sharedMerges(s, d))
+          .orderBy("doc_id"),
       Some {
         s"""WITH ${bpeCascadeCtes(5)},
            |tok AS (
