@@ -274,6 +274,16 @@ object Scale {
         "span_corrupt" -> (() =>
           CorpusOps.spanCorrupt(d, "doc_id", "text",
             fraction = 0.15, salt = "sc").count()),
+        // k-truss over disjoint triangles (constant degree, k=3 keeps
+        // every edge): one support-peel round + the convergence check —
+        // the per-round triangle-support machinery must track E
+        "ktruss_k3" -> (() =>
+          GraphOps.kTrussEdges(te, "a", "b", k = 3).count()),
+        // blocklist: two positional-gram streams probed against a
+        // broadcast list — scan-linear whatever the blocklist size
+        "blocklist_filter" -> (() =>
+          CorpusOps.blocklistFilter(d, "doc_id", "text",
+            Seq("w1 w2", "w2 w3 w4")).count()),
         // cross-split span decontamination: anchors join ACROSS the
         // 80/20 split only; with vocabulary ∝ n the match volume stays
         // ∝ n (the planted near-dup pairs straddling the split)
