@@ -409,12 +409,18 @@ object CorpusOps {
       df: DataFrame, idCol: String, textCol: String,
       phrases: Seq[String]): DataFrame = {
     require(phrases.nonEmpty, "empty blocklist")
+    // case-INSENSITIVE by contract (trivial capitalization must not
+    // evade a safety filter — the langId convention); a blank phrase
+    // would become a 1-gram matching empty documents' lone "" token
+    val normalized = phrases.map(_.trim.replaceAll(" +", " ").toLowerCase)
+    normalized.foreach(p =>
+      require(p.nonEmpty, "blank phrase in blocklist"))
     val spark = df.sparkSession
     import spark.implicits._
-    val byLen = phrases.map(_.trim.replaceAll(" +", " "))
-      .distinct.groupBy(_.split(" ").length)
+    val lowered = df.select(col(idCol), lower(col(textCol)).as(textCol))
+    val byLen = normalized.distinct.groupBy(_.split(" ").length)
     val hits = byLen.map { case (k, ps) =>
-      DedupOps.posGrams(df, idCol, textCol, k)
+      DedupOps.posGrams(lowered, idCol, textCol, k)
         .join(broadcast(ps.toDF("gram")), Seq("gram"))
         .select(col(idCol), col("pos"), col("gram"))
     }.reduce(_ unionByName _)

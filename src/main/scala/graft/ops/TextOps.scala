@@ -453,15 +453,32 @@ object TextOps {
     */
   def langIdConfidence(
       df: DataFrame, textCol: String, minMargin: Int = 2): DataFrame = {
-    val votes = graft.expr.LexiconVotes.votes(
-      tokens(lower(col(textCol))), Lexicons.map(_._2))
-    df.withColumn("lang_pred", langId(col(textCol)))
-      .withColumn("_sv", sort_array(votes, asc = false))
+    // ONE native vote pass: the prediction is derived from the same
+    // votes column the margin reads (calling langId here would run the
+    // split + 5-lexicon probe a second time per row — the exact
+    // duplication the LexiconVotes scaladoc warns about). The when
+    // chain replays LexiconBest's first-wins argmax: label i wins iff
+    // its votes strictly exceed every EARLIER label's, checked from the
+    // last label down — only the earliest maximum satisfies it.
+    val labels = Lexicons.map(_._1)
+    def v(c: Column, i: Int) = element_at(c, i + 1)
+    def firstWins(c: Column): Column =
+      (labels.indices.tail.reverse.foldLeft(Option.empty[Column]) {
+        case (acc, i) =>
+          val prev = (0 until i).map(j => v(c, j))
+          val prevMax = if (prev.size == 1) prev.head else greatest(prev: _*)
+          val cond = v(c, i) > prevMax
+          Some(acc.fold(when(cond, labels(i)))(_.when(cond, labels(i))))
+      }).get.otherwise(labels.head)
+    df.withColumn("_v", graft.expr.LexiconVotes.votes(
+        tokens(lower(col(textCol))), Lexicons.map(_._2)))
+      .withColumn("lang_pred", firstWins(col("_v")))
+      .withColumn("_sv", sort_array(col("_v"), asc = false))
       .withColumn("top_votes", element_at(col("_sv"), 1))
       .withColumn("second_votes", element_at(col("_sv"), 2))
       .withColumn("margin", col("top_votes") - col("second_votes"))
       .withColumn("confident", col("margin") >= minMargin)
-      .drop("_sv")
+      .drop("_v", "_sv")
   }
 
   def langId(text: Column): Column =

@@ -336,7 +336,7 @@ object CorpusQueries {
             Seq("table table", "slow fast", "value table part"))
           .orderBy("doc_id"),
       Some("""WITH toks AS (
-             |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
              |  FROM documents),
              |g2 AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM (
              |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
@@ -352,7 +352,8 @@ object CorpusQueries {
              |  SELECT * FROM g3 WHERE gram = 'value table part'),
              |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
              |      FROM h GROUP BY doc_id),
-             |f AS (SELECT doc_id, pos AS first_hit_pos, gram AS first_hit
+             |f AS (SELECT doc_id, CAST(pos AS INTEGER) AS first_hit_pos,
+             |        gram AS first_hit
              |      FROM (SELECT doc_id, pos, gram, ROW_NUMBER() OVER (
              |              PARTITION BY doc_id ORDER BY pos, gram) AS rn
              |            FROM h) q WHERE rn = 1)

@@ -73,6 +73,12 @@ object GraphQueries {
       buildIncrementalLabels(s, d)
     })
 
+  /** Drop the cached half-corpus frames and incremental label tables
+    * (test hygiene / in-session corpus regeneration). */
+  private[queries] def clearStagedFrames(): Unit = {
+    halfCache.clear(); incLabelCache.clear()
+  }
+
   private def buildIncrementalLabels(
       s: org.apache.spark.sql.SparkSession, d: String) = {
     val base = half(s, d, parity = 0)

@@ -30,6 +30,11 @@ object TextQueries {
         .map { case (_, pair, merged, _) => (pair, merged) }
     })
 
+  /** Drop every cached merge table (test hygiene / corpus regeneration
+    * in-session — the [[graft.ops.LinkageOps.clearPairCache]] pattern;
+    * entries also retain their stopped sessions otherwise). */
+  private[queries] def clearMergeCache(): Unit = mergeCache.clear()
+
   /** The doc_id-carrying BPE induction cascade `t0..t{steps}` shared by
     * the text_bpe_encode and text_bpe_ids oracles (see text_bpe_merges
     * for the cascade's commentary): t{steps} IS the encoded corpus. */

@@ -217,19 +217,22 @@ class RandomModelSpec extends AnyFunSuite {
 
   test("goldenRecords == scalar survivorship model on crafted clusters") {
     import spark.implicits._
-    // entity 1 = {1,2,3}: name mode 'ann' (2 votes), segment tie b/a ->
-    // 'a' by smallest-value tie-break, max bal 9.0; entity 4 singleton
+    // entity 1 = {1,2,3,4}: names ann/ann/bob/bob — a GENUINE 2-2 tie,
+    // won by 'ann' only via the (-count, value) smallest-value
+    // tie-break; segs b/a/a/b tie too -> 'a'; max bal 9.0.
+    // Entity 5 is a singleton pass-through.
     val df = Seq(
       (1L, "ann", "b", 5.0), (2L, "ann", "a", 9.0), (3L, "bob", "a", 1.0),
-      (4L, "eve", "c", 2.0)).toDF("id", "name", "seg", "bal")
-    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      (4L, "bob", "b", 3.0), (5L, "eve", "c", 2.0))
+      .toDF("id", "name", "seg", "bal")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 5L))
       .toDF("id", "component")
     val got = graft.ops.LinkageOps
       .goldenRecords(df, "id", labels, modeCols = Seq("name", "seg"),
         maxCols = Seq("bal"))
       .select("entity_id", "n_members", "bal", "name", "seg")
       .as[(Long, Long, Double, String, String)].collect().toSet
-    assert(got == Set((1L, 3L, 9.0, "ann", "a"), (4L, 1L, 2.0, "eve", "c")))
+    assert(got == Set((1L, 4L, 9.0, "ann", "a"), (5L, 1L, 2.0, "eve", "c")))
   }
 
   test("mannWhitneyU == scalar tie-averaged rank model on random data") {
