@@ -101,6 +101,36 @@ object DedupOps {
   /** Unpersist and drop every shared pair frame (test hygiene). */
   def clearPairCache(): Unit = pairCache.clear()
 
+  /** EVIDENCE for a near-dup pair list: up to `topK` shared shingles per
+    * pair (lexicographically smallest — deterministic), the line a
+    * review queue displays next to the Jaccard score before a human
+    * confirms a drop. The shared-shingle join is BOUNDED BY THE PAIR
+    * LIST (pairs join shingles(a) first, then close on (b, shingle)) —
+    * never a shingle-universe self-join; WindowGroupLimit caps the sort
+    * at topK per pair per map partition.
+    *
+    * @param pairs (`a`, `b`) near-dup pairs (e.g.
+    *        [[sharedNgramJaccardPairs]] output).
+    * @return (`a`, `b`, `n_shared`, `evidence` array of ≤ topK shingles
+    *         in lexicographic order).
+    */
+  def pairEvidence(
+      df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, k: Int, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = sharedShingles(df, idCol, textCol, k)
+    val shared = pairs.select("a", "b")
+      .join(sh.select(col(idCol).as("a"), col("shingle")), "a")
+      .join(sh.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
+    val w = Window.partitionBy("a", "b").orderBy("shingle")
+    shared
+      .withColumn("_rn", row_number().over(w))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_shared"),
+        sort_array(collect_list(when(col("_rn") <= topK, col("shingle"))))
+          .as("evidence"))
+  }
+
   /** Exact dedupe: canonical (min-id) representative per key group. */
   def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame =
     df.groupBy(keyCols: _*)

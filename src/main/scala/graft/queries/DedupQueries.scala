@@ -86,6 +86,34 @@ object DedupQueries {
       Some(jaccardSql(0.8)),
       "exact 3-gram Jaccard near-dup pairs (>= 0.8)"),
 
+    // Pair EVIDENCE ([[DedupOps.pairEvidence]]): the ≤3 lexicographically
+    // smallest shared shingles per near-dup pair — what a review queue
+    // displays next to the Jaccard score before a human confirms a drop.
+    // The shared-shingle join is bounded by the pair list (never a
+    // shingle-universe self-join); WindowGroupLimit caps the per-pair
+    // sort. Reads the STAGED shingle and pair frames other gates share.
+    Q(
+      "dedup_pair_evidence",
+      (s, d) =>
+        DedupOps.pairEvidence(
+            T(s, d, "documents"), "doc_id", "text",
+            DedupOps.sharedNgramJaccardPairs(T(s, d, "documents"),
+              "doc_id", "text", k = 3, threshold = 0.8),
+            k = 3, topK = 3)
+          .orderBy("a", "b"),
+      Some(s"""WITH ${jaccardPairCtes(0.8)},
+              |shared AS (SELECT p.a, p.b, x.shingle
+              |  FROM pairs p JOIN sh x ON x.doc_id = p.a
+              |  JOIN sh y ON y.doc_id = p.b AND y.shingle = x.shingle),
+              |r AS (SELECT a, b, shingle,
+              |    ROW_NUMBER() OVER (PARTITION BY a, b ORDER BY shingle) AS rn
+              |  FROM shared)
+              |SELECT a, b, CAST(count(*) AS BIGINT) AS n_shared,
+              |  list(shingle ORDER BY shingle) FILTER (WHERE rn <= 3)
+              |    AS evidence
+              |FROM r GROUP BY a, b ORDER BY a, b""".stripMargin),
+      "near-dup pair evidence: top-3 shared shingles per pair, pair-list-bounded join"),
+
     // PPJoin prefix filter: candidates only from each doc's
     // n - ceil(t*n) + 1 globally-rarest shingles, verified by exact
     // per-candidate intersection. The filter is LOSSLESS, so the oracle
