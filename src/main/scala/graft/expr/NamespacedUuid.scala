@@ -153,7 +153,9 @@ object GraftFunctions {
     * `dot_product(array<double>, array<double>)`,
     * `sign_sketch64(array<double>)`,
     * `lexicon_votes(array<string>, array<array<string>>)`,
-    * `lexicon_best(array<string>, array<array<string>>, array<string>)`.
+    * `lexicon_best(array<string>, array<array<string>>, array<string>)`,
+    * `bpe_apply(str, array<array<string>>)` (each inner array =
+    * [pair, merged] in table order).
     * Config-like arguments (namespace, k/w, lexicons, labels) must be
     * literals — they parameterize the expression instance itself. */
   val descriptions: Seq[(String, Seq[Expression] => Expression)] = {
@@ -192,6 +194,15 @@ object GraftFunctions {
         require(exprs.length == 3, "lexicon_best(tokens, lexicons, labels)")
         LexiconBest(exprs.head, litStringSeqSeq(exprs(1), "lexicons"),
           litStringSeq(exprs(2), "labels"))
+      },
+      "bpe_apply" -> { exprs =>
+        require(exprs.length == 2, "bpe_apply(text, merges)")
+        val table = litStringSeqSeq(exprs(1), "merges").map { m =>
+          require(m.length == 2,
+            "each merge must be array(pair, merged)")
+          (m(0), m(1))
+        }
+        BpeApply(exprs.head, table)
       })
   }
 

@@ -33,7 +33,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |    array(array('the','and'), array('der','und'))) AS lv,
         |  lexicon_best(array('the','der','the'),
         |    array(array('the','and'), array('der','und')),
-        |    array('en','de')) AS lb""".stripMargin).head()
+        |    array('en','de')) AS lb,
+        |  bpe_apply('x a b y a b c', array(array('a b', 'a+b'),
+        |    array('a+b c', 'a+b+c'))) AS bpe""".stripMargin).head()
     assert(r.getLong(0) == SimHash64.compute(new GenericArrayData(
       Array[Any](UTF8String.fromString("a"), UTF8String.fromString("b")))))
     assert(r.getLong(1) ==
@@ -46,6 +48,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 11.0)
     assert(r.getSeq[Int](5) == Seq(2, 1))
     assert(r.getString(6) == "en")
+    // leftmost non-overlapping fusion; the round-1 fused token then
+    // participates in the round-2 merge (that is what makes it BPE)
+    assert(r.getString(7) == "x a+b y a+b+c")
   }
 
   test("injected functions survive newSession() — they are session-blueprint, not temp") {
