@@ -101,6 +101,37 @@ object DedupOps {
   /** Unpersist and drop every shared pair frame (test hygiene). */
   def clearPairCache(): Unit = pairCache.clear()
 
+  /** The threshold TUNING CURVE: pair counts and affected-document
+    * counts per Jaccard band over [floor, 1] — what a curation team
+    * reads before choosing the dedup threshold (too low over-deletes,
+    * too high leaves near-dups; the knee of this curve is the
+    * decision). ONE pair computation at the floor feeds every band
+    * (sharing [[sharedNgramJaccardPairs]]' staged frame when the floor
+    * matches a consumer threshold) — never one join per candidate
+    * threshold. Bands are floor(j·10)/10 buckets with exact-Jaccard
+    * j = 1.0 landing in the top band.
+    *
+    * @return one row per occupied band: (`band_lo` DOUBLE, `n_pairs`,
+    *         `n_docs` distinct documents in ≥1 pair of the band).
+    */
+  def thresholdSweep(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, minJaccard: Double): DataFrame = {
+    val bands = sharedNgramJaccardPairs(df, idCol, textCol, k, minJaccard)
+      .withColumn("band_lo",
+        least(floor(col("jaccard") * 10), lit(9L)).cast(DoubleType) / 10.0)
+    val nPairs = bands.groupBy("band_lo")
+      .agg(count(lit(1)).as("n_pairs"))
+    // distinct docs per band via a keyed distinct shuffle — NOT a
+    // collect_set per band, whose buffer would hold the band's whole
+    // document set in one aggregation state at corpus scale
+    val nDocs = bands
+      .select(col("band_lo"), explode(array(col("a"), col("b"))).as("d"))
+      .groupBy("band_lo")
+      .agg(countDistinct(col("d")).as("n_docs"))
+    nPairs.join(nDocs, Seq("band_lo"))
+  }
+
   /** EVIDENCE for a near-dup pair list: up to `topK` shared shingles per
     * pair (lexicographically smallest — deterministic), the line a
     * review queue displays next to the Jaccard score before a human

@@ -114,6 +114,39 @@ object DedupQueries {
               |FROM r GROUP BY a, b ORDER BY a, b""".stripMargin),
       "near-dup pair evidence: top-3 shared shingles per pair, pair-list-bounded join"),
 
+    // Threshold TUNING CURVE ([[DedupOps.thresholdSweep]]): pair and
+    // affected-document counts per Jaccard band over [0.5, 1] from ONE
+    // pair computation at the floor — the curve a curation team reads
+    // before choosing the dedup threshold (its knee is the decision),
+    // never one join per candidate threshold. Exact j = 1.0 folds into
+    // the top band. On THIS corpus the curve is a single occupied band
+    // (planted near-dups sit at j >= 0.9 and nothing else reaches 0.2 —
+    // probed in DuckDB down to floor 0.2), so the gate hash-checks the
+    // banding machinery; band spread is corpus-driven.
+    Q(
+      "dedup_threshold_sweep",
+      (s, d) =>
+        DedupOps.thresholdSweep(T(s, d, "documents"), "doc_id", "text",
+            k = 3, minJaccard = 0.5)
+          .orderBy("band_lo"),
+      Some(s"""WITH ${jaccardPairCtes(0.5)},
+              |bands AS (SELECT
+              |    CAST(least(floor(jaccard * 10), 9) AS DOUBLE) / 10.0
+              |      AS band_lo,
+              |    a AS da, b AS db
+              |  FROM pairs),
+              |np AS (SELECT band_lo, CAST(count(*) AS BIGINT) AS n_pairs
+              |  FROM bands GROUP BY band_lo),
+              |nd AS (SELECT band_lo,
+              |    CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+              |  FROM (SELECT band_lo, da AS d FROM bands
+              |        UNION ALL SELECT band_lo, db AS d FROM bands) u
+              |  GROUP BY band_lo)
+              |SELECT band_lo, n_pairs, n_docs
+              |FROM np JOIN nd USING (band_lo)
+              |ORDER BY band_lo""".stripMargin),
+      "dedup threshold tuning curve: pair/doc counts per Jaccard band, one pair pass"),
+
     // PPJoin prefix filter: candidates only from each doc's
     // n - ceil(t*n) + 1 globally-rarest shingles, verified by exact
     // per-candidate intersection. The filter is LOSSLESS, so the oracle
