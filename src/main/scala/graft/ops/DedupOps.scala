@@ -78,7 +78,34 @@ object DedupOps {
     }
 
   /** Unpersist and drop every shared shingle frame (test hygiene). */
-  def clearShingleCache(): Unit = shingleCache.clear()
+  def clearShingleCache(): Unit = {
+    shingleCache.clear()
+    cappedShingleCache.clear()
+  }
+
+  /** CAPPED shared shingle frame: [[sharedShingles]] minus shingles
+    * whose document frequency exceeds `cap` — the production join input
+    * every capped near-dup consumer starts from. The df census is ONE
+    * aggregation per (corpus, k, cap), staged like the raw frame: the
+    * capped exact join, the incremental delta check, and any other
+    * cap-guarded consumer read the same persisted blocks instead of
+    * each re-running the census shuffle per call. (An ingest whose base
+    * and delta PARTITION the corpus can slice this one frame for both
+    * sides — the combined-side census [[ngramJaccardPairsBetween]]
+    * specifies equals the whole-corpus census.) */
+  private[ops] val cappedShingleCache =
+    new BoundedDfCache[(DataFrame, String, String, Int, Int)](maxEntries = 8)
+
+  def sharedCappedShingles(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, cap: Int): DataFrame =
+    cappedShingleCache.getOrElseUpdate((df, idCol, textCol, k, cap)) {
+      val sh0 = sharedShingles(df, idCol, textCol, k)
+      val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("f"))
+        .filter(col("f") > cap).select("shingle")
+      sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Shared near-dup pair graph, memoized per (source, cols, k,
     * threshold) — one level up from [[sharedShingles]]: cluster
@@ -150,7 +177,10 @@ object DedupOps {
       pairs: DataFrame, k: Int, topK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = sharedShingles(df, idCol, textCol, k)
-    val shared = pairs.select("a", "b")
+    // distinct() guards against duplicated (a,b) rows in the caller's
+    // pair list — duplicates would multiply the shingle join and
+    // inflate n_shared
+    val shared = pairs.select("a", "b").distinct()
       .join(sh.select(col(idCol).as("a"), col("shingle")), "a")
       .join(sh.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
     val w = Window.partitionBy("a", "b").orderBy("shingle")
@@ -179,15 +209,20 @@ object DedupOps {
       k: Int, threshold: Double,
       maxShingleFreq: Option[Int] = None,
       reuseShingles: Boolean = false): DataFrame = {
-    val sh0 =
-      if (reuseShingles) sharedShingles(df, idCol, textCol, k)
-      else shingles(df, idCol, textCol, k)
-    val sh = maxShingleFreq match {
-      case Some(cap) =>
-        val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("f"))
-          .filter(col("f") > cap).select("shingle")
-        sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
-      case None => sh0
+    val sh = (reuseShingles, maxShingleFreq) match {
+      // staged + capped: read the shared capped frame (census already
+      // applied and persisted once per (corpus, k, cap))
+      case (true, Some(cap)) => sharedCappedShingles(df, idCol, textCol, k, cap)
+      case (true, None) => sharedShingles(df, idCol, textCol, k)
+      case (false, cf) =>
+        val sh0 = shingles(df, idCol, textCol, k)
+        cf match {
+          case Some(cap) =>
+            val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("f"))
+              .filter(col("f") > cap).select("shingle")
+            sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+          case None => sh0
+        }
     }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = sh.select(col(idCol).as("a"), col("shingle"))
@@ -386,6 +421,20 @@ object DedupOps {
       if (reuseBaseShingles) sharedShingles(base, idCol, textCol, k)
       else shingles(base, idCol, textCol, k)
     val shD0 = shingles(delta, idCol, textCol, k)
+    ngramJaccardPairsBetweenShingled(shB0, shD0, idCol, threshold,
+      maxShingleFreq)
+  }
+
+  /** [[ngramJaccardPairsBetween]] over PRE-SHINGLED sides — the
+    * warehouse-scale entry point: at 100 TB the corpus shingle index is
+    * materialized once per snapshot ([[sharedShingles]]), and an ingest
+    * partitioned by id (base vs delta) slices that ONE staged frame
+    * instead of re-tokenizing either side. A session whose base and
+    * delta partition a staged corpus pays two filters over persisted
+    * blocks rather than two full shingle scans per incremental check. */
+  def ngramJaccardPairsBetweenShingled(
+      shB0: DataFrame, shD0: DataFrame, idCol: String, threshold: Double,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
     val (shB, shD) = maxShingleFreq match {
       case Some(cap) =>
         val hot = shB0.select("shingle").unionAll(shD0.select("shingle"))

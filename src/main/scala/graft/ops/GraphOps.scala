@@ -531,6 +531,10 @@ object GraphOps {
     * (each round = two peels) — test instrumentation for the batching. */
   private[ops] val kCoreLastRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
 
+  /** Scheduled-round count of the last [[kTrussEdges]] call on this JVM
+    * (one support-peel per round — see the batching A/B note there). */
+  private[ops] val kTrussLastRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   /** The k-TRUSS of an undirected graph: the maximal subgraph in which
     * every EDGE closes at least k−2 triangles within the subgraph —
     * the cohesion tier above [[kCoreNodes]] (every k-truss is inside
@@ -550,6 +554,16 @@ object GraphOps {
     * unrolled SQL oracle check an iterate-until-converged engine. Each
     * round is pinned ([[Staging.pin]]) with ONE action; rounds are
     * bounded by the support-peeling depth.
+    *
+    * Deliberately NOT double-peel-batched like [[kCoreNodes]]:
+    * measured A/B at sf0.1 (60k-edge truss, ProfileOne steady state)
+    * put two-peels-per-action at ~5.7 s vs ~2.0 s for one — a k-core
+    * peel is one cheap degree rollup, so its cost really is the
+    * scheduler round, but a truss peel is an O(m^1.5) wedge join, and
+    * the second peel's enumeration reads the first's UNPINNED result,
+    * whose wedge-join subtree exchange reuse only partially collapses.
+    * Here data, not scheduling, dominates the round — batching doubles
+    * the dominant term to halve the minor one.
     *
     * @return surviving canonical edges with their in-truss support:
     *         (`u`, `v`, `support`), u < v. Empty when no k-truss exists.
@@ -595,21 +609,23 @@ object GraphOps {
     var prev = -1L
     var rounds = 0
     var converged = false
+    // inner join: an edge in no triangle has no support row -> dropped.
+    // The support COLUMN rides through the pin: at convergence (the
+    // filter removed nothing) it was measured on an edge set equal to
+    // the final one, so the converged frame already carries the
+    // in-truss support — no second O(m^1.5) triangle enumeration.
+    def peel(cur: DataFrame): DataFrame =
+      cur.select("u", "v")
+        .join(supports(cur.select("u", "v"))
+          .filter(col("support") >= k - 2), Seq("u", "v"))
     while (!converged && cnt > 0 && rounds < maxRounds) {
       prev = cnt
-      // inner join: an edge in no triangle has no support row -> dropped.
-      // The support COLUMN rides through the pin: at convergence (the
-      // filter removed nothing) it was measured on an edge set equal to
-      // the final one, so the converged frame already carries the
-      // in-truss support — no second O(m^1.5) triangle enumeration.
-      e = Staging.pin(
-        e.select("u", "v")
-          .join(supports(e.select("u", "v"))
-            .filter(col("support") >= k - 2), Seq("u", "v")))
+      e = Staging.pin(peel(e))
       cnt = e.count()
       converged = cnt == prev
       rounds += 1
     }
+    kTrussLastRounds.set(rounds)
     if (converged && e.columns.contains("support")) e
     else // empty input or the maxRounds backstop: supports may be stale
       e.select("u", "v").join(supports(e.select("u", "v")), Seq("u", "v"))

@@ -246,13 +246,19 @@ object SimilarityOps {
       nlist: Int, m: Int, ksub: Int,
       coarse: Option[DataFrame] = None) {
     // subspace slicing silently DROPS trailing dimensions when the
-    // vector length is not divisible by m — fail fast at the driver
-    // instead of ranking neighbors on a truncated vector (one LIMIT-1
-    // scan, paid once per state construction)
-    corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
-      .headOption.foreach { r =>
-        require(r.getInt(0) % m == 0,
-          s"PQ subspace count m=$m must divide the vector dim ${r.getInt(0)}")
+    // vector length is not divisible by m, and a RAGGED corpus (mixed
+    // vector lengths) would zip_with nulls into residuals — fail fast
+    // at the driver on either (one aggregate scan, paid once per state
+    // construction; min==max asserts the uniform-dimension precondition
+    // the per-dim arithmetic depends on)
+    corpus.agg(min(size(col(vecCol))).as("lo"),
+        max(size(col(vecCol))).as("hi")).collect()
+      .headOption.filterNot(r => r.isNullAt(0)).foreach { r =>
+        val (lo, hi) = (r.getInt(0), r.getInt(1))
+        require(lo == hi,
+          s"PQ requires a uniform vector dim; corpus has sizes in [$lo, $hi]")
+        require(hi % m == 0,
+          s"PQ subspace count m=$m must divide the vector dim $hi")
       }
     private val c = withNorm(corpus.select(col(idCol).as("nid"),
       col(vecCol).cast(ArrayType(DoubleType)).as("v")))

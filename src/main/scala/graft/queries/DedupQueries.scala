@@ -92,6 +92,9 @@ object DedupQueries {
     // The shared-shingle join is bounded by the pair list (never a
     // shingle-universe self-join); WindowGroupLimit caps the per-pair
     // sort. Reads the STAGED shingle and pair frames other gates share.
+    // The evidence array crosses the gate as a joined string (the
+    // repo-wide array-output convention: the external comparator cannot
+    // sort raw array cells).
     Q(
       "dedup_pair_evidence",
       (s, d) =>
@@ -100,6 +103,7 @@ object DedupQueries {
             DedupOps.sharedNgramJaccardPairs(T(s, d, "documents"),
               "doc_id", "text", k = 3, threshold = 0.8),
             k = 3, topK = 3)
+          .withColumn("evidence", array_join(col("evidence"), "|"))
           .orderBy("a", "b"),
       Some(s"""WITH ${jaccardPairCtes(0.8)},
               |shared AS (SELECT p.a, p.b, x.shingle
@@ -109,7 +113,8 @@ object DedupQueries {
               |    ROW_NUMBER() OVER (PARTITION BY a, b ORDER BY shingle) AS rn
               |  FROM shared)
               |SELECT a, b, CAST(count(*) AS BIGINT) AS n_shared,
-              |  list(shingle ORDER BY shingle) FILTER (WHERE rn <= 3)
+              |  array_to_string(
+              |    list(shingle ORDER BY shingle) FILTER (WHERE rn <= 3), '|')
               |    AS evidence
               |FROM r GROUP BY a, b ORDER BY a, b""".stripMargin),
       "near-dup pair evidence: top-3 shared shingles per pair, pair-list-bounded join"),
@@ -185,12 +190,21 @@ object DedupQueries {
     Q(
       "dedup_incremental_delta",
       (s, d) => {
-        val docs = T(s, d, "documents")
-        val base = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
-        val delta = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        // base and delta PARTITION the corpus by id parity, so both
+        // sides slice the ONE staged CAPPED shingle index ([[DedupOps
+        // .sharedCappedShingles]] — the combined-side df census this
+        // operator specifies equals the whole-corpus census when the
+        // sides partition it) instead of re-tokenizing half the corpus
+        // and re-running the census each — the warehouse shape
+        // (materialized index + delta filter), keeping this gate's
+        // cost join-side rather than scan-side in the suite
+        val sh = DedupOps.sharedCappedShingles(T(s, d, "documents"),
+          "doc_id", "text", k = 3, cap = 4)
         DedupOps
-          .ngramJaccardPairsBetween(base, delta, "doc_id", "text",
-            k = 3, threshold = 0.8, maxShingleFreq = Some(4))
+          .ngramJaccardPairsBetweenShingled(
+            sh.filter(pmod(col("doc_id"), lit(2)) === 0),
+            sh.filter(pmod(col("doc_id"), lit(2)) === 1),
+            "doc_id", threshold = 0.8)
           .orderBy("a", "b")
       },
       Some {
@@ -277,6 +291,41 @@ object DedupQueries {
           .orderBy("a", "b"),
       Some(bandedCosineSql(0.45)),
       "bucketed embedding near-dup: sketch-band candidates + exact-cosine verify"),
+
+    // SemDeDup (Abbas et al. 2023): embedding dedup with the all-pairs
+    // cosine confined WITHIN coarse clusters — the equi-join on centroid
+    // id bounds the pair cost at ~n²/nlist (shuffle-parallel per
+    // cluster) instead of a global n² cross join. Deterministic
+    // first-ids centroids make the whole operator oracle-replayable;
+    // keep/drop policy: the lower id of every qualifying pair survives.
+    // `kept` crosses the gate as 0/1 (comparator-stable like every
+    // boolean gate column).
+    Q(
+      "dedup_semdedup",
+      (s, d) =>
+        graft.ops.SimilarityOps
+          .semDedup(T(s, d, "embeddings"), "vec_id", "embedding",
+            nlist = 16, threshold = 0.45)
+          .withColumn("kept", col("kept").cast("int"))
+          .orderBy("id"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+             |cent AS (SELECT vec_id AS cid, v AS centv, nrm AS centn
+             |         FROM n WHERE vec_id < 16),
+             |asg AS (SELECT id, cid, v, nrm FROM (
+             |  SELECT c.vec_id AS id, cent.cid, c.v, c.nrm,
+             |    ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+             |      list_dot_product(c.v, cent.centv) / (c.nrm * cent.centn) DESC,
+             |      cent.cid ASC) AS r
+             |  FROM n c CROSS JOIN cent) t WHERE r = 1),
+             |dropped AS (SELECT DISTINCT y.id FROM asg x JOIN asg y
+             |  ON x.cid = y.cid AND x.id < y.id
+             |  WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.45)
+             |SELECT a.id, a.cid,
+             |  CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+             |FROM asg a LEFT JOIN dropped d ON d.id = a.id
+             |ORDER BY a.id""".stripMargin),
+      "SemDeDup: within-cluster cosine dedup, cluster-bounded pair join"),
 
     // Exact-substring tier (Lee et al. 2021): maximal shared token spans
     // ≥ 8 across document pairs, via positional 4-gram anchors matched on

@@ -52,13 +52,18 @@ object SimilarityQueries {
         SimilarityOps
           .pqEncode(T(s, d, "embeddings"), "vec_id", "embedding",
             nlist = 16, m = 4, ksub = 16)
+          // codes cross the gate stringified (repo-wide array-output
+          // convention); the storage tier itself keeps the array form
+          .withColumn("codes",
+            array_join(col("codes").cast("array<string>"), ","))
           .orderBy("id"),
       Some(s"""WITH $pqEncCtes
               |SELECT nid AS id, max(cid) AS cid,
+              |  array_to_string(
               |  [max(CASE WHEN j = 0 THEN code END),
               |   max(CASE WHEN j = 1 THEN code END),
               |   max(CASE WHEN j = 2 THEN code END),
-              |   max(CASE WHEN j = 3 THEN code END)] AS codes
+              |   max(CASE WHEN j = 3 THEN code END)], ',') AS codes
               |FROM enc GROUP BY nid ORDER BY id""".stripMargin),
       "PQ storage encoding: coarse list id + m subspace codes per vector"),
 
@@ -70,15 +75,19 @@ object SimilarityQueries {
       "sim_sq8_encode",
       (s, d) =>
         SimilarityOps.sq8Encode(T(s, d, "embeddings"), "vec_id", "embedding")
+          // stringified gate surface; the storage tier keeps the array
+          .withColumn("codes",
+            array_join(col("codes").cast("array<string>"), ","))
           .orderBy("id"),
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |x AS (SELECT vec_id, i - 1 AS d, v[i] AS x
              |      FROM e, unnest(generate_series(1, len(v))) AS u(i)),
              |st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM x GROUP BY d)
              |SELECT vec_id AS id,
+             |  array_to_string(
              |  list(CAST(CASE WHEN mx = mn THEN 0
              |       ELSE least(floor((x - mn) * 255.0 / (mx - mn)), 255)
-             |       END AS INTEGER) ORDER BY d) AS codes
+             |       END AS INTEGER) ORDER BY d), ',') AS codes
              |FROM x JOIN st USING (d)
              |GROUP BY vec_id ORDER BY id""".stripMargin),
       "int8 scalar-quantized embedding codes: per-dim affine vs exact corpus min/max"),

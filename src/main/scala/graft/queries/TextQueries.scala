@@ -577,6 +577,9 @@ object TextQueries {
       (s, d) =>
         TextOps.bpeEncodeIds(T(s, d, "documents"), "doc_id", "text",
             sharedMerges(s, d))
+          // ids cross the gate stringified (repo-wide array-output
+          // convention); downstream consumers use the array form
+          .withColumn("ids", array_join(col("ids").cast("array<string>"), ","))
           .orderBy("doc_id"),
       Some {
         s"""WITH ${bpeCascadeCtes(5)},
@@ -590,7 +593,7 @@ object TextQueries {
            |    ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) - 1 AS vid
            |  FROM v0)
            |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           |  list(v.vid ORDER BY t.i) AS ids
+           |  array_to_string(list(v.vid ORDER BY t.i), ',') AS ids
            |FROM tok t JOIN vocab v USING (tok)
            |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
       },

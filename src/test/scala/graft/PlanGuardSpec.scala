@@ -26,7 +26,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // cross join as sim_topk_ivf (nlist rows, broadcast by
       // construction); its codebook joins are equi-joins on j. The PQ
       // storage encoder shares the identical assignment stage.
-      "sim_topk_ivfpq", "sim_pq_encode",
+      // SemDeDup's coarse assignment is the same nlist-row broadcast
+      // centroid cross join; its pair join is an equi-join on cid
+      "sim_topk_ivfpq", "sim_pq_encode", "dedup_semdedup",
       "sim_knn_classify", "sketch_kmv_setops", "sketch_hll_union",
       "stats_cuped_adjust",
       // single-row "n = max global rank" broadcasts (same O(N) shape

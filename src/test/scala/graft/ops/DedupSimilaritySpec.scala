@@ -244,6 +244,91 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup: perfect recall on planted clusters, sound drops on the corpus") {
+    import spark.implicits._
+    // PLANTED: two tight direction-clusters seeded by the first-ids
+    // centroids (ids 0/1 = the nlist=2 quantizer), members near-parallel
+    // to a seed. Near-identical vectors share a cosine-argmax centroid,
+    // so every planted pair co-clusters and drop recall is exactly 1.
+    val crafted = Seq(
+      (0L, Array(10.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.0, 10.0, 0.0, 0.0)),
+      (2L, Array(10.0, 0.1, 0.0, 0.0)),
+      (3L, Array(10.2, 0.0, 0.1, 0.0)),
+      (4L, Array(0.0, 10.1, 0.1, 0.0)),
+      (5L, Array(0.1, 9.9, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val sem = SimilarityOps
+      .semDedup(crafted, "vec_id", "embedding", nlist = 2, threshold = 0.95)
+      .collect()
+    assert(sem.length == 6, "every vector gets a keep/drop verdict")
+    val kept = sem.filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("id")).toSet
+    assert(kept == Set(0L, 1L),
+      s"cluster minima survive, higher-id members drop; kept = $kept")
+    val cids = sem.map(r => r.getAs[Long]("id") -> r.getAs[Long]("cid")).toMap
+    assert(Set(2L, 3L).forall(cids(_) == cids(0L)) &&
+      Set(4L, 5L).forall(cids(_) == cids(1L)), "members co-cluster with seeds")
+
+    // CORPUS: no near-identical embeddings are planted (max pairwise
+    // cosine ~0.48 at this SF), so borderline 0.45-pairs needn't
+    // co-cluster — recall is a measured trade here, not an invariant.
+    // What IS invariant: within-cluster pairs are a subset of the exact
+    // pair set, so every drop must be justified by an exact pair.
+    val emb = T(spark, sf, "embeddings")
+    val t = 0.45
+    val exact = DedupOps
+      .embeddingNearDupPairs(emb, "vec_id", "embedding", threshold = t)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain cosine near-dups at 0.45")
+    val corpus = SimilarityOps
+      .semDedup(emb, "vec_id", "embedding", nlist = 16, threshold = t)
+      .collect()
+    assert(corpus.length == emb.count())
+    val dropped = corpus.filter(!_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("id")).toSet
+    dropped.foreach { b =>
+      assert(exact.exists(_._2 == b),
+        s"dropped id $b has no exact near-dup pair justifying the drop")
+    }
+    val recall = exact.count { case (_, b) => dropped(b) }.toDouble / exact.size
+    info(f"corpus drop recall vs exact 0.45-pairs: $recall%.2f " +
+      s"(${dropped.size} dropped of ${corpus.length})")
+  }
+
+  test("PQ/SQ8 gate codes parse back: sq8 within one step, pq in range") {
+    val sfDir = sf
+    val emb = T(spark, sfDir, "embeddings")
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dims = vecs.values.head.length
+    val mn = (0 until dims).map(d => vecs.values.map(_(d)).min)
+    val mx = (0 until dims).map(d => vecs.values.map(_(d)).max)
+    // the STRINGIFIED gate surface (what the external comparator hashes)
+    // must decode back to codes that reconstruct within one step
+    val sq8 = graft.SparkEntry.queries("sim_sq8_encode")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("codes")).toMap
+    assert(sq8.size == vecs.size)
+    sq8.foreach { case (id, s) =>
+      val cs = s.split(",").map(_.toInt)
+      assert(cs.length == dims, s"vec $id: ${cs.length} codes != $dims dims")
+      cs.zipWithIndex.foreach { case (c, d) =>
+        val step = (mx(d) - mn(d)) / 255.0
+        assert(c >= 0 && c <= 255)
+        assert(math.abs(mn(d) + c * step - vecs(id)(d)) <= step + 1e-12)
+      }
+    }
+    val pq = graft.SparkEntry.queries("sim_pq_encode")(spark, sfDir)
+      .collect()
+    assert(pq.length == vecs.size)
+    pq.foreach { r =>
+      val cs = r.getAs[String]("codes").split(",").map(_.toInt)
+      assert(cs.length == 4, "m = 4 subspace codes per vector")
+      assert(cs.forall(c => c >= 0 && c < 16), "codes index the ksub=16 codebook")
+      val cid = r.getAs[Long]("cid")
+      assert(cid >= 0 && cid < 16, "coarse list id indexes the nlist=16 centroids")
+    }
+  }
+
   test("IVF-PQ with a k-means-trained coarse codebook is a drop-in") {
     val emb = T(spark, sf, "embeddings")
     val codebook = SimilarityOps

@@ -286,6 +286,51 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kTrussEdges converges on a deep peel cascade in depth+1 rounds") {
+    import spark.implicits._
+    // a fixed 18-node graph whose k=4 support-peel CASCADES one thin
+    // layer at a time (searched for a deep chain; single-peel depth 8,
+    // re-measured below rather than trusted). Guards the round
+    // accounting: exactly one peel per action, one confirm round — and
+    // pins the deliberate no-double-peel choice (see kTrussEdges doc:
+    // measured A/B showed batching doubles the dominant wedge join).
+    val edges = Seq(
+      (0L, 4L), (0L, 7L), (0L, 9L), (0L, 13L), (0L, 16L), (0L, 17L),
+      (1L, 5L), (1L, 6L), (1L, 7L), (1L, 8L), (1L, 9L), (2L, 4L),
+      (2L, 5L), (2L, 9L), (2L, 10L), (2L, 11L), (2L, 12L), (2L, 15L),
+      (2L, 16L), (2L, 17L), (3L, 4L), (3L, 6L), (3L, 13L), (3L, 15L),
+      (3L, 17L), (4L, 7L), (4L, 13L), (4L, 14L), (4L, 15L), (4L, 16L),
+      (5L, 6L), (5L, 7L), (5L, 8L), (5L, 16L), (5L, 17L), (6L, 8L),
+      (6L, 15L), (6L, 16L), (7L, 8L), (7L, 9L), (7L, 13L), (7L, 14L),
+      (7L, 17L), (8L, 9L), (8L, 12L), (8L, 13L), (10L, 13L), (10L, 14L),
+      (10L, 17L), (11L, 12L), (11L, 15L), (11L, 16L), (12L, 17L),
+      (14L, 17L), (15L, 17L), (16L, 17L))
+    var e = edges.toSet
+    var depth = 0
+    var changed = true
+    while (changed) {
+      val s = {
+        val m = scala.collection.mutable.Map[(Long, Long), Long]()
+          .withDefaultValue(0L)
+        val nodes = e.flatMap(t => Seq(t._1, t._2)).toSeq.distinct.sorted
+        for { (a, b) <- e; c <- nodes if c > b && e((b, c)) && e((a, c)) }
+          { m((a, b)) += 1; m((b, c)) += 1; m((a, c)) += 1 }
+        m
+      }
+      val keep = e.filter(t => s(t) >= 2)
+      changed = keep != e
+      if (changed) depth += 1
+      e = keep
+    }
+    assert(depth >= 5, s"cascade fixture broke: depth $depth")
+    val got = GraphOps.kTrussEdges(edges.toDF("a", "b"), "a", "b", k = 4)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2)).toSet
+    assert(got == e, s"truss mismatch: missing ${e -- got}, extra ${got -- e}")
+    val rounds = GraphOps.kTrussLastRounds.get()
+    assert(rounds == depth + 1,
+      s"round accounting broke: $rounds rounds for single-peel depth $depth")
+  }
+
   test("kCoreNodes batches two peels per scheduled round") {
     import spark.implicits._
     // path of 13 nodes, k=2: each peel strips the two endpoints, so the

@@ -82,6 +82,20 @@ def main(sf_dir, out_dir):
                   "driver hasher diverges on decimals; cast to VARCHAR/DOUBLE")
             n_fail += 1
             continue
+        # The driver's comparator sort_values-crashes on unhashable
+        # array cells (round-9: 4 gates certified 'err' that way). Raw
+        # array/list output is therefore banned the same way DECIMAL is:
+        # stringify on both sides (array_join / array_to_string).
+        arr_cols = sorted({
+            c for df in (got, exp) for c in df.columns
+            if df[c].map(lambda v: isinstance(v, (list, tuple))
+                         or type(v).__name__ == "ndarray").any()})
+        if arr_cols:
+            print(f"FAIL {name}: raw array output column(s) {arr_cols} — "
+                  "driver comparator crashes on array cells; use "
+                  "array_join/array_to_string on both sides")
+            n_fail += 1
+            continue
         gk, ek = rows_key(got), rows_key(exp)
         if gk != ek:
             bad = [i for i, (a, b) in enumerate(zip(gk, ek)) if a != b][:3]
