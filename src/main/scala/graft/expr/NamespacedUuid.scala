@@ -174,6 +174,10 @@ object GraftFunctions {
         require(exprs.length == 1 || exprs.length == 2, "fingerprint64(text[, k])")
         Fingerprint64(exprs.head, litInt(exprs, 1, default = 8))
       },
+      "hash64" -> { exprs =>
+        require(exprs.length == 1, "hash64(text)")
+        StringHash64(exprs.head)
+      },
       "winnow_set" -> { exprs =>
         require(exprs.nonEmpty && exprs.length <= 3, "winnow_set(text[, k[, w]])")
         WinnowSet(exprs.head, litInt(exprs, 1, default = 8), litInt(exprs, 2, default = 4))

@@ -212,9 +212,34 @@ object WinnowSet {
   }
 }
 
+/** Whole-string [[Hash64]] (seed 0) as a codegen'd scalar — the hashed
+  * feature bucketing primitive (DSIR-style hashed n-gram features): one
+  * deterministic long per string, replayable by the same FNV+mix SQL
+  * replica ([[graft.queries.Hash64Oracle]]) that oracles SimHash. */
+case class StringHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    StringHash64.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.StringHash64$$.MODULE$$.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StringHash64 =
+    copy(child = newChild)
+}
+
+object StringHash64 {
+  def compute(s: UTF8String): Long = Hash64.hashBytes(s.getBytes, 0L)
+}
+
 object TextHashFunctions {
   def simhash64(c: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c)))
+
+  def hash64(c: Column): Column =
+    GraftColumnBridge.column(StringHash64(GraftColumnBridge.expression(c)))
 
   def fingerprint64(c: Column, k: Int = 8): Column =
     GraftColumnBridge.column(Fingerprint64(GraftColumnBridge.expression(c), k))

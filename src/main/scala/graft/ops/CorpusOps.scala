@@ -501,4 +501,95 @@ object CorpusOps {
         col("corrupted_text"),
         coalesce(col("target_text"), lit("")).as("target_text"))
   }
+
+  // ── DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169) ──
+  // Data Selection via Importance Resampling: score every raw document
+  // by how much more likely its hashed n-gram features are under the
+  // TARGET distribution than under the RAW one, then keep the top
+  // scorers. The feature space is word unigrams ∪ bigrams hashed into
+  // `buckets` buckets ([[graft.expr.StringHash64]] — deterministic,
+  // replayable by the FNV+mix SQL replica that already oracles SimHash),
+  // so the "model" is two bucket histograms: tiny, broadcastable state
+  // however large the corpus.
+
+  /** Per-document hashed n-gram feature counts: `(idCol, bucket, cnt)`.
+    * One explode → hash → keyed rollup (map-side combined); no state
+    * beyond the rows themselves. Docs of one token have no bigrams (the
+    * `when` guards Spark's descending `sequence(1, 0)`). */
+  def dsirFeatures(
+      df: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val grams = when(size(col("_t")) >= 2,
+        expr("transform(sequence(1, size(_t) - 1)," +
+          " i -> concat(_t[i-1], ' ', _t[i]))"))
+      .otherwise(array().cast(ArrayType(StringType)))
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("_t"))
+      .select(col(idCol), explode(concat(col("_t"), grams)).as("f"))
+      .withColumn("bucket",
+        pmod(graft.expr.TextHashFunctions.hash64(col("f")),
+          lit(buckets.toLong)).cast(IntegerType))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The exact-integer sufficient statistics of the DSIR log weight:
+    * each doc's bucket counts joined with the target / raw bucket
+    * histograms and their totals —
+    * `(idCol, bucket, cnt, t_cnt, r_cnt, t_tot, r_tot)`.
+    *
+    * The Laplace-smoothed log importance weight is fully determined by
+    * these integers — `Σ_b cnt·(ln((t_cnt+1)/(t_tot+B)) −
+    * ln((r_cnt+1)/(r_tot+B)))` — but the ln stays OUT of this frame:
+    * libm logs are not cross-engine bit-reproducible (tf-idf / HLL
+    * precedent), so the warehouse stores the integers and consumers
+    * ([[dsirLogWeights]]) take the logs. At scale: the histograms are
+    * ≤ `buckets` rows (the 1-row totals cross join lands on that tiny
+    * frame, never on the corpus) and reach the corpus-sized feature
+    * frame by broadcast. */
+  def dsirStats(
+      df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int): DataFrame = {
+    val feat = dsirFeatures(df, idCol, textCol, buckets)
+    val th = feat
+      .join(df.filter(targetPred).select(col(idCol)), Seq(idCol), "left_semi")
+      .groupBy("bucket").agg(sum("cnt").as("t_cnt"))
+    val rh = feat.groupBy("bucket").agg(sum("cnt").as("r_cnt"))
+    val hist = rh.join(th, Seq("bucket"), "left_outer")
+      .na.fill(0L, Seq("t_cnt"))
+    val tot = hist.agg(sum("t_cnt").as("t_tot"), sum("r_cnt").as("r_tot"))
+    feat.join(broadcast(hist.crossJoin(broadcast(tot))), Seq("bucket"))
+      .select(col(idCol), col("bucket"), col("cnt"),
+        col("t_cnt"), col("r_cnt"), col("t_tot"), col("r_tot"))
+  }
+
+  /** Per-document DSIR log importance weight
+    * `log_w = Σ_b cnt·(ln p̂_target(b) − ln p̂_raw(b))` with Laplace
+    * (+1 / +buckets) smoothing — positive means the doc looks more like
+    * the target than like the raw corpus. The consumer-side ln over
+    * [[dsirStats]]'s integers; one keyed rollup. */
+  def dsirLogWeights(
+      df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int): DataFrame = {
+    val lam =
+      log((col("t_cnt") + 1).cast(DoubleType) /
+          (col("t_tot") + buckets).cast(DoubleType)) -
+      log((col("r_cnt") + 1).cast(DoubleType) /
+          (col("r_tot") + buckets).cast(DoubleType))
+    dsirStats(df, idCol, textCol, targetPred, buckets)
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt").cast(DoubleType) * lam).as("log_w"))
+  }
+
+  /** DSIR selection: the `k` raw documents whose hashed-feature
+    * distribution is most target-like (deterministic, noise-free
+    * variant — rank by log weight, ties to the smaller id; the paper's
+    * Gumbel-perturbed resampling is this with salted noise added to
+    * `log_w`). TakeOrdered top-k — no single-partition sort. */
+  def dsirSelect(
+      df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int, k: Int): DataFrame =
+    dsirLogWeights(df, idCol, textCol, targetPred, buckets)
+      .orderBy(col("log_w").desc, col(idCol))
+      .limit(k)
 }

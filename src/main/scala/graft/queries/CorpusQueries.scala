@@ -749,6 +749,38 @@ object CorpusQueries {
               |  CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS copy_idx
               |FROM c
               |ORDER BY doc_id, copy_idx""".stripMargin),
-      "mixture upsampling: fractional repeat factors, deterministic extra-epoch rows")
+      "mixture upsampling: fractional repeat factors, deterministic extra-epoch rows"),
+
+    // DSIR importance weighting (Xie et al. 2023): hashed unigram+bigram
+    // features — one native StringHash64 per feature, replayed by the
+    // same vocabulary-sized FNV+mix recursive CTE that oracles SimHash.
+    // Two exact-integer gates (features, then the per-doc sufficient
+    // statistics vs the target/raw histograms); the log weight itself is
+    // consumer-side ln over these integers (libm is not cross-engine
+    // bit-reproducible — HLL/tf-idf precedent) and is spec-tested
+    // against a planted corpus instead of oracle-gated.
+    Q(
+      "corpus_dsir_features",
+      (s, d) =>
+        CorpusOps
+          .dsirFeatures(T(s, d, "documents"), "doc_id", "text", buckets = 64)
+          .orderBy("doc_id", "bucket"),
+      Some(Hash64Oracle.dsirFeaturesSql(buckets = 64)),
+      "DSIR hashed n-gram features: unigram+bigram hash64 mod 64 bucket counts"),
+
+    // The histograms are ≤64 rows however large the corpus (broadcast
+    // model state); the 1-row totals cross join lands on that tiny
+    // frame, never on the corpus — declared in PlanGuardSpec with the
+    // other single-row broadcasts.
+    Q(
+      "corpus_dsir_stats",
+      (s, d) =>
+        CorpusOps
+          .dsirStats(T(s, d, "documents"), "doc_id", "text",
+            targetPred = col("source") === "src0", buckets = 64)
+          .orderBy("doc_id", "bucket"),
+      Some(Hash64Oracle.dsirStatsSql(buckets = 64,
+        targetWhere = "source = 'src0'")),
+      "DSIR sufficient statistics: doc bucket counts vs target/raw histograms, all integer")
   )
 }

@@ -257,4 +257,67 @@ private[queries] object Hash64Oracle {
        |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared
        |ORDER BY a, b""".stripMargin
   }
+
+  /** CTEs `featl .. hb` for the DSIR hashed n-gram features
+    * ([[graft.ops.CorpusOps.dsirFeatures]]): per-document word unigrams ∪
+    * bigrams, each distinct feature STRING hashed once (vocabulary-sized
+    * recursive FNV over its chars — bigrams contain the joining space,
+    * hashed like any other byte), then bucketed by the non-negative
+    * residue of the SIGNED hash mod `buckets` — DuckDB `%` and Spark
+    * `pmod` agree once both sides apply the `((h % B) + B) % B` form. */
+  private def dsirFeatureCtes(buckets: Int): String = {
+    val (mCtes, mLast) = staged("fnvfin", "f", mixSteps, "dm")
+    s"""tks AS (SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents),
+       |featl AS (
+       |  SELECT doc_id, unnest(t) AS f FROM tks
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+       |                                       i -> t[i] || ' ' || t[i+1])) AS f
+       |  FROM tks WHERE len(t) >= 2),
+       |voc AS (SELECT DISTINCT f FROM featl),
+       |fnv AS (
+       |  SELECT f, 1 AS i, CAST($Basis AS UBIGINT) AS h FROM voc
+       |  UNION ALL
+       |  SELECT f, i+1,
+       |    CAST(CAST(xor(h, CAST(unicode(substr(f,i,1)) AS UBIGINT)) AS HUGEINT)
+       |         * $Prime % $M AS UBIGINT)
+       |  FROM fnv WHERE i <= length(f)
+       |),
+       |fnvfin AS (SELECT f, h FROM fnv WHERE i = length(f)+1),
+       |$mCtes,
+       |hb AS (SELECT f,
+       |  CAST(((($SignedH) % $buckets) + $buckets) % $buckets AS INTEGER)
+       |    AS bucket FROM $mLast),
+       |feat AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |         FROM featl JOIN hb USING (f) GROUP BY doc_id, bucket)""".stripMargin
+  }
+
+  /** Oracle for `corpus_dsir_features`: per (doc, bucket) hashed
+    * unigram+bigram feature counts. */
+  def dsirFeaturesSql(buckets: Int): String =
+    s"""WITH RECURSIVE ${dsirFeatureCtes(buckets)}
+       |SELECT doc_id, bucket, cnt FROM feat
+       |ORDER BY doc_id, bucket""".stripMargin
+
+  /** Oracle for `corpus_dsir_stats` ([[graft.ops.CorpusOps.dsirStats]]):
+    * each doc's bucket counts joined with the target and raw bucket
+    * histograms plus their totals — the exact-integer sufficient
+    * statistics of the DSIR log importance weight (the ln itself stays
+    * out of the compare path). `targetWhere` selects the target rows. */
+  def dsirStatsSql(buckets: Int, targetWhere: String): String =
+    s"""WITH RECURSIVE ${dsirFeatureCtes(buckets)},
+       |tgt AS (SELECT doc_id FROM documents WHERE $targetWhere),
+       |th AS (SELECT bucket, sum(cnt) AS t_cnt FROM feat
+       |       JOIN tgt USING (doc_id) GROUP BY bucket),
+       |rh AS (SELECT bucket, sum(cnt) AS r_cnt FROM feat GROUP BY bucket),
+       |tot AS (SELECT (SELECT coalesce(sum(t_cnt), 0) FROM th) AS t_tot,
+       |               (SELECT sum(r_cnt) FROM rh) AS r_tot)
+       |SELECT f.doc_id, f.bucket, f.cnt,
+       |  CAST(coalesce(th.t_cnt, 0) AS BIGINT) AS t_cnt,
+       |  CAST(rh.r_cnt AS BIGINT) AS r_cnt,
+       |  CAST(tot.t_tot AS BIGINT) AS t_tot,
+       |  CAST(tot.r_tot AS BIGINT) AS r_tot
+       |FROM feat f LEFT JOIN th USING (bucket) JOIN rh USING (bucket)
+       |CROSS JOIN tot
+       |ORDER BY doc_id, bucket""".stripMargin
 }

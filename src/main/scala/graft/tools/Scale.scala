@@ -295,7 +295,16 @@ object Scale {
             lab.filter(col("split") =!= "train"),
             "doc_id", "text", k = 4, minLen = 8,
             maxGramFreq = Some(8)).count()
-        }))
+        }),
+        // DSIR sufficient stats: feature explode + two <=B-row histogram
+        // rollups + a broadcast join back — the histogram model state is
+        // size-B however big the corpus, so wall time must track the
+        // token count alone (target = every 10th doc, production-width
+        // bucket space)
+        "dsir_stats" -> (() =>
+          CorpusOps.dsirStats(d, "doc_id", "text",
+            targetPred = col("doc_id") % 10 === 0,
+            buckets = 4096).count()))
 
       // optional args(1): comma-separated op names — run only those
       // (refresh individual curves without paying the full sweep)

@@ -47,7 +47,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // candidates x (<=k)-row selected-set broadcast per greedy round
       "sim_diverse_maxmin",
       // 1-row (n_a, n_b) broadcast against the prefix-count frame
-      "stats_ks_test", "stats_mannwhitney_u", "stats_wilcoxon_signed")
+      "stats_ks_test", "stats_mannwhitney_u", "stats_wilcoxon_signed",
+      // 1-row totals broadcast onto the <=64-row DSIR bucket histogram
+      // (the corpus-sized feature frame joins that result by equi-key)
+      "corpus_dsir_stats")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

@@ -329,4 +329,94 @@ class CorpusOpsSpec extends AnyFunSuite {
       empty.withColumn("n_tokens", lit(1L)),
       "doc_id", "lang", col("n_tokens"), 100L, "s").count() == 0)
   }
+
+  // ── DSIR importance weighting ──
+
+  /** Local replica of the feature extraction: unigrams ∪ bigrams hashed
+    * by the same Hash64 the engine expression uses, pmod-bucketed. */
+  private def dsirRef(text: String, buckets: Int): Map[Int, Long] = {
+    val t = text.split(" +").toSeq
+    val feats = t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    feats.groupBy { f =>
+      val h = graft.expr.Hash64.hashBytes(f.getBytes("UTF-8"), 0L)
+      (((h % buckets) + buckets) % buckets).toInt
+    }.map { case (b, fs) => b -> fs.size.toLong }
+  }
+
+  test("dsirFeatures matches the local Hash64 replica, one-token docs included") {
+    val crafted = Seq(
+      (0L, "alpha beta gamma alpha"),
+      (1L, "solo"),
+      (2L, "beta beta beta")).toDF("doc_id", "text")
+    val got = CorpusOps.dsirFeatures(crafted, "doc_id", "text", buckets = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val want = Seq(
+      0L -> "alpha beta gamma alpha",
+      1L -> "solo",
+      2L -> "beta beta beta").flatMap { case (id, tx) =>
+      dsirRef(tx, 64).map { case (b, n) => (id, b) -> n }
+    }.toMap
+    assert(got == want, s"feature mismatch: got $got want $want")
+    // total feature mass: n unigrams + (n-1) bigrams per doc
+    assert(got.filter(_._1._1 == 0L).values.sum == 4 + 3)
+    assert(got.filter(_._1._1 == 1L).values.sum == 1) // no bigrams
+  }
+
+  test("dsirStats carries exact integer histograms; log weights rank " +
+      "target-like docs first") {
+    // planted: target docs (ids 0-3) speak vocab A, background (4-9)
+    // vocab B; probes 100 (pure A) and 101 (pure B) are OUT of the
+    // target set, so selection must find 100 by distribution alone
+    val mk = (v: String, n: Int) => (0 until n).map(i => s"$v${i % 4}").mkString(" ")
+    val corpus = ((0L to 3L).map(i => (i, mk("apple", 12), "tgt")) ++
+      (4L to 9L).map(i => (i, mk("rock", 12), "bg")) ++
+      Seq((100L, mk("apple", 12), "probe"), (101L, mk("rock", 12), "probe")))
+      .toDF("doc_id", "text", "src")
+    val B = 64
+    val st = CorpusOps.dsirStats(corpus, "doc_id", "text",
+      targetPred = col("src") === "tgt", buckets = B).collect()
+    // exact-integer invariants: every row shares one (t_tot, r_tot);
+    // raw histogram dominates the target one bucket-wise
+    val tots = st.map(r => (r.getLong(5), r.getLong(6))).distinct
+    assert(tots.length == 1, s"totals must be global constants: ${tots.toSeq}")
+    val (tTot, rTot) = tots.head
+    assert(tTot == 4 * 23 && rTot == 12 * 23,
+      s"12 tokens -> 23 features/doc; got ($tTot, $rTot)")
+    st.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4),
+        s"target count exceeds raw count in bucket ${r.getInt(1)}")
+    }
+    // the log weight recomputed locally from the gate integers matches
+    // the operator (same JVM libm -> exact)
+    val wGot = CorpusOps.dsirLogWeights(corpus, "doc_id", "text",
+        col("src") === "tgt", B).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wRef = st.groupBy(_.getLong(0)).map { case (id, rows) =>
+      id -> rows.map { r =>
+        r.getLong(2) * (math.log((r.getLong(3) + 1.0) / (tTot + B)) -
+          math.log((r.getLong(4) + 1.0) / (rTot + B)))
+      }.sum
+    }
+    wRef.foreach { case (id, w) =>
+      assert(math.abs(wGot(id) - w) < 1e-9, s"doc $id: ${wGot(id)} vs $w")
+    }
+    // ranking: the pure-A probe outscores every vocab-B doc; selection
+    // of k=5 is exactly the A-speakers
+    assert(wGot(100L) > wGot(101L))
+    val picked = CorpusOps.dsirSelect(corpus, "doc_id", "text",
+        col("src") === "tgt", B, k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked == Set(0L, 1L, 2L, 3L, 100L),
+      s"top-5 must be the target-vocab speakers, got $picked")
+  }
+
+  test("hash64 SQL surface matches the expression and the Hash64 core") {
+    val r = spark.sql("SELECT hash64('alpha') AS h1, hash64('') AS h2")
+      .collect().head
+    assert(r.getLong(0) ==
+      graft.expr.Hash64.hashBytes("alpha".getBytes("UTF-8"), 0L))
+    assert(r.getLong(1) ==
+      graft.expr.Hash64.hashBytes(Array.emptyByteArray, 0L))
+  }
 }
