@@ -533,6 +533,27 @@ object CorpusOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Staged [[dsirFeatures]], memoized per (source, cols, buckets) — the
+    * [[DedupOps.sharedShingles]] idiom. The feature frame feeds THREE
+    * consumers inside one [[dsirStats]] call (target histogram, raw
+    * histogram, the per-doc join) plus the standalone features gate;
+    * without staging the tokenize→explode→rollup runs once per consumer.
+    * At 100 TB this is the per-snapshot feature table a DSIR deployment
+    * would persist next to the corpus. */
+  private[ops] val dsirFeatureCache =
+    new BoundedDfCache[(DataFrame, String, String, Int)](maxEntries = 8)
+
+  def sharedDsirFeatures(
+      df: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    dsirFeatureCache.getOrElseUpdate((df, idCol, textCol, buckets)) {
+      dsirFeatures(df, idCol, textCol, buckets)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Unpersist and drop every shared DSIR feature frame (test hygiene). */
+  def clearDsirFeatureCache(): Unit = dsirFeatureCache.clear()
+
   /** The exact-integer sufficient statistics of the DSIR log weight:
     * each doc's bucket counts joined with the target / raw bucket
     * histograms and their totals —
@@ -550,7 +571,7 @@ object CorpusOps {
   def dsirStats(
       df: DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int): DataFrame = {
-    val feat = dsirFeatures(df, idCol, textCol, buckets)
+    val feat = sharedDsirFeatures(df, idCol, textCol, buckets)
     val th = feat
       .join(df.filter(targetPred).select(col(idCol)), Seq(idCol), "left_semi")
       .groupBy("bucket").agg(sum("cnt").as("t_cnt"))

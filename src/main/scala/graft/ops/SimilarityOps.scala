@@ -554,4 +554,105 @@ object SimilarityOps {
     base.unpersist()
     log.toSeq.toDF("sel_order", "id", "min_dist2")
   }
+
+  /** Labeled sketch bands: [[bandedIds]] plus the row's label riding the
+    * exploded band rows (a few bytes), so label-aware candidate filters
+    * apply BEFORE the candidate `distinct` — the pair shuffle only ever
+    * carries pairs that can survive. */
+  private def bandedIdsLabeled(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      side: String, lbl: String): DataFrame =
+    withSketch(df.select(col(idCol).as(side), col(labelCol).as(lbl),
+      col(vecCol).cast(ArrayType(DoubleType)).as("_v")), "_v")
+      .select(col(side), col(lbl),
+        explode(array((0 until 8).map(i =>
+          struct(lit(i).as("band"),
+            shiftright(col("sketch"), i * 8)
+              .bitwiseAND(lit(0xffL)).as("bh"))): _*)).as("_bnd"))
+      .select(col(side), col(lbl), col("_bnd.band"), col("_bnd.bh"))
+
+  /** Hard-negative mining for contrastive training: for every query row,
+    * the `k` most-cosine-similar corpus rows carrying a DIFFERENT label —
+    * the negatives a contrastive loss learns most from (Robinson et al.
+    * 2021, "Contrastive Learning with Hard Negative Samples"). Candidate
+    * generation is the [[lshTopK]] sign-sketch band join with the
+    * label-mismatch filter applied before the candidate `distinct`;
+    * surviving candidates are re-ranked by exact cosine. Recall < 1 by
+    * construction (banded ANN), measured against a brute-force mine in
+    * tests, never assumed.
+    *
+    * Scale shape: identical to [[lshTopK]] — id+label-only band join,
+    * distinct on (qid, nid), vectors re-joined only for the re-rank.
+    * No all-pairs stage anywhere. */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val cands = bandedIdsLabeled(queries, idCol, vecCol, labelCol, "qid", "ql")
+      .join(bandedIdsLabeled(corpus, idCol, vecCol, labelCol, "nid", "nl"),
+        Seq("band", "bh"))
+      .filter(col("qid") =!= col("nid") && col("ql") =!= col("nl"))
+      .select("qid", "nid")
+      .distinct()
+    val q = withNorm(queries.select(col(idCol).as("qid"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+      .select(col("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = withNorm(corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+      .select(col("nid"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("nid").asc)
+    cands.join(q, "qid").join(c, "nid")
+      .withColumn("cosine",
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "cosine")
+  }
+
+  /** Contrastive triplet mining: one (anchor, positive, negative) row per
+    * anchor that has both a same-label and a different-label band
+    * candidate — `positive` is the most-similar same-label neighbor (the
+    * hardest positive is the LEAST similar; this picks the conventional
+    * nearest-positive used by triplet-loss bootstrap), `negative` the
+    * most-similar different-label neighbor (the hard negative). One band
+    * candidate join feeds both sides; the per-anchor winners come from a
+    * single (qid, same?) window — no second pass over the pairs.
+    *
+    * Anchors with no candidate on either side are dropped (an ANN miner
+    * cannot emit a triplet it has no candidate for) — the drop is
+    * deterministic and the oracle replays it. */
+  def contrastiveTriplets(
+      emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val cands = bandedIdsLabeled(emb, idCol, vecCol, labelCol, "qid", "ql")
+      .join(bandedIdsLabeled(emb, idCol, vecCol, labelCol, "nid", "nl"),
+        Seq("band", "bh"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "ql", "nid", "nl")
+      .distinct()
+    val q = withNorm(emb.select(col(idCol).as("qid"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+      .select(col("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = withNorm(emb.select(col(idCol).as("nid"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+      .select(col("nid"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("qid", "same")
+      .orderBy(col("cosine").desc, col("nid").asc)
+    val top = cands.join(q, "qid").join(c, "nid")
+      .withColumn("same", (col("ql") === col("nl")).cast(IntegerType))
+      .withColumn("cosine",
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1)
+    top.groupBy(col("qid"))
+      .agg(
+        max(when(col("same") === 1, struct(col("nid"), col("cosine"))))
+          .as("_p"),
+        max(when(col("same") === 0, struct(col("nid"), col("cosine"))))
+          .as("_n"))
+      .filter(col("_p").isNotNull && col("_n").isNotNull)
+      .select(col("qid"),
+        col("_p.nid").as("pos_id"), col("_p.cosine").as("pos_cos"),
+        col("_n.nid").as("neg_id"), col("_n.cosine").as("neg_cos"))
+  }
 }

@@ -488,4 +488,36 @@ object TextOps {
     // ~2^(n-1)-fold per row — 1.3 s of curate_corpus's 1.7 s at sf0.1.
     graft.expr.LexiconVotes.best(tokens(lower(text)),
       Lexicons.map(_._2), Lexicons.map(_._1))
+
+  /** Token-rarity profile: per document, how much of it is made of
+    * corpus-rare vocabulary — the frequency-based quality signal that
+    * complements [[qualityScore]]'s surface ratios and the tf-idf view
+    * (a doc dominated by hapax/garbage tokens scores high `n_rare`; a
+    * doc of pure boilerplate scores high `df_sum`). All-integer output
+    * (counts and sums of counts) so the gate hash-matches any engine;
+    * a consumer derives ratios/logs downstream (the DSIR precedent).
+    *
+    * `df` here is DOCUMENT frequency (distinct docs containing the
+    * token), the standard rarity notion — repeated in-doc use of a rare
+    * token raises `n_rare` per occurrence but not the token's df.
+    *
+    * Scale shape: explode → one vocab rollup (map-side combined) →
+    * equi-join occurrences⋈vocab on the token (both sides shuffle by
+    * token; the vocab side is the small one but NOT broadcastable at
+    * 100 TB vocabularies, so the plan leaves the strategy to the
+    * engine) → one per-doc rollup. Linear, no all-pairs. */
+  def rarityScore(
+      df: DataFrame, idCol: String, textCol: String,
+      rareDfMax: Long): DataFrame = {
+    require(rareDfMax >= 1, s"rareDfMax must be >= 1, got $rareDfMax")
+    val toks = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok")
+      .agg(countDistinct(col(idCol)).as("_df"))
+    toks.join(vocab, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_df") <= rareDfMax, 1L).otherwise(0L)).as("n_rare"),
+        sum(col("_df")).as("df_sum"))
+  }
 }

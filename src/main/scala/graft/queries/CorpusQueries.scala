@@ -763,7 +763,7 @@ object CorpusQueries {
       "corpus_dsir_features",
       (s, d) =>
         CorpusOps
-          .dsirFeatures(T(s, d, "documents"), "doc_id", "text", buckets = 64)
+          .sharedDsirFeatures(T(s, d, "documents"), "doc_id", "text", buckets = 64)
           .orderBy("doc_id", "bucket"),
       Some(Hash64Oracle.dsirFeaturesSql(buckets = 64)),
       "DSIR hashed n-gram features: unigram+bigram hash64 mod 64 bucket counts"),

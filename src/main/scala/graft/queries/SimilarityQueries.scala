@@ -382,6 +382,82 @@ object SimilarityQueries {
            |$out
            |ORDER BY sel_order""".stripMargin
       },
-      "farthest-first k-center diversity selection: 5 greedy rounds, unrolled-CTE oracle")
+      "farthest-first k-center diversity selection: 5 greedy rounds, unrolled-CTE oracle"),
+
+    // Contrastive-training miners over the banded ANN candidates: the
+    // oracle replicates the sign-sketch banding (SketchOracle), the
+    // label filters, and the exact re-rank — the whole operator, like
+    // sim_topk_lsh.
+    Q(
+      "sim_hard_negatives",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        SimilarityOps
+          .hardNegatives(
+            emb.filter(col("vec_id") < 8), emb,
+            "vec_id", "embedding", "label", k = 5)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH ${SketchOracle.bandsCtes},
+              |lab AS (SELECT vec_id, label FROM embeddings),
+              |cand AS (
+              |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+              |  FROM bands q JOIN bands c
+              |    ON q.band = c.band AND q.bh = c.bh
+              |  JOIN lab ql ON ql.vec_id = q.vec_id
+              |  JOIN lab cl ON cl.vec_id = c.vec_id
+              |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+              |    AND ql.label <> cl.label),
+              |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+              |scored AS (
+              |  SELECT cand.qid, cand.nid,
+              |    list_dot_product(nq.v, nc.v) / (nq.nrm * nc.nrm) AS cosine
+              |  FROM cand
+              |  JOIN n nq ON nq.vec_id = cand.qid
+              |  JOIN n nc ON nc.vec_id = cand.nid)
+              |SELECT qid, rank, nid, cosine FROM (
+              |  SELECT qid, nid, cosine, ROW_NUMBER() OVER (
+              |    PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+              |  FROM scored) t WHERE rank <= 5
+              |ORDER BY qid, rank""".stripMargin),
+      "hard-negative mining: top-5 most-similar DIFFERENT-label neighbors " +
+        "(banded candidates + exact re-rank; oracle replays the banding)"),
+
+    Q(
+      "sim_contrastive_triplets",
+      (s, d) =>
+        SimilarityOps
+          .contrastiveTriplets(
+            T(s, d, "embeddings"), "vec_id", "embedding", "label")
+          .orderBy("qid"),
+      Some(s"""WITH ${SketchOracle.bandsCtes},
+              |lab AS (SELECT vec_id, label FROM embeddings),
+              |cand AS (
+              |  SELECT DISTINCT q.vec_id AS qid, ql.label AS ql,
+              |    c.vec_id AS nid, cl.label AS nl
+              |  FROM bands q JOIN bands c
+              |    ON q.band = c.band AND q.bh = c.bh
+              |  JOIN lab ql ON ql.vec_id = q.vec_id
+              |  JOIN lab cl ON cl.vec_id = c.vec_id
+              |  WHERE q.vec_id <> c.vec_id),
+              |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+              |scored AS (
+              |  SELECT cand.qid, cand.nid,
+              |    CASE WHEN cand.ql = cand.nl THEN 1 ELSE 0 END AS same,
+              |    list_dot_product(nq.v, nc.v) / (nq.nrm * nc.nrm) AS cosine
+              |  FROM cand
+              |  JOIN n nq ON nq.vec_id = cand.qid
+              |  JOIN n nc ON nc.vec_id = cand.nid),
+              |top AS (
+              |  SELECT qid, same, nid, cosine, ROW_NUMBER() OVER (
+              |    PARTITION BY qid, same ORDER BY cosine DESC, nid ASC) AS r
+              |  FROM scored)
+              |SELECT p.qid, p.nid AS pos_id, p.cosine AS pos_cos,
+              |       g.nid AS neg_id, g.cosine AS neg_cos
+              |FROM top p JOIN top g ON p.qid = g.qid
+              |WHERE p.same = 1 AND g.same = 0 AND p.r = 1 AND g.r = 1
+              |ORDER BY p.qid""".stripMargin),
+      "contrastive triplets: nearest same-label positive + hardest " +
+        "different-label negative per anchor, one banded candidate pass")
   )
 }

@@ -735,6 +735,30 @@ object TextQueries {
              |          CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE))
              |    AS flesch
              |FROM documents ORDER BY doc_id""".stripMargin),
-      "Flesch reading-ease with vowel-group syllables: exact counts, fixed IEEE score")
+      "Flesch reading-ease with vowel-group syllables: exact counts, fixed IEEE score"),
+
+    // Token-rarity profile: document frequency per token, per-doc rare
+    // mass. All-integer (counts + sums of counts) so the gate
+    // hash-matches bit-identically; ratios/logs are consumer-side (the
+    // DSIR/HLL precedent).
+    Q(
+      "text_rarity_score",
+      (s, d) =>
+        TextOps
+          .rarityScore(T(s, d, "documents"), "doc_id", "text", rareDfMax = 2)
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok
+             |  FROM documents),
+             |vocab AS (
+             |  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+             |  CAST(sum(df) AS BIGINT) AS df_sum
+             |FROM toks JOIN vocab USING (tok)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "token-rarity profile: per-doc token count, rare-token mass (df<=2), " +
+        "summed document frequency — all integer")
   )
 }

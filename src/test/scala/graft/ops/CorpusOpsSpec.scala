@@ -409,6 +409,21 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(picked == Set(0L, 1L, 2L, 3L, 100L),
       s"top-5 must be the target-vocab speakers, got $picked")
+    CorpusOps.clearDsirFeatureCache()
+  }
+
+  test("shared DSIR feature frame is reused across stats calls and clearable") {
+    val corpus = Seq((0L, "a b c"), (1L, "b c d")).toDF("doc_id", "text")
+    val a = CorpusOps.sharedDsirFeatures(corpus, "doc_id", "text", 64)
+    val b = CorpusOps.sharedDsirFeatures(corpus, "doc_id", "text", 64)
+    assert(a eq b, "same (df, params) must return the memoized instance")
+    assert(a.storageLevel.useMemory, "shared frame must be persisted")
+    val direct = CorpusOps.dsirFeatures(corpus, "doc_id", "text", 64)
+    assert(a.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+    CorpusOps.clearDsirFeatureCache()
+    val c = CorpusOps.sharedDsirFeatures(corpus, "doc_id", "text", 64)
+    assert(!(a eq c), "clear must drop the memo")
+    CorpusOps.clearDsirFeatureCache()
   }
 
   test("hash64 SQL surface matches the expression and the Hash64 core") {

@@ -178,6 +178,67 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh.map(_._1) == brute.map(_._1))
   }
 
+  test("hardNegatives: never a same-label pair; recall vs brute-force mine") {
+    val emb = T(spark, sf, "embeddings")
+    val out = SimilarityOps
+      .hardNegatives(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", "label", k = 5)
+    // label contract: join both sides back to labels, assert mismatch
+    val lab = emb.select(col("vec_id"), col("label"))
+    val sameLabel = out
+      .join(lab.withColumnRenamed("vec_id", "qid")
+        .withColumnRenamed("label", "ql"), "qid")
+      .join(lab.withColumnRenamed("vec_id", "nid")
+        .withColumnRenamed("label", "nl"), "nid")
+      .filter(col("ql") === col("nl")).count()
+    assert(sameLabel == 0L, "a hard negative must carry a different label")
+    // recall vs the exact diff-label mine (brute force + label filter)
+    val bruteAll = SimilarityOps
+      .bruteForceTopK(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 500) // all pairs, ranked
+      .join(lab.withColumnRenamed("vec_id", "qid")
+        .withColumnRenamed("label", "ql"), "qid")
+      .join(lab.withColumnRenamed("vec_id", "nid")
+        .withColumnRenamed("label", "nl"), "nid")
+      .filter(col("ql") =!= col("nl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("nid").asc)
+    val brute = bruteAll
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    info(f"hard-negative recall vs brute-force mine: $recall%.2f")
+    assert(got.map(_._1) == brute.map(_._1),
+      "every query must yield ranked negatives")
+  }
+
+  test("contrastiveTriplets: exact winners on planted duplicate clusters") {
+    import spark.implicits._
+    // two orthogonal directions, four exact copies each, labels split
+    // 2/2 within a direction — every anchor has an exact-duplicate
+    // same-label positive (cos 1) and exact-duplicate diff-label
+    // negative (cos 1); ties break to the smaller nid
+    val rows =
+      Seq((0L, Array(1.0f, 0f), 0), (1L, Array(1.0f, 0f), 0),
+        (2L, Array(1.0f, 0f), 1), (3L, Array(1.0f, 0f), 1),
+        (10L, Array(0f, 1.0f), 0), (11L, Array(0f, 1.0f), 0),
+        (12L, Array(0f, 1.0f), 1), (13L, Array(0f, 1.0f), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps
+      .contrastiveTriplets(emb, "vec_id", "embedding", "label")
+      .orderBy("qid")
+      .as[(Long, Long, Double, Long, Double)].collect().toSeq
+    val want = Seq(
+      (0L, 1L, 1.0, 2L, 1.0), (1L, 0L, 1.0, 2L, 1.0),
+      (2L, 3L, 1.0, 0L, 1.0), (3L, 2L, 1.0, 0L, 1.0),
+      (10L, 11L, 1.0, 12L, 1.0), (11L, 10L, 1.0, 12L, 1.0),
+      (12L, 13L, 1.0, 10L, 1.0), (13L, 12L, 1.0, 10L, 1.0))
+    assert(got == want, s"got $got")
+  }
+
   test("IVF top-k: exact-verified subset of brute force, recall measured") {
     val emb = T(spark, sf, "embeddings")
     val brute = SimilarityOps

@@ -98,4 +98,18 @@ class TextOpsSpec extends AnyFunSuite {
     val log = TextOps.bpeMerges(docs, "text", steps = 3).collect()
     assert(log.isEmpty) // no adjacent pairs anywhere → empty merge log
   }
+
+  test("rarityScore: exact document-frequency integers on a crafted corpus") {
+    import spark.implicits._
+    // dfs: a→2 docs, b→1, c→2, d→1 (in-doc repeats don't raise df)
+    val docs = Seq((0L, "a a b"), (1L, "a c"), (2L, "c d d"))
+      .toDF("doc_id", "text")
+    val out = TextOps.rarityScore(docs, "doc_id", "text", rareDfMax = 1)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 3L, 1L, 5L), // a(2)+a(2)+b(1): one rare occurrence, df_sum 5
+      (1L, 2L, 0L, 4L), // a(2)+c(2)
+      (2L, 3L, 2L, 4L))) // c(2)+d(1)+d(1): both d occurrences are rare
+  }
 }
