@@ -197,6 +197,65 @@ object DedupOps {
     df.groupBy(keyCols: _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
 
+  /** Weighted (BAG / multiset) Jaccard near-dup pairs:
+    * `Σ_tok min(ca, cb) / Σ_tok max(ca, cb)` over per-document TOKEN
+    * COUNTS, computed exactly via `Σ max = na + nb − Σ min`. The bag
+    * view is the complement of every shingle operator here: fully
+    * REORDERED text keeps bag similarity 1 (k-gram Jaccard ≈ 0 — the
+    * shuffled-boilerplate case MinHash misses), while a doc that is
+    * another doc REPEATED twice drops to ≈ 1/2 (a shingle SET barely
+    * notices the doubling).
+    *
+    * Candidate pairs come from RARE shared tokens only (document
+    * frequency ≤ `maxTokenFreq` — the capped-shingle discipline: the
+    * declared contract is that a pair sharing nothing rarer than
+    * stopwords is not a candidate); the exact Σ min then runs
+    * PAIR-BOUNDED over the full token-count lists ([[pairEvidence]]
+    * discipline), so no all-pairs or hot-token quadratic join ever
+    * exists. Integer sufficient statistics ride the output; the ratio
+    * is one IEEE division of exact integers — engine-portable.
+    *
+    * @return (`a`, `b`, `inter` = Σ min, `na`, `nb`, `bag_jaccard`)
+    *         with a < b, bag_jaccard ≥ `threshold`.
+    */
+  def bagJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxTokenFreq: Int): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"bagJaccardPairs: threshold must be in (0, 1], got $threshold")
+    require(maxTokenFreq >= 1,
+      s"bagJaccardPairs: maxTokenFreq must be >= 1, got $maxTokenFreq")
+    val tc = df.select(col(idCol),
+        explode(graft.ops.TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val sizes = tc.groupBy(col(idCol)).agg(sum("c").as("n"))
+    // token df census over the count frame (one row per (doc, tok), so
+    // count(*) IS the document frequency)
+    val rare = tc.groupBy("tok").agg(count(lit(1)).as("f"))
+      .filter(col("f") <= maxTokenFreq).select("tok")
+    val rareTc = tc.join(rare, Seq("tok"), "left_semi")
+    val cand = rareTc.select(col("tok"), col(idCol).as("a"))
+      .join(rareTc.select(col("tok"), col(idCol).as("b")), "tok")
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    val inter = cand
+      .join(tc.select(col(idCol).as("a"), col("tok"), col("c").as("ca")), "a")
+      .join(tc.select(col(idCol).as("b"), col("tok"), col("c").as("cb")),
+        Seq("b", "tok"))
+      .groupBy("a", "b")
+      .agg(sum(least(col("ca"), col("cb"))).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("n").as("nb")), "b")
+      .withColumn("bag_jaccard",
+        col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")))
+      .filter(col("bag_jaccard") >= threshold)
+      .select("a", "b", "inter", "na", "nb", "bag_jaccard")
+  }
+
   /** All pairs with n-gram Jaccard >= threshold.
     * @param maxShingleFreq drop shingles occurring in more docs (skew/scale
     *        guard); None = exact.

@@ -520,4 +520,63 @@ object TextOps {
         sum(when(col("_df") <= rareDfMax, 1L).otherwise(0L)).as("n_rare"),
         sum(col("_df")).as("df_sum"))
   }
+
+  /** Bigram-LM surprise profile — the CCNet filtering idea (Wenzek et
+    * al. 2020: score every document by how surprising a REFERENCE
+    * language model finds it; very-high-perplexity docs are noise,
+    * very-low ones boilerplate) re-expressed as EXACT-INTEGER
+    * sufficient statistics.
+    *
+    * The "model" is the bigram table of the `refPred`-selected slice:
+    * pair counts c(w1 w2) and left-context totals c(w1 ·) (their rollup
+    * — conditional MLE p(w2|w1) = c(w1 w2)/c(w1 ·)). Each scored bigram
+    * occurrence contributes the integer surprise bucket
+    * floor(log2 1/p) = length(bin(c(w1 ·) div c(w1 w2))) − 1: the
+    * bit-length identity (exact because powers of two are integers)
+    * keeps the whole gate in BIGINT arithmetic — libm log2 is not
+    * cross-engine bit-reproducible, the floor-log2 of an integer ratio
+    * is (the DSIR/tf-idf precedent: consumers take real logs
+    * downstream). Bigrams outside the model (possible only when
+    * `refPred` is a proper subset) count into `n_oov`, never the sum.
+    *
+    * Scale shape: one bigram explode (token-linear) → model rollup
+    * keyed by gram (bigram-TYPE-sized — far too big to broadcast at
+    * 100 TB, so both model joins stay key-shuffled equi-joins and the
+    * strategy is left to AQE) → context rollup over the MODEL (≤ model
+    * rows) → two left joins → one per-doc rollup. Linear, no all-pairs.
+    * Docs with fewer than two tokens have no bigrams and drop from the
+    * output (the [[bpeEncodeIds]] empty-doc convention).
+    *
+    * @return (`idCol`, `n_bigrams`, `n_oov`, `surprise_sum`,
+    *         `surprise_max` — −1 when every bigram is OOV).
+    */
+  def lmSurprise(
+      df: DataFrame, idCol: String, textCol: String,
+      refPred: Column): DataFrame = {
+    val big = df.select(col(idCol), tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(_t) - 1)," +
+          " i -> struct(_t[i-1] AS w1, concat(_t[i-1], ' ', _t[i]) AS gram))"))
+        .as("_bg"))
+      .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.gram").as("gram"))
+    val model = big
+      .join(df.filter(refPred).select(col(idCol)), Seq(idCol), "left_semi")
+      .groupBy("gram").agg(count(lit(1)).as("cb"))
+    // context totals derive from the MODEL rollup (≤ model rows), not
+    // from a second corpus pass; tokens carry no spaces (split " +"),
+    // so the gram's left token recovers exactly
+    val ctx = model
+      .withColumn("w1", expr("split(gram, ' ')[0]"))
+      .groupBy("w1").agg(sum("cb").as("cu"))
+    val bucket = length(bin(expr("cu div cb"))).cast(LongType) - 1L
+    val inModel = col("cb").isNotNull && col("cu").isNotNull
+    big.join(model, Seq("gram"), "left_outer")
+      .join(ctx, Seq("w1"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(inModel, 0L).otherwise(1L)).as("n_oov"),
+        sum(when(inModel, bucket).otherwise(0L)).as("surprise_sum"),
+        coalesce(max(when(inModel, bucket)), lit(-1L)).as("surprise_max"))
+  }
 }

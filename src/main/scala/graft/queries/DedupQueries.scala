@@ -414,6 +414,45 @@ object DedupQueries {
               |  CAST(n_exact_dup_docs AS DOUBLE) / n_docs AS exact_dup_rate,
               |  CAST(n_docs_in_clusters AS DOUBLE) / n_docs AS near_dup_rate
               |FROM nd, ed, np, nc""".stripMargin),
-      "one-row corpus health dashboard from the staged dedup frames: dup rates + cluster entanglement")
+      "one-row corpus health dashboard from the staged dedup frames: dup rates + cluster entanglement"),
+
+    // Weighted (bag/multiset) Jaccard: the order-free complement of the
+    // shingle tier — reordered text scores 1 (k-gram Jaccard ≈ 0),
+    // doubled text drops to ≈ 1/2. Candidates from rare shared tokens
+    // (df ≤ 32, the capped discipline — token df runs far above shingle
+    // df, so the cap sits higher than the 3-gram gates'); Σ min runs
+    // pair-bounded.
+    Q(
+      "dedup_bag_jaccard",
+      (s, d) =>
+        DedupOps
+          .bagJaccardPairs(T(s, d, "documents"), "doc_id", "text",
+            threshold = 0.5, maxTokenFreq = 32)
+          .orderBy("a", "b"),
+      Some("""WITH tc AS (
+             |  SELECT doc_id, tok, count(*) AS c FROM (
+             |    SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok
+             |    FROM documents)
+             |  GROUP BY doc_id, tok),
+             |sizes AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY doc_id),
+             |rare AS (SELECT tok FROM tc GROUP BY tok HAVING count(*) <= 32),
+             |rtc AS (SELECT tc.doc_id, tc.tok FROM tc JOIN rare USING (tok)),
+             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |         FROM rtc x JOIN rtc y
+             |           ON x.tok = y.tok AND x.doc_id < y.doc_id),
+             |inter AS (
+             |  SELECT cand.a, cand.b, sum(least(ta.c, tb.c)) AS inter
+             |  FROM cand
+             |  JOIN tc ta ON ta.doc_id = cand.a
+             |  JOIN tc tb ON tb.doc_id = cand.b AND tb.tok = ta.tok
+             |  GROUP BY cand.a, cand.b)
+             |SELECT i.a, i.b, CAST(i.inter AS BIGINT) AS inter,
+             |  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+             |  CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS bag_jaccard
+             |FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+             |             JOIN sizes sb ON sb.doc_id = i.b
+             |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
+             |ORDER BY a, b""".stripMargin),
+      "weighted (bag) Jaccard pairs: rare-token candidates, pair-bounded exact Σ min")
   )
 }

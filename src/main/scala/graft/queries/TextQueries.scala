@@ -760,5 +760,48 @@ object TextQueries {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "token-rarity profile: per-doc token count, rare-token mass (df<=2), " +
         "summed document frequency — all integer")
+  ,
+
+    // Bigram-LM surprise (the CCNet perplexity-filter idea) in exact
+    // integers: model = bigram counts of the doc_id%10=0 reference
+    // slice; each scored bigram contributes floor(log2 c(w1·)/c(w1 w2))
+    // via the bit-length identity — no libm log crosses the gate.
+    Q(
+      "text_lm_surprise",
+      (s, d) =>
+        TextOps
+          .lmSurprise(T(s, d, "documents"), "doc_id", "text",
+            refPred = col("doc_id") % 10 === 0)
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(text, ' +') AS t
+             |  FROM documents),
+             |big0 AS (
+             |  SELECT doc_id, unnest(list_transform(
+             |      generate_series(1, len(t) - 1),
+             |      i -> {'w1': t[i], 'gram': t[i] || ' ' || t[i+1]})) AS bg
+             |  FROM toks WHERE len(t) >= 2),
+             |occ AS (SELECT doc_id, bg.w1 AS w1, bg.gram AS gram FROM big0),
+             |model AS (
+             |  SELECT gram, count(*) AS cb FROM occ
+             |  WHERE doc_id % 10 = 0 GROUP BY gram),
+             |ctx AS (
+             |  SELECT string_split(gram, ' ')[1] AS w1,
+             |    CAST(sum(cb) AS BIGINT) AS cu
+             |  FROM model GROUP BY 1)
+             |SELECT occ.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(CASE WHEN cb IS NULL OR cu IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_oov,
+             |  CAST(sum(CASE WHEN cb IS NOT NULL AND cu IS NOT NULL
+             |        THEN length(bin(cu // cb)) - 1 ELSE 0 END)
+             |    AS BIGINT) AS surprise_sum,
+             |  CAST(coalesce(max(CASE WHEN cb IS NOT NULL AND cu IS NOT NULL
+             |        THEN length(bin(cu // cb)) - 1 END), -1)
+             |    AS BIGINT) AS surprise_max
+             |FROM occ LEFT JOIN model USING (gram) LEFT JOIN ctx USING (w1)
+             |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin),
+      "bigram-LM surprise profile (CCNet-style perplexity proxy): integer " +
+        "floor-log2 buckets vs the doc_id%10 reference slice")
   )
 }

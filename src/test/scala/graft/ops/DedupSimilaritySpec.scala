@@ -616,4 +616,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
       k = 4, minLen = 8, maxGramFreq = None)
     assert(uncapped.count() == 10L) // C(5,2) pairs share the footer
   }
+
+  test("bagJaccardPairs: reordered text scores 1, doubled text scores 1/2") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d"),
+      (1L, "d c b a"),           // same bag, fully reordered
+      (2L, "a b c d a b c d"),   // doc 0 repeated twice
+      (3L, "x y z w"))           // disjoint vocabulary
+      .toDF("doc_id", "text")
+    val out = DedupOps.bagJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.5, maxTokenFreq = 10)
+      .orderBy("a", "b")
+      .select("a", "b", "inter", "na", "nb", "bag_jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 1L, 4L, 4L, 4L, 1.0),
+      (0L, 2L, 4L, 4L, 8L, 0.5),
+      (1L, 2L, 4L, 4L, 8L, 0.5)))
+    // the reordered pair is invisible to 3-gram shingle Jaccard
+    val shingled = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.5)
+      .filter(col("a") === 0 && col("b") === 1)
+    assert(shingled.isEmpty)
+  }
+
+  test("bagJaccardPairs: token-df cap gates candidate generation") {
+    import spark.implicits._
+    // every shared token has df 3 — a cap of 2 must yield no candidates
+    val docs = Seq((0L, "p q"), (1L, "q p"), (2L, "p q r"))
+      .toDF("doc_id", "text")
+    val capped = DedupOps.bagJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.1, maxTokenFreq = 2)
+    assert(capped.isEmpty)
+    val open = DedupOps.bagJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.1, maxTokenFreq = 3)
+    assert(open.count() == 3L)
+  }
 }

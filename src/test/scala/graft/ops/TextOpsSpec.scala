@@ -112,4 +112,34 @@ class TextOpsSpec extends AnyFunSuite {
       (1L, 2L, 0L, 4L), // a(2)+c(2)
       (2L, 3L, 2L, 4L))) // c(2)+d(1)+d(1): both d occurrences are rare
   }
+
+  test("lmSurprise: exact integer buckets against a hand-built bigram model") {
+    import spark.implicits._
+    // ref slice = doc 0 only. Model: c("a b")=2, c("b a")=2, c("a c")=1;
+    // contexts: c(a·)=3, c(b·)=2. Buckets = floor(log2(cu div cb)):
+    //   "a b" -> 3 div 2 = 1 -> 0;  "b a" -> 2 div 2 = 1 -> 0;
+    //   "a c" -> 3 div 1 = 3 -> 1.
+    val docs = Seq(
+      (0L, "a b a b a c"), // 5 bigrams, buckets 0,0,0,0,1
+      (1L, "a b z q"),     // "a b" in-model (0); "b z","z q" OOV
+      (2L, "solo"))        // one token: no bigrams, dropped
+      .toDF("doc_id", "text")
+    val out = TextOps.lmSurprise(docs, "doc_id", "text",
+        refPred = col("doc_id") === 0)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 5L, 0L, 1L, 1L),
+      (1L, 3L, 2L, 0L, 0L)))
+  }
+
+  test("lmSurprise: all-OOV doc reports surprise_max = -1") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b"), (1L, "x y z")).toDF("doc_id", "text")
+    val out = TextOps.lmSurprise(docs, "doc_id", "text",
+        refPred = col("doc_id") === 0)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 1L, 0L, 0L, 0L), (1L, 2L, 2L, 0L, -1L)))
+  }
 }
