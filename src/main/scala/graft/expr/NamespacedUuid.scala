@@ -155,7 +155,7 @@ object GraftFunctions {
     * `lexicon_votes(array<string>, array<array<string>>)`,
     * `lexicon_best(array<string>, array<array<string>>, array<string>)`,
     * `bpe_apply(str, array<array<string>>)` (each inner array =
-    * [pair, merged] in table order).
+    * [pair, merged] in table order), `nfc_normalize(str)`.
     * Config-like arguments (namespace, k/w, lexicons, labels) must be
     * literals — they parameterize the expression instance itself. */
   val descriptions: Seq[(String, Seq[Expression] => Expression)] = {
@@ -207,6 +207,10 @@ object GraftFunctions {
           (m(0), m(1))
         }
         BpeApply(exprs.head, table)
+      },
+      "nfc_normalize" -> { exprs =>
+        require(exprs.length == 1, "nfc_normalize(text)")
+        NfcNormalize(exprs.head)
       })
   }
 

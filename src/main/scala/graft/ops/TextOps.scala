@@ -521,6 +521,45 @@ object TextOps {
         sum(col("_df")).as("df_sum"))
   }
 
+  /** Unicode hygiene pass — the canonicalization stage that runs BEFORE
+    * any hash/shingle/exact-dedup operator on a multilingual crawl:
+    * NFC-normalize ([[graft.expr.NfcNormalize]], native codegen — the
+    * same content arrives precomposed from one crawler and decomposed
+    * from another and would otherwise dedup as distinct), strip
+    * non-whitespace C0/DEL control characters, collapse whitespace
+    * runs, trim — plus the review counters a curation pipeline routes
+    * on (control-char count, U+FFFD replacement-char count = mojibake
+    * evidence of a broken upstream transcode, and whether NFC changed
+    * anything at all).
+    *
+    * Order matters and is part of the contract: NFC first (composition
+    * never produces control characters), control strip second (so a
+    * stripped \x0B cannot survive into the Java-vs-RE2 `\s` asymmetry),
+    * whitespace collapse last. The control class is spelled as explicit
+    * byte ranges — portable across Java regex and RE2, unlike
+    * `[\p{Cc}&&[^..]]` intersections.
+    *
+    * @return (`idCol`, `clean_text`, `clean_len`, `n_ctrl`, `n_repl`,
+    *         `nfc_changed` 0/1).
+    */
+  def unicodeClean(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ctrlClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+    val t = col(textCol)
+    val nfc = graft.expr.NfcNormalize.nfc(t)
+    val noCtrl = regexp_replace(nfc, ctrlClass, "")
+    val clean = trim(regexp_replace(noCtrl, "\\s+", " "))
+    df.select(col(idCol), t.as("_orig"), nfc.as("_nfc"), noCtrl.as("_nc"),
+        clean.as("clean_text"))
+      .select(col(idCol),
+        col("clean_text"),
+        length(col("clean_text")).cast(LongType).as("clean_len"),
+        (length(col("_nfc")) - length(col("_nc"))).cast(LongType).as("n_ctrl"),
+        (length(col("_nfc")) -
+          length(regexp_replace(col("_nfc"), "\uFFFD", "")))
+          .cast(LongType).as("n_repl"),
+        when(col("_nfc") === col("_orig"), 0L).otherwise(1L).as("nfc_changed"))
+  }
+
   /** Bigram-LM surprise profile — the CCNet filtering idea (Wenzek et
     * al. 2020: score every document by how surprising a REFERENCE
     * language model finds it; very-high-perplexity docs are noise,

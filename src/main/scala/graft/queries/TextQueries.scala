@@ -802,6 +802,54 @@ object TextQueries {
              |FROM occ LEFT JOIN model USING (gram) LEFT JOIN ctx USING (w1)
              |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin),
       "bigram-LM surprise profile (CCNet-style perplexity proxy): integer " +
-        "floor-log2 buckets vs the doc_id%10 reference slice")
+        "floor-log2 buckets vs the doc_id%10 reference slice"),
+
+    // Unicode hygiene ([[TextOps.unicodeClean]]): NFC via the native
+    // codegen expression (no Spark builtin exists; a UDF would break
+    // whole-stage codegen), control strip, whitespace collapse, plus
+    // mojibake counters. The corpus is ASCII, so the gate AUGMENTS it
+    // with deterministic per-doc unicode suffixes (combining marks,
+    // control chars, U+FFFD) that both engines construct identically —
+    // the NFC path is exercised for real, not vacuously.
+    Q(
+      "text_unicode_clean",
+      (s, d) => {
+        val aug = T(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 4 === 0,
+                lit(" cafe\u0301 nai\u0308ve"))
+              .when(col("doc_id") % 4 === 1, lit(" bad\u0007ctl\u001Fx"))
+              .when(col("doc_id") % 4 === 2,
+                lit(" mojibake \uFFFD\uFFFD end"))
+              .otherwise(lit("  double  spaced\ttail "))).as("text"))
+        TextOps.unicodeClean(aug, "doc_id", "text").orderBy("doc_id")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text ||
+             |    CASE doc_id % 4
+             |      WHEN 0 THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+             |      WHEN 1 THEN ' bad' || chr(7) || 'ctl' || chr(31) || 'x'
+             |      WHEN 2 THEN ' mojibake ' || chr(65533) || chr(65533) || ' end'
+             |      ELSE '  double  spaced' || chr(9) || 'tail '
+             |    END AS text
+             |  FROM documents),
+             |n AS (SELECT doc_id, nfc_normalize(text) AS nf, text AS orig
+             |      FROM aug),
+             |c AS (SELECT doc_id, nf, orig,
+             |        regexp_replace(nf, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]',
+             |                       '', 'g') AS nc
+             |      FROM n)
+             |SELECT doc_id,
+             |  trim(regexp_replace(nc, '\s+', ' ', 'g')) AS clean_text,
+             |  CAST(length(trim(regexp_replace(nc, '\s+', ' ', 'g')))
+             |    AS BIGINT) AS clean_len,
+             |  CAST(length(nf) - length(nc) AS BIGINT) AS n_ctrl,
+             |  CAST(length(nf) - length(replace(nf, chr(65533), ''))
+             |    AS BIGINT) AS n_repl,
+             |  CAST(CASE WHEN nf = orig THEN 0 ELSE 1 END AS BIGINT)
+             |    AS nfc_changed
+             |FROM c ORDER BY doc_id""".stripMargin),
+      "unicode hygiene: native NFC + control strip + whitespace collapse, " +
+        "mojibake counters — augmented corpus exercises composition for real")
   )
 }

@@ -133,6 +133,44 @@ class TextOpsSpec extends AnyFunSuite {
       (1L, 3L, 2L, 0L, 0L)))
   }
 
+  test("NfcNormalize composes decomposed text; ASCII passes through untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "café"),      // e + combining acute -> é
+      (1L, "plain ascii"),
+      (2L, "caf\u00E9"))       // already precomposed
+      .toDF("id", "s")
+    val out = df.select(col("id"),
+        graft.expr.NfcNormalize.nfc(col("s")).as("n"),
+        length(graft.expr.NfcNormalize.nfc(col("s"))).as("len"))
+      .orderBy("id").as[(Long, String, Int)].collect().toSeq
+    assert(out(0)._2 == "caf\u00E9" && out(0)._3 == 4,
+      "decomposed sequence must compose to the single code point")
+    assert(out(1)._2 == "plain ascii")
+    assert(out(2)._2 == "caf\u00E9", "NFC must be idempotent")
+    // SQL surface: registered beside the other native expressions
+    graft.expr.GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT nfc_normalize('café')").head.getString(0)
+    assert(viaSql == "caf\u00E9")
+  }
+
+  test("unicodeClean: control strip, whitespace collapse, mojibake counters") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a\u0007b\u001Fc"),          // two control chars stripped
+      (1L, "  x \t y  "),               // collapse + trim
+      (2L, "bad \uFFFD\uFFFD decode"),  // replacement chars counted, kept
+      (3L, "naïve"))              // NFC changes, no other edits
+      .toDF("doc_id", "text")
+    val out = TextOps.unicodeClean(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out(0) == ((0L, "abc", 3L, 2L, 0L, 0L)))
+    assert(out(1) == ((1L, "x y", 3L, 0L, 0L, 0L)))
+    assert(out(2) == ((2L, "bad \uFFFD\uFFFD decode", 13L, 0L, 2L, 0L)))
+    assert(out(3) == ((3L, "na\u00EFve", 5L, 0L, 0L, 1L)))
+  }
+
   test("lmSurprise: all-OOV doc reports surprise_max = -1") {
     import spark.implicits._
     val docs = Seq((0L, "a b"), (1L, "x y z")).toDF("doc_id", "text")
