@@ -359,6 +359,35 @@ object CorpusOps {
   def normalizeWhitespace(textCol: Column): Column =
     trim(regexp_replace(textCol, "\\s+", " "))
 
+  /** k-anonymity audit (Sweeney 2002) over a quasi-identifier column
+    * set — the re-identification check a governance gate runs before a
+    * table with person-level rows ships into a training corpus: every
+    * QI-combination group smaller than `k` is a linkage-attack handle.
+    * Also reports each group's distinct sensitive-value count (the
+    * l-diversity axis: a k-large group whose sensitive column is
+    * CONSTANT still leaks the attribute even when the identity is
+    * ambiguous).
+    *
+    * Shape: one keyed rollup over the QI columns (count is map-side
+    * combinable; the distinct count is the standard two-phase expand) —
+    * scan-linear, no state beyond the group cardinality. Downstream
+    * remediation (suppress the flagged rows, or generalize a QI column
+    * and re-audit) composes as a semi-join against the flagged groups.
+    *
+    * @return one row per QI group: (qi columns…, `group_n`,
+    *         `l_distinct`, `k_anonymous` = group_n ≥ k).
+    */
+  def kAnonymity(
+      df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      k: Int): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymity: need at least one QI column")
+    require(k >= 2, s"kAnonymity: k must be >= 2, got $k")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+      .withColumn("k_anonymous", col("group_n") >= k)
+  }
+
   /** Deterministic masked-LM corruption (the BERT-style data-prep step):
     * mask each token position independently w.p. `fraction`, decided by
     * the salted hash of (doc, position) — so the corruption is

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Classifier/filter EVALUATION tier — the measurements a curation team
+  * runs before trusting a quality filter with 100 TB of corpus: exact
+  * ROC AUC, the precision/recall operating curve, and the calibration
+  * (reliability) table. The reference pipeline has no model-eval stage
+  * (its filters are fixed predicates); these are the extension
+  * operators a learned-filter pipeline needs, built on the same
+  * exact-integer discipline as the stats tier: every statistic crosses
+  * the gate as integer counts/rank-sums plus at most one IEEE division,
+  * so DuckDB replays them bit-identically.
+  *
+  * Scale shape: AUC is one global midrank (the range-staged
+  * [[StatOps.globalRowNumber]], never a single-partition window) plus
+  * one rollup; the PR curve rolls the corpus up to DISTINCT-score rows
+  * first (bounded by the score domain, not the corpus) and prefix-sums
+  * those; calibration is one keyed rollup. Nothing here is all-pairs
+  * and nothing holds corpus-sized state on the driver.
+  */
+object EvalOps {
+
+  /** Exact ROC AUC as a rational: AUC = P(score⁺ > score⁻) + ½P(=),
+    * which is the tie-averaged Mann-Whitney U of the positive class
+    * over (n_pos · n_neg). Delegates the midrank machinery to
+    * [[StatOps.mannWhitneyU]] (doubled integer rank sums — ties stay
+    * exact) and derives the doubled U; the single IEEE division at the
+    * end is the only float.
+    *
+    * @param labelCol boolean (or 0/1) ground-truth column
+    * @param scoreCol the classifier score (any orderable type)
+    * @param idCol    unique row id — the deterministic tiebreak the
+    *                 global midrank stage sorts on
+    * @return one row: (`n_pos`, `n_neg`, `u2_pos` = 2·U exact integer,
+    *         `auc` = u2_pos / (2 n_pos n_neg))
+    */
+  def aucExact(
+      df: DataFrame, labelCol: String, scoreCol: String,
+      idCol: String): DataFrame =
+    StatOps.mannWhitneyU(df, labelCol, scoreCol, idCol)
+      .select(
+        col("n_a").as("n_pos"), col("n_b").as("n_neg"),
+        (col("r2_a") - col("n_a") * (col("n_a") + 1)).as("u2_pos"))
+      .withColumn("auc",
+        col("u2_pos").cast(DoubleType) /
+          (lit(2.0) * col("n_pos") * col("n_neg")))
+
+  /** Precision/recall operating curve: one row per DISTINCT score
+    * threshold t with the exact confusion counts of the rule
+    * "keep iff score ≥ t" — `tp`/`fp` cumulative from the top score
+    * down, `fn` = n_pos − tp. Precision and recall are emitted as the
+    * two single divisions of those integers.
+    *
+    * The corpus collapses to per-score rows FIRST (one keyed rollup —
+    * the curve's length is the score domain, not the corpus), then
+    * [[StatOps.globalRunningSums]] prefix-sums positives and negatives
+    * under (score desc): both stages are shuffles of bounded frames,
+    * no single-partition window, no driver loop.
+    */
+  def prCurve(
+      df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val perScore = df.groupBy(col(scoreCol).as("threshold"))
+      .agg(
+        sum(col(labelCol).cast("long")).as("_pos"),
+        (count(lit(1)) - sum(col(labelCol).cast("long"))).as("_neg"))
+    val totals = perScore.agg(
+      sum("_pos").as("_p_total")).select(col("_p_total"))
+    StatOps.globalRunningSums(perScore, Seq(col("threshold").desc),
+        Seq("_pos" -> "tp", "_neg" -> "fp"))
+      .crossJoin(broadcast(totals)) // 1-row totals frame (declared)
+      .select(col("threshold"), col("tp"), col("fp"),
+        (col("_p_total") - col("tp")).as("fn"),
+        (col("tp").cast(DoubleType) / (col("tp") + col("fp"))).as("precision"),
+        (col("tp").cast(DoubleType) / col("_p_total")).as("recall"))
+  }
+
+  /** Calibration (reliability) table over integer scores: fixed-width
+    * score bins, each with its row count, positive count, and exact
+    * integer score mass — the table whose (mean score vs positive rate)
+    * plot says whether the filter's scores mean what they claim. Bin =
+    * floor(score / binWidth) via double floor-division: exact for any
+    * |score| < 2⁵², identical IEEE in every engine, and correct (floor,
+    * not truncate) for negative scores. One keyed rollup, map-side
+    * combinable.
+    *
+    * @return one row per occupied bin: (`bin`, `n`, `n_pos`,
+    *         `score_sum`, `pos_rate`, `mean_score` — the two single
+    *         divisions of the exact integers)
+    */
+  def calibrationBins(
+      df: DataFrame, labelCol: String, scoreCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    df.groupBy(floor(col(scoreCol) / lit(binWidth.toDouble)).as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        sum(col(scoreCol)).cast("long").as("score_sum"))
+      .withColumn("pos_rate",
+        col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
+      .withColumn("mean_score",
+        col("score_sum").cast(DoubleType) / col("n").cast(DoubleType))
+  }
+}

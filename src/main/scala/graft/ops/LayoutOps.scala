@@ -92,4 +92,33 @@ object LayoutOps {
       sum(when(candidate, col("n_rows")).otherwise(0L)).as("n_rows_scanned"),
       sum(col("n_match")).as("n_rows_matching"))
   }
+
+  /** Small-file compaction plan — the other half of lakehouse table
+    * maintenance beside Z-order: group input files into target-size
+    * rewrite bins (Delta/Iceberg `OPTIMIZE` bin packing). The rule is
+    * the deterministic size-descending streaming pack: order files by
+    * (bytes desc, key asc), take the global running byte offset, and
+    * assign `bin = start_offset div targetBytes`. Every bin lands in
+    * [targetBytes − max_file, targetBytes + max_file) except the last —
+    * the bound real compactors accept — and unlike first-fit-decreasing
+    * the assignment is a pure prefix-sum function of the order, so it
+    * runs WITHOUT a sequential driver loop: [[StatOps.globalRunningSum]]
+    * (checkpoint-pinned range repartition + per-partition sums +
+    * broadcast offsets), never a single-partition window. A billion-file
+    * manifest plans in two shuffles.
+    *
+    * @return one row per file: (`key`, `bytes`, `bin_start` = running
+    *         offset before this file, `bin`).
+    */
+  def compactionBins(
+      files: DataFrame, keyCol: String, bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    StatOps.globalRunningSum(
+        files.select(col(keyCol), col(bytesCol).cast("long").as(bytesCol)),
+        Seq(col(bytesCol).desc, col(keyCol).asc), bytesCol, "_cum")
+      .select(col(keyCol), col(bytesCol),
+        (col("_cum") - col(bytesCol)).as("bin_start"),
+        expr(s"(_cum - $bytesCol) div ${targetBytes}L").as("bin"))
+  }
 }

@@ -781,6 +781,31 @@ object CorpusQueries {
           .orderBy("doc_id", "bucket"),
       Some(Hash64Oracle.dsirStatsSql(buckets = 64,
         targetWhere = "source = 'src0'")),
-      "DSIR sufficient statistics: doc bucket counts vs target/raw histograms, all integer")
+      "DSIR sufficient statistics: doc bucket counts vs target/raw histograms, all integer"),
+
+    // k-anonymity / l-diversity audit ([[CorpusOps.kAnonymity]]) over the
+    // customer table: QI = (nation, market segment), sensitive attribute
+    // = "account in debt". At sf0.01 the 125 QI groups split ~29
+    // k-anonymous (k=15) / 96 not, and a handful of groups are
+    // k-anonymous yet NOT l-diverse (every member solvent) — exactly the
+    // attribute-disclosure case the l_distinct column exists to catch.
+    // One keyed rollup; count is map-side combinable, the distinct count
+    // is the standard two-phase expand.
+    Q(
+      "corpus_k_anonymity",
+      (s, d) =>
+        CorpusOps.kAnonymity(
+            T(s, d, "customer")
+              .withColumn("in_debt", col("c_acctbal") < 0),
+            Seq("c_nationkey", "c_mktsegment"), "in_debt", k = 15)
+          .orderBy("c_nationkey", "c_mktsegment"),
+      Some("""SELECT c_nationkey, c_mktsegment,
+             |  CAST(count(*) AS BIGINT) AS group_n,
+             |  CAST(count(DISTINCT c_acctbal < 0) AS BIGINT) AS l_distinct,
+             |  count(*) >= 15 AS k_anonymous
+             |FROM customer
+             |GROUP BY c_nationkey, c_mktsegment
+             |ORDER BY c_nationkey, c_mktsegment""".stripMargin),
+      "k-anonymity audit: QI group sizes, l-diversity distinct counts, k flag")
   )
 }

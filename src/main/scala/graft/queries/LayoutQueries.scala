@@ -55,6 +55,34 @@ object LayoutQueries {
            |  any_value(m.n_rows_matching) AS n_rows_matching
            |FROM s, m""".stripMargin
       },
-      "Z-order layout pruning: 2 of 256 tiles admit a 2-D rectangle query")
+      "Z-order layout pruning: 2 of 256 tiles admit a 2-D rectangle query"),
+
+    // Small-file compaction planning ([[LayoutOps.compactionBins]]): the
+    // documents manifest (bytes = text length) packed into 4 KiB rewrite
+    // bins by the size-descending streaming rule. The assignment is a
+    // pure prefix-sum function of the (bytes desc, key asc) total order,
+    // so the oracle is ONE window running sum — while the engine side
+    // computes the same prefix sum distributed (range staging +
+    // broadcast per-partition offsets, no single-partition window).
+    Q(
+      "layout_compaction_bins",
+      (s, d) =>
+        LayoutOps.compactionBins(
+            T(s, d, "documents")
+              .select(col("doc_id"), length(col("text")).cast("long").as("bytes")),
+            "doc_id", "bytes", targetBytes = 4096L)
+          .orderBy("doc_id"),
+      Some("""WITH f AS (
+             |  SELECT doc_id, CAST(length(text) AS BIGINT) AS bytes
+             |  FROM documents),
+             |r AS (SELECT doc_id, bytes,
+             |    -- SUM(BIGINT) is HUGEINT in DuckDB; pin back to BIGINT
+             |    CAST(SUM(bytes) OVER (ORDER BY bytes DESC, doc_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes
+             |      AS BIGINT) AS bin_start
+             |  FROM f)
+             |SELECT doc_id, bytes, bin_start, bin_start // 4096 AS bin
+             |FROM r ORDER BY doc_id""".stripMargin),
+      "compaction bin packing: size-descending streaming bins via distributed prefix sum")
   )
 }

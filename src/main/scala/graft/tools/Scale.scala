@@ -117,10 +117,15 @@ object Scale {
     val sizes: Seq[Long] =
       if (args.nonEmpty) args(0).split(",").map(_.trim.toLong).toSeq
       else Seq(5000L, 50000L, 500000L)
-    val trials = 3 // min-of-3: host noise at small n is several seconds
+    // min-of-3 default: host noise at small n is several seconds.
+    // SPARK_GRAFT_TRIALS / SPARK_GRAFT_SHUFFLE override for diagnostic
+    // A/Bs (e.g. does the top tier's over-linear bend disappear when
+    // partitions scale with the data, as they would on a real cluster?).
+    val trials = sys.env.get("SPARK_GRAFT_TRIALS").map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

@@ -426,6 +426,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     CorpusOps.clearDsirFeatureCache()
   }
 
+  test("kAnonymity: group sizes, l-diversity, and the k flag on a hand case") {
+    // QI (city, age band); sensitive = diagnosis.
+    // (nyc, 30): 3 rows, 2 diagnoses → k_anonymous at k=3, l-diverse
+    // (nyc, 40): 2 rows, 1 diagnosis → NOT k_anonymous, NOT l-diverse
+    // (sfo, 30): 4 rows, 1 diagnosis → k_anonymous but attribute leaks
+    val rows = Seq(
+      ("nyc", 30, "flu"), ("nyc", 30, "flu"), ("nyc", 30, "cold"),
+      ("nyc", 40, "flu"), ("nyc", 40, "flu"),
+      ("sfo", 30, "cold"), ("sfo", 30, "cold"), ("sfo", 30, "cold"),
+      ("sfo", 30, "cold")).toDF("city", "age_band", "dx")
+    val got = CorpusOps.kAnonymity(rows, Seq("city", "age_band"), "dx", k = 3)
+      .as[(String, Int, Long, Long, Boolean)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("nyc", 30, 3L, 2L, true),
+      ("nyc", 40, 2L, 1L, false),
+      ("sfo", 30, 4L, 1L, true)))
+  }
+
   test("hash64 SQL surface matches the expression and the Hash64 core") {
     val r = spark.sql("SELECT hash64('alpha') AS h1, hash64('') AS h2")
       .collect().head

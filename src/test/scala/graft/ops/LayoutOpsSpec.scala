@@ -54,4 +54,35 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(cand == 1 && scanned == 256,
       "an aligned 16x16 rectangle must hit exactly one tile")
   }
+
+  test("compactionBins: exact streaming-pack assignment on a hand case") {
+    // sorted by (bytes desc, key asc): f(900) g(500) a(400) b(300) c(300)
+    // running starts: 0, 900, 1400, 1800, 2100 → bins at target 1000:
+    // 0, 0, 1, 1, 2
+    val files = Seq(("a", 400L), ("b", 300L), ("c", 300L),
+      ("f", 900L), ("g", 500L)).toDF("key", "bytes")
+    val got = LayoutOps.compactionBins(files, "key", "bytes", 1000L)
+      .select("key", "bin_start", "bin")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 1400L, 1L), ("b", 1800L, 1L),
+      ("c", 2100L, 2L), ("f", 0L, 0L), ("g", 900L, 0L)))
+  }
+
+  test("compactionBins: every bin lands within one max-file of target") {
+    // 400 files, deterministic ragged sizes, many range partitions
+    val files = (0 until 400)
+      .map(i => (f"k$i%04d", 200L + (i * 7919) % 1800)).toDF("key", "bytes")
+    val target = 10000L
+    val maxFile = 200L + 1999L
+    val bins = LayoutOps.compactionBins(files, "key", "bytes", target)
+      .groupBy("bin").agg(sum("bytes").as("total"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val lastBin = bins.map(_._1).max
+    for ((bin, total) <- bins if bin != lastBin)
+      assert(total >= target - maxFile && total < target + maxFile,
+        s"bin $bin total $total outside [${target - maxFile}, ${target + maxFile})")
+    // partition of the input: bin totals sum to the manifest total
+    assert(bins.map(_._2).sum ==
+      files.agg(sum("bytes")).as[Long].head())
+  }
 }
