@@ -33,7 +33,8 @@ object Registry {
       queries.SketchQueries.all ++
       queries.LayoutQueries.all ++
       queries.ProfilingQueries.all ++
-      queries.LinkageQueries.all
+      queries.LinkageQueries.all ++
+      queries.EvalQueries.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

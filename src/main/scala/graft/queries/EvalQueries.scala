@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, T}
+import graft.ops.{EvalOps, TextOps}
+
+/** Model-evaluation gates: the hashed linear quality classifier scored
+  * against the "is English" ground truth, then judged by the three
+  * standard filter-evaluation lenses — exact AUC, the precision/recall
+  * operating curve, and the calibration table. Every statistic is
+  * integer counts / doubled rank sums plus single IEEE divisions, so
+  * the DuckDB oracle replays inference AND evaluation bit-identically.
+  */
+object EvalQueries {
+
+  /** Classifier score + binary label per document. The join is a plain
+    * doc_id equi-join (broadcastable at these SFs; key-shuffled at
+    * 100 TB). */
+  private def scored(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    TextOps.qualityClassifier(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+        Seq("doc_id"))
+  }
+
+  /** The classifier-inference CTE (the `text_quality_classifier` oracle
+    * verbatim) extended with the label — shared by all three gates. */
+  private val scoredCte =
+    """s AS (
+      |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS score,
+      |    any_value(pos) AS pos
+      |  FROM (
+      |    SELECT doc_id, lang = 'en' AS pos,
+      |      ((instr('0123456789abcdef', substr(b, 1, 1)) * 16 +
+      |        instr('0123456789abcdef', substr(b, 2, 1)) - 17)
+      |       * 37 + 11) % 17 - 8 AS w
+      |    FROM (SELECT doc_id, lang, substr(md5(tok), 1, 2) AS b
+      |          FROM (SELECT doc_id, lang,
+      |                  unnest(string_split_regex(trim(text), ' +')) AS tok
+      |                FROM documents)))
+      |  GROUP BY doc_id)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    // Exact ROC AUC ([[EvalOps.aucExact]]): tie-averaged Mann-Whitney U
+    // of the positive class over n_pos*n_neg, doubled rank sums so ties
+    // stay integer. The oracle replays the midrank identity
+    // 2*avg_rank = 2*RANK() + tie_count - 1 over the same score order.
+    Q(
+      "eval_auc_exact",
+      (s, d) =>
+        EvalOps.aucExact(scored(s, d), "is_en", "score", "doc_id")
+          .orderBy("n_pos"),
+      Some(s"""WITH $scoredCte,
+              |r AS (SELECT pos, 2 * RANK() OVER (ORDER BY score) +
+              |        count(*) OVER (PARTITION BY score) - 1 AS avg2
+              |      FROM s),
+              |t AS (SELECT
+              |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_pos,
+              |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT)
+              |      AS n_neg,
+              |    CAST(sum(CASE WHEN pos THEN avg2 ELSE 0 END) AS BIGINT)
+              |      AS r2
+              |  FROM r)
+              |SELECT n_pos, n_neg, r2 - n_pos * (n_pos + 1) AS u2_pos,
+              |  CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) /
+              |    (2.0 * n_pos * n_neg) AS auc
+              |FROM t ORDER BY n_pos""".stripMargin),
+      "exact ROC AUC: tie-averaged rank statistic, doubled-integer U"),
+
+    // PR operating curve ([[EvalOps.prCurve]]): exact confusion counts
+    // for "keep iff score >= t" at every DISTINCT score — the corpus
+    // collapses to per-score rows first, then the distributed prefix
+    // sum walks the thresholds top-down. The oracle is one window over
+    // the same per-score rollup.
+    Q(
+      "eval_pr_curve",
+      (s, d) =>
+        EvalOps.prCurve(scored(s, d), "is_en", "score")
+          .orderBy("threshold"),
+      Some(s"""WITH $scoredCte,
+              |per AS (SELECT score AS threshold,
+              |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+              |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS ng
+              |  FROM s GROUP BY score),
+              |c AS (SELECT threshold,
+              |    CAST(SUM(p) OVER w AS BIGINT) AS tp,
+              |    CAST(SUM(ng) OVER w AS BIGINT) AS fp,
+              |    CAST((SELECT sum(p) FROM per) AS BIGINT) AS ptot
+              |  FROM per
+              |  WINDOW w AS (ORDER BY threshold DESC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              |SELECT threshold, tp, fp, ptot - tp AS fn,
+              |  CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+              |  CAST(tp AS DOUBLE) / ptot AS recall
+              |FROM c ORDER BY threshold""".stripMargin),
+      "precision/recall curve: exact cumulative confusion counts per distinct threshold"),
+
+    // Calibration table ([[EvalOps.calibrationBins]]): fixed-width score
+    // bins (floor via double division — exact and floor-correct for
+    // negative scores in both engines), integer counts and score mass.
+    Q(
+      "eval_calibration_bins",
+      (s, d) =>
+        EvalOps.calibrationBins(scored(s, d), "is_en", "score",
+            binWidth = 8L)
+          .orderBy("bin"),
+      Some(s"""WITH $scoredCte
+              |SELECT CAST(floor(score / 8.0) AS BIGINT) AS bin,
+              |  CAST(count(*) AS BIGINT) AS n,
+              |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_pos,
+              |  CAST(sum(score) AS BIGINT) AS score_sum,
+              |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) /
+              |    count(*) AS pos_rate,
+              |  CAST(sum(score) AS DOUBLE) / count(*) AS mean_score
+              |FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
+      "calibration bins: positive rate vs mean score per fixed-width score bin")
+  )
+}

@@ -50,7 +50,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "stats_ks_test", "stats_mannwhitney_u", "stats_wilcoxon_signed",
       // 1-row totals broadcast onto the <=64-row DSIR bucket histogram
       // (the corpus-sized feature frame joins that result by equi-key)
-      "corpus_dsir_stats")
+      "corpus_dsir_stats",
+      // 1-row n_pos-total broadcast onto the distinct-score PR frame
+      "eval_pr_curve")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

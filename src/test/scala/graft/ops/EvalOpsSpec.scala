@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Model-evaluation tier against hand-computed confusion arithmetic:
+  * the tie-averaged AUC, the per-threshold PR counts, and the
+  * calibration rollup (including floor — not truncate — binning of
+  * negative scores). */
+class EvalOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // (id, label, score): n_pos = n_neg = 3, one pos/neg tie at 8 and at 5
+  private def scored =
+    Seq((1L, true, 10L), (2L, true, 8L), (3L, false, 8L),
+      (4L, false, 5L), (5L, true, 5L), (6L, false, 2L))
+      .toDF("id", "y", "score")
+
+  test("aucExact: tie-averaged U on a hand case (AUC = 7/9)") {
+    // pairwise: pos10 beats all 3; pos8 ties neg8 (+0.5), beats 2;
+    // pos5 loses to 8, ties neg5, beats 2 → U = 7.0, u2 = 14
+    val Array((nPos, nNeg, u2, auc)) =
+      EvalOps.aucExact(scored, "y", "score", "id")
+        .as[(Long, Long, Long, Double)].collect()
+    assert((nPos, nNeg, u2) == (3L, 3L, 14L))
+    assert(math.abs(auc - 7.0 / 9.0) < 1e-15)
+  }
+
+  test("aucExact: perfect separation gives AUC exactly 1.0") {
+    val df = Seq((1L, true, 9L), (2L, true, 8L), (3L, false, 2L),
+      (4L, false, 1L)).toDF("id", "y", "score")
+    val r = EvalOps.aucExact(df, "y", "score", "id").collect().head
+    assert(r.getAs[Long]("u2_pos") == 8L && r.getAs[Double]("auc") == 1.0)
+  }
+
+  test("prCurve: exact confusion counts at every distinct threshold") {
+    val got = EvalOps.prCurve(scored, "y", "score")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (2L, 3L, 3L, 0L, 0.5, 1.0),
+      (5L, 3L, 2L, 0L, 3.0 / 5.0, 1.0),
+      (8L, 2L, 1L, 1L, 2.0 / 3.0, 2.0 / 3.0),
+      (10L, 1L, 0L, 2L, 1.0, 1.0 / 3.0)))
+  }
+
+  test("calibrationBins: rollup per fixed-width bin, floor on negatives") {
+    val got = EvalOps.calibrationBins(scored, "y", "score", binWidth = 4L)
+      .select("bin", "n", "n_pos", "score_sum")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 1L, 0L, 2L), (1L, 2L, 1L, 10L), (2L, 3L, 2L, 26L)))
+    // floor, not truncate: -5 / 4 bins to -2, not -1
+    val neg = Seq((1L, false, -5L)).toDF("id", "y", "score")
+    assert(EvalOps.calibrationBins(neg, "y", "score", 4L)
+      .select("bin").as[Long].head() == -2L)
+  }
+}
