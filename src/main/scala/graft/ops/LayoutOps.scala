@@ -121,4 +121,40 @@ object LayoutOps {
         (col("_cum") - col(bytesCol)).as("bin_start"),
         expr(s"(_cum - $bytesCol) div ${targetBytes}L").as("bin"))
   }
+
+  /** EXACT balanced range-partition boundaries: the `nBuckets - 1` split
+    * values under the total order `keyCol asc` such that every bucket
+    * holds floor/ceil(n / nBuckets) rows — the planner output that
+    * `repartitionByRange`'s reservoir SAMPLER approximates, computed
+    * exactly for layout jobs where partition balance is worth one pass
+    * (a skewed bucket at 100 TB is a straggler for every downstream
+    * stage). Rank r closes bucket i when floor(r·N/n) steps past
+    * floor((r−1)·N/n) — pure integer arithmetic, so the oracle replays
+    * it off ROW_NUMBER verbatim.
+    *
+    * Shape: one [[StatOps.globalRowNumber]] (range-staged, never a
+    * single-partition window) + a 1-row count broadcast + a filter that
+    * keeps exactly nBuckets − 1 rows. For sampled planning at petabyte
+    * scale, compose [[graft.ops.CorpusOps.sampleByHash]] upstream — the
+    * operator is unchanged.
+    *
+    * @return (`boundary_idx` 1..nBuckets−1, `boundary` = greatest key of
+    *         bucket idx−1; rows with key ≤ boundary land left of the
+    *         split)
+    */
+  def rangeBoundaries(
+      df: DataFrame, keyCol: String, tieCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val ranked = StatOps.globalRowNumber(
+      df.select(col(keyCol), col(tieCol)),
+      Seq(col(keyCol), col(tieCol)), "_r")
+    val n = ranked.agg(count(lit(1)).as("_n"))
+    ranked.crossJoin(broadcast(n)) // 1-row count frame (declared)
+      .filter(col("_r") < col("_n") &&
+        expr(s"(_r * $nBuckets) div _n") >
+          expr(s"((_r - 1) * $nBuckets) div _n"))
+      .select(expr(s"(_r * $nBuckets) div _n").as("boundary_idx"),
+        col(keyCol).as("boundary"))
+  }
 }

@@ -83,6 +83,28 @@ object LayoutQueries {
              |  FROM f)
              |SELECT doc_id, bytes, bin_start, bin_start // 4096 AS bin
              |FROM r ORDER BY doc_id""".stripMargin),
-      "compaction bin packing: size-descending streaming bins via distributed prefix sum")
+      "compaction bin packing: size-descending streaming bins via distributed prefix sum"),
+
+    // Exact range-partition boundaries ([[LayoutOps.rangeBoundaries]]):
+    // the 15 split keys that cut orders into 16 equal-row buckets —
+    // what repartitionByRange's sampler approximates. The bucket-step
+    // test is pure integer arithmetic off the global rank, so the
+    // oracle replays it off ROW_NUMBER verbatim.
+    Q(
+      "layout_range_boundaries",
+      (s, d) =>
+        LayoutOps.rangeBoundaries(T(s, d, "orders"),
+            "o_orderkey", "o_orderkey", nBuckets = 16)
+          .orderBy("boundary_idx"),
+      Some("""WITH r AS (SELECT o_orderkey,
+             |    ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn,
+             |    count(*) OVER () AS n
+             |  FROM orders)
+             |SELECT (rn * 16) // n AS boundary_idx,
+             |  o_orderkey AS boundary
+             |FROM r
+             |WHERE rn < n AND (rn * 16) // n > ((rn - 1) * 16) // n
+             |ORDER BY boundary_idx""".stripMargin),
+      "exact balanced range-partition split points: 15 keys cut orders into 16 equal buckets")
   )
 }

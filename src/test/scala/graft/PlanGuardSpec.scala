@@ -52,7 +52,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // (the corpus-sized feature frame joins that result by equi-key)
       "corpus_dsir_stats",
       // 1-row n_pos-total broadcast onto the distinct-score PR frame
-      "eval_pr_curve")
+      "eval_pr_curve",
+      // 1-row count broadcast onto the ranked frame
+      "layout_range_boundaries")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

@@ -85,4 +85,21 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(bins.map(_._2).sum ==
       files.agg(sum("bytes")).as[Long].head())
   }
+
+  test("rangeBoundaries: exact equal-row buckets on 1..100 into 4") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("k", "id")
+    val got = LayoutOps.rangeBoundaries(df, "k", "id", nBuckets = 4)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 25L), (2L, 50L), (3L, 75L)))
+  }
+
+  test("rangeBoundaries: non-divisible n spreads remainders like floor(r*N/n)") {
+    // n=10, N=4: bucket ends at ranks floor-stepping — 3, 5, 8 → 10
+    val df = (1 to 10).map(i => (i.toLong * 7, i.toLong)).toDF("k", "id")
+    val got = LayoutOps.rangeBoundaries(df, "k", "id", nBuckets = 4)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // bucket sizes from the boundaries: 3, 2, 3, 2 (floor(r*4/10) steps)
+    assert(got.map(_._2).toSeq == Seq(21L, 35L, 56L))
+  }
 }
