@@ -267,6 +267,46 @@ object CorpusOps {
       .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** WITHIN-document segment dedup — drop repeated segments inside the
+    * SAME document (in-page boilerplate: repeated headers, quoted
+    * reply chains, copy-pasted paragraphs), keeping each segment's
+    * first occurrence and reassembling the survivors in order. The
+    * complement of [[dedupSegments]]'s corpus-wide hot-segment drop:
+    * here the rollup key is (doc, segment), so the operator carries NO
+    * corpus-wide state at all — both shuffles are keyed by the doc id
+    * and the stage scales embarrassingly (a 100 TB corpus is just more
+    * doc-keyed groups).
+    *
+    * @return one row per input document: (`idCol`, `clean_text`,
+    *         `n_segs` total, `n_segs_kept`) — dropped = n_segs − kept.
+    */
+  def dedupSegmentsWithinDoc(
+      df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val segs = chunkDocs(df, idCol, textCol,
+        chunkSize = segTokens, overlap = 0)
+      .select(col(idCol), col("chunk_id").as("seg_id"),
+        col("chunk_text").as("seg"))
+    val first = segs.groupBy(col(idCol), col("seg"))
+      .agg(min("seg_id").as("seg_id"))
+    val glued = first.groupBy(col(idCol))
+      .agg(
+        expr("listagg(seg, ' ') WITHIN GROUP (ORDER BY seg_id)")
+          .as("clean_text"),
+        count(lit(1)).as("n_segs_kept"))
+    // total segments is a projection of the token count — no third
+    // pass over the segment frame
+    df.select(col(idCol),
+        (greatest(
+          floor((size(split(col(textCol), " +")) - 1) / lit(segTokens)),
+          lit(0)) + 1).cast(LongType).as("n_segs"))
+      .join(glued, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_segs"), coalesce(col("n_segs_kept"), lit(0L)).as("n_segs_kept"))
+  }
+
   /** Downsample each stratum (source, language, domain) to a token budget:
     * keep fraction = min(1, budget / stratum_token_total), decided by the
     * same salted-hash threshold as [[sampleByHash]] so membership is

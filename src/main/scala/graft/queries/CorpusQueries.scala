@@ -690,6 +690,52 @@ object CorpusQueries {
              |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin),
       "segment-level exact dedup: drop >2x-repeated 8-token segments, reassemble in order"),
 
+    // WITHIN-document segment dedup ([[CorpusOps.dedupSegmentsWithinDoc]]):
+    // repeated in-page boilerplate dropped at first occurrence, no
+    // corpus-wide state. The gate PLANTS the repetition — each doc
+    // becomes (first 16 tokens ++ first 8 tokens), so its third 8-token
+    // segment duplicates its first and must drop; short docs produce
+    // misaligned tails that survive — both outcomes cross the gate.
+    Q(
+      "corpus_dedup_within_doc",
+      (s, d) => {
+        val toks = split(col("text"), " +")
+        CorpusOps.dedupSegmentsWithinDoc(
+            T(s, d, "documents").select(col("doc_id"),
+              array_join(concat(slice(toks, 1, 16), slice(toks, 1, 8)), " ")
+                .as("text")),
+            "doc_id", "text", segTokens = 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    array_to_string(
+             |      string_split_regex(text, ' +')[1:16] ||
+             |      string_split_regex(text, ' +')[1:8], ' ') AS text
+             |  FROM documents),
+             |segs AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS seg_id,
+             |    array_to_string(t[i*8+1:i*8+8], ' ') AS seg
+             |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS t,
+             |          unnest(generate_series(0,
+             |            greatest((len(string_split_regex(text, ' +'))-1)//8,
+             |              0))) AS i
+             |        FROM p)),
+             |fst AS (SELECT doc_id, seg, min(seg_id) AS seg_id
+             |        FROM segs GROUP BY doc_id, seg),
+             |tot AS (SELECT doc_id,
+             |    CAST(greatest((len(string_split_regex(text, ' +'))-1)//8, 0)
+             |      + 1 AS BIGINT) AS n_segs
+             |  FROM p)
+             |SELECT t.doc_id,
+             |  coalesce(string_agg(f.seg, ' ' ORDER BY f.seg_id), '')
+             |    AS clean_text,
+             |  any_value(t.n_segs) AS n_segs,
+             |  CAST(count(f.seg) AS BIGINT) AS n_segs_kept
+             |FROM tot t LEFT JOIN fst f USING (doc_id)
+             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+      "within-doc segment dedup: planted repeated segment dropped at first occurrence"),
+
     // Token-budget corpus mixing: cap every source at 800 tokens; the
     // keep fraction is DERIVED from per-source totals in the same plan
     // and enforced with the salted-hash threshold, so membership stays

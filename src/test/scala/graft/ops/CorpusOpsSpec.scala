@@ -445,6 +445,21 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("sfo", 30, 4L, 1L, true)))
   }
 
+  test("dedupSegmentsWithinDoc: first occurrence kept, order preserved") {
+    val docs = Seq(
+      (1L, "x y z w x y"), // segs [x y][z w][x y] → third drops
+      (2L, "p q r"), //        segs [p q][r] → nothing drops
+      (3L, "a b a b a b") //   segs [a b][a b][a b] → two drop
+    ).toDF("doc_id", "text")
+    val got = CorpusOps
+      .dedupSegmentsWithinDoc(docs, "doc_id", "text", segTokens = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "x y z w", 3L, 2L),
+      (2L, "p q r", 2L, 2L),
+      (3L, "a b", 3L, 1L)))
+  }
+
   test("hash64 SQL surface matches the expression and the Hash64 core") {
     val r = spark.sql("SELECT hash64('alpha') AS h1, hash64('') AS h2")
       .collect().head
