@@ -142,6 +142,37 @@ object LayoutOps {
     *         bucket idx−1; rows with key ≤ boundary land left of the
     *         split)
     */
+  /** Rendezvous (highest-random-weight) shard assignment: shard =
+    * argmax over s ∈ [0, nShards) of hash64("salt:s:id") — the
+    * consistent-placement rule whose defining property is MINIMAL
+    * MOVEMENT: growing nShards → nShards+1 moves exactly the docs whose
+    * new shard wins (≈ n/(nShards+1)), and every moved doc lands ON the
+    * new shard; nothing reshuffles between surviving shards (mod-N
+    * hashing moves ~all docs instead). The op a 100 TB incremental
+    * pipeline uses to grow its shard/bucket count without rewriting the
+    * corpus.
+    *
+    * Shape: a pure codegen'd PROJECTION — nShards native hash64 calls
+    * per row, argmax via `greatest` over (weight, s) structs (field
+    * order makes ties, probability ≈ 0, break toward the higher s). No
+    * shuffle, no state, embarrassingly parallel.
+    */
+  def rendezvousShard(
+      df: DataFrame, idCol: String, nShards: Int, salt: String,
+      outCol: String = "shard"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import graft.expr.TextHashFunctions.hash64
+    val cands = (0 until nShards).map { s =>
+      struct(
+        hash64(concat_ws(":", lit(salt), lit(s.toString),
+          col(idCol).cast("string"))).as("w"),
+        lit(s).as("s"))
+    }
+    val best =
+      if (nShards == 1) cands.head else greatest(cands: _*)
+    df.withColumn(outCol, best.getField("s"))
+  }
+
   def rangeBoundaries(
       df: DataFrame, keyCol: String, tieCol: String,
       nBuckets: Int): DataFrame = {

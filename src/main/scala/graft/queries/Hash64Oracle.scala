@@ -292,6 +292,26 @@ private[queries] object Hash64Oracle {
        |         FROM featl JOIN hb USING (f) GROUP BY doc_id, bucket)""".stripMargin
   }
 
+  /** Generic hash64 replay: CTEs that FNV+mix every DISTINCT value of
+    * the `f` VARCHAR column of CTE `src`, ending in
+    * `hsig(f, hs BIGINT)` — join back to `src` by `f` for per-row
+    * hashes. The same vocabulary-sized recursive-CTE shape as the DSIR
+    * features (hash the distinct set, never the row stream). */
+  def hash64VocabCtes(src: String): String = {
+    val (mCtes, mLast) = staged("hfnvfin", "f", mixSteps, "hm")
+    s"""hvoc AS (SELECT DISTINCT f FROM $src),
+       |hfnv AS (
+       |  SELECT f, 1 AS i, CAST($Basis AS UBIGINT) AS h FROM hvoc
+       |  UNION ALL
+       |  SELECT f, i+1,
+       |    CAST(CAST(xor(h, CAST(unicode(substr(f,i,1)) AS UBIGINT)) AS HUGEINT)
+       |         * $Prime % $M AS UBIGINT)
+       |  FROM hfnv WHERE i <= length(f)),
+       |hfnvfin AS (SELECT f, h FROM hfnv WHERE i = length(f)+1),
+       |$mCtes,
+       |hsig AS (SELECT f, $SignedH AS hs FROM $mLast)""".stripMargin
+  }
+
   /** Oracle for `corpus_dsir_features`: per (doc, bucket) hashed
     * unigram+bigram feature counts. */
   def dsirFeaturesSql(buckets: Int): String =

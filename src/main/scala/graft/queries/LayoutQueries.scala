@@ -105,6 +105,45 @@ object LayoutQueries {
              |FROM r
              |WHERE rn < n AND (rn * 16) // n > ((rn - 1) * 16) // n
              |ORDER BY boundary_idx""".stripMargin),
-      "exact balanced range-partition split points: 15 keys cut orders into 16 equal buckets")
+      "exact balanced range-partition split points: 15 keys cut orders into 16 equal buckets"),
+
+    // Rendezvous sharding ([[LayoutOps.rendezvousShard]]) and its
+    // defining invariant in one gate: assignment at 8 shards, at 9
+    // shards, and the moved flag — every moved doc must land on the NEW
+    // shard (the minimal-movement guarantee mod-N hashing lacks). The
+    // oracle replays hash64 over the 'rv:s:id' candidate strings
+    // (vocabulary-sized recursive FNV+mix) and takes the same argmax.
+    Q(
+      "layout_rendezvous_shard",
+      (s, d) =>
+        LayoutOps.rendezvousShard(
+            LayoutOps.rendezvousShard(
+              T(s, d, "documents").select("doc_id"),
+              "doc_id", nShards = 8, salt = "rv", outCol = "shard_8"),
+            "doc_id", nShards = 9, salt = "rv", outCol = "shard_9")
+          .withColumn("moved", col("shard_8") =!= col("shard_9"))
+          .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE cand AS (
+              |  SELECT doc_id, s,
+              |    'rv:' || CAST(s AS VARCHAR) || ':' ||
+              |      CAST(doc_id AS VARCHAR) AS f
+              |  FROM documents, unnest(generate_series(0, 8)) AS u(s)),
+              |${Hash64Oracle.hash64VocabCtes("cand")},
+              |w AS (SELECT c.doc_id, c.s, h.hs
+              |      FROM cand c JOIN hsig h USING (f)),
+              |a8 AS (SELECT doc_id, s AS shard8 FROM (
+              |    SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+              |        ORDER BY hs DESC, s DESC) AS r
+              |    FROM w WHERE s < 8) WHERE r = 1),
+              |a9 AS (SELECT doc_id, s AS shard9 FROM (
+              |    SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+              |        ORDER BY hs DESC, s DESC) AS r
+              |    FROM w) WHERE r = 1)
+              |SELECT a8.doc_id,
+              |  CAST(shard8 AS INTEGER) AS shard_8,
+              |  CAST(shard9 AS INTEGER) AS shard_9,
+              |  shard8 <> shard9 AS moved
+              |FROM a8 JOIN a9 USING (doc_id) ORDER BY a8.doc_id""".stripMargin),
+      "rendezvous sharding: 8->9 shard growth, moved docs land only on the new shard")
   )
 }

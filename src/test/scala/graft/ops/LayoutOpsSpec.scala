@@ -86,6 +86,27 @@ class LayoutOpsSpec extends AnyFunSuite {
       files.agg(sum("bytes")).as[Long].head())
   }
 
+  test("rendezvousShard: matches the scalar argmax; growth moves docs only onto the new shard") {
+    def model(k: Long, n: Int): Int =
+      (0 until n).maxBy { s =>
+        (graft.expr.Hash64.hashBytes(s"t:$s:$k".getBytes("UTF-8"), 0L), s)
+      }
+    val df = spark.range(2000).select(col("id").as("k"))
+    val got = LayoutOps.rendezvousShard(
+        LayoutOps.rendezvousShard(df, "k", 8, "t", "s8"),
+        "k", 9, "t", "s9")
+      .as[(Long, Int, Int)].collect()
+    assert(got.length == 2000)
+    for ((k, s8, s9) <- got) {
+      assert(s8 == model(k, 8), s"doc $k at 8 shards")
+      assert(s9 == model(k, 9), s"doc $k at 9 shards")
+      if (s8 != s9) assert(s9 == 8, s"doc $k moved to shard $s9, not the new one")
+    }
+    // movement fraction ~ 1/9 (binomial n=2000: 222 ± 4 sigma ~ 56)
+    val moved = got.count { case (_, s8, s9) => s8 != s9 }
+    assert(moved > 140 && moved < 310, s"moved $moved of 2000")
+  }
+
   test("rangeBoundaries: exact equal-row buckets on 1..100 into 4") {
     val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("k", "id")
     val got = LayoutOps.rangeBoundaries(df, "k", "id", nBuckets = 4)
