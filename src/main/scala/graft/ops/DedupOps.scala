@@ -159,6 +159,31 @@ object DedupOps {
     nPairs.join(nDocs, Seq("band_lo"))
   }
 
+  /** Cross-source duplication matrix: near-dup pair counts per
+    * UNORDERED source pair — the report that tells a curation team
+    * which ingestion sources are mirroring each other (cross-source
+    * rows: candidates for source-level dedup ordering) and which
+    * re-crawl themselves (diagonal rows). Two doc-keyed joins to pin
+    * each pair end's source, then one canonical (least, greatest)
+    * rollup — pair-list-bounded throughout, no corpus-wide state.
+    *
+    * @param pairs (`a`, `b`) near-dup pairs; duplicates tolerated
+    *        (distinct-ed, the [[pairEvidence]] discipline).
+    * @return (`source_x` ≤ `source_y`, `n_pairs`).
+    */
+  def crossSourceDupMatrix(
+      docs: DataFrame, idCol: String, srcCol: String,
+      pairs: DataFrame): DataFrame = {
+    val sa = docs.select(col(idCol).as("a"), col(srcCol).as("_sa"))
+    val sb = docs.select(col(idCol).as("b"), col(srcCol).as("_sb"))
+    pairs.select("a", "b").distinct()
+      .join(sa, Seq("a")).join(sb, Seq("b"))
+      .select(least(col("_sa"), col("_sb")).as("source_x"),
+        greatest(col("_sa"), col("_sb")).as("source_y"))
+      .groupBy("source_x", "source_y")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** EVIDENCE for a near-dup pair list: up to `topK` shared shingles per
     * pair (lexicographically smallest — deterministic), the line a
     * review queue displays next to the Jaccard score before a human

@@ -664,4 +664,33 @@ object GraphOps {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Quality-aware cluster representative election: keep, per near-dup
+    * cluster, the member with the HIGHEST `scoreCol` (ties break to the
+    * lower id) instead of [[keepClusterRepresentatives]]'s arbitrary
+    * min-id — the curation policy that keeps the best-written copy of a
+    * duplicated page rather than whichever crawled first. Docs outside
+    * every cluster keep themselves.
+    *
+    * Shape: one left join against the label table (docs without a label
+    * are their own singleton cluster) + one per-cluster argmax rollup
+    * (max over (score, −id) structs — map-side combinable, no window)
+    * + one semi join back. All keyed shuffles; no corpus-wide state.
+    *
+    * @return the surviving rows of `df` plus their `component` label
+    *         (singletons: their own id).
+    */
+  def electBestRepresentatives(
+      df: DataFrame, idCol: String, scoreCol: String,
+      labels: DataFrame): DataFrame = {
+    val labeled = df
+      .join(labels.select(col("id").as(idCol), col("component")),
+        Seq(idCol), "left_outer")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val winners = labeled.groupBy("component")
+      .agg(max(struct(col(scoreCol).as("s"), negate(col(idCol)).as("ni")))
+        .as("_w"))
+      .select(col("component"), negate(col("_w").getField("ni")).as(idCol))
+    labeled.join(winners, Seq("component", idCol), "left_semi")
+  }
 }

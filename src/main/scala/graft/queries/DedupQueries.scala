@@ -119,6 +119,29 @@ object DedupQueries {
               |FROM r GROUP BY a, b ORDER BY a, b""".stripMargin),
       "near-dup pair evidence: top-3 shared shingles per pair, pair-list-bounded join"),
 
+    // Cross-source duplication matrix ([[DedupOps.crossSourceDupMatrix]]):
+    // near-dup pair counts per unordered source pair off the STAGED pair
+    // frame — which sources mirror each other vs re-crawl themselves.
+    Q(
+      "dedup_cross_source_matrix",
+      (s, d) =>
+        DedupOps.crossSourceDupMatrix(
+            T(s, d, "documents"), "doc_id", "source",
+            DedupOps.sharedNgramJaccardPairs(T(s, d, "documents"),
+              "doc_id", "text", k = 3, threshold = 0.8))
+          .orderBy("source_x", "source_y"),
+      Some(s"""WITH ${jaccardPairCtes(0.8)},
+              |ends AS (SELECT
+              |    least(da.source, db.source) AS source_x,
+              |    greatest(da.source, db.source) AS source_y
+              |  FROM pairs p
+              |  JOIN documents da ON da.doc_id = p.a
+              |  JOIN documents db ON db.doc_id = p.b)
+              |SELECT source_x, source_y,
+              |  CAST(count(*) AS BIGINT) AS n_pairs
+              |FROM ends GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "cross-source duplication matrix: near-dup pair counts per unordered source pair"),
+
     // Threshold TUNING CURVE ([[DedupOps.thresholdSweep]]): pair and
     // affected-document counts per Jaccard band over [0.5, 1] from ONE
     // pair computation at the floor — the curve a curation team reads

@@ -122,6 +122,52 @@ object GraphQueries {
               |ORDER BY doc_id""".stripMargin),
       "corpus after cluster dedup: one min-id representative per duplicate cluster"),
 
+    // Quality-aware election ([[GraphOps.electBestRepresentatives]]):
+    // per cluster keep the HIGHEST-classifier-score member (ties to the
+    // lower id) instead of min-id — the policy that keeps the
+    // best-written copy, not whichever crawled first. Reads the SAME
+    // staged pair graph; the score is the hashed linear classifier the
+    // oracle already replays.
+    Q(
+      "dedup_cluster_keep_best",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        GraphOps.electBestRepresentatives(
+            docs.join(
+              graft.ops.TextOps.qualityClassifier(docs, "doc_id", "text")
+                .select("doc_id", "score"),
+              Seq("doc_id")),
+            "doc_id", "score",
+            GraphOps.sharedComponents(pairs(s, d), "a", "b"))
+          .select("doc_id", "component", "score", "source")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${DedupQueries.jaccardPairCtes(0.8)},
+              |$componentCtes,
+              |qs AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score
+              |  FROM (
+              |    SELECT doc_id,
+              |      ((instr('0123456789abcdef', substr(b, 1, 1)) * 16 +
+              |        instr('0123456789abcdef', substr(b, 2, 1)) - 17)
+              |       * 37 + 11) % 17 - 8 AS w
+              |    FROM (SELECT doc_id, substr(md5(tok), 1, 2) AS b
+              |          FROM (SELECT doc_id,
+              |                  unnest(string_split_regex(trim(text), ' +'))
+              |                    AS tok
+              |                FROM documents)))
+              |  GROUP BY doc_id),
+              |lab AS (SELECT d.doc_id,
+              |    coalesce(c.component, d.doc_id) AS component,
+              |    q.score, d.source
+              |  FROM documents d
+              |  LEFT JOIN comp c ON c.id = d.doc_id
+              |  JOIN qs q ON q.doc_id = d.doc_id),
+              |win AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+              |    ORDER BY score DESC, doc_id ASC) AS rn FROM lab)
+              |SELECT doc_id, component, score, source
+              |FROM win WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+      "quality-aware cluster dedup: keep the best-classifier-score member per cluster"),
+
     // Universe-complete labels: every document gets a component, including
     // the singletons the edge list never mentions — the frame downstream
     // stages (per-cluster stats, representative election joins) actually

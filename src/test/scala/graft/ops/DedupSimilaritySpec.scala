@@ -10,6 +10,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("crossSourceDupMatrix: canonical unordered rollup, duplicate pairs collapse") {
+    import spark.implicits._
+    val docs = Seq((1L, "s1"), (2L, "s2"), (3L, "s1"), (4L, "s3"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (1L, 2L), (1L, 3L), (4L, 2L))
+      .toDF("a", "b")
+    val got = DedupOps
+      .crossSourceDupMatrix(docs, "doc_id", "source", pairs)
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("s1", "s1", 1L), ("s1", "s2", 1L), ("s2", "s3", 1L)))
+  }
+
   test("exact dedupe collapses crafted duplicates to min id") {
     import spark.implicits._
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))

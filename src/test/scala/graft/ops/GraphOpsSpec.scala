@@ -370,6 +370,22 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("electBestRepresentatives: max score wins, ties to lower id, singletons survive") {
+    import spark.implicits._
+    // cluster {1,2,3} labeled to 1; {4,5} labeled to 4; 6 unlabeled
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "component")
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 1L), // 2 outscores the min-id rep
+      (4L, 7L), (5L, 7L), //           tie → lower id 4
+      (6L, 0L) //                      singleton keeps itself
+    ).toDF("doc_id", "score")
+    val kept = GraphOps
+      .electBestRepresentatives(docs, "doc_id", "score", labels)
+      .select("doc_id", "component").as[(Long, Long)].collect().toSet
+    assert(kept == Set((2L, 1L), (4L, 4L), (6L, 6L)))
+  }
+
   test("sharedComponents memoizes per pair-frame identity") {
     import spark.implicits._
     GraphOps.clearComponentCache()
