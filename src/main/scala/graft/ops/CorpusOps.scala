@@ -267,6 +267,43 @@ object CorpusOps {
       .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Content-defined chunking (the FastCDC/Rabin idea at word level):
+    * a chunk boundary falls AFTER every token whose hash64 ≡ 0
+    * (mod `modulus`), so boundaries are functions of CONTENT, not
+    * position — an insertion near the top of a document shifts only its
+    * own chunk, and every chunk after the next boundary re-aligns
+    * byte-identically (fixed windows like [[chunkDocs]] shift ALL
+    * downstream chunks, defeating chunk-level dedup across document
+    * versions). Mean chunk length ≈ `modulus` tokens.
+    *
+    * Shape: one positional explode; the boundary flag is a codegen'd
+    * projection (native hash64); chunk ids are a running count over a
+    * DOC-KEYED window (partitioned by the doc id — never global); one
+    * ordered-reassembly rollup. All shuffles key on the doc id.
+    *
+    * @return (`idCol`, `chunk_idx` 0-based, `n_tokens`, `chunk_text`).
+    */
+  def cdcChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      modulus: Int): DataFrame = {
+    require(modulus >= 2, s"modulus must be >= 2, got $modulus")
+    import org.apache.spark.sql.expressions.Window
+    import graft.expr.TextHashFunctions.hash64
+    val toks = df
+      .select(col(idCol),
+        posexplode(split(trim(col(textCol)), " +")).as(Seq("i", "tok")))
+      .withColumn("_b",
+        (pmod(hash64(col("tok")), lit(modulus.toLong)) === 0L).cast("long"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("chunk_idx", coalesce(sum(col("_b")).over(w), lit(0L)))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("listagg(tok, ' ') WITHIN GROUP (ORDER BY i)")
+          .as("chunk_text"))
+  }
+
   /** WITHIN-document segment dedup — drop repeated segments inside the
     * SAME document (in-page boilerplate: repeated headers, quoted
     * reply chains, copy-pasted paragraphs), keeping each segment's

@@ -736,6 +736,40 @@ object CorpusQueries {
              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
       "within-doc segment dedup: planted repeated segment dropped at first occurrence"),
 
+    // Content-defined chunking ([[CorpusOps.cdcChunks]]): boundaries
+    // after hash64(token) % 8 == 0 tokens — content-addressed, so chunk
+    // streams re-align across document versions (the FastCDC property
+    // fixed windows lack; realignment is property-tested in the spec).
+    // The oracle replays hash64 over the distinct token vocabulary and
+    // the same doc-keyed running boundary count.
+    Q(
+      "corpus_cdc_chunks",
+      (s, d) =>
+        CorpusOps.cdcChunks(T(s, d, "documents"), "doc_id", "text",
+            modulus = 8)
+          .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH RECURSIVE tk AS (
+              |  SELECT doc_id, i, t[i] AS f
+              |  FROM (SELECT doc_id,
+              |          string_split_regex(trim(text), ' +') AS t
+              |        FROM documents),
+              |       unnest(generate_series(1, len(t))) AS u(i)),
+              |${Hash64Oracle.hash64VocabCtes("tk")},
+              |tb AS (SELECT tk.doc_id, tk.i, tk.f AS tok,
+              |    CASE WHEN ((h.hs % 8) + 8) % 8 = 0 THEN 1 ELSE 0 END AS b
+              |  FROM tk JOIN hsig h USING (f)),
+              |ch AS (SELECT doc_id, i, tok,
+              |    coalesce(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS chunk_idx
+              |  FROM tb)
+              |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+              |  CAST(count(*) AS BIGINT) AS n_tokens,
+              |  string_agg(tok, ' ' ORDER BY i) AS chunk_text
+              |FROM ch GROUP BY doc_id, chunk_idx
+              |ORDER BY doc_id, chunk_idx""".stripMargin),
+      "content-defined chunking: hash-boundary chunks that re-align across edits"),
+
     // Token-budget corpus mixing: cap every source at 800 tokens; the
     // keep fraction is DERIVED from per-source totals in the same plan
     // and enforced with the salted-hash threshold, so membership stays

@@ -445,6 +445,44 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("sfo", 30, 4L, 1L, true)))
   }
 
+  test("cdcChunks: matches the scalar model; chunks re-align after insertion") {
+    def hmod(t: String, m: Int): Int = {
+      val h = graft.expr.Hash64.hashBytes(t.getBytes("UTF-8"), 0L)
+      (((h % m) + m) % m).toInt
+    }
+    def model(toks: Seq[String], m: Int): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      for (t <- toks) {
+        cur = cur :+ t
+        if (hmod(t, m) == 0) { out += cur; cur = Nil }
+      }
+      if (cur.nonEmpty) out += cur
+      out.map(_.mkString(" ")).toSeq
+    }
+    val toks = (0 until 40).map(i => s"tk$i")
+    val v1 = toks.mkString(" ")
+    // insert a NON-boundary token near the top: every later chunk must
+    // re-align (fixed windows would shift all of them)
+    val ins = (0 until 100).map(i => s"ins$i").find(hmod(_, 4) != 0).get
+    val v2 = (toks.take(3) ++ Seq(ins) ++ toks.drop(3)).mkString(" ")
+    val got = CorpusOps
+      .cdcChunks(Seq((1L, v1), (2L, v2)).toDF("doc_id", "text"),
+        "doc_id", "text", modulus = 4)
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .as[(Long, Long, String)].collect()
+    val g1 = got.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    val g2 = got.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq
+    assert(g1 == model(toks, 4))
+    assert(g2 == model(toks.take(3) ++ Seq(ins) ++ toks.drop(3), 4))
+    // CDC property: a non-boundary insert changes EXACTLY the one chunk
+    // containing it — every other chunk re-aligns byte-identically
+    // (fixed windows would shift every downstream chunk instead)
+    assert(g1.length == g2.length && g1.length >= 5)
+    val diffs = g1.zip(g2).count(p => p._1 != p._2)
+    assert(diffs == 1, s"re-align failed: $diffs of ${g1.length} chunks differ")
+  }
+
   test("dedupSegmentsWithinDoc: first occurrence kept, order preserved") {
     val docs = Seq(
       (1L, "x y z w x y"), // segs [x y][z w][x y] → third drops
