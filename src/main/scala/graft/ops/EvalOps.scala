@@ -48,6 +48,44 @@ object EvalOps {
         col("u2_pos").cast(DoubleType) /
           (lit(2.0) * col("n_pos") * col("n_neg")))
 
+  /** Per-group exact AUC — the stratified report ("the filter is great
+    * on source A, useless on B") that catches what one pooled AUC
+    * hides. Same tie-averaged arithmetic as [[aucExact]], but the
+    * within-group rank comes from ONE global midrank over
+    * (group, score, id) minus each group's min-rank offset — never a
+    * per-group window, whose partitions inherit the largest group's
+    * skew at corpus scale (one language can be 40% of 100 TB).
+    *
+    * @return one row per group: (`groupCol`, `n_pos`, `n_neg`,
+    *         `u2_pos`, `auc` — null when a group lacks both classes)
+    */
+  def aucExactByGroup(
+      df: DataFrame, groupCol: String, labelCol: String, scoreCol: String,
+      idCol: String): DataFrame = {
+    val ranked = StatOps.globalRowNumber(
+      df.select(col(groupCol), col(scoreCol), col(idCol),
+        col(labelCol).cast("long").as("_y")),
+      Seq(col(groupCol), col(scoreCol), col(idCol)), "_i")
+    val offs = ranked.groupBy(col(groupCol)).agg(min("_i").as("_o"))
+    val rg = ranked.join(offs, Seq(groupCol))
+      .withColumn("_r", col("_i") - col("_o") + 1L)
+    val ties = rg.groupBy(col(groupCol), col(scoreCol))
+      .agg((min("_r") + max("_r")).as("_avg2"))
+    rg.join(ties, Seq(groupCol, scoreCol))
+      .groupBy(col(groupCol))
+      .agg(
+        sum("_y").as("n_pos"),
+        (count(lit(1)) - sum("_y")).as("n_neg"),
+        sum(when(col("_y") === 1L, col("_avg2")).otherwise(0L)).as("_r2"))
+      .withColumn("u2_pos", col("_r2") - col("n_pos") * (col("n_pos") + 1))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("u2_pos").cast(DoubleType) /
+            (lit(2.0) * col("n_pos") * col("n_neg"))))
+      .select(col(groupCol), col("n_pos"), col("n_neg"), col("u2_pos"),
+        col("auc"))
+  }
+
   /** Precision/recall operating curve: one row per DISTINCT score
     * threshold t with the exact confusion counts of the rule
     * "keep iff score ≥ t" — `tp`/`fp` cumulative from the top score

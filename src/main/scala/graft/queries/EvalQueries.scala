@@ -21,7 +21,8 @@ object EvalQueries {
   private def scored(s: SparkSession, d: String): DataFrame = {
     val docs = T(s, d, "documents")
     TextOps.qualityClassifier(docs, "doc_id", "text")
-      .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+      .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en"),
+          col("source")),
         Seq("doc_id"))
   }
 
@@ -30,14 +31,14 @@ object EvalQueries {
   private val scoredCte =
     """s AS (
       |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS score,
-      |    any_value(pos) AS pos
+      |    any_value(pos) AS pos, any_value(src) AS src
       |  FROM (
-      |    SELECT doc_id, lang = 'en' AS pos,
+      |    SELECT doc_id, lang = 'en' AS pos, source AS src,
       |      ((instr('0123456789abcdef', substr(b, 1, 1)) * 16 +
       |        instr('0123456789abcdef', substr(b, 2, 1)) - 17)
       |       * 37 + 11) % 17 - 8 AS w
-      |    FROM (SELECT doc_id, lang, substr(md5(tok), 1, 2) AS b
-      |          FROM (SELECT doc_id, lang,
+      |    FROM (SELECT doc_id, lang, source, substr(md5(tok), 1, 2) AS b
+      |          FROM (SELECT doc_id, lang, source,
       |                  unnest(string_split_regex(trim(text), ' +')) AS tok
       |                FROM documents)))
       |  GROUP BY doc_id)""".stripMargin
@@ -69,6 +70,40 @@ object EvalQueries {
               |    (2.0 * n_pos * n_neg) AS auc
               |FROM t ORDER BY n_pos""".stripMargin),
       "exact ROC AUC: tie-averaged rank statistic, doubled-integer U"),
+
+    // Stratified AUC ([[EvalOps.aucExactByGroup]]): per-SOURCE AUC of
+    // the English signal — the report that catches a filter working on
+    // one ingestion source and failing on another. The within-group
+    // rank comes from one GLOBAL midrank minus per-group offsets
+    // (never a group window, which would inherit the largest group's
+    // skew); the oracle gets to use the partitioned window the engine
+    // avoids.
+    Q(
+      "eval_auc_by_group",
+      (s, d) =>
+        EvalOps.aucExactByGroup(scored(s, d), "source", "is_en", "score",
+            "doc_id")
+          .orderBy("source"),
+      Some(s"""WITH $scoredCte,
+              |r AS (SELECT src, pos,
+              |    2 * RANK() OVER (PARTITION BY src ORDER BY score) +
+              |      count(*) OVER (PARTITION BY src, score) - 1 AS avg2
+              |  FROM s),
+              |t AS (SELECT src AS source,
+              |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_pos,
+              |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT)
+              |      AS n_neg,
+              |    CAST(sum(CASE WHEN pos THEN avg2 ELSE 0 END) AS BIGINT)
+              |      AS r2
+              |  FROM r GROUP BY src)
+              |SELECT source, n_pos, n_neg,
+              |  r2 - n_pos * (n_pos + 1) AS u2_pos,
+              |  CASE WHEN n_pos > 0 AND n_neg > 0
+              |    THEN CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) /
+              |      (2.0 * n_pos * n_neg) END AS auc
+              |FROM t ORDER BY source""".stripMargin),
+      "stratified AUC per source: global-midrank-minus-offset, no skewed group window"),
 
     // PR operating curve ([[EvalOps.prCurve]]): exact confusion counts
     // for "keep iff score >= t" at every DISTINCT score — the corpus

@@ -35,6 +35,26 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("u2_pos") == 8L && r.getAs[Double]("auc") == 1.0)
   }
 
+  test("aucExactByGroup: per-group midranks independent, one-class group is null") {
+    val df = Seq(
+      // group a = the hand case (AUC 7/9)
+      ("a", 1L, true, 10L), ("a", 2L, true, 8L), ("a", 3L, false, 8L),
+      ("a", 4L, false, 5L), ("a", 5L, true, 5L), ("a", 6L, false, 2L),
+      // group b = perfect separation (AUC 1)
+      ("b", 7L, true, 9L), ("b", 8L, true, 8L),
+      ("b", 9L, false, 2L), ("b", 10L, false, 1L),
+      // group c = positives only → AUC undefined
+      ("c", 11L, true, 4L), ("c", 12L, true, 4L)
+    ).toDF("g", "id", "y", "score")
+    val got = EvalOps.aucExactByGroup(df, "g", "y", "score", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .sortBy(_._1)
+    assert(got(0) == ("a", 3L, 3L, 14L, Some(7.0 / 9.0)))
+    assert(got(1) == ("b", 2L, 2L, 8L, Some(1.0)))
+    assert(got(2)._1 == "c" && got(2)._5.isEmpty)
+  }
+
   test("prCurve: exact confusion counts at every distinct threshold") {
     val got = EvalOps.prCurve(scored, "y", "score")
       .as[(Long, Long, Long, Long, Double, Double)].collect()
