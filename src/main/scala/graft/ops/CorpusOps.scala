@@ -267,6 +267,49 @@ object CorpusOps {
       .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Per-shard corpus digest: XOR-fold of hash64(id:text) per hash
+    * shard, plus the shard's row count — the Merkle-style summary that
+    * lets two 100 TB snapshots be compared by exchanging `nShards`
+    * rows instead of re-reading either corpus ([[digestDiff]]), and
+    * that maintains INCREMENTALLY: XOR is its own inverse, so an
+    * upsert updates a shard digest by xoring the old row out and the
+    * new row in — no re-scan. One projection + one keyed rollup.
+    *
+    * @return (`shard`, `n_docs`, `digest`).
+    */
+  def corpusShardDigest(
+      df: DataFrame, idCol: String, textCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import graft.expr.TextHashFunctions.hash64
+    df.select(
+        pmod(hash64(col(idCol).cast("string")), lit(nShards.toLong))
+          .as("shard"),
+        hash64(concat(col(idCol).cast("string"), lit(":"), col(textCol)))
+          .as("_h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(_h)").as("digest"))
+  }
+
+  /** Snapshot diff off two [[corpusShardDigest]] outputs: per shard,
+    * both counts and digests plus `changed` — the shard list an
+    * incremental sync re-reads. Joins two nShards-row frames; the
+    * corpora themselves are never touched. */
+  def digestDiff(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("shard"), col("n_docs").as("n_docs_a"),
+        col("digest").as("digest_a"))
+      .join(
+        b.select(col("shard"), col("n_docs").as("n_docs_b"),
+          col("digest").as("digest_b")),
+        Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_docs_a"), lit(0L)).as("n_docs_a"),
+        coalesce(col("n_docs_b"), lit(0L)).as("n_docs_b"),
+        col("digest_a"), col("digest_b"),
+        (!(col("digest_a") <=> col("digest_b")) ||
+          coalesce(col("n_docs_a"), lit(0L)) =!=
+            coalesce(col("n_docs_b"), lit(0L))).as("changed"))
+
   /** Content-defined chunking (the FastCDC/Rabin idea at word level):
     * a chunk boundary falls AFTER every token whose hash64 ≡ 0
     * (mod `modulus`), so boundaries are functions of CONTENT, not

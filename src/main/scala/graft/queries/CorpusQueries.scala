@@ -736,6 +736,51 @@ object CorpusQueries {
              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
       "within-doc segment dedup: planted repeated segment dropped at first occurrence"),
 
+    // Shard digest diff ([[CorpusOps.corpusShardDigest]] +
+    // [[CorpusOps.digestDiff]]): snapshot v1 = even-id docs, v2 = the
+    // full corpus; the 16-row digest exchange flags exactly the shards
+    // holding odd docs as changed. The oracle replays hash64 for both
+    // the shard assignment and the content digests, and DuckDB's
+    // bit_xor folds the same signed longs.
+    Q(
+      "corpus_digest_diff",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        CorpusOps.digestDiff(
+            CorpusOps.corpusShardDigest(
+              docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+              "doc_id", "text", nShards = 16),
+            CorpusOps.corpusShardDigest(docs, "doc_id", "text",
+              nShards = 16))
+          .orderBy("shard")
+      },
+      Some(s"""WITH RECURSIVE cand AS (
+              |  SELECT CAST(doc_id AS VARCHAR) AS f FROM documents
+              |  UNION
+              |  SELECT CAST(doc_id AS VARCHAR) || ':' || text
+              |  FROM documents),
+              |${Hash64Oracle.hash64VocabCtes("cand")},
+              |dd AS (SELECT d.doc_id,
+              |    ((hi.hs % 16) + 16) % 16 AS shard, hc.hs AS ch
+              |  FROM documents d
+              |  JOIN hsig hi ON hi.f = CAST(d.doc_id AS VARCHAR)
+              |  JOIN hsig hc
+              |    ON hc.f = CAST(d.doc_id AS VARCHAR) || ':' || d.text),
+              |da AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs_a,
+              |    bit_xor(ch) AS digest_a
+              |  FROM dd WHERE doc_id % 2 = 0 GROUP BY shard),
+              |db AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs_b,
+              |    bit_xor(ch) AS digest_b
+              |  FROM dd GROUP BY shard)
+              |SELECT b.shard,
+              |  coalesce(a.n_docs_a, 0) AS n_docs_a, b.n_docs_b,
+              |  a.digest_a, b.digest_b,
+              |  (a.digest_a IS DISTINCT FROM b.digest_b OR
+              |   coalesce(a.n_docs_a, 0) <> b.n_docs_b) AS changed
+              |FROM db b LEFT JOIN da a USING (shard)
+              |ORDER BY b.shard""".stripMargin),
+      "corpus snapshot diff by 16-row shard digest exchange: XOR-fold Merkle summary"),
+
     // Content-defined chunking ([[CorpusOps.cdcChunks]]): boundaries
     // after hash64(token) % 8 == 0 tokens — content-addressed, so chunk
     // streams re-align across document versions (the FastCDC property

@@ -445,6 +445,36 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("sfo", 30, 4L, 1L, true)))
   }
 
+  test("corpus digests: XOR updates incrementally; diff flags exactly the touched shards") {
+    def h(s: String): Long =
+      graft.expr.Hash64.hashBytes(s.getBytes("UTF-8"), 0L)
+    def shard(id: Long, n: Int): Long = (((h(id.toString) % n) + n) % n)
+    val v1 = (1L to 20L).map(i => (i, s"text $i"))
+    val v2 = v1.map { case (7L, _) => (7L, "edited") case r => r } :+
+      ((21L, "text 21"))
+    val d1 = CorpusOps
+      .corpusShardDigest(v1.toDF("doc_id", "text"), "doc_id", "text", 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val d2 = CorpusOps
+      .corpusShardDigest(v2.toDF("doc_id", "text"), "doc_id", "text", 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // scalar replay: v2 digest = v1 digest xor out old rows xor in new
+    val touched = Seq(
+      shard(7L, 4) -> (h("7:text 7") ^ h("7:edited")),
+      shard(21L, 4) -> h("21:text 21"))
+      .groupMapReduce(_._1)(_._2)(_ ^ _) // xor-combine on shard collision
+    for (s <- 0L until 4L) {
+      val expect = d1.get(s).map(_._2).getOrElse(0L) ^ touched.getOrElse(s, 0L)
+      assert(d2(s)._2 == expect, s"shard $s digest")
+    }
+    val diff = CorpusOps.digestDiff(
+        CorpusOps.corpusShardDigest(v1.toDF("doc_id", "text"), "doc_id", "text", 4),
+        CorpusOps.corpusShardDigest(v2.toDF("doc_id", "text"), "doc_id", "text", 4))
+      .select("shard", "changed").as[(Long, Boolean)].collect().toMap
+    assert(diff.filter(_._2).keySet == touched.keySet.toSet,
+      s"changed shards ${diff.filter(_._2).keySet}")
+  }
+
   test("cdcChunks: matches the scalar model; chunks re-align after insertion") {
     def hmod(t: String, m: Int): Int = {
       val h = graft.expr.Hash64.hashBytes(t.getBytes("UTF-8"), 0L)
