@@ -74,6 +74,30 @@ object CorpusOps {
     df.withColumn(outCol, assign)
   }
 
+  /** Near-dup-aware (leakage-free) split: [[assignSplit]] keyed on the
+    * duplicate-cluster label instead of the doc id, so every member of
+    * a near-dup cluster lands in the SAME split — the fix for the
+    * classic eval-contamination bug where a near-copy of a train doc
+    * sits in the test set and inflates every metric. Docs outside any
+    * cluster are their own singleton key. One left join against the
+    * label table + the same pure-projection hash ranges.
+    *
+    * @param labels (`id`, `component`) from
+    *        [[graft.ops.GraphOps.sharedComponents]] /
+    *        [[graft.ops.GraphOps.incrementalComponents]].
+    * @return `df` + (`component`, `outCol`).
+    */
+  def clusterAwareSplit(
+      df: DataFrame, idCol: String, labels: DataFrame,
+      splits: Seq[(String, Double)], salt: String,
+      outCol: String = "split"): DataFrame = {
+    val labeled = df
+      .join(labels.select(col("id").as(idCol), col("component")),
+        Seq(idCol), "left_outer")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    assignSplit(labeled, "component", splits, salt, outCol)
+  }
+
   /** K-fold cross-validation assignment: every row gets a fold label
     * `fold0..fold{k-1}` by equal cumulative hash ranges over the salted
     * key hash — [[assignSplit]] with k equal fractions. Disjoint,

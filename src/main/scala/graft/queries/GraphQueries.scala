@@ -168,6 +168,38 @@ object GraphQueries {
               |FROM win WHERE rn = 1 ORDER BY doc_id""".stripMargin),
       "quality-aware cluster dedup: keep the best-classifier-score member per cluster"),
 
+    // Leakage-free split ([[CorpusOps.clusterAwareSplit]]): the
+    // train/val/test hash ranges keyed on the CLUSTER label, so a
+    // near-copy of a train doc can never sit in eval — the
+    // eval-contamination fix. Same staged pair graph; singletons key on
+    // their own id. The spec asserts zero pairs straddle splits.
+    Q(
+      "corpus_split_cluster_aware",
+      (s, d) =>
+        graft.ops.CorpusOps.clusterAwareSplit(
+            T(s, d, "documents"), "doc_id",
+            GraphOps.sharedComponents(pairs(s, d), "a", "b"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "cas")
+          .select("doc_id", "component", "split")
+          .orderBy("doc_id"),
+      Some {
+        val t80 = graft.ops.CorpusOps.md5Threshold(0.8)
+        val t90 = graft.ops.CorpusOps.md5Threshold(0.9)
+        s"""WITH RECURSIVE ${DedupQueries.jaccardPairCtes(0.8)},
+           |$componentCtes,
+           |lab AS (SELECT d.doc_id,
+           |    coalesce(c.component, d.doc_id) AS component
+           |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+           |SELECT doc_id, component,
+           |  CASE WHEN md5('cas:' || CAST(component AS VARCHAR)) < '$t80'
+           |         THEN 'train'
+           |       WHEN md5('cas:' || CAST(component AS VARCHAR)) < '$t90'
+           |         THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM lab ORDER BY doc_id""".stripMargin
+      },
+      "cluster-aware train/val/test split: near-dup clusters never straddle a split"),
+
     // Universe-complete labels: every document gets a component, including
     // the singletons the edge list never mentions — the frame downstream
     // stages (per-cluster stats, representative election joins) actually

@@ -386,6 +386,27 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(kept == Set((2L, 1L), (4L, 4L), (6L, 6L)))
   }
 
+  test("clusterAwareSplit: no near-dup pair straddles a split; singletons covered") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 3L))
+      .toDF("id", "component")
+    val docs = (1L to 50L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val got = graft.ops.CorpusOps
+      .clusterAwareSplit(docs, "doc_id", labels,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "t")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got.size == 50, "every doc assigned")
+    // cluster members share the split
+    assert(got(1L) == got(2L))
+    assert(got(3L) == got(4L) && got(4L) == got(5L))
+    // singleton assignment = assignSplit keyed on the doc's own id
+    val solo = graft.ops.CorpusOps
+      .assignSplit(docs.filter($"doc_id" > 5), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "t")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    for ((k, v) <- solo) assert(got(k) == v, s"singleton $k")
+  }
+
   test("sharedComponents memoizes per pair-frame identity") {
     import spark.implicits._
     GraphOps.clearComponentCache()
