@@ -74,6 +74,37 @@ object CorpusOps {
     df.withColumn(outCol, assign)
   }
 
+  /** Deterministic source-interleaved training order: a reproducible
+    * global shuffle that MAXIMALLY DISPERSES sources — docs are
+    * hash-shuffled within their source, then emitted round-robin
+    * (everyone's 1st doc, everyone's 2nd, …), so no training window
+    * sees a long single-source run (the gradient-staleness /
+    * curriculum-bias failure of concatenating sources). Deterministic
+    * under re-runs and repartitioning: order is a pure function of
+    * (salt, id).
+    *
+    * Shape: two range-staged global ranks ([[StatOps.globalRowNumber]])
+    * — within-source rank via the global-rank-minus-offset trick (no
+    * per-source window to inherit the largest source's skew), then the
+    * (rank, source) interleave order. No single-partition stage.
+    *
+    * @return (`idCol`, `srcCol`, `rank_in_source`, `position` 1-based).
+    */
+  def interleaveBySource(
+      df: DataFrame, idCol: String, srcCol: String,
+      salt: String): DataFrame = {
+    val base = df.select(col(idCol), col(srcCol))
+      .withColumn("_h", saltedHash(col(idCol), salt))
+    val ranked = StatOps.globalRowNumber(base,
+      Seq(col(srcCol), col("_h"), col(idCol)), "_i")
+    val offs = ranked.groupBy(col(srcCol)).agg(min("_i").as("_o"))
+    val rg = ranked.join(offs, Seq(srcCol))
+      .withColumn("rank_in_source", col("_i") - col("_o") + 1L)
+      .drop("_i", "_o", "_h")
+    StatOps.globalRowNumber(rg,
+      Seq(col("rank_in_source"), col(srcCol)), "position")
+  }
+
   /** Near-dup-aware (leakage-free) split: [[assignSplit]] keyed on the
     * duplicate-cluster label instead of the doc id, so every member of
     * a near-dup cluster lands in the SAME split — the fix for the

@@ -736,6 +736,28 @@ object CorpusQueries {
              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
       "within-doc segment dedup: planted repeated segment dropped at first occurrence"),
 
+    // Source-interleaved training order ([[CorpusOps.interleaveBySource]]):
+    // hash-shuffle within source, emit round-robin — position is a pure
+    // function of (salt, id), reproducible under any partitioning. The
+    // oracle replays both ranks with windows; the engine computes them
+    // with range-staged global ranks instead.
+    Q(
+      "corpus_interleave_order",
+      (s, d) =>
+        CorpusOps.interleaveBySource(T(s, d, "documents"), "doc_id",
+            "source", salt = "il")
+          .orderBy("doc_id"),
+      Some("""WITH r AS (SELECT doc_id, source,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY md5('il:' || CAST(doc_id AS VARCHAR)), doc_id)
+             |      AS rank_in_source
+             |  FROM documents)
+             |SELECT doc_id, source, rank_in_source,
+             |  ROW_NUMBER() OVER (ORDER BY rank_in_source, source)
+             |    AS position
+             |FROM r ORDER BY doc_id""".stripMargin),
+      "deterministic source-interleaved training order: round-robin dispersion, window-free"),
+
     // Shard digest diff ([[CorpusOps.corpusShardDigest]] +
     // [[CorpusOps.digestDiff]]): snapshot v1 = even-id docs, v2 = the
     // full corpus; the 16-row digest exchange flags exactly the shards

@@ -445,6 +445,29 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("sfo", 30, 4L, 1L, true)))
   }
 
+  test("interleaveBySource: model-exact, perfect round-robin on equal sources") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = (for (s <- Seq("a", "b", "c"); i <- 0 until 5)
+      yield (s.head.toLong * 100 + i, s)).toDF("doc_id", "source")
+    val got = CorpusOps
+      .interleaveBySource(docs, "doc_id", "source", salt = "t")
+      .as[(String, Long, Long, Long)].collect() // (source, id, rank, pos)
+    // scalar model: within-source order by (md5("t:"+id), id), then
+    // round-robin by (rank, source)
+    val model = (for (s <- Seq("a", "b", "c")) yield {
+      val ids = (0 until 5).map(i => s.head.toLong * 100 + i)
+        .sortBy(id => (md5hex(s"t:$id"), id))
+      ids.zipWithIndex.map { case (id, r) => (id, s, r + 1L) }
+    }).flatten.sortBy { case (_, s, r) => (r, s) }
+      .zipWithIndex.map { case ((id, s, r), p) => (s, id, r, p + 1L) }
+    assert(got.sortBy(_._4).toSeq == model)
+    // equal sources → every block of 3 positions holds each source once
+    val bySrc = got.sortBy(_._4).map(_._1).grouped(3).toSeq
+    assert(bySrc.forall(_.toSet == Set("a", "b", "c")))
+  }
+
   test("corpus digests: XOR updates incrementally; diff flags exactly the touched shards") {
     def h(s: String): Long =
       graft.expr.Hash64.hashBytes(s.getBytes("UTF-8"), 0L)
