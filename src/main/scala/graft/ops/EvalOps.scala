@@ -115,6 +115,37 @@ object EvalOps {
         (col("tp").cast(DoubleType) / col("_p_total")).as("recall"))
   }
 
+  /** Per-group PERCENT_RANK without a group window: the score
+    * normalization behind "drop the bottom 20% per language/source" —
+    * a raw-score threshold applied corpus-wide silently over-prunes
+    * whichever group scores lower. Standard SQL semantics
+    * ((rank−1)/(n−1), rank = tie-min, 0 for singleton groups), but the
+    * within-group rank comes from the global rank minus per-group
+    * offsets and the tie-min from a keyed rollup — no partition ever
+    * holds a whole group.
+    *
+    * @return `df` + (`rank_min` tie-min rank, `group_n`, `pct_rank`).
+    */
+  def groupPercentRank(
+      df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val ranked = StatOps.globalRowNumber(df,
+      Seq(col(groupCol), col(valueCol), col(idCol)), "_i")
+    val offs = ranked.groupBy(col(groupCol))
+      .agg(min("_i").as("_o"), count(lit(1)).as("group_n"))
+    val rg = ranked.join(offs, Seq(groupCol))
+      .withColumn("_r", col("_i") - col("_o") + 1L)
+    val tieMin = rg.groupBy(col(groupCol), col(valueCol))
+      .agg(min("_r").as("rank_min"))
+    rg.join(tieMin, Seq(groupCol, valueCol))
+      .withColumn("pct_rank",
+        when(col("group_n") > 1L,
+          (col("rank_min") - 1L).cast(DoubleType) /
+            (col("group_n") - 1L).cast(DoubleType))
+          .otherwise(lit(0.0)))
+      .drop("_i", "_o", "_r")
+  }
+
   /** Calibration (reliability) table over integer scores: fixed-width
     * score bins, each with its row count, positive count, and exact
     * integer score mass — the table whose (mean score vs positive rate)

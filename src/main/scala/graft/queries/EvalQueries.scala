@@ -105,6 +105,39 @@ object EvalQueries {
               |FROM t ORDER BY source""".stripMargin),
       "stratified AUC per source: global-midrank-minus-offset, no skewed group window"),
 
+    // Per-source score normalization ([[EvalOps.groupPercentRank]]):
+    // PERCENT_RANK of the classifier score within each source — the
+    // primitive behind "drop the bottom 20% per source" (a raw
+    // threshold over-prunes whichever source scores lower). Engine side
+    // is window-free (global rank − offsets + tie-min rollup); the
+    // oracle uses the group windows.
+    Q(
+      "eval_score_percentile",
+      (s, d) =>
+        EvalOps.groupPercentRank(
+            scored(s, d).select("doc_id", "source", "score"),
+            "source", "score", "doc_id")
+          .withColumn("keep", col("pct_rank") >= 0.2)
+          .select("doc_id", "source", "score", "rank_min", "group_n",
+            "pct_rank", "keep")
+          .orderBy("doc_id"),
+      Some(s"""WITH $scoredCte,
+              |g AS (SELECT doc_id, src AS source, score,
+              |    CAST(RANK() OVER (PARTITION BY src ORDER BY score)
+              |      AS BIGINT) AS rank_min,
+              |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT)
+              |      AS group_n
+              |  FROM s)
+              |SELECT doc_id, source, score, rank_min, group_n,
+              |  CASE WHEN group_n > 1
+              |    THEN CAST(rank_min - 1 AS DOUBLE) / (group_n - 1)
+              |    ELSE 0.0 END AS pct_rank,
+              |  (CASE WHEN group_n > 1
+              |    THEN CAST(rank_min - 1 AS DOUBLE) / (group_n - 1)
+              |    ELSE 0.0 END) >= 0.2 AS keep
+              |FROM g ORDER BY doc_id""".stripMargin),
+      "per-source percentile normalization: drop-bottom-20%-per-source, window-free"),
+
     // PR operating curve ([[EvalOps.prCurve]]): exact confusion counts
     // for "keep iff score >= t" at every DISTINCT score — the corpus
     // collapses to per-score rows first, then the distributed prefix

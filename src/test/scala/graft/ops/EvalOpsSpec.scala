@@ -66,6 +66,19 @@ class EvalOpsSpec extends AnyFunSuite {
       (10L, 1L, 0L, 2L, 1.0, 1.0 / 3.0)))
   }
 
+  test("groupPercentRank: SQL PERCENT_RANK semantics per group, singleton is 0") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 20L), ("a", 4L, 30L),
+      ("b", 5L, 7L)).toDF("g", "id", "v")
+    val got = EvalOps.groupPercentRank(df, "g", "v", "id")
+      .select("id", "rank_min", "group_n", "pct_rank")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // group a: ranks 1, 2, 2 (tie-min), 4 over n=4 → pct 0, 1/3, 1/3, 1
+    assert(got.toSeq == Seq(
+      (1L, 1L, 4L, 0.0), (2L, 2L, 4L, 1.0 / 3.0), (3L, 2L, 4L, 1.0 / 3.0),
+      (4L, 4L, 4L, 1.0), (5L, 1L, 1L, 0.0)))
+  }
+
   test("calibrationBins: rollup per fixed-width bin, floor on negatives") {
     val got = EvalOps.calibrationBins(scored, "y", "score", binWidth = 4L)
       .select("bin", "n", "n_pos", "score_sum")
