@@ -219,6 +219,16 @@ object WinnowSet {
 case class StringHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hash64 needs string, got ${child.dataType.catalogString}")
+    }
+  }
+
   override def nullSafeEval(input: Any): Any =
     StringHash64.compute(input.asInstanceOf[UTF8String])
 

@@ -541,7 +541,10 @@ object CorpusOps {
     * Also reports each group's distinct sensitive-value count (the
     * l-diversity axis: a k-large group whose sensitive column is
     * CONSTANT still leaks the attribute even when the identity is
-    * ambiguous).
+    * ambiguous). NULL sensitive values count as one distinct value —
+    * `countDistinct` alone would report 0 for an all-NULL group and let
+    * "attribute missing" masquerade as "attribute absent", which an
+    * `l_distinct >= 2` governance rule would then misjudge.
     *
     * Shape: one keyed rollup over the QI columns (count is map-side
     * combinable; the distinct count is the standard two-phase expand) —
@@ -559,7 +562,8 @@ object CorpusOps {
     require(k >= 2, s"kAnonymity: k must be >= 2, got $k")
     df.groupBy(qiCols.map(col): _*)
       .agg(count(lit(1)).as("group_n"),
-        countDistinct(col(sensitiveCol)).as("l_distinct"))
+        (countDistinct(col(sensitiveCol)) +
+          max(col(sensitiveCol).isNull.cast("long"))).as("l_distinct"))
       .withColumn("k_anonymous", col("group_n") >= k)
   }
 

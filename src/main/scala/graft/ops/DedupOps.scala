@@ -163,9 +163,12 @@ object DedupOps {
     * UNORDERED source pair — the report that tells a curation team
     * which ingestion sources are mirroring each other (cross-source
     * rows: candidates for source-level dedup ordering) and which
-    * re-crawl themselves (diagonal rows). Two doc-keyed joins to pin
-    * each pair end's source, then one canonical (least, greatest)
+    * re-crawl themselves (diagonal rows). Two doc-keyed LEFT joins to
+    * pin each pair end's source, then one canonical (least, greatest)
     * rollup — pair-list-bounded throughout, no corpus-wide state.
+    * A pair end missing from `docs` (pair list from a different
+    * snapshot, docs filtered upstream) surfaces as the `<unmatched>`
+    * source instead of silently shrinking the matrix.
     *
     * @param pairs (`a`, `b`) near-dup pairs; duplicates tolerated
     *        (distinct-ed, the [[pairEvidence]] discipline).
@@ -174,10 +177,14 @@ object DedupOps {
   def crossSourceDupMatrix(
       docs: DataFrame, idCol: String, srcCol: String,
       pairs: DataFrame): DataFrame = {
-    val sa = docs.select(col(idCol).as("a"), col(srcCol).as("_sa"))
-    val sb = docs.select(col(idCol).as("b"), col(srcCol).as("_sb"))
+    val sa = docs.select(col(idCol).as("a"),
+      col(srcCol).cast("string").as("_sa"))
+    val sb = docs.select(col(idCol).as("b"),
+      col(srcCol).cast("string").as("_sb"))
     pairs.select("a", "b").distinct()
-      .join(sa, Seq("a")).join(sb, Seq("b"))
+      .join(sa, Seq("a"), "left_outer").join(sb, Seq("b"), "left_outer")
+      .withColumn("_sa", coalesce(col("_sa"), lit("<unmatched>")))
+      .withColumn("_sb", coalesce(col("_sb"), lit("<unmatched>")))
       .select(least(col("_sa"), col("_sb")).as("source_x"),
         greatest(col("_sa"), col("_sb")).as("source_y"))
       .groupBy("source_x", "source_y")

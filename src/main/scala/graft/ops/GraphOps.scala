@@ -673,9 +673,12 @@ object GraphOps {
     * every cluster keep themselves.
     *
     * Shape: one left join against the label table (docs without a label
-    * are their own singleton cluster) + one per-cluster argmax rollup
-    * (max over (score, −id) structs — map-side combinable, no window)
-    * + one semi join back. All keyed shuffles; no corpus-wide state.
+    * are their own singleton cluster), a per-cluster max-score rollup,
+    * a min-id rollup over the max-score members (both map-side
+    * combinable — no window, and no numeric-only trick like negating
+    * the id, so string/UUID ids elect correctly too), then one semi
+    * join back. All keyed shuffles; no corpus-wide state. Scores must
+    * be non-null (a classifier emits one per doc).
     *
     * @return the surviving rows of `df` plus their `component` label
     *         (singletons: their own id).
@@ -687,10 +690,11 @@ object GraphOps {
       .join(labels.select(col("id").as(idCol), col("component")),
         Seq(idCol), "left_outer")
       .withColumn("component", coalesce(col("component"), col(idCol)))
-    val winners = labeled.groupBy("component")
-      .agg(max(struct(col(scoreCol).as("s"), negate(col(idCol)).as("ni")))
-        .as("_w"))
-      .select(col("component"), negate(col("_w").getField("ni")).as(idCol))
+    val winners = labeled
+      .join(labeled.groupBy("component").agg(max(col(scoreCol)).as("_ms")),
+        Seq("component"))
+      .filter(col(scoreCol) === col("_ms"))
+      .groupBy("component").agg(min(col(idCol)).as(idCol))
     labeled.join(winners, Seq("component", idCol), "left_semi")
   }
 }

@@ -122,26 +122,6 @@ object LayoutOps {
         expr(s"(_cum - $bytesCol) div ${targetBytes}L").as("bin"))
   }
 
-  /** EXACT balanced range-partition boundaries: the `nBuckets - 1` split
-    * values under the total order `keyCol asc` such that every bucket
-    * holds floor/ceil(n / nBuckets) rows — the planner output that
-    * `repartitionByRange`'s reservoir SAMPLER approximates, computed
-    * exactly for layout jobs where partition balance is worth one pass
-    * (a skewed bucket at 100 TB is a straggler for every downstream
-    * stage). Rank r closes bucket i when floor(r·N/n) steps past
-    * floor((r−1)·N/n) — pure integer arithmetic, so the oracle replays
-    * it off ROW_NUMBER verbatim.
-    *
-    * Shape: one [[StatOps.globalRowNumber]] (range-staged, never a
-    * single-partition window) + a 1-row count broadcast + a filter that
-    * keeps exactly nBuckets − 1 rows. For sampled planning at petabyte
-    * scale, compose [[graft.ops.CorpusOps.sampleByHash]] upstream — the
-    * operator is unchanged.
-    *
-    * @return (`boundary_idx` 1..nBuckets−1, `boundary` = greatest key of
-    *         bucket idx−1; rows with key ≤ boundary land left of the
-    *         split)
-    */
   /** Rendezvous (highest-random-weight) shard assignment: shard =
     * argmax over s ∈ [0, nShards) of hash64("salt:s:id") — the
     * consistent-placement rule whose defining property is MINIMAL
@@ -173,6 +153,32 @@ object LayoutOps {
     df.withColumn(outCol, best.getField("s"))
   }
 
+  /** EXACT balanced range-partition boundaries: the `nBuckets - 1` split
+    * points under the total order (`keyCol`, `tieCol`) such that every
+    * bucket holds floor/ceil(n / nBuckets) rows — the planner output
+    * that `repartitionByRange`'s reservoir SAMPLER approximates,
+    * computed exactly for layout jobs where partition balance is worth
+    * one pass (a skewed bucket at 100 TB is a straggler for every
+    * downstream stage). Rank r closes bucket i when floor(r·N/n) steps
+    * past floor((r−1)·N/n) — pure integer arithmetic, so the oracle
+    * replays it off ROW_NUMBER verbatim.
+    *
+    * The split point is the COMPOSITE (`boundary`, `boundary_tie`):
+    * rows whose (key, tie) sorts at-or-below it land left. When keys
+    * repeat, the key alone cannot cut a tie run at the exact rank — the
+    * tie value is what keeps the buckets exactly equal (splitting on
+    * `boundary` alone degrades to "all equal keys left", the usual
+    * range-partitioner behavior).
+    *
+    * Shape: one [[StatOps.globalRowNumber]] (range-staged, never a
+    * single-partition window) + a 1-row count broadcast + a filter that
+    * keeps exactly nBuckets − 1 rows. For sampled planning at petabyte
+    * scale, compose [[graft.ops.CorpusOps.sampleByHash]] upstream — the
+    * operator is unchanged.
+    *
+    * @return (`boundary_idx` 1..nBuckets−1, `boundary`, `boundary_tie`
+    *         = the (key, tie) of the greatest row of bucket idx−1)
+    */
   def rangeBoundaries(
       df: DataFrame, keyCol: String, tieCol: String,
       nBuckets: Int): DataFrame = {
@@ -186,6 +192,6 @@ object LayoutOps {
         expr(s"(_r * $nBuckets) div _n") >
           expr(s"((_r - 1) * $nBuckets) div _n"))
       .select(expr(s"(_r * $nBuckets) div _n").as("boundary_idx"),
-        col(keyCol).as("boundary"))
+        col(keyCol).as("boundary"), col(tieCol).as("boundary_tie"))
   }
 }

@@ -15,16 +15,24 @@ import graft.ops.{EvalOps, TextOps}
   */
 object EvalQueries {
 
-  /** Classifier score + binary label per document. The join is a plain
-    * doc_id equi-join (broadcastable at these SFs; key-shuffled at
-    * 100 TB). */
-  private def scored(s: SparkSession, d: String): DataFrame = {
-    val docs = T(s, d, "documents")
-    TextOps.qualityClassifier(docs, "doc_id", "text")
-      .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en"),
-          col("source")),
-        Seq("doc_id"))
-  }
+  /** Classifier score + binary label per document, STAGED per corpus
+    * snapshot — six gates read this frame, and re-running full-corpus
+    * inference per gate is exactly the unstaged shape that cost round 9
+    * the incremental-delta regression. LRU-bounded like every other
+    * shared frame. The join is a plain doc_id equi-join (broadcastable
+    * at these SFs; key-shuffled at 100 TB). */
+  private val scoredCache =
+    new graft.ops.BoundedDfCache[(SparkSession, String)](maxEntries = 8)
+
+  private def scored(s: SparkSession, d: String): DataFrame =
+    scoredCache.getOrElseUpdate((s, d)) {
+      val docs = T(s, d, "documents")
+      TextOps.qualityClassifier(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en"),
+            col("source")),
+          Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** The classifier-inference CTE (the `text_quality_classifier` oracle
     * verbatim) extended with the label — shared by all three gates. */

@@ -86,26 +86,28 @@ object LayoutQueries {
       "compaction bin packing: size-descending streaming bins via distributed prefix sum"),
 
     // Exact range-partition boundaries ([[LayoutOps.rangeBoundaries]]):
-    // the 15 split keys that cut orders into 16 equal-row buckets —
-    // what repartitionByRange's sampler approximates. The bucket-step
-    // test is pure integer arithmetic off the global rank, so the
-    // oracle replays it off ROW_NUMBER verbatim.
+    // the 15 composite split points that cut orders into 16 equal-row
+    // buckets under (o_custkey, o_orderkey) — the key REPEATS (many
+    // orders per customer), so the tie column is what lets a boundary
+    // cut inside a tie run and keep buckets exactly equal. The
+    // bucket-step test is pure integer arithmetic off the global rank,
+    // so the oracle replays it off ROW_NUMBER verbatim.
     Q(
       "layout_range_boundaries",
       (s, d) =>
         LayoutOps.rangeBoundaries(T(s, d, "orders"),
-            "o_orderkey", "o_orderkey", nBuckets = 16)
+            "o_custkey", "o_orderkey", nBuckets = 16)
           .orderBy("boundary_idx"),
-      Some("""WITH r AS (SELECT o_orderkey,
-             |    ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn,
+      Some("""WITH r AS (SELECT o_custkey, o_orderkey,
+             |    ROW_NUMBER() OVER (ORDER BY o_custkey, o_orderkey) AS rn,
              |    count(*) OVER () AS n
              |  FROM orders)
              |SELECT (rn * 16) // n AS boundary_idx,
-             |  o_orderkey AS boundary
+             |  o_custkey AS boundary, o_orderkey AS boundary_tie
              |FROM r
              |WHERE rn < n AND (rn * 16) // n > ((rn - 1) * 16) // n
              |ORDER BY boundary_idx""".stripMargin),
-      "exact balanced range-partition split points: 15 keys cut orders into 16 equal buckets"),
+      "exact balanced range-partition split points: composite boundaries cut inside duplicate-key runs"),
 
     // Rendezvous sharding ([[LayoutOps.rendezvousShard]]) and its
     // defining invariant in one gate: assignment at 8 shards, at 9

@@ -306,10 +306,16 @@ object Scale {
         // size-B however big the corpus, so wall time must track the
         // token count alone (target = every 10th doc, production-width
         // bucket space)
-        "dsir_stats" -> (() =>
+        "dsir_stats" -> (() => {
+          // dsirStats memoizes its feature frame per (df, params) —
+          // clear it so every trial times the real feature extraction,
+          // not trial 1's persisted blocks (and so earlier sizes' frames
+          // don't squat in executor memory during later ops)
+          CorpusOps.clearDsirFeatureCache()
           CorpusOps.dsirStats(d, "doc_id", "text",
             targetPred = col("doc_id") % 10 === 0,
-            buckets = 4096).count()))
+            buckets = 4096).count()
+        }))
 
       // optional args(1): comma-separated op names — run only those
       // (refresh individual curves without paying the full sweep)

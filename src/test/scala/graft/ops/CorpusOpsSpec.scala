@@ -536,6 +536,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(diffs == 1, s"re-align failed: $diffs of ${g1.length} chunks differ")
   }
 
+  test("kAnonymity: NULL sensitive values count as one distinct value") {
+    val rows = Seq(
+      ("nyc", Some("flu")), ("nyc", None), ("nyc", None), // {flu, NULL} → 2
+      ("sfo", None), ("sfo", None) //                        {NULL} → 1
+    ).toDF("city", "dx")
+    val got = CorpusOps.kAnonymity(rows, Seq("city"), "dx", k = 2)
+      .select("city", "l_distinct").as[(String, Long)].collect().toMap
+    assert(got == Map("nyc" -> 2L, "sfo" -> 1L))
+  }
+
   test("dedupSegmentsWithinDoc: first occurrence kept, order preserved") {
     val docs = Seq(
       (1L, "x y z w x y"), // segs [x y][z w][x y] → third drops

@@ -21,6 +21,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
     assert(got.toSeq == Seq(
       ("s1", "s1", 1L), ("s1", "s2", 1L), ("s2", "s3", 1L)))
+    // a pair end missing from docs surfaces, never silently shrinks
+    val orphan = DedupOps
+      .crossSourceDupMatrix(docs, "doc_id", "source",
+        Seq((1L, 99L)).toDF("a", "b"))
+      .as[(String, String, Long)].collect()
+    assert(orphan.toSeq == Seq(("<unmatched>", "s1", 1L)))
   }
 
   test("exact dedupe collapses crafted duplicates to min id") {

@@ -386,6 +386,16 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(kept == Set((2L, 1L), (4L, 4L), (6L, 6L)))
   }
 
+  test("electBestRepresentatives: string ids elect correctly (no numeric tie trick)") {
+    import spark.implicits._
+    val labels = Seq(("u1", "u1"), ("u2", "u1")).toDF("id", "component")
+    val docs = Seq(("u1", 3L), ("u2", 9L), ("u3", 0L)).toDF("doc_id", "score")
+    val kept = GraphOps
+      .electBestRepresentatives(docs, "doc_id", "score", labels)
+      .select("doc_id").as[String].collect().toSet
+    assert(kept == Set("u2", "u3"))
+  }
+
   test("clusterAwareSplit: no near-dup pair straddles a split; singletons covered") {
     import spark.implicits._
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 3L))

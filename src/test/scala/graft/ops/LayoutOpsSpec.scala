@@ -110,17 +110,32 @@ class LayoutOpsSpec extends AnyFunSuite {
   test("rangeBoundaries: exact equal-row buckets on 1..100 into 4") {
     val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("k", "id")
     val got = LayoutOps.rangeBoundaries(df, "k", "id", nBuckets = 4)
-      .as[(Long, Long)].collect().sortBy(_._1)
-    assert(got.toSeq == Seq((1L, 25L), (2L, 50L), (3L, 75L)))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 25L, 25L), (2L, 50L, 50L), (3L, 75L, 75L)))
   }
 
   test("rangeBoundaries: non-divisible n spreads remainders like floor(r*N/n)") {
     // n=10, N=4: bucket ends at ranks floor-stepping — 3, 5, 8 → 10
     val df = (1 to 10).map(i => (i.toLong * 7, i.toLong)).toDF("k", "id")
     val got = LayoutOps.rangeBoundaries(df, "k", "id", nBuckets = 4)
-      .as[(Long, Long)].collect().sortBy(_._1)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
     // bucket sizes from the boundaries: 3, 2, 3, 2 (floor(r*4/10) steps)
     assert(got.map(_._2).toSeq == Seq(21L, 35L, 56L))
+  }
+
+  test("rangeBoundaries: composite boundary cuts inside a duplicate-key run") {
+    // every key identical — only the tie value can cut; buckets of 3
+    val df = (1 to 12).map(i => (5L, i.toLong)).toDF("k", "id")
+    val got = LayoutOps.rangeBoundaries(df, "k", "id", nBuckets = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 5L, 3L), (2L, 5L, 6L), (3L, 5L, 9L)))
+    // applying the composite rule yields exactly-equal buckets
+    val cuts = got.map(b => (b._2, b._3))
+    val sizes = (1 to 12).map(i => (5L, i.toLong))
+      .groupBy(r => cuts.count(c =>
+        r._1 > c._1 || (r._1 == c._1 && r._2 > c._2)))
+      .values.map(_.size)
+    assert(sizes.toSeq.sorted == Seq(3, 3, 3, 3))
   }
 }
