@@ -55,19 +55,49 @@ object SimilarityOps {
     df.withColumn("sketch",
       SignSketch64.sketch(col(vecCol).cast(ArrayType(DoubleType))))
 
-  /** 8-bit sketch bands (band, bh) exploded per row — ids only, so the
-    * band join and the candidate `distinct` shuffle ~16 B/row instead of
-    * dragging full `array<double>` vectors through both exchanges. */
+  /** 8-bit sketch bands (band, bh) exploded per row — ids only (plus
+    * optional `carry` columns, src → out, a few bytes each: labels for
+    * the contrastive miners), so the band join and the candidate
+    * `distinct` shuffle ~16 B/row instead of dragging full
+    * `array<double>` vectors through both exchanges. */
   private def bandedIds(df: DataFrame, idCol: String, vecCol: String,
-      side: String): DataFrame =
-    withSketch(df.select(col(idCol).as(side),
-      col(vecCol).cast(ArrayType(DoubleType)).as("_v")), "_v")
-      .select(col(side),
+      side: String, carry: Seq[(String, String)] = Nil): DataFrame = {
+    val kept = col(side) +: carry.map { case (_, out) => col(out) }
+    withSketch(df.select(col(idCol).as(side) +:
+        carry.map { case (src, out) => col(src).as(out) } :+
+        col(vecCol).cast(ArrayType(DoubleType)).as("_v"): _*), "_v")
+      .select(kept :+
         explode(array((0 until 8).map(i =>
           struct(lit(i).as("band"),
             shiftright(col("sketch"), i * 8)
-              .bitwiseAND(lit(0xffL)).as("bh"))): _*)).as("_bnd"))
-      .select(col(side), col("_bnd.band"), col("_bnd.bh"))
+              .bitwiseAND(lit(0xffL)).as("bh"))): _*)).as("_bnd"): _*)
+      .select(kept :+ col("_bnd.band") :+ col("_bnd.bh"): _*)
+  }
+
+  /** One ANN side, norm precomputed: (`side`, `vOut`, `nOut`). */
+  private def normSide(df: DataFrame, idCol: String, vecCol: String,
+      side: String, vOut: String, nOut: String): DataFrame =
+    withNorm(df.select(col(idCol).as(side),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+      .select(col(side), col("v").as(vOut), col("nrm").as(nOut))
+
+  /** Exact-cosine re-rank of an id-only (qid, nid) candidate list:
+    * vectors re-join only here, after the candidate `distinct` — the
+    * shared tail of [[lshTopK]] and [[hardNegatives]]. */
+  private def rerankTopK(cands: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = normSide(queries, idCol, vecCol, "qid", "qv", "qn")
+    val c = normSide(corpus, idCol, vecCol, "nid", "cv", "cn")
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("nid").asc)
+    cands.join(q, "qid").join(c, "nid")
+      .withColumn("cosine",
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "cosine")
+  }
 
   /** LSH top-k: candidates share any 8-bit sketch band with the query;
     * exact cosine re-ranks candidates. 8 bands x 8 bits keeps candidate
@@ -84,21 +114,7 @@ object SimilarityOps {
       .filter(col("qid") =!= col("nid"))
       .select("qid", "nid")
       .distinct()
-    val q = withNorm(queries.select(col(idCol).as("qid"),
-      col(vecCol).cast(ArrayType(DoubleType)).as("v")))
-      .select(col("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val c = withNorm(corpus.select(col(idCol).as("nid"),
-      col(vecCol).cast(ArrayType(DoubleType)).as("v")))
-      .select(col("nid"), col("v").as("cv"), col("nrm").as("cn"))
-    val scored = cands.join(q, "qid").join(c, "nid")
-      .withColumn("cosine",
-        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("cosine").desc, col("nid").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "nid", "cosine")
+    rerankTopK(cands, queries, corpus, idCol, vecCol, k)
   }
 
   /** IVF top-k: inverted-file ANN — the other classic scale path next to
@@ -555,22 +571,6 @@ object SimilarityOps {
     log.toSeq.toDF("sel_order", "id", "min_dist2")
   }
 
-  /** Labeled sketch bands: [[bandedIds]] plus the row's label riding the
-    * exploded band rows (a few bytes), so label-aware candidate filters
-    * apply BEFORE the candidate `distinct` — the pair shuffle only ever
-    * carries pairs that can survive. */
-  private def bandedIdsLabeled(
-      df: DataFrame, idCol: String, vecCol: String, labelCol: String,
-      side: String, lbl: String): DataFrame =
-    withSketch(df.select(col(idCol).as(side), col(labelCol).as(lbl),
-      col(vecCol).cast(ArrayType(DoubleType)).as("_v")), "_v")
-      .select(col(side), col(lbl),
-        explode(array((0 until 8).map(i =>
-          struct(lit(i).as("band"),
-            shiftright(col("sketch"), i * 8)
-              .bitwiseAND(lit(0xffL)).as("bh"))): _*)).as("_bnd"))
-      .select(col(side), col(lbl), col("_bnd.band"), col("_bnd.bh"))
-
   /** Hard-negative mining for contrastive training: for every query row,
     * the `k` most-cosine-similar corpus rows carrying a DIFFERENT label —
     * the negatives a contrastive loss learns most from (Robinson et al.
@@ -587,26 +587,15 @@ object SimilarityOps {
   def hardNegatives(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
-    val cands = bandedIdsLabeled(queries, idCol, vecCol, labelCol, "qid", "ql")
-      .join(bandedIdsLabeled(corpus, idCol, vecCol, labelCol, "nid", "nl"),
+    val cands = bandedIds(queries, idCol, vecCol, "qid",
+        carry = Seq(labelCol -> "ql"))
+      .join(bandedIds(corpus, idCol, vecCol, "nid",
+          carry = Seq(labelCol -> "nl")),
         Seq("band", "bh"))
       .filter(col("qid") =!= col("nid") && col("ql") =!= col("nl"))
       .select("qid", "nid")
       .distinct()
-    val q = withNorm(queries.select(col(idCol).as("qid"),
-      col(vecCol).cast(ArrayType(DoubleType)).as("v")))
-      .select(col("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val c = withNorm(corpus.select(col(idCol).as("nid"),
-      col(vecCol).cast(ArrayType(DoubleType)).as("v")))
-      .select(col("nid"), col("v").as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("cosine").desc, col("nid").asc)
-    cands.join(q, "qid").join(c, "nid")
-      .withColumn("cosine",
-        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "nid", "cosine")
+    rerankTopK(cands, queries, corpus, idCol, vecCol, k)
   }
 
   /** Contrastive triplet mining: one (anchor, positive, negative) row per
@@ -624,18 +613,16 @@ object SimilarityOps {
   def contrastiveTriplets(
       emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
-    val cands = bandedIdsLabeled(emb, idCol, vecCol, labelCol, "qid", "ql")
-      .join(bandedIdsLabeled(emb, idCol, vecCol, labelCol, "nid", "nl"),
+    val cands = bandedIds(emb, idCol, vecCol, "qid",
+        carry = Seq(labelCol -> "ql"))
+      .join(bandedIds(emb, idCol, vecCol, "nid",
+          carry = Seq(labelCol -> "nl")),
         Seq("band", "bh"))
       .filter(col("qid") =!= col("nid"))
       .select("qid", "ql", "nid", "nl")
       .distinct()
-    val q = withNorm(emb.select(col(idCol).as("qid"),
-      col(vecCol).cast(ArrayType(DoubleType)).as("v")))
-      .select(col("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val c = withNorm(emb.select(col(idCol).as("nid"),
-      col(vecCol).cast(ArrayType(DoubleType)).as("v")))
-      .select(col("nid"), col("v").as("cv"), col("nrm").as("cn"))
+    val q = normSide(emb, idCol, vecCol, "qid", "qv", "qn")
+    val c = normSide(emb, idCol, vecCol, "nid", "cv", "cn")
     val w = Window.partitionBy("qid", "same")
       .orderBy(col("cosine").desc, col("nid").asc)
     val top = cands.join(q, "qid").join(c, "nid")
