@@ -346,6 +346,30 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"), expr("bit_xor(_h)").as("digest"))
   }
 
+  /** Distribution drift bins between two snapshots: the paired
+    * histogram (one keyed rollup per side + one bin full-outer join)
+    * behind PSI / chi-square drift monitors — the check a pipeline
+    * runs before a new corpus version silently shifts the training
+    * distribution. Bins are floor(value / binWidth) (double floor
+    * division: exact and floor-correct for negatives cross-engine).
+    * Integer counts only; the PSI's logs stay consumer-side (libm is
+    * not cross-engine bit-reproducible — the DSIR/tf-idf precedent).
+    *
+    * @return one row per occupied bin: (`bin`, `n_a`, `n_b`).
+    */
+  def binDriftCounts(
+      a: DataFrame, b: DataFrame, valueCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def bins(df: DataFrame, out: String) =
+      df.groupBy(floor(col(valueCol) / lit(binWidth.toDouble)).as("bin"))
+        .agg(count(lit(1)).as(out))
+    bins(a, "n_a").join(bins(b, "n_b"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+  }
+
   /** Snapshot diff off two [[corpusShardDigest]] outputs: per shard,
     * both counts and digests plus `changed` — the shard list an
     * incremental sync re-reads. Joins two nShards-row frames; the

@@ -430,6 +430,33 @@ object ProfilingQueries {
              |      FROM orders GROUP BY 1)
              |SELECT digit, cnt, CAST(cnt AS DOUBLE) / n AS share
              |FROM d, t ORDER BY digit""".stripMargin),
-      "Benford leading-digit audit: observed digit shares, the fabricated-data screen")
+      "Benford leading-digit audit: observed digit shares, the fabricated-data screen"),
+
+    // Snapshot drift bins ([[graft.ops.CorpusOps.binDriftCounts]]): the
+    // doc-length histogram of snapshot v1 (even ids) against v2 (all
+    // docs) — the paired integer counts a PSI/chi-square drift monitor
+    // consumes (logs stay consumer-side, the DSIR precedent).
+    Q(
+      "profile_drift_bins",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        graft.ops.CorpusOps.binDriftCounts(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0), docs,
+            "len", binWidth = 50L)
+          .orderBy("bin")
+      },
+      Some("""WITH v AS (SELECT doc_id,
+             |    CAST(length(text) AS BIGINT) AS len FROM documents),
+             |a AS (SELECT CAST(floor(len / 50.0) AS BIGINT) AS bin,
+             |    CAST(count(*) AS BIGINT) AS n_a
+             |  FROM v WHERE doc_id % 2 = 0 GROUP BY 1),
+             |b AS (SELECT CAST(floor(len / 50.0) AS BIGINT) AS bin,
+             |    CAST(count(*) AS BIGINT) AS n_b
+             |  FROM v GROUP BY 1)
+             |SELECT b.bin, coalesce(a.n_a, 0) AS n_a, b.n_b
+             |FROM b LEFT JOIN a USING (bin)
+             |ORDER BY b.bin""".stripMargin),
+      "snapshot drift bins: paired doc-length histograms, PSI-ready integer counts")
   )
 }

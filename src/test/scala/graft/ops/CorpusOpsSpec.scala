@@ -468,6 +468,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(bySrc.forall(_.toSet == Set("a", "b", "c")))
   }
 
+  test("binDriftCounts: paired histogram, empty sides zero-filled, negative floor") {
+    val a = Seq(-5L, 3L, 7L, 12L).toDF("v")
+    val b = Seq(3L, 4L, 25L).toDF("v")
+    val got = CorpusOps.binDriftCounts(a, b, "v", binWidth = 10L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // bins: -5→-1, {3,7}→0 vs {3,4}→0, 12→1, 25→2
+    assert(got.toSeq == Seq(
+      (-1L, 1L, 0L), (0L, 2L, 2L), (1L, 1L, 0L), (2L, 0L, 1L)))
+  }
+
   test("corpus digests: XOR updates incrementally; diff flags exactly the touched shards") {
     def h(s: String): Long =
       graft.expr.Hash64.hashBytes(s.getBytes("UTF-8"), 0L)
