@@ -599,6 +599,43 @@ object TextQueries {
       },
       "BPE token-id encoding: frequency-ranked vocabulary ids per document, in order"),
 
+    // Tokenizer FERTILITY per language: tokens-per-character of the
+    // induced BPE by lang — the tokenizer-bias report (a tokenizer
+    // trained on English fragments other scripts into more tokens,
+    // inflating their effective sequence length and training cost).
+    // Reads the STAGED merge table; one encode scan + one lang rollup,
+    // integer sums + a single division.
+    Q(
+      "text_bpe_fertility",
+      (s, d) =>
+        TextOps.bpeEncode(T(s, d, "documents"), "doc_id", "text",
+            sharedMerges(s, d))
+          .join(T(s, d, "documents").select(col("doc_id"), col("lang"),
+            length(col("text")).cast("long").as("_chars")), Seq("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").cast("long").as("n_tokens"),
+            sum("_chars").cast("long").as("n_chars"))
+          .withColumn("fertility",
+            col("n_tokens").cast("double") / col("n_chars"))
+          .orderBy("lang"),
+      Some {
+        s"""WITH ${bpeCascadeCtes(5)},
+           |e AS (SELECT doc_id,
+           |    CAST(CASE WHEN trim(t) = '' THEN 0
+           |         ELSE len(string_split(trim(t), ' ')) END AS BIGINT)
+           |      AS n_tokens
+           |  FROM t5)
+           |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+           |  CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+           |  CAST(sum(e.n_tokens) AS DOUBLE) /
+           |    CAST(sum(length(d.text)) AS BIGINT) AS fertility
+           |FROM e JOIN documents d USING (doc_id)
+           |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+      },
+      "BPE fertility per language: tokens-per-char of the induced tokenizer, the bias report"),
+
     // The hashing trick (feature hashing): every token maps to one of 256
     // fixed buckets by hash — the fixed-width featurizer that needs NO
     // vocabulary pass, no dictionary state, and is mergeable across any
