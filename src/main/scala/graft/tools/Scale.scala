@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CorpusOps, DedupOps, GraphOps, IntervalOps, LinkageOps, SketchOps, StatOps, TextOps}
+import graft.ops.{CorpusOps, DedupOps, EvalOps, GraphOps, IntervalOps, LinkageOps, SketchOps, StatOps, TextOps}
 
 /** Wall-time scaling curves for the five operators whose LINEARITY is
   * load-bearing in every 100 TB claim: connected components (iterative +
@@ -306,6 +306,31 @@ object Scale {
         // size-B however big the corpus, so wall time must track the
         // token count alone (target = every 10th doc, production-width
         // bucket space)
+        // CDC chunking: positional explode + codegen'd boundary flag +
+        // doc-keyed running count + ordered reassembly — every stage
+        // keys on the doc id, so wall time must track total tokens
+        "cdc_chunks" -> (() =>
+          CorpusOps.cdcChunks(d, "doc_id", "text", modulus = 8).count()),
+        // source interleave: two range-staged global ranks over n rows
+        // (20 sources) — the global-rank primitive is the known-flat
+        // part, so this times the two extra keyed joins
+        "interleave_order" -> (() =>
+          CorpusOps.interleaveBySource(
+            d.withColumn("src", pmod(col("doc_id"), lit(20)).cast("string")),
+            "doc_id", "src", salt = "il").count()),
+        // per-group percent rank: global rank + two keyed rollups + two
+        // keyed joins — the window-free grouped-rank shape shared by
+        // aucExactByGroup
+        "group_percent_rank" -> (() =>
+          EvalOps.groupPercentRank(
+            d.select(col("doc_id"),
+              pmod(col("doc_id"), lit(20)).cast("string").as("g"),
+              length(col("text")).as("v")),
+            "g", "v", "doc_id").count()),
+        // shard digest: one projection (two native hashes/row) + one
+        // 64-ary rollup — must be scan-linear with a flat constant
+        "shard_digest" -> (() =>
+          CorpusOps.corpusShardDigest(d, "doc_id", "text", 64).count()),
         "dsir_stats" -> (() => {
           // dsirStats memoizes its feature frame per (df, params) —
           // clear it so every trial times the real feature extraction,
