@@ -354,6 +354,9 @@ object CorpusOps {
     * division: exact and floor-correct for negatives cross-engine).
     * Integer counts only; the PSI's logs stay consumer-side (libm is
     * not cross-engine bit-reproducible — the DSIR/tf-idf precedent).
+    * NULL values land in one NULL bin, paired NULL-SAFELY across the
+    * sides — a plain equi-join would emit two unpaired NULL rows and
+    * hand a PSI consumer a duplicate key.
     *
     * @return one row per occupied bin: (`bin`, `n_a`, `n_b`).
     */
@@ -361,11 +364,13 @@ object CorpusOps {
       a: DataFrame, b: DataFrame, valueCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    def bins(df: DataFrame, out: String) =
-      df.groupBy(floor(col(valueCol) / lit(binWidth.toDouble)).as("bin"))
+    def bins(df: DataFrame, binOut: String, out: String) =
+      df.groupBy(floor(col(valueCol) / lit(binWidth.toDouble)).as(binOut))
         .agg(count(lit(1)).as(out))
-    bins(a, "n_a").join(bins(b, "n_b"), Seq("bin"), "full_outer")
-      .select(col("bin"),
+    val aa = bins(a, "_ba", "n_a")
+    val bb = bins(b, "_bb", "n_b")
+    aa.join(bb, aa("_ba") <=> bb("_bb"), "full_outer")
+      .select(coalesce(col("_ba"), col("_bb")).as("bin"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
   }

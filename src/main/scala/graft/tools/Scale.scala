@@ -301,11 +301,6 @@ object Scale {
             "doc_id", "text", k = 4, minLen = 8,
             maxGramFreq = Some(8)).count()
         }),
-        // DSIR sufficient stats: feature explode + two <=B-row histogram
-        // rollups + a broadcast join back — the histogram model state is
-        // size-B however big the corpus, so wall time must track the
-        // token count alone (target = every 10th doc, production-width
-        // bucket space)
         // CDC chunking: positional explode + codegen'd boundary flag +
         // doc-keyed running count + ordered reassembly — every stage
         // keys on the doc id, so wall time must track total tokens
@@ -331,6 +326,11 @@ object Scale {
         // 64-ary rollup — must be scan-linear with a flat constant
         "shard_digest" -> (() =>
           CorpusOps.corpusShardDigest(d, "doc_id", "text", 64).count()),
+        // DSIR sufficient stats: feature explode + two <=B-row histogram
+        // rollups + a broadcast join back — the histogram model state is
+        // size-B however big the corpus, so wall time must track the
+        // token count alone (target = every 10th doc, production-width
+        // bucket space)
         "dsir_stats" -> (() => {
           // dsirStats memoizes its feature frame per (df, params) —
           // clear it so every trial times the real feature extraction,

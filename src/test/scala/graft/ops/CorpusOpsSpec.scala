@@ -476,6 +476,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     // bins: -5→-1, {3,7}→0 vs {3,4}→0, 12→1, 25→2
     assert(got.toSeq == Seq(
       (-1L, 1L, 0L), (0L, 2L, 2L), (1L, 1L, 0L), (2L, 0L, 1L)))
+    // NULL values pair into ONE null bin, never two unpaired rows
+    val an = Seq(Some(3L), None).toDF("v")
+    val bn = Seq(Option.empty[Long], None).toDF("v")
+    val gn = CorpusOps.binDriftCounts(an, bn, "v", 10L)
+      .collect().map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2)))
+    assert(gn.count(_._1.isEmpty) == 1)
+    assert(gn.find(_._1.isEmpty).get == (None, 1L, 2L))
   }
 
   test("corpus digests: XOR updates incrementally; diff flags exactly the touched shards") {
