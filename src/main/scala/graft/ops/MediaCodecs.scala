@@ -259,6 +259,69 @@ object MediaCodecs {
       sr.toDouble / n, sg.toDouble / n, sb2.toDouble / n))
   }
 
+  final case class DhashMeta(width: Int, height: Int, dhash: Long)
+
+  /** Perceptual difference-hash (dHash) of a BMP24 payload: grayscale
+    * the pixels (integer 299/587/114 weights), pool into a 9×8 grid of
+    * block sums, set bit (cy·8 + cx) iff the right cell outshines the
+    * left — 64 bits that survive re-encoding, uniform brightness shifts
+    * (differences are shift-invariant) and small crops, which byte
+    * hashes don't. Ragged grids compare CROSS-MULTIPLIED sums
+    * (s_r·a_l > s_l·a_r — exact integers, no division), so any
+    * dimensions ≥ 9×8 hash; ties clear the bit.
+    *
+    * The canonical image near-dup primitive: Hamming-close dhashes =
+    * visually-near-duplicate images, and the 64-bit value drops into
+    * the same band-bucketed pair machinery as SimHash. */
+  def dhash64(bytes: Array[Byte]): Option[DhashMeta] = {
+    if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte)
+      return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val offset = bb.getInt(10)
+    val width = bb.getInt(18)
+    val height = bb.getInt(22)
+    val bpp = bb.getShort(28)
+    if (bpp != 24 || width < 9 || height < 8) return None
+    val rowSize = ((width.toLong * 3 + 3) / 4) * 4
+    if (offset < 54) return None
+    if ((bytes.length.toLong - offset) / rowSize < height) return None
+    val sums = new Array[Long](72)
+    val areas = new Array[Long](72)
+    var y = 0
+    while (y < height) {
+      // stored bottom-up; y here is the TOP-DOWN logical row
+      val base0 = (offset + (height - 1 - y) * rowSize).toInt
+      val cy = y * 8 / height
+      var x = 0
+      var base = base0
+      while (x < width) {
+        val b = bytes(base) & 0xff
+        val g = bytes(base + 1) & 0xff
+        val r = bytes(base + 2) & 0xff
+        val gray = (r * 299 + g * 587 + b * 114) / 1000
+        val cell = cy * 9 + x * 9 / width
+        sums(cell) += gray
+        areas(cell) += 1
+        base += 3; x += 1
+      }
+      y += 1
+    }
+    var h = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val l = cy * 9 + cx
+        val r = l + 1
+        if (sums(r) * areas(l) > sums(l) * areas(r))
+          h |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    Some(DhashMeta(width, height, h))
+  }
+
   // ------------------------------------------ PNG / JPEG (javax.imageio)
 
   /** Encode via the JDK's bundled ImageIO plugins — pure JVM, zero new

@@ -74,6 +74,53 @@ object MultimodalOps {
       }(enc)
   }
 
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("dhash", LongType, nullable = true)))
+
+  /** Gradient-image media table: every doc carries an 18×16 24bpp BMP
+    * whose GRAY pixel (x, y) = (doc_id·37 + 5x + 11y) mod 256 — a
+    * non-degenerate pattern (a solid fill dHashes to 0) whose 9×8 block
+    * sums, and therefore its dHash, are pure arithmetic in doc_id, so
+    * the perceptual-hash gate's oracle derives every bit without
+    * parsing a byte (the [[mediaFromDocumentsReal]] principle). */
+  def gradientMediaFromDocs(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, "image", MediaCodecs.encodeBmp24(18, 16, (x, y) => {
+            val v = ((id * 37 + 5 * x + 11 * y) % 256).toInt
+            (v, v, v)
+          }))
+        }
+      }(enc)
+  }
+
+  /** Perceptual hash of every image payload ([[MediaCodecs.dhash64]]):
+    * the batched partition pass that turns a binary image column into a
+    * 64-bit near-dup key — Hamming-close dhashes are visual near-dups,
+    * robust to re-encode/brightness, and the long drops into the same
+    * band-bucketed pair machinery as SimHash. Non-image / corrupt
+    * payloads degrade to typed NULLs. */
+  def imageDhash(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(dhashSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          Option(payload).flatMap(MediaCodecs.dhash64) match {
+            case Some(m) => Row(id, m.width, m.height, m.dhash)
+            case None => Row(id, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
   /** Real decode: sniff the container magic and parse it for actual
     * metadata — BMP dimensions + channel means (bottom-up rows, BGR,
     * 4-byte padding), WAV sample rate / frames / duration / RMS (chunk

@@ -183,6 +183,47 @@ object MultimodalQueries {
              |  CAST(4 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
              |  mr AS mean_r, mg AS mean_g, mb AS mean_b
              |FROM m ORDER BY media_id""".stripMargin),
-      "web-format thumbnails: NN resize + PNG re-encode round trip vs gradient oracle")
+      "web-format thumbnails: NN resize + PNG re-encode round trip vs gradient oracle"),
+
+    // Perceptual image hash ([[MultimodalOps.imageDhash]]): dHash-64
+    // over real gradient BMPs — the image near-dup key (Hamming-close
+    // hashes = visual near-dups; brightness-shift invariance is
+    // spec-proven). Pixels are arithmetic in doc_id, so the oracle
+    // re-derives every block sum, every bit, and the signed 64-bit
+    // assembly (bit 63 exercised) without parsing a byte.
+    Q(
+      "mm_image_dhash",
+      (s, d) =>
+        MultimodalOps
+          .imageDhash(
+            MultimodalOps.gradientMediaFromDocs(T(s, d, "documents")))
+          .orderBy("media_id"),
+      Some("""WITH px AS (
+             |  SELECT doc_id, u1.cx, u2.cy,
+             |    CAST(sum((doc_id * 37 + 5 * (u1.cx * 2 + u3.dx) +
+             |              11 * (u2.cy * 2 + u4.dy)) % 256) AS BIGINT) AS s
+             |  FROM documents,
+             |    unnest(generate_series(0, 8)) AS u1(cx),
+             |    unnest(generate_series(0, 7)) AS u2(cy),
+             |    unnest(generate_series(0, 1)) AS u3(dx),
+             |    unnest(generate_series(0, 1)) AS u4(dy)
+             |  GROUP BY doc_id, u1.cx, u2.cy),
+             |bits AS (
+             |  SELECT l.doc_id, l.cy * 8 + l.cx AS i,
+             |    CASE WHEN r.s > l.s THEN 1 ELSE 0 END AS b
+             |  FROM px l JOIN px r ON r.doc_id = l.doc_id
+             |    AND r.cy = l.cy AND r.cx = l.cx + 1
+             |  WHERE l.cx < 8),
+             |h AS (SELECT doc_id,
+             |    sum(CAST(b AS HUGEINT) * CAST(power(2, i) AS HUGEINT))
+             |      AS uh
+             |  FROM bits GROUP BY doc_id)
+             |SELECT doc_id AS media_id,
+             |  CAST(18 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+             |  CAST(CASE WHEN uh >= CAST(9223372036854775808 AS HUGEINT)
+             |    THEN uh - 18446744073709551616
+             |    ELSE uh END AS BIGINT) AS dhash
+             |FROM h ORDER BY media_id""".stripMargin),
+      "perceptual dHash-64 of real BMP payloads vs a bit-exact arithmetic oracle")
   )
 }

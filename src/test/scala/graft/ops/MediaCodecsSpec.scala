@@ -206,6 +206,29 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.resizeImageNearest(src, 0, 2).isEmpty)
   }
 
+  test("dhash64: brightness-invariant, orientation-sensitive, corrupt degrades") {
+    def img(f: (Int, Int) => Int): Array[Byte] =
+      MediaCodecs.encodeBmp24(18, 16, (x, y) => { val v = f(x, y); (v, v, v) })
+    val base = MediaCodecs.dhash64(img((x, y) => 10 * x + 3 * y)).get
+    assert(base.width == 18 && base.height == 16)
+    // x-increasing gradient: every right cell outshines its left → all
+    // 64 bits set
+    assert(base.dhash == -1L)
+    // uniform +40 brightness (no wrap: max 255): differences unchanged
+    assert(MediaCodecs.dhash64(img((x, y) => 10 * x + 3 * y + 40)).get
+      .dhash == base.dhash)
+    // mirrored gradient: different picture, different hash
+    assert(MediaCodecs.dhash64(img((x, y) => 10 * (17 - x) + 3 * y)).get
+      .dhash != base.dhash)
+    // solid fill: every comparison ties → 0 (the degenerate case the
+    // gate's gradient synthesis exists to avoid)
+    assert(MediaCodecs.dhash64(img((_, _) => 128)).get.dhash == 0L)
+    // corrupt/undersized payloads degrade to None, never throw
+    assert(MediaCodecs.dhash64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaCodecs.dhash64(
+      MediaCodecs.encodeBmp24(4, 4, (_, _) => (1, 1, 1))).isEmpty) // < 9x8
+  }
+
   test("ImageIO decode degrades corrupt payloads to None, never throws") {
     assert(MediaCodecs.decodeImageIO(Array.empty[Byte]).isEmpty)
     assert(MediaCodecs.decodeImageIO(Array[Byte](1, 2, 3, 4)).isEmpty)
