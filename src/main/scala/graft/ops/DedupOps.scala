@@ -474,20 +474,35 @@ object DedupOps {
     * 4 bands, at most 3 differing bits → one band identical). */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs64(
+      df.select(col(idCol),
+        TextHashFunctions.simhash64(split(col(textCol), " +")).as("sim")),
+      idCol, "sim", maxHamming)
+
+  /** Banded Hamming near-dup pairs over ANY 64-bit signature column —
+    * the generic core under [[simhashPairs]] (text SimHash) and
+    * [[MultimodalOps.imageNearDupPairs]] (image dHash). 4×16-bit
+    * banding is LOSSLESS for maxHamming ≤ 3 by pigeonhole (3 damaged
+    * bits hit ≤ 3 of the 4 bands, so one band always survives intact),
+    * which is why the cap is a hard require, not advice: the equi-join
+    * on (band, bh) then finds every qualifying pair without an
+    * all-pairs stage. */
+  def hammingPairs64(
+      sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4x16 banding guarantees recall only to 3 bits")
-    val sigs = df.select(col(idCol),
-      TextHashFunctions.simhash64(split(col(textCol), " +")).as("sim"))
-    val banded = sigs.select(col(idCol), col("sim"),
+    val banded = sigs.select(col(idCol), col(sigCol).as("_sig"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
-          shiftright(col("sim"), i * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*))
+          shiftright(col(sigCol), i * 16).bitwiseAND(lit(0xffffL))
+            .as("bh"))): _*))
         .as("b"))
-      .select(col(idCol), col("sim"), col("b.band"), col("b.bh"))
+      .select(col(idCol), col("_sig"), col("b.band"), col("b.bh"))
     banded.as("x").join(banded.as("y"), Seq("band", "bh"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
-        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+        bit_count(col("x._sig").bitwiseXOR(col("y._sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

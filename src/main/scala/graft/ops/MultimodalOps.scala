@@ -121,6 +121,19 @@ object MultimodalOps {
       }(enc)
   }
 
+  /** Visual near-duplicate image pairs: [[imageDhash]] composed with
+    * the generic banded Hamming join ([[DedupOps.hammingPairs64]]) —
+    * the image arm of the dedup tier, finding re-encoded /
+    * brightness-shifted copies a byte hash can't. Lossless for
+    * maxHamming ≤ 3 (4×16 band pigeonhole); un-hashable payloads drop
+    * out before the join. */
+  def imageNearDupPairs(
+      media: DataFrame, maxHamming: Int = 3): DataFrame =
+    DedupOps.hammingPairs64(
+      imageDhash(media).filter(col("dhash").isNotNull)
+        .select(col("media_id"), col("dhash")),
+      "media_id", "dhash", maxHamming)
+
   /** Real decode: sniff the container magic and parse it for actual
     * metadata — BMP dimensions + channel means (bottom-up rows, BGR,
     * 4-byte padding), WAV sample rate / frames / duration / RMS (chunk

@@ -224,6 +224,50 @@ object MultimodalQueries {
              |    THEN uh - 18446744073709551616
              |    ELSE uh END AS BIGINT) AS dhash
              |FROM h ORDER BY media_id""".stripMargin),
-      "perceptual dHash-64 of real BMP payloads vs a bit-exact arithmetic oracle")
+      "perceptual dHash-64 of real BMP payloads vs a bit-exact arithmetic oracle"),
+
+    // Image near-dup pairs ([[MultimodalOps.imageNearDupPairs]]): the
+    // banded Hamming join over dHashes — lossless at <= 3 bits, so the
+    // oracle can use the quadratic pair scan the engine avoids. The
+    // gradient corpus plants exact visual dups at id ≡ id' (mod 256)
+    // (37 is invertible mod 256), so real pairs exist.
+    Q(
+      "mm_image_neardup",
+      (s, d) =>
+        MultimodalOps
+          .imageNearDupPairs(
+            MultimodalOps.gradientMediaFromDocs(T(s, d, "documents")),
+            maxHamming = 3)
+          .orderBy("a", "b"),
+      Some("""WITH px AS (
+             |  SELECT doc_id, u1.cx, u2.cy,
+             |    CAST(sum((doc_id * 37 + 5 * (u1.cx * 2 + u3.dx) +
+             |              11 * (u2.cy * 2 + u4.dy)) % 256) AS BIGINT) AS s
+             |  FROM documents,
+             |    unnest(generate_series(0, 8)) AS u1(cx),
+             |    unnest(generate_series(0, 7)) AS u2(cy),
+             |    unnest(generate_series(0, 1)) AS u3(dx),
+             |    unnest(generate_series(0, 1)) AS u4(dy)
+             |  GROUP BY doc_id, u1.cx, u2.cy),
+             |bits AS (
+             |  SELECT l.doc_id, l.cy * 8 + l.cx AS i,
+             |    CASE WHEN r.s > l.s THEN 1 ELSE 0 END AS b
+             |  FROM px l JOIN px r ON r.doc_id = l.doc_id
+             |    AND r.cy = l.cy AND r.cx = l.cx + 1
+             |  WHERE l.cx < 8),
+             |hh AS (SELECT doc_id,
+             |    CAST(CASE WHEN uh >= CAST(9223372036854775808 AS HUGEINT)
+             |      THEN uh - 18446744073709551616
+             |      ELSE uh END AS BIGINT) AS dhash
+             |  FROM (SELECT doc_id,
+             |      sum(CAST(b AS HUGEINT) * CAST(power(2, i) AS HUGEINT))
+             |        AS uh
+             |    FROM bits GROUP BY doc_id))
+             |SELECT x.doc_id AS a, y.doc_id AS b,
+             |  CAST(bit_count(xor(x.dhash, y.dhash)) AS INTEGER) AS hamming
+             |FROM hh x JOIN hh y ON y.doc_id > x.doc_id
+             |WHERE bit_count(xor(x.dhash, y.dhash)) <= 3
+             |ORDER BY a, b""".stripMargin),
+      "image near-dup pairs: banded Hamming over dHashes vs the quadratic oracle scan")
   )
 }

@@ -546,6 +546,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(vid.filter(col("n_frames").isNull || col("duration_ms").isNull).count() == 0)
   }
 
+  test("imageNearDupPairs: brightness-shifted copy found at hamming 0, distinct image not") {
+    import spark.implicits._
+    def bmp(shift: Int, flip: Boolean): Array[Byte] =
+      MediaCodecs.encodeBmp24(18, 16, (x, y) => {
+        val v = (if (flip) 10 * (17 - x) + 3 * y else 10 * x + 3 * y) + shift
+        (v, v, v)
+      })
+    val media = Seq(
+      (1L, "image", bmp(0, flip = false)),
+      (2L, "image", bmp(40, flip = false)), // re-graded copy of 1
+      (3L, "image", bmp(0, flip = true)), //   different picture
+      (4L, "image", Array[Byte](9, 9)) //      corrupt → drops out
+    ).toDF("media_id", "modality", "payload")
+    val pairs = MultimodalOps.imageNearDupPairs(media, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0)))
+  }
+
   test("maxMinDiverse follows the farthest-first order on crafted points") {
     import spark.implicits._
     // 1-D embeddings at 0, 1, 10, 100: seed = min id (at 0.0), then the
