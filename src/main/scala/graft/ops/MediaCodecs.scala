@@ -39,10 +39,12 @@ object MediaCodecs {
     bb.array()
   }
 
-  /** Chunk-walking WAV decode: tolerates extra chunks between `fmt ` and
-    * `data` (real files have LIST/INFO there); None on anything that is
-    * not a RIFF/WAVE PCM container. */
-  def decodeWav(bytes: Array[Byte]): Option[WavMeta] = {
+  /** The RIFF/WAVE chunk walk shared by [[decodeWav]] and
+    * [[audioHash64]]: locate `fmt ` + `data`, tolerate extra chunks
+    * between them (real files have LIST/INFO there); None on anything
+    * that is not a RIFF/WAVE PCM container.
+    * @return (sampleRate, channels, bits, dataOffset, dataSize) */
+  private def walkPcm(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
     if (bytes.length < 44) return None
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val magic = new Array[Byte](4); bb.get(magic)
@@ -77,7 +79,11 @@ object MediaCodecs {
           bb.position(math.min(bb.position() + size + (size & 1), bb.limit()))
       }
     }
-    data.flatMap { case (off, size) =>
+    data.map { case (off, size) => (sampleRate, channels, bits, off, size) }
+  }
+
+  def decodeWav(bytes: Array[Byte]): Option[WavMeta] = {
+    walkPcm(bytes).flatMap { case (sampleRate, channels, bits, off, size) =>
       if (sampleRate <= 0 || channels <= 0 || bits != 16) None
       else {
         val n = size / 2
@@ -92,6 +98,41 @@ object MediaCodecs {
       }
     }
   }
+
+  /** Gain-invariant audio envelope hash — the dHash idea on the time
+    * axis: 65 windows of summed-|PCM| energy over the mono 16-bit data
+    * chunk, bit w set iff window w+1 outshines window w
+    * (cross-multiplied integer sums, exact for ragged windows). A
+    * uniform gain change scales every window equally, so the
+    * comparisons — and the hash — are VOLUME-INVARIANT: re-normalized
+    * copies of a recording collide, which an RMS or byte hash cannot
+    * do. Hamming-close hashes = same loudness contour. */
+  def audioHash64(bytes: Array[Byte]): Option[Long] =
+    walkPcm(bytes).flatMap { case (sr, ch, bits, off, size) =>
+      val n = size / 2
+      if (sr <= 0 || ch != 1 || bits != 16 || n < 65) None
+      else {
+        val sums = new Array[Long](65)
+        val counts = new Array[Long](65)
+        val sb = ByteBuffer.wrap(bytes, off, size)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) {
+          val w = (i.toLong * 65 / n).toInt
+          sums(w) += math.abs(sb.getShort().toLong)
+          counts(w) += 1
+          i += 1
+        }
+        var h = 0L
+        var w = 0
+        while (w < 64) {
+          if (sums(w + 1) * counts(w) > sums(w) * counts(w + 1))
+            h |= 1L << w
+          w += 1
+        }
+        Some(h)
+      }
+    }
 
   // ---------------------------------------------------------------- BMP
 

@@ -121,6 +121,49 @@ object MultimodalOps {
       }(enc)
   }
 
+  val audioHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = true)))
+
+  /** Sawtooth-audio media table: every doc carries a mono 16-bit WAV of
+    * 650 samples with sample(i) = (doc_id·31 + 7i) mod 4001 − 2000 — a
+    * non-degenerate loudness contour (the constant-amplitude synthesis
+    * hashes to 0) that is pure arithmetic in doc_id, so the envelope-
+    * hash gate's oracle derives every window sum and bit without
+    * parsing a byte (the gradient-BMP principle on the time axis). */
+  def sawMediaFromDocs(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val samples = Array.tabulate(650)(i =>
+            ((id * 31 + 7L * i) % 4001 - 2000).toShort)
+          Row(id, "audio", MediaCodecs.encodeWavPcm16(8000, samples))
+        }
+      }(enc)
+  }
+
+  /** Gain-invariant envelope hash of every audio payload
+    * ([[MediaCodecs.audioHash64]]): the 64-bit near-dup key for
+    * recordings — volume-renormalized copies collide; non-audio /
+    * corrupt payloads degrade to typed NULLs. The long drops into
+    * [[DedupOps.hammingPairs64]] exactly like the image dHash. */
+  def audioEnvelopeHash(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioHashSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          Option(payload).flatMap(MediaCodecs.audioHash64) match {
+            case Some(h) => Row(id, h)
+            case None => Row(id, null)
+          }
+        }
+      }(enc)
+  }
+
   /** Visual near-duplicate image pairs: [[imageDhash]] composed with
     * the generic banded Hamming join ([[DedupOps.hammingPairs64]]) —
     * the image arm of the dedup tier, finding re-encoded /

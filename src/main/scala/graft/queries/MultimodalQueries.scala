@@ -268,6 +268,42 @@ object MultimodalQueries {
              |FROM hh x JOIN hh y ON y.doc_id > x.doc_id
              |WHERE bit_count(xor(x.dhash, y.dhash)) <= 3
              |ORDER BY a, b""".stripMargin),
-      "image near-dup pairs: banded Hamming over dHashes vs the quadratic oracle scan")
+      "image near-dup pairs: banded Hamming over dHashes vs the quadratic oracle scan"),
+
+    // Audio envelope hash ([[MultimodalOps.audioEnvelopeHash]]): the
+    // dHash idea on the time axis — 65 |PCM| energy windows, 64
+    // difference bits, volume-invariant (spec-proven). Sawtooth
+    // synthesis makes every window sum arithmetic in doc_id, so the
+    // oracle derives the full signed 64-bit hash without parsing a
+    // byte.
+    Q(
+      "mm_audio_envelope_hash",
+      (s, d) =>
+        MultimodalOps
+          .audioEnvelopeHash(
+            MultimodalOps.sawMediaFromDocs(T(s, d, "documents")))
+          .orderBy("media_id"),
+      Some("""WITH win AS (
+             |  SELECT doc_id, i // 10 AS w,
+             |    CAST(sum(abs((doc_id * 31 + 7 * i) % 4001 - 2000))
+             |      AS BIGINT) AS s
+             |  FROM documents, unnest(generate_series(0, 649)) AS u(i)
+             |  GROUP BY doc_id, i // 10),
+             |bits AS (
+             |  SELECT l.doc_id, l.w AS i,
+             |    CASE WHEN r.s > l.s THEN 1 ELSE 0 END AS b
+             |  FROM win l JOIN win r ON r.doc_id = l.doc_id
+             |    AND r.w = l.w + 1
+             |  WHERE l.w < 64),
+             |h AS (SELECT doc_id,
+             |    sum(CAST(b AS HUGEINT) * CAST(power(2, i) AS HUGEINT))
+             |      AS uh
+             |  FROM bits GROUP BY doc_id)
+             |SELECT doc_id AS media_id,
+             |  CAST(CASE WHEN uh >= CAST(9223372036854775808 AS HUGEINT)
+             |    THEN uh - 18446744073709551616
+             |    ELSE uh END AS BIGINT) AS ahash
+             |FROM h ORDER BY media_id""".stripMargin),
+      "gain-invariant audio envelope hash vs a bit-exact arithmetic oracle")
   )
 }

@@ -229,6 +229,26 @@ class MediaCodecsSpec extends AnyFunSuite {
       MediaCodecs.encodeBmp24(4, 4, (_, _) => (1, 1, 1))).isEmpty) // < 9x8
   }
 
+  test("audioHash64: gain-invariant, contour-sensitive, degenerate/corrupt degrade") {
+    def wav(samples: Array[Short]): Array[Byte] =
+      MediaCodecs.encodeWavPcm16(8000, samples)
+    val saw = Array.tabulate(650)(i => ((i * 7) % 4001 - 2000).toShort)
+    val h = MediaCodecs.audioHash64(wav(saw)).get
+    assert(h != 0L)
+    // exact 2x gain (no clip): every window sum doubles → identical hash
+    assert(MediaCodecs.audioHash64(
+      wav(saw.map(s => (s * 2).toShort))).get == h)
+    // reversed recording: different loudness contour, different hash
+    assert(MediaCodecs.audioHash64(wav(saw.reverse)).get != h)
+    // constant amplitude: every comparison ties → 0
+    assert(MediaCodecs.audioHash64(
+      wav(Array.fill(650)(500.toShort))).get == 0L)
+    // corrupt / too-short payloads degrade to None
+    assert(MediaCodecs.audioHash64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaCodecs.audioHash64(
+      wav(Array.fill(64)(1.toShort))).isEmpty) // < 65 samples
+  }
+
   test("ImageIO decode degrades corrupt payloads to None, never throws") {
     assert(MediaCodecs.decodeImageIO(Array.empty[Byte]).isEmpty)
     assert(MediaCodecs.decodeImageIO(Array[Byte](1, 2, 3, 4)).isEmpty)
