@@ -240,6 +240,40 @@ object MediaCodecs {
       }
     }
 
+  /** Temporal video hash — the third member of the perceptual triad
+    * beside [[dhash64]] (space) and [[audioHash64]] (time-domain
+    * audio): per-frame luma sums over the first 65 frames, bit k set
+    * iff frame k+1 is brighter than frame k. Exposure-invariant the
+    * same way (uniform gain preserves frame ordering); Hamming-close
+    * hashes = same brightness contour, catching re-encoded or
+    * re-graded copies of a clip. Requires ≥ 65 frames; None otherwise
+    * (and for any non-Y4M payload). */
+  def videoHash64(bytes: Array[Byte]): Option[Long] =
+    decodeY4mMeta(bytes).flatMap { m =>
+      if (m.nFrames < 65) None
+      else {
+        val nl = bytes.indexOf('\n'.toByte)
+        val plane = m.width * m.height
+        val sums = new Array[Long](65)
+        var k = 0
+        while (k < 65) {
+          val off = nl + 1 + k * (6 + plane) + 6
+          var s = 0L
+          var i = 0
+          while (i < plane) { s += bytes(off + i) & 0xff; i += 1 }
+          sums(k) = s
+          k += 1
+        }
+        var h = 0L
+        var w = 0
+        while (w < 64) {
+          if (sums(w + 1) > sums(w)) h |= 1L << w
+          w += 1
+        }
+        Some(h)
+      }
+    }
+
   /** Nearest-neighbor resize of a 24bpp BMP payload, re-encoded as a
     * fresh BMP (standard NN mapping src = floor(dst·srcDim/dstDim) — the
     * thumbnail/downsample step of an image-preprocessing pipeline).

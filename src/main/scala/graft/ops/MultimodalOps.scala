@@ -164,6 +164,49 @@ object MultimodalOps {
       }(enc)
   }
 
+  /** Luma-ramp video media table: every doc carries a 65-frame 8×8 mono
+    * Y4M whose frame k is a constant luma (doc_id·13 + 29k) mod 256 — a
+    * brightness contour that is pure arithmetic in doc_id, so the
+    * temporal-hash gate's oracle derives every bit without parsing a
+    * byte. */
+  def lumaRampMediaFromDocs(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val frames = (0 until 65).map(k =>
+            Array.fill(8 * 8)(((id * 13 + 29L * k) % 256).toByte))
+          Row(id, "video", MediaCodecs.encodeY4mMono(8, 8, 25, 1, frames))
+        }
+      }(enc)
+  }
+
+  /** Temporal hash of every video payload ([[MediaCodecs.videoHash64]]):
+    * the 64-bit brightness-contour key — re-encoded/re-graded clips
+    * collide; non-video / short / corrupt payloads degrade to typed
+    * NULLs. Completes the perceptual triad with [[imageDhash]] and
+    * [[audioEnvelopeHash]]; all three keys feed
+    * [[DedupOps.hammingPairs64]]. */
+  val videoHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("vhash", LongType, nullable = true)))
+
+  def videoTemporalHash(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(videoHashSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          Option(payload).flatMap(MediaCodecs.videoHash64) match {
+            case Some(h) => Row(id, h)
+            case None => Row(id, null)
+          }
+        }
+      }(enc)
+  }
+
   /** Visual near-duplicate image pairs: [[imageDhash]] composed with
     * the generic banded Hamming join ([[DedupOps.hammingPairs64]]) —
     * the image arm of the dedup tier, finding re-encoded /

@@ -304,6 +304,38 @@ object MultimodalQueries {
              |    THEN uh - 18446744073709551616
              |    ELSE uh END AS BIGINT) AS ahash
              |FROM h ORDER BY media_id""".stripMargin),
-      "gain-invariant audio envelope hash vs a bit-exact arithmetic oracle")
+      "gain-invariant audio envelope hash vs a bit-exact arithmetic oracle"),
+
+    // Video temporal hash ([[MultimodalOps.videoTemporalHash]]): the
+    // brightness-contour key over 65 real Y4M frames — the third
+    // member of the perceptual triad. Constant-luma ramp frames make
+    // every frame sum (64·luma) arithmetic in doc_id, so the oracle
+    // derives the full signed hash without parsing a byte.
+    Q(
+      "mm_video_temporal_hash",
+      (s, d) =>
+        MultimodalOps
+          .videoTemporalHash(
+            MultimodalOps.lumaRampMediaFromDocs(T(s, d, "documents")))
+          .orderBy("media_id"),
+      Some("""WITH fr AS (
+             |  SELECT doc_id, k, (doc_id * 13 + 29 * k) % 256 AS luma
+             |  FROM documents, unnest(generate_series(0, 64)) AS u(k)),
+             |bits AS (
+             |  SELECT l.doc_id, l.k AS i,
+             |    CASE WHEN r.luma > l.luma THEN 1 ELSE 0 END AS b
+             |  FROM fr l JOIN fr r ON r.doc_id = l.doc_id
+             |    AND r.k = l.k + 1
+             |  WHERE l.k < 64),
+             |h AS (SELECT doc_id,
+             |    sum(CAST(b AS HUGEINT) * CAST(power(2, i) AS HUGEINT))
+             |      AS uh
+             |  FROM bits GROUP BY doc_id)
+             |SELECT doc_id AS media_id,
+             |  CAST(CASE WHEN uh >= CAST(9223372036854775808 AS HUGEINT)
+             |    THEN uh - 18446744073709551616
+             |    ELSE uh END AS BIGINT) AS vhash
+             |FROM h ORDER BY media_id""".stripMargin),
+      "temporal video hash: 65-frame brightness contour vs a bit-exact arithmetic oracle")
   )
 }

@@ -249,6 +249,25 @@ class MediaCodecsSpec extends AnyFunSuite {
       wav(Array.fill(64)(1.toShort))).isEmpty) // < 65 samples
   }
 
+  test("videoHash64: brightness contour key, exposure-invariant, short clips degrade") {
+    def y4m(luma: Int => Int): Array[Byte] =
+      MediaCodecs.encodeY4mMono(8, 8, 25, 1,
+        (0 until 65).map(k => Array.fill(64)(luma(k).toByte)))
+    val h = MediaCodecs.videoHash64(y4m(k => 10 + (k * 3) % 100)).get
+    assert(h != 0L)
+    // uniform exposure lift (no wrap): frame ordering, and the hash, hold
+    assert(MediaCodecs.videoHash64(y4m(k => 40 + (k * 3) % 100)).get == h)
+    // reversed clip: different contour
+    assert(MediaCodecs.videoHash64(
+      y4m(k => 10 + ((64 - k) * 3) % 100)).get != h)
+    // static clip: all ties → 0
+    assert(MediaCodecs.videoHash64(y4m(_ => 77)).get == 0L)
+    // < 65 frames or non-Y4M: None
+    assert(MediaCodecs.videoHash64(MediaCodecs.encodeY4mMono(8, 8, 25, 1,
+      Seq(Array.fill(64)(1.toByte)))).isEmpty)
+    assert(MediaCodecs.videoHash64(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("ImageIO decode degrades corrupt payloads to None, never throws") {
     assert(MediaCodecs.decodeImageIO(Array.empty[Byte]).isEmpty)
     assert(MediaCodecs.decodeImageIO(Array[Byte](1, 2, 3, 4)).isEmpty)
