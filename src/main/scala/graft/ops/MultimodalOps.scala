@@ -81,19 +81,24 @@ object MultimodalOps {
     StructField("dhash", LongType, nullable = true)))
 
   /** Gradient-image media table: every doc carries an 18×16 24bpp BMP
-    * whose GRAY pixel (x, y) = (doc_id·37 + 5x + 11y) mod 256 — a
-    * non-degenerate pattern (a solid fill dHashes to 0) whose 9×8 block
-    * sums, and therefore its dHash, are pure arithmetic in doc_id, so
-    * the perceptual-hash gate's oracle derives every bit without
-    * parsing a byte (the [[mediaFromDocumentsReal]] principle). */
+    * whose GRAY pixel (x, y) = (e·37 + (e div 256)·97 + 5x + 11y)
+    * mod 256, where e = doc_id except every 10th doc REUSES its
+    * predecessor's pattern — planted visual duplicates ∝ n (the same
+    * convention as the text corpus), while the high-bit mix keeps
+    * unrelated ids from colliding mod 256. Non-degenerate (a solid fill
+    * dHashes to 0) and pure arithmetic in doc_id, so the perceptual
+    * gates' oracles derive every bit without parsing a byte (the
+    * [[mediaFromDocumentsReal]] principle). */
   def gradientMediaFromDocs(docs: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
     docs.select(col("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
+          val e = if (id % 10 == 0 && id > 0) id - 1 else id
+          val base = e * 37 + (e / 256) * 97
           Row(id, "image", MediaCodecs.encodeBmp24(18, 16, (x, y) => {
-            val v = ((id * 37 + 5 * x + 11 * y) % 256).toInt
+            val v = ((base + 5 * x + 11 * y) % 256).toInt
             (v, v, v)
           }))
         }

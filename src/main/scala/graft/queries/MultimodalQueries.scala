@@ -198,11 +198,17 @@ object MultimodalQueries {
           .imageDhash(
             MultimodalOps.gradientMediaFromDocs(T(s, d, "documents")))
           .orderBy("media_id"),
-      Some("""WITH px AS (
+      Some("""WITH eids AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 0 AND doc_id > 0
+             |      THEN doc_id - 1 ELSE doc_id END AS eid
+             |  FROM documents),
+             |px AS (
              |  SELECT doc_id, u1.cx, u2.cy,
-             |    CAST(sum((doc_id * 37 + 5 * (u1.cx * 2 + u3.dx) +
+             |    CAST(sum((eid * 37 + (eid // 256) * 97 +
+             |              5 * (u1.cx * 2 + u3.dx) +
              |              11 * (u2.cy * 2 + u4.dy)) % 256) AS BIGINT) AS s
-             |  FROM documents,
+             |  FROM eids,
              |    unnest(generate_series(0, 8)) AS u1(cx),
              |    unnest(generate_series(0, 7)) AS u2(cy),
              |    unnest(generate_series(0, 1)) AS u3(dx),
@@ -229,8 +235,13 @@ object MultimodalQueries {
     // Image near-dup pairs ([[MultimodalOps.imageNearDupPairs]]): the
     // banded Hamming join over dHashes — lossless at <= 3 bits, so the
     // oracle can use the quadratic pair scan the engine avoids. The
-    // gradient corpus plants exact visual dups at id ≡ id' (mod 256)
-    // (37 is invertible mod 256), so real pairs exist.
+    // synthesis plants an exact visual duplicate every 10th doc, and
+    // the linear-gradient family is additionally Hamming-COMPACT (a
+    // monotone gradient sets most difference bits for every image, so
+    // unrelated hashes differ only near wrap boundaries) — the gate
+    // therefore exercises the banding on a DENSE instance, its
+    // worst-case join shape, and hash-compares ~10k pairs against the
+    // exact scan.
     Q(
       "mm_image_neardup",
       (s, d) =>
@@ -239,11 +250,17 @@ object MultimodalQueries {
             MultimodalOps.gradientMediaFromDocs(T(s, d, "documents")),
             maxHamming = 3)
           .orderBy("a", "b"),
-      Some("""WITH px AS (
+      Some("""WITH eids AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 0 AND doc_id > 0
+             |      THEN doc_id - 1 ELSE doc_id END AS eid
+             |  FROM documents),
+             |px AS (
              |  SELECT doc_id, u1.cx, u2.cy,
-             |    CAST(sum((doc_id * 37 + 5 * (u1.cx * 2 + u3.dx) +
+             |    CAST(sum((eid * 37 + (eid // 256) * 97 +
+             |              5 * (u1.cx * 2 + u3.dx) +
              |              11 * (u2.cy * 2 + u4.dy)) % 256) AS BIGINT) AS s
-             |  FROM documents,
+             |  FROM eids,
              |    unnest(generate_series(0, 8)) AS u1(cx),
              |    unnest(generate_series(0, 7)) AS u2(cy),
              |    unnest(generate_series(0, 1)) AS u3(dx),
