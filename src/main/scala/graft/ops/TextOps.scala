@@ -242,6 +242,45 @@ object TextOps {
       .select("tok_a", "tok_b", "n_pair", "df_a", "df_b")
   }
 
+  /** Vocabulary-growth (Heaps'-law) curve from ONE corpus pass: vocab
+    * size and token count at every `bucketWidth`-doc prefix checkpoint.
+    * The naive form re-scans the corpus once per checkpoint; this one
+    * exploits that a token enters the vocabulary exactly at its
+    * FIRST-occurrence document — so min(doc) per distinct token,
+    * bucketed by checkpoint, IS the per-checkpoint new-type count, and
+    * the cumulative curve is a prefix sum over the (tiny)
+    * checkpoint-count frame. The sub-linear bend of this curve is the
+    * standard corpus-health read (a linear vocab curve means ids/noise
+    * are leaking into the token stream; a flat one means boilerplate).
+    *
+    * @return one row per occupied checkpoint: (`checkpoint` =
+    *         doc_id div bucketWidth, `new_types`, `n_tokens`,
+    *         `cum_types`, `cum_tokens`).
+    */
+  def vocabGrowth(
+      df: DataFrame, idCol: String, textCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val newTypes = toks.groupBy("tok")
+      .agg(min(col(idCol)).as("_first"))
+      .groupBy(expr(s"_first div ${bucketWidth}L").as("checkpoint"))
+      .agg(count(lit(1)).as("new_types"))
+    val tokCounts = toks
+      .groupBy(expr(s"$idCol div ${bucketWidth}L").as("checkpoint"))
+      .agg(count(lit(1)).as("n_tokens"))
+    // the joined frame is checkpoint-sized (corpus/bucketWidth rows) —
+    // the window prefix sum runs over that tiny frame, not the corpus
+    val w = org.apache.spark.sql.expressions.Window.orderBy("checkpoint")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    tokCounts.join(newTypes, Seq("checkpoint"), "left_outer")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_types", sum("new_types").over(w))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .select("checkpoint", "new_types", "n_tokens", "cum_types",
+        "cum_tokens")
+  }
+
   /** Per-document coverage of the corpus's top-`topK` bigram list — the
     * model-free LM-perplexity stand-in for quality filtering (low
     * coverage flags gibberish, boilerplate, wrong-language text). The

@@ -636,6 +636,38 @@ object TextQueries {
       },
       "BPE fertility per language: tokens-per-char of the induced tokenizer, the bias report"),
 
+    // Vocabulary-growth (Heaps'-law) curve ([[TextOps.vocabGrowth]]):
+    // vocab size + token mass at every 50-doc prefix from ONE pass —
+    // new types land at their first-occurrence doc, so min(doc) per
+    // token bucketed by checkpoint IS the curve; the prefix sum runs
+    // over the checkpoint-sized frame, never the corpus.
+    Q(
+      "text_vocab_growth",
+      (s, d) =>
+        TextOps.vocabGrowth(T(s, d, "documents"), "doc_id", "text",
+            bucketWidth = 50L)
+          .orderBy("checkpoint"),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    unnest(string_split_regex(text, ' +')) AS tok
+             |  FROM documents),
+             |ft AS (SELECT tok, min(doc_id) AS f FROM tk GROUP BY tok),
+             |nt AS (SELECT f // 50 AS checkpoint,
+             |    CAST(count(*) AS BIGINT) AS new_types
+             |  FROM ft GROUP BY 1),
+             |tc AS (SELECT doc_id // 50 AS checkpoint,
+             |    CAST(count(*) AS BIGINT) AS n_tokens
+             |  FROM tk GROUP BY 1)
+             |SELECT t.checkpoint,
+             |  coalesce(n.new_types, 0) AS new_types, t.n_tokens,
+             |  CAST(SUM(coalesce(n.new_types, 0)) OVER w AS BIGINT)
+             |    AS cum_types,
+             |  CAST(SUM(t.n_tokens) OVER w AS BIGINT) AS cum_tokens
+             |FROM tc t LEFT JOIN nt n USING (checkpoint)
+             |WINDOW w AS (ORDER BY t.checkpoint
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY t.checkpoint""".stripMargin),
+      "Heaps'-law vocabulary growth curve: per-prefix new types + token mass, one pass"),
+
     // The hashing trick (feature hashing): every token maps to one of 256
     // fixed buckets by hash — the fixed-width featurizer that needs NO
     // vocabulary pass, no dictionary state, and is mergeable across any

@@ -6,6 +6,19 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 
 class TextOpsSpec extends AnyFunSuite {
+
+  test("vocabGrowth: new types at first occurrence, cumulative curve exact") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq((0L, "a b"), (1L, "b c"), (2L, "a d"), (3L, "e e"))
+      .toDF("doc_id", "text")
+    val got = TextOps.vocabGrowth(docs, "doc_id", "text", bucketWidth = 2L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 3L, 4L, 3L, 4L), // {a,b,c} new over 4 tokens
+      (1L, 2L, 4L, 5L, 8L))) // {d,e} new; 'a' and the repeated 'e' don't count
+  }
+
   private lazy val spark = SparkTestSession.spark
 
   test("langId votes pick the right language on crafted sentences") {
