@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CorpusOps, DedupOps, EvalOps, GraphOps, IntervalOps, LinkageOps, SketchOps, StatOps, TextOps}
+import graft.ops.{CorpusOps, DedupOps, EvalOps, GraphOps, IntervalOps, LinkageOps, MultimodalOps, SketchOps, StatOps, TextOps}
 
 /** Wall-time scaling curves for the five operators whose LINEARITY is
   * load-bearing in every 100 TB claim: connected components (iterative +
@@ -304,6 +304,22 @@ object Scale {
         // CDC chunking: positional explode + codegen'd boundary flag +
         // doc-keyed running count + ordered reassembly — every stage
         // keys on the doc id, so wall time must track total tokens
+        // perceptual triad: synthesize real container bytes and hash
+        // them in the same pass — times the partition-batched codec
+        // loops (the repo's only heavy JVM-loop path); must be
+        // scan-linear with a per-row constant
+        "image_dhash" -> (() =>
+          MultimodalOps.imageDhash(
+            MultimodalOps.gradientMediaFromDocs(d))
+            .filter(col("dhash").isNotNull).count()),
+        "audio_envelope_hash" -> (() =>
+          MultimodalOps.audioEnvelopeHash(
+            MultimodalOps.sawMediaFromDocs(d))
+            .filter(col("ahash").isNotNull).count()),
+        "video_temporal_hash" -> (() =>
+          MultimodalOps.videoTemporalHash(
+            MultimodalOps.lumaRampMediaFromDocs(d))
+            .filter(col("vhash").isNotNull).count()),
         "cdc_chunks" -> (() =>
           CorpusOps.cdcChunks(d, "doc_id", "text", modulus = 8).count()),
         // source interleave: two range-staged global ranks over n rows
