@@ -850,4 +850,49 @@ object CorpusOps {
     dsirLogWeights(df, idCol, textCol, targetPred, buckets)
       .orderBy(col("log_w").desc, col(idCol))
       .limit(k)
+
+  /** Temperature-scaled source mixture weights
+    * `w_i = n_i^τ / Σ_j n_j^τ` — the multilingual/multi-source sampling
+    * rule (τ < 1 upsamples small sources relative to their natural
+    * share; τ = 1 is proportional sampling). Reports per source its
+    * natural share, its temperature weight, and the expected document
+    * count under a sampling budget.
+    *
+    * Exactness: the gate runs at τ = ½ where `n^τ` is `sqrt` — the one
+    * power IEEE-754 correctly rounds, so every engine agrees bit-for-
+    * bit (other τ go through libm `pow`, which is NOT portable across
+    * engines — fine for production, not for a hash-matched oracle). The
+    * denominator Σ√n is an ORDERED fold over sources sorted by name
+    * (float addition is order-sensitive), matching the oracle's
+    * `list_reduce(list(... ORDER BY source))`.
+    *
+    * Scale shape: one keyed rollup to |sources| rows, a 1-row global
+    * fold, and a broadcast join back — nothing is corpus-sized past the
+    * first rollup. */
+  def temperatureMixWeights(
+      df: DataFrame, srcCol: String, budgetDocs: Long,
+      tau: Double = 0.5): DataFrame = {
+    require(budgetDocs > 0, s"budgetDocs must be positive, got $budgetDocs")
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    def powN(c: Column): Column =
+      if (tau == 0.5) sqrt(c.cast(DoubleType))
+      else if (tau == 1.0) c.cast(DoubleType)
+      else pow(c.cast(DoubleType), lit(tau))
+    val per = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(
+      sum("n_docs").as("_n_tot"),
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(col(srcCol),
+            powN(col("n_docs")).as("s")))),
+          x => x.getField("s")),
+        lit(0.0), (acc, x) => acc + x).as("_denom"))
+    per.crossJoin(broadcast(tot)) // 1-row totals frame (declared)
+      .select(col(srcCol), col("n_docs"),
+        (col("n_docs").cast(DoubleType) / col("_n_tot").cast(DoubleType))
+          .as("nat_share"),
+        (powN(col("n_docs")) / col("_denom")).as("weight"),
+        (powN(col("n_docs")) / col("_denom") * lit(budgetDocs.toDouble))
+          .as("expected_docs"))
+  }
 }

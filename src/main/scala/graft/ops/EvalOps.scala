@@ -173,4 +173,153 @@ object EvalOps {
       .withColumn("mean_score",
         col("score_sum").cast(DoubleType) / col("n").cast(DoubleType))
   }
+
+  /** Cohen's kappa between two binary raters — chance-corrected
+    * agreement `κ = (p_o − p_e)/(1 − p_e)`, the standard sanity check
+    * before trusting "two filters agree" (two filters that both pass
+    * 95% of a corpus agree 90%+ by chance alone; raw agreement is
+    * meaningless there). Used to compare a learned filter against a
+    * rule filter, or two annotator models against each other.
+    *
+    * One map-side-combinable rollup to the four confusion counts; p_o,
+    * p_e and κ are fixed expression trees over those integers (two
+    * divisions, one subtraction-quotient), so the oracle replays every
+    * double bit-identically. κ is null when p_e = 1 (a degenerate
+    * single-cell table, where kappa is undefined).
+    *
+    * @return one row: (`n11`, `n10`, `n01`, `n00`, `n`, `po`, `pe`,
+    *         `kappa`)
+    */
+  /** The NDCG rank-discount table `d_i = 1 / log2(i+1)`, `i = 1..k` —
+    * computed ONCE here (JVM libm) and embedded as literals in both the
+    * engine plan and the generated oracle SQL, so the two sides share
+    * bit-identical constants without trusting two libms to agree. */
+  def ndcgDiscounts(k: Int): Array[Double] =
+    Array.tabulate(k)(i => 1.0 / (math.log(i + 2) / math.log(2.0)))
+
+  /** Ideal-DCG prefix sums `P_j = ((0 + d_1) + d_2) + … + d_j` in the
+    * SAME left-fold order the DCG fold uses — `IDCG@k` for a user with
+    * `r` relevant items is `P_min(r,k)`. */
+  def ndcgIdealPrefix(k: Int): Array[Double] =
+    ndcgDiscounts(k).scanLeft(0.0)(_ + _).tail
+
+  /** Offline ranking-quality battery — per user: hits@k, reciprocal
+    * rank@k, DCG@k / IDCG@k / NDCG@k, precision@k and recall@k. The
+    * measurements a retrieval or recommender eval runs against a
+    * held-out interaction set before shipping a ranker.
+    *
+    * `ranked` holds one row per (user, candidate item) with a numeric
+    * score — the full candidate slate per user, zero-scored items
+    * included (rank is dense over the slate). Rank = score desc, item
+    * asc tiebreak, assigned by ONE global range-partitioned row number
+    * minus per-user offsets ([[StatOps.globalRowNumber]] — never a
+    * per-user window, whose partitions inherit the heaviest user's
+    * skew). `relevant` holds (user, item) ground-truth pairs; rows are
+    * de-duplicated defensively.
+    *
+    * Exactness: DCG sums the irrational discounts `1/log2(rank+1)` in
+    * ascending-rank left-fold order over a sorted collected array (≤ k
+    * elements), IDCG is a literal prefix-table lookup at min(n_rel, k),
+    * and every ratio is one IEEE division — the oracle replays all of
+    * it with the same embedded constants via `list_reduce`.
+    *
+    * @return one row per ranked user: (`userCol`, `n_rel`, `hits`,
+    *         `first_hit` rank of the first relevant in top-k or null,
+    *         `rr`, `dcg`, `idcg`, `ndcg`, `precision_k`, `recall_k` —
+    *         the NDCG family is null for users with no relevant items)
+    */
+  def rankingMetrics(
+      ranked: DataFrame, userCol: String, itemCol: String, scoreCol: String,
+      relevant: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val dArr = array(ndcgDiscounts(k).map(lit): _*)
+    val pArr = array(ndcgIdealPrefix(k).map(lit): _*)
+    val withRow = StatOps.globalRowNumber(
+      ranked.select(col(userCol), col(itemCol), col(scoreCol)),
+      Seq(col(userCol), col(scoreCol).desc, col(itemCol)), "_i")
+    val offs = withRow.groupBy(col(userCol)).agg(min("_i").as("_o"))
+    val rk = withRow.join(offs, Seq(userCol))
+      .withColumn("_rnk", col("_i") - col("_o") + 1L)
+    val rel = relevant.select(col(userCol), col(itemCol)).distinct()
+    val nRel = rel.groupBy(col(userCol)).agg(count(lit(1)).as("n_rel"))
+    val j = rk.join(rel.withColumn("_rel", lit(1)), Seq(userCol, itemCol),
+        "left")
+      .na.fill(0, Seq("_rel"))
+    j.groupBy(col(userCol))
+      .agg(
+        sum(when(col("_rel") === 1 && col("_rnk") <= k, 1L).otherwise(0L))
+          .as("hits"),
+        min(when(col("_rel") === 1 && col("_rnk") <= k, col("_rnk")))
+          .as("first_hit"),
+        aggregate(
+          sort_array(collect_list(
+            when(col("_rel") === 1 && col("_rnk") <= k, col("_rnk")))),
+          lit(0.0),
+          (acc, r) => acc + element_at(dArr, r.cast("int"))).as("dcg"))
+      .join(nRel, Seq(userCol), "left")
+      .na.fill(0L, Seq("n_rel"))
+      .withColumn("rr",
+        coalesce(lit(1.0) / col("first_hit").cast(DoubleType), lit(0.0)))
+      .withColumn("idcg",
+        when(col("n_rel") >= 1L,
+          element_at(pArr, least(col("n_rel"), lit(k.toLong)).cast("int"))))
+      .withColumn("ndcg", col("dcg") / col("idcg"))
+      .withColumn("precision_k",
+        col("hits").cast(DoubleType) / lit(k.toDouble))
+      .withColumn("recall_k",
+        when(col("n_rel") >= 1L,
+          col("hits").cast(DoubleType) / col("n_rel").cast(DoubleType)))
+      .select(col(userCol), col("n_rel"), col("hits"), col("first_hit"),
+        col("rr"), col("dcg"), col("idcg"), col("ndcg"),
+        col("precision_k"), col("recall_k"))
+  }
+
+  /** Corpus-level rollup of [[rankingMetrics]]: evaluated users (those
+    * with ≥ 1 relevant item), MRR, mean NDCG@k, and hit rate@k. The two
+    * float means are ordered folds over users sorted by id (float
+    * addition is order-sensitive; the oracle replays the same order),
+    * divided once. */
+  def rankingSummary(perUser: DataFrame, userCol: String): DataFrame = {
+    val qual = perUser.filter(col("n_rel") >= 1L)
+    qual.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("hits") >= 1L, 1L).otherwise(0L)).as("n_hit"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col(userCol), col("rr")))),
+            x => x.getField("rr")),
+          lit(0.0), (acc, x) => acc + x).as("_rr_sum"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col(userCol), col("ndcg")))),
+            x => x.getField("ndcg")),
+          lit(0.0), (acc, x) => acc + x).as("_ndcg_sum"))
+      .select(col("n_users"), col("n_hit"),
+        (col("_rr_sum") / col("n_users").cast(DoubleType)).as("mrr"),
+        (col("_ndcg_sum") / col("n_users").cast(DoubleType)).as("mean_ndcg"),
+        (col("n_hit").cast(DoubleType) / col("n_users").cast(DoubleType))
+          .as("hit_rate"))
+  }
+
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("boolean")
+    val b = col(bCol).cast("boolean")
+    df.agg(
+        sum(when(a && b, 1L).otherwise(0L)).as("n11"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("n10"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n01"),
+        sum(when(!a && !b, 1L).otherwise(0L)).as("n00"))
+      .withColumn("n",
+        col("n11") + col("n10") + col("n01") + col("n00"))
+      .withColumn("po",
+        (col("n11") + col("n00")).cast(DoubleType) /
+          col("n").cast(DoubleType))
+      .withColumn("pe",
+        ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+          (col("n01") + col("n00")) * (col("n10") + col("n00")))
+          .cast(DoubleType) / (col("n") * col("n")).cast(DoubleType))
+      .withColumn("kappa",
+        when(col("pe") < 1.0,
+          (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+  }
 }

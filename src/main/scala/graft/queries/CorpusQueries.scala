@@ -953,6 +953,35 @@ object CorpusQueries {
              |FROM customer
              |GROUP BY c_nationkey, c_mktsegment
              |ORDER BY c_nationkey, c_mktsegment""".stripMargin),
-      "k-anonymity audit: QI group sizes, l-diversity distinct counts, k flag")
+      "k-anonymity audit: QI group sizes, l-diversity distinct counts, k flag"),
+
+    // Temperature-scaled mixture weights
+    // ([[CorpusOps.temperatureMixWeights]]) at τ = ½: w ∝ √n upsamples
+    // small sources relative to natural share — the multilingual
+    // sampling rule. √ is the IEEE-correctly-rounded power, and the
+    // Σ√n denominator is an ordered fold over sources sorted by name,
+    // so DuckDB replays every double bit-identically.
+    Q(
+      "corpus_temperature_mix",
+      (s, d) =>
+        CorpusOps
+          .temperatureMixWeights(T(s, d, "documents"), "source",
+            budgetDocs = 1000L)
+          .orderBy("source"),
+      Some("""WITH per AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY source),
+             |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_tot,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source)),
+             |      (acc, x) -> acc + x) AS denom
+             |  FROM per)
+             |SELECT source, n_docs,
+             |  CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE) AS nat_share,
+             |  sqrt(CAST(n_docs AS DOUBLE)) / denom AS weight,
+             |  sqrt(CAST(n_docs AS DOUBLE)) / denom * 1000.0
+             |    AS expected_docs
+             |FROM per, tot ORDER BY source""".stripMargin),
+      "temperature mixture weights (tau=1/2): sqrt-scaled source shares, ordered-fold denominator")
   )
 }

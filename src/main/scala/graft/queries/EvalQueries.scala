@@ -51,6 +51,88 @@ object EvalQueries {
       |                FROM documents)))
       |  GROUP BY doc_id)""".stripMargin
 
+  /** Per-user ranking-eval frame, STAGED per corpus snapshot — the
+    * per-user gate reads it directly and the summary gate rolls it up,
+    * so the slate build + global rank run once. Scenario: a
+    * "most-frequent next action" recommender — each user ranks the
+    * full event-type catalog by training-split interaction count
+    * (event_id % 16 != 0), judged against the held-out split
+    * (% 16 == 0). The users × catalog slate is a |catalog|-row
+    * broadcast cross (declared). */
+  private val rankCache =
+    new graft.ops.BoundedDfCache[(SparkSession, String)](maxEntries = 8)
+
+  private def rankPerUser(s: SparkSession, d: String): DataFrame =
+    rankCache.getOrElseUpdate((s, d)) {
+      val ev = T(s, d, "events").select("event_id", "user_id", "event_type")
+      val train = ev.filter(col("event_id") % 16 =!= 0)
+      val cat = ev.select("event_type").distinct()
+      val usr = ev.select("user_id").distinct()
+      val cnt = train.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+      val slate = usr.crossJoin(broadcast(cat))
+        .join(cnt, Seq("user_id", "event_type"), "left")
+        .na.fill(0L, Seq("cnt"))
+      val relevant = ev.filter(col("event_id") % 16 === 0)
+        .select("user_id", "event_type")
+      EvalOps.rankingMetrics(slate, "user_id", "event_type", "cnt",
+          relevant, k = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  // The NDCG constants both sides share ([[EvalOps.ndcgDiscounts]]):
+  // embedded into the oracle SQL as shortest-round-trip literals, so
+  // DuckDB parses bit-identical doubles instead of trusting its libm.
+  private val Array(rd1, rd2, rd3) = EvalOps.ndcgDiscounts(3)
+  private val Array(rp1, rp2, rp3) = EvalOps.ndcgIdealPrefix(3)
+
+  /** The ranking-scenario replay: slate → window rank → per-user
+    * confusion + ordered-fold DCG — shared by both ranking gates. */
+  private val rankCte =
+    s"""ev AS (SELECT event_id, user_id, event_type FROM events),
+       |tr AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM ev WHERE event_id % 16 != 0 GROUP BY 1, 2),
+       |slate AS (SELECT u.user_id, c.event_type, coalesce(t.cnt, 0) AS cnt
+       |  FROM (SELECT DISTINCT user_id FROM ev) u
+       |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) c
+       |  LEFT JOIN tr t
+       |    ON t.user_id = u.user_id AND t.event_type = c.event_type),
+       |rk AS (SELECT user_id, event_type, cnt,
+       |    CAST(row_number() OVER (PARTITION BY user_id
+       |      ORDER BY cnt DESC, event_type) AS BIGINT) AS rnk
+       |  FROM slate),
+       |rel AS (SELECT DISTINCT user_id, event_type FROM ev
+       |        WHERE event_id % 16 = 0),
+       |nr AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rel
+       |       FROM rel GROUP BY 1),
+       |j AS (SELECT rk.user_id, rk.rnk, (r.user_id IS NOT NULL) AS is_rel
+       |  FROM rk LEFT JOIN rel r
+       |    ON r.user_id = rk.user_id AND r.event_type = rk.event_type),
+       |per AS (SELECT user_id,
+       |    CAST(sum(CASE WHEN is_rel AND rnk <= 3 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits,
+       |    min(CASE WHEN is_rel AND rnk <= 3 THEN rnk END) AS first_hit,
+       |    coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list(CASE rnk WHEN 1 THEN CAST($rd1 AS DOUBLE)
+       |                      WHEN 2 THEN CAST($rd2 AS DOUBLE)
+       |                      WHEN 3 THEN CAST($rd3 AS DOUBLE) END
+       |             ORDER BY rnk)
+       |          FILTER (WHERE is_rel AND rnk <= 3)),
+       |      (acc, x) -> acc + x), CAST(0.0 AS DOUBLE)) AS dcg
+       |  FROM j GROUP BY user_id),
+       |pu AS (SELECT per.user_id, coalesce(nr.n_rel, 0) AS n_rel,
+       |    hits, first_hit,
+       |    coalesce(CAST(1.0 AS DOUBLE) / CAST(first_hit AS DOUBLE),
+       |      CAST(0.0 AS DOUBLE)) AS rr,
+       |    dcg,
+       |    CASE WHEN coalesce(nr.n_rel, 0) >= 1 THEN
+       |      CASE least(coalesce(nr.n_rel, 0), 3)
+       |        WHEN 1 THEN CAST($rp1 AS DOUBLE)
+       |        WHEN 2 THEN CAST($rp2 AS DOUBLE)
+       |        WHEN 3 THEN CAST($rp3 AS DOUBLE) END
+       |    END AS idcg
+       |  FROM per LEFT JOIN nr ON nr.user_id = per.user_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
     // Exact ROC AUC ([[EvalOps.aucExact]]): tie-averaged Mann-Whitney U
     // of the positive class over n_pos*n_neg, doubled rank sums so ties
@@ -193,6 +275,88 @@ object EvalQueries {
               |    count(*) AS pos_rate,
               |  CAST(sum(score) AS DOUBLE) / count(*) AS mean_score
               |FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
-      "calibration bins: positive rate vs mean score per fixed-width score bin")
+      "calibration bins: positive rate vs mean score per fixed-width score bin"),
+
+    // Inter-rater agreement ([[EvalOps.cohensKappa]]): the thresholded
+    // classifier (score >= 0) judged against the "is English" rule as a
+    // second rater. Chance-corrected — the statistic that says whether
+    // the learned filter ADDS anything over base rates, where raw
+    // agreement percentage flatters any pair of permissive filters.
+    Q(
+      "eval_cohens_kappa",
+      (s, d) =>
+        EvalOps.cohensKappa(
+            scored(s, d).select((col("score") >= 0L).as("pred_en"),
+              col("is_en")),
+            "pred_en", "is_en")
+          .orderBy("n11"),
+      Some(s"""WITH $scoredCte,
+              |c AS (SELECT
+              |    CAST(sum(CASE WHEN score >= 0 AND pos THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n11,
+              |    CAST(sum(CASE WHEN score >= 0 AND NOT pos THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n10,
+              |    CAST(sum(CASE WHEN score < 0 AND pos THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n01,
+              |    CAST(sum(CASE WHEN score < 0 AND NOT pos THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n00
+              |  FROM s),
+              |k AS (SELECT n11, n10, n01, n00,
+              |    n11 + n10 + n01 + n00 AS n,
+              |    CAST(n11 + n00 AS DOUBLE) /
+              |      CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS po,
+              |    CAST((n11 + n10) * (n11 + n01) +
+              |         (n01 + n00) * (n10 + n00) AS DOUBLE) /
+              |      CAST((n11 + n10 + n01 + n00) *
+              |           (n11 + n10 + n01 + n00) AS DOUBLE) AS pe
+              |  FROM c)
+              |SELECT n11, n10, n01, n00, n, po, pe,
+              |  CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END AS kappa
+              |FROM k ORDER BY n11""".stripMargin),
+      "Cohen's kappa: chance-corrected agreement of thresholded filter vs rule rater"),
+
+    // Per-user ranking battery ([[EvalOps.rankingMetrics]]): hits@3,
+    // RR@3, DCG/IDCG/NDCG@3, precision and recall — the frequency
+    // recommender judged against the held-out interaction split. DCG's
+    // irrational discounts fold in ascending-rank order with literals
+    // both sides share; IDCG is a prefix-table lookup.
+    Q(
+      "eval_rank_per_user",
+      (s, d) => rankPerUser(s, d).orderBy("user_id"),
+      Some(s"""WITH $rankCte
+              |SELECT user_id, n_rel, hits, first_hit, rr, dcg, idcg,
+              |  dcg / idcg AS ndcg,
+              |  CAST(hits AS DOUBLE) / CAST(3.0 AS DOUBLE) AS precision_k,
+              |  CASE WHEN n_rel >= 1
+              |    THEN CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE)
+              |  END AS recall_k
+              |FROM pu ORDER BY user_id""".stripMargin),
+      "per-user ranking eval: hits/RR/NDCG@3 vs held-out interactions, ordered-fold DCG"),
+
+    // Corpus-level ranking rollup ([[EvalOps.rankingSummary]]): MRR,
+    // mean NDCG@3 and hit rate over evaluated users — the one-line
+    // scorecard a ranker ships or doesn't ship on. Float means are
+    // user-id-ordered folds divided once.
+    Q(
+      "eval_rank_summary",
+      (s, d) =>
+        EvalOps.rankingSummary(rankPerUser(s, d), "user_id")
+          .orderBy("n_users"),
+      Some(s"""WITH $rankCte,
+              |q AS (SELECT user_id, hits, rr, dcg / idcg AS ndcg
+              |      FROM pu WHERE n_rel >= 1)
+              |SELECT CAST(count(*) AS BIGINT) AS n_users,
+              |  CAST(sum(CASE WHEN hits >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_hit,
+              |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              |      list(rr ORDER BY user_id)), (acc, x) -> acc + x) /
+              |    CAST(count(*) AS DOUBLE) AS mrr,
+              |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              |      list(ndcg ORDER BY user_id)), (acc, x) -> acc + x) /
+              |    CAST(count(*) AS DOUBLE) AS mean_ndcg,
+              |  CAST(sum(CASE WHEN hits >= 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+              |    CAST(count(*) AS DOUBLE) AS hit_rate
+              |FROM q ORDER BY n_users""".stripMargin),
+      "ranking scorecard: MRR, mean NDCG@3, hit rate over evaluated users")
   )
 }

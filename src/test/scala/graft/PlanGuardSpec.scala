@@ -54,7 +54,11 @@ class PlanGuardSpec extends AnyFunSuite {
       // 1-row n_pos-total broadcast onto the distinct-score PR frame
       "eval_pr_curve",
       // 1-row count broadcast onto the ranked frame
-      "layout_range_boundaries")
+      "layout_range_boundaries",
+      // 1-row (n_tot, denom) totals broadcast onto the |sources| frame
+      "corpus_temperature_mix",
+      // |catalog|-row (5 event types) broadcast slate cross per user
+      "eval_rank_per_user", "eval_rank_summary")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

@@ -586,4 +586,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.getLong(1) ==
       graft.expr.Hash64.hashBytes(Array.emptyByteArray, 0L))
   }
+
+  test("temperatureMixWeights: tau=1/2 upsamples the small source, weights sum to 1") {
+    // sources: a×16, b×4 → sqrt 4 and 2, weights 2/3 and 1/3
+    val df = (Seq.fill(16)("a") ++ Seq.fill(4)("b")).toDF("source")
+    val got = CorpusOps.temperatureMixWeights(df, "source", budgetDocs = 300L)
+      .orderBy("source")
+      .select("source", "n_docs", "nat_share", "weight", "expected_docs")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 16L, 0.8, 2.0 / 3.0, 200.0),
+      ("b", 4L, 0.2, (1.0 / 3.0) * 1.0, 100.0)))
+    // tau < 1 moved b's share 0.2 → 1/3 (upsampled), a's 0.8 → 2/3
+  }
+
+  test("temperatureMixWeights: tau=1 reduces to natural proportions") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b")).toDF("source")
+    val got = CorpusOps
+      .temperatureMixWeights(df, "source", budgetDocs = 8L, tau = 1.0)
+      .orderBy("source").select("weight").as[Double].collect().toSeq
+    assert(got == Seq(0.75, 0.25))
+  }
 }

@@ -90,4 +90,25 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(EvalOps.calibrationBins(neg, "y", "score", 4L)
       .select("bin").as[Long].head() == -2L)
   }
+
+  test("cohensKappa: hand case matches the textbook arithmetic") {
+    // n11=20, n10=5, n01=10, n00=15, n=50
+    // po = 35/50 = 0.7; pe = (25*30 + 25*20)/2500 = 0.5; kappa = 0.4
+    val df = (Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
+        Seq.fill(10)((false, true)) ++ Seq.fill(15)((false, false)))
+      .toDF("a", "b")
+    val r = EvalOps.cohensKappa(df, "a", "b").collect().head
+    assert((r.getAs[Long]("n11"), r.getAs[Long]("n10"),
+      r.getAs[Long]("n01"), r.getAs[Long]("n00")) == (20L, 5L, 10L, 15L))
+    assert(r.getAs[Double]("po") == 0.7)
+    assert(r.getAs[Double]("pe") == 0.5)
+    assert(math.abs(r.getAs[Double]("kappa") - 0.4) < 1e-15)
+  }
+
+  test("cohensKappa: unanimous single-cell table yields null kappa (pe = 1)") {
+    val df = Seq.fill(4)((true, true)).toDF("a", "b")
+    val r = EvalOps.cohensKappa(df, "a", "b").collect().head
+    assert(r.getAs[Double]("po") == 1.0 && r.getAs[Double]("pe") == 1.0)
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+  }
 }
