@@ -105,6 +105,62 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("kappa") - 0.4) < 1e-15)
   }
 
+  test("rankingMetrics: hand case — hits, RR, ordered-fold DCG, prefix IDCG") {
+    val d2 = EvalOps.ndcgDiscounts(3)(1)
+    val p2 = EvalOps.ndcgIdealPrefix(3)(1)
+    val slate = Seq(
+      (1L, "a", 5L), (1L, "b", 4L), (1L, "c", 3L), (1L, "d", 2L),
+      (2L, "a", 7L), (2L, "b", 7L), (2L, "c", 7L), (2L, "d", 7L),
+      (3L, "a", 1L), (3L, "b", 0L), (3L, "c", 0L), (3L, "d", 0L))
+      .toDF("u", "item", "score")
+    val rel = Seq((1L, "b"), (1L, "d"), (2L, "a")).toDF("u", "item")
+    val got = EvalOps.rankingMetrics(slate, "u", "item", "score", rel, k = 3)
+      .orderBy("u").collect()
+    // user 1: ranks a1 b2 c3 d4; relevant {b, d} → hit b at rank 2
+    val r1 = got(0)
+    assert((r1.getAs[Long]("n_rel"), r1.getAs[Long]("hits"),
+      r1.getAs[Long]("first_hit")) == (2L, 1L, 2L))
+    assert(r1.getAs[Double]("rr") == 0.5)
+    assert(r1.getAs[Double]("dcg") == 0.0 + d2) // fold order: 0 + d2
+    assert(r1.getAs[Double]("idcg") == p2)
+    assert(r1.getAs[Double]("ndcg") == (0.0 + d2) / p2)
+    assert(r1.getAs[Double]("recall_k") == 0.5)
+    // user 2: all-tied scores rank by item name: a first → perfect RR/NDCG
+    val r2 = got(1)
+    assert(r2.getAs[Double]("rr") == 1.0 && r2.getAs[Double]("ndcg") == 1.0)
+    assert(r2.getAs[Double]("precision_k") == 1.0 / 3.0)
+    // user 3: nothing relevant → zero hits, null NDCG family
+    val r3 = got(2)
+    assert((r3.getAs[Long]("n_rel"), r3.getAs[Long]("hits")) == (0L, 0L))
+    assert(r3.getAs[Double]("rr") == 0.0 && r3.getAs[Double]("dcg") == 0.0)
+    assert(r3.isNullAt(r3.fieldIndex("idcg")) &&
+      r3.isNullAt(r3.fieldIndex("ndcg")))
+  }
+
+  test("rankingSummary: rolls up qualified users only, ordered-fold means") {
+    val d2 = EvalOps.ndcgDiscounts(3)(1)
+    val p2 = EvalOps.ndcgIdealPrefix(3)(1)
+    val slate = Seq(
+      (1L, "a", 5L), (1L, "b", 4L), (1L, "c", 3L), (1L, "d", 2L),
+      (2L, "a", 7L), (2L, "b", 7L), (2L, "c", 7L), (2L, "d", 7L),
+      (3L, "a", 1L), (3L, "b", 0L), (3L, "c", 0L), (3L, "d", 0L))
+      .toDF("u", "item", "score")
+    val rel = Seq((1L, "b"), (1L, "d"), (2L, "a")).toDF("u", "item")
+    val per = EvalOps.rankingMetrics(slate, "u", "item", "score", rel, k = 3)
+    val r = EvalOps.rankingSummary(per, "u").collect().head
+    assert(r.getAs[Long]("n_users") == 2L && r.getAs[Long]("n_hit") == 2L)
+    assert(r.getAs[Double]("mrr") == (0.0 + 0.5 + 1.0) / 2.0)
+    assert(r.getAs[Double]("mean_ndcg") == (0.0 + d2 / p2 + 1.0) / 2.0)
+    assert(r.getAs[Double]("hit_rate") == 1.0)
+  }
+
+  test("ndcg constants: d1 = 1, d3 = 1/2 exactly; prefix = left-fold sums") {
+    val d = EvalOps.ndcgDiscounts(3)
+    assert(d(0) == 1.0 && d(2) == 0.5) // log2(4) is exact in doubles
+    val p = EvalOps.ndcgIdealPrefix(3)
+    assert(p(0) == 1.0 && p(1) == 1.0 + d(1) && p(2) == 1.0 + d(1) + 0.5)
+  }
+
   test("cohensKappa: unanimous single-cell table yields null kappa (pe = 1)") {
     val df = Seq.fill(4)((true, true)).toDF("a", "b")
     val r = EvalOps.cohensKappa(df, "a", "b").collect().head
