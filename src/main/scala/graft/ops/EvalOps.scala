@@ -174,6 +174,57 @@ object EvalOps {
         col("score_sum").cast(DoubleType) / col("n").cast(DoubleType))
   }
 
+  /** Expected calibration error of the PERCENTILE-calibrated score:
+    * predicted probability = global percent-rank of the raw score (the
+    * monotone calibration that needs no held-out fit), binned into
+    * `bins` equal-width probability bins; per bin the positive rate
+    * (`acc`) is compared with the mean predicted probability (`conf`),
+    * and ECE = Σ_b (n_b/N)·|acc_b − conf_b|.
+    *
+    * Exactness: percent-rank is the exact rational (rank−1)/(N−1)
+    * ([[groupPercentRank]], window-free); `conf_b` is kept rational as
+    * Σ(rank−1) / (n_b·(N−1)) — ONE division of exact integers, not a
+    * float mean; the final ECE folds the ≤`bins` per-bin terms in
+    * ascending-bin order. Requires N ≥ 2 rows.
+    *
+    * @return one row: (`n_bins` occupied bins, `n` rows, `ece`)
+    */
+  def expectedCalibrationError(
+      df: DataFrame, labelCol: String, scoreCol: String, idCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val pr = groupPercentRank(
+      df.select(col(idCol), col(scoreCol), col(labelCol).cast("boolean")
+          .as("_y"), lit(1).as("_g")),
+      "_g", scoreCol, idCol)
+    val per = pr
+      .withColumn("_bin",
+        least(floor(col("pct_rank") * lit(bins.toDouble)),
+          lit((bins - 1).toLong)).cast("long"))
+      .groupBy("_bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("rank_min") - 1L).as("_r_sum"),
+        max("group_n").as("_n_tot"))
+      .withColumn("acc",
+        col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
+      .withColumn("conf",
+        col("_r_sum").cast(DoubleType) /
+          (col("n") * (col("_n_tot") - 1L)).cast(DoubleType))
+      .withColumn("_term",
+        col("n").cast(DoubleType) / col("_n_tot").cast(DoubleType) *
+          abs(col("acc") - col("conf")))
+    per.agg(
+        count(lit(1)).as("n_bins"),
+        max("_n_tot").as("n"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("_bin"), col("_term")))),
+            x => x.getField("_term")),
+          lit(0.0), (acc, x) => acc + x).as("ece"))
+  }
+
   /** Cohen's kappa between two binary raters — chance-corrected
     * agreement `κ = (p_o − p_e)/(1 − p_e)`, the standard sanity check
     * before trusting "two filters agree" (two filters that both pass

@@ -315,6 +315,48 @@ object EvalQueries {
               |FROM k ORDER BY n11""".stripMargin),
       "Cohen's kappa: chance-corrected agreement of thresholded filter vs rule rater"),
 
+    // Expected calibration error ([[EvalOps.expectedCalibrationError]])
+    // of the percentile-calibrated classifier score: per-probability-bin
+    // |positive rate − mean predicted probability|, weighted by bin
+    // mass and folded in bin order. conf stays an exact integer
+    // rational until its one division, so the oracle replays it.
+    Q(
+      "eval_ece",
+      (s, d) =>
+        EvalOps.expectedCalibrationError(scored(s, d), "is_en", "score",
+            "doc_id", bins = 10)
+          .orderBy("n_bins"),
+      Some(s"""WITH $scoredCte,
+              |g AS (SELECT doc_id, pos,
+              |    CAST(RANK() OVER (ORDER BY score) AS BIGINT) AS rank_min,
+              |    CAST(count(*) OVER () AS BIGINT) AS n_tot
+              |  FROM s),
+              |p AS (SELECT pos, rank_min, n_tot,
+              |    CAST(rank_min - 1 AS DOUBLE) /
+              |      CAST(n_tot - 1 AS DOUBLE) AS pct
+              |  FROM g),
+              |b AS (SELECT
+              |    least(CAST(floor(pct * 10.0) AS BIGINT), 9) AS bin,
+              |    CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_pos,
+              |    CAST(sum(rank_min - 1) AS BIGINT) AS r_sum,
+              |    any_value(n_tot) AS n_tot
+              |  FROM p GROUP BY 1),
+              |t AS (SELECT bin, n, n_tot,
+              |    CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+              |    CAST(r_sum AS DOUBLE) /
+              |      CAST(n * (n_tot - 1) AS DOUBLE) AS conf
+              |  FROM b)
+              |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+              |  any_value(n_tot) AS n,
+              |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              |      list(CAST(n AS DOUBLE) / CAST(n_tot AS DOUBLE) *
+              |           abs(acc - conf) ORDER BY bin)),
+              |    (acc2, x) -> acc2 + x) AS ece
+              |FROM t ORDER BY n_bins""".stripMargin),
+      "expected calibration error: percentile-calibrated bins, ordered-fold ECE"),
+
     // Per-user ranking battery ([[EvalOps.rankingMetrics]]): hits@3,
     // RR@3, DCG/IDCG/NDCG@3, precision and recall — the frequency
     // recommender judged against the held-out interaction split. DCG's

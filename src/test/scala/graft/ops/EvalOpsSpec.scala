@@ -105,6 +105,19 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("kappa") - 0.4) < 1e-15)
   }
 
+  test("expectedCalibrationError: hand case — exact rational conf per bin") {
+    // scores 1..5, positives = top-2 scores; pct = (rank-1)/4
+    val df = Seq((1L, false, 1L), (2L, false, 2L), (3L, false, 3L),
+      (4L, true, 4L), (5L, true, 5L)).toDF("id", "y", "score")
+    val r = EvalOps
+      .expectedCalibrationError(df, "y", "score", "id", bins = 2)
+      .collect().head
+    assert(r.getAs[Long]("n_bins") == 2L && r.getAs[Long]("n") == 5L)
+    // bin0 {r1,r2}: acc 0, conf 1/8, term 2/5*1/8 = 0.05
+    // bin1 {r3,r4,r5}: acc 2/3, conf 9/12, term 3/5*|2/3-3/4| ≈ 0.05
+    assert(math.abs(r.getAs[Double]("ece") - 0.1) < 1e-9)
+  }
+
   test("rankingMetrics: hand case — hits, RR, ordered-fold DCG, prefix IDCG") {
     val d2 = EvalOps.ndcgDiscounts(3)(1)
     val p2 = EvalOps.ndcgIdealPrefix(3)(1)
