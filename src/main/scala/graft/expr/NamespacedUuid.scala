@@ -155,7 +155,8 @@ object GraftFunctions {
     * `lexicon_votes(array<string>, array<array<string>>)`,
     * `lexicon_best(array<string>, array<array<string>>, array<string>)`,
     * `bpe_apply(str, array<array<string>>)` (each inner array =
-    * [pair, merged] in table order), `nfc_normalize(str)`.
+    * [pair, merged] in table order), `nfc_normalize(str)`,
+    * `damerau_levenshtein(str, str)`.
     * Config-like arguments (namespace, k/w, lexicons, labels) must be
     * literals — they parameterize the expression instance itself. */
   val descriptions: Seq[(String, Seq[Expression] => Expression)] = {
@@ -211,6 +212,10 @@ object GraftFunctions {
       "nfc_normalize" -> { exprs =>
         require(exprs.length == 1, "nfc_normalize(text)")
         NfcNormalize(exprs.head)
+      },
+      "damerau_levenshtein" -> { exprs =>
+        require(exprs.length == 2, "damerau_levenshtein(a, b)")
+        DamerauLevenshtein(exprs(0), exprs(1))
       })
   }
 

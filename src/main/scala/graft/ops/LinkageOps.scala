@@ -110,4 +110,32 @@ object LinkageOps {
       acc.join(m, Seq("entity_id"))
     }
   }
+
+  /** Blocked pair scoring with unrestricted Damerau-Levenshtein
+    * ([[graft.expr.DamerauLevenshtein]]): candidate pairs are the
+    * equi-join of `df` with itself on `blockKey` (id-ordered to halve),
+    * each scored with the transposition-aware edit distance and kept
+    * under `maxDist`. Same discipline as [[blockedFuzzyPairs]]: pair
+    * count is Σ_block n_b², bounded by the blocking key's selectivity —
+    * never all-pairs — and the O(|a|·|b|) scorer runs ONLY inside
+    * blocks. Choose a key whose block size stays O(1) as the table
+    * grows (entity attribute + a positional key fragment, as the gate
+    * does), and the whole stage scales linearly at 100 TB.
+    *
+    * @return (`a`, `b`, `a_name`, `b_name`, `dist`) with a < b
+    */
+  def blockedDamerauPairs(
+      df: DataFrame, idCol: String, nameCol: String, blockKey: Column,
+      maxDist: Int): DataFrame = {
+    val l = df.select(col(idCol).as("a"), col(nameCol).as("a_name"),
+      blockKey.as("_bk"))
+    val r = df.select(col(idCol).as("b"), col(nameCol).as("b_name"),
+      blockKey.as("_bk"))
+    l.join(r, Seq("_bk"))
+      .filter(col("a") < col("b"))
+      .withColumn("dist",
+        graft.expr.DamerauLevenshtein.dist(col("a_name"), col("b_name")))
+      .filter(col("dist") <= maxDist)
+      .select("a", "b", "a_name", "b_name", "dist")
+  }
 }

@@ -175,6 +175,33 @@ object LinkageQueries {
              |  mname.c_name, mseg.c_mktsegment
              |FROM head h JOIN mname USING (entity_id) JOIN mseg USING (entity_id)
              |ORDER BY entity_id""".stripMargin),
-      "survivorship golden records: per-entity mode/max/count rules after resolution")
+      "survivorship golden records: per-entity mode/max/count rules after resolution"),
+
+    // Transposition-aware pair scoring ([[LinkageOps.blockedDamerauPairs]]
+    // over the native [[graft.expr.DamerauLevenshtein]] expression):
+    // customers blocked on (nation, last-2-digits), every in-block pair
+    // scored with UNRESTRICTED Damerau-Levenshtein and kept under
+    // distance 4. DuckDB implements the same unrestricted variant
+    // natively, so the oracle is a fully independent second
+    // implementation — the strongest kind of gate the suite has.
+    Q(
+      "linkage_damerau_pairs",
+      (s, d) =>
+        LinkageOps
+          .blockedDamerauPairs(T(s, d, "customer"), "c_custkey", "c_name",
+            struct(col("c_nationkey"), substring(col("c_name"), 17, 2)),
+            maxDist = 4)
+          .orderBy("a", "b"),
+      Some("""SELECT l.c_custkey AS a, r.c_custkey AS b,
+             |  l.c_name AS a_name, r.c_name AS b_name,
+             |  CAST(damerau_levenshtein(l.c_name, r.c_name) AS INTEGER)
+             |    AS dist
+             |FROM customer l JOIN customer r
+             |  ON l.c_nationkey = r.c_nationkey
+             | AND substr(l.c_name, 17, 2) = substr(r.c_name, 17, 2)
+             | AND l.c_custkey < r.c_custkey
+             |WHERE damerau_levenshtein(l.c_name, r.c_name) <= 4
+             |ORDER BY a, b""".stripMargin),
+      "blocked Damerau-Levenshtein pairs: transposition-aware edit distance, independent oracle")
   )
 }

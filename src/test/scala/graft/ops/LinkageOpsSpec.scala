@@ -44,4 +44,39 @@ class LinkageOpsSpec extends AnyFunSuite {
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(cut == Set((1L, 2L), (3L, 4L)))
   }
+
+  test("damerauLevenshtein: unrestricted variant on the textbook cases") {
+    import graft.expr.DamerauLevenshtein.compute
+    def dl(a: String, b: String) =
+      compute(org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    assert(dl("", "") == 0 && dl("", "abc") == 3 && dl("abc", "") == 3)
+    assert(dl("kitten", "sitting") == 3) // pure Levenshtein agrees
+    assert(dl("recieve", "receive") == 1) // one adjacent swap, not 2
+    // the OSA-vs-unrestricted distinguisher: CA -> AC -> ABC
+    assert(dl("CA", "ABC") == 2, "OSA would say 3; DuckDB says 2")
+    assert(dl("a cat", "an act") == 2)
+    assert(dl("abcdef", "abcdef") == 0)
+    // symmetry (DL is a metric, unlike OSA)
+    assert(dl("ABC", "CA") == 2 && dl("banana", "ananas") ==
+      dl("ananas", "banana"))
+  }
+
+  test("blockedDamerauPairs: in-block pairs only, strict cutoff, a < b") {
+    val df = Seq(
+      (1L, "anna smith", "x"), (2L, "anna smiht", "x"), // swap: dist 1
+      (3L, "bob jones", "x"), (4L, "completely other", "y"))
+      .toDF("id", "name", "blk")
+    val got = LinkageOps
+      .blockedDamerauPairs(df, "id", "name", col("blk"), maxDist = 2)
+      .as[(Long, Long, String, String, Int)].collect().toSeq
+    assert(got == Seq((1L, 2L, "anna smith", "anna smiht", 1)))
+  }
+
+  test("damerau_levenshtein SQL surface matches the expression") {
+    val r = spark.sql(
+      "SELECT damerau_levenshtein('CA', 'ABC') AS d1, " +
+        "damerau_levenshtein('recieve', 'receive') AS d2").collect().head
+    assert(r.getInt(0) == 2 && r.getInt(1) == 1)
+  }
 }
