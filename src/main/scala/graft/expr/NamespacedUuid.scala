@@ -216,6 +216,10 @@ object GraftFunctions {
       "damerau_levenshtein" -> { exprs =>
         require(exprs.length == 2, "damerau_levenshtein(a, b)")
         DamerauLevenshtein(exprs(0), exprs(1))
+      },
+      "hilbert_index" -> { exprs =>
+        require(exprs.length == 3, "hilbert_index(x, y, bits)")
+        HilbertIndex(exprs(0), exprs(1), litInt(exprs, 2, default = 16))
       })
   }
 

@@ -93,6 +93,38 @@ object LayoutOps {
       sum(col("n_match")).as("n_rows_matching"))
   }
 
+  /** [[zPruneStats]] with the HILBERT curve as the layout key
+    * ([[graft.expr.HilbertIndex]]) — same corpus, same tile count, same
+    * rectangle, so the two gates' summary rows are directly comparable:
+    * the Hilbert curve's no-jump property typically admits fewer
+    * candidate tiles for rectangles that straddle the Z-curve's
+    * diagonal seams. Identical scale shape: a codegen'd projection, one
+    * keyed rollup, one summary row. */
+  def hilbertPruneStats(
+      df: DataFrame, xCol: Column, yCol: Column, bits: Int, tileBits: Int,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
+    require(tileBits >= 0 && tileBits <= 2 * bits,
+      s"tileBits=$tileBits out of range for $bits-bit inputs")
+    val h = graft.expr.HilbertIndex.index(xCol, yCol, bits)
+    val inRect = xCol >= xLo && xCol <= xHi && yCol >= yLo && yCol <= yHi
+    val stats = df
+      .select(xCol.as("x"), yCol.as("y"),
+        shiftright(h, 2 * bits - tileBits).as("tile"),
+        inRect.cast("long").as("m"))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n_rows"), sum(col("m")).as("n_match"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+    val candidate = col("max_x") >= xLo && col("min_x") <= xHi &&
+      col("max_y") >= yLo && col("min_y") <= yHi
+    stats.agg(
+      count(lit(1)).as("n_tiles"),
+      sum(candidate.cast("long")).as("n_candidate_tiles"),
+      sum(col("n_rows")).as("n_rows"),
+      sum(when(candidate, col("n_rows")).otherwise(0L)).as("n_rows_scanned"),
+      sum(col("n_match")).as("n_rows_matching"))
+  }
+
   /** Small-file compaction plan — the other half of lakehouse table
     * maintenance beside Z-order: group input files into target-size
     * rewrite bins (Delta/Iceberg `OPTIMIZE` bin packing). The rule is

@@ -57,6 +57,46 @@ object LayoutQueries {
       },
       "Z-order layout pruning: 2 of 256 tiles admit a 2-D rectangle query"),
 
+    // The Hilbert-curve twin of the gate above — same points, same 256
+    // tiles, same rectangle — so the two single-row summaries compare
+    // the curves' pruning power directly. The oracle replays the
+    // rotate-and-accumulate walk as 8 generated CTE stages of integer
+    // CASE arithmetic ([[graft.expr.HilbertIndex.stagedSql]]).
+    Q(
+      "layout_hilbert_prune",
+      (s, d) =>
+        LayoutOps.hilbertPruneStats(T(s, d, "events"),
+          col("user_id") % 256, col("event_id") % 256,
+          bits = 8, tileBits = 8,
+          xLo = 32, xHi = 47, yLo = 64, yHi = 95),
+      Some {
+        val h = graft.expr.HilbertIndex.stagedSql("pts", 8,
+          carryCols = Seq("x", "y"))
+        s"""WITH pts AS (
+           |  SELECT user_id % 256 AS x, event_id % 256 AS y FROM events),
+           |$h,
+           |t AS (SELECT x, y, d >> 8 AS tile FROM hil),
+           |s AS (SELECT tile, count(*) AS n_rows,
+           |        min(x) AS min_x, max(x) AS max_x,
+           |        min(y) AS min_y, max(y) AS max_y
+           |      FROM t GROUP BY tile),
+           |m AS (SELECT CAST(SUM(CASE WHEN x BETWEEN 32 AND 47
+           |                            AND y BETWEEN 64 AND 95
+           |                           THEN 1 ELSE 0 END) AS BIGINT)
+           |        AS n_rows_matching FROM pts)
+           |SELECT CAST(count(*) AS BIGINT) AS n_tiles,
+           |  CAST(SUM(CASE WHEN max_x >= 32 AND min_x <= 47
+           |                 AND max_y >= 64 AND min_y <= 95
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_candidate_tiles,
+           |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN max_x >= 32 AND min_x <= 47
+           |                 AND max_y >= 64 AND min_y <= 95
+           |                THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_scanned,
+           |  any_value(m.n_rows_matching) AS n_rows_matching
+           |FROM s, m""".stripMargin
+      },
+      "Hilbert layout pruning: the no-jump curve vs Z-order on the same rectangle"),
+
     // Small-file compaction planning ([[LayoutOps.compactionBins]]): the
     // documents manifest (bytes = text length) packed into 4 KiB rewrite
     // bins by the size-descending streaming rule. The assignment is a

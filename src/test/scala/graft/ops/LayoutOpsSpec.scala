@@ -138,4 +138,44 @@ class LayoutOpsSpec extends AnyFunSuite {
       .values.map(_.size)
     assert(sizes.toSeq.sorted == Seq(3, 3, 3, 3))
   }
+
+  test("hilbertIndex: order-1 quadrant walk and the full-grid curve property") {
+    import graft.expr.HilbertIndex.compute
+    // order 1: the U walk (0,0) -> (0,1) -> (1,1) -> (1,0)
+    assert(compute(0, 0, 1) == 0 && compute(0, 1, 1) == 1)
+    assert(compute(1, 1, 1) == 2 && compute(1, 0, 1) == 3)
+    // order 4: d is a bijection onto 0..255 AND consecutive d are grid
+    // neighbors (the no-jump property Z-order lacks)
+    val n = 16
+    val byD = new Array[(Int, Int)](n * n)
+    for (x <- 0 until n; y <- 0 until n) {
+      val d = compute(x, y, 4).toInt
+      assert(byD(d) == null, s"duplicate d=$d")
+      byD(d) = (x, y)
+    }
+    byD.sliding(2).foreach { case Array((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumps from ($x1,$y1) to ($x2,$y2)")
+    }
+    // out-of-range coordinates are masked, not garbage
+    assert(compute(16 + 3, 32 + 5, 4) == compute(3, 5, 4))
+  }
+
+  test("hilbert_index SQL surface and prune stats never miss a match") {
+    val r = spark.sql(
+      "SELECT hilbert_index(1, 1, 1) AS a, hilbert_index(5, 9, 4) AS b")
+      .collect().head
+    assert(r.getLong(0) == 2L &&
+      r.getLong(1) == graft.expr.HilbertIndex.compute(5, 9, 4))
+    import spark.implicits._
+    val pts = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+    val s = LayoutOps.hilbertPruneStats(pts, col("x"), col("y"),
+        bits = 5, tileBits = 4, xLo = 3, xHi = 9, yLo = 17, yHi = 23)
+      .collect().head
+    assert(s.getAs[Long]("n_tiles") == 16L)
+    assert(s.getAs[Long]("n_rows_matching") == 7L * 7L)
+    // stats-pruned scan reads every matching row (no false negatives)
+    assert(s.getAs[Long]("n_rows_scanned") >= s.getAs[Long]("n_rows_matching"))
+  }
 }
