@@ -354,6 +354,60 @@ object StatOps {
       .select(col("n_a"), col("n_b"), col("r2_a"), col("u_a"))
   }
 
+  /** Spearman's rank correlation with ties — Pearson over tie-averaged
+    * midranks, the robust "does y rise with x" statistic that ignores
+    * both columns' scales and outliers. Midranks are carried as DOUBLED
+    * integers (the [[mannWhitneyU]] trick: 2·midrank = 2·min-rank +
+    * tie-count − 1 is always integral — doubling both rank vectors
+    * leaves their correlation unchanged), and the five moments
+    * accumulate in DECIMAL(38,0), so every intermediate is EXACT until
+    * the final `num / (√denx·√deny)` — one cast-to-double each, `sqrt`
+    * is IEEE-correctly-rounded, and the oracle (HUGEINT moments)
+    * replays the double bit-for-bit.
+    *
+    * Plan: two global midranks (range-staged [[globalRowNumber]] + one
+    * tie rollup each, never a single-partition window), one id
+    * equi-join, one scalar aggregate. At 10¹⁰ rows the doubled ranks
+    * reach ~2·10¹⁰ and the largest moment n·Σr² ~ 4n⁴ ~ 10⁴² — past 38
+    * digits — so the implementation guards the documented domain
+    * (n ≤ ~10⁹) rather than silently wrapping.
+    *
+    * @return one row: (`n`, `rho` — null when either column is
+    *         constant, where the statistic is undefined)
+    */
+  def spearmanRho(
+      df: DataFrame, xCol: String, yCol: String, idCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def ranks2(vcol: String, out: String): DataFrame = {
+      val ranked = globalRowNumber(
+        df.select(col(vcol), col(idCol)), Seq(col(vcol), col(idCol)), "_i")
+      val ties = ranked.groupBy(col(vcol))
+        .agg((min("_i") + max("_i")).as(out))
+      ranked.join(ties, Seq(vcol)).select(col(idCol), col(out))
+    }
+    val j = ranks2(xCol, "_rx2").join(ranks2(yCol, "_ry2"), Seq(idCol))
+    val m = j.agg(
+      count(lit(1)).as("n"),
+      sum(col("_rx2").cast(d38)).as("_sx"),
+      sum(col("_ry2").cast(d38)).as("_sy"),
+      sum(col("_rx2").cast(d38) * col("_ry2").cast(d38)).as("_sxy"),
+      sum(col("_rx2").cast(d38) * col("_rx2").cast(d38)).as("_sxx"),
+      sum(col("_ry2").cast(d38) * col("_ry2").cast(d38)).as("_syy"))
+    m.select(col("n"),
+        (col("n").cast(d38) * col("_sxy") - col("_sx") * col("_sy"))
+          .as("_num"),
+        (col("n").cast(d38) * col("_sxx") - col("_sx") * col("_sx"))
+          .as("_denx"),
+        (col("n").cast(d38) * col("_syy") - col("_sy") * col("_sy"))
+          .as("_deny"))
+      .withColumn("rho",
+        when(col("_denx") > 0 && col("_deny") > 0,
+          col("_num").cast("double") /
+            (sqrt(col("_denx").cast("double")) *
+              sqrt(col("_deny").cast("double")))))
+      .select(col("n"), col("rho"))
+  }
+
   /** Exact Wilcoxon signed-rank statistic over paired differences
     * (`diffCol`, one row per pair): zero differences are dropped (the
     * standard convention), |d| is ranked with tie-averaged ranks carried

@@ -845,6 +845,48 @@ object BehaviorQueries {
       },
       "Mann-Whitney U with exact doubled tie-averaged ranks: the rank-sum A/B test"),
 
+    // Spearman's rank correlation ([[graft.ops.StatOps.spearmanRho]]):
+    // does line-item price rise with quantity, judged scale-free on
+    // tie-averaged midranks. Doubled-integer ranks + DECIMAL(38)
+    // moments stay exact until one num/(√·√) expression; the oracle
+    // replays it with HUGEINT moments. Row id = orderkey·8 + linenumber
+    // (linenumber ≤ 7), the composite key packed into one tiebreak.
+    Q(
+      "stats_spearman_rho",
+      (s, d) =>
+        graft.ops.StatOps.spearmanRho(
+          T(s, d, "lineitem")
+            .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"),
+              (col("l_orderkey") * 8 + col("l_linenumber")).as("id")),
+          "x", "y", "id"),
+      Some("""WITH b AS (
+             |  SELECT l_orderkey * 8 + l_linenumber AS id,
+             |    l_quantity AS x, l_extendedprice AS y
+             |  FROM lineitem),
+             |rx AS (SELECT id,
+             |    2 * RANK() OVER (ORDER BY x) +
+             |      count(*) OVER (PARTITION BY x) - 1 AS rx2
+             |  FROM b),
+             |ry AS (SELECT id,
+             |    2 * RANK() OVER (ORDER BY y) +
+             |      count(*) OVER (PARTITION BY y) - 1 AS ry2
+             |  FROM b),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    sum(CAST(rx2 AS HUGEINT)) AS sx,
+             |    sum(CAST(ry2 AS HUGEINT)) AS sy,
+             |    sum(CAST(rx2 AS HUGEINT) * CAST(ry2 AS HUGEINT)) AS sxy,
+             |    sum(CAST(rx2 AS HUGEINT) * CAST(rx2 AS HUGEINT)) AS sxx,
+             |    sum(CAST(ry2 AS HUGEINT) * CAST(ry2 AS HUGEINT)) AS syy
+             |  FROM rx JOIN ry USING (id))
+             |SELECT n,
+             |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             |    THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+             |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             |       sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             |  END AS rho
+             |FROM m""".stripMargin),
+      "Spearman rank correlation: doubled midranks, exact DECIMAL moments, one IEEE step"),
+
     // Wilcoxon signed-rank over per-user pre/post cent differences (the
     // CUPED gate's periods) — the PAIRED nonparametric test completing
     // the trio beside KS and Mann–Whitney. Zero diffs dropped per the

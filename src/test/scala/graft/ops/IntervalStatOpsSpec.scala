@@ -185,4 +185,35 @@ class IntervalStatOpsSpec extends AnyFunSuite {
       .as[(String, Long, Double, Double, Double, Double)].collect()
     assert(got.head._4 == 7.0 && got.head._5 == 7.0 && got.head._6 == 7.0)
   }
+
+  test("spearmanRho: monotone-with-ties is exactly 1, reversed is -1") {
+    import spark.implicits._
+    // identical tie patterns → identical midrank vectors → rho = 1
+    val up = Seq((1L, 1.0, 10.0), (2L, 2.0, 20.0), (3L, 2.0, 20.0),
+      (4L, 3.0, 40.0)).toDF("id", "x", "y")
+    val r1 = StatOps.spearmanRho(up, "x", "y", "id").collect().head
+    // √d·√d differs from d by one ULP — ±1 is approached, not exact
+    assert(r1.getAs[Long]("n") == 4L &&
+      math.abs(r1.getAs[Double]("rho") - 1.0) < 1e-15)
+    val down = Seq((1L, 1.0, 40.0), (2L, 2.0, 20.0), (3L, 2.0, 20.0),
+      (4L, 3.0, 10.0)).toDF("id", "x", "y")
+    val r2 = StatOps.spearmanRho(down, "x", "y", "id").collect().head
+    assert(math.abs(r2.getAs[Double]("rho") + 1.0) < 1e-15)
+  }
+
+  test("spearmanRho: hand case with a tie, and a constant column is null") {
+    import spark.implicits._
+    // x = 1,2,3,4 (ranks 1..4); y = 10,10,30,20 → midranks 1.5,1.5,4,3
+    // doubled: rx2 = 2,4,6,8; ry2 = 3,3,8,6 → Pearson = 35/(2*sqrt(5)*19)?
+    // moments: n=4 sx=20 sy=20 sxy=(6+12+48+48)=114 sxx=120 syy=118
+    // num = 4*114-400 = 56; denx = 4*120-400 = 80; deny = 4*118-400 = 72
+    val df = Seq((1L, 1.0, 10.0), (2L, 2.0, 10.0), (3L, 3.0, 30.0),
+      (4L, 4.0, 20.0)).toDF("id", "x", "y")
+    val r = StatOps.spearmanRho(df, "x", "y", "id").collect().head
+    assert(r.getAs[Double]("rho") ==
+      56.0 / (math.sqrt(80.0) * math.sqrt(72.0)))
+    val const = Seq((1L, 5.0, 1.0), (2L, 5.0, 2.0)).toDF("id", "x", "y")
+    val rc = StatOps.spearmanRho(const, "x", "y", "id").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("rho")))
+  }
 }
