@@ -354,6 +354,42 @@ object StatOps {
       .select(col("n_a"), col("n_b"), col("r2_a"), col("u_a"))
   }
 
+  /** Per-key EWMA level: the exponentially weighted moving average of
+    * each key's value series in time order, seeded at the first
+    * observation (`s₁ = x₁`, `sᵢ = α·xᵢ + (1−α)·sᵢ₋₁`) — the smoothed
+    * "current level" an alerting/monitoring pipeline keeps per entity.
+    * The fold is SEQUENTIAL BY DEFINITION (the recurrence rounds at
+    * every step), so exactness here means: both engines fold the same
+    * values in the same (ts, id) order with the same constants — a
+    * sorted collected array folded left, `list_reduce` on the oracle
+    * side. Pick α an exact binary fraction (the gate uses ¼) so the
+    * per-step constants are literal-identical everywhere.
+    *
+    * Scale shape: one keyed rollup; each key's series is collected —
+    * bounded per-entity history (events per user), not corpus-sized.
+    * A key with unbounded history needs the streaming variant instead.
+    *
+    * @return one row per key: (`keyCol`, `n`, `last_value`, `ewma`)
+    */
+  def ewmaLevel(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val beta = 1.0 - alpha
+    df.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col(tsCol), col(idCol),
+          col(valueCol).cast("double").as("v")))).as("_s"))
+      .withColumn("_vals", transform(col("_s"), x => x.getField("v")))
+      .select(col(keyCol), col("n"),
+        element_at(col("_vals"), size(col("_vals"))).as("last_value"),
+        aggregate(
+          slice(col("_vals"), lit(2), greatest(size(col("_vals")) - 1, lit(0))),
+          element_at(col("_vals"), 1),
+          (acc, x) => lit(alpha) * x + lit(beta) * acc).as("ewma"))
+  }
+
   /** Spearman's rank correlation with ties — Pearson over tie-averaged
     * midranks, the robust "does y rise with x" statistic that ignores
     * both columns' scales and outliers. Midranks are carried as DOUBLED

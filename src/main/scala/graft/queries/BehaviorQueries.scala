@@ -887,6 +887,29 @@ object BehaviorQueries {
              |FROM m""".stripMargin),
       "Spearman rank correlation: doubled midranks, exact DECIMAL moments, one IEEE step"),
 
+    // Per-user EWMA level ([[graft.ops.StatOps.ewmaLevel]]) at α = ¼:
+    // the smoothed activity level monitoring keeps per entity. The
+    // recurrence is sequential by definition; both engines fold the
+    // same (ts, event_id)-ordered series with the same exact-binary
+    // constants — engine: sorted collect + left fold; oracle:
+    // `list_reduce` (seedless: its first element IS s₁).
+    Q(
+      "timeseries_ewma_level",
+      (s, d) =>
+        graft.ops.StatOps.ewmaLevel(T(s, d, "events"), "user_id", "ts",
+            "event_id", "value", alpha = 0.25)
+          .orderBy("user_id"),
+      Some("""WITH s AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id, n, vals[len(vals)] AS last_value,
+             |  list_reduce(vals,
+             |    (acc, x) -> CAST(0.25 AS DOUBLE) * x +
+             |                CAST(0.75 AS DOUBLE) * acc) AS ewma
+             |FROM s ORDER BY user_id""".stripMargin),
+      "per-user EWMA level (alpha=1/4): order-pinned sequential fold, both engines"),
+
     // Wilcoxon signed-rank over per-user pre/post cent differences (the
     // CUPED gate's periods) — the PAIRED nonparametric test completing
     // the trio beside KS and Mann–Whitney. Zero diffs dropped per the

@@ -216,4 +216,15 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     val rc = StatOps.spearmanRho(const, "x", "y", "id").collect().head
     assert(rc.isNullAt(rc.fieldIndex("rho")))
   }
+
+  test("ewmaLevel: seeded-at-first recurrence in time order, per key") {
+    import spark.implicits._
+    // series 8, 4, 2 at alpha 1/4: s1=8, s2=.25*4+.75*8=7, s3=.25*2+.75*7=5.75
+    // ts order differs from insert order on purpose
+    val df = Seq(("a", 3L, 3L, 2.0), ("a", 1L, 1L, 8.0), ("a", 2L, 2L, 4.0),
+      ("b", 1L, 9L, 6.0)).toDF("k", "t", "id", "v")
+    val got = StatOps.ewmaLevel(df, "k", "t", "id", "v", alpha = 0.25)
+      .orderBy("k").as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("a", 3L, 2.0, 5.75), ("b", 1L, 6.0, 6.0)))
+  }
 }
