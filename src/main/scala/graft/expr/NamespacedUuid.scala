@@ -220,6 +220,14 @@ object GraftFunctions {
       "hilbert_index" -> { exprs =>
         require(exprs.length == 3, "hilbert_index(x, y, bits)")
         HilbertIndex(exprs(0), exprs(1), litInt(exprs, 2, default = 16))
+      },
+      "jaro_similarity" -> { exprs =>
+        require(exprs.length == 2, "jaro_similarity(a, b)")
+        JaroSimilarity(exprs(0), exprs(1), winkler = false)
+      },
+      "jaro_winkler_similarity" -> { exprs =>
+        require(exprs.length == 2, "jaro_winkler_similarity(a, b)")
+        JaroSimilarity(exprs(0), exprs(1), winkler = true)
       })
   }
 

@@ -138,4 +138,23 @@ object LinkageOps {
       .filter(col("dist") <= maxDist)
       .select("a", "b", "a_name", "b_name", "dist")
   }
+
+  /** [[blockedDamerauPairs]] with the Jaro-Winkler SIMILARITY scorer
+    * ([[graft.expr.JaroSimilarity]]) — the Fellegi-Sunter name-field
+    * weight — keeping pairs at or above `minSim`. Same blocked-pair
+    * scale discipline. */
+  def blockedJaroWinklerPairs(
+      df: DataFrame, idCol: String, nameCol: String, blockKey: Column,
+      minSim: Double): DataFrame = {
+    val l = df.select(col(idCol).as("a"), col(nameCol).as("a_name"),
+      blockKey.as("_bk"))
+    val r = df.select(col(idCol).as("b"), col(nameCol).as("b_name"),
+      blockKey.as("_bk"))
+    l.join(r, Seq("_bk"))
+      .filter(col("a") < col("b"))
+      .withColumn("jw",
+        graft.expr.JaroSimilarity.jaroWinkler(col("a_name"), col("b_name")))
+      .filter(col("jw") >= minSim)
+      .select("a", "b", "a_name", "b_name", "jw")
+  }
 }

@@ -202,6 +202,33 @@ object LinkageQueries {
              | AND l.c_custkey < r.c_custkey
              |WHERE damerau_levenshtein(l.c_name, r.c_name) <= 4
              |ORDER BY a, b""".stripMargin),
-      "blocked Damerau-Levenshtein pairs: transposition-aware edit distance, independent oracle")
+      "blocked Damerau-Levenshtein pairs: transposition-aware edit distance, independent oracle"),
+
+    // Jaro-Winkler pair scoring ([[LinkageOps.blockedJaroWinklerPairs]]
+    // over the native [[graft.expr.JaroSimilarity]]): the same blocked
+    // candidates scored with the Fellegi-Sunter name-field similarity.
+    // Like the Damerau gate, DuckDB's native jaro_winkler_similarity is
+    // an INDEPENDENT second implementation — the engine's pinned
+    // floating-op order was fuzz-matched to it bit-for-bit, and this
+    // gate re-proves that on every run over real pair data.
+    Q(
+      "linkage_jaro_winkler",
+      (s, d) =>
+        LinkageOps
+          .blockedJaroWinklerPairs(T(s, d, "customer"), "c_custkey",
+            "c_name",
+            struct(col("c_nationkey"), substring(col("c_name"), 17, 2)),
+            minSim = 0.95)
+          .orderBy("a", "b"),
+      Some("""SELECT l.c_custkey AS a, r.c_custkey AS b,
+             |  l.c_name AS a_name, r.c_name AS b_name,
+             |  jaro_winkler_similarity(l.c_name, r.c_name) AS jw
+             |FROM customer l JOIN customer r
+             |  ON l.c_nationkey = r.c_nationkey
+             | AND substr(l.c_name, 17, 2) = substr(r.c_name, 17, 2)
+             | AND l.c_custkey < r.c_custkey
+             |WHERE jaro_winkler_similarity(l.c_name, r.c_name) >= 0.95
+             |ORDER BY a, b""".stripMargin),
+      "blocked Jaro-Winkler pairs: pinned float-op order vs DuckDB's independent native scorer")
   )
 }

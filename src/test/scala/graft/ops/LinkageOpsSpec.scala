@@ -73,6 +73,37 @@ class LinkageOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, "anna smith", "anna smiht", 1)))
   }
 
+  test("jaroSimilarity: textbook values, edge order, boost threshold") {
+    import graft.expr.JaroSimilarity.compute
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def j(a: String, b: String) = compute(u(a), u(b), winkler = false)
+    def w(a: String, b: String) = compute(u(a), u(b), winkler = true)
+    // the classic Winkler paper pairs (values = DuckDB's exact doubles)
+    assert(j("MARTHA", "MARHTA") == 0.9444444444444445)
+    assert(w("MARTHA", "MARHTA") == 0.9611111111111111)
+    assert(j("DIXON", "DICKSONX") == 0.7666666666666666)
+    assert(w("DIXON", "DICKSONX") == 0.8133333333333332)
+    // empty beats equal: "" vs "" is 0, not 1 (DuckDB's edge order)
+    assert(j("", "") == 0.0 && w("", "") == 0.0 && j("abc", "") == 0.0)
+    assert(j("abc", "abc") == 1.0 && w("abc", "abc") == 1.0)
+    // no prefix boost at or below jaro 0.7, even with a shared prefix
+    val lo = j("apqrst", "azzzzz")
+    assert(lo <= 0.7 && w("apqrst", "azzzzz") == lo)
+    // no shared prefix: winkler degenerates to jaro
+    assert(w("CRATE", "TRACE") == j("CRATE", "TRACE"))
+  }
+
+  test("blockedJaroWinklerPairs: threshold keeps only the near-identical pair") {
+    val df = Seq(
+      (1L, "anna smith", "x"), (2L, "anna smiht", "x"),
+      (3L, "unrelated name", "x"))
+      .toDF("id", "name", "blk")
+    val got = LinkageOps
+      .blockedJaroWinklerPairs(df, "id", "name", col("blk"), minSim = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
   test("damerau_levenshtein SQL surface matches the expression") {
     val r = spark.sql(
       "SELECT damerau_levenshtein('CA', 'ABC') AS d1, " +
