@@ -228,6 +228,10 @@ object GraftFunctions {
       "jaro_winkler_similarity" -> { exprs =>
         require(exprs.length == 2, "jaro_winkler_similarity(a, b)")
         JaroSimilarity(exprs(0), exprs(1), winkler = true)
+      },
+      "portable_ln" -> { exprs =>
+        require(exprs.length == 2, "portable_ln(a, b) = ln(a/b), a,b > 0")
+        PortableLnRatio(exprs(0), exprs(1))
       })
   }
 

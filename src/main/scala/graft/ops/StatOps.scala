@@ -354,6 +354,70 @@ object StatOps {
       .select(col("n_a"), col("n_b"), col("r2_a"), col("u_a"))
   }
 
+  /** Mutual information (and marginal entropies, in nats) of two
+    * categorical columns — the dependence profile a curation team reads
+    * before stratifying: MI(lang; source) ≈ 0 says the split is safe to
+    * randomize, large MI says one column leaks the other. Also emits
+    * normalized MI `mi / √(h_x·h_y)` for a scale-free [0,1] reading.
+    *
+    * Exactness: every probability stays an exact integer ratio until
+    * ONE log per term — and that log is [[graft.expr.PortableLnRatio]],
+    * the explicit-algorithm `ln(a/b)` both engines run step-identically
+    * (native libms disagree on the last ulp ~0.1% of the time, which a
+    * hash-matched gate cannot tolerate). Products like `n_xy·n` stay
+    * exact to ~3·10⁹ rows before needing widening. Plan: one keyed
+    * rollup to the |X|×|Y| cell table, marginals derived FROM it (no
+    * second corpus scan), three 1-row folds crossed (declared scalar
+    * broadcasts).
+    *
+    * @return one row: (`n`, `n_cells`, `mi`, `h_x`, `h_y`, `nmi` —
+    *         null when either marginal entropy is 0)
+    */
+  def mutualInformation(
+      df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cxy = df.groupBy(col(xCol).as("_x"), col(yCol).as("_y"))
+      .agg(count(lit(1)).as("_nxy"))
+    val cx = cxy.groupBy(col("_x")).agg(sum("_nxy").as("_nx"))
+    val cy = cxy.groupBy(col("_y")).agg(sum("_nxy").as("_ny"))
+    val tot = cxy.agg(sum("_nxy").as("_n"))
+    // Both sides compute ln via [[graft.expr.PortableLnRatio]] — the
+    // explicit-algorithm log — because no two libms agree on the last
+    // ulp and this gate hash-matches doubles.
+    def entropyOf(cat: DataFrame, keyCol: String, cntCol: String,
+        out: String): DataFrame =
+      cat.crossJoin(broadcast(tot)) // 1-row total (declared)
+        .withColumn("_t",
+          -(col(cntCol).cast("double") / col("_n").cast("double")) *
+            graft.expr.PortableLnRatio.ln(col(cntCol), col("_n")))
+        .agg(aggregate(
+          transform(
+            array_sort(collect_list(struct(col(keyCol), col("_t")))),
+            s => s.getField("_t")),
+          lit(0.0), (acc, x) => acc + x).as(out))
+    val mi = cxy
+      .join(cx, Seq("_x")).join(cy, Seq("_y"))
+      .crossJoin(broadcast(tot)) // 1-row total (declared)
+      .withColumn("_t",
+        col("_nxy").cast("double") / col("_n").cast("double") *
+          graft.expr.PortableLnRatio.ln(col("_nxy") * col("_n"),
+            col("_nx") * col("_ny")))
+      .agg(
+        max("_n").as("n"),
+        count(lit(1)).as("n_cells"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("_x"), col("_y"),
+              col("_t")))),
+            s => s.getField("_t")),
+          lit(0.0), (acc, x) => acc + x).as("mi"))
+    mi.crossJoin(broadcast(entropyOf(cx, "_x", "_nx", "h_x")))
+      .crossJoin(broadcast(entropyOf(cy, "_y", "_ny", "h_y")))
+      .withColumn("nmi",
+        when(col("h_x") > 0 && col("h_y") > 0,
+          col("mi") / (sqrt(col("h_x")) * sqrt(col("h_y")))))
+      .select("n", "n_cells", "mi", "h_x", "h_y", "nmi")
+  }
+
   /** Per-key EWMA level: the exponentially weighted moving average of
     * each key's value series in time order, seeded at the first
     * observation (`s₁ = x₁`, `sᵢ = α·xᵢ + (1−α)·sᵢ₋₁`) — the smoothed

@@ -457,6 +457,57 @@ object ProfilingQueries {
              |SELECT b.bin, coalesce(a.n_a, 0) AS n_a, b.n_b
              |FROM b LEFT JOIN a USING (bin)
              |ORDER BY b.bin""".stripMargin),
-      "snapshot drift bins: paired doc-length histograms, PSI-ready integer counts")
+      "snapshot drift bins: paired doc-length histograms, PSI-ready integer counts"),
+
+    // Mutual information of (lang, source)
+    // ([[graft.ops.StatOps.mutualInformation]]): does the ingestion
+    // source leak the language? Exact integer ratios into one ln per
+    // term, folded in category order; normalized MI for the [0,1]
+    // reading. The oracle replays cells, marginals and folds.
+    Q(
+      "profile_mutual_info",
+      (s, d) =>
+        graft.ops.StatOps
+          .mutualInformation(T(s, d, "documents"), "lang", "source")
+          .orderBy("n"),
+      Some {
+        import graft.expr.PortableLnRatio.sqlStages
+        s"""WITH cxy AS (
+           |  SELECT lang AS x, source AS y,
+           |    CAST(count(*) AS BIGINT) AS nxy
+           |  FROM documents GROUP BY 1, 2),
+           |cx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx
+           |       FROM cxy GROUP BY x),
+           |cy AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny
+           |       FROM cxy GROUP BY y),
+           |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cxy),
+           |cells AS (SELECT x, y, nxy, nx, ny, n
+           |  FROM cxy JOIN cx USING (x) JOIN cy USING (y), tot),
+           |cxn AS (SELECT x, nx, n FROM cx, tot),
+           |cyn AS (SELECT y, ny, n FROM cy, tot),
+           |${sqlStages("pm", "cells", "nxy * n", "nx * ny",
+              Seq("x", "y", "nxy", "n"))},
+           |${sqlStages("ph", "cxn", "nx", "n", Seq("x", "nx", "n"))},
+           |${sqlStages("pg", "cyn", "ny", "n", Seq("y", "ny", "n"))},
+           |mi AS (SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE) * pln
+           |             ORDER BY x, y)),
+           |      (acc, t) -> acc + t) AS mi
+           |  FROM pmln),
+           |hx AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(-(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)) * pln
+           |           ORDER BY x)),
+           |    (acc, t) -> acc + t) AS h_x FROM phln),
+           |hy AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(-(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) * pln
+           |           ORDER BY y)),
+           |    (acc, t) -> acc + t) AS h_y FROM pgln)
+           |SELECT n, n_cells, mi, h_x, h_y,
+           |  CASE WHEN h_x > 0 AND h_y > 0
+           |    THEN mi / (sqrt(h_x) * sqrt(h_y)) END AS nmi
+           |FROM mi, hx, hy ORDER BY n""".stripMargin
+      },
+      "mutual information lang vs source: one-ln-per-term exact rationals, ordered folds")
   )
 }

@@ -58,7 +58,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // 1-row (n_tot, denom) totals broadcast onto the |sources| frame
       "corpus_temperature_mix",
       // |catalog|-row (5 event types) broadcast slate cross per user
-      "eval_rank_per_user", "eval_rank_summary")
+      "eval_rank_per_user", "eval_rank_summary",
+      // 1-row total + 1x1x1 scalar crosses of the MI/entropy folds
+      "profile_mutual_info")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

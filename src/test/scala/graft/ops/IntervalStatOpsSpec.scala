@@ -217,6 +217,30 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     assert(rc.isNullAt(rc.fieldIndex("rho")))
   }
 
+  test("mutualInformation: independent table is exactly 0, h = ln2 exact") {
+    import spark.implicits._
+    // 2x2 uniform: nxy*n == nx*ny for every cell → every MI term is
+    // pln(equal, equal) = 0.0 EXACTLY; marginals are 1/2 → h = ln 2
+    val df = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v"))
+      .toDF("x", "y")
+    val r = StatOps.mutualInformation(df, "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_cells") == 4L)
+    assert(r.getAs[Double]("mi") == 0.0)
+    assert(r.getAs[Double]("h_x") == graft.expr.PortableLnRatio.Ln2)
+    assert(r.getAs[Double]("h_y") == graft.expr.PortableLnRatio.Ln2)
+    assert(r.getAs[Double]("nmi") == 0.0)
+  }
+
+  test("mutualInformation: perfectly dependent pair has mi == h, nmi ~ 1") {
+    import spark.implicits._
+    val df = Seq(("a", "u"), ("a", "u"), ("b", "v"), ("b", "v"))
+      .toDF("x", "y")
+    val r = StatOps.mutualInformation(df, "x", "y").collect().head
+    assert(r.getAs[Long]("n_cells") == 2L)
+    assert(r.getAs[Double]("mi") == r.getAs[Double]("h_x"))
+    assert(math.abs(r.getAs[Double]("nmi") - 1.0) < 1e-15)
+  }
+
   test("ewmaLevel: seeded-at-first recurrence in time order, per key") {
     import spark.implicits._
     // series 8, 4, 2 at alpha 1/4: s1=8, s2=.25*4+.75*8=7, s3=.25*2+.75*7=5.75
