@@ -657,4 +657,53 @@ object TextOps {
         sum(when(inModel, bucket).otherwise(0L)).as("surprise_sum"),
         coalesce(max(when(inModel, bucket)), lit(-1L)).as("surprise_max"))
   }
+
+  /** Zipf slope of the corpus vocabulary: least-squares fit of
+    * ln(freq) against ln(rank) over the top-`k` tokens — healthy
+    * natural-language corpora sit near −1; a slope collapsing toward 0
+    * flags boilerplate/template floods, one plunging below −1.5 flags
+    * a vocabulary hole. The sanity probe a corpus snapshot gets before
+    * training.
+    *
+    * Exactness: the logs are [[graft.expr.PortableLnRatio]] (rank and
+    * frequency are exact integers, so `pln(rank,1)`/`pln(freq,1)` are
+    * engine-portable bit-for-bit), the four regression moments fold in
+    * rank order over the top-k array, and slope/intercept are fixed
+    * expression trees over them. Scale shape: one token rollup, a
+    * distributed top-k (`orderBy.limit` → TakeOrdered, no global
+    * sort), then a k-row fold — k is a constant (1000), never
+    * corpus-sized.
+    *
+    * @return one row: (`k` tokens fitted, `slope`, `intercept`)
+    */
+  def zipfSlope(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 ranks to fit, got k=$k")
+    import graft.expr.PortableLnRatio.{ln => pln}
+    val freq = df
+      .select(explode(split(trim(col(textCol)), " +")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val topk = freq.orderBy(col("freq").desc, col("tok")).limit(k)
+    val one = topk.agg(
+      sort_array(collect_list(struct((-col("freq")).as("nf"), col("tok"),
+        col("freq")))).as("_arr"))
+    def fold(term: (Column, Column) => Column): Column =
+      aggregate(
+        transform(col("_arr"), (s, i) => term(s, i)),
+        lit(0.0), (acc, x) => acc + x)
+    def x(i: Column): Column = pln((i + lit(1)).cast("long"), lit(1L))
+    def y(s: Column): Column = pln(s.getField("freq"), lit(1L))
+    one
+      .withColumn("kk", size(col("_arr")).cast("long"))
+      .withColumn("_sx", fold((_, i) => x(i)))
+      .withColumn("_sy", fold((s, _) => y(s)))
+      .withColumn("_sxy", fold((s, i) => x(i) * y(s)))
+      .withColumn("_sxx", fold((_, i) => x(i) * x(i)))
+      .withColumn("slope",
+        (col("kk").cast("double") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("kk").cast("double") * col("_sxx") -
+            col("_sx") * col("_sx")))
+      .withColumn("intercept",
+        (col("_sy") - col("slope") * col("_sx")) / col("kk").cast("double"))
+      .select(col("kk").as("k"), col("slope"), col("intercept"))
+  }
 }

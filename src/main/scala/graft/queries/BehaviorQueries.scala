@@ -703,6 +703,47 @@ object BehaviorQueries {
              |LIMIT 20""".stripMargin),
       "top-20 behavior trigrams: sequential patterns above the Markov pair tier"),
 
+    // First-order Markov transition matrix: per-user consecutive event
+    // pairs rolled up to (src → dst) counts, row-normalized into
+    // transition probabilities — the model behind next-action
+    // prediction and anomalous-flow detection. Integer counts; each
+    // probability is one division of them. The per-src totals are
+    // derived FROM the pair rollup (no second corpus scan).
+    Q(
+      "behavior_markov_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = T(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("src_state", lag("event_type", 1).over(w))
+          .filter(col("src_state").isNotNull)
+          .groupBy(col("src_state"), col("event_type").as("dst_state"))
+          .agg(count(lit(1)).as("cnt"))
+        val totals = pairs.groupBy("src_state")
+          .agg(sum("cnt").as("src_total"))
+        pairs.join(totals, Seq("src_state"))
+          .withColumn("prob",
+            col("cnt").cast("double") / col("src_total").cast("double"))
+          .select("src_state", "dst_state", "cnt", "src_total", "prob")
+          .orderBy("src_state", "dst_state")
+      },
+      Some("""WITH t AS (
+             |  SELECT event_type AS dst_state,
+             |    lag(event_type, 1) OVER
+             |      (PARTITION BY user_id ORDER BY ts, event_id) AS src_state
+             |  FROM events),
+             |p AS (SELECT src_state, dst_state,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM t WHERE src_state IS NOT NULL GROUP BY 1, 2),
+             |tot AS (SELECT src_state, CAST(sum(cnt) AS BIGINT) AS src_total
+             |        FROM p GROUP BY 1)
+             |SELECT p.src_state, p.dst_state, p.cnt, tot.src_total,
+             |  CAST(p.cnt AS DOUBLE) / CAST(tot.src_total AS DOUBLE) AS prob
+             |FROM p JOIN tot USING (src_state)
+             |ORDER BY src_state, dst_state""".stripMargin),
+      "Markov transition matrix: consecutive-pair counts, row-normalized probabilities"),
+
     // DAU/MAU stickiness — the product-health scalar: average daily
     // distinct users over monthly distinct users. Exact distinct counts,
     // one integer-sum-over-days, two double divisions; the daily

@@ -919,6 +919,53 @@ object TextQueries {
              |    AS nfc_changed
              |FROM c ORDER BY doc_id""".stripMargin),
       "unicode hygiene: native NFC + control strip + whitespace collapse, " +
-        "mojibake counters — augmented corpus exercises composition for real")
+        "mojibake counters — augmented corpus exercises composition for real"),
+
+    // Zipf slope of the vocabulary ([[TextOps.zipfSlope]]): ln freq vs
+    // ln rank regression over the top-1000 tokens — the corpus-health
+    // probe (natural text ≈ −1). Logs are the portable explicit-
+    // algorithm ln ([[graft.expr.PortableLnRatio]]) on exact integers;
+    // moments fold in rank order; both engines share every bit.
+    Q(
+      "text_zipf_slope",
+      (s, d) =>
+        TextOps.zipfSlope(T(s, d, "documents"), "text", k = 1000)
+          .orderBy("k"),
+      Some {
+        import graft.expr.PortableLnRatio.sqlStages
+        s"""WITH tok AS (
+           |  SELECT unnest(string_split_regex(trim(text), ' +')) AS tok
+           |  FROM documents),
+           |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+           |      FROM tok GROUP BY 1),
+           |topk AS (SELECT tok, freq FROM f
+           |         ORDER BY freq DESC, tok LIMIT 1000),
+           |rk AS (SELECT freq,
+           |    CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT)
+           |      AS rank
+           |  FROM topk),
+           |${sqlStages("zr", "rk", "rank", "1", Seq("rank"))},
+           |${sqlStages("zf", "rk", "freq", "1", Seq("rank"))},
+           |xy AS (SELECT a.rank, a.pln AS x, b.pln AS y
+           |       FROM zrln a JOIN zfln b USING (rank)),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(x ORDER BY rank)), (acc, v) -> acc + v) AS sx,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(y ORDER BY rank)), (acc, v) -> acc + v) AS sy,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(x * y ORDER BY rank)), (acc, v) -> acc + v) AS sxy,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(x * x ORDER BY rank)), (acc, v) -> acc + v) AS sxx
+           |  FROM xy),
+           |sl AS (SELECT k, sx, sy,
+           |    (CAST(k AS DOUBLE) * sxy - sx * sy) /
+           |      (CAST(k AS DOUBLE) * sxx - sx * sx) AS slope
+           |  FROM m)
+           |SELECT k, slope,
+           |  (sy - slope * sx) / CAST(k AS DOUBLE) AS intercept
+           |FROM sl ORDER BY k""".stripMargin
+      },
+      "Zipf slope of the top-1000 vocabulary: portable-ln regression, rank-ordered folds")
   )
 }

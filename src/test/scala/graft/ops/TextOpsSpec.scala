@@ -193,4 +193,24 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(out == Seq((0L, 1L, 0L, 0L, 0L), (1L, 2L, 2L, 0L, -1L)))
   }
+
+  test("zipfSlope: matches the scalar-model regression bit-for-bit") {
+    import spark.implicits._
+    // freqs: a=4, b=2, c=1 → ranks 1, 2, 3 (desc freq, token tiebreak)
+    val docs = Seq((0L, "a a a a b b c")).toDF("doc_id", "text")
+    val got = TextOps.zipfSlope(docs, "text", k = 10).collect().head
+    // scalar replica: same pln, same fold order, same expression trees
+    import graft.expr.PortableLnRatio.compute
+    val xs = Array(compute(1, 1), compute(2, 1), compute(3, 1))
+    val ys = Array(compute(4, 1), compute(2, 1), compute(1, 1))
+    def fold(t: Int => Double) = (0 until 3).foldLeft(0.0)((a, i) => a + t(i))
+    val (sx, sy) = (fold(xs), fold(ys))
+    val (sxy, sxx) = (fold(i => xs(i) * ys(i)), fold(i => xs(i) * xs(i)))
+    val slope = (3.0 * sxy - sx * sy) / (3.0 * sxx - sx * sx)
+    assert(got.getAs[Long]("k") == 3L)
+    assert(got.getAs[Double]("slope") == slope)
+    assert(got.getAs[Double]("intercept") == (sy - slope * sx) / 3.0)
+    // halving frequencies per rank step sits near the Zipf regime
+    assert(slope < -0.9 && slope > -1.5)
+  }
 }
