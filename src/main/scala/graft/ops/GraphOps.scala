@@ -697,4 +697,58 @@ object GraphOps {
       .groupBy("component").agg(min(col(idCol)).as(idCol))
     labeled.join(winners, Seq("component", idCol), "left_semi")
   }
+
+  /** Newman modularity of a community assignment over an undirected
+    * edge list: `Q = Σ_c [ m_c/m − (d_c/2m)² ]` — how much denser the
+    * communities are than a degree-preserving random rewiring. The
+    * quality audit that belongs beside cluster resolution: a dedup/
+    * linkage clustering whose Q is near 0 merged by coincidence, not
+    * by structure.
+    *
+    * `pairs` holds distinct undirected edges (a < b); `labels` the
+    * (id, component) assignment. Every count is an exact integer
+    * rollup; each community's term is a fixed two-division expression
+    * tree and the terms fold in component order, so the oracle replays
+    * Q bit-for-bit. Unassigned/singleton nodes contribute 0 and are
+    * skipped by construction. Scale: two keyed rollups + a 1-row m
+    * broadcast (declared) — nothing quadratic, no driver state.
+    *
+    * @return one row: (`m` edges, `n_communities`, `q`)
+    */
+  def modularity(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val m = pairs.agg(count(lit(1)).as("_m"))
+    val lab = labels.select(col("id"), col("component"))
+    // intra-community edges ONLY: an edge whose endpoints disagree
+    // belongs to neither community's m_c (it still feeds both degrees)
+    val mc = pairs
+      .join(lab.select(col("id").as("a"), col("component").as("_ca")),
+        Seq("a"))
+      .join(lab.select(col("id").as("b"), col("component").as("_cb")),
+        Seq("b"))
+      .filter(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as("component"))
+      .agg(count(lit(1)).as("m_c"))
+    val deg = pairs.select(col("a").as("id"))
+      .unionAll(pairs.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("_d"))
+    val dc = deg.join(lab, Seq("id"))
+      .groupBy("component").agg(sum("_d").as("d_c"))
+    // dc is the base: a community can have zero intra edges (all its
+    // edges cross) yet still owes its -(d_c/2m)² term
+    dc.join(mc, Seq("component"), "left")
+      .na.fill(0L, Seq("m_c"))
+      .crossJoin(broadcast(m)) // 1-row edge-count frame (declared)
+      .withColumn("_t",
+        col("m_c").cast("double") / col("_m").cast("double") -
+          (col("d_c").cast("double") / (lit(2) * col("_m")).cast("double")) *
+            (col("d_c").cast("double") / (lit(2) * col("_m")).cast("double")))
+      .agg(
+        max("_m").as("m"),
+        count(lit(1)).as("n_communities"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("component"), col("_t")))),
+            s => s.getField("_t")),
+          lit(0.0), (acc, x) => acc + x).as("q"))
+  }
 }

@@ -229,6 +229,56 @@ object LinkageQueries {
              | AND l.c_custkey < r.c_custkey
              |WHERE jaro_winkler_similarity(l.c_name, r.c_name) >= 0.95
              |ORDER BY a, b""".stripMargin),
-      "blocked Jaro-Winkler pairs: pinned float-op order vs DuckDB's independent native scorer")
+      "blocked Jaro-Winkler pairs: pinned float-op order vs DuckDB's independent native scorer"),
+
+    // Modularity audit of the resolved entities
+    // ([[GraphOps.modularity]]): how much denser the nation-blocked
+    // fuzzy-match clusters are than chance. Shares BOTH staged frames
+    // with linkage_golden_record (same pair cache key, same component
+    // cache key), so the audit adds two rollups, not a re-resolution.
+    Q(
+      "graph_modularity",
+      (s, d) => {
+        val natMask = (14 to 18).map(p =>
+          concat(col("c_nationkey").cast("string"), lit("|"), mask(p)))
+        val pairs = LinkageOps
+          .sharedBlockedFuzzyPairs(T(s, d, "customer"), "c_custkey",
+            "c_name", natMask, maxDistance = 1)
+        GraphOps
+          .modularity(pairs, GraphOps.sharedComponents(pairs, "a", "b"))
+          .orderBy("m")
+      },
+      Some(s"""WITH RECURSIVE $natPairCtes,
+             |edges AS (SELECT a AS u, b AS v FROM pairs
+             |  UNION SELECT b AS u, a AS v FROM pairs),
+             |reach AS (
+             |  SELECT u AS id, v AS r FROM edges
+             |  UNION
+             |  SELECT reach.id, e.v AS r FROM reach
+             |  JOIN edges e ON reach.r = e.u),
+             |comp AS (SELECT id, least(id, min(r)) AS component
+             |         FROM reach GROUP BY id),
+             |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+             |mc AS (SELECT ca.component, CAST(count(*) AS BIGINT) AS m_c
+             |       FROM pairs p
+             |       JOIN comp ca ON ca.id = p.a
+             |       JOIN comp cb ON cb.id = p.b
+             |       WHERE ca.component = cb.component GROUP BY 1),
+             |deg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS d
+             |        FROM edges GROUP BY 1),
+             |dc AS (SELECT c.component, CAST(sum(deg.d) AS BIGINT) AS d_c
+             |       FROM deg JOIN comp c ON c.id = deg.id GROUP BY 1),
+             |t AS (SELECT dc.component,
+             |    CAST(coalesce(m_c, 0) AS DOUBLE) / CAST(m AS DOUBLE) -
+             |      (CAST(d_c AS DOUBLE) / CAST(2 * m AS DOUBLE)) *
+             |      (CAST(d_c AS DOUBLE) / CAST(2 * m AS DOUBLE)) AS term
+             |  FROM dc LEFT JOIN mc USING (component), mm)
+             |SELECT (SELECT m FROM mm) AS m,
+             |  CAST(count(*) AS BIGINT) AS n_communities,
+             |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list(term ORDER BY component)),
+             |    (acc, x) -> acc + x) AS q
+             |FROM t ORDER BY m""".stripMargin),
+      "Newman modularity of resolved clusters: exact integer rollups, component-ordered fold")
   )
 }

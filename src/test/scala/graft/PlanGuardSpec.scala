@@ -60,7 +60,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // |catalog|-row (5 event types) broadcast slate cross per user
       "eval_rank_per_user", "eval_rank_summary",
       // 1-row total + 1x1x1 scalar crosses of the MI/entropy folds
-      "profile_mutual_info")
+      "profile_mutual_info",
+      // 1-row edge-count broadcast onto the per-community rollup
+      "graph_modularity")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

@@ -426,4 +426,29 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(first eq second) // same cached instance → CC loop ran once
     GraphOps.clearComponentCache()
   }
+
+  test("modularity: two triangles bridged by one edge, hand-checked Q") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("id", "component")
+    val r = GraphOps.modularity(pairs, labels).collect().head
+    assert(r.getAs[Long]("m") == 7L &&
+      r.getAs[Long]("n_communities") == 2L)
+    // per community: m_c = 3 INTRA edges (the bridge counts in
+    // neither), d_c = 2+2+3 = 7; term = 3/7 - (7/14)^2, twice
+    val t = 3.0 / 7.0 - (7.0 / 14.0) * (7.0 / 14.0)
+    assert(r.getAs[Double]("q") == (0.0 + t) + t)
+  }
+
+  test("modularity: all-cross community still owes its degree term") {
+    import spark.implicits._
+    // single edge between two singleton communities: m_c = 0 for both
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 2L)).toDF("id", "component")
+    val r = GraphOps.modularity(pairs, labels).collect().head
+    // each: 0/1 - (1/2)^2 = -0.25 → Q = -0.5
+    assert(r.getAs[Double]("q") == -0.5)
+  }
 }
