@@ -32,4 +32,47 @@ object StatefulOps {
           out.iterator
         })
   }
+
+  final case class ValEv(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, value: Double)
+  final case class EwmaState(n: Long, last: Double, ewma: Double)
+  final case class EwmaLevel(user_id: Long, n: Long, last_value: Double,
+      ewma: Double)
+
+  /** Streaming twin of [[graft.ops.StatOps.ewmaLevel]]: the per-key
+    * EWMA recurrence carried across micro-batches as O(1) state per
+    * key (`sᵢ = α·xᵢ + (1−α)·sᵢ₋₁`, seeded at the first observation).
+    * Within a micro-batch events are folded in (ts, event_id) order —
+    * the SAME total order the batch operator pins — so for any
+    * batch-boundary placement the emitted level equals the batch
+    * result over the union of batches: the spec asserts that parity
+    * exactly. Emits one updated level per key per micro-batch
+    * (Update-mode semantics). */
+  def ewmaLevelStream(
+      ds: Dataset[ValEv], alpha: Double): Dataset[EwmaLevel] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val beta = 1.0 - alpha
+    implicit val outEnc = Encoders.product[EwmaLevel]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[EwmaState]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[ValEv], state: GroupState[EwmaState]) => {
+          val ordered = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          if (ordered.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(
+              EwmaState(0L, 0.0, Double.NaN))
+            ordered.foreach { e =>
+              val s =
+                if (st.n == 0L) e.value
+                else alpha * e.value + beta * st.ewma
+              st = EwmaState(st.n + 1L, e.value, s)
+            }
+            state.update(st)
+            Iterator.single(EwmaLevel(uid, st.n, st.last, st.ewma))
+          }
+        })
+  }
 }

@@ -41,4 +41,40 @@ class StatefulOpsSpec extends AnyFunSuite {
       (1L, "01", 1L), (1L, "02", 2L), (2L, "01", 0L),
       (1L, "03", 0L), (1L, "04", 1L), (2L, "05", 1L)))
   }
+
+  test("streaming EWMA equals the batch operator for any batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$sec%02d")
+    val evs = Seq(
+      StatefulOps.ValEv(1L, ts(1), 1L, 8.0),
+      StatefulOps.ValEv(1L, ts(2), 2L, 4.0),
+      StatefulOps.ValEv(2L, ts(1), 3L, 6.0),
+      StatefulOps.ValEv(1L, ts(3), 4L, 2.0),
+      StatefulOps.ValEv(2L, ts(4), 5L, 10.0))
+
+    val input = MemoryStream[StatefulOps.ValEv]
+    val out = StatefulOps.ewmaLevelStream(input.toDS(), alpha = 0.25)
+    val q = out.writeStream.format("memory").queryName("ewma_out")
+      .outputMode(OutputMode.Update).start()
+    // split mid-stream for user 1: state must carry the level across
+    input.addData(evs(0), evs(1), evs(2))
+    q.processAllAvailable()
+    input.addData(evs(3), evs(4))
+    q.processAllAvailable()
+    // LAST update per user = the final level
+    val streamed = spark.sql(
+      "SELECT user_id, n, last_value, ewma FROM ewma_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+      .groupBy(_._1).map { case (_, v) => v.maxBy(_._2) }.toSet
+    q.stop()
+
+    val batch = graft.ops.StatOps.ewmaLevel(
+        evs.toDF(), "user_id", "ts", "event_id", "value", alpha = 0.25)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(streamed == batch, "stream/batch EWMA parity")
+    // and the hand value: user 1 → 0.25*2 + 0.75*(0.25*4 + 0.75*8) = 5.75
+    assert(streamed.exists(t => t._1 == 1L && t._4 == 5.75))
+  }
 }
