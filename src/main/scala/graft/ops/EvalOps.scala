@@ -225,6 +225,54 @@ object EvalOps {
           lit(0.0), (acc, x) => acc + x).as("ece"))
   }
 
+  /** Decision-stump feature audit: for each candidate categorical
+    * feature, the label's WEIGHTED GINI IMPURITY after splitting on it
+    * — `Σ_g (n_g/n)·(1 − p_g² − q_g²)` — the argmin row is the feature
+    * a depth-1 tree would split on, and the gap to the others is the
+    * fastest "is any metadata column predictive of the label"
+    * screening a curation team runs (CART's split criterion,
+    * distributed as one rollup per feature).
+    *
+    * Exactness: group/label counts are integers; each group's term is
+    * a fixed expression tree of two divisions and two squarings; terms
+    * fold in group-key order (keys are cast to strings so both engines
+    * sort identically). One keyed rollup per feature, map-side
+    * combinable; nothing corpus-sized leaves the executors.
+    *
+    * @param features (name, expression) pairs; the expression is
+    *                 evaluated against `df` and cast to string
+    * @return one row per feature: (`feature`, `n_groups`, `gini`)
+    */
+  def giniSplit(
+      df: DataFrame, labelCol: String,
+      features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "giniSplit: no candidate features")
+    val y = col(labelCol).cast("boolean")
+    features.map { case (name, fexpr) =>
+      val per = df.groupBy(fexpr.cast("string").as("_g"))
+        .agg(
+          count(lit(1)).as("_n_g"),
+          sum(when(y, 1L).otherwise(0L)).as("_n_pos"))
+      val tot = per.agg(sum("_n_g").as("_n"))
+      per.crossJoin(broadcast(tot)) // 1-row total (declared)
+        .withColumn("_p", col("_n_pos").cast("double") /
+          col("_n_g").cast("double"))
+        .withColumn("_q", (col("_n_g") - col("_n_pos")).cast("double") /
+          col("_n_g").cast("double"))
+        .withColumn("_t",
+          col("_n_g").cast("double") / col("_n").cast("double") *
+            (lit(1.0) - col("_p") * col("_p") - col("_q") * col("_q")))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          aggregate(
+            transform(
+              array_sort(collect_list(struct(col("_g"), col("_t")))),
+              s => s.getField("_t")),
+            lit(0.0), (acc, x) => acc + x).as("gini"))
+        .select(lit(name).as("feature"), col("n_groups"), col("gini"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Cohen's kappa between two binary raters — chance-corrected
     * agreement `κ = (p_o − p_e)/(1 − p_e)`, the standard sanity check
     * before trusting "two filters agree" (two filters that both pass

@@ -357,6 +357,54 @@ object EvalQueries {
               |FROM t ORDER BY n_bins""".stripMargin),
       "expected calibration error: percentile-calibrated bins, ordered-fold ECE"),
 
+    // Decision-stump feature audit ([[EvalOps.giniSplit]]): which
+    // metadata column best predicts "is English" by weighted Gini
+    // impurity — source (weakly informative), the 256-char length
+    // bucket, and a deliberate junk feature (doc_id % 7) as the
+    // control that must land near the no-split impurity.
+    Q(
+      "eval_gini_stump",
+      (s, d) =>
+        EvalOps.giniSplit(
+            T(s, d, "documents").withColumn("is_en", col("lang") === "en"),
+            "is_en",
+            Seq(
+              "junk_mod7" -> (col("doc_id") % 7),
+              "len_bucket" -> expr("n_chars DIV 256"),
+              "source" -> col("source")))
+          .orderBy("feature"),
+      Some {
+        def block(tag: String, name: String, sqlExpr: String) =
+          s"""b_$tag AS (
+             |  SELECT CAST($sqlExpr AS VARCHAR) AS g,
+             |    CAST(count(*) AS BIGINT) AS n_g,
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_pos
+             |  FROM documents GROUP BY 1),
+             |t_$tag AS (SELECT CAST(sum(n_g) AS BIGINT) AS n FROM b_$tag),
+             |g_$tag AS (SELECT '$name' AS feature,
+             |    CAST(count(*) AS BIGINT) AS n_groups,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list(CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE) *
+             |          (1.0 -
+             |            (CAST(n_pos AS DOUBLE) / CAST(n_g AS DOUBLE)) *
+             |            (CAST(n_pos AS DOUBLE) / CAST(n_g AS DOUBLE)) -
+             |            (CAST(n_g - n_pos AS DOUBLE) /
+             |              CAST(n_g AS DOUBLE)) *
+             |            (CAST(n_g - n_pos AS DOUBLE) /
+             |              CAST(n_g AS DOUBLE)))
+             |          ORDER BY g)),
+             |      (acc, x) -> acc + x) AS gini
+             |  FROM b_$tag, t_$tag)""".stripMargin
+        s"""WITH ${block("j", "junk_mod7", "doc_id % 7")},
+           |${block("l", "len_bucket", "n_chars // 256")},
+           |${block("s", "source", "source")}
+           |SELECT * FROM g_j UNION ALL SELECT * FROM g_l
+           |UNION ALL SELECT * FROM g_s
+           |ORDER BY feature""".stripMargin
+      },
+      "decision-stump audit: weighted Gini per candidate feature, junk-feature control"),
+
     // Per-user ranking battery ([[EvalOps.rankingMetrics]]): hits@3,
     // RR@3, DCG/IDCG/NDCG@3, precision and recall — the frequency
     // recommender judged against the held-out interaction split. DCG's

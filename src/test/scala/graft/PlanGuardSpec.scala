@@ -62,7 +62,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // 1-row total + 1x1x1 scalar crosses of the MI/entropy folds
       "profile_mutual_info",
       // 1-row edge-count broadcast onto the per-community rollup
-      "graph_modularity")
+      "graph_modularity",
+      // 1-row per-feature totals broadcast onto each group rollup
+      "eval_gini_stump")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

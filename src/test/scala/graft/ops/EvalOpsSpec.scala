@@ -105,6 +105,22 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("kappa") - 0.4) < 1e-15)
   }
 
+  test("giniSplit: pure split is 0, constant feature is parent impurity") {
+    // 4 rows, 2 pos / 2 neg: parent impurity 1 - 0.25 - 0.25 = 0.5
+    val df = Seq((true, "a", "c"), (true, "a", "c"), (false, "b", "c"),
+      (false, "b", "c")).toDF("y", "pure", "const")
+    val got = EvalOps.giniSplit(df, "y",
+        Seq("pure" -> org.apache.spark.sql.functions.col("pure"),
+          "const" -> org.apache.spark.sql.functions.col("const")))
+      .orderBy("feature").collect()
+    assert(got(0).getAs[String]("feature") == "const" &&
+      got(0).getAs[Long]("n_groups") == 1L &&
+      got(0).getAs[Double]("gini") == 0.5)
+    assert(got(1).getAs[String]("feature") == "pure" &&
+      got(1).getAs[Long]("n_groups") == 2L &&
+      got(1).getAs[Double]("gini") == 0.0)
+  }
+
   test("expectedCalibrationError: hand case — exact rational conf per bin") {
     // scores 1..5, positives = top-2 scores; pct = (rank-1)/4
     val df = Seq((1L, false, 1L), (2L, false, 2L), (3L, false, 3L),
