@@ -465,10 +465,16 @@ object StatOps {
     * is IEEE-correctly-rounded, and the oracle (HUGEINT moments)
     * replays the double bit-for-bit.
     *
-    * Plan: two global midranks (range-staged [[globalRowNumber]] + one
-    * tie rollup each, never a single-partition window), one id
-    * equi-join, one scalar aggregate. At 10¹⁰ rows the doubled ranks
-    * reach ~2·10¹⁰ and the largest moment n·Σr² ~ 4n⁴ ~ 10⁴² — past 38
+    * Plan: the doubled midrank NEVER ranks rows — for a value with
+    * tie-count c and cum = inclusive running count over the sorted
+    * DISTINCT values, `2·midrank = 2·cum − c + 1` — so each column
+    * costs one keyed rollup to its distinct values and a prefix sum
+    * over that (distinct-domain-sized) frame; the two rank maps then
+    * join back onto the base rows BY VALUE (broadcastable when the
+    * domain is small, e.g. 50 quantities) — no per-row id pairing
+    * exists anywhere, because ties never need a tiebreak under
+    * midranks. One scalar aggregate takes the DECIMAL moments. At
+    * 10¹⁰ rows the largest moment n·Σr² ~ 4n⁴ ~ 10⁴² — past 38
     * digits — so the implementation guards the documented domain
     * (n ≤ ~10⁹) rather than silently wrapping.
     *
@@ -476,16 +482,18 @@ object StatOps {
     *         constant, where the statistic is undefined)
     */
   def spearmanRho(
-      df: DataFrame, xCol: String, yCol: String, idCol: String): DataFrame = {
+      df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     def ranks2(vcol: String, out: String): DataFrame = {
-      val ranked = globalRowNumber(
-        df.select(col(vcol), col(idCol)), Seq(col(vcol), col(idCol)), "_i")
-      val ties = ranked.groupBy(col(vcol))
-        .agg((min("_i") + max("_i")).as(out))
-      ranked.join(ties, Seq(vcol)).select(col(idCol), col(out))
+      val perValue = df.groupBy(col(vcol)).agg(count(lit(1)).as("_c"))
+      val pref = globalRunningSums(perValue, Seq(col(vcol)),
+        Seq("_c" -> "_cum"))
+      pref.select(col(vcol),
+        (lit(2L) * col("_cum") - col("_c") + 1L).as(out))
     }
-    val j = ranks2(xCol, "_rx2").join(ranks2(yCol, "_ry2"), Seq(idCol))
+    val j = df.select(col(xCol), col(yCol))
+      .join(ranks2(xCol, "_rx2"), Seq(xCol))
+      .join(ranks2(yCol, "_ry2"), Seq(yCol))
     val m = j.agg(
       count(lit(1)).as("n"),
       sum(col("_rx2").cast(d38)).as("_sx"),

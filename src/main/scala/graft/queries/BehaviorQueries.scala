@@ -890,25 +890,22 @@ object BehaviorQueries {
     // does line-item price rise with quantity, judged scale-free on
     // tie-averaged midranks. Doubled-integer ranks + DECIMAL(38)
     // moments stay exact until one num/(√·√) expression; the oracle
-    // replays it with HUGEINT moments. Row id = orderkey·8 + linenumber
-    // (linenumber ≤ 7), the composite key packed into one tiebreak.
+    // replays it with HUGEINT moments (the oracle's per-row RANK
+    // formulation and the engine's per-distinct-value prefix sum are
+    // the same midrank identity).
     Q(
       "stats_spearman_rho",
       (s, d) =>
         graft.ops.StatOps.spearmanRho(
           T(s, d, "lineitem")
-            .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"),
-              (col("l_orderkey") * 8 + col("l_linenumber")).as("id")),
-          "x", "y", "id"),
+            .select(col("l_quantity").as("x"),
+              col("l_extendedprice").as("y")),
+          "x", "y"),
       Some("""WITH b AS (
-             |  SELECT l_orderkey * 8 + l_linenumber AS id,
-             |    l_quantity AS x, l_extendedprice AS y
-             |  FROM lineitem),
-             |rx AS (SELECT id,
+             |  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+             |r AS (SELECT
              |    2 * RANK() OVER (ORDER BY x) +
-             |      count(*) OVER (PARTITION BY x) - 1 AS rx2
-             |  FROM b),
-             |ry AS (SELECT id,
+             |      count(*) OVER (PARTITION BY x) - 1 AS rx2,
              |    2 * RANK() OVER (ORDER BY y) +
              |      count(*) OVER (PARTITION BY y) - 1 AS ry2
              |  FROM b),
@@ -918,7 +915,7 @@ object BehaviorQueries {
              |    sum(CAST(rx2 AS HUGEINT) * CAST(ry2 AS HUGEINT)) AS sxy,
              |    sum(CAST(rx2 AS HUGEINT) * CAST(rx2 AS HUGEINT)) AS sxx,
              |    sum(CAST(ry2 AS HUGEINT) * CAST(ry2 AS HUGEINT)) AS syy
-             |  FROM rx JOIN ry USING (id))
+             |  FROM r)
              |SELECT n,
              |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
              |    THEN CAST(n * sxy - sx * sy AS DOUBLE) /

@@ -191,13 +191,13 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     // identical tie patterns → identical midrank vectors → rho = 1
     val up = Seq((1L, 1.0, 10.0), (2L, 2.0, 20.0), (3L, 2.0, 20.0),
       (4L, 3.0, 40.0)).toDF("id", "x", "y")
-    val r1 = StatOps.spearmanRho(up, "x", "y", "id").collect().head
+    val r1 = StatOps.spearmanRho(up, "x", "y").collect().head
     // √d·√d differs from d by one ULP — ±1 is approached, not exact
     assert(r1.getAs[Long]("n") == 4L &&
       math.abs(r1.getAs[Double]("rho") - 1.0) < 1e-15)
     val down = Seq((1L, 1.0, 40.0), (2L, 2.0, 20.0), (3L, 2.0, 20.0),
       (4L, 3.0, 10.0)).toDF("id", "x", "y")
-    val r2 = StatOps.spearmanRho(down, "x", "y", "id").collect().head
+    val r2 = StatOps.spearmanRho(down, "x", "y").collect().head
     assert(math.abs(r2.getAs[Double]("rho") + 1.0) < 1e-15)
   }
 
@@ -209,11 +209,11 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     // num = 4*114-400 = 56; denx = 4*120-400 = 80; deny = 4*118-400 = 72
     val df = Seq((1L, 1.0, 10.0), (2L, 2.0, 10.0), (3L, 3.0, 30.0),
       (4L, 4.0, 20.0)).toDF("id", "x", "y")
-    val r = StatOps.spearmanRho(df, "x", "y", "id").collect().head
+    val r = StatOps.spearmanRho(df, "x", "y").collect().head
     assert(r.getAs[Double]("rho") ==
       56.0 / (math.sqrt(80.0) * math.sqrt(72.0)))
     val const = Seq((1L, 5.0, 1.0), (2L, 5.0, 2.0)).toDF("id", "x", "y")
-    val rc = StatOps.spearmanRho(const, "x", "y", "id").collect().head
+    val rc = StatOps.spearmanRho(const, "x", "y").collect().head
     assert(rc.isNullAt(rc.fieldIndex("rho")))
   }
 
