@@ -225,6 +225,65 @@ object EvalOps {
           lit(0.0), (acc, x) => acc + x).as("ece"))
   }
 
+  /** Deterministic multiplier bootstrap of a binary metric: `b`
+    * resamples, where resample `r` weights row `i` by the integer
+    * `w_ir = md5(salt:r:id) nibble mod 4` ∈ {0..3} (mean 1.5 — the
+    * random-weight bootstrap with a hash in place of the RNG, so every
+    * engine and every rerun draws the SAME resamples). Per resample:
+    * weighted accuracy `Σw·acc / Σw` — exact integer sums into one
+    * division. The spread of these `b` means IS the sampling
+    * uncertainty of the metric; [[bootstrapCi]] turns them into order-
+    * statistic bounds.
+    *
+    * One row explode (×b) + one keyed rollup — nothing stateful, no
+    * RNG, no driver loop; at 100 TB you bootstrap a per-shard metric
+    * frame, not raw rows.
+    *
+    * @param correctCol boolean column: the per-row metric being
+    *                   bootstrapped (e.g. prediction == label)
+    * @return `b` rows: (`r`, `w_sum`, `n_hit_w`, `acc_w`)
+    */
+  def bootstrapAccuracy(
+      df: DataFrame, correctCol: String, idCol: String, b: Int,
+      salt: String): DataFrame = {
+    require(b >= 2, s"need at least 2 resamples, got $b")
+    df.select(col(idCol), col(correctCol).cast("boolean").as("_ok"))
+      .withColumn("r", explode(sequence(lit(1), lit(b))))
+      .withColumn("_h",
+        md5(concat_ws(":", lit(salt), col("r").cast("string"),
+          col(idCol).cast("string"))))
+      // first hex nibble → 0..15, mod 4 → weight 0..3 (instr-based, the
+      // portable nibble decode the classifier oracle already uses)
+      .withColumn("_w",
+        expr("(instr('0123456789abcdef', substring(_h, 1, 1)) - 1) % 4")
+          .cast("long"))
+      .groupBy("r")
+      .agg(
+        sum("_w").as("w_sum"),
+        sum(when(col("_ok"), col("_w")).otherwise(0L)).as("n_hit_w"))
+      .withColumn("acc_w",
+        when(col("w_sum") > 0,
+          col("n_hit_w").cast(DoubleType) / col("w_sum").cast(DoubleType)))
+  }
+
+  /** Order-statistic bounds over [[bootstrapAccuracy]]'s resample
+    * means: sorts the `b` means and reads the `loIdx`/`hiIdx`-th
+    * (1-based) — e.g. 2nd and 19th of 20 for a ~90% interval. Pure
+    * selection, no float arithmetic beyond the means themselves.
+    *
+    * @return one row: (`b`, `lo`, `hi`)
+    */
+  def bootstrapCi(
+      perResample: DataFrame, loIdx: Int, hiIdx: Int): DataFrame = {
+    require(loIdx >= 1 && hiIdx >= loIdx, s"bad indices ($loIdx, $hiIdx)")
+    perResample
+      .agg(count(lit(1)).as("b"),
+        sort_array(collect_list(col("acc_w"))).as("_means"))
+      .select(col("b"),
+        element_at(col("_means"), loIdx).as("lo"),
+        element_at(col("_means"), hiIdx).as("hi"))
+  }
+
   /** Decision-stump feature audit: for each candidate categorical
     * feature, the label's WEIGHTED GINI IMPURITY after splitting on it
     * — `Σ_g (n_g/n)·(1 − p_g² − q_g²)` — the argmin row is the feature

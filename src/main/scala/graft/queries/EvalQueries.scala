@@ -357,6 +357,71 @@ object EvalQueries {
               |FROM t ORDER BY n_bins""".stripMargin),
       "expected calibration error: percentile-calibrated bins, ordered-fold ECE"),
 
+    // Deterministic multiplier bootstrap ([[EvalOps.bootstrapAccuracy]]):
+    // 20 hash-weighted resamples of the classifier's accuracy — the
+    // sampling uncertainty of "the filter is 73% right" without an RNG,
+    // so every engine draws the same resamples. Weighted accuracy =
+    // exact integer sums into one division per resample.
+    Q(
+      "eval_bootstrap_acc",
+      (s, d) =>
+        EvalOps.bootstrapAccuracy(
+            scored(s, d).select(col("doc_id"),
+              ((col("score") >= 0L) === col("is_en")).as("ok")),
+            "ok", "doc_id", b = 20, salt = "boot")
+          .orderBy("r"),
+      Some(s"""WITH $scoredCte,
+              |acc AS (SELECT doc_id, (score >= 0) = pos AS ok FROM s),
+              |ex AS (SELECT doc_id, ok, unnest(generate_series(1, 20)) AS r
+              |       FROM acc),
+              |w AS (SELECT r, ok,
+              |    (instr('0123456789abcdef',
+              |       substr(md5('boot:' || CAST(r AS VARCHAR) || ':' ||
+              |         CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 4 AS wt
+              |  FROM ex)
+              |SELECT r, CAST(sum(wt) AS BIGINT) AS w_sum,
+              |  CAST(sum(CASE WHEN ok THEN wt ELSE 0 END) AS BIGINT)
+              |    AS n_hit_w,
+              |  CASE WHEN sum(wt) > 0
+              |    THEN CAST(sum(CASE WHEN ok THEN wt ELSE 0 END) AS DOUBLE) /
+              |      CAST(sum(wt) AS DOUBLE) END AS acc_w
+              |FROM w GROUP BY r ORDER BY r""".stripMargin),
+      "hash-multiplier bootstrap: 20 deterministic resamples of filter accuracy"),
+
+    // Order-statistic interval over the resamples
+    // ([[EvalOps.bootstrapCi]]): 2nd and 19th of the 20 sorted means —
+    // the ~90% band a dashboard prints beside the point accuracy.
+    Q(
+      "eval_bootstrap_ci",
+      (s, d) =>
+        EvalOps.bootstrapCi(
+            EvalOps.bootstrapAccuracy(
+              scored(s, d).select(col("doc_id"),
+                ((col("score") >= 0L) === col("is_en")).as("ok")),
+              "ok", "doc_id", b = 20, salt = "boot"),
+            loIdx = 2, hiIdx = 19)
+          .orderBy("b"),
+      Some(s"""WITH $scoredCte,
+              |acc AS (SELECT doc_id, (score >= 0) = pos AS ok FROM s),
+              |ex AS (SELECT doc_id, ok, unnest(generate_series(1, 20)) AS r
+              |       FROM acc),
+              |w AS (SELECT r, ok,
+              |    (instr('0123456789abcdef',
+              |       substr(md5('boot:' || CAST(r AS VARCHAR) || ':' ||
+              |         CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 4 AS wt
+              |  FROM ex),
+              |per AS (SELECT r,
+              |    CASE WHEN sum(wt) > 0
+              |      THEN CAST(sum(CASE WHEN ok THEN wt ELSE 0 END)
+              |             AS DOUBLE) / CAST(sum(wt) AS DOUBLE)
+              |    END AS acc_w
+              |  FROM w GROUP BY r),
+              |o AS (SELECT CAST(count(*) AS BIGINT) AS b,
+              |    list_sort(list(acc_w)) AS means FROM per)
+              |SELECT b, means[2] AS lo, means[19] AS hi
+              |FROM o ORDER BY b""".stripMargin),
+      "bootstrap order-statistic CI: 2nd/19th sorted resample means"),
+
     // Decision-stump feature audit ([[EvalOps.giniSplit]]): which
     // metadata column best predicts "is English" by weighted Gini
     // impurity — source (weakly informative), the 256-char length

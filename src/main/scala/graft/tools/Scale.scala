@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CorpusOps, DedupOps, EvalOps, GraphOps, IntervalOps, LinkageOps, MultimodalOps, SketchOps, StatOps, TextOps}
+import graft.ops.{CorpusOps, DedupOps, EvalOps, GraphOps, IntervalOps, LayoutOps, LinkageOps, MultimodalOps, SketchOps, StatOps, TextOps}
 
 /** Wall-time scaling curves for the five operators whose LINEARITY is
   * load-bearing in every 100 TB claim: connected components (iterative +
@@ -356,7 +356,58 @@ object Scale {
           CorpusOps.dsirStats(d, "doc_id", "text",
             targetPred = col("doc_id") % 10 === 0,
             buckets = 4096).count()
-        }))
+        }),
+        // Spearman: two distinct-value rollups + prefix sums over the
+        // value DOMAINS (v ~1k+tail, x 100k) + two value joins back +
+        // one decimal-moment rollup — every stage keyed, must track n
+        "spearman_rho" -> (() =>
+          StatOps.spearmanRho(ms, "x", "v").count()),
+        // EWMA level: one keyed rollup collecting each of the 64
+        // groups' series — times the collect+sorted-fold shape (per-key
+        // state bounded by group size, which here grows ∝ n: the op's
+        // documented worst case)
+        "ewma_level" -> (() =>
+          StatOps.ewmaLevel(ms, "g", "mid", "mid", "v",
+            alpha = 0.25).count()),
+        // ranking battery: global rank over the slate + offsets + two
+        // keyed joins + per-user rollup — the window-free rank shape
+        // under a 64-user, n-candidate slate
+        "ranking_metrics" -> (() =>
+          EvalOps.rankingMetrics(
+            ms.select(col("g"), col("mid"), col("v")),
+            "g", "mid", "v",
+            ms.filter(col("mid") % 3 === 0).select(col("g"), col("mid")),
+            k = 5).count()),
+        // blocked Damerau pairs: equi-join on the 4-row name blocks +
+        // the O(|a|·|b|) scorer per in-block pair — pair volume ∝ n by
+        // construction, so wall time must track n
+        "damerau_blocked" -> (() =>
+          LinkageOps.blockedDamerauPairs(nm, "nid", "name",
+            substring(col("name"), 1, 16), maxDist = 4).count()),
+        // Jaro-Winkler pairs: same blocks, the window-scan scorer
+        "jaro_winkler_blocked" -> (() =>
+          LinkageOps.blockedJaroWinklerPairs(nm, "nid", "name",
+            substring(col("name"), 1, 16), minSim = 0.8).count()),
+        // Hilbert prune: one codegen'd projection + a 256-tile rollup —
+        // must be scan-linear like its Z-order twin
+        "hilbert_prune" -> (() =>
+          LayoutOps.hilbertPruneStats(ms,
+            pmod(col("x"), lit(256)), pmod(col("y"), lit(256)),
+            bits = 8, tileBits = 8,
+            xLo = 32, xHi = 47, yLo = 64, yHi = 95).count()),
+        // Zipf slope: token rollup (vocab ∝ n) + TakeOrdered top-1000 +
+        // a 1000-element fold — the tail stages are constant-size, so
+        // the curve must track the token scan
+        "zipf_slope" -> (() =>
+          TextOps.zipfSlope(d, "text", k = 1000).count()),
+        // Gini stump: one keyed rollup per feature + ordered folds over
+        // group domains (20 and 7 groups) — scan-linear per feature
+        "gini_stump" -> (() =>
+          EvalOps.giniSplit(
+            d.withColumn("y", col("doc_id") % 3 === 0),
+            "y",
+            Seq("mod20" -> pmod(col("doc_id"), lit(20)),
+              "mod7" -> pmod(col("doc_id"), lit(7)))).count()))
 
       // optional args(1): comma-separated op names — run only those
       // (refresh individual curves without paying the full sweep)

@@ -105,6 +105,29 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("kappa") - 0.4) < 1e-15)
   }
 
+  test("bootstrapAccuracy: deterministic weights, exact weighted means") {
+    val df = (1L to 40L).map(i => (i, i % 4 != 0)).toDF("id", "ok")
+    val per = EvalOps.bootstrapAccuracy(df, "ok", "id", b = 8, salt = "t")
+      .orderBy("r").collect()
+    assert(per.length == 8)
+    per.foreach { row =>
+      val (w, hit) = (row.getAs[Long]("w_sum"), row.getAs[Long]("n_hit_w"))
+      assert(w >= 0 && hit <= w)
+      if (w > 0)
+        assert(row.getAs[Double]("acc_w") == hit.toDouble / w.toDouble)
+    }
+    // same salt → identical draw on re-run (no RNG anywhere)
+    val again = EvalOps.bootstrapAccuracy(df, "ok", "id", b = 8, salt = "t")
+      .orderBy("r").collect()
+    assert(per.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // all-correct rows collapse the interval to [1, 1]
+    val perfect = (1L to 30L).map(i => (i, true)).toDF("id", "ok")
+    val ci = EvalOps.bootstrapCi(
+      EvalOps.bootstrapAccuracy(perfect, "ok", "id", b = 8, salt = "t"),
+      loIdx = 2, hiIdx = 7).collect().head
+    assert(ci.getAs[Double]("lo") == 1.0 && ci.getAs[Double]("hi") == 1.0)
+  }
+
   test("giniSplit: pure split is 0, constant feature is parent impurity") {
     // 4 rows, 2 pos / 2 neg: parent impurity 1 - 0.25 - 0.25 = 0.5
     val df = Seq((true, "a", "c"), (true, "a", "c"), (false, "b", "c"),
