@@ -115,6 +115,52 @@ object TextQueries {
       },
       "lexicon-vote language ID, deterministic first-wins argmax"),
 
+    // Language-ID confusion matrix: the labeled corpus scored by the
+    // lexicon voter, rolled up per (true, predicted) cell with each
+    // cell's share of its true class — the error-analysis table that
+    // says WHICH languages the ID confuses, not just how often.
+    // Integer counts; one division per cell.
+    Q(
+      "text_langid_confusion",
+      (s, d) => {
+        val pred = T(s, d, "documents")
+          .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        val cells = pred.groupBy("lang", "lang_pred")
+          .agg(count(lit(1)).as("n"))
+        val trueTot = cells.groupBy("lang").agg(sum("n").as("n_true"))
+        cells.join(trueTot, Seq("lang"))
+          .withColumn("recall_share",
+            col("n").cast("double") / col("n_true").cast("double"))
+          .select("lang", "lang_pred", "n", "n_true", "recall_share")
+          .orderBy("lang", "lang_pred")
+      },
+      Some {
+        val v = TextOps.Lexicons.map { case (lang, lex) =>
+          lang ->
+            s"len(list_filter(string_split_regex(lower(text), ' +'), t -> t IN ${inList(lex)}))"
+        }.toMap
+        s"""WITH p AS (SELECT lang,
+           |  CASE
+           |    WHEN v_zh > greatest(v_de, v_en, v_es, v_fr) THEN 'zh'
+           |    WHEN v_fr > greatest(v_de, v_en, v_es) THEN 'fr'
+           |    WHEN v_es > greatest(v_de, v_en) THEN 'es'
+           |    WHEN v_en > v_de THEN 'en'
+           |    ELSE 'de' END AS lang_pred
+           |FROM (SELECT lang,
+           |        ${v("de")} AS v_de, ${v("en")} AS v_en, ${v("es")} AS v_es,
+           |        ${v("fr")} AS v_fr, ${v("zh")} AS v_zh
+           |      FROM documents)),
+           |c AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+           |      FROM p GROUP BY 1, 2),
+           |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true
+           |      FROM c GROUP BY 1)
+           |SELECT c.lang, c.lang_pred, c.n, t.n_true,
+           |  CAST(c.n AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS recall_share
+           |FROM c JOIN t USING (lang)
+           |ORDER BY lang, lang_pred""".stripMargin
+      },
+      "language-ID confusion matrix: per-cell counts and true-class shares"),
+
     // Language-ID with a CONFIDENCE margin ([[TextOps.langIdConfidence]]):
     // the vote gap between the top two lexicons — zero-margin docs are
     // code/noise/mixed-language and route to review, not into the corpus
