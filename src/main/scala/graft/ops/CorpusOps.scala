@@ -851,6 +851,39 @@ object CorpusOps {
       .orderBy(col("log_w").desc, col(idCol))
       .limit(k)
 
+  /** Per-document n-gram NOVELTY against a reference slice: the
+    * fraction of a doc's distinct k-grams absent from every reference
+    * document — high novelty flags off-distribution/garbage content,
+    * near-zero novelty flags memorization/boilerplate risk. The
+    * complement of decontamination: that op finds the OVERLAPPING
+    * pairs, this scores every doc's overall newness.
+    *
+    * Reads the STAGED distinct shingle frame
+    * ([[DedupOps.sharedShingles]] — shared with every other shingle
+    * gate), derives the reference gram set from it (one filter +
+    * distinct — never a second tokenization pass), and marks each
+    * doc-gram seen/unseen with one shingle equi-join. Integer counts;
+    * novelty is their single division. Reference docs score 0 by
+    * construction.
+    *
+    * @return one row per doc: (`idCol`, `n_grams`, `n_unseen`,
+    *         `novelty`)
+    */
+  def noveltyScores(
+      df: DataFrame, idCol: String, textCol: String, refPred: Column,
+      k: Int): DataFrame = {
+    val sh = DedupOps.sharedShingles(df, idCol, textCol, k)
+    val refSh = sh
+      .join(df.filter(refPred).select(col(idCol)), Seq(idCol))
+      .select(col("shingle")).distinct()
+    sh.join(refSh.withColumn("_seen", lit(1)), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .withColumn("novelty",
+        col("n_unseen").cast(DoubleType) / col("n_grams").cast(DoubleType))
+  }
+
   /** Temperature-scaled source mixture weights
     * `w_i = n_i^τ / Σ_j n_j^τ` — the multilingual/multi-source sampling
     * rule (τ < 1 upsamples small sources relative to their natural

@@ -225,6 +225,52 @@ object EvalOps {
           lit(0.0), (acc, x) => acc + x).as("ece"))
   }
 
+  /** Cumulative gains table: rows bucketed into score deciles (decile
+    * 0 = highest scores) via the exact global percent-rank, each row
+    * carrying the cumulative positive share ("top 20% of scores
+    * captures X% of positives") and its lift over random targeting —
+    * the table behind every gains/lift chart and "review the top
+    * decile first" policy.
+    *
+    * Window-free: percent-rank from [[groupPercentRank]] (global rank
+    * minus offsets), cumulative counts from
+    * [[StatOps.globalRunningSums]] over the `buckets`-row rollup, and
+    * every share/lift is a fixed expression tree over exact integers
+    * (`lift = gain / pop_share` reuses the two already-derived
+    * doubles, same tree both sides).
+    *
+    * @return one row per occupied decile: (`decile`, `n`, `n_pos`,
+    *         `cum_n`, `cum_pos`, `gain`, `pop_share`, `lift`)
+    */
+  def gainsTable(
+      df: DataFrame, labelCol: String, scoreCol: String, idCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    val pr = groupPercentRank(
+      df.select(col(idCol), col(scoreCol),
+        col(labelCol).cast("boolean").as("_y"), lit(1).as("_g")),
+      "_g", scoreCol, idCol)
+    val per = pr
+      .withColumn("_dec",
+        least(floor((lit(1.0) - col("pct_rank")) * buckets),
+          lit((buckets - 1).toLong)).cast("long"))
+      .groupBy("_dec")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"))
+    val cum = StatOps.globalRunningSums(per, Seq(col("_dec")),
+      Seq("n" -> "cum_n", "n_pos" -> "cum_pos"))
+    val tot = per.agg(sum("n").as("_n_tot"), sum("n_pos").as("_pos_tot"))
+    cum.crossJoin(broadcast(tot)) // 1-row totals frame (declared)
+      .withColumn("gain",
+        col("cum_pos").cast(DoubleType) / col("_pos_tot").cast(DoubleType))
+      .withColumn("pop_share",
+        col("cum_n").cast(DoubleType) / col("_n_tot").cast(DoubleType))
+      .withColumn("lift", col("gain") / col("pop_share"))
+      .select(col("_dec").as("decile"), col("n"), col("n_pos"),
+        col("cum_n"), col("cum_pos"), col("gain"), col("pop_share"),
+        col("lift"))
+  }
+
   /** Deterministic multiplier bootstrap of a binary metric: `b`
     * resamples, where resample `r` weights row `i` by the integer
     * `w_ir = md5(salt:r:id) nibble mod 4` ∈ {0..3} (mean 1.5 — the

@@ -982,6 +982,36 @@ object CorpusQueries {
              |  sqrt(CAST(n_docs AS DOUBLE)) / denom * 1000.0
              |    AS expected_docs
              |FROM per, tot ORDER BY source""".stripMargin),
-      "temperature mixture weights (tau=1/2): sqrt-scaled source shares, ordered-fold denominator")
+      "temperature mixture weights (tau=1/2): sqrt-scaled source shares, ordered-fold denominator"),
+
+    // N-gram novelty vs the reference slice ([[CorpusOps.noveltyScores]]):
+    // every doc's share of 3-grams unseen in the doc_id % 10 == 0
+    // reference — memorization/off-distribution screening over the
+    // SAME staged shingle frame the dedup gates read.
+    Q(
+      "corpus_novelty_score",
+      (s, d) =>
+        CorpusOps.noveltyScores(T(s, d, "documents"), "doc_id", "text",
+            refPred = col("doc_id") % 10 === 0, k = 3)
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(text, ' +') AS t
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+             |  SELECT doc_id,
+             |    unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             |      ELSE list_transform(generate_series(1, len(t)-2),
+             |        i -> array_to_string(t[i:i+2], ' ')) END) AS shingle
+             |  FROM toks)),
+             |ref AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0)
+             |SELECT sh.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_grams,
+             |  CAST(sum(CASE WHEN r.shingle IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_unseen,
+             |  CAST(sum(CASE WHEN r.shingle IS NULL THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+             |FROM sh LEFT JOIN ref r USING (shingle)
+             |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin),
+      "n-gram novelty score: share of grams unseen in the reference slice")
   )
 }

@@ -357,6 +357,49 @@ object EvalQueries {
               |FROM t ORDER BY n_bins""".stripMargin),
       "expected calibration error: percentile-calibrated bins, ordered-fold ECE"),
 
+    // Cumulative gains/lift table ([[EvalOps.gainsTable]]): score
+    // deciles of the classifier vs the is-English label — "the top
+    // decile captures X% of English docs at Y× random". Exact
+    // percent-rank deciles, running-sum gains, fixed-tree lifts.
+    Q(
+      "eval_gains_table",
+      (s, d) =>
+        EvalOps.gainsTable(scored(s, d), "is_en", "score", "doc_id")
+          .orderBy("decile"),
+      Some(s"""WITH $scoredCte,
+              |g AS (SELECT pos,
+              |    CAST(RANK() OVER (ORDER BY score) AS BIGINT) AS rk,
+              |    CAST(count(*) OVER () AS BIGINT) AS n_tot
+              |  FROM s),
+              |p AS (SELECT pos,
+              |    CASE WHEN n_tot > 1
+              |      THEN CAST(rk - 1 AS DOUBLE) / CAST(n_tot - 1 AS DOUBLE)
+              |      ELSE 0.0 END AS pct
+              |  FROM g),
+              |per AS (SELECT
+              |    least(CAST(floor((1.0 - pct) * 10) AS BIGINT), 9)
+              |      AS decile,
+              |    CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_pos
+              |  FROM p GROUP BY 1),
+              |c AS (SELECT decile, n, n_pos,
+              |    CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+              |    CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+              |    CAST((SELECT sum(n) FROM per) AS BIGINT) AS n_tot,
+              |    CAST((SELECT sum(n_pos) FROM per) AS BIGINT) AS pos_tot
+              |  FROM per
+              |  WINDOW w AS (ORDER BY decile
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              |f AS (SELECT decile, n, n_pos, cum_n, cum_pos,
+              |    CAST(cum_pos AS DOUBLE) / CAST(pos_tot AS DOUBLE) AS gain,
+              |    CAST(cum_n AS DOUBLE) / CAST(n_tot AS DOUBLE) AS pop_share
+              |  FROM c)
+              |SELECT decile, n, n_pos, cum_n, cum_pos, gain, pop_share,
+              |  gain / pop_share AS lift
+              |FROM f ORDER BY decile""".stripMargin),
+      "cumulative gains/lift per score decile: exact ranks, running sums, fixed-tree lifts"),
+
     // Deterministic multiplier bootstrap ([[EvalOps.bootstrapAccuracy]]):
     // 20 hash-weighted resamples of the classifier's accuracy — the
     // sampling uncertainty of "the filter is 73% right" without an RNG,

@@ -64,7 +64,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // 1-row edge-count broadcast onto the per-community rollup
       "graph_modularity",
       // 1-row per-feature totals broadcast onto each group rollup
-      "eval_gini_stump")
+      "eval_gini_stump",
+      // 1-row totals broadcast onto the 10-row decile frame
+      "eval_gains_table")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>
