@@ -156,7 +156,9 @@ object GraftFunctions {
     * `lexicon_best(array<string>, array<array<string>>, array<string>)`,
     * `bpe_apply(str, array<array<string>>)` (each inner array =
     * [pair, merged] in table order), `nfc_normalize(str)`,
-    * `damerau_levenshtein(str, str)`.
+    * `damerau_levenshtein(str, str)`, `hilbert_index(x, y, bits)`,
+    * `jaro_similarity(str, str)`, `jaro_winkler_similarity(str, str)`,
+    * `portable_ln(a, b)` (the engine-portable ln(a/b)).
     * Config-like arguments (namespace, k/w, lexicons, labels) must be
     * literals — they parameterize the expression instance itself. */
   val descriptions: Seq[(String, Seq[Expression] => Expression)] = {
