@@ -586,4 +586,162 @@ object StatOps {
     val local = sweep(pts, pmod(xxhash64(col(minCol), col(maxCol)), lit(buckets)))
     sweep(local, lit(0))
   }
+
+  /** Per-key sample autocorrelation r_h at lags 1..`maxLag` — the
+    * seasonality/memory probe of a per-entity time series (is today's
+    * activity predicted by yesterday's?). Standard estimator
+    * r_h = Σ_{t≤n−h}(x_t−x̄)(x_{t+h}−x̄) / Σ(x_t−x̄)², evaluated EXACTLY:
+    * the measure is quantized (`floor(value·scale)` → long), every sum
+    * accumulates in DECIMAL(38,0), and x̄ is eliminated algebraically —
+    * multiply through by n²:
+    *   n²·num_h = n²·Σx_t·x_{t+h} − n·S·(A_h+B_h) + (n−h)·S²
+    *   n²·den   = n·(n·Q − S²)
+    * (S=Σx, Q=Σx², A_h/B_h = sums of the first/last n−h terms), so the
+    * ONLY floating-point step is the final num/den double division —
+    * bit-equal on any engine.
+    *
+    * Plan: one window pass per key partition computes all `maxLag`
+    * leads under the (ts, id) total order (keys partition the shuffle;
+    * no single-partition window), one keyed rollup takes every moment
+    * for every lag map-side, and the per-lag rows unfold from an
+    * in-row array — one shuffle total, independent of `maxLag`. Domain
+    * guard as [[spearmanRho]]: n²·Q must fit 38 digits — fine through
+    * ~10⁸ rows/key at cent scale; beyond that, rescale.
+    *
+    * @return (`key`, `lag`, `n`, `r`) — `r` null when n ≤ lag or the
+    *         series is constant (den = 0).
+    */
+  def acfByKey(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, maxLag: Int, scale: Double = 100.0): DataFrame = {
+    require(maxLag >= 1, s"acfByKey: maxLag must be >= 1, got $maxLag")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col("_k")).orderBy(col("_ts"), col("_id"))
+    val base = df.select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
+        col(idCol).as("_id"),
+        floor(col(valueCol) * scale).cast("long").as("_x"))
+    val leads = base.select(
+      col("_k") +: col("_x") +:
+        (1 to maxLag).map(h => lead(col("_x"), h).over(w).as(s"_x$h")): _*)
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n"),
+        sum(col("_x").cast(d38)).as("_s"),
+        sum(col("_x").cast(d38) * col("_x").cast(d38)).as("_q")) ++
+        (1 to maxLag).flatMap { h =>
+          Seq(
+            sum(col("_x").cast(d38) * col(s"_x$h").cast(d38)).as(s"_p$h"),
+            sum(when(col(s"_x$h").isNotNull, col("_x")).otherwise(0L)
+              .cast(d38)).as(s"_a$h"),
+            sum(col(s"_x$h").cast(d38)).as(s"_b$h"))
+        }
+    val m = leads.groupBy(col("_k")).agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast(d38)
+    val lagRows = array((1 to maxLag).map { h =>
+      struct(lit(h).as("lag"),
+        (nD * nD * col(s"_p$h") - nD * col("_s") *
+          (col(s"_a$h") + col(s"_b$h")) +
+          (nD - lit(h).cast(d38)) * col("_s") * col("_s")).as("num"))
+    }: _*)
+    m.select(col("_k").as(keyCol), col("n"),
+        (nD * (nD * col("_q") - col("_s") * col("_s"))).as("_den"),
+        explode(lagRows).as("_l"))
+      .select(col(keyCol), col("_l.lag").as("lag"), col("n"),
+        when(col("n") > col("_l.lag") && col("_den") > 0,
+          col("_l.num").cast("double") / col("_den").cast("double"))
+          .as("r"))
+  }
+
+  /** Per-key CUSUM changepoint: the position k* maximizing
+    * |S_k − (k/n)·S_n| over the (ts, id)-ordered quantized series — the
+    * classic "where did the level shift" locator (mean-change detection
+    * for activity series, drift onset for quality scores). Scaled by n
+    * to stay integral: g_k = |n·S_k − k·S_n| is exact in longs, the
+    * argmax is total-ordered (ties → smallest k), and no float exists
+    * anywhere in the output.
+    *
+    * Plan: one ordered window pass per key partition builds (k, S_k)
+    * plus the key totals (n, S_n) from an unordered frame over the same
+    * partition — Spark collapses both into ONE shuffle — then a
+    * per-key ordered top-1 picks the argmax. At 100 TB the g_k product
+    * n·S_k can pass 2^63 for billion-row keys at cent scale; widen to
+    * DECIMAL(38,0) then (same expression, one cast).
+    *
+    * @return (`key`, `n`, `k_star`, `ts_star`, `g_max`) — g_max = 0
+    *         (k_star = 1) for constant series; single-row series give
+    *         g_max = 0 trivially.
+    */
+  def cusumChangepoint(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, scale: Double = 100.0): DataFrame = {
+    val wOrd = Window.partitionBy(col("_k")).orderBy(col("_ts"), col("_id"))
+    val wAll = Window.partitionBy(col("_k"))
+    val base = df.select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
+        col(idCol).as("_id"),
+        floor(col(valueCol) * scale).cast("long").as("_x"))
+    val scored = base.select(col("_k"), col("_ts"),
+        row_number().over(wOrd).as("_i"),
+        sum(col("_x")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0))
+          .as("_sk"),
+        count(lit(1)).over(wAll).as("_n"),
+        sum(col("_x")).over(wAll).as("_sn"))
+      .withColumn("_g", abs(col("_n") * col("_sk") - col("_i") * col("_sn")))
+    scored
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("_k")).orderBy(col("_g").desc, col("_i").asc)))
+      .filter(col("_r") === 1)
+      .select(col("_k").as(keyCol), col("_n").as("n"),
+        col("_i").as("k_star"), col("_ts").as("ts_star"),
+        col("_g").as("g_max"))
+  }
+
+  /** Per-key Holt linear (double-exponential) smoothing: level l and
+    * trend b after folding the (ts, id)-ordered series through
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    * seeded l₁ = x₁, b₁ = 0 — EWMA's sibling that also tracks slope,
+    * and the one-step forecast l+b that level-only smoothing cannot
+    * give. Sequential by definition, so the fold is order-pinned like
+    * [[ewmaLevel]]: both engines execute the identical IEEE expression
+    * sequence when α and β are exact binary fractions (the l_t
+    * subexpression inside b_t is the SAME expression tree, hence the
+    * same double). Oracle note: DuckDB v1.0.0 `list_reduce` mis-binds
+    * struct accumulator fields (later fields observe earlier NEW
+    * values — measured, see the gate), so the oracle replays the
+    * recurrence as a positional recursive CTE instead of a list fold.
+    *
+    * Plan shape = [[ewmaLevel]]: one keyed rollup collects each key's
+    * series in-row (sort_array pins the order with no window), one
+    * `aggregate` fold per row. Series length per key is the documented
+    * domain bound, exactly as for any per-entity state op.
+    *
+    * @return (`key`, `n`, `level`, `trend`, `forecast1` = level+trend)
+    */
+  def holtLinear(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0, 1], got $beta")
+    val a = lit(alpha); val a1 = lit(1.0 - alpha)
+    val g = lit(beta); val g1 = lit(1.0 - beta)
+    df.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col(tsCol), col(idCol),
+          col(valueCol).cast("double").as("v")))).as("_s"))
+      .withColumn("_vals", transform(col("_s"), x => x.getField("v")))
+      .withColumn("_hl",
+        aggregate(
+          slice(col("_vals"), lit(2), greatest(size(col("_vals")) - 1, lit(0))),
+          struct(element_at(col("_vals"), 1).as("l"), lit(0.0).as("b")),
+          (acc, x) => {
+            val newL = a * x + a1 * (acc.getField("l") + acc.getField("b"))
+            struct(
+              newL.as("l"),
+              (g * (newL - acc.getField("l")) + g1 * acc.getField("b"))
+                .as("b"))
+          }))
+      .select(col(keyCol), col("n"),
+        col("_hl.l").as("level"), col("_hl.b").as("trend"),
+        (col("_hl.l") + col("_hl.b")).as("forecast1"))
+  }
 }

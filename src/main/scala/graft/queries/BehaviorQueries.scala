@@ -948,6 +948,127 @@ object BehaviorQueries {
              |FROM s ORDER BY user_id""".stripMargin),
       "per-user EWMA level (alpha=1/4): order-pinned sequential fold, both engines"),
 
+    // Per-user autocorrelation at lags 1..3
+    // ([[graft.ops.StatOps.acfByKey]]): the memory/seasonality probe of
+    // each entity's value series. Mean-centering is eliminated
+    // algebraically (multiply through by n²) so every moment is an
+    // exact DECIMAL(38)/HUGEINT integer and the ONLY float step is the
+    // final num/den division — identical IEEE op both engines.
+    Q(
+      "timeseries_acf",
+      (s, d) =>
+        graft.ops.StatOps.acfByKey(T(s, d, "events"), "user_id", "ts",
+            "event_id", "value", maxLag = 3, scale = 100.0)
+          .orderBy("user_id", "lag"),
+      Some("""WITH b AS (
+             |  SELECT user_id,
+             |    CAST(floor(value * 100) AS BIGINT) AS x,
+             |    lead(CAST(floor(value * 100) AS BIGINT), 1) OVER w AS x1,
+             |    lead(CAST(floor(value * 100) AS BIGINT), 2) OVER w AS x2,
+             |    lead(CAST(floor(value * 100) AS BIGINT), 3) OVER w AS x3
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |m AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |    sum(CAST(x AS HUGEINT)) AS s,
+             |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q,
+             |    sum(CAST(x AS HUGEINT) * CAST(x1 AS HUGEINT)) AS p1,
+             |    sum(CASE WHEN x1 IS NOT NULL THEN CAST(x AS HUGEINT)
+             |        ELSE 0 END) AS a1,
+             |    sum(CAST(x1 AS HUGEINT)) AS b1,
+             |    sum(CAST(x AS HUGEINT) * CAST(x2 AS HUGEINT)) AS p2,
+             |    sum(CASE WHEN x2 IS NOT NULL THEN CAST(x AS HUGEINT)
+             |        ELSE 0 END) AS a2,
+             |    sum(CAST(x2 AS HUGEINT)) AS b2,
+             |    sum(CAST(x AS HUGEINT) * CAST(x3 AS HUGEINT)) AS p3,
+             |    sum(CASE WHEN x3 IS NOT NULL THEN CAST(x AS HUGEINT)
+             |        ELSE 0 END) AS a3,
+             |    sum(CAST(x3 AS HUGEINT)) AS b3
+             |  FROM b GROUP BY user_id),
+             |l AS (
+             |  SELECT user_id, n, 1 AS lag,
+             |    n*n*p1 - n*s*(a1+b1) + (n-1)*s*s AS num,
+             |    n*(n*q - s*s) AS den FROM m
+             |  UNION ALL
+             |  SELECT user_id, n, 2,
+             |    n*n*p2 - n*s*(a2+b2) + (n-2)*s*s, n*(n*q - s*s) FROM m
+             |  UNION ALL
+             |  SELECT user_id, n, 3,
+             |    n*n*p3 - n*s*(a3+b3) + (n-3)*s*s, n*(n*q - s*s) FROM m)
+             |SELECT user_id, lag, n,
+             |  CASE WHEN n > lag AND den > 0
+             |    THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS r
+             |FROM l ORDER BY user_id, lag""".stripMargin),
+      "per-user ACF lags 1-3: exact integer moments, one final IEEE division"),
+
+    // Per-user CUSUM changepoint ([[graft.ops.StatOps.cusumChangepoint]]):
+    // argmax_k |n·S_k − k·S_n| under the (ts, event_id) order — where
+    // each user's value level shifted. Entirely integer (cent-quantized
+    // prefix sums, n-scaled instead of divided), ties to smallest k, so
+    // the gate is float-free end to end.
+    Q(
+      "timeseries_cusum",
+      (s, d) =>
+        graft.ops.StatOps.cusumChangepoint(T(s, d, "events"), "user_id",
+            "ts", "event_id", "value", scale = 100.0)
+          .orderBy("user_id"),
+      Some("""WITH b AS (
+             |  SELECT user_id, ts,
+             |    row_number() OVER w AS i,
+             |    sum(CAST(floor(value * 100) AS BIGINT)) OVER
+             |      (PARTITION BY user_id ORDER BY ts, event_id
+             |       ROWS UNBOUNDED PRECEDING) AS sk,
+             |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+             |    sum(CAST(floor(value * 100) AS BIGINT))
+             |      OVER (PARTITION BY user_id) AS sn
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |g AS (
+             |  SELECT user_id, n, i, ts, abs(n * sk - i * sn) AS g,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY abs(n * sk - i * sn) DESC, i ASC) AS r
+             |  FROM b)
+             |SELECT user_id, n, CAST(i AS INTEGER) AS k_star,
+             |  ts AS ts_star, CAST(g AS BIGINT) AS g_max
+             |FROM g WHERE r = 1 ORDER BY user_id""".stripMargin),
+      "per-user CUSUM changepoint: integer n-scaled prefix deviations, exact argmax"),
+
+    // Per-user Holt linear smoothing at (α, β) = (¼, ½)
+    // ([[graft.ops.StatOps.holtLinear]]): level + trend + one-step
+    // forecast. Sequential like EWMA, but the oracle CANNOT use a
+    // list_reduce struct fold — DuckDB v1.0.0 mis-binds struct
+    // accumulator fields (the trend expression observes the freshly
+    // computed level: measured, list_reduce([{1,100},{2,200},{3,300}],
+    // b := acc.l + x.b) returns 423, not 312) — so the oracle replays
+    // the recurrence as a positional recursive CTE, one step per row,
+    // with the identical IEEE expression order.
+    Q(
+      "timeseries_holt_linear",
+      (s, d) =>
+        graft.ops.StatOps.holtLinear(T(s, d, "events"), "user_id", "ts",
+            "event_id", "value", alpha = 0.25, beta = 0.5)
+          .orderBy("user_id"),
+      Some("""WITH RECURSIVE v AS (
+             |  SELECT user_id, CAST(value AS DOUBLE) AS x,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS i,
+             |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+             |  FROM events),
+             |st AS (
+             |  SELECT user_id, i, n, x AS l, CAST(0 AS DOUBLE) AS b
+             |  FROM v WHERE i = 1
+             |  UNION ALL
+             |  SELECT s.user_id, s.i + 1, s.n,
+             |    CAST(0.25 AS DOUBLE) * v.x
+             |      + CAST(0.75 AS DOUBLE) * (s.l + s.b),
+             |    CAST(0.5 AS DOUBLE) * ((CAST(0.25 AS DOUBLE) * v.x
+             |      + CAST(0.75 AS DOUBLE) * (s.l + s.b)) - s.l)
+             |      + CAST(0.5 AS DOUBLE) * s.b
+             |  FROM st s JOIN v ON v.user_id = s.user_id AND v.i = s.i + 1)
+             |SELECT user_id, n, l AS level, b AS trend, l + b AS forecast1
+             |FROM st WHERE i = n ORDER BY user_id""".stripMargin),
+      "per-user Holt linear (1/4, 1/2): order-pinned fold vs recursive-CTE replay"),
+
     // Wilcoxon signed-rank over per-user pre/post cent differences (the
     // CUPED gate's periods) — the PAIRED nonparametric test completing
     // the trio beside KS and Mann–Whitney. Zero diffs dropped per the

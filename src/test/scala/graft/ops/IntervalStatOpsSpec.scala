@@ -241,6 +241,60 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("nmi") - 1.0) < 1e-15)
   }
 
+  test("acfByKey: hand moments, zero/negative lags, constant is null") {
+    import spark.implicits._
+    // x = 1,2,3 (scale 1): lag1 num = 0; lag2 r = -9/18 = -0.5
+    val df = Seq(("a", 1L, 1L, 1.0), ("a", 2L, 2L, 2.0), ("a", 3L, 3L, 3.0))
+      .toDF("k", "t", "id", "v")
+    val got = StatOps.acfByKey(df, "k", "t", "id", "v", maxLag = 2, scale = 1.0)
+      .orderBy("k", "lag")
+      .as[(String, Int, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(("a", 1, 3L, Some(0.0)), ("a", 2, 3L, Some(-0.5))))
+    // alternating 1,2,1,2: r1 = -0.75 exactly
+    val alt = Seq(("a", 1L, 1L, 1.0), ("a", 2L, 2L, 2.0),
+      ("a", 3L, 3L, 1.0), ("a", 4L, 4L, 2.0)).toDF("k", "t", "id", "v")
+    val g2 = StatOps.acfByKey(alt, "k", "t", "id", "v", maxLag = 1, scale = 1.0)
+      .as[(String, Int, Long, Option[Double])].collect().head
+    assert(g2 == (("a", 1, 4L, Some(-0.75))))
+    // constant series: den = 0 → null; lag beyond n → null
+    val const = Seq(("c", 1L, 1L, 5.0), ("c", 2L, 2L, 5.0))
+      .toDF("k", "t", "id", "v")
+    val g3 = StatOps.acfByKey(const, "k", "t", "id", "v", maxLag = 3, scale = 1.0)
+      .orderBy("lag")
+      .as[(String, Int, Long, Option[Double])].collect().toSeq
+    assert(g3.forall(_._4.isEmpty) && g3.map(_._2) == Seq(1, 2, 3))
+  }
+
+  test("cusumChangepoint: level shift located, ties take smallest k") {
+    import spark.implicits._
+    // 0,0,10,10 → g = 20,40,20,0 → k* = 2 (the last pre-shift index)
+    val df = Seq(("a", 1L, 1L, 0.0), ("a", 2L, 2L, 0.0),
+      ("a", 3L, 3L, 10.0), ("a", 4L, 4L, 10.0)).toDF("k", "t", "id", "v")
+    val got = StatOps.cusumChangepoint(df, "k", "t", "id", "v", scale = 1.0)
+      .as[(String, Long, Int, Long, Long)].collect().head
+    assert(got == (("a", 4L, 2, 2L, 40L)))
+    // constant series: all g = 0 → tie → k* = 1
+    val const = Seq(("c", 1L, 1L, 5.0), ("c", 2L, 2L, 5.0))
+      .toDF("k", "t", "id", "v")
+    val g2 = StatOps.cusumChangepoint(const, "k", "t", "id", "v", scale = 1.0)
+      .as[(String, Long, Int, Long, Long)].collect().head
+    assert(g2 == (("c", 2L, 1, 1L, 0L)))
+  }
+
+  test("holtLinear: hand recurrence in time order; singleton seeds (x, 0)") {
+    import spark.implicits._
+    // 8,4,2 @ a=1/4 b=1/2: l=(8,7,5.375), b=(0,-0.5,-1.0625)
+    val df = Seq(("a", 3L, 3L, 2.0), ("a", 1L, 1L, 8.0), ("a", 2L, 2L, 4.0),
+      ("b", 1L, 9L, 6.0)).toDF("k", "t", "id", "v")
+    val got = StatOps.holtLinear(df, "k", "t", "id", "v",
+        alpha = 0.25, beta = 0.5)
+      .orderBy("k")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 3L, 5.375, -1.0625, 4.3125),
+      ("b", 1L, 6.0, 0.0, 6.0)))
+  }
+
   test("ewmaLevel: seeded-at-first recurrence in time order, per key") {
     import spark.implicits._
     // series 8, 4, 2 at alpha 1/4: s1=8, s2=.25*4+.75*8=7, s3=.25*2+.75*7=5.75
