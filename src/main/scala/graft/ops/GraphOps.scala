@@ -751,4 +751,55 @@ object GraphOps {
             s => s.getField("_t")),
           lit(0.0), (acc, x) => acc + x).as("q"))
   }
+
+  /** Synchronous label-propagation communities over an undirected edge
+    * list: every node starts labeled with its own id; each of `rounds`
+    * SYNCHRONOUS rounds relabels every node with the most frequent label
+    * among its neighbors, ties to the SMALLEST label. Unlike
+    * [[connectedComponents]]' min-label (which converges to components),
+    * frequency voting splits a component along its internal density —
+    * the cheap community detector (Raghavan et al. 2007) for "which part
+    * of this near-dup cluster is actually one template family".
+    *
+    * Asynchronous/randomized LPA is irreproducible by construction; the
+    * synchronous fixed-round variant with a total tie order is a pure
+    * function of the edge set — same labels on any engine, any
+    * partitioning, which is what lets an unrolled SQL oracle replay it.
+    * (Synchronous LPA can 2-cycle on bipartite regions; a FIXED round
+    * count side-steps non-termination by construction, and the gate pins
+    * rounds so both engines stop at the same state.)
+    *
+    * Per round: one join of the (staged, deduped) directed-both-ways
+    * edge frame against the current label table — a shuffle bounded by
+    * 2m rows — one (node, label) count rollup (map-side combinable),
+    * and one per-node top-1 window whose partitions are nodes (max
+    * partition = max degree, no global sort). Labels stage per round
+    * with truncated lineage like every iterative tier here.
+    *
+    * @return one row per node: (`id`, `label`) after `rounds` rounds.
+    */
+  def labelPropagationCommunities(
+      edges: DataFrame, aCol: String, bCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"labelPropagationCommunities: rounds >= 1, got $rounds")
+    val und = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionAll(edges.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .stagePin()
+    var lab = und.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .stagePin()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("_c").desc, col("label").asc)
+    for (_ <- 1 to rounds) {
+      lab = und
+        .join(lab.select(col("id").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("_c"))
+        .withColumn("_r", row_number().over(w))
+        .filter(col("_r") === 1)
+        .select(col("u").as("id"), col("label"))
+        .stagePin()
+    }
+    lab
+  }
 }

@@ -395,6 +395,54 @@ object GraphQueries {
              |GROUP BY id ORDER BY id""".stripMargin),
       "per-node triangle counts via degree-ordered orientation (skew-proof wedge work)"),
 
+    // Synchronous label-propagation communities, 3 fixed rounds, over
+    // the same part co-purchase graph
+    // ([[GraphOps.labelPropagationCommunities]]): frequency voting with
+    // a smallest-label tie order is a pure function of the edge set, so
+    // the oracle replays the identical three rounds as unrolled CTEs —
+    // count votes, per-node top-1 — and must reach the identical label
+    // table. Communities (density splits) vs components (reachability):
+    // the two cluster notions the dedup endgame needs side by side.
+    Q(
+      "graph_label_prop",
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+          .join(T(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val e = li.as("x")
+          .join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("u"), col("y.p").as("v"))
+          .distinct()
+        graft.ops.GraphOps.labelPropagationCommunities(e, "u", "v", rounds = 3)
+          .orderBy("id")
+      },
+      Some {
+        val rounds = (1 to 3).map { i =>
+          val p = i - 1
+          s"""c$i AS (SELECT e.u, l.label, count(*) AS c
+             |  FROM und e JOIN l$p l ON l.id = e.v GROUP BY e.u, l.label),
+             |l$i AS (SELECT u AS id, label FROM (
+             |    SELECT u, label,
+             |      row_number() OVER (PARTITION BY u
+             |        ORDER BY c DESC, label ASC) AS r
+             |    FROM c$i) WHERE r = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH li AS (
+           |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  WHERE o_orderpriority = '1-URGENT'),
+           |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+           |       FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+           |und AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+           |l0 AS (SELECT DISTINCT u AS id, u AS label FROM und),
+           |$rounds
+           |SELECT id, label FROM l3 ORDER BY id""".stripMargin
+      },
+      "synchronous 3-round label-propagation communities, smallest-label tie order"),
+
     // 15-core of the part co-purchase graph by iterative peeling
     // ([[GraphOps.kCoreNodes]]) — needs 15 peels to converge on this
     // corpus (measured; ~8 scheduled rounds with two peels batched per

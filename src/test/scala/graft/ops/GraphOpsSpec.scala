@@ -451,4 +451,23 @@ class GraphOpsSpec extends AnyFunSuite {
     // each: 0/1 - (1/2)^2 = -0.25 → Q = -0.5
     assert(r.getAs[Double]("q") == -0.5)
   }
+
+  test("labelPropagationCommunities: synchronous hand trace, 2 rounds") {
+    import spark.implicits._
+    // two triangles bridged 3-4; init labels = ids
+    // round 1: 1→2(tie min), 2→1, 3→1, 4→3, 5→4, 6→4
+    // round 2: 1→1, 2→1(tie), 3→1(3-way tie), 4→4, 5→3(tie), 6→3(tie)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a", "b")
+    val got = GraphOps.labelPropagationCommunities(e, "a", "b", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 3L, 6L -> 3L))
+    // reversed/duplicated edge rows change nothing (undirected dedup)
+    val e2 = Seq((2L, 1L), (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L)).toDF("a", "b")
+    val got2 = GraphOps.labelPropagationCommunities(e2, "a", "b", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == got)
+  }
 }
