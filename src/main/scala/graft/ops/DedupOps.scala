@@ -331,6 +331,47 @@ object DedupOps {
       .select("a", "b", "jaccard")
   }
 
+  /** DIRECTIONAL n-gram containment pairs: C(src→dst) =
+    * |S_src ∩ S_dst| / |S_src| ≥ `minContainment` — the asymmetric
+    * sibling of [[ngramJaccardPairs]]. Jaccard misses subset
+    * relationships by construction (a 3-line quote inside a 300-line
+    * page scores J ≈ 0.01 but C(quote→page) = 1.0), and quote/subset
+    * detection is exactly what decontamination and boilerplate hunts
+    * need. Same inverted-index discipline: intersections come from ONE
+    * a < b equi-join on the staged shared shingle frame
+    * ([[sharedShingles]] — the count is symmetric, so each undirected
+    * candidate unfolds into its two directional rows afterwards, halving
+    * the join). The only float is the final c/n_src division. At 100 TB
+    * compose with the capped frame ([[sharedCappedShingles]]) exactly as
+    * the Jaccard consumers do — the cap changes the measure, so it is
+    * the caller's declared choice, not a hidden default.
+    *
+    * @return (`src`, `dst`, `c`, `n_src`, `containment`), src ≠ dst,
+    *         both directions of a qualifying candidate when both clear
+    *         the threshold.
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, minContainment: Double): DataFrame = {
+    val sh = sharedShingles(df, idCol, textCol, k)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val common = sh.select(col(idCol).as("a"), col("shingle"))
+      .join(sh.select(col(idCol).as("b"), col("shingle")), "shingle")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.select(col(idCol).as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("n").as("nb")), "b")
+    common
+      .select(col("a").as("src"), col("b").as("dst"),
+        col("c"), col("na").as("n_src"))
+      .unionAll(common.select(col("b").as("src"), col("a").as("dst"),
+        col("c"), col("nb").as("n_src")))
+      .withColumn("containment",
+        col("c").cast(DoubleType) / col("n_src").cast(DoubleType))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** PPJoin-style prefix-filtered exact Jaccard join (Xiao/Wang/Lin/Yu,
     * WWW'08 — public algorithm). Every document's shingle set is ordered
     * by ONE global canonical order (ascending document frequency, rarest

@@ -86,6 +86,32 @@ object DedupQueries {
       Some(jaccardSql(0.8)),
       "exact 3-gram Jaccard near-dup pairs (>= 0.8)"),
 
+    // DIRECTIONAL containment C(src→dst) = |∩|/|S_src|
+    // ([[DedupOps.containmentPairs]]): the subset/quote detector Jaccard
+    // cannot express (a short doc inside a long one scores ~0 Jaccard,
+    // 1.0 containment). One a<b intersection join on the SAME staged
+    // shingle frame the Jaccard gates read; each candidate unfolds into
+    // its two directional rows after the join.
+    Q(
+      "dedup_containment",
+      (s, d) =>
+        DedupOps.containmentPairs(T(s, d, "documents"), "doc_id", "text",
+            k = 3, minContainment = 0.7)
+          .orderBy("src", "dst"),
+      Some(s"""WITH ${jaccardPairCtes(0.0)},
+              |dir AS (
+              |  SELECT a AS src, b AS dst, c, sa.n AS n_src
+              |  FROM common JOIN sizes sa ON sa.doc_id = a
+              |  UNION ALL
+              |  SELECT b, a, c, sb.n
+              |  FROM common JOIN sizes sb ON sb.doc_id = b)
+              |SELECT src, dst, c, n_src,
+              |  CAST(c AS DOUBLE) / CAST(n_src AS DOUBLE) AS containment
+              |FROM dir
+              |WHERE CAST(c AS DOUBLE) / CAST(n_src AS DOUBLE) >= 0.7
+              |ORDER BY src, dst""".stripMargin),
+      "directional n-gram containment pairs (>= 0.7): the quote/subset detector"),
+
     // Pair EVIDENCE ([[DedupOps.pairEvidence]]): the ≤3 lexicographically
     // smallest shared shingles per near-dup pair — what a review queue
     // displays next to the Jaccard score before a human confirms a drop.

@@ -477,6 +477,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!capped.exists(p => p._1 == 4L || p._2 == 4L || p._2 == 5L))
   }
 
+  test("containmentPairs: subset scores 1.0 forward, |A∩B|/|A| backward") {
+    import spark.implicits._
+    // d1's 3 shingles all sit inside d2 (5 shingles): C(1→2) = 1.0,
+    // C(2→1) = 3/5 — the asymmetry Jaccard (3/5 here, sub-threshold
+    // at 0.8) cannot express. d3 shares nothing.
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e f g"),
+      (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.containmentPairs(df, "doc_id", "text", 3, 0.6)
+      .orderBy("src", "dst")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L, 3L, 1.0), (2L, 1L, 3L, 5L, 0.6)))
+    // a higher floor keeps only the subset direction
+    val strict = DedupOps.containmentPairs(df, "doc_id", "text", 3, 0.9)
+      .select("src", "dst")
+      .as[(Long, Long)].collect().toSeq
+    assert(strict == Seq((1L, 2L)))
+    DedupOps.clearShingleCache()
+  }
+
   test("staging caches are LRU-bounded and unpersist evicted frames") {
     import spark.implicits._
     DedupOps.clearShingleCache()
