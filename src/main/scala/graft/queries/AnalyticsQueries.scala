@@ -918,6 +918,66 @@ object AnalyticsQueries {
              |JOIN item ib ON ib.p = b, n
              |ORDER BY lift DESC, a ASC, b ASC
              |LIMIT 20""".stripMargin),
-      "market-basket lift: exact-integer association scores, support-floored top-20")
+      "market-basket lift: exact-integer association scores, support-floored top-20"),
+
+    // DIRECTIONAL association rules ante→cons: confidence c_ab/c_ante —
+    // the deployable form of basket affinity (lift is symmetric
+    // diagnosis; a recommender acts on direction). Same one a<b pair
+    // join as the lift gate; each surviving pair unfolds into its two
+    // rules afterwards. Exact integer counts; confidence and lift are
+    // single IEEE divisions; top-20 under a TOTAL order (conf desc,
+    // ante, cons) so boundary ties cannot differ between engines.
+    Q(
+      "basket_rules",
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val nOrders = li.select("ok").distinct().agg(count(lit(1)).as("n"))
+        val item = li.groupBy("p").agg(count(lit(1)).as("c"))
+        val pair = li.as("x")
+          .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+          .agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 2)
+          .join(item.select(col("p").as("a"), col("c").as("c_a")), "a")
+          .join(item.select(col("p").as("b"), col("c").as("c_b")), "b")
+        val dir = pair
+          .select(col("a").as("ante"), col("b").as("cons"), col("c_ab"),
+            col("c_a").as("c_ante"), col("c_b").as("c_cons"))
+          .unionAll(pair.select(col("b").as("ante"), col("a").as("cons"),
+            col("c_ab"), col("c_b").as("c_ante"), col("c_a").as("c_cons")))
+        dir.join(broadcast(nOrders))
+          .select(col("ante"), col("cons"), col("c_ab"), col("c_ante"),
+            (col("c_ab").cast("double") / col("c_ante").cast("double"))
+              .as("confidence"),
+            ((col("c_ab") * col("n")).cast("double") /
+              (col("c_ante") * col("c_cons")).cast("double")).as("lift"))
+          .orderBy(col("confidence").desc, col("ante").asc, col("cons").asc)
+          .limit(20)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+             |            FROM lineitem),
+             |n AS (SELECT count(DISTINCT ok) AS n FROM li),
+             |item AS (SELECT p, count(*) AS c FROM li GROUP BY p),
+             |pair AS (
+             |  SELECT x.p AS a, y.p AS b, count(*) AS c_ab
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |pc AS (SELECT a, b, c_ab, ia.c AS c_a, ib.c AS c_b
+             |  FROM pair JOIN item ia ON ia.p = a JOIN item ib ON ib.p = b),
+             |dir AS (
+             |  SELECT a AS ante, b AS cons, c_ab, c_a AS c_ante, c_b AS c_cons
+             |  FROM pc
+             |  UNION ALL
+             |  SELECT b, a, c_ab, c_b, c_a FROM pc)
+             |SELECT ante, cons, c_ab, c_ante,
+             |  CAST(c_ab AS DOUBLE) / CAST(c_ante AS DOUBLE) AS confidence,
+             |  CAST(c_ab * n.n AS DOUBLE) /
+             |    CAST(c_ante * c_cons AS DOUBLE) AS lift
+             |FROM dir, n
+             |ORDER BY confidence DESC, ante ASC, cons ASC
+             |LIMIT 20""".stripMargin),
+      "directional association rules: confidence-ranked top-20, total tie order")
   )
 }
