@@ -207,6 +207,78 @@ object TextOps {
         col("score"), col("rnk"))
   }
 
+  /** Sparse TF-IDF cosine near-dup pairs: documents as tf·idf vectors
+    * over their token space, idf = ln(N/df) computed by the explicit
+    * portable algorithm ([[graft.expr.PortableLnRatio]] — libm logs are
+    * not cross-engine reproducible), cosine from an inverted-index
+    * equi-join. The term-weighted near-dup scorer between bag-Jaccard
+    * (ignores term rarity) and embedding cosine (needs a model): two
+    * docs sharing rare vocabulary outrank two sharing stopwords.
+    *
+    * Determinism: every float sum is ORDER-PINNED — per-doc norms and
+    * per-pair dots fold their (token-sorted) term lists sequentially,
+    * exactly like [[graft.ops.StatOps.ewmaLevel]], so the result is a
+    * pure function of the token multiset on any engine. (Keyed float
+    * `sum()` would be scan-order-dependent.) The folds are seeded with
+    * the FIRST element (slice pattern) to mirror DuckDB's seedless
+    * `list_reduce`.
+    *
+    * Scale: tokens with df > `maxDf` are dropped BEFORE the pair join —
+    * the [[DedupOps.ngramJaccardPairs]] `maxShingleFreq` discipline: a
+    * declared measure change (stopwords carry ~0 idf weight anyway)
+    * that bounds the inverted-index fan-out per token, keeping the
+    * candidate join linear in the posting lists instead of quadratic in
+    * the corpus. Norms are computed over the SAME capped space, so
+    * cosine stays ≤ 1 in-measure. Per-doc term lists (bounded by doc
+    * length) are the only in-row state.
+    *
+    * @return (`a`, `b`, `cosine`) with cosine ≥ `minCosine`, a < b.
+    */
+  def tfidfCosinePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDf: Int, minCosine: Double): DataFrame = {
+    require(maxDf >= 1, s"tfidfCosinePairs: maxDf must be >= 1, got $maxDf")
+    val tf = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val nDocs = df.select(col(idCol)).distinct().agg(count(lit(1)).as("n"))
+    val w = tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs)) // 1-row doc-count frame (declared)
+      .withColumn("w", col("tf").cast(DoubleType) *
+        graft.expr.PortableLnRatio.ln(col("n"), col("df")))
+      .select("id", "token", "w")
+      .stagePin() // norms + both pair sides read it
+    def pinnedSum(arr: Column): Column =
+      aggregate(
+        slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+        element_at(arr, 1),
+        (acc, x) => acc + x)
+    val norms = w
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("token"), col("w")))).as("_s"))
+      .select(col("id"), pinnedSum(transform(col("_s"),
+        x => x.getField("w") * x.getField("w"))).as("n2"))
+    val dots = w.as("x")
+      .join(w.as("y"),
+        col("x.token") === col("y.token") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.token").as("token"), (col("x.w") * col("y.w")).as("p"))
+      .groupBy("a", "b")
+      .agg(sort_array(collect_list(struct(col("token"), col("p")))).as("_s"))
+      .select(col("a"), col("b"),
+        pinnedSum(transform(col("_s"), x => x.getField("p"))).as("dot"))
+    dots
+      .join(norms.select(col("id").as("a"), col("n2").as("na2")), "a")
+      .join(norms.select(col("id").as("b"), col("n2").as("nb2")), "b")
+      .withColumn("cosine",
+        col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))))
+      .filter(col("cosine") >= minCosine)
+      .select("a", "b", "cosine")
+  }
+
   /** Doc-level term co-occurrence counts over a capped vocabulary — the
     * exact-integer table under PMI / word-embedding / topic work. The
     * vocabulary cap (top `vocabK` tokens by document frequency, via

@@ -412,6 +412,56 @@ object TextQueries {
       "per-doc top-5 characteristic terms by tf/df (rank-equivalent to " +
         "tf-idf), keyed joins only — no scalar subquery"),
 
+    // Sparse TF-IDF cosine near-dup pairs
+    // ([[TextOps.tfidfCosinePairs]]): idf = portable ln(N/df)
+    // ([[graft.expr.PortableLnRatio]]), norms and dots as token-sorted
+    // sequential folds, so every double is engine-portable. Scored over
+    // the doc_id%5 subset — this synthetic corpus has a ~30-token
+    // vocabulary, so EVERY doc pairs with every doc through hot tokens
+    // and the inverted index is deliberately run on a sample (real
+    // corpora get selectivity from the df cap; here the cap (450) is
+    // declared but nothing in-sample exceeds it). The oracle replays
+    // the ln stages and the exact fold order.
+    Q(
+      "text_tfidf_cosine",
+      (s, d) =>
+        TextOps.tfidfCosinePairs(
+            T(s, d, "documents").filter(pmod(col("doc_id"), lit(5)) === 0),
+            "doc_id", "text", maxDf = 450, minCosine = 0.8)
+          .orderBy("a", "b"),
+      Some {
+        import graft.expr.PortableLnRatio.sqlStages
+        s"""WITH docs AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+           |tok AS (SELECT doc_id,
+           |    unnest(string_split_regex(text, ' +')) AS token FROM docs),
+           |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           |  FROM tok GROUP BY 1, 2),
+           |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+           |  FROM tf GROUP BY 1 HAVING count(*) <= 450),
+           |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+           |  FROM docs),
+           |dfn AS (SELECT token, df, n FROM dfx, nd),
+           |${sqlStages("ix", "dfn", "n", "df", Seq("token"))},
+           |w AS (SELECT tf.doc_id, tf.token,
+           |    CAST(tf.tf AS DOUBLE) * i.pln AS w
+           |  FROM tf JOIN ixln i USING (token)),
+           |norm AS (SELECT doc_id,
+           |    list_reduce(list(w * w ORDER BY token),
+           |      (a, x) -> a + x) AS n2
+           |  FROM w GROUP BY doc_id),
+           |pd AS (SELECT x.doc_id AS a, y.doc_id AS b,
+           |    list_reduce(list(x.w * y.w ORDER BY x.token),
+           |      (p, q) -> p + q) AS dot
+           |  FROM w x JOIN w y ON x.token = y.token AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT a, b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+           |FROM pd JOIN norm na ON na.doc_id = a
+           |JOIN norm nb ON nb.doc_id = b
+           |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.8
+           |ORDER BY a, b""".stripMargin
+      },
+      "sparse TF-IDF cosine pairs: portable-ln idf, token-sorted pinned folds"),
+
     // Bigram-coverage quality score — the language-model-proxy filter:
     // what fraction of a document's distinct word bigrams appear in the
     // corpus's top-200 bigram list? Low coverage flags gibberish,

@@ -66,7 +66,11 @@ class PlanGuardSpec extends AnyFunSuite {
       // 1-row per-feature totals broadcast onto each group rollup
       "eval_gini_stump",
       // 1-row totals broadcast onto the 10-row decile frame
-      "eval_gains_table")
+      "eval_gains_table",
+      // single-row order-total broadcast, as basket_lift_pairs
+      "basket_rules",
+      // 1-row doc-count broadcast onto the df frame (idf numerator)
+      "text_tfidf_cosine")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

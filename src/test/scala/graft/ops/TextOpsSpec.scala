@@ -213,4 +213,29 @@ class TextOpsSpec extends AnyFunSuite {
     // halving frequencies per rank step sits near the Zipf regime
     assert(slope < -0.9 && slope > -1.5)
   }
+
+  test("tfidfCosinePairs: exact fold replica, df cap drops stopwords") {
+    import spark.implicits._
+    import graft.expr.PortableLnRatio.compute
+    // 'the' (df=4 > cap 3) must vanish; remaining weights are tf=1 times
+    // portable ln(N/df)
+    val df = Seq(
+      (1L, "the cat dog"), (2L, "the cat dog"),
+      (3L, "the cat bird"), (4L, "the fish"))
+      .toDF("doc_id", "text")
+    val got = TextOps
+      .tfidfCosinePairs(df, "doc_id", "text", maxDf = 3, minCosine = 0.05)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val c = compute(4, 3); val d = compute(4, 2); val b = compute(4, 1)
+    val n12 = c * c + d * d // token-sorted fold: cat then dog
+    val n3 = b * b + c * c // bird then cat
+    val cos12 = n12 / (math.sqrt(n12) * math.sqrt(n12))
+    val cos13 = (c * c) / (math.sqrt(n12) * math.sqrt(n3))
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got((1L, 2L)) == cos12)
+    assert(got((1L, 3L)) == cos13 && got((2L, 3L)) == cos13)
+    // doc 4 shares only the capped stopword: no pair row at any floor
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
 }
