@@ -75,4 +75,48 @@ object StatefulOps {
           }
         })
   }
+
+  final case class HoltState(n: Long, l: Double, b: Double)
+  final case class HoltLevel(user_id: Long, n: Long, level: Double,
+      trend: Double, forecast1: Double)
+
+  /** Streaming twin of [[graft.ops.StatOps.holtLinear]]: the level+trend
+    * recurrence carried across micro-batches as O(1) state per key,
+    * folded within each batch in (ts, event_id) order — the identical
+    * IEEE expression sequence as the batch operator (`α·x + (1−α)·(l+b)`
+    * then `β·(l′−l) + (1−β)·b`), so for ANY batch-boundary placement the
+    * emitted state equals the batch fold over the union of batches
+    * (asserted exactly by the parity spec). Emits one updated
+    * (level, trend, forecast) per key per micro-batch. */
+  def holtLinearStream(
+      ds: Dataset[ValEv], alpha: Double, beta: Double): Dataset[HoltLevel] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0, 1], got $beta")
+    val a1 = 1.0 - alpha
+    val g1 = 1.0 - beta
+    implicit val outEnc = Encoders.product[HoltLevel]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[HoltState]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[ValEv], state: GroupState[HoltState]) => {
+          val ordered = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          if (ordered.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(HoltState(0L, 0.0, 0.0))
+            ordered.foreach { e =>
+              st =
+                if (st.n == 0L) HoltState(1L, e.value, 0.0)
+                else {
+                  val newL = alpha * e.value + a1 * (st.l + st.b)
+                  HoltState(st.n + 1L, newL,
+                    beta * (newL - st.l) + g1 * st.b)
+                }
+            }
+            state.update(st)
+            Iterator.single(HoltLevel(uid, st.n, st.l, st.b, st.l + st.b))
+          }
+        })
+  }
 }

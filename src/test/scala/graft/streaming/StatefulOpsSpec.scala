@@ -77,4 +77,42 @@ class StatefulOpsSpec extends AnyFunSuite {
     // and the hand value: user 1 → 0.25*2 + 0.75*(0.25*4 + 0.75*8) = 5.75
     assert(streamed.exists(t => t._1 == 1L && t._4 == 5.75))
   }
+
+  test("streaming Holt linear equals the batch operator for any batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$sec%02d")
+    val evs = Seq(
+      StatefulOps.ValEv(1L, ts(1), 1L, 8.0),
+      StatefulOps.ValEv(1L, ts(2), 2L, 4.0),
+      StatefulOps.ValEv(2L, ts(1), 3L, 6.0),
+      StatefulOps.ValEv(1L, ts(3), 4L, 2.0),
+      StatefulOps.ValEv(2L, ts(4), 5L, 10.0))
+
+    val input = MemoryStream[StatefulOps.ValEv]
+    val out = StatefulOps.holtLinearStream(input.toDS(),
+      alpha = 0.25, beta = 0.5)
+    val q = out.writeStream.format("memory").queryName("holt_out")
+      .outputMode(OutputMode.Update).start()
+    // split MID-SERIES for user 1: level AND trend must carry across
+    input.addData(evs(0), evs(1), evs(2))
+    q.processAllAvailable()
+    input.addData(evs(3), evs(4))
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT user_id, n, level, trend, forecast1 FROM holt_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+      .groupBy(_._1).map { case (_, v) => v.maxBy(_._2) }.toSet
+    q.stop()
+
+    val batch = graft.ops.StatOps.holtLinear(
+        evs.toDF(), "user_id", "ts", "event_id", "value",
+        alpha = 0.25, beta = 0.5)
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    assert(streamed == batch, "stream/batch Holt parity")
+    // hand value: 8,4,2 @ (1/4, 1/2) → level 5.375, trend -1.0625
+    assert(streamed.exists(t =>
+      t._1 == 1L && t._3 == 5.375 && t._4 == -1.0625))
+  }
 }
