@@ -694,6 +694,52 @@ object StatOps {
         col("_g").as("g_max"))
   }
 
+  /** Per-key inter-arrival statistics: event-gap mean and the
+    * Goh–Barabási burstiness B = (σ−μ)/(σ+μ) over the (ts, id)-ordered
+    * micro-second gaps — the "is this entity a steady heartbeat (B→−1),
+    * Poisson (B≈0), or bursty human (B→1)" classifier bot-detection and
+    * traffic modeling start from. All moments are EXACT (gaps are
+    * integer micros; Σg telescopes to last−first so it can't overflow;
+    * Σg² rides DECIMAL(38)), and B reduces to
+    * (√V − S)/(√V + S) with V = n·Σg² − S² — population σ, the n's
+    * cancel — so the only floats are two casts, one correctly-rounded
+    * sqrt, and three IEEE ops, identical on any engine.
+    *
+    * One window pass per key partition + one keyed rollup — the
+    * [[acfByKey]] plan shape.
+    *
+    * @return (`key`, `n_events`, `n_gaps`, `sum_gap_us`, `mean_gap_us`,
+    *         `burstiness`) — mean/burstiness null when no gaps exist;
+    *         burstiness additionally null when every gap is zero
+    *         (σ = μ = 0, the statistic is undefined).
+    */
+  def interarrivalStats(
+      df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col("_k")).orderBy(col("_ts"), col("_id"))
+    val gaps = df
+      .select(col(keyCol).as("_k"), col(tsCol).as("_ts"), col(idCol).as("_id"))
+      .select(col("_k"),
+        (lead(unix_micros(col("_ts")), 1).over(w) -
+          unix_micros(col("_ts"))).as("_g"))
+    val m = gaps.groupBy(col("_k")).agg(
+      count(lit(1)).as("n_events"),
+      count(col("_g")).as("n_gaps"),
+      coalesce(sum(col("_g")), lit(0L)).as("sum_gap_us"),
+      sum(col("_g").cast(d38) * col("_g").cast(d38)).as("_q"))
+    val v = m("n_gaps").cast(d38) * m("_q") -
+      m("sum_gap_us").cast(d38) * m("sum_gap_us").cast(d38)
+    val sD = m("sum_gap_us").cast("double")
+    m.select(col("_k").as(keyCol), col("n_events"), col("n_gaps"),
+      col("sum_gap_us"),
+      when(col("n_gaps") > 0,
+        sD / col("n_gaps").cast("double")).as("mean_gap_us"),
+      when(col("n_gaps") > 0 && col("sum_gap_us") > 0,
+        (sqrt(v.cast("double")) - sD) / (sqrt(v.cast("double")) + sD))
+        .as("burstiness"))
+  }
+
   /** Per-key Holt linear (double-exponential) smoothing: level l and
     * trend b after folding the (ts, id)-ordered series through
     *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})

@@ -1001,6 +1001,41 @@ object BehaviorQueries {
              |FROM l ORDER BY user_id, lag""".stripMargin),
       "per-user ACF lags 1-3: exact integer moments, one final IEEE division"),
 
+    // Per-user inter-arrival gap stats + Goh–Barabási burstiness
+    // ([[graft.ops.StatOps.interarrivalStats]]): steady-heartbeat vs
+    // bursty-human classification from exact integer micro-second
+    // moments (Σg telescopes to last−first; Σg² rides DECIMAL/HUGEINT);
+    // B = (√V−S)/(√V+S) is two casts + sqrt + three IEEE ops.
+    Q(
+      "timeseries_interarrival",
+      (s, d) =>
+        graft.ops.StatOps.interarrivalStats(T(s, d, "events"), "user_id",
+            "ts", "event_id")
+          .orderBy("user_id"),
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) - epoch_us(ts) AS gap
+             |  FROM events),
+             |m AS (SELECT user_id,
+             |    CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(count(gap) AS BIGINT) AS n_gaps,
+             |    CAST(coalesce(sum(gap), 0) AS BIGINT) AS s,
+             |    sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS q
+             |  FROM g GROUP BY user_id)
+             |SELECT user_id, n_events, n_gaps, s AS sum_gap_us,
+             |  CASE WHEN n_gaps > 0
+             |    THEN CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+             |  END AS mean_gap_us,
+             |  CASE WHEN n_gaps > 0 AND s > 0 THEN
+             |    (sqrt(CAST(n_gaps * q - CAST(s AS HUGEINT) * s AS DOUBLE))
+             |      - CAST(s AS DOUBLE)) /
+             |    (sqrt(CAST(n_gaps * q - CAST(s AS HUGEINT) * s AS DOUBLE))
+             |      + CAST(s AS DOUBLE))
+             |  END AS burstiness
+             |FROM m ORDER BY user_id""".stripMargin),
+      "per-user inter-arrival mean + burstiness: exact micro-second moments"),
+
     // Per-user CUSUM changepoint ([[graft.ops.StatOps.cusumChangepoint]]):
     // argmax_k |n·S_k − k·S_n| under the (ts, event_id) order — where
     // each user's value level shifted. Entirely integer (cent-quantized

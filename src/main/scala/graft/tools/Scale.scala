@@ -407,7 +407,42 @@ object Scale {
             d.withColumn("y", col("doc_id") % 3 === 0),
             "y",
             Seq("mod20" -> pmod(col("doc_id"), lit(20)),
-              "mod7" -> pmod(col("doc_id"), lit(7)))).count()))
+              "mod7" -> pmod(col("doc_id"), lit(7)))).count()),
+        // ACF: one per-key window pass (3 leads) + one moment rollup —
+        // key partitions grow ∝ n/64, so the sort inside each window
+        // partition is the only super-linear term
+        "acf_by_key" -> (() =>
+          StatOps.acfByKey(ms, "g", "mid", "mid", "v",
+            maxLag = 3).count()),
+        // CUSUM: ordered + unordered windows over the same key
+        // partitions, then a per-key top-1 — same window-sort regime
+        "cusum_changepoint" -> (() =>
+          StatOps.cusumChangepoint(ms, "g", "mid", "mid", "v").count()),
+        // Holt: the collect+sorted-fold shape of ewma_level with a
+        // struct accumulator — per-key state again ∝ n/64
+        "holt_linear" -> (() =>
+          StatOps.holtLinear(ms, "g", "mid", "mid", "v",
+            alpha = 0.25, beta = 0.5).count()),
+        // label propagation over disjoint triangles: 3 rounds of one
+        // edges x labels join + a per-node top-1 (max partition =
+        // max degree = 2) — per-round work must track E
+        "label_prop" -> (() =>
+          GraphOps.labelPropagationCommunities(te, "a", "b",
+            rounds = 3).count()),
+        // containment: the Jaccard inverted-index join with directional
+        // unfold; vocabulary ∝ n keeps shingles rare, planted near-dups
+        // make match volume ∝ n. Trial 1 pays the shared-shingle
+        // staging, trials 2-3 time the staged-consumer cost (min-of-3 →
+        // the production service shape)
+        "containment_pairs" -> (() =>
+          DedupOps.containmentPairs(d, "doc_id", "text",
+            k = 3, minContainment = 0.6).count()),
+        // TF-IDF cosine: df-capped inverted index + token-sorted folds;
+        // with vocabulary ∝ n the cap (8) keeps posting lists flat and
+        // only the planted near-dups pair
+        "tfidf_cosine" -> (() =>
+          TextOps.tfidfCosinePairs(d, "doc_id", "text",
+            maxDf = 8, minCosine = 0.5).count()))
 
       // optional args(1): comma-separated op names — run only those
       // (refresh individual curves without paying the full sweep)

@@ -281,6 +281,30 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     assert(g2 == (("c", 2L, 1, 1L, 0L)))
   }
 
+  test("interarrivalStats: exact moments, burstiness edge cases") {
+    import spark.implicits._
+    def t(us: Long) = new java.sql.Timestamp(us / 1000) // ms precision
+    // gaps (ms->us): 1000000, 3000000 → S=4e6, Σg²=1e12+9e12=1e13
+    // V = 2*1e13 - 16e12 = 4e12; √V = 2e6 → B = (2e6-4e6)/(2e6+4e6) = -1/3
+    val df = Seq(("a", t(0L), 1L), ("a", t(1000000L), 2L),
+      ("a", t(4000000L), 3L), ("b", t(0L), 4L))
+      .toDF("k", "ts", "id")
+    val got = StatOps.interarrivalStats(df, "k", "ts", "id")
+      .orderBy("k")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got(0) == (("a", 3L, 2L, 4000000L, Some(2000000.0),
+      Some((2e6 - 4e6) / (2e6 + 4e6)))))
+    // single event: no gaps, everything null/zero
+    assert(got(1) == (("b", 1L, 0L, 0L, None, None)))
+    // all-simultaneous events: S = 0 → burstiness undefined, mean 0
+    val sim = Seq(("c", t(5L), 1L), ("c", t(5L), 2L)).toDF("k", "ts", "id")
+    val g2 = StatOps.interarrivalStats(sim, "k", "ts", "id")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(g2 == (("c", 2L, 1L, 0L, Some(0.0), None)))
+  }
+
   test("holtLinear: hand recurrence in time order; singleton seeds (x, 0)") {
     import spark.implicits._
     // 8,4,2 @ a=1/4 b=1/2: l=(8,7,5.375), b=(0,-0.5,-1.0625)
