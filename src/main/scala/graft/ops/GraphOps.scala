@@ -408,6 +408,74 @@ object GraphOps {
     out
   }
 
+  /** Fixed-iteration HITS (Kleinberg hubs & authorities) in EXACT
+    * fixed-point integer arithmetic — [[pageRankUnits]]' sibling for
+    * DIRECTED endorsement graphs where pointing and being pointed at
+    * mean different things (buyers vs products, crawlers vs pages):
+    * auth(i) = Σ h over in-edges, then hub(i) = Σ a over out-edges,
+    * each L1-normalized back to `unit` total per round. L1 instead of
+    * the textbook L2 keeps every step in integer units (one multiply,
+    * one integral division — identical truncation on any engine for
+    * the non-negative operands here), which is what lets an unrolled
+    * SQL oracle replay the fixpoint bit-for-bit; the ranking is the
+    * same, only the scale convention differs. Floating-point HITS
+    * could never hash-gate (scan-order-dependent sums).
+    *
+    * Plan = [[pageRankUnits]]: edge list persisted once, per round two
+    * keyed joins + two rollups + two 1-row total broadcasts (declared);
+    * only the node-sized score frames move per iteration. Score sums
+    * stay ≤ n·unit², so longs hold through ~10⁶-node graphs at the
+    * default unit — widen `unit` down or DECIMAL up past that.
+    *
+    * @return (`id`, `hub_units`, `auth_units`) after `iters` rounds.
+    */
+  def hitsUnits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2, unit: Long = 1000000L,
+      checkpointEvery: Int = 2): DataFrame = {
+    require(iters >= 1 && unit > 0, s"hitsUnits: bad parameters ($iters, $unit)")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .repartition(col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var hub = nodes.select(col("id"), lit(unit).as("h"))
+    var auth = nodes.select(col("id"), lit(unit).as("a"))
+    var round = 0
+    while (round < iters) {
+      val aRaw = e
+        .join(hub.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum("h").as("au"))
+      val aTot = aRaw.agg(sum("au").as("atot"))
+      auth = nodes.join(aRaw, Seq("id"), "left_outer")
+        .crossJoin(broadcast(aTot)) // 1-row total (declared)
+        .select(col("id"),
+          expr(s"(coalesce(au, 0L) * ${unit}L) div atot").as("a"))
+      val hRaw = e
+        .join(auth.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(sum("a").as("hu"))
+      val hTot = hRaw.agg(sum("hu").as("htot"))
+      hub = nodes.join(hRaw, Seq("id"), "left_outer")
+        .crossJoin(broadcast(hTot)) // 1-row total (declared)
+        .select(col("id"),
+          expr(s"(coalesce(hu, 0L) * ${unit}L) div htot").as("h"))
+      round += 1
+      if (round % checkpointEvery == 0 && round < iters) {
+        auth = auth.stagePin(); hub = hub.stagePin()
+      }
+    }
+    val out = hub.join(auth, Seq("id"))
+      .select(col("id"), col("h").as("hub_units"), col("a").as("auth_units"))
+      .stagePin()
+    nodes.unpersist(); e.unpersist()
+    out
+  }
+
   /** Per-node triangle counts by degree-ordered edge orientation — the
     * classic O(m^1.5)-work enumeration (Schank & Wagner / Cohen's
     * MapReduce formulation) instead of the naive wedge join whose work is

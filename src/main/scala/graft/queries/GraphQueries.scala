@@ -360,6 +360,52 @@ object GraphQueries {
       },
       "fixed-point integer PageRank (3 damped iterations) over the customer→supplier graph"),
 
+    // Fixed-iteration HITS over the same directed trade graph
+    // ([[GraphOps.hitsUnits]]): hubs = buyers, authorities = suppliers
+    // (PageRank collapses the two roles; HITS is the right scorer for
+    // endorsement bipartites). L1 normalization in integer units keeps
+    // every round exact — the oracle unrolls the identical two
+    // iterations; `div`/`//` agree on the non-negative operands.
+    Q(
+      "graph_hits",
+      (s, d) => {
+        val e = T(s, d, "orders")
+          .join(T(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        GraphOps.hitsUnits(e, "src", "dst", iters = 2)
+          .orderBy("id")
+      },
+      Some {
+        val unit = 1000000L
+        val rounds = (1 to 2).map { i =>
+          val p = i - 1
+          s"""a${i}r AS (SELECT e.dst AS id, sum(h.h) AS au
+             |  FROM edges e JOIN h$p h ON h.id = e.src GROUP BY e.dst),
+             |a${i}t AS (SELECT sum(au) AS tot FROM a${i}r),
+             |a$i AS (SELECT n.id,
+             |    CAST((coalesce(r.au, 0) * $unit) // t.tot AS BIGINT) AS a
+             |  FROM nodes n LEFT JOIN a${i}r r ON r.id = n.id, a${i}t t),
+             |h${i}r AS (SELECT e.src AS id, sum(a.a) AS hu
+             |  FROM edges e JOIN a$i a ON a.id = e.dst GROUP BY e.src),
+             |h${i}t AS (SELECT sum(hu) AS tot FROM h${i}r),
+             |h$i AS (SELECT n.id,
+             |    CAST((coalesce(r.hu, 0) * $unit) // t.tot AS BIGINT) AS h
+             |  FROM nodes n LEFT JOIN h${i}r r ON r.id = n.id, h${i}t t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH edges AS (
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+           |h0 AS (SELECT id, CAST($unit AS BIGINT) AS h FROM nodes),
+           |$rounds
+           |SELECT n.id, h2.h AS hub_units, a2.a AS auth_units
+           |FROM nodes n JOIN h2 ON h2.id = n.id JOIN a2 ON a2.id = n.id
+           |ORDER BY n.id""".stripMargin
+      },
+      "fixed-point integer HITS (2 rounds, L1-normalized) over the trade bipartite"),
+
     // Per-node triangle counts over the part co-purchase graph (parts
     // sharing an URGENT order), by degree-ordered orientation
     // ([[GraphOps.triangleCounts]]): wedges enumerate only at their

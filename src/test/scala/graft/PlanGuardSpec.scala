@@ -70,7 +70,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // single-row order-total broadcast, as basket_lift_pairs
       "basket_rules",
       // 1-row doc-count broadcast onto the df frame (idf numerator)
-      "text_tfidf_cosine")
+      "text_tfidf_cosine",
+      // 1-row L1-total broadcasts per HITS normalization step
+      "graph_hits")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

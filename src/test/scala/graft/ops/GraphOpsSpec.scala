@@ -452,6 +452,20 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("q") == -0.5)
   }
 
+  test("hitsUnits: hand-traced round, integer L1 normalization") {
+    import spark.implicits._
+    // 1→3, 2→3, 3→4 @ unit=100, one round:
+    // au: 3←200, 4←100; atot=300 → a = (0, 0, 66, 33)
+    // hu: 1←66, 2←66, 3←33; htot=165 → h = (40, 40, 20, 0)
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L), (1L, 3L)) // dup collapses
+      .toDF("s", "t")
+    val got = GraphOps.hitsUnits(e, "s", "t", iters = 1, unit = 100L)
+      .orderBy("id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 40L, 0L), (2L, 40L, 0L),
+      (3L, 20L, 66L), (4L, 0L, 33L)))
+  }
+
   test("labelPropagationCommunities: synchronous hand trace, 2 rounds") {
     import spark.implicits._
     // two triangles bridged 3-4; init labels = ids
