@@ -856,17 +856,23 @@ object GraphOps {
     var lab = und.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
       .stagePin()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("u")).orderBy(col("_c").desc, col("label").asc)
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
+      // top-1 as a (max count, min label) struct-max AGGREGATE, not a
+      // row_number window: the hash aggregate needs no per-node sort and
+      // takes map-side partials. Negating the label turns "smallest
+      // label" into a max.
       lab = und
         .join(lab.select(col("id").as("v"), col("label")), Seq("v"))
         .groupBy(col("u"), col("label"))
         .agg(count(lit(1)).as("_c"))
-        .withColumn("_r", row_number().over(w))
-        .filter(col("_r") === 1)
-        .select(col("u").as("id"), col("label"))
-        .stagePin()
+        .groupBy(col("u"))
+        .agg(max(struct(col("_c"), (-col("label")).as("_nl"))).as("_m"))
+        .select(col("u").as("id"), (-col("_m._nl")).as("label"))
+      // Unlike min-label CC, each round reads `lab` ONCE — the plan
+      // grows linearly, so short fixed-round runs stay one lazy job and
+      // only deep runs need lineage truncation (every 4th round: the
+      // restart-point cadence, not a plan-size necessity).
+      if (r % 4 == 0 && r < rounds) lab = lab.stagePin()
     }
     lab
   }
