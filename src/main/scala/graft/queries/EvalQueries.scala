@@ -277,6 +277,43 @@ object EvalQueries {
               |FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
       "calibration bins: positive rate vs mean score per fixed-width score bin"),
 
+    // Exact isotonic (PAV) calibration of the same binned score
+    // ([[EvalOps.isotonicCalibration]]): the monotone probability map a
+    // production filter deploys. Fitted via the closed minimax identity
+    // iso(i) = max_{j≤i} min_{k≥i} mean(j..k) — order-free min/max over
+    // one-division segment means — so the unrolled SQL replay is
+    // bit-identical; the sequential pool-adjacent sweep is only a spec
+    // cross-check. The O(B³) enumeration runs on the B-row bin table
+    // (corpus-independent), never on corpus-sized data.
+    Q(
+      "eval_isotonic",
+      (s, d) =>
+        EvalOps.isotonicCalibration(scored(s, d), "is_en", "score",
+            binWidth = 8L)
+          .orderBy("bin"),
+      Some(s"""WITH $scoredCte,
+              |bins AS (SELECT CAST(floor(score / 8.0) AS BIGINT) AS bin,
+              |    CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_pos
+              |  FROM s GROUP BY 1),
+              |seg AS (SELECT j.bin AS j, k.bin AS k,
+              |    CAST(sum(b.n_pos) AS DOUBLE) /
+              |      CAST(sum(b.n) AS DOUBLE) AS a
+              |  FROM bins j JOIN bins k ON j.bin <= k.bin
+              |  JOIN bins b ON b.bin BETWEEN j.bin AND k.bin
+              |  GROUP BY 1, 2),
+              |mn AS (SELECT i.bin AS i, seg.j, min(seg.a) AS mn
+              |  FROM seg JOIN bins i ON seg.j <= i.bin AND seg.k >= i.bin
+              |  GROUP BY 1, 2),
+              |iso AS (SELECT i, max(mn) AS iso FROM mn GROUP BY i)
+              |SELECT b.bin, b.n, b.n_pos,
+              |  CAST(b.n_pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS pos_rate,
+              |  iso.iso
+              |FROM bins b JOIN iso ON iso.i = b.bin
+              |ORDER BY b.bin""".stripMargin),
+      "isotonic PAV calibration via the exact minimax identity on the bin table"),
+
     // Inter-rater agreement ([[EvalOps.cohensKappa]]): the thresholded
     // classifier (score >= 0) judged against the "is English" rule as a
     // second rater. Chance-corrected — the statistic that says whether

@@ -72,7 +72,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // 1-row doc-count broadcast onto the df frame (idf numerator)
       "text_tfidf_cosine",
       // 1-row L1-total broadcasts per HITS normalization step
-      "graph_hits")
+      "graph_hits",
+      // B-row bin-table range crosses (corpus-independent PAV segments)
+      "eval_isotonic")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

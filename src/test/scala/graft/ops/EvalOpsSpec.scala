@@ -219,4 +219,56 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("po") == 1.0 && r.getAs[Double]("pe") == 1.0)
     assert(r.isNullAt(r.fieldIndex("kappa")))
   }
+
+  /** Reference PAV: the classic stack sweep, exact mean comparisons via
+    * cross-multiplication. Returns one fitted value per input bin. */
+  private def pavRef(bins: Seq[(Long, Long)]): Seq[Double] = {
+    val st = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    for ((n, p) <- bins) {
+      var cur = (n, p, 1)
+      // pool while the previous block mean >= current mean
+      while (st.nonEmpty && st.last._2 * cur._1 >= cur._2 * st.last._1) {
+        val l = st.remove(st.size - 1)
+        cur = (l._1 + cur._1, l._2 + cur._2, l._3 + cur._3)
+      }
+      st += cur
+    }
+    st.toSeq.flatMap { case (n, p, c) =>
+      Seq.fill(c)(p.toDouble / n.toDouble) }
+  }
+
+  private def isoBins(bins: Seq[(Long, Long)]): Seq[Double] = {
+    // bin b holds n rows at score b, n_pos of them labeled true
+    val rows = bins.zipWithIndex.flatMap { case ((n, p), b) =>
+      Seq.fill(p.toInt)((b.toLong, true)) ++
+        Seq.fill((n - p).toInt)((b.toLong, false))
+    }
+    EvalOps.isotonicCalibration(rows.toDF("score", "y"), "y", "score",
+        binWidth = 1L)
+      .orderBy("bin")
+      .collect().map(_.getAs[Double]("iso")).toSeq
+  }
+
+  test("isotonicCalibration: minimax fit equals reference PAV, hand case") {
+    // rates 0.5, 0.0, 1.0 → first two pool to 1/4, last stays 1.0
+    assert(isoBins(Seq((2L, 1L), (2L, 0L), (2L, 2L))) ==
+      Seq(0.25, 0.25, 1.0))
+    // already monotone input is untouched
+    assert(isoBins(Seq((4L, 1L), (4L, 2L), (4L, 3L))) ==
+      Seq(0.25, 0.5, 0.75))
+  }
+
+  test("isotonicCalibration: equals stack PAV on random bin tables") {
+    for (seed <- Seq(7, 19, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val bins = Seq.fill(8) {
+        val n = 1L + rnd.nextInt(5)
+        (n, rnd.nextLong(n + 1))
+      }
+      val got = isoBins(bins)
+      assert(got == pavRef(bins), s"seed $seed bins $bins")
+      assert(got.sliding(2).forall(w => w.size < 2 || w(0) <= w(1)),
+        "fit must be monotone")
+    }
+  }
 }
