@@ -258,21 +258,47 @@ object TextOps {
         (acc, x) => acc + x)
     val norms = w
       .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("token"), col("w")))).as("_s"))
-      .select(col("id"), pinnedSum(transform(col("_s"),
+      .agg(sort_array(collect_list(struct(col("token"), col("w")))).as("_s"),
+        max(col("w")).as("mw"))
+      .select(col("id"), col("mw"), pinnedSum(transform(col("_s"),
         x => x.getField("w") * x.getField("w"))).as("n2"))
-    val dots = w.as("x")
+      .stagePin()
+    // LOSSLESS candidate pruning before the expensive pinned folds:
+    // dot(a,b) ≤ c_ab·max(w_a)·max(w_b) (every shared-token product is
+    // ≤ the max product; count and max are ORDER-FREE, so the bound is
+    // deterministic where a float partial sum would not be). Only pairs
+    // whose bound clears the floor — minus a 1e-9 relative margin
+    // absorbing the fold's rounding slack, so a boundary pair can never
+    // be pruned on an ulp — pay the collect+fold; everything else (the
+    // overwhelming majority under any real token distribution: random
+    // co-occurrence shares 1-2 tokens) dies on the integer/max stats.
+    // Pruned-only-below-threshold means the RESULT is identical, which
+    // is why the gate oracle needs no bound stage.
+    val cand = w.as("x")
       .join(w.as("y"),
         col("x.token") === col("y.token") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.token").as("token"), (col("x.w") * col("y.w")).as("p"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(norms.select(col("id").as("a"), col("mw").as("mwa"),
+        col("n2").as("na2")), "a")
+      .join(norms.select(col("id").as("b"), col("mw").as("mwb"),
+        col("n2").as("nb2")), "b")
+      .filter(col("c") * col("mwa") * col("mwb") >=
+        lit(minCosine * (1.0 - 1e-9)) * sqrt(col("na2")) * sqrt(col("nb2")))
+      .select("a", "b", "na2", "nb2")
+    // exact pinned dot, PAIR-BOUNDED (the pairEvidence discipline): the
+    // survivors' term lists re-join on (id, token), never the full index
+    val dots = cand
+      .join(w.select(col("id").as("a"), col("token"), col("w").as("wa")), "a")
+      .join(w.select(col("id").as("b"), col("token"), col("w").as("wb")),
+        Seq("b", "token"))
       .groupBy("a", "b")
-      .agg(sort_array(collect_list(struct(col("token"), col("p")))).as("_s"))
-      .select(col("a"), col("b"),
+      .agg(first(col("na2")).as("na2"), first(col("nb2")).as("nb2"),
+        sort_array(collect_list(struct(col("token"),
+          (col("wa") * col("wb")).as("p")))).as("_s"))
+      .select(col("a"), col("b"), col("na2"), col("nb2"),
         pinnedSum(transform(col("_s"), x => x.getField("p"))).as("dot"))
     dots
-      .join(norms.select(col("id").as("a"), col("n2").as("na2")), "a")
-      .join(norms.select(col("id").as("b"), col("n2").as("nb2")), "b")
       .withColumn("cosine",
         col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))))
       .filter(col("cosine") >= minCosine)
@@ -312,6 +338,37 @@ object TextOps {
       .join(broadcast(dfreq).withColumnRenamed("tok", "tok_b")
         .withColumnRenamed("df", "df_b"), "tok_b")
       .select("tok_a", "tok_b", "n_pair", "df_a", "df_b")
+  }
+
+  /** Top-k token pairs by pointwise mutual information:
+    * PMI(a,b) = ln(N·c_ab / (df_a·df_b)) over [[cooccurrencePairs]]'
+    * exact-integer table — the collocation detector ("New York" vs
+    * "the of") keyword extraction starts from. Completes the promise in
+    * cooccurrencePairs' doc: the log that operator left to the consumer
+    * is [[graft.expr.PortableLnRatio]], so PMI itself is now
+    * engine-portable (libm ln is not). `minPair` floors the pair count
+    * — PMI of singleton pairs is pure noise and would dominate any
+    * top-k. Total tie order (pmi desc, tok_a, tok_b) keeps the top-k
+    * boundary deterministic; everything upstream is vocabulary-capped,
+    * so the scored frame is ≤C(vocabK,2) rows whatever the corpus.
+    *
+    * @return top-`k` rows (`tok_a`, `tok_b`, `n_pair`, `df_a`, `df_b`,
+    *         `pmi`).
+    */
+  def pmiTopK(
+      df: DataFrame, idCol: String, textCol: String,
+      vocabK: Int, minPair: Long, k: Int): DataFrame = {
+    require(minPair >= 1 && k >= 1, s"pmiTopK: bad ($minPair, $k)")
+    val pairs = cooccurrencePairs(df, idCol, textCol, vocabK)
+    val nDocs = df.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    pairs.filter(col("n_pair") >= minPair)
+      .crossJoin(broadcast(nDocs)) // 1-row doc-count frame (declared)
+      .withColumn("pmi", graft.expr.PortableLnRatio.ln(
+        col("n_docs") * col("n_pair"), col("df_a") * col("df_b")))
+      .orderBy(col("pmi").desc, col("tok_a").asc, col("tok_b").asc)
+      .limit(k)
+      .select("tok_a", "tok_b", "n_pair", "df_a", "df_b", "pmi")
   }
 
   /** Vocabulary-growth (Heaps'-law) curve from ONE corpus pass: vocab

@@ -438,11 +438,13 @@ object Scale {
           DedupOps.containmentPairs(d, "doc_id", "text",
             k = 3, minContainment = 0.6).count()),
         // TF-IDF cosine: df-capped inverted index + token-sorted folds;
-        // with vocabulary ∝ n the cap (8) keeps posting lists flat and
-        // only the planted near-dups pair
+        // with vocabulary ∝ n the per-token df is ~Poisson(40) whatever
+        // the corpus size, so the cap (100) bounds posting lists at a
+        // constant and join volume stays ∝ n; only the planted
+        // near-dups clear the 0.5 floor
         "tfidf_cosine" -> (() =>
           TextOps.tfidfCosinePairs(d, "doc_id", "text",
-            maxDf = 8, minCosine = 0.5).count()))
+            maxDf = 100, minCosine = 0.5).count()))
 
       // optional args(1): comma-separated op names — run only those
       // (refresh individual curves without paying the full sweep)

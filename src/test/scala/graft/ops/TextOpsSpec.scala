@@ -214,6 +214,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(slope < -0.9 && slope > -1.5)
   }
 
+  test("pmiTopK: portable-ln collocations, noise floor, total tie order") {
+    import spark.implicits._
+    import graft.expr.PortableLnRatio.compute
+    // df: a=3, b=3, c=2; pairs: (a,b)=2, (a,c)=1, (b,c)=1; N=4
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "b c"))
+      .toDF("doc_id", "text")
+    val got = TextOps.pmiTopK(df, "doc_id", "text",
+        vocabK = 10, minPair = 1L, k = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // ln(8/9) > ln(4/6) = ln(4/6): (a,b) leads, equal-PMI tail in tok order
+    assert(got == Seq(
+      ("a", "b", 2L, 3L, 3L, compute(8, 9)),
+      ("a", "c", 1L, 3L, 2L, compute(4, 6)),
+      ("b", "c", 1L, 3L, 2L, compute(4, 6))))
+    // the noise floor drops the singleton pairs
+    val floored = TextOps.pmiTopK(df, "doc_id", "text",
+        vocabK = 10, minPair = 2L, k = 10)
+      .select("tok_a", "tok_b").as[(String, String)].collect().toSeq
+    assert(floored == Seq(("a", "b")))
+  }
+
   test("tfidfCosinePairs: exact fold replica, df cap drops stopwords") {
     import spark.implicits._
     import graft.expr.PortableLnRatio.compute
