@@ -540,6 +540,53 @@ object TextQueries {
         "vocabulary: the exact-integer PMI table, pair work capped by " +
         "the vocabulary"),
 
+    // Top-k collocations by pointwise mutual information
+    // ([[TextOps.pmiTopK]]): PMI = portable ln(N·c_ab / (df_a·df_b))
+    // over the co-occurrence gate's exact-integer table — the log that
+    // gate's doc deferred "to the consumer" now has an engine-portable
+    // consumer ([[graft.expr.PortableLnRatio]]). A pair-count floor
+    // keeps singleton-pair noise out of the top-k; total tie order
+    // (pmi desc, tokens) pins the boundary.
+    Q(
+      "text_pmi_topk",
+      (s, d) =>
+        TextOps.pmiTopK(T(s, d, "documents"), "doc_id", "text",
+          vocabK = 50, minPair = 3L, k = 30),
+      Some {
+        import graft.expr.PortableLnRatio.sqlStages
+        s"""WITH dt0 AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(string_split_regex(text, ' +')) AS tok
+           |  FROM documents),
+           |vocab AS (SELECT tok FROM (
+           |  SELECT tok, count(*) AS n FROM dt0 GROUP BY tok
+           |  ORDER BY n DESC, tok LIMIT 50)),
+           |dt AS (SELECT doc_id, tok FROM dt0
+           |       WHERE tok IN (SELECT tok FROM vocab)),
+           |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+           |  FROM dt GROUP BY tok),
+           |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+           |  FROM documents),
+           |pairs AS (
+           |  SELECT a.tok AS tok_a, b.tok AS tok_b,
+           |    CAST(count(*) AS BIGINT) AS n_pair
+           |  FROM dt a JOIN dt b
+           |    ON a.doc_id = b.doc_id AND a.tok < b.tok
+           |  GROUP BY 1, 2 HAVING count(*) >= 3),
+           |pj AS (SELECT tok_a, tok_b, n_pair, fa.df AS df_a, fb.df AS df_b,
+           |    nd.n_docs * n_pair AS num, fa.df * fb.df AS den
+           |  FROM pairs
+           |  JOIN dfq fa ON pairs.tok_a = fa.tok
+           |  JOIN dfq fb ON pairs.tok_b = fb.tok, nd),
+           |${sqlStages("px", "pj", "num", "den",
+              Seq("tok_a", "tok_b", "n_pair", "df_a", "df_b"))}
+           |SELECT tok_a, tok_b, n_pair, df_a, df_b, pln AS pmi
+           |FROM pxln
+           |ORDER BY pmi DESC, tok_a ASC, tok_b ASC
+           |LIMIT 30""".stripMargin
+      },
+      "top-30 PMI collocations: portable-ln over the exact co-occurrence table"),
+
     // Inverted index build: token → document frequency + ordered postings
     // list — the retrieval primitive under BM25/ANN hybrid search. One
     // (doc, token) distinct, one token-keyed rollup; postings serialize

@@ -74,7 +74,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // 1-row L1-total broadcasts per HITS normalization step
       "graph_hits",
       // B-row bin-table range crosses (corpus-independent PAV segments)
-      "eval_isotonic")
+      "eval_isotonic",
+      // 1-row doc-count broadcast onto the <=C(vocabK,2) pair frame
+      "text_pmi_topk")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>
