@@ -527,6 +527,39 @@ object EvalOps {
           (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
   }
 
+  /** EXACT Brier score of the percentile-calibrated classifier:
+    * mean((p − y)²) with p = the exact rational percent-rank
+    * (rank_min − 1)/(N − 1) ([[groupPercentRank]]) — the proper scoring
+    * rule that decomposes into calibration + refinement, judging the
+    * same probability map [[expectedCalibrationError]] bins. Kept
+    * integral to the last step: (p − y)² = d²/(N−1)² with
+    * d = (rank_min − 1) − y·(N−1) an exact integer, so
+    * Brier = Σd² / (N·(N−1)²) — DECIMAL sums, ONE double division.
+    * |d| ≤ N keeps Σd² ≤ N³ inside 38 digits through ~10¹² rows.
+    *
+    * @return one row: (`n`, `brier`) — null when n ≤ 1 (percent-rank
+    *         undefined).
+    */
+  def brierScore(
+      df: DataFrame, labelCol: String, scoreCol: String,
+      idCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pr = groupPercentRank(
+      df.select(col(idCol), col(scoreCol),
+        col(labelCol).cast("boolean").as("_y"), lit(1).as("_g")),
+      "_g", scoreCol, idCol)
+    val nD = col("n").cast(d38)
+    pr.select(col("rank_min"), col("group_n"), col("_y"))
+      .withColumn("_d", (col("rank_min") - 1L) -
+        when(col("_y"), col("group_n") - 1L).otherwise(0L))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_d").cast(d38) * col("_d").cast(d38)).as("_sd2"))
+      .select(col("n"),
+        when(col("n") > 1L,
+          col("_sd2").cast(DoubleType) /
+            (nD * (nD - 1) * (nD - 1)).cast(DoubleType)).as("brier"))
+  }
+
   /** EXACT isotonic (PAV) calibration over fixed-width score bins — the
     * held-out-fit-free monotone calibrator that turns a raw classifier
     * score into a probability while provably never un-ordering two

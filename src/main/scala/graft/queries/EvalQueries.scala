@@ -394,6 +394,36 @@ object EvalQueries {
               |FROM t ORDER BY n_bins""".stripMargin),
       "expected calibration error: percentile-calibrated bins, ordered-fold ECE"),
 
+    // Brier score of the same percentile-calibrated probability
+    // ([[EvalOps.brierScore]]): the PROPER scoring rule (calibration +
+    // refinement in one number) beside ECE's calibration-only read.
+    // Integral to the end: d = (rank−1) − y·(N−1), Brier = Σd²/(N·(N−1)²),
+    // one double division.
+    Q(
+      "eval_brier",
+      (s, d) =>
+        EvalOps.brierScore(scored(s, d), "is_en", "score", "doc_id")
+          .orderBy("n"),
+      Some(s"""WITH $scoredCte,
+              |g AS (SELECT pos,
+              |    CAST(RANK() OVER (ORDER BY score) AS BIGINT) AS rank_min,
+              |    CAST(count(*) OVER () AS BIGINT) AS n_tot
+              |  FROM s),
+              |d AS (SELECT n_tot,
+              |    (rank_min - 1) -
+              |      CASE WHEN pos THEN n_tot - 1 ELSE 0 END AS d
+              |  FROM g)
+              |SELECT CAST(count(*) AS BIGINT) AS n,
+              |  CASE WHEN count(*) > 1 THEN
+              |    CAST(sum(CAST(d AS HUGEINT) * CAST(d AS HUGEINT))
+              |        AS DOUBLE) /
+              |    CAST(CAST(any_value(n_tot) AS HUGEINT) *
+              |      (any_value(n_tot) - 1) * (any_value(n_tot) - 1)
+              |        AS DOUBLE)
+              |  END AS brier
+              |FROM d ORDER BY n""".stripMargin),
+      "Brier score of the percentile-calibrated score: exact integer moments"),
+
     // Cumulative gains/lift table ([[EvalOps.gainsTable]]): score
     // deciles of the classifier vs the is-English label — "the top
     // decile captures X% of English docs at Y× random". Exact

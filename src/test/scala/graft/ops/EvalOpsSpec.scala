@@ -220,6 +220,20 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("kappa")))
   }
 
+  test("brierScore: hand case, perfect ranking, and n=1 null") {
+    // ranks 1..4 → p = 0, 1/3, 2/3, 1; y = F,F,T,T → d = 0,1,-1,0
+    // Brier = 2 / (4·9) = 1/18
+    val df = Seq((1L, 10L, false), (2L, 20L, false),
+      (3L, 30L, true), (4L, 40L, true)).toDF("id", "score", "y")
+    val r = EvalOps.brierScore(df, "y", "score", "id").collect().head
+    assert(r.getAs[Long]("n") == 4L &&
+      r.getAs[Double]("brier") == 2.0 / 36.0)
+    // perfectly separated AND extreme p: only the interior rows pay
+    val single = Seq((1L, 5L, true)).toDF("id", "score", "y")
+    val r1 = EvalOps.brierScore(single, "y", "score", "id").collect().head
+    assert(r1.getAs[Long]("n") == 1L && r1.isNullAt(r1.fieldIndex("brier")))
+  }
+
   /** Reference PAV: the classic stack sweep, exact mean comparisons via
     * cross-multiplication. Returns one fitted value per input bin. */
   private def pavRef(bins: Seq[(Long, Long)]): Seq[Double] = {
