@@ -77,7 +77,46 @@ object GraphQueries {
     * (test hygiene / in-session corpus regeneration). */
   private[queries] def clearStagedFrames(): Unit = {
     halfCache.clear(); incLabelCache.clear()
+    liUrgentCache.clear(); tradeEdgeCache.clear()
   }
+
+  /** The URGENT-order (order, part) incidence frame, staged per corpus
+    * snapshot: FOUR gates (triangle counts, k-core, label propagation —
+    * and any future co-purchase consumer) derive their edge universe
+    * from this same join, exactly as a production graph service builds
+    * its incidence table once per ingest and lets every graph job read
+    * it. The self-joins downstream stay per-gate (k-core deliberately
+    * keeps MULTI-edges for its degree semantics; the others dedupe), but
+    * the lineitem⋈orders join + distinct runs once. */
+  private val liUrgentCache = new graft.ops.BoundedDfCache[
+    (org.apache.spark.sql.SparkSession, String)](maxEntries = 4)
+  private def liUrgent(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    liUrgentCache.getOrElseUpdate((s, d)) {
+      T(s, d, "lineitem")
+        .join(T(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** The customer→supplier trade edge frame (raw, pre-distinct — both
+    * consumers dedupe inside their ops), staged per corpus snapshot for
+    * the PageRank and HITS gates: the orders⋈lineitem join is the
+    * dominant upstream cost and is identical in both. */
+  private val tradeEdgeCache = new graft.ops.BoundedDfCache[
+    (org.apache.spark.sql.SparkSession, String)](maxEntries = 4)
+  private def tradeEdges(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    tradeEdgeCache.getOrElseUpdate((s, d)) {
+      T(s, d, "orders")
+        .join(T(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   private def buildIncrementalLabels(
       s: org.apache.spark.sql.SparkSession, d: String) = {
@@ -329,15 +368,9 @@ object GraphQueries {
     // supp*2+1) so the two key spaces cannot collide.
     Q(
       "graph_pagerank",
-      (s, d) => {
-        val e = T(s, d, "orders")
-          .join(T(s, d, "lineitem"),
-            col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-        GraphOps.pageRankUnits(e, "src", "dst", iters = 3)
-          .orderBy("id")
-      },
+      (s, d) =>
+        GraphOps.pageRankUnits(tradeEdges(s, d), "src", "dst", iters = 3)
+          .orderBy("id"),
       Some {
         val iters = 3
         val unit = 1000000L
@@ -368,15 +401,9 @@ object GraphQueries {
     // iterations; `div`/`//` agree on the non-negative operands.
     Q(
       "graph_hits",
-      (s, d) => {
-        val e = T(s, d, "orders")
-          .join(T(s, d, "lineitem"),
-            col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-        GraphOps.hitsUnits(e, "src", "dst", iters = 2)
-          .orderBy("id")
-      },
+      (s, d) =>
+        GraphOps.hitsUnits(tradeEdges(s, d), "src", "dst", iters = 2)
+          .orderBy("id"),
       Some {
         val unit = 1000000L
         val rounds = (1 to 2).map { i =>
@@ -415,11 +442,7 @@ object GraphQueries {
     Q(
       "graph_triangle_count",
       (s, d) => {
-        val li = T(s, d, "lineitem")
-          .join(T(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-          .distinct()
+        val li = liUrgent(s, d)
         val e = li.as("x")
           .join(li.as("y"),
             col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
@@ -452,11 +475,7 @@ object GraphQueries {
     Q(
       "graph_label_prop",
       (s, d) => {
-        val li = T(s, d, "lineitem")
-          .join(T(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-          .distinct()
+        val li = liUrgent(s, d)
         val e = li.as("x")
           .join(li.as("y"),
             col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
@@ -500,11 +519,7 @@ object GraphQueries {
     Q(
       "graph_kcore",
       (s, d) => {
-        val li = T(s, d, "lineitem")
-          .join(T(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-          .distinct()
+        val li = liUrgent(s, d)
         val e = li.as("x")
           .join(li.as("y"),
             col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
