@@ -928,4 +928,45 @@ object CorpusOps {
         (powN(col("n_docs")) / col("_denom") * lit(budgetDocs.toDouble))
           .as("expected_docs"))
   }
+
+  /** Differentially-private histogram with DETERMINISTIC seeded Laplace
+    * noise: per-key counts (sensitivity 1) plus Laplace(1/ε) noise drawn
+    * by inverse-CDF from a salted-hash uniform — [[kAnonymity]]'s
+    * release-side sibling (k-anonymity audits what's safe to show;
+    * DP noise makes the histogram itself safe to publish).
+    *
+    * Determinism is the point AND the gate: a `rand()`-seeded Laplace
+    * changes under repartition and can never hash-compare, so the
+    * uniform is u = (2r+1)/2⁵³ with r = the top 52 bits of the portable
+    * [[graft.expr.StringHash64]] of salt‖key — an exact dyadic rational
+    * that is never 0, ½, or 1. The inverse CDF
+    * x = −(1/ε)·sign(u−½)·ln(1−2|u−½|) then needs ONE log of the exact
+    * rational m/2⁵² (m odd), which is [[graft.expr.PortableLnRatio]] —
+    * so the whole draw is integer manipulation + the explicit-algorithm
+    * ln + three IEEE ops, bit-identical on any engine. (Seeded-noise DP
+    * is the standard production shape for reproducible releases; the
+    * salt is the secret to rotate per release.)
+    *
+    * One keyed rollup; the noise rides the ≤|key-domain| result rows.
+    *
+    * @return (`key`, `n`, `noise`, `n_noisy` = n + noise).
+    */
+  def dpNoisyCounts(
+      df: DataFrame, keyCol: String, epsilon: Double,
+      salt: String): DataFrame = {
+    require(epsilon > 0, s"dpNoisyCounts: epsilon must be > 0, got $epsilon")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val h = graft.expr.TextHashFunctions.hash64(
+      concat(lit(salt), col(keyCol).cast("string")))
+    val withR = counts.withColumn("_r", shiftrightunsigned(h, 12))
+    val s = when(col("_r") >= lit(1L << 51), lit(1.0)).otherwise(lit(-1.0))
+    val m = when(col("_r") >= lit(1L << 51),
+      lit(1L << 53) - (col("_r") * 2 + 1)).otherwise(col("_r") * 2 + 1)
+    withR
+      .withColumn("noise",
+        lit(-1.0 / epsilon) * s *
+          graft.expr.PortableLnRatio.ln(m, lit(1L << 52)))
+      .select(col(keyCol), col("n"), col("noise"),
+        (col("n").cast(DoubleType) + col("noise")).as("n_noisy"))
+  }
 }

@@ -930,6 +930,46 @@ object CorpusQueries {
         targetWhere = "source = 'src0'")),
       "DSIR sufficient statistics: doc bucket counts vs target/raw histograms, all integer"),
 
+    // Differentially-private language histogram
+    // ([[CorpusOps.dpNoisyCounts]], ε = ½): deterministic seeded Laplace
+    // — inverse-CDF over the salted portable-hash uniform (2r+1)/2⁵³,
+    // whose single log is the exact rational pln(m, 2⁵²) — so the
+    // release is reproducible AND hash-gateable where rand()-seeded
+    // noise never could be. The oracle replays hash, integer uniform,
+    // and ln stages end to end.
+    Q(
+      "corpus_dp_counts",
+      (s, d) =>
+        CorpusOps.dpNoisyCounts(T(s, d, "documents"), "lang",
+            epsilon = 0.5, salt = "dp1")
+          .orderBy("lang"),
+      Some {
+        import graft.expr.PortableLnRatio.sqlStages
+        s"""WITH RECURSIVE c AS (
+           |  SELECT lang, CAST(count(*) AS BIGINT) AS n
+           |  FROM documents GROUP BY 1),
+           |ksrc AS (SELECT 'dp1' || lang AS f FROM c),
+           |${Hash64Oracle.hash64VocabCtes("ksrc")},
+           |rr AS (SELECT c.lang, c.n,
+           |    CAST((CASE WHEN hs < 0
+           |          THEN CAST(hs AS HUGEINT) + 18446744073709551616
+           |          ELSE CAST(hs AS HUGEINT) END) // 4096 AS BIGINT) AS r
+           |  FROM c JOIN hsig ON hsig.f = 'dp1' || c.lang),
+           |mm AS (SELECT lang, n,
+           |    CASE WHEN r >= 2251799813685248 THEN CAST(1.0 AS DOUBLE)
+           |         ELSE CAST(-1.0 AS DOUBLE) END AS s,
+           |    CAST(CASE WHEN r >= 2251799813685248
+           |         THEN 9007199254740992 - (2 * r + 1)
+           |         ELSE 2 * r + 1 END AS BIGINT) AS m
+           |  FROM rr),
+           |${sqlStages("dq", "mm", "m", "4503599627370496",
+              Seq("lang", "n", "s"))}
+           |SELECT lang, n, (-2.0 * s) * pln AS noise,
+           |  CAST(n AS DOUBLE) + (-2.0 * s) * pln AS n_noisy
+           |FROM dqln ORDER BY lang""".stripMargin
+      },
+      "DP language histogram: seeded portable-hash Laplace, fully replayed oracle"),
+
     // k-anonymity / l-diversity audit ([[CorpusOps.kAnonymity]]) over the
     // customer table: QI = (nation, market segment), sensitive attribute
     // = "account in debt". At sf0.01 the 125 QI groups split ~29

@@ -607,4 +607,32 @@ class CorpusOpsSpec extends AnyFunSuite {
       .orderBy("source").select("weight").as[Double].collect().toSeq
     assert(got == Seq(0.75, 0.25))
   }
+
+  test("dpNoisyCounts: scalar replica of the seeded inverse-CDF draw") {
+    import spark.implicits._
+    val df = Seq.fill(5)("en").map(Tuple1(_)).toDF("k")
+      .unionAll(Seq.fill(3)("fr").map(Tuple1(_)).toDF("k"))
+    val got = CorpusOps.dpNoisyCounts(df, "k", epsilon = 0.5, salt = "s1")
+      .orderBy("k")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    def draw(key: String): Double = {
+      val h = graft.expr.StringHash64.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("s1" + key))
+      val r = h >>> 12
+      val s = if (r >= (1L << 51)) 1.0 else -1.0
+      val m = if (r >= (1L << 51)) (1L << 53) - (2 * r + 1) else 2 * r + 1
+      -2.0 * s * graft.expr.PortableLnRatio.compute(m, 1L << 52)
+    }
+    assert(got == Seq(
+      ("en", 5L, draw("en"), 5.0 + draw("en")),
+      ("fr", 3L, draw("fr"), 3.0 + draw("fr"))))
+    // the draw is a pure function of (salt, key): re-running is identical,
+    // rotating the salt redraws
+    val again = CorpusOps.dpNoisyCounts(df, "k", epsilon = 0.5, salt = "s1")
+      .orderBy("k").as[(String, Long, Double, Double)].collect().toSeq
+    assert(again == got)
+    val rotated = CorpusOps.dpNoisyCounts(df, "k", epsilon = 0.5, salt = "s2")
+      .orderBy("k").as[(String, Long, Double, Double)].collect().toSeq
+    assert(rotated.map(_._3) != got.map(_._3))
+  }
 }
