@@ -418,6 +418,64 @@ object StatOps {
       .select("n", "n_cells", "mi", "h_x", "h_y", "nmi")
   }
 
+  /** Jensen–Shannon divergence between a split's two category
+    * histograms — the SYMMETRIC, always-finite drift measure (KL blows
+    * up on any category one side lacks; JSD caps at ln 2), the number a
+    * curation team tracks per ingest beside the drift-bin counts. Every
+    * log is the exact integer rational the counts imply:
+    * p_i/m_i = 2·a_i·B / (a_i·B + b_i·A), so each term is one double
+    * ratio times one [[graft.expr.PortableLnRatio]] — no libm anywhere —
+    * and the two sums fold in category order ([[mutualInformation]]'s
+    * discipline). Zero-count categories contribute an exact +0.0 (the
+    * standard 0·ln0 = 0 convention), which cannot perturb the fold.
+    * Products a_i·B stay in longs through ~3·10⁹ rows; widen past that.
+    *
+    * One keyed rollup (both sides in one pass) + a 1-row totals
+    * broadcast onto the category-domain frame.
+    *
+    * @param sideCol boolean column: true rows form P, false rows Q.
+    * @return one row: (`n_a`, `n_b`, `n_cats`, `jsd`,
+    *         `jsd_norm` = jsd/ln 2 ∈ [0,1]) — null metrics when either
+    *         side is empty (JSD undefined).
+    */
+  def jsDivergence(
+      df: DataFrame, keyCol: String, sideCol: String): DataFrame = {
+    val cells = df.groupBy(col(keyCol).as("_k"))
+      .agg(sum(when(col(sideCol), 1L).otherwise(0L)).as("_a"),
+        sum(when(col(sideCol), 0L).otherwise(1L)).as("_b"))
+    val tot = cells.agg(sum("_a").as("_ta"), sum("_b").as("_tb"))
+    val terms = cells.crossJoin(broadcast(tot)) // 1-row totals (declared)
+      .withColumn("_tp",
+        when(col("_a") > 0 && col("_tb") > 0,
+          (col("_a").cast("double") / col("_ta").cast("double")) *
+            graft.expr.PortableLnRatio.ln(
+              lit(2L) * col("_a") * col("_tb"),
+              col("_a") * col("_tb") + col("_b") * col("_ta")))
+          .otherwise(lit(0.0)))
+      .withColumn("_tq",
+        when(col("_b") > 0 && col("_ta") > 0,
+          (col("_b").cast("double") / col("_tb").cast("double")) *
+            graft.expr.PortableLnRatio.ln(
+              lit(2L) * col("_b") * col("_ta"),
+              col("_b") * col("_ta") + col("_a") * col("_tb")))
+          .otherwise(lit(0.0)))
+    def fold(c: String): Column =
+      aggregate(
+        transform(array_sort(collect_list(struct(col("_k"), col(c)))),
+          s => s.getField(c)),
+        lit(0.0), (acc, x) => acc + x)
+    terms
+      .agg(max("_ta").as("n_a"), max("_tb").as("n_b"),
+        count(lit(1)).as("n_cats"),
+        fold("_tp").as("_sp"), fold("_tq").as("_sq"))
+      .select(col("n_a"), col("n_b"), col("n_cats"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          lit(0.5) * col("_sp") + lit(0.5) * col("_sq")).as("jsd"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          (lit(0.5) * col("_sp") + lit(0.5) * col("_sq")) /
+            lit(graft.expr.PortableLnRatio.Ln2)).as("jsd_norm"))
+  }
+
   /** Per-key EWMA level: the exponentially weighted moving average of
     * each key's value series in time order, seeded at the first
     * observation (`s₁ = x₁`, `sᵢ = α·xᵢ + (1−α)·sᵢ₋₁`) — the smoothed

@@ -508,6 +508,61 @@ object ProfilingQueries {
            |    THEN mi / (sqrt(h_x) * sqrt(h_y)) END AS nmi
            |FROM mi, hx, hy ORDER BY n""".stripMargin
       },
-      "mutual information lang vs source: one-ln-per-term exact rationals, ordered folds")
+      "mutual information lang vs source: one-ln-per-term exact rationals, ordered folds"),
+
+    // Jensen–Shannon divergence of src0's language mix vs the rest
+    // ([[graft.ops.StatOps.jsDivergence]]): the symmetric, always-finite
+    // drift number beside the drift-bin counts (KL explodes on any
+    // category one side lacks; JSD caps at ln 2). Every log is the exact
+    // count rational 2·a·B/(a·B + b·A) via the portable ln; category-
+    // ordered folds; zero-count categories add an exact +0.0 both sides.
+    Q(
+      "profile_js_divergence",
+      (s, d) =>
+        graft.ops.StatOps.jsDivergence(
+            T(s, d, "documents")
+              .select(col("lang"), (col("source") === "src0").as("is_src0")),
+            "lang", "is_src0")
+          .orderBy("n_cats"),
+      Some {
+        import graft.expr.PortableLnRatio.sqlStages
+        s"""WITH c AS (SELECT lang AS k,
+           |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS a,
+           |    CAST(sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END)
+           |      AS BIGINT) AS b
+           |  FROM documents GROUP BY 1),
+           |tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+           |               CAST(sum(b) AS BIGINT) AS tb FROM c),
+           |ct AS (SELECT k, a, b, ta, tb FROM c, tot),
+           |pp AS (SELECT k, a, ta, 2 * a * tb AS num,
+           |    a * tb + b * ta AS den
+           |  FROM ct WHERE a > 0 AND tb > 0),
+           |${sqlStages("jp", "pp", "num", "den", Seq("k", "a", "ta"))},
+           |qq AS (SELECT k, b, tb, 2 * b * ta AS num,
+           |    b * ta + a * tb AS den
+           |  FROM ct WHERE b > 0 AND ta > 0),
+           |${sqlStages("jq", "qq", "num", "den", Seq("k", "b", "tb"))},
+           |sp AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(CAST(a AS DOUBLE) / CAST(ta AS DOUBLE) * pln
+           |           ORDER BY k)),
+           |    (x, y) -> x + y) AS sp FROM jpln),
+           |sq AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(CAST(b AS DOUBLE) / CAST(tb AS DOUBLE) * pln
+           |           ORDER BY k)),
+           |    (x, y) -> x + y) AS sq FROM jqln)
+           |SELECT tot.ta AS n_a, tot.tb AS n_b,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_cats,
+           |  CASE WHEN tot.ta > 0 AND tot.tb > 0
+           |    THEN CAST(0.5 AS DOUBLE) * sp.sp +
+           |         CAST(0.5 AS DOUBLE) * sq.sq END AS jsd,
+           |  CASE WHEN tot.ta > 0 AND tot.tb > 0
+           |    THEN (CAST(0.5 AS DOUBLE) * sp.sp +
+           |          CAST(0.5 AS DOUBLE) * sq.sq) /
+           |      CAST(${graft.expr.PortableLnRatio.Ln2} AS DOUBLE)
+           |  END AS jsd_norm
+           |FROM tot, sp, sq ORDER BY n_cats""".stripMargin
+      },
+      "JS divergence of src0 vs rest language mixes: exact count rationals, portable ln")
   )
 }

@@ -76,7 +76,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // B-row bin-table range crosses (corpus-independent PAV segments)
       "eval_isotonic",
       // 1-row doc-count broadcast onto the <=C(vocabK,2) pair frame
-      "text_pmi_topk")
+      "text_pmi_topk",
+      // 1-row totals broadcast onto the category-domain frame
+      "profile_js_divergence")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

@@ -281,6 +281,35 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     assert(g2 == (("c", 2L, 1, 1L, 0L)))
   }
 
+  test("jsDivergence: identical is 0, disjoint is ln2, hand replica") {
+    import spark.implicits._
+    import graft.expr.PortableLnRatio.{compute, Ln2}
+    // identical histograms: every ratio is exactly 1 → jsd == +0.0
+    val same = Seq(("x", true), ("x", false), ("y", true), ("y", false))
+      .toDF("k", "p")
+    val r0 = StatOps.jsDivergence(same, "k", "p").collect().head
+    assert(r0.getAs[Double]("jsd") == 0.0 &&
+      r0.getAs[Double]("jsd_norm") == 0.0)
+    // disjoint supports: jsd == ln 2 exactly, normalized 1.0
+    val disj = Seq(("x", true), ("x", true), ("y", false), ("y", false))
+      .toDF("k", "p")
+    val r1 = StatOps.jsDivergence(disj, "k", "p").collect().head
+    assert(r1.getAs[Double]("jsd") == Ln2 &&
+      r1.getAs[Double]("jsd_norm") == 1.0)
+    // hand replica: a = (3,1), b = (1,3)
+    val df = (Seq.fill(3)(("x", true)) ++ Seq(("x", false)) ++
+      Seq(("y", true)) ++ Seq.fill(3)(("y", false))).toDF("k", "p")
+    val r = StatOps.jsDivergence(df, "k", "p").collect().head
+    val sp = 0.0 + (3.0 / 4.0) * compute(24, 16) + (1.0 / 4.0) * compute(8, 16)
+    val sq = 0.0 + (1.0 / 4.0) * compute(8, 16) + (3.0 / 4.0) * compute(24, 16)
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Double]("jsd") == 0.5 * sp + 0.5 * sq)
+    // one empty side: undefined → null
+    val solo = Seq(("x", true)).toDF("k", "p")
+    val r2 = StatOps.jsDivergence(solo, "k", "p").collect().head
+    assert(r2.isNullAt(r2.fieldIndex("jsd")))
+  }
+
   test("interarrivalStats: exact moments, burstiness edge cases") {
     import spark.implicits._
     def t(us: Long) = new java.sql.Timestamp(us / 1000) // ms precision
