@@ -418,6 +418,71 @@ object StatOps {
       .select("n", "n_cells", "mi", "h_x", "h_y", "nmi")
   }
 
+  /** Kendall's τ-b rank correlation over QUANTIZED measures — the
+    * concordance twin of [[spearmanRho]] (τ counts pair inversions,
+    * Spearman correlates ranks; τ's interpretation "P(concordant) −
+    * P(discordant)" is the one A/B analysts quote). Naively O(n²) pair
+    * comparisons; here the corpus collapses to its JOINT DISTINCT-VALUE
+    * histogram in one keyed rollup, and every statistic is a sum over
+    * CELL pairs:
+    *   C = Σ n_c·n_c' over cells with x<x' ∧ y<y' (concordant mass)
+    *   D = Σ over x<x' ∧ y>y' (discordant)
+    *   τ-b = (C − D) / √((T0 − T1)(T0 − T2)),  T0 = n(n−1)/2,
+    *   T1/T2 = Σ t(t−1)/2 over per-x / per-y marginal tie counts.
+    * The cell-pair join is quadratic in the DOMAIN, not the corpus —
+    * quantized measures pin it (50 quantities × ~100 price buckets =
+    * ≤5k cells whatever the corpus), which is exactly why the operator
+    * demands quantized inputs. All masses in DECIMAL(38,0); one double
+    * division over two correctly-rounded sqrts — bit-equal anywhere.
+    *
+    * @return one row: (`n`, `n_cells`, `concordant`, `discordant`,
+    *         `tau_b` — null when either margin is constant).
+    */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df.groupBy(col(xCol).as("_x"), col(yCol).as("_y"))
+      .agg(count(lit(1)).as("_c"))
+      .stagePin() // five consumers: C, D, both tie margins, the total
+    val conc = cells.as("a")
+      .join(broadcast(cells.as("b")),
+        col("a._x") < col("b._x") && col("a._y") < col("b._y"))
+      .agg(coalesce(sum(col("a._c").cast(d38) * col("b._c").cast(d38)),
+        lit(0).cast(d38)).as("concordant"))
+    val disc = cells.as("a")
+      .join(broadcast(cells.as("b")),
+        col("a._x") < col("b._x") && col("a._y") > col("b._y"))
+      .agg(coalesce(sum(col("a._c").cast(d38) * col("b._c").cast(d38)),
+        lit(0).cast(d38)).as("discordant"))
+    // DOUBLED tie/total masses (t·(t−1), no /2): decimal division grows
+    // scale; τ-b rescales freely — τ = 2(C−D)/√((T0′−T1′)(T0′−T2′))
+    def tieMass(c: String): Column =
+      sum(col(c).cast(d38) * (col(c).cast(d38) - 1))
+    val tx = cells.groupBy("_x").agg(sum("_c").as("_t"))
+      .agg(tieMass("_t").as("_t1"))
+    val ty = cells.groupBy("_y").agg(sum("_c").as("_t"))
+      .agg(tieMass("_t").as("_t2"))
+    val nc = cells.agg(count(lit(1)).as("n_cells"),
+      sum(col("_c")).as("n"))
+    nc.crossJoin(broadcast(conc)) // 1-row mass frames (declared)
+      .crossJoin(broadcast(disc))
+      .crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .select(col("n"), col("n_cells"),
+        col("concordant"), col("discordant"),
+        (col("n").cast(d38) * (col("n").cast(d38) - 1)).as("_t0"),
+        col("_t1"), col("_t2"))
+      .withColumn("tau_b",
+        when(col("_t0") > col("_t1") && col("_t0") > col("_t2"),
+          (lit(2).cast(d38) * (col("concordant") - col("discordant")))
+            .cast("double") /
+            (sqrt((col("_t0") - col("_t1")).cast("double")) *
+              sqrt((col("_t0") - col("_t2")).cast("double")))))
+      .select(col("n"), col("n_cells"),
+        col("concordant").cast("long").as("concordant"),
+        col("discordant").cast("long").as("discordant"),
+        col("tau_b"))
+  }
+
   /** Jensen–Shannon divergence between a split's two category
     * histograms — the SYMMETRIC, always-finite drift measure (KL blows
     * up on any category one side lacks; JSD caps at ln 2), the number a

@@ -925,6 +925,52 @@ object BehaviorQueries {
              |FROM m""".stripMargin),
       "Spearman rank correlation: doubled midranks, exact DECIMAL moments, one IEEE step"),
 
+    // Kendall's τ-b ([[graft.ops.StatOps.kendallTauB]]) beside Spearman:
+    // concordance over the QUANTIZED (quantity, price-bucket) joint
+    // histogram — corpus collapses to ≤5k distinct cells in one rollup,
+    // and the quadratic pair comparison runs on the CELL domain (a
+    // broadcast join two orders of magnitude under the row count,
+    // corpus-independent by construction). Doubled tie masses avoid
+    // decimal division; one IEEE division over two sqrts.
+    Q(
+      "stats_kendall_tau",
+      (s, d) =>
+        graft.ops.StatOps.kendallTauB(
+          T(s, d, "lineitem").select(
+            col("l_quantity").cast("long").as("x"),
+            floor(col("l_extendedprice") / 1000.0).cast("long").as("y")),
+          "x", "y"),
+      Some("""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+             |    CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS y
+             |  FROM lineitem),
+             |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+             |  FROM b GROUP BY 1, 2),
+             |conc AS (SELECT
+             |    coalesce(sum(CAST(a.c AS HUGEINT) * b2.c), 0) AS concordant
+             |  FROM cells a JOIN cells b2 ON a.x < b2.x AND a.y < b2.y),
+             |disc AS (SELECT
+             |    coalesce(sum(CAST(a.c AS HUGEINT) * b2.c), 0) AS discordant
+             |  FROM cells a JOIN cells b2 ON a.x < b2.x AND a.y > b2.y),
+             |tx AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1)) AS t1
+             |  FROM (SELECT sum(c) AS t FROM cells GROUP BY x)),
+             |ty AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1)) AS t2
+             |  FROM (SELECT sum(c) AS t FROM cells GROUP BY y)),
+             |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             |    CAST(sum(c) AS BIGINT) AS n FROM cells),
+             |f AS (SELECT n, n_cells, concordant, discordant,
+             |    CAST(n AS HUGEINT) * (n - 1) AS t0, t1, t2
+             |  FROM nc, conc, disc, tx, ty)
+             |SELECT n, n_cells,
+             |  CAST(concordant AS BIGINT) AS concordant,
+             |  CAST(discordant AS BIGINT) AS discordant,
+             |  CASE WHEN t0 > t1 AND t0 > t2 THEN
+             |    CAST(2 * (concordant - discordant) AS DOUBLE) /
+             |    (sqrt(CAST(t0 - t1 AS DOUBLE)) *
+             |     sqrt(CAST(t0 - t2 AS DOUBLE)))
+             |  END AS tau_b
+             |FROM f""".stripMargin),
+      "Kendall tau-b on the distinct-cell histogram: domain-sized pair join, exact masses"),
+
     // Per-user EWMA level ([[graft.ops.StatOps.ewmaLevel]]) at α = ¼:
     // the smoothed activity level monitoring keeps per entity. The
     // recurrence is sequential by definition; both engines fold the

@@ -78,7 +78,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // 1-row doc-count broadcast onto the <=C(vocabK,2) pair frame
       "text_pmi_topk",
       // 1-row totals broadcast onto the category-domain frame
-      "profile_js_divergence")
+      "profile_js_divergence",
+      // cell-domain (≤5k rows) broadcast pair joins + 1-row mass frames
+      "stats_kendall_tau")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

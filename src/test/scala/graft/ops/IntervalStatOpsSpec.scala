@@ -281,6 +281,33 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     assert(g2 == (("c", 2L, 1, 1L, 0L)))
   }
 
+  test("kendallTauB: hand cases with and without ties") {
+    import spark.implicits._
+    // x=1,2,3 / y=1,3,2: C=2, D=1, no ties → tau = 1/3
+    val df = Seq((1L, 1L), (2L, 3L), (3L, 2L)).toDF("x", "y")
+    val r = StatOps.kendallTauB(df, "x", "y").collect().head
+    assert(r.getAs[Long]("concordant") == 2L &&
+      r.getAs[Long]("discordant") == 1L)
+    // doubled masses: tau = 2(C-D)/sqrt(T0'^... ) = 2/ (sqrt6 * sqrt6)
+    assert(r.getAs[Double]("tau_b") ==
+      2.0 / (math.sqrt(6.0) * math.sqrt(6.0)))
+    // tied cell (1,1)x2: C = 2 (cell (1,1)->(2,2)), D = 0
+    // T0' = 6, T1' = T2' = 2 → tau = 4/(sqrt4*sqrt4) = 1.0 exactly
+    val tied = Seq((1L, 1L), (1L, 1L), (2L, 2L)).toDF("x", "y")
+    val r2 = StatOps.kendallTauB(tied, "x", "y").collect().head
+    assert(r2.getAs[Long]("n") == 3L && r2.getAs[Long]("n_cells") == 2L)
+    assert(r2.getAs[Double]("tau_b") == 1.0)
+    // constant x margin: undefined → null
+    val const = Seq((1L, 1L), (1L, 2L)).toDF("x", "y")
+    val r3 = StatOps.kendallTauB(const, "x", "y").collect().head
+    assert(r3.isNullAt(r3.fieldIndex("tau_b")))
+    // reversal: tau ~ -1
+    val rev = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    val r4 = StatOps.kendallTauB(rev, "x", "y").collect().head
+    assert(r4.getAs[Double]("tau_b") ==
+      -6.0 / (math.sqrt(6.0) * math.sqrt(6.0)))
+  }
+
   test("jsDivergence: identical is 0, disjoint is ln2, hand replica") {
     import spark.implicits._
     import graft.expr.PortableLnRatio.{compute, Ln2}
