@@ -431,8 +431,7 @@ object GraphOps {
     */
   def hitsUnits(
       edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 2, unit: Long = 1000000L,
-      checkpointEvery: Int = 2): DataFrame = {
+      iters: Int = 2, unit: Long = 1000000L): DataFrame = {
     require(iters >= 1 && unit > 0, s"hitsUnits: bad parameters ($iters, $unit)")
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
@@ -448,9 +447,16 @@ object GraphOps {
     var auth = nodes.select(col("id"), lit(unit).as("a"))
     var round = 0
     while (round < iters) {
+      // Each raw-score frame feeds TWO consumers — its L1 total and the
+      // normalization join — so it is pinned per half-round: unpinned,
+      // the recomputation tree quadruples per round (each tot AND each
+      // join re-derives the whole prior chain; measured 4× wall at 2
+      // iterations). Pinned, every downstream read is a node-sized
+      // cached scan and the plan stays linear in rounds.
       val aRaw = e
         .join(hub.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum("h").as("au"))
+        .stagePin()
       val aTot = aRaw.agg(sum("au").as("atot"))
       auth = nodes.join(aRaw, Seq("id"), "left_outer")
         .crossJoin(broadcast(aTot)) // 1-row total (declared)
@@ -459,15 +465,13 @@ object GraphOps {
       val hRaw = e
         .join(auth.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum("a").as("hu"))
+        .stagePin()
       val hTot = hRaw.agg(sum("hu").as("htot"))
       hub = nodes.join(hRaw, Seq("id"), "left_outer")
         .crossJoin(broadcast(hTot)) // 1-row total (declared)
         .select(col("id"),
           expr(s"(coalesce(hu, 0L) * ${unit}L) div htot").as("h"))
       round += 1
-      if (round % checkpointEvery == 0 && round < iters) {
-        auth = auth.stagePin(); hub = hub.stagePin()
-      }
     }
     val out = hub.join(auth, Seq("id"))
       .select(col("id"), col("h").as("hub_units"), col("a").as("auth_units"))

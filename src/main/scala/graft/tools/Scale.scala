@@ -437,6 +437,26 @@ object Scale {
         "containment_pairs" -> (() =>
           DedupOps.containmentPairs(d, "doc_id", "text",
             k = 3, minContainment = 0.6).count()),
+        // inter-arrival: one window pass + one keyed rollup over the
+        // same 64-key partitions as the other per-key state ops
+        "interarrival" -> (() =>
+          StatOps.interarrivalStats(
+            ms.select(col("g"), timestamp_micros(col("mid")).as("ts"),
+              col("mid")),
+            "g", "ts", "mid").count()),
+        // HITS: two keyed joins + two rollups + two 1-row normalization
+        // broadcasts per round over the chain edges — must track E like
+        // pagerank_3iter
+        "hits_2iter" -> (() =>
+          GraphOps.hitsUnits(e, "a", "b", iters = 2).count()),
+        // Kendall tau-b: ONE corpus rollup to the (50 x 100)-cell joint
+        // histogram; the quadratic stage runs on the fixed cell domain,
+        // so the curve must track the rollup scan alone
+        "kendall_tau" -> (() =>
+          StatOps.kendallTauB(
+            ms.select(pmod(col("x"), lit(50)).as("x"),
+              pmod(col("v").cast("long"), lit(100)).as("y")),
+            "x", "y").count()),
         // TF-IDF cosine: df-capped inverted index + token-sorted folds;
         // with vocabulary ∝ n the per-token df is ~Poisson(40) whatever
         // the corpus size, so the cap (100) bounds posting lists at a
