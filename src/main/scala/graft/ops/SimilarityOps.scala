@@ -642,4 +642,47 @@ object SimilarityOps {
         col("_p.nid").as("pos_id"), col("_p.cosine").as("pos_cos"),
         col("_n.nid").as("neg_id"), col("_n.cosine").as("neg_cos"))
   }
+
+  /** EXACT population covariance matrix of an embedding column — the
+    * d×d statistic under whitening, PCA, Mahalanobis outlier scoring
+    * and feature-drift tracking. Spark's covar_pop is a scan-order
+    * float accumulation (ungateable and silently run-dependent); here
+    * each dimension is quantized (`floor(v·scale)` → long) so every
+    * moment is an exact DECIMAL(38) integer and
+    * cov_ij = (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ) / n² / scale² has exactly two
+    * IEEE divisions — bit-equal on any engine.
+    *
+    * Plan: one positional explode (n·d rows, staged once for both join
+    * sides), one id-equi-join producing only the i ≤ j upper triangle
+    * (n·d(d+1)/2 rows — linear in the corpus, the d²/2 constant is the
+    * price of the statistic), one keyed rollup with map-side partials.
+    * Output is the d(d+1)/2-row triangle, corpus-independent.
+    *
+    * @return (`i`, `j` ≥ i, `n`, `cov`) in original (unscaled) units.
+    */
+  def embeddingCovariance(
+      df: DataFrame, idCol: String, vecCol: String,
+      scale: Double = 1e6): DataFrame = {
+    import graft.ops.Staging.StagedDf
+    require(scale > 0, s"embeddingCovariance: scale must be > 0, got $scale")
+    val d38 = DecimalType(38, 0)
+    val q = df
+      .select(col(idCol).as("_id"), posexplode(col(vecCol)).as(Seq("_i", "_v")))
+      .select(col("_id"), col("_i"),
+        floor(col("_v").cast("double") * scale).cast("long").as("_q"))
+      .stagePin()
+    q.as("a")
+      .join(q.as("b"),
+        col("a._id") === col("b._id") && col("a._i") <= col("b._i"))
+      .groupBy(col("a._i").as("i"), col("b._i").as("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a._q").cast(d38)).as("_si"),
+        sum(col("b._q").cast(d38)).as("_sj"),
+        sum(col("a._q").cast(d38) * col("b._q").cast(d38)).as("_p"))
+      .select(col("i"), col("j"), col("n"),
+        ((col("n").cast(d38) * col("_p") - col("_si") * col("_sj"))
+          .cast("double") /
+          (col("n").cast(d38) * col("n").cast(d38)).cast("double") /
+          lit(scale * scale)).as("cov"))
+  }
 }

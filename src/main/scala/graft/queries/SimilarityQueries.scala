@@ -91,6 +91,37 @@ object SimilarityQueries {
              |FROM x JOIN st USING (d)
              |GROUP BY vec_id ORDER BY id""".stripMargin),
       "int8 scalar-quantized embedding codes: per-dim affine vs exact corpus min/max"),
+
+    // Exact population covariance matrix of the embedding corpus
+    // ([[SimilarityOps.embeddingCovariance]]): the d×d statistic under
+    // whitening / Mahalanobis / PCA prep and per-ingest feature-drift
+    // tracking. covar_pop would be a scan-order float accumulation;
+    // quantized DECIMAL moments make each entry two IEEE divisions.
+    // Upper triangle only (2080 rows at d = 64), corpus-independent
+    // output size.
+    Q(
+      "sim_covariance",
+      (s, d) =>
+        SimilarityOps.embeddingCovariance(T(s, d, "embeddings"), "vec_id",
+            "embedding", scale = 1e6)
+          .orderBy("i", "j"),
+      Some("""WITH q AS (SELECT vec_id AS id, CAST(gi AS INTEGER) AS i,
+             |    CAST(floor(CAST(embedding[gi + 1] AS DOUBLE) * 1000000.0)
+             |      AS BIGINT) AS q
+             |  FROM embeddings,
+             |    unnest(generate_series(0, len(embedding) - 1)) AS u(gi)),
+             |m AS (SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+             |    sum(CAST(a.q AS HUGEINT)) AS si,
+             |    sum(CAST(b.q AS HUGEINT)) AS sj,
+             |    sum(CAST(a.q AS HUGEINT) * CAST(b.q AS HUGEINT)) AS p
+             |  FROM q a JOIN q b ON a.id = b.id AND a.i <= b.i
+             |  GROUP BY 1, 2)
+             |SELECT i, j, n,
+             |  CAST(n * p - si * sj AS DOUBLE) /
+             |    CAST(CAST(n AS HUGEINT) * n AS DOUBLE) /
+             |    CAST(1000000000000 AS DOUBLE) AS cov
+             |FROM m ORDER BY i, j""".stripMargin),
+      "exact embedding covariance triangle: quantized DECIMAL moments, two IEEE divisions"),
     // Per-label centroid of fixed-point-quantized embeddings — the
     // feature-aggregation shape under classifier quality filters, IVF
     // codebook seeding, and class prototypes. Kept EXACT the only way a

@@ -499,6 +499,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     DedupOps.clearShingleCache()
   }
 
+  test("embeddingCovariance: hand moments on the 2-D case") {
+    import spark.implicits._
+    // vectors (1,2), (3,4) at scale 1: every cov entry is exactly 1.0
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.SimilarityOps
+      .embeddingCovariance(df, "vec_id", "embedding", scale = 1.0)
+      .orderBy("i", "j")
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    assert(got == Seq((0, 0, 2L, 1.0), (0, 1, 2L, 1.0), (1, 1, 2L, 1.0)))
+    // anti-correlated second dim: (1,4), (3,2) → cov01 = -1
+    val df2 = Seq((1L, Seq(1.0f, 4.0f)), (2L, Seq(3.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val g2 = graft.ops.SimilarityOps
+      .embeddingCovariance(df2, "vec_id", "embedding", scale = 1.0)
+      .orderBy("i", "j")
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    assert(g2.map(_._4) == Seq(1.0, -1.0, 1.0))
+  }
+
   test("staging caches are LRU-bounded and unpersist evicted frames") {
     import spark.implicits._
     DedupOps.clearShingleCache()
