@@ -643,6 +643,67 @@ object SimilarityOps {
         col("_n.nid").as("neg_id"), col("_n.cosine").as("neg_cos"))
   }
 
+  /** Top principal component by FIXED-ROUND power iteration over the
+    * exact covariance matrix ([[embeddingCovariance]]) — the whitening /
+    * dominant-drift-direction primitive, and the repo's demonstration
+    * that even an iterative NUMERIC fixpoint hash-gates when every sum
+    * is order-pinned: the covariance entries are cross-engine-identical
+    * doubles (their own gate proves it), each matrix·vector row folds
+    * its 64 terms in j order, the L2 norm folds in i order, and
+    * normalization is one sqrt + one division — identical IEEE trees on
+    * both engines, so a fixed iteration count lands on the identical
+    * vector. (Arbitrary-order float reductions are exactly why no
+    * built-in PCA could ever sit behind this kind of gate.)
+    *
+    * Every frame after the covariance rollup is d-row — the iteration
+    * costs nothing at any corpus size; v₀ = all-ones (exact), sign is
+    * therefore deterministic. Rayleigh quotient λ = vᵀCv rides along.
+    *
+    * @return d rows: (`i`, `v` — unit eigenvector component,
+    *         `lambda` — the shared top eigenvalue estimate).
+    */
+  def powerIterationPC(
+      df: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 4, scale: Double = 1e6): DataFrame = {
+    import graft.ops.Staging.StagedDf
+    require(iters >= 1, s"powerIterationPC: iters must be >= 1, got $iters")
+    val tri = embeddingCovariance(df, idCol, vecCol, scale)
+    val full = tri.select(col("i"), col("j"), col("cov"))
+      .unionAll(tri.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+      .stagePin()
+    def pinnedSum(arr: Column): Column =
+      aggregate(
+        slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+        element_at(arr, 1),
+        (acc, x) => acc + x)
+    def matVec(v: DataFrame): DataFrame = full
+      .join(v.select(col("i").as("j"), col("v").as("vj")), "j")
+      .select(col("i"), col("j"), (col("cov") * col("vj")).as("t"))
+      .groupBy("i")
+      .agg(sort_array(collect_list(struct(col("j"), col("t")))).as("_s"))
+      .select(col("i"),
+        pinnedSum(transform(col("_s"), x => x.getField("t"))).as("w"))
+    var v = full.select(col("i")).distinct().withColumn("v", lit(1.0))
+    for (r <- 1 to iters) {
+      val w = matVec(v.withColumnRenamed("v", "v").select(col("i"), col("v")))
+      val n2 = w.agg(pinnedSum(transform(
+        sort_array(collect_list(struct(col("i"), col("w")))),
+        x => x.getField("w") * x.getField("w"))).as("n2"))
+      v = w.crossJoin(broadcast(n2)) // 1-row norm frame (declared)
+        .select(col("i"),
+          when(col("n2") > 0, col("w") / sqrt(col("n2"))).as("v"))
+      if (r % 2 == 0 || r == iters) v = v.stagePin()
+    }
+    val u = matVec(v)
+    val lam = v.join(u, "i")
+      .agg(pinnedSum(transform(
+        sort_array(collect_list(struct(col("i"), (col("v") * col("w")).as("p")))),
+        x => x.getField("p"))).as("lambda"))
+    v.crossJoin(broadcast(lam)) // 1-row Rayleigh frame (declared)
+      .select(col("i"), col("v"), col("lambda"))
+  }
+
   /** EXACT population covariance matrix of an embedding column — the
     * d×d statistic under whitening, PCA, Mahalanobis outlier scoring
     * and feature-drift tracking. Spark's covar_pop is a scan-order

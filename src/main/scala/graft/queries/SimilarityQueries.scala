@@ -122,6 +122,63 @@ object SimilarityQueries {
              |    CAST(1000000000000 AS DOUBLE) AS cov
              |FROM m ORDER BY i, j""".stripMargin),
       "exact embedding covariance triangle: quantized DECIMAL moments, two IEEE divisions"),
+
+    // Top principal component by fixed-round power iteration
+    // ([[SimilarityOps.powerIterationPC]]): an iterative NUMERIC
+    // fixpoint that hash-gates because every sum is order-pinned — the
+    // covariance entries are engine-identical (their own gate), each
+    // matrix·vector row folds in j order, the norm folds in i order.
+    // Everything after the covariance rollup is 64-row; the oracle
+    // unrolls the identical four rounds.
+    Q(
+      "sim_top_eigvec",
+      (s, d) =>
+        SimilarityOps.powerIterationPC(T(s, d, "embeddings"), "vec_id",
+            "embedding", iters = 4, scale = 1e6)
+          .orderBy("i"),
+      Some {
+        val rounds = (1 to 4).map { k =>
+          val p = k - 1
+          s"""w$k AS (SELECT f.i,
+             |    list_reduce(list(f.cov * p.v ORDER BY f.j),
+             |      (a, b) -> a + b) AS w
+             |  FROM fullm f JOIN v$p p ON p.i = f.j GROUP BY f.i),
+             |n$k AS (SELECT list_reduce(list(w * w ORDER BY i),
+             |    (a, b) -> a + b) AS n2 FROM w$k),
+             |v$k AS (SELECT i, CASE WHEN n2 > 0 THEN w / sqrt(n2) END AS v
+             |  FROM w$k, n$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS (SELECT vec_id AS id, CAST(gi AS INTEGER) AS i,
+           |    CAST(floor(CAST(embedding[gi + 1] AS DOUBLE) * 1000000.0)
+           |      AS BIGINT) AS q
+           |  FROM embeddings,
+           |    unnest(generate_series(0, len(embedding) - 1)) AS u(gi)),
+           |m AS (SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+           |    sum(CAST(a.q AS HUGEINT)) AS si,
+           |    sum(CAST(b.q AS HUGEINT)) AS sj,
+           |    sum(CAST(a.q AS HUGEINT) * CAST(b.q AS HUGEINT)) AS p
+           |  FROM q a JOIN q b ON a.id = b.id AND a.i <= b.i
+           |  GROUP BY 1, 2),
+           |cov AS (SELECT i, j,
+           |    CAST(n * p - si * sj AS DOUBLE) /
+           |      CAST(CAST(n AS HUGEINT) * n AS DOUBLE) /
+           |      CAST(1000000000000 AS DOUBLE) AS cov
+           |  FROM m),
+           |fullm AS (SELECT i, j, cov FROM cov
+           |  UNION ALL SELECT j, i, cov FROM cov WHERE i <> j),
+           |v0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS v FROM fullm),
+           |$rounds,
+           |uf AS (SELECT f.i,
+           |    list_reduce(list(f.cov * p.v ORDER BY f.j),
+           |      (a, b) -> a + b) AS w
+           |  FROM fullm f JOIN v4 p ON p.i = f.j GROUP BY f.i),
+           |lam AS (SELECT list_reduce(list(v.v * uf.w ORDER BY v.i),
+           |    (a, b) -> a + b) AS lambda
+           |  FROM v4 v JOIN uf ON uf.i = v.i)
+           |SELECT v.i, v.v, lam.lambda FROM v4 v, lam
+           |ORDER BY v.i""".stripMargin
+      },
+      "top eigenvector by 4 pinned power-iteration rounds over the exact covariance"),
     // Per-label centroid of fixed-point-quantized embeddings — the
     // feature-aggregation shape under classifier quality filters, IVF
     // codebook seeding, and class prototypes. Kept EXACT the only way a

@@ -80,7 +80,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // 1-row totals broadcast onto the category-domain frame
       "profile_js_divergence",
       // cell-domain (≤5k rows) broadcast pair joins + 1-row mass frames
-      "stats_kendall_tau")
+      "stats_kendall_tau",
+      // 1-row norm/Rayleigh broadcasts per power-iteration round
+      "sim_top_eigvec")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

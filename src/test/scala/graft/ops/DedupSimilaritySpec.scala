@@ -519,6 +519,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(g2.map(_._4) == Seq(1.0, -1.0, 1.0))
   }
 
+  test("powerIterationPC: exact scalar replica on the 2-D case") {
+    import spark.implicits._
+    // covariance of (1,2),(3,4) at scale 1 is [[1,1],[1,1]] (proved in
+    // the covariance test); top eigenpair is (1,1)/sqrt2 with lambda 2
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.SimilarityOps
+      .powerIterationPC(df, "vec_id", "embedding", iters = 3, scale = 1.0)
+      .orderBy("i")
+      .as[(Int, Double, Double)].collect().toSeq
+    // scalar replica with the SAME pinned fold order
+    val c = Array(Array(1.0, 1.0), Array(1.0, 1.0))
+    var v = Array(1.0, 1.0)
+    def mv(x: Array[Double]) =
+      Array(c(0)(0) * x(0) + c(0)(1) * x(1), c(1)(0) * x(0) + c(1)(1) * x(1))
+    for (_ <- 1 to 3) {
+      val w = mv(v)
+      val n2 = w(0) * w(0) + w(1) * w(1)
+      v = w.map(_ / math.sqrt(n2))
+    }
+    val u = mv(v)
+    val lam = v(0) * u(0) + v(1) * u(1)
+    assert(got == Seq((0, v(0), lam), (1, v(1), lam)))
+    assert(math.abs(lam - 2.0) < 1e-12 && got(0)._2 == got(1)._2)
+  }
+
   test("staging caches are LRU-bounded and unpersist evicted frames") {
     import spark.implicits._
     DedupOps.clearShingleCache()
