@@ -662,12 +662,30 @@ object SimilarityOps {
     * @return d rows: (`i`, `v` — unit eigenvector component,
     *         `lambda` — the shared top eigenvalue estimate).
     */
+  /** The staged covariance triangle: the matrix gate and the
+    * power-iteration gate (and any whitening consumer) read ONE
+    * persisted frame per (corpus, column, scale) — the model-statistics
+    * staging shape every shared frame here follows. */
+  private[ops] val covCache =
+    new BoundedDfCache[(DataFrame, String, String, Double)](maxEntries = 4)
+
+  def sharedEmbeddingCovariance(
+      df: DataFrame, idCol: String, vecCol: String,
+      scale: Double = 1e6): DataFrame =
+    covCache.getOrElseUpdate((df, idCol, vecCol, scale)) {
+      embeddingCovariance(df, idCol, vecCol, scale)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Drop the staged covariance frames (test hygiene). */
+  def clearCovCache(): Unit = covCache.clear()
+
   def powerIterationPC(
       df: DataFrame, idCol: String, vecCol: String,
       iters: Int = 4, scale: Double = 1e6): DataFrame = {
     import graft.ops.Staging.StagedDf
     require(iters >= 1, s"powerIterationPC: iters must be >= 1, got $iters")
-    val tri = embeddingCovariance(df, idCol, vecCol, scale)
+    val tri = sharedEmbeddingCovariance(df, idCol, vecCol, scale)
     val full = tri.select(col("i"), col("j"), col("cov"))
       .unionAll(tri.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("cov")))

@@ -102,7 +102,7 @@ object SimilarityQueries {
     Q(
       "sim_covariance",
       (s, d) =>
-        SimilarityOps.embeddingCovariance(T(s, d, "embeddings"), "vec_id",
+        SimilarityOps.sharedEmbeddingCovariance(T(s, d, "embeddings"), "vec_id",
             "embedding", scale = 1e6)
           .orderBy("i", "j"),
       Some("""WITH q AS (SELECT vec_id AS id, CAST(gi AS INTEGER) AS i,
