@@ -527,6 +527,42 @@ object EvalOps {
           (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
   }
 
+  /** Matthews correlation coefficient of a boolean prediction against a
+    * boolean label — the confusion-matrix summary that stays honest
+    * under class imbalance (accuracy and F1 both flatter a
+    * majority-class guesser; MCC is the ±1-scaled determinant of the
+    * 2×2 table). Exact to the last step:
+    * MCC = (TP·TN − FP·FN) / √((TP+FP)(TP+FN)(TN+FP)(TN+FN)) with every
+    * product in DECIMAL(38) — the 4-factor product can pass 2⁶³ at a
+    * few hundred thousand rows, which is exactly the silent-overflow
+    * trap a long formulation would hit — then one sqrt + one division.
+    * One rollup, map-side combinable.
+    *
+    * @return one row: (`tp`, `fp`, `fn`, `tn`, `mcc` — null when any
+    *         margin is empty, where the statistic is undefined).
+    */
+  def matthewsCorrelation(
+      df: DataFrame, predCol: String, labelCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val p = col(predCol).cast("boolean")
+    val y = col(labelCol).cast("boolean")
+    df.agg(
+        sum(when(p && y, 1L).otherwise(0L)).as("tp"),
+        sum(when(p && !y, 1L).otherwise(0L)).as("fp"),
+        sum(when(!p && y, 1L).otherwise(0L)).as("fn"),
+        sum(when(!p && !y, 1L).otherwise(0L)).as("tn"))
+      .withColumn("_den",
+        (col("tp") + col("fp")).cast(d38) *
+          (col("tp") + col("fn")).cast(d38) *
+          (col("tn") + col("fp")).cast(d38) *
+          (col("tn") + col("fn")).cast(d38))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("_den") > 0,
+          (col("tp").cast(d38) * col("tn").cast(d38) -
+            col("fp").cast(d38) * col("fn").cast(d38)).cast(DoubleType) /
+            sqrt(col("_den").cast(DoubleType))).as("mcc"))
+  }
+
   /** EXACT Brier score of the percentile-calibrated classifier:
     * mean((p − y)²) with p = the exact rational percent-rank
     * (rank_min − 1)/(N − 1) ([[groupPercentRank]]) — the proper scoring

@@ -394,6 +394,41 @@ object EvalQueries {
               |FROM t ORDER BY n_bins""".stripMargin),
       "expected calibration error: percentile-calibrated bins, ordered-fold ECE"),
 
+    // Matthews correlation of the thresholded classifier vs the
+    // is-English label ([[EvalOps.matthewsCorrelation]]) — the
+    // imbalance-honest confusion summary beside kappa (same 2×2 table,
+    // determinant-scaled instead of chance-corrected). DECIMAL products
+    // (the 4-factor denominator passes 2⁶³ at ~10⁵ rows), one sqrt, one
+    // division.
+    Q(
+      "eval_mcc",
+      (s, d) =>
+        EvalOps.matthewsCorrelation(
+          scored(s, d).select((col("score") >= 0).as("p"), col("is_en")),
+          "p", "is_en"),
+      Some(s"""WITH $scoredCte,
+              |t AS (SELECT score >= 0 AS p, pos AS y FROM s),
+              |m AS (SELECT
+              |    CAST(sum(CASE WHEN p AND y THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS tp,
+              |    CAST(sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS fp,
+              |    CAST(sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS fn,
+              |    CAST(sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS tn
+              |  FROM t)
+              |SELECT tp, fp, fn, tn,
+              |  CASE WHEN CAST(tp + fp AS HUGEINT) * (tp + fn)
+              |      * (tn + fp) * (tn + fn) > 0 THEN
+              |    CAST(CAST(tp AS HUGEINT) * tn
+              |      - CAST(fp AS HUGEINT) * fn AS DOUBLE) /
+              |    sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn)
+              |      * (tn + fp) * (tn + fn) AS DOUBLE))
+              |  END AS mcc
+              |FROM m""".stripMargin),
+      "Matthews correlation: exact DECIMAL 2x2 products, one sqrt, one division"),
+
     // Brier score of the same percentile-calibrated probability
     // ([[EvalOps.brierScore]]): the PROPER scoring rule (calibration +
     // refinement in one number) beside ECE's calibration-only read.

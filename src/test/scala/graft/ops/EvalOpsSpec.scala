@@ -220,6 +220,27 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("kappa")))
   }
 
+  test("matthewsCorrelation: hand table, perfect, inverted, degenerate") {
+    // TP=2 FP=1 FN=1 TN=2: mcc = (4-1)/sqrt(3*3*3*3) = 3/9
+    val df = Seq((true, true), (true, true), (true, false),
+      (false, true), (false, false), (false, false)).toDF("p", "y")
+    val r = EvalOps.matthewsCorrelation(df, "p", "y").collect().head
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn")) == ((2L, 1L, 1L, 2L)))
+    assert(r.getAs[Double]("mcc") == 3.0 / math.sqrt(81.0))
+    // perfect agreement → 1, inversion → -1 (exact: den = num²)
+    val perfect = Seq((true, true), (false, false)).toDF("p", "y")
+    assert(EvalOps.matthewsCorrelation(perfect, "p", "y")
+      .collect().head.getAs[Double]("mcc") == 1.0)
+    val inv = Seq((true, false), (false, true)).toDF("p", "y")
+    assert(EvalOps.matthewsCorrelation(inv, "p", "y")
+      .collect().head.getAs[Double]("mcc") == -1.0)
+    // all-positive predictions: a margin is empty → null
+    val allp = Seq((true, true), (true, false)).toDF("p", "y")
+    val r2 = EvalOps.matthewsCorrelation(allp, "p", "y").collect().head
+    assert(r2.isNullAt(r2.fieldIndex("mcc")))
+  }
+
   test("brierScore: hand case, perfect ranking, and n=1 null") {
     // ranks 1..4 → p = 0, 1/3, 2/3, 1; y = F,F,T,T → d = 0,1,-1,0
     // Brier = 2 / (4·9) = 1/18
