@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -927,6 +928,77 @@ object CorpusOps {
         (powN(col("n_docs")) / col("_denom")).as("weight"),
         (powN(col("n_docs")) / col("_denom") * lit(budgetDocs.toDouble))
           .as("expected_docs"))
+  }
+
+  /** Epoch/token budget allocation across sources by EXACT closed-form
+    * water-filling — the data-constrained-LM schedule (Muennighoff et
+    * al. 2023: repeat good sources up to a per-source epoch cap, fill a
+    * total token budget): find λ with Σ_s t_s·min(r_s, λ) = budget and
+    * allocate a_s = t_s·min(r_s, λ). Rather than iterating, the unique
+    * λ segment is SOLVED: sort sources by cap, and for "first k capped"
+    * λ_k = (budget − Σ_{i≤k} t_i·r_i) / Σ_{i>k} t_i; the valid k is the
+    * one with r_k ≤ λ_k ≤ r_{k+1}. Every validity test is an INTEGER
+    * cross-multiplication (no float enters the branch decision — the
+    * part that must be engine-identical), and the only floats are the
+    * final per-source a_s and epoch divisions.
+    *
+    * The input is the per-source frame (already one rollup of the
+    * corpus); everything here runs on the |sources|-row domain, so the
+    * ordered windows are bounded-domain windows like the PR curve's.
+    * Budget overshoot (budget ≥ Σ t·r) caps every source and reports
+    * the unused remainder implicitly (Σ alloc < budget).
+    *
+    * @param df per-source rows: (`srcCol`, `tokensCol` > 0 long,
+    *        `capCol` ≥ 1 long epochs).
+    * @return (`src`, `tokens`, `cap`, `capped`, `alloc_tokens`,
+    *         `epochs` = alloc/tokens).
+    */
+  def epochBudget(
+      df: DataFrame, srcCol: String, tokensCol: String, capCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"epochBudget: budget must be > 0, got $budget")
+    val w = Window.orderBy(col("r"), col("src"))
+    val pre = df.select(col(srcCol).as("src"),
+        col(tokensCol).cast("long").as("t"), col(capCol).cast("long").as("r"))
+      .withColumn("_k", row_number().over(w))
+      .withColumn("_cumtr", sum(col("t") * col("r"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_cumt", sum(col("t"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_rnext", lead(col("r"), 1).over(w))
+    val tot = pre.agg(sum(col("t")).as("_tt"),
+      sum(col("t") * col("r")).as("_ttr"), count(lit(1)).as("_m"))
+    // candidate segments k = 0..m (k sources capped); k = 0 is the
+    // synthetic "nothing capped" row
+    val segs = pre.crossJoin(broadcast(tot)) // 1-row totals (declared)
+      .select(col("_k"), col("r"), col("_rnext"),
+        (lit(budget) - col("_cumtr")).as("_num"),
+        (col("_tt") - col("_cumt")).as("_den"), col("_m"))
+      .unionAll(tot.select(lit(0L).as("_k"), lit(null).cast("long").as("r"),
+        lit(null).cast("long").as("_rnext"),
+        lit(budget).as("_num"), col("_tt").as("_den"), col("_m")))
+    val segs2 = segs
+      .withColumn("_rhi",
+        coalesce(col("_rnext"),
+          first(col("r")).over(Window.orderBy(col("_k"))
+            .rowsBetween(1, 1))))
+    // validity, all integer: λ_k ≥ r_k  ⇔  r_k·den ≤ num  (k > 0)
+    //                       λ_k ≤ r_{k+1} ⇔ num ≤ r_{k+1}·den (k < m)
+    // k = m (all capped) is valid iff budget ≥ Σ t·r  ⇔  num ≥ 0
+    val valid = segs2.filter(
+      (col("_k") === 0 || col("r") * col("_den") <= col("_num")) &&
+        (col("_k") === col("_m") && col("_num") >= 0 ||
+          col("_k") < col("_m") && col("_num") <= col("_rhi") * col("_den")))
+    val chosen = valid.orderBy(col("_k").asc).limit(1)
+      .select(col("_k").as("_kc"), col("_num"), col("_den"))
+    pre.crossJoin(broadcast(chosen)) // 1-row chosen segment (declared)
+      .withColumn("capped", col("_k") <= col("_kc"))
+      .select(col("src"), col("t").as("tokens"), col("r").as("cap"),
+        col("capped"),
+        when(col("capped"), (col("t") * col("r")).cast("double"))
+          .otherwise((col("t") * col("_num")).cast("double") /
+            col("_den").cast("double")).as("alloc_tokens"))
+      .withColumn("epochs", col("alloc_tokens") / col("tokens").cast("double"))
   }
 
   /** Differentially-private histogram with DETERMINISTIC seeded Laplace

@@ -930,6 +930,70 @@ object CorpusQueries {
         targetWhere = "source = 'src0'")),
       "DSIR sufficient statistics: doc bucket counts vs target/raw histograms, all integer"),
 
+    // Epoch/token budget water-filling across language sources
+    // ([[CorpusOps.epochBudget]]): repeat good sources up to per-source
+    // epoch caps (en 4, de 3, rest 2) to fill a 60k-token budget (capping the three low-cap sources at sf0.01) — the
+    // data-constrained-LM schedule, solved in closed form (the valid λ
+    // segment is picked by INTEGER cross-multiplications; only the
+    // final per-source allocations divide). The corpus collapses to one
+    // per-source rollup; the segment search runs on the |sources|-row
+    // domain.
+    Q(
+      "corpus_epoch_budget",
+      (s, d) => {
+        val perSrc = T(s, d, "documents")
+          .groupBy(col("lang").as("src"))
+          .agg(sum(size(split(col("text"), " +")).cast("long")).as("t"))
+          .withColumn("r",
+            when(col("src") === "en", 4L)
+              .when(col("src") === "de", 3L).otherwise(2L))
+        CorpusOps.epochBudget(perSrc, "src", "t", "r", budget = 60000L)
+          .orderBy("src")
+      },
+      Some("""WITH src AS (SELECT lang AS s,
+             |    CAST(sum(len(string_split_regex(text, ' +'))) AS BIGINT)
+             |      AS t,
+             |    CAST(CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 3
+             |      ELSE 2 END AS BIGINT) AS r
+             |  FROM documents GROUP BY lang),
+             |ord AS (SELECT s, t, r,
+             |    CAST(row_number() OVER (ORDER BY r, s) AS BIGINT) AS k,
+             |    sum(t * r) OVER (ORDER BY r, s
+             |      ROWS UNBOUNDED PRECEDING) AS cumtr,
+             |    sum(t) OVER (ORDER BY r, s
+             |      ROWS UNBOUNDED PRECEDING) AS cumt,
+             |    lead(r) OVER (ORDER BY r, s) AS rnext
+             |  FROM src),
+             |tot AS (SELECT sum(t) AS tt, sum(t * r) AS ttr,
+             |    CAST(count(*) AS BIGINT) AS m FROM src),
+             |segs AS (
+             |  SELECT k, r, coalesce(rnext,
+             |      CAST(NULL AS BIGINT)) AS rnext,
+             |    60000 - cumtr AS num, tt - cumt AS den, m
+             |  FROM ord, tot
+             |  UNION ALL
+             |  SELECT CAST(0 AS BIGINT), NULL,
+             |    (SELECT min(r) FROM src), 60000, tt, m FROM tot),
+             |segs2 AS (SELECT k, r,
+             |    coalesce(rnext, CAST(NULL AS BIGINT)) AS rhi,
+             |    num, den, m FROM segs),
+             |valid AS (SELECT * FROM segs2
+             |  WHERE (k = 0 OR r * den <= num)
+             |    AND ((k = m AND num >= 0)
+             |      OR (k < m AND num <= rhi * den))),
+             |ch AS (SELECT k AS kc, num, den FROM valid
+             |  ORDER BY k LIMIT 1)
+             |SELECT o.s AS src, o.t AS tokens, o.r AS cap,
+             |  o.k <= ch.kc AS capped,
+             |  CASE WHEN o.k <= ch.kc THEN CAST(o.t * o.r AS DOUBLE)
+             |    ELSE CAST(o.t * ch.num AS DOUBLE) / CAST(ch.den AS DOUBLE)
+             |  END AS alloc_tokens,
+             |  (CASE WHEN o.k <= ch.kc THEN CAST(o.t * o.r AS DOUBLE)
+             |    ELSE CAST(o.t * ch.num AS DOUBLE) / CAST(ch.den AS DOUBLE)
+             |  END) / CAST(o.t AS DOUBLE) AS epochs
+             |FROM ord o, ch ORDER BY src""".stripMargin),
+      "epoch-budget water-filling: closed-form segment via integer cross-multiplication"),
+
     // Differentially-private language histogram
     // ([[CorpusOps.dpNoisyCounts]], ε = ½): deterministic seeded Laplace
     // — inverse-CDF over the salted portable-hash uniform (2r+1)/2⁵³,

@@ -82,7 +82,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // cell-domain (≤5k rows) broadcast pair joins + 1-row mass frames
       "stats_kendall_tau",
       // 1-row norm/Rayleigh broadcasts per power-iteration round
-      "sim_top_eigvec")
+      "sim_top_eigvec",
+      // 1-row totals + chosen-segment broadcasts onto the source domain
+      "corpus_epoch_budget")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

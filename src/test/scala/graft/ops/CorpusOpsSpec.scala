@@ -608,6 +608,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Seq(0.75, 0.25))
   }
 
+  test("epochBudget: water-filling segments — middle, underflow, overflow") {
+    import spark.implicits._
+    val df = Seq(("a", 100L, 1L), ("b", 100L, 3L)).toDF("src", "t", "r")
+    def run(budget: Long) = CorpusOps
+      .epochBudget(df, "src", "t", "r", budget)
+      .orderBy("src")
+      .as[(String, Long, Long, Boolean, Double, Double)].collect().toSeq
+    // budget 300: a capped at 1 epoch, b fills λ = 2 epochs
+    assert(run(300L) == Seq(
+      ("a", 100L, 1L, true, 100.0, 1.0),
+      ("b", 100L, 3L, false, 200.0, 2.0)))
+    // budget 150: nothing capped, λ = 3/4 epoch each
+    assert(run(150L) == Seq(
+      ("a", 100L, 1L, false, 75.0, 0.75),
+      ("b", 100L, 3L, false, 75.0, 0.75)))
+    // budget 600 ≥ Σ t·r = 400: everything capped, remainder unused
+    assert(run(600L) == Seq(
+      ("a", 100L, 1L, true, 100.0, 1.0),
+      ("b", 100L, 3L, true, 300.0, 3.0)))
+    // boundary budget 200 = r1·T: both adjacent segments agree (λ = 1)
+    assert(run(200L).map(x => (x._1, x._5)) ==
+      Seq(("a", 100.0), ("b", 100.0)))
+  }
+
   test("dpNoisyCounts: scalar replica of the seeded inverse-CDF draw") {
     import spark.implicits._
     val df = Seq.fill(5)("en").map(Tuple1(_)).toDF("k")
