@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.ops.Staging.StagedDf
+
 /** Corpus-preparation operators for a training-data pipeline: deterministic
   * sampling / split assignment, stratified corpus mixing, fixed-window
   * chunking, and PII redaction.
@@ -966,6 +968,9 @@ object CorpusOps {
       .withColumn("_cumt", sum(col("t"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("_rnext", lead(col("r"), 1).over(w))
+      // pinned: three consumers (totals, segments, the allocation join)
+      // would otherwise re-derive the caller's corpus rollup + window
+      .stagePin()
     val tot = pre.agg(sum(col("t")).as("_tt"),
       sum(col("t") * col("r")).as("_ttr"), count(lit(1)).as("_m"))
     // candidate segments k = 0..m (k sources capped); k = 0 is the
@@ -1027,7 +1032,11 @@ object CorpusOps {
       df: DataFrame, keyCol: String, epsilon: Double,
       salt: String): DataFrame = {
     require(epsilon > 0, s"dpNoisyCounts: epsilon must be > 0, got $epsilon")
-    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    // null keys are EXCLUDED, not emitted un-noised: a null category has
+    // no name to publish, and concat(salt, null) would yield null noise
+    // — a silently unprotected row in a release meant to be safe
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
     val h = graft.expr.TextHashFunctions.hash64(
       concat(lit(salt), col(keyCol).cast("string")))
     val withR = counts.withColumn("_r", shiftrightunsigned(h, 12))

@@ -352,8 +352,15 @@ object DedupOps {
     */
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int, minContainment: Double): DataFrame = {
-    val sh = sharedShingles(df, idCol, textCol, k)
+      k: Int, minContainment: Double,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    // the documented scale knob: a df cap bounds the posting-list
+    // fan-out (and CHANGES the measure — caller's declared choice),
+    // reading the same staged capped frame the Jaccard consumers share
+    val sh = maxShingleFreq match {
+      case Some(cap) => sharedCappedShingles(df, idCol, textCol, k, cap)
+      case None => sharedShingles(df, idCol, textCol, k)
+    }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val common = sh.select(col(idCol).as("a"), col("shingle"))
       .join(sh.select(col(idCol).as("b"), col("shingle")), "shingle")

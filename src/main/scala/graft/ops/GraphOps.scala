@@ -444,7 +444,9 @@ object GraphOps {
       .repartition(col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var hub = nodes.select(col("id"), lit(unit).as("h"))
-    var auth = nodes.select(col("id"), lit(unit).as("a"))
+    // reassigned in round 1 before any read (iters >= 1 enforced) —
+    // only h₀ seeds the recursion, the initial auth never participates
+    var auth: DataFrame = hub
     var round = 0
     while (round < iters) {
       // Each raw-score frame feeds TWO consumers — its L1 total and the
@@ -861,17 +863,18 @@ object GraphOps {
       .withColumn("label", col("id"))
       .stagePin()
     for (r <- 1 to rounds) {
-      // top-1 as a (max count, min label) struct-max AGGREGATE, not a
+      // top-1 as a (max count, min label) struct-min AGGREGATE, not a
       // row_number window: the hash aggregate needs no per-node sort and
-      // takes map-side partials. Negating the label turns "smallest
-      // label" into a max.
+      // takes map-side partials. The COUNT is negated (always numeric),
+      // never the label — so string/uuid node ids order correctly
+      // instead of silently null-casting under a numeric negation.
       lab = und
         .join(lab.select(col("id").as("v"), col("label")), Seq("v"))
         .groupBy(col("u"), col("label"))
         .agg(count(lit(1)).as("_c"))
         .groupBy(col("u"))
-        .agg(max(struct(col("_c"), (-col("label")).as("_nl"))).as("_m"))
-        .select(col("u").as("id"), (-col("_m._nl")).as("label"))
+        .agg(min(struct((-col("_c")).as("_nc"), col("label"))).as("_m"))
+        .select(col("u").as("id"), col("_m.label").as("label"))
       // Unlike min-label CC, each round reads `lab` ONCE — the plan
       // grows linearly, so short fixed-round runs stay one lazy job and
       // only deep runs need lineage truncation (every 4th round: the

@@ -434,6 +434,10 @@ object StatOps {
     * ≤5k cells whatever the corpus), which is exactly why the operator
     * demands quantized inputs. All masses in DECIMAL(38,0); one double
     * division over two correctly-rounded sqrts — bit-equal anywhere.
+    * The REPORTED concordant/discordant columns cast to long for the
+    * gate surface, which caps them at ~2⁶³ ≈ (2·10⁹ rows)²/2 — past
+    * ~4·10⁹ input rows keep the decimals (tau_b itself is computed
+    * from the decimals and is fine at any n within 38 digits).
     *
     * @return one row: (`n`, `n_cells`, `concordant`, `discordant`,
     *         `tau_b` — null when either margin is constant).
@@ -505,9 +509,13 @@ object StatOps {
     */
   def jsDivergence(
       df: DataFrame, keyCol: String, sideCol: String): DataFrame = {
+    // pinned: the category rollup feeds BOTH the totals aggregate and
+    // the terms join (the unpinned two-consumer shape hitsUnits measured
+    // at 4x); the frame is category-domain-sized after ONE corpus pass
     val cells = df.groupBy(col(keyCol).as("_k"))
       .agg(sum(when(col(sideCol), 1L).otherwise(0L)).as("_a"),
         sum(when(col(sideCol), 0L).otherwise(1L)).as("_b"))
+      .stagePin()
     val tot = cells.agg(sum("_a").as("_ta"), sum("_b").as("_tb"))
     val terms = cells.crossJoin(broadcast(tot)) // 1-row totals (declared)
       .withColumn("_tp",

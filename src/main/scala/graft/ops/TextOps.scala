@@ -249,6 +249,12 @@ object TextOps {
       .crossJoin(broadcast(nDocs)) // 1-row doc-count frame (declared)
       .withColumn("w", col("tf").cast(DoubleType) *
         graft.expr.PortableLnRatio.ln(col("n"), col("df")))
+      // zero weights (df == N tokens) add exact +0.0 to every fold, so
+      // dropping them changes no value — but it REMOVES zero-norm docs
+      // entirely, whose cosine is 0/0: Spark's NaN-greatest ordering
+      // would pass `NaN >= minCosine` and emit garbage pairs. A
+      // zero-norm doc has no direction; it cannot pair.
+      .filter(col("w") =!= 0.0)
       .select("id", "token", "w")
       .stagePin() // norms + both pair sides read it
     def pinnedSum(arr: Column): Column =

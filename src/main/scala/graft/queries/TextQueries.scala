@@ -444,7 +444,8 @@ object TextQueries {
            |${sqlStages("ix", "dfn", "n", "df", Seq("token"))},
            |w AS (SELECT tf.doc_id, tf.token,
            |    CAST(tf.tf AS DOUBLE) * i.pln AS w
-           |  FROM tf JOIN ixln i USING (token)),
+           |  FROM tf JOIN ixln i USING (token)
+           |  WHERE CAST(tf.tf AS DOUBLE) * i.pln <> 0.0),
            |norm AS (SELECT doc_id,
            |    list_reduce(list(w * w ORDER BY token),
            |      (a, x) -> a + x) AS n2

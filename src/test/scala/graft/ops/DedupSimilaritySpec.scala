@@ -555,22 +555,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val docs = Seq((1L, "a b c d e f g h i j"), (2L, "k l m n o p q r s t"))
       .toDF("doc_id", "text")
     // 12 distinct (frame, params) combos through an 8-entry cache: the
-    // oldest 4 must be evicted AND their persisted blocks released
+    // oldest 4 must be evicted AND their persisted blocks released.
+    // Leak accounting tracks the SPECIFIC RDD ids this test creates —
+    // prior tests' checkpoint RDDs get reclaimed asynchronously by the
+    // ContextCleaner mid-test, so raw before/after counts both
+    // over-count (stale blocks) and under-count (concurrent reclaim)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     for (k <- 1 to 12)
       DedupOps.sharedShingles(docs, "doc_id", "text", k).count()
     assert(DedupOps.shingleCache.size == 8)
-    val persisted = spark.sparkContext.getPersistentRDDs.size - base
-    assert(persisted <= 8,
-      s"evicted frames must unpersist (found $persisted persisted RDDs)")
+    val mine = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(mine.size <= 8,
+      s"evicted frames must unpersist (found ${mine.size} new persisted RDDs)")
     // hot key stays resident across re-access (LRU, not FIFO)
     DedupOps.sharedShingles(docs, "doc_id", "text", 12).count()
     DedupOps.sharedShingles(docs, "doc_id", "text", 5).count() // re-stage
     assert(DedupOps.shingleCache.size == 8)
+    // re-snapshot: the re-stage above created a fresh RDD id not in
+    // `mine`; leak accounting must cover every id this test created
+    val mine2 = spark.sparkContext.getPersistentRDDs.keySet -- before
     DedupOps.clearShingleCache()
-    // <= not ==: `base` can include prior tests' checkpoint RDDs that
-    // the async ContextCleaner reclaims mid-test; the invariant under
-    // test is only that clearShingleCache leaks NO new blocks
-    assert(spark.sparkContext.getPersistentRDDs.size <= base)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet
+      .intersect(mine2)
+    assert(leaked.isEmpty,
+      s"clearShingleCache must release this test's blocks (leaked: $leaked)")
   }
 
   test("prefix filter is lossless on random high-collision corpora") {

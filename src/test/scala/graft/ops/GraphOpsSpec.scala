@@ -483,5 +483,13 @@ class GraphOpsSpec extends AnyFunSuite {
     val got2 = GraphOps.labelPropagationCommunities(e2, "a", "b", rounds = 2)
       .as[(Long, Long)].collect().toMap
     assert(got2 == got)
+    // STRING node ids (the near-dup doc-id case): the tie order must be
+    // lexicographic, never a silent numeric cast to null
+    val es = Seq(("d1", "d2"), ("d2", "d3"), ("d1", "d3"), ("d3", "d4"),
+      ("d4", "d5"), ("d5", "d6"), ("d4", "d6")).toDF("a", "b")
+    val gs = GraphOps.labelPropagationCommunities(es, "a", "b", rounds = 2)
+      .as[(String, String)].collect().toMap
+    assert(gs == Map("d1" -> "d1", "d2" -> "d1", "d3" -> "d1",
+      "d4" -> "d4", "d5" -> "d3", "d6" -> "d3"))
   }
 }
