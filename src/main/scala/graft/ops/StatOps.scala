@@ -871,6 +871,54 @@ object StatOps {
         .as("burstiness"))
   }
 
+  /** One-sided upper CUSUM CONTROL CHART per key — the ONLINE drift
+    * detector beside [[cusumChangepoint]]'s retrospective locator:
+    * g_i = max(0, g_{i−1} + (x_i − target − slack)), alarm when
+    * g ≥ threshold (Page 1954). The recurrence LOOKS sequential, but
+    * the classic identity g_i = S_i − min_{0≤j≤i} S_j (S = prefix sums
+    * of the drift terms, S₀ = 0) turns it into prefix sum + running min
+    * — two window passes per key partition, NO sequential fold, and
+    * with cent-quantized inputs every value is an exact integer: the
+    * whole chart is float-free (and the oracle needs no recursive CTE).
+    *
+    * All parameters are integer cents. At 100 TB the prefix sums are
+    * per-key-bounded like every window op here; widen to DECIMAL past
+    * ~2⁶³ cents of per-key drift mass.
+    *
+    * @return (`key`, `n`, `g_final`, `g_max`, `first_alarm` = 1-based
+    *         index of the first g ≥ threshold, null if never).
+    */
+  def cusumControl(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, targetCents: Long, slackCents: Long,
+      thresholdCents: Long, scale: Double = 100.0): DataFrame = {
+    require(thresholdCents > 0,
+      s"cusumControl: threshold must be > 0, got $thresholdCents")
+    val wOrd = Window.partitionBy(col("_k")).orderBy(col("_ts"), col("_id"))
+    val g = df
+      .select(col(keyCol).as("_k"), col(tsCol).as("_ts"), col(idCol).as("_id"),
+        (floor(col(valueCol) * scale).cast("long") -
+          targetCents - slackCents).as("_x"))
+      .select(col("_k"),
+        row_number().over(wOrd).as("_i"),
+        sum(col("_x")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0))
+          .as("_s"))
+      // min over j ≤ i of S_j INCLUDING the empty prefix S₀ = 0
+      .withColumn("_g",
+        col("_s") - least(
+          min(col("_s")).over(Window.partitionBy(col("_k"))
+            .orderBy(col("_i"))
+            .rowsBetween(Window.unboundedPreceding, 0)),
+          lit(0L)))
+    g.groupBy(col("_k").as(keyCol))
+      .agg(count(lit(1)).as("n"),
+        max(struct(col("_i"), col("_g"))).as("_last"),
+        max(col("_g")).as("g_max"),
+        min(when(col("_g") >= thresholdCents, col("_i"))).as("first_alarm"))
+      .select(col(keyCol), col("n"), col("_last._g").as("g_final"),
+        col("g_max"), col("first_alarm"))
+  }
+
   /** Per-key Holt linear (double-exponential) smoothing: level l and
     * trend b after folding the (ts, id)-ordered series through
     *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})

@@ -1114,6 +1114,42 @@ object BehaviorQueries {
              |FROM g WHERE r = 1 ORDER BY user_id""".stripMargin),
       "per-user CUSUM changepoint: integer n-scaled prefix deviations, exact argmax"),
 
+    // Per-user one-sided CUSUM CONTROL CHART
+    // ([[graft.ops.StatOps.cusumControl]]): the ONLINE monitor beside the
+    // retrospective changepoint above. The Page recurrence
+    // g_i = max(0, g_{i-1} + x_i) unrolls to g_i = S_i - min(0, min_j S_j)
+    // — prefix sum + running min, two window passes, float-free on cent
+    // integers, so the oracle is plain window SQL (no recursive CTE).
+    // target 50.00, slack 5.00, alarm at 300.00 of accumulated drift.
+    Q(
+      "timeseries_cusum_control",
+      (s, d) =>
+        graft.ops.StatOps.cusumControl(T(s, d, "events"), "user_id",
+            "ts", "event_id", "value", targetCents = 5000L,
+            slackCents = 500L, thresholdCents = 30000L, scale = 100.0)
+          .orderBy("user_id"),
+      Some("""WITH b AS (
+             |  SELECT user_id,
+             |    row_number() OVER w AS i,
+             |    sum(CAST(floor(value * 100) AS BIGINT) - 5500) OVER
+             |      (PARTITION BY user_id ORDER BY ts, event_id
+             |       ROWS UNBOUNDED PRECEDING) AS s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |g AS (
+             |  SELECT user_id, i,
+             |    s - least(min(s) OVER (PARTITION BY user_id ORDER BY i
+             |          ROWS UNBOUNDED PRECEDING),
+             |        CAST(0 AS HUGEINT)) AS g
+             |  FROM b)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(arg_max(g, i) AS BIGINT) AS g_final,
+             |  CAST(max(g) AS BIGINT) AS g_max,
+             |  CAST(min(CASE WHEN g >= 30000 THEN i END) AS INTEGER)
+             |    AS first_alarm
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "per-user one-sided CUSUM chart: prefix-min identity, integer end to end"),
+
     // Per-user Holt linear smoothing at (α, β) = (¼, ½)
     // ([[graft.ops.StatOps.holtLinear]]): level + trend + one-step
     // forecast. Sequential like EWMA, but the oracle CANNOT use a

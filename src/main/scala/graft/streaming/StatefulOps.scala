@@ -119,4 +119,49 @@ object StatefulOps {
           }
         })
   }
+
+  final case class CusumState(n: Long, s: Long, minS: Long, gMax: Long,
+      alarm: Long) // alarm = 0 until tripped (1-based index after)
+  final case class CusumAlarm(user_id: Long, n: Long, g_final: Long,
+      g_max: Long, first_alarm: Option[Int])
+
+  /** Streaming twin of [[graft.ops.StatOps.cusumControl]]: the one-sided
+    * CUSUM monitor as O(1) INTEGER state per key — (running drift sum,
+    * running min incl. the empty prefix, max excursion, first-alarm
+    * index). Integer arithmetic makes stream/batch parity EXACT by
+    * construction, not just ulp-close: the spec asserts equality for an
+    * arbitrary micro-batch split. Emits the current chart per key per
+    * micro-batch — the shape an alerting sink consumes. */
+  def cusumControlStream(
+      ds: Dataset[ValEv], targetCents: Long, slackCents: Long,
+      thresholdCents: Long, scale: Double = 100.0): Dataset[CusumAlarm] = {
+    require(thresholdCents > 0,
+      s"cusumControlStream: threshold must be > 0, got $thresholdCents")
+    implicit val outEnc = Encoders.product[CusumAlarm]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[CusumState]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[ValEv], state: GroupState[CusumState]) => {
+          val ordered = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          if (ordered.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L, 0L))
+            ordered.foreach { e =>
+              val x = math.floor(e.value * scale).toLong -
+                targetCents - slackCents
+              val s = st.s + x
+              val minS = math.min(st.minS, s)
+              val g = s - minS
+              val n = st.n + 1L
+              st = CusumState(n, s, minS, math.max(st.gMax, g),
+                if (st.alarm == 0L && g >= thresholdCents) n else st.alarm)
+            }
+            state.update(st)
+            Iterator.single(CusumAlarm(uid, st.n, st.s - st.minS, st.gMax,
+              if (st.alarm == 0L) None else Some(st.alarm.toInt)))
+          }
+        })
+  }
 }

@@ -361,6 +361,26 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     assert(g2 == (("c", 2L, 1L, 0L, Some(0.0), None)))
   }
 
+  test("cusumControl: prefix-min identity equals the recurrence") {
+    import spark.implicits._
+    // drift x = 0,0,15,0 (target 10, slack 0): g = 0,0,15,15; h=12 → i=3
+    val df = Seq(("a", 1L, 1L, 10.0), ("a", 2L, 2L, 10.0),
+      ("a", 3L, 3L, 25.0), ("a", 4L, 4L, 10.0)).toDF("k", "t", "id", "v")
+    val got = StatOps.cusumControl(df, "k", "t", "id", "v",
+        targetCents = 10L, slackCents = 0L, thresholdCents = 12L,
+        scale = 1.0)
+      .as[(String, Long, Long, Long, Option[Int])].collect().head
+    assert(got == (("a", 4L, 15L, 15L, Some(3))))
+    // reset-through-zero: x = -5, 20 → g = 0, 20 (not 15)
+    val df2 = Seq(("b", 1L, 1L, 5.0), ("b", 2L, 2L, 30.0))
+      .toDF("k", "t", "id", "v")
+    val g2 = StatOps.cusumControl(df2, "k", "t", "id", "v",
+        targetCents = 10L, slackCents = 0L, thresholdCents = 100L,
+        scale = 1.0)
+      .as[(String, Long, Long, Long, Option[Int])].collect().head
+    assert(g2 == (("b", 2L, 20L, 20L, None)))
+  }
+
   test("holtLinear: hand recurrence in time order; singleton seeds (x, 0)") {
     import spark.implicits._
     // 8,4,2 @ a=1/4 b=1/2: l=(8,7,5.375), b=(0,-0.5,-1.0625)

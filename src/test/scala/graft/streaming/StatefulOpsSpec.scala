@@ -115,4 +115,48 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(streamed.exists(t =>
       t._1 == 1L && t._3 == 5.375 && t._4 == -1.0625))
   }
+
+  test("streaming CUSUM chart equals the batch operator for any batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$sec%02d")
+    // user 1 drifts up mid-series (alarm at i=3); user 2 dips below
+    // target first (reset-through-zero), never alarms
+    val evs = Seq(
+      StatefulOps.ValEv(1L, ts(1), 1L, 10.0),
+      StatefulOps.ValEv(1L, ts(2), 2L, 18.0),
+      StatefulOps.ValEv(2L, ts(1), 3L, 5.0),
+      StatefulOps.ValEv(1L, ts(3), 4L, 19.0),
+      StatefulOps.ValEv(2L, ts(4), 5L, 16.0))
+
+    val input = MemoryStream[StatefulOps.ValEv]
+    val out = StatefulOps.cusumControlStream(input.toDS(),
+      targetCents = 10L, slackCents = 0L, thresholdCents = 15L, scale = 1.0)
+    val q = out.writeStream.format("memory").queryName("cusum_out")
+      .outputMode(OutputMode.Update).start()
+    // split MID-SERIES for both users: (s, minS, alarm index) carry across
+    input.addData(evs(0), evs(1), evs(2))
+    q.processAllAvailable()
+    input.addData(evs(3), evs(4))
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT user_id, n, g_final, g_max, first_alarm FROM cusum_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getInt(4))))
+      .groupBy(_._1).map { case (_, v) => v.maxBy(_._2) }.toSet
+    q.stop()
+
+    val batch = graft.ops.StatOps.cusumControl(
+        evs.toDF(), "user_id", "ts", "event_id", "value",
+        targetCents = 10L, slackCents = 0L, thresholdCents = 15L,
+        scale = 1.0)
+      .as[(Long, Long, Long, Long, Option[Int])].collect().toSet
+    assert(streamed == batch, "stream/batch CUSUM parity")
+    // hand chart, user 1: x = 0, 8, 9 → g = 0, 8, 17 ≥ 15 at i = 3
+    assert(streamed.exists(t =>
+      t._1 == 1L && t._3 == 17L && t._4 == 17L && t._5 == Some(3)))
+    // user 2: x = -5, 6 → g = 0, 6 (reset through zero), no alarm
+    assert(streamed.exists(t =>
+      t._1 == 2L && t._3 == 6L && t._4 == 6L && t._5 == None))
+  }
 }
