@@ -647,4 +647,78 @@ object EvalOps {
           .as("pos_rate"),
         col("iso"))
   }
+
+  /** Per-class precision/recall/F1 of a single-label multiclass
+    * classifier. The class domain is the UNION of observed truth and
+    * predicted labels (full outer join of the two marginals), so a
+    * class the model never emits still gets its recall-0 row and a
+    * hallucinated label gets its precision-0 row — both invisible to
+    * an inner-join scorecard.
+    *
+    * Everything is exact integers until one division per statistic,
+    * and F1 is computed as 2·tp / (n_true + n_pred) — algebraically the
+    * harmonic mean of P and R but a SINGLE division, so no
+    * division-of-divisions rounding and no 0/0 guard when tp = 0.
+    *
+    * Scale: one corpus-sized keyed rollup to the confusion cells, then
+    * class-domain-sized equi-joins (broadcast at any realistic label
+    * cardinality).
+    *
+    * @return one row per class: (`cls`, `n_true`, `n_pred`, `tp`,
+    *         `precision` null when never predicted, `recall` null when
+    *         never true, `f1`)
+    */
+  def multiclassF1(
+      df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(labelCol).as("_y"), col(predCol).as("_p"))
+      .agg(count(lit(1)).as("_n"))
+    val truth = cells.groupBy(col("_y").as("cls"))
+      .agg(sum("_n").as("n_true"))
+    val pred = cells.groupBy(col("_p").as("cls"))
+      .agg(sum("_n").as("n_pred"))
+    val tp = cells.filter(col("_y") === col("_p"))
+      .select(col("_y").as("cls"), col("_n").as("tp"))
+    truth.join(pred, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left_outer")
+      .na.fill(0L, Seq("n_true", "n_pred", "tp"))
+      .select(col("cls"), col("n_true"), col("n_pred"), col("tp"),
+        when(col("n_pred") > 0L,
+          col("tp").cast(DoubleType) / col("n_pred").cast(DoubleType))
+          .as("precision"),
+        when(col("n_true") > 0L,
+          col("tp").cast(DoubleType) / col("n_true").cast(DoubleType))
+          .as("recall"),
+        (lit(2.0) * col("tp").cast(DoubleType) /
+          (col("n_true") + col("n_pred")).cast(DoubleType)).as("f1"))
+  }
+
+  /** Corpus scorecard over [[multiclassF1]]'s per-class table: micro F1
+    * (= accuracy for single-label multiclass — Σtp over N, one
+    * division), macro F1 (unweighted class mean), and
+    * support-weighted F1. The two means fold their per-class terms in
+    * class order (the [[expectedCalibrationError]] ordered-aggregate
+    * discipline) so both engines add the same doubles in the same
+    * order.
+    *
+    * @return one row: (`n`, `n_classes`, `micro_f1`, `macro_f1`,
+    *         `weighted_f1`)
+    */
+  def multiclassF1Summary(perClass: DataFrame): DataFrame = {
+    def orderedSum(term: Column): Column =
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(col("cls"), term.as("_t")))),
+          x => x.getField("_t")),
+        lit(0.0), (acc, x) => acc + x)
+    perClass.agg(
+      sum("n_true").as("n"),
+      count(lit(1)).as("n_classes"),
+      (sum("tp").cast(DoubleType) / sum("n_true").cast(DoubleType))
+        .as("micro_f1"),
+      (orderedSum(col("f1")) / count(lit(1)).cast(DoubleType))
+        .as("macro_f1"),
+      (orderedSum(col("n_true").cast(DoubleType) * col("f1")) /
+        sum("n_true").cast(DoubleType)).as("weighted_f1"))
+  }
 }

@@ -15,6 +15,28 @@ object TextQueries {
   private def inList(items: Seq[String]): String =
     items.map(s => s"'$s'").mkString("(", ",", ")")
 
+  /** The langid-prediction CTE `p(lang, lang_pred)` over `documents` —
+    * the replay of [[TextOps.langId]]'s lexicon-hit argmax with its
+    * fixed zh>fr>es>en>de tie order. Shared by the confusion-matrix
+    * and the multiclass-F1 gates so all three score the SAME rater. */
+  private def langPredCte: String = {
+    val v = TextOps.Lexicons.map { case (lang, lex) =>
+      lang ->
+        s"len(list_filter(string_split_regex(lower(text), ' +'), t -> t IN ${inList(lex)}))"
+    }.toMap
+    s"""p AS (SELECT lang,
+       |  CASE
+       |    WHEN v_zh > greatest(v_de, v_en, v_es, v_fr) THEN 'zh'
+       |    WHEN v_fr > greatest(v_de, v_en, v_es) THEN 'fr'
+       |    WHEN v_es > greatest(v_de, v_en) THEN 'es'
+       |    WHEN v_en > v_de THEN 'en'
+       |    ELSE 'de' END AS lang_pred
+       |FROM (SELECT lang,
+       |        ${v("de")} AS v_de, ${v("en")} AS v_en, ${v("es")} AS v_es,
+       |        ${v("fr")} AS v_fr, ${v("zh")} AS v_zh
+       |      FROM documents))""".stripMargin
+  }
+
   /** One merge-table induction per (session, corpus) — the production
     * shape: a tokenizer trains once and every ingest applies it. The
     * encode and token-id gates share this table; the export gate
@@ -134,32 +156,102 @@ object TextQueries {
           .select("lang", "lang_pred", "n", "n_true", "recall_share")
           .orderBy("lang", "lang_pred")
       },
-      Some {
-        val v = TextOps.Lexicons.map { case (lang, lex) =>
-          lang ->
-            s"len(list_filter(string_split_regex(lower(text), ' +'), t -> t IN ${inList(lex)}))"
-        }.toMap
-        s"""WITH p AS (SELECT lang,
-           |  CASE
-           |    WHEN v_zh > greatest(v_de, v_en, v_es, v_fr) THEN 'zh'
-           |    WHEN v_fr > greatest(v_de, v_en, v_es) THEN 'fr'
-           |    WHEN v_es > greatest(v_de, v_en) THEN 'es'
-           |    WHEN v_en > v_de THEN 'en'
-           |    ELSE 'de' END AS lang_pred
-           |FROM (SELECT lang,
-           |        ${v("de")} AS v_de, ${v("en")} AS v_en, ${v("es")} AS v_es,
-           |        ${v("fr")} AS v_fr, ${v("zh")} AS v_zh
-           |      FROM documents)),
-           |c AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
-           |      FROM p GROUP BY 1, 2),
-           |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true
-           |      FROM c GROUP BY 1)
-           |SELECT c.lang, c.lang_pred, c.n, t.n_true,
-           |  CAST(c.n AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS recall_share
-           |FROM c JOIN t USING (lang)
-           |ORDER BY lang, lang_pred""".stripMargin
-      },
+      Some(s"""WITH $langPredCte,
+              |c AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+              |      FROM p GROUP BY 1, 2),
+              |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true
+              |      FROM c GROUP BY 1)
+              |SELECT c.lang, c.lang_pred, c.n, t.n_true,
+              |  CAST(c.n AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS recall_share
+              |FROM c JOIN t USING (lang)
+              |ORDER BY lang, lang_pred""".stripMargin),
       "language-ID confusion matrix: per-cell counts and true-class shares"),
+
+    // Per-class precision/recall/F1 of the langid rater
+    // ([[graft.ops.EvalOps.multiclassF1]]): the multiclass scorecard the
+    // confusion matrix above only implies. Class domain = truth ∪
+    // predicted (full outer join), F1 = 2·tp / (n_true + n_pred) — a
+    // SINGLE division, no harmonic-mean-of-divisions rounding.
+    Q(
+      "eval_f1_per_class",
+      (s, d) => {
+        val pred = T(s, d, "documents")
+          .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        graft.ops.EvalOps.multiclassF1(pred, "lang", "lang_pred")
+          .orderBy("cls")
+      },
+      Some(s"""WITH $langPredCte,
+              |c AS (SELECT lang AS y, lang_pred AS pr,
+              |        CAST(count(*) AS BIGINT) AS n
+              |      FROM p GROUP BY 1, 2),
+              |tr AS (SELECT y AS cls, CAST(sum(n) AS BIGINT) AS n_true
+              |       FROM c GROUP BY 1),
+              |pd AS (SELECT pr AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+              |       FROM c GROUP BY 1),
+              |tp AS (SELECT y AS cls, n AS tp FROM c WHERE y = pr),
+              |f AS (SELECT cls,
+              |    coalesce(tr.n_true, 0) AS n_true,
+              |    coalesce(pd.n_pred, 0) AS n_pred,
+              |    coalesce(tp.tp, 0) AS tp
+              |  FROM tr FULL OUTER JOIN pd USING (cls)
+              |  LEFT JOIN tp USING (cls))
+              |SELECT cls, n_true, n_pred, tp,
+              |  CASE WHEN n_pred > 0
+              |    THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+              |  END AS precision,
+              |  CASE WHEN n_true > 0
+              |    THEN CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)
+              |  END AS recall,
+              |  CAST(2.0 AS DOUBLE) * CAST(tp AS DOUBLE) /
+              |    CAST(n_true + n_pred AS DOUBLE) AS f1
+              |FROM f ORDER BY cls""".stripMargin),
+      "per-class P/R/F1 of the langid rater: union class domain, one-division F1"),
+
+    // Micro / macro / support-weighted F1 over the per-class table
+    // ([[graft.ops.EvalOps.multiclassF1Summary]]): the three corpus
+    // numbers a curation dashboard quotes. Micro = Σtp/N (accuracy for
+    // single-label multiclass, one division); the two means fold their
+    // per-class doubles in class order on both engines.
+    Q(
+      "eval_f1_summary",
+      (s, d) => {
+        val pred = T(s, d, "documents")
+          .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        graft.ops.EvalOps.multiclassF1Summary(
+          graft.ops.EvalOps.multiclassF1(pred, "lang", "lang_pred"))
+      },
+      Some(s"""WITH $langPredCte,
+              |c AS (SELECT lang AS y, lang_pred AS pr,
+              |        CAST(count(*) AS BIGINT) AS n
+              |      FROM p GROUP BY 1, 2),
+              |tr AS (SELECT y AS cls, CAST(sum(n) AS BIGINT) AS n_true
+              |       FROM c GROUP BY 1),
+              |pd AS (SELECT pr AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+              |       FROM c GROUP BY 1),
+              |tp AS (SELECT y AS cls, n AS tp FROM c WHERE y = pr),
+              |f AS (SELECT cls,
+              |    coalesce(tr.n_true, 0) AS n_true,
+              |    coalesce(pd.n_pred, 0) AS n_pred,
+              |    coalesce(tp.tp, 0) AS tp
+              |  FROM tr FULL OUTER JOIN pd USING (cls)
+              |  LEFT JOIN tp USING (cls)),
+              |g AS (SELECT cls, n_true, tp,
+              |    CAST(2.0 AS DOUBLE) * CAST(tp AS DOUBLE) /
+              |      CAST(n_true + n_pred AS DOUBLE) AS f1
+              |  FROM f)
+              |SELECT CAST(sum(n_true) AS BIGINT) AS n,
+              |  CAST(count(*) AS BIGINT) AS n_classes,
+              |  CAST(sum(tp) AS DOUBLE) / CAST(sum(n_true) AS DOUBLE)
+              |    AS micro_f1,
+              |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              |      list(f1 ORDER BY cls)), (acc, x) -> acc + x) /
+              |    CAST(count(*) AS DOUBLE) AS macro_f1,
+              |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              |      list(CAST(n_true AS DOUBLE) * f1 ORDER BY cls)),
+              |    (acc, x) -> acc + x) /
+              |    CAST(sum(n_true) AS DOUBLE) AS weighted_f1
+              |FROM g""".stripMargin),
+      "micro/macro/weighted F1 scorecard: ordered class-mean folds both engines"),
 
     // Language-ID with a CONFIDENCE margin ([[TextOps.langIdConfidence]]):
     // the vote gap between the top two lexicons — zero-margin docs are

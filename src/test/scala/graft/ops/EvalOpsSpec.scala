@@ -306,4 +306,35 @@ class EvalOpsSpec extends AnyFunSuite {
         "fit must be monotone")
     }
   }
+
+  test("multiclassF1: union class domain, one-division F1, hand case") {
+    // truth a,a,a,b,b,c — preds a,a,b,b,b,b: 'c' never predicted,
+    // nothing hallucinated; per-class tallies by hand
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),
+      ("b", "b"), ("c", "b")).toDF("y", "p")
+    val per = EvalOps.multiclassF1(df, "y", "p").orderBy("cls")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double], Double)]
+      .collect().toSeq
+    assert(per == Seq(
+      ("a", 3L, 2L, 2L, Some(1.0), Some(2.0 / 3.0), 0.8),
+      ("b", 2L, 4L, 2L, Some(0.5), Some(1.0), 2.0 / 3.0),
+      ("c", 1L, 0L, 0L, None, Some(0.0), 0.0)))
+    val sm = EvalOps.multiclassF1Summary(EvalOps.multiclassF1(df, "y", "p"))
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    // micro = 4/6; macro = (0.8 + 2/3 + 0)/3; weighted = (3·0.8 + 2·2/3)/6
+    assert(sm._1 == 6L && sm._2 == 3L)
+    assert(sm._3 == 4.0 / 6.0)
+    assert(math.abs(sm._4 - (0.8 + 2.0 / 3.0) / 3.0) < 1e-15)
+    assert(math.abs(sm._5 - (3.0 * 0.8 + 2.0 * 2.0 / 3.0) / 6.0) < 1e-15)
+  }
+
+  test("multiclassF1: hallucinated label gets a precision-0 row") {
+    val df = Seq(("a", "a"), ("a", "x")).toDF("y", "p")
+    val per = EvalOps.multiclassF1(df, "y", "p").orderBy("cls")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double], Double)]
+      .collect().toSeq
+    assert(per == Seq(
+      ("a", 2L, 1L, 1L, Some(1.0), Some(0.5), 2.0 / 3.0),
+      ("x", 0L, 1L, 0L, Some(0.0), None, 0.0)))
+  }
 }
