@@ -883,4 +883,59 @@ object GraphOps {
     }
     lab
   }
+
+  /** Hop distances from a seed set by FRONTIER BFS over the undirected
+    * view of `edges`: round h joins only the newly-settled frontier
+    * against the edge list, anti-joins out already-settled nodes, and
+    * unions the survivors in at distance h. With uniform hop weights a
+    * settled node can never improve, so the frontier discipline is
+    * exact — and it is the 100 TB shape: per round the join touches
+    * O(frontier x degree) rows, never the full distance table, and the
+    * edge list (persisted pre-partitioned on `src`) never reshuffles.
+    *
+    * Each frontier is pinned (two consumers: the settled union and the
+    * next round's join), so the settled set is a union of materialized
+    * node-sized frames, not a growing lineage tree.
+    *
+    * Unreached-within-`maxHops` nodes are absent from the output (the
+    * caller left-joins the node universe if it wants nulls); seeds not
+    * present in the graph still report hop 0 — reachability FROM a
+    * seed list legitimately includes isolated seeds.
+    *
+    * @return one row per reached node: (`id`, `hops` = min #edges from
+    *         any seed, 0 <= hops <= maxHops).
+    */
+  def bfsHops(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"bfsHops: maxHops must be >= 0, got $maxHops")
+    val dir = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = dir
+      .union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = seeds
+      .select(col(seedCol).cast("long").as("id")).distinct()
+      .withColumn("hops", lit(0))
+      .stagePin()
+    val rounds = scala.collection.mutable.Buffer(frontier)
+    var h = 0
+    while (h < maxHops) {
+      h += 1
+      val settled = rounds.reduce(_ unionByName _)
+      frontier = frontier
+        .join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id"))
+        .distinct()
+        .join(settled, Seq("id"), "left_anti")
+        .withColumn("hops", lit(h))
+        .stagePin()
+      rounds += frontier
+    }
+    val out = rounds.reduce(_ unionByName _)
+    e.unpersist()
+    out
+  }
 }

@@ -433,6 +433,37 @@ object GraphQueries {
       },
       "fixed-point integer HITS (2 rounds, L1-normalized) over the trade bipartite"),
 
+    // Hop distances from the nation-0 supplier cohort through the
+    // (undirected) trade graph ([[GraphOps.bfsHops]], 4 hops): the
+    // reachability/blast-radius query — "how far does a recalled
+    // supplier's influence propagate through shared customers". Frontier
+    // BFS joins only newly-settled nodes per round; the recursive-CTE
+    // oracle terminates because the hop bound caps recursion depth and
+    // UNION dedups (id, d) pairs.
+    Q(
+      "graph_bfs_hops",
+      (s, d) =>
+        GraphOps.bfsHops(tradeEdges(s, d), "src", "dst",
+            T(s, d, "supplier").filter(col("s_nationkey") === 0)
+              .select((col("s_suppkey") * 2 + 1).as("id")),
+            "id", maxHops = 4)
+          .orderBy("id"),
+      Some("""WITH RECURSIVE eu AS (
+             |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e AS (SELECT src, dst FROM eu
+             |      UNION SELECT dst AS src, src AS dst FROM eu),
+             |r AS (
+             |  SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) AS id, 0 AS d
+             |  FROM supplier WHERE s_nationkey = 0
+             |  UNION
+             |  SELECT CAST(e.dst AS BIGINT) AS id, r.d + 1 AS d
+             |  FROM r JOIN e ON e.src = r.id
+             |  WHERE r.d < 4)
+             |SELECT id, CAST(min(d) AS INTEGER) AS hops
+             |FROM r GROUP BY id ORDER BY id""".stripMargin),
+      "BFS hop distances from the nation-0 supplier cohort, frontier-join rounds"),
+
     // Per-node triangle counts over the part co-purchase graph (parts
     // sharing an URGENT order), by degree-ordered orientation
     // ([[GraphOps.triangleCounts]]): wedges enumerate only at their

@@ -492,4 +492,28 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(gs == Map("d1" -> "d1", "d2" -> "d1", "d3" -> "d1",
       "d4" -> "d4", "d5" -> "d3", "d6" -> "d3"))
   }
+
+  test("bfsHops: frontier BFS equals hand distances; bound excludes the tail") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 plus branch 2-10; seeds {1, 10}
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (2L, 10L)).toDF("s", "t")
+    val seeds = Seq(1L, 10L, 99L).toDF("id") // 99 is an isolated seed
+    val got = GraphOps.bfsHops(e, "s", "t", seeds, "id", maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    // 99 reports hop 0; node 6 is 5 hops from seed 1 → absent at bound 3
+    assert(got == Map(1L -> 0, 10L -> 0, 99L -> 0,
+      2L -> 1, 3L -> 2, 4L -> 3))
+    // undirected: seeding the far end walks the path backwards
+    val rev = GraphOps.bfsHops(e, "s", "t", Seq(6L).toDF("id"), "id",
+        maxHops = 5)
+      .as[(Long, Int)].collect().toMap
+    assert(rev == Map(6L -> 0, 5L -> 1, 4L -> 2, 3L -> 3, 2L -> 4,
+      1L -> 5, 10L -> 5))
+    // maxHops 0 returns exactly the (deduped) seed set
+    val z = GraphOps.bfsHops(e, "s", "t", Seq(1L, 1L).toDF("id"), "id",
+        maxHops = 0)
+      .as[(Long, Int)].collect().toMap
+    assert(z == Map(1L -> 0))
+  }
 }
