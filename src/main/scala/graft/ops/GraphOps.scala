@@ -938,4 +938,68 @@ object GraphOps {
     e.unpersist()
     out
   }
+
+  /** Adamic-Adar link prediction over an undirected edge list: for every
+    * NON-adjacent pair (u, v) sharing >= `minCommon` neighbors,
+    * AA(u,v) = sum over common neighbors w of 1/ln(deg(w)) — common
+    * neighbors weighted by how selective they are (a 3-degree mutual
+    * friend says more than a 5000-degree hub).
+    *
+    * Wedges enumerate at their apex w (adjacency self-join on w), so the
+    * work is sum(deg(w)^2) — bounded by `maxApexDegree`: hubs above the
+    * cap are SKIPPED, the standard LSH-style skew guard, and the
+    * cheapest one to defend: a capped hub's per-wedge term 1/ln(deg) is
+    * already the least informative in the sum. Degree-1 apexes produce
+    * no wedge and ln(1) = 0 never divides.
+    *
+    * Hash-gate discipline: the log is [[graft.expr.PortableLnRatio]]
+    * (libm-free) and the per-pair sum folds its terms in apex order on
+    * both engines — AA is a sum of doubles, order pinned or it never
+    * hash-matches.
+    *
+    * @return (`u`, `v`, `n_common`, `aa_score`) for non-adjacent pairs,
+    *         u < v.
+    */
+  def adamicAdar(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxApexDegree: Long = 64L, minCommon: Long = 2L): DataFrame = {
+    require(maxApexDegree >= 2, s"maxApexDegree must be >= 2, got $maxApexDegree")
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = e.select(col("u").as("w"), col("v").as("x"))
+      .union(e.select(col("v").as("w"), col("u").as("x")))
+      .repartition(col("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // distinct _dw name: degs derives from adj, so a bare `w` would be
+    // ambiguous against the wedge self-join's two adj aliases
+    val degs = adj.groupBy("w").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2L && col("deg") <= maxApexDegree)
+      .select(col("w").as("_dw"), col("deg"))
+    val wedges = adj.as("a")
+      .join(adj.as("b"),
+        col("a.w") === col("b.w") && col("a.x") < col("b.x"))
+      .join(degs, col("a.w") === col("_dw"))
+      .select(col("a.x").as("u"), col("b.x").as("v"), col("a.w").as("_w"),
+        (lit(1.0) / graft.expr.PortableLnRatio.ln(col("deg"), lit(1L)))
+          .as("_t"))
+    val out = wedges
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("n_common"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("_w"), col("_t")))),
+            x => x.getField("_t")),
+          lit(0.0), (acc, x) => acc + x).as("aa_score"))
+      .filter(col("n_common") >= minCommon)
+      .join(e, Seq("u", "v"), "left_anti")
+      .stagePin()
+    adj.unpersist()
+    e.unpersist()
+    out
+  }
 }

@@ -495,6 +495,58 @@ object GraphQueries {
              |GROUP BY id ORDER BY id""".stripMargin),
       "per-node triangle counts via degree-ordered orientation (skew-proof wedge work)"),
 
+    // Adamic–Adar link prediction over the same part co-purchase graph
+    // ([[GraphOps.adamicAdar]]): which part pairs SHOULD be connected —
+    // non-adjacent pairs scored by Σ 1/ln(deg w) over common neighbors,
+    // apex-capped at 64, pairs kept at ≥3 common neighbors. The log is
+    // PortableLnRatio and the per-pair sum folds in apex order, so the
+    // double hash-matches; the oracle computes the term once per
+    // DISTINCT degree (pln stages over the degree domain) and joins.
+    Q(
+      "graph_adamic_adar",
+      (s, d) => {
+        val li = liUrgent(s, d)
+        val e = li.as("x")
+          .join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("u"), col("y.p").as("v"))
+          .distinct()
+        GraphOps.adamicAdar(e, "u", "v", maxApexDegree = 64L,
+            minCommon = 3L)
+          .orderBy("u", "v")
+      },
+      Some {
+        val pln = graft.expr.PortableLnRatio.sqlStages(
+          "aa", "degdom", "deg", "1", Seq("deg"))
+        s"""WITH li AS (
+           |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  WHERE o_orderpriority = '1-URGENT'),
+           |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+           |      FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+           |adj AS (SELECT u AS w, v AS x FROM e
+           |        UNION ALL SELECT v, u FROM e),
+           |degs AS (SELECT w, CAST(count(*) AS BIGINT) AS deg
+           |         FROM adj GROUP BY w
+           |         HAVING count(*) BETWEEN 2 AND 64),
+           |degdom AS (SELECT DISTINCT deg FROM degs),
+           |$pln,
+           |wg AS (SELECT a.x AS u, b.x AS v, a.w AS w,
+           |         1.0 / l.pln AS t
+           |       FROM adj a JOIN adj b ON a.w = b.w AND a.x < b.x
+           |       JOIN degs d ON d.w = a.w
+           |       JOIN aaln l ON l.deg = d.deg),
+           |p AS (SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+           |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |            list(t ORDER BY w)), (acc, x) -> acc + x)
+           |          AS aa_score
+           |      FROM wg GROUP BY u, v HAVING count(*) >= 3)
+           |SELECT u, v, n_common, aa_score FROM p
+           |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = p.u AND e.v = p.v)
+           |ORDER BY u, v""".stripMargin
+      },
+      "Adamic-Adar link prediction: apex-capped wedges, apex-ordered portable-ln folds"),
+
     // Synchronous label-propagation communities, 3 fixed rounds, over
     // the same part co-purchase graph
     // ([[GraphOps.labelPropagationCommunities]]): frequency voting with

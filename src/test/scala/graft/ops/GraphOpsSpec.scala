@@ -516,4 +516,25 @@ class GraphOpsSpec extends AnyFunSuite {
       .as[(Long, Int)].collect().toMap
     assert(z == Map(1L -> 0))
   }
+
+  test("adamicAdar: hand wedge sums; adjacent pairs and capped hubs excluded") {
+    import spark.implicits._
+    // square 1-2, 1-3, 2-4, 3-4 plus diagonal 2-3: degrees 2,3,3,2
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (2L, 3L))
+      .toDF("a", "b")
+    val got = GraphOps.adamicAdar(e, "a", "b", minCommon = 1L)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    val ln2 = graft.expr.PortableLnRatio.compute(2L, 1L)
+    val ln3 = graft.expr.PortableLnRatio.compute(3L, 1L)
+    // only non-adjacent pair: (1,4) via apexes 2 and 3 (both degree 3);
+    // (2,3) shares {1,4} but is an EDGE — excluded
+    assert(got == Map((1L, 4L) -> (2L, 1.0 / ln3 + 1.0 / ln3)))
+    // apex cap 2 removes the degree-3 apexes -> no surviving pair
+    val capped = GraphOps.adamicAdar(e, "a", "b", maxApexDegree = 2L,
+      minCommon = 1L)
+    assert(capped.count() == 0L)
+    // minCommon 3 filters the 2-neighbor pair
+    assert(GraphOps.adamicAdar(e, "a", "b", minCommon = 3L).count() == 0L)
+  }
 }
