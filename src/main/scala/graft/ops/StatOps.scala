@@ -919,6 +919,60 @@ object StatOps {
         col("g_max"), col("first_alarm"))
   }
 
+  /** Per-key Theil–Sen slope: the MEDIAN of all pairwise slopes
+    * (y_j − y_i)/(x_j − x_i) — the robust trend line (29.3% breakdown
+    * point) where the OLS gate ([[quantizedRegression]]) folds at one
+    * outlier. x is exact epoch microseconds, y exact cents, each slope
+    * ONE double division of two longs, and the median is picked by
+    * exact order statistics — positions (c+1)/2 and (c+2)/2 under the
+    * slope order — so even a tie-broken sort cannot change the VALUE
+    * both engines report.
+    *
+    * Scale: the pair stage is per-key quadratic (the estimator's
+    * nature — C(n,2) slopes), joined ON the key so work is
+    * Σₖ nₖ²/2, never corpus². Right for many-keys/bounded-series
+    * panels (the events shape); for single million-point series use a
+    * sampled or repeated-median variant — a different estimator, not a
+    * faster exact one.
+    *
+    * Zero-gap pairs (equal timestamps, distinct ids) are excluded — a
+    * vertical slope is undefined; keys with no valid pair are absent
+    * from the output.
+    *
+    * @return (`key`, `n` events, `n_pairs`, `slope_per_day` = median
+    *         cents/µs × 86 400 000 000).
+    */
+  def theilSenSlope(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, scale: Double = 100.0): DataFrame = {
+    val wOrd = Window.partitionBy(col("_k")).orderBy(col("_ts"), col("_id"))
+    val v = df
+      .select(col(keyCol).as("_k"), col(tsCol).as("_ts"), col(idCol).as("_id"),
+        floor(col(valueCol) * scale).cast("long").as("_y"))
+      .select(col("_k"), unix_micros(col("_ts")).as("_x"), col("_y"),
+        row_number().over(wOrd).as("_i"))
+    val pairs = v.as("a")
+      .join(v.as("b"),
+        col("a._k") === col("b._k") && col("a._i") < col("b._i") &&
+          col("b._x") > col("a._x"))
+      .select(col("a._k").as("_k"),
+        ((col("b._y") - col("a._y")).cast("double") /
+          (col("b._x") - col("a._x")).cast("double")).as("_s"))
+    val r = pairs.select(col("_k"), col("_s"),
+      row_number().over(
+        Window.partitionBy(col("_k")).orderBy(col("_s"))).as("_r"),
+      count(lit(1)).over(Window.partitionBy(col("_k"))).as("_c"))
+    val med = r.groupBy(col("_k"))
+      .agg(max(col("_c")).as("n_pairs"),
+        (((min(when(expr("_r = (_c + 1) div 2"), col("_s"))) +
+          min(when(expr("_r = (_c + 2) div 2"), col("_s")))) / lit(2.0)) *
+          lit(86400000000.0)).as("slope_per_day"))
+    val n = df.groupBy(col(keyCol).as("_k")).agg(count(lit(1)).as("n"))
+    med.join(n, Seq("_k"))
+      .select(col("_k").as(keyCol), col("n"), col("n_pairs"),
+        col("slope_per_day"))
+  }
+
   /** Per-key Holt linear (double-exponential) smoothing: level l and
     * trend b after folding the (ts, id)-ordered series through
     *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})

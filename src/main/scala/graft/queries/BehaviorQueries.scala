@@ -1150,6 +1150,42 @@ object BehaviorQueries {
              |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
       "per-user one-sided CUSUM chart: prefix-min identity, integer end to end"),
 
+    // Per-user Theil–Sen trend ([[graft.ops.StatOps.theilSenSlope]]):
+    // the robust slope beside the OLS gate — median of all pairwise
+    // (cent, µs) slopes, picked by exact order statistics so a sort
+    // tie cannot change the reported value. The pair stage is per-key
+    // C(n,2), joined on the key (panel shape, never corpus²).
+    Q(
+      "stats_theil_sen",
+      (s, d) =>
+        graft.ops.StatOps.theilSenSlope(T(s, d, "events"), "user_id",
+            "ts", "event_id", "value", scale = 100.0)
+          .orderBy("user_id"),
+      Some("""WITH v AS (
+             |  SELECT user_id AS k, epoch_us(ts) AS x,
+             |    CAST(floor(value * 100) AS BIGINT) AS y,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS i
+             |  FROM events),
+             |p AS (SELECT a.k,
+             |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+             |  FROM v a JOIN v b
+             |    ON a.k = b.k AND a.i < b.i AND b.x > a.x),
+             |r AS (SELECT k, s,
+             |    row_number() OVER (PARTITION BY k ORDER BY s) AS r,
+             |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS c
+             |  FROM p),
+             |m AS (SELECT k, max(c) AS n_pairs,
+             |    (min(CASE WHEN r = (c + 1) // 2 THEN s END) +
+             |     min(CASE WHEN r = (c + 2) // 2 THEN s END)) / 2.0
+             |      * 86400000000.0 AS slope_per_day
+             |  FROM r GROUP BY k),
+             |n AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n
+             |      FROM events GROUP BY 1)
+             |SELECT m.k AS user_id, n.n, m.n_pairs, m.slope_per_day
+             |FROM m JOIN n USING (k) ORDER BY user_id""".stripMargin),
+      "per-user Theil-Sen slope: exact-order-statistic median of pairwise slopes"),
+
     // Per-user Holt linear smoothing at (α, β) = (¼, ½)
     // ([[graft.ops.StatOps.holtLinear]]): level + trend + one-step
     // forecast. Sequential like EWMA, but the oracle CANNOT use a

