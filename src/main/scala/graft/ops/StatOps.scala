@@ -919,6 +919,71 @@ object StatOps {
         col("g_max"), col("first_alarm"))
   }
 
+  /** Classical additive seasonal decomposition of each key's DAILY
+    * series (zero-filled onto the dense [min-day, max-day] grid):
+    * trend = centered `period`-day moving average (full windows only),
+    * detrended = y − trend, raw seasonal index = per-phase mean of the
+    * detrended interior, seasonal = raw index re-centered to sum ~0.
+    * The textbook first pass behind every "is Monday just like that"
+    * question, and the additive sibling of [[holtLinear]]'s recursive
+    * smoothing — here every step is window algebra, no recurrence.
+    *
+    * Hash-gate discipline: daily totals and window sums are exact
+    * integers; the only doubles are y − W/period and the two per-phase
+    * means, each folded in (day, phase) order on both engines before
+    * its single division.
+    *
+    * Scale: one rollup to days, a per-key dense grid explode (bounded
+    * by the key's span), one windowed pass, two phase-sized rollups —
+    * all partitioned by key; nothing corpus-quadratic, no driver state.
+    *
+    * @param period season length in days, odd (centered window)
+    * @return (`key`, `phase` = day mod period, `n_days` interior days
+    *         of that phase, `seasonal`) — keys need at least one full
+    *         window to appear.
+    */
+  def seasonalDecompose(
+      df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      period: Int = 7, scale: Double = 100.0): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"seasonalDecompose: period must be odd >= 3, got $period")
+    val half = period / 2
+    def orderedMean(key: Column, term: Column): Column =
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(key, term.as("_t")))),
+          x => x.getField("_t")),
+        lit(0.0), (acc, x) => acc + x) / count(lit(1)).cast("double")
+    val daily = df
+      .select(col(keyCol).as("_k"),
+        expr(s"unix_micros($tsCol) div 86400000000").as("_day"),
+        floor(col(valueCol) * scale).cast("long").as("_c"))
+      .groupBy("_k", "_day").agg(sum("_c").as("_y"))
+    val grid = daily.groupBy("_k")
+      .agg(min("_day").as("_d0"), max("_day").as("_d1"))
+      .select(col("_k"), explode(sequence(col("_d0"), col("_d1"))).as("_day"))
+    val filled = grid.join(daily, Seq("_k", "_day"), "left_outer")
+      .na.fill(0L, Seq("_y"))
+    val wFrame = Window.partitionBy(col("_k")).orderBy(col("_day"))
+      .rowsBetween(-half, half) // rows == days: the grid is dense
+    val interior = filled
+      .select(col("_k"), col("_day"), pmod(col("_day"), lit(period.toLong)).as("phase"),
+        col("_y"), sum(col("_y")).over(wFrame).as("_w"),
+        count(lit(1)).over(wFrame).as("_wc"))
+      .filter(col("_wc") === period.toLong)
+      .withColumn("_d",
+        col("_y").cast("double") -
+          col("_w").cast("double") / lit(period.toDouble))
+    val sraw = interior.groupBy(col("_k"), col("phase"))
+      .agg(count(lit(1)).as("n_days"),
+        orderedMean(col("_day"), col("_d")).as("_sraw"))
+    val ms = sraw.groupBy(col("_k"))
+      .agg(orderedMean(col("phase"), col("_sraw")).as("_ms"))
+    sraw.join(ms, Seq("_k"))
+      .select(col("_k").as(keyCol), col("phase"), col("n_days"),
+        (col("_sraw") - col("_ms")).as("seasonal"))
+  }
+
   /** Per-key Theil–Sen slope: the MEDIAN of all pairwise slopes
     * (y_j − y_i)/(x_j − x_i) — the robust trend line (29.3% breakdown
     * point) where the OLS gate ([[quantizedRegression]]) folds at one

@@ -1186,6 +1186,54 @@ object BehaviorQueries {
              |FROM m JOIN n USING (k) ORDER BY user_id""".stripMargin),
       "per-user Theil-Sen slope: exact-order-statistic median of pairwise slopes"),
 
+    // Per-user classical additive decomposition of the daily cent
+    // series ([[graft.ops.StatOps.seasonalDecompose]], period 7):
+    // centered-MA trend on the zero-filled dense grid, per-phase
+    // seasonal indices re-centered to sum 0. Integer daily/window sums;
+    // the only doubles are y − W/7 and two ordered-fold means.
+    Q(
+      "timeseries_decompose",
+      (s, d) =>
+        graft.ops.StatOps.seasonalDecompose(T(s, d, "events"), "user_id",
+            "ts", "value", period = 7, scale = 100.0)
+          .orderBy("user_id", "phase"),
+      Some("""WITH base AS (
+             |  SELECT user_id AS u, epoch_us(ts) // 86400000000 AS day,
+             |    CAST(floor(value * 100) AS BIGINT) AS c
+             |  FROM events),
+             |daily AS (SELECT u, day, sum(c) AS y FROM base GROUP BY 1, 2),
+             |span AS (SELECT u, min(day) AS d0, max(day) AS d1
+             |         FROM daily GROUP BY 1),
+             |grid AS (SELECT u, unnest(generate_series(d0, d1)) AS day
+             |         FROM span),
+             |filled AS (SELECT g.u, g.day, coalesce(d.y, 0) AS y
+             |           FROM grid g LEFT JOIN daily d
+             |             ON d.u = g.u AND d.day = g.day),
+             |tr AS (SELECT u, day, y,
+             |    sum(y) OVER (PARTITION BY u ORDER BY day
+             |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w,
+             |    count(*) OVER (PARTITION BY u ORDER BY day
+             |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wc
+             |  FROM filled),
+             |det AS (SELECT u, day, day % 7 AS phase,
+             |    CAST(y AS DOUBLE) - CAST(w AS DOUBLE) / 7.0 AS d
+             |  FROM tr WHERE wc = 7),
+             |sr AS (SELECT u, phase, CAST(count(*) AS BIGINT) AS n_days,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list(d ORDER BY day)), (a, x) -> a + x) /
+             |      CAST(count(*) AS DOUBLE) AS sraw
+             |  FROM det GROUP BY 1, 2),
+             |ms AS (SELECT u,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list(sraw ORDER BY phase)), (a, x) -> a + x) /
+             |      CAST(count(*) AS DOUBLE) AS m
+             |  FROM sr GROUP BY 1)
+             |SELECT sr.u AS user_id, sr.phase, sr.n_days,
+             |  sr.sraw - ms.m AS seasonal
+             |FROM sr JOIN ms ON ms.u = sr.u
+             |ORDER BY user_id, phase""".stripMargin),
+      "classical additive decomposition: centered-MA trend, re-centered phase indices"),
+
     // Per-user Holt linear smoothing at (α, β) = (¼, ½)
     // ([[graft.ops.StatOps.holtLinear]]): level + trend + one-step
     // forecast. Sequential like EWMA, but the oracle CANNOT use a

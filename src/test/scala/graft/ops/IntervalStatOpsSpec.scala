@@ -408,6 +408,31 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     assert(one == ((1L, 2L, 1L, (s + s) / 2.0 * 86400000000.0)))
   }
 
+  test("seasonalDecompose: pure periodic signal recovers exact indices") {
+    import spark.implicits._
+    // daily value 7 on phase-0 days, 0 otherwise, days 0..13: the
+    // 7-window sum is one full period everywhere -> trend = 1.0 exact,
+    // raw indices 6 / -1, their mean 0 -> seasonal = 6, -1 x6
+    val rows = (0 to 13).map { day =>
+      val v = if (day % 7 == 0) 7.0 else 0.0
+      (1L, java.sql.Timestamp.valueOf(
+        f"1970-01-${day + 1}%02d 12:00:00"), v)
+    }
+    val got = StatOps.seasonalDecompose(rows.toDF("user_id", "ts", "value"),
+        "user_id", "ts", "value", period = 7, scale = 1.0)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+    // interior days 3..10 -> phases 3..10 mod 7: phase 3 seen twice
+    assert(got == Seq(
+      (1L, 0L, 1L, 6.0), (1L, 1L, 1L, -1.0), (1L, 2L, 1L, -1.0),
+      (1L, 3L, 2L, -1.0), (1L, 4L, 1L, -1.0), (1L, 5L, 1L, -1.0),
+      (1L, 6L, 1L, -1.0)))
+    // a key with no full window (span < period) is absent
+    val short = (0 to 3).map(d =>
+      (2L, java.sql.Timestamp.valueOf(f"1970-01-${d + 1}%02d 12:00:00"), 1.0))
+    assert(StatOps.seasonalDecompose(short.toDF("user_id", "ts", "value"),
+      "user_id", "ts", "value", period = 7, scale = 1.0).count() == 0L)
+  }
+
   test("holtLinear: hand recurrence in time order; singleton seeds (x, 0)") {
     import spark.implicits._
     // 8,4,2 @ a=1/4 b=1/2: l=(8,7,5.375), b=(0,-0.5,-1.0625)
