@@ -648,6 +648,91 @@ object EvalOps {
         col("iso"))
   }
 
+  /** Exact average precision (area under the PR curve by the step rule):
+    * AP = Σ_k ΔR_k · P_k over DESCENDING distinct score thresholds —
+    * the single-number summary of [[prCurve]], and the metric that
+    * (unlike ROC AUC) stays honest under the 1:10⁴ class imbalance a
+    * dedup/quality filter actually faces.
+    *
+    * Each term collapses to ONE division of exact integers:
+    * ΔR·P = (pos_k·tp_k) / (P·(tp_k+fp_k)) — pos_k is the threshold's
+    * own positive count (the Δtp), tp/fp the running sums from the
+    * range-staged [[StatOps.globalRunningSums]], never a
+    * single-partition window. The term fold is pinned to threshold-
+    * descending order on both engines. Score-DOMAIN-sized throughout.
+    *
+    * @return one row: (`n_pos`, `n_thresholds`, `average_precision`,
+    *         null AP when no positives).
+    */
+  def averagePrecision(
+      df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val perScore = df.groupBy(col(scoreCol).as("threshold"))
+      .agg(sum(col(labelCol).cast("long")).as("_pos"),
+        (count(lit(1)) - sum(col(labelCol).cast("long"))).as("_neg"))
+    val totals = perScore.agg(sum("_pos").as("_p_total"))
+    val cum = StatOps.globalRunningSums(perScore,
+        Seq(col("threshold").desc), Seq("_pos" -> "tp", "_neg" -> "fp"))
+      .crossJoin(broadcast(totals)) // 1-row totals frame (declared)
+      .withColumn("_term",
+        // the P = 0 guard keeps ANSI mode from 0/0 on an all-negative
+        // corpus; the final AP is null-gated on P anyway
+        when(col("_p_total") > 0L,
+          (col("_pos") * col("tp")).cast(DoubleType) /
+            (col("_p_total") * (col("tp") + col("fp"))).cast(DoubleType))
+          .otherwise(lit(0.0)))
+    cum.agg(
+      max("_p_total").as("n_pos"),
+      count(lit(1)).as("n_thresholds"),
+      when(max("_p_total") > 0L,
+        aggregate(
+          transform(
+            array_sort(collect_list(struct((-col("threshold")).as("_o"),
+              col("_term").as("_t")))),
+            x => x.getField("_t")),
+          lit(0.0), (acc, x) => acc + x)).as("average_precision"))
+  }
+
+  /** Log-loss (cross-entropy) of the percentile-calibrated score with
+    * Laplace smoothing p = rank_min/(N+1) — strictly inside (0, 1), so
+    * both logs exist without an epsilon clip, and both are RATIONAL:
+    * ln(p) = pln(rank, N+1) and ln(1−p) = pln(N+1−rank, N+1) via
+    * [[graft.expr.PortableLnRatio]] (libm-free).
+    *
+    * Scale/determinism: rows collapse to the DISTINCT-score rollup
+    * first (equal score ⇒ equal rank ⇒ equal term), each threshold
+    * contributes pos·ln(p) + neg·ln(1−p) as one fixed expression tree,
+    * and the fold over thresholds is pinned to score order — a
+    * domain-sized ordered fold, never a corpus-sized one.
+    *
+    * @return one row: (`n`, `n_pos`, `log_loss`).
+    */
+  def logLoss(
+      df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val perScore = df.groupBy(col(scoreCol).as("threshold"))
+      .agg(count(lit(1)).as("_cnt"),
+        sum(col(labelCol).cast("long")).as("_pos"))
+    val totals = perScore.agg(sum("_cnt").as("_n"), sum("_pos").as("_np"))
+    val pln = graft.expr.PortableLnRatio.ln _
+    val terms = StatOps.globalRunningSums(perScore,
+        Seq(col("threshold").asc), Seq("_cnt" -> "_cum"))
+      .crossJoin(broadcast(totals)) // 1-row totals frame (declared)
+      .withColumn("_rank", col("_cum") - col("_cnt") + 1L)
+      .withColumn("_term",
+        col("_pos").cast(DoubleType) *
+          pln(col("_rank"), col("_n") + 1L) +
+          (col("_cnt") - col("_pos")).cast(DoubleType) *
+          pln(col("_n") + 1L - col("_rank"), col("_n") + 1L))
+    terms.agg(
+      max("_n").as("n"),
+      max("_np").as("n_pos"),
+      (-(aggregate(
+        transform(
+          array_sort(collect_list(struct(col("threshold"), col("_term").as("_t")))),
+          x => x.getField("_t")),
+        lit(0.0), (acc, x) => acc + x) /
+        max("_n").cast(DoubleType))).as("log_loss"))
+  }
+
   /** Per-class precision/recall/F1 of a single-label multiclass
     * classifier. The class domain is the UNION of observed truth and
     * predicted labels (full outer join of the two marginals), so a

@@ -311,6 +311,104 @@ object TextOps {
       .select("a", "b", "cosine")
   }
 
+  /** [[tfidfCosinePairs]] with a WEIGHTED PREFIX FILTER on candidate
+    * GENERATION — the all-pairs-similarity-search discipline (Bayardo
+    * et al., WWW'07) adapted to this operator's exact-fold contract.
+    * Same results, different candidate volume:
+    *
+    * Each doc's tokens are ordered globally RARE-FIRST (df asc, token
+    * asc) and suffix-bounded: S_i = Σ_{j≥i} ŵ(t_j)·maxŵ(t_j), where ŵ
+    * is the L2-normalized weight and maxŵ the corpus max of that
+    * token's normalized weight (order-free). A qualifying pair (cos ≥
+    * τ) MUST share a token at a position with S_i ≥ τ: if every shared
+    * token sat in the suffix below the bound, the whole dot would be
+    * below τ. So only the PREFIX rows {i : S_i ≥ τ·(1−1e-9)} are
+    * indexed, and candidates come from prefix(x) ⋈ full(y) — the
+    * guarantee holds per-doc, so orienting x = smaller id loses
+    * nothing. High-df tokens carry tiny idf, land at the suffix end,
+    * and stop generating df² candidate mass: the join volume drops
+    * from Σ df² to Σ prefixCount·df.
+    *
+    * The filter is candidate-side only — survivors re-enter the exact
+    * pair-bounded pinned-fold verification, so the OUTPUT is identical
+    * to [[tfidfCosinePairs]] (the spec asserts equality; the gate
+    * shares its oracle). The 1e-9 relative margin absorbs the bound's
+    * fold rounding exactly like the max-weight prune's.
+    *
+    * @return (`a`, `b`, `cosine`) with cosine ≥ `minCosine`, a < b.
+    */
+  def tfidfCosinePairsPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDf: Int, minCosine: Double): DataFrame = {
+    require(maxDf >= 1, s"tfidfCosinePairsPrefix: maxDf must be >= 1, got $maxDf")
+    require(minCosine > 0.0,
+      s"tfidfCosinePairsPrefix: prefix filtering needs minCosine > 0, got $minCosine")
+    val tf = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val nDocs = df.select(col(idCol)).distinct().agg(count(lit(1)).as("n"))
+    // identical weight space to tfidfCosinePairs (same zero-weight
+    // drop), but each row keeps its df for the global rare-first order
+    val w = tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs)) // 1-row doc-count frame (declared)
+      .withColumn("w", col("tf").cast(DoubleType) *
+        graft.expr.PortableLnRatio.ln(col("n"), col("df")))
+      .filter(col("w") =!= 0.0)
+      .select("id", "token", "w", "df")
+      .stagePin()
+    def pinnedSum(arr: Column): Column =
+      aggregate(
+        slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+        element_at(arr, 1),
+        (acc, x) => acc + x)
+    val norms = w
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("token"), col("w")))).as("_s"))
+      .select(col("id"), pinnedSum(transform(col("_s"),
+        x => x.getField("w") * x.getField("w"))).as("n2"))
+      .stagePin()
+    val wn = w
+      .join(norms.select(col("id"), sqrt(col("n2")).as("_nrm")), "id")
+      .withColumn("_wn", col("w") / col("_nrm"))
+    val maxWn = wn.groupBy("token").agg(max(col("_wn")).as("_mx"))
+    // reverse running bound per doc over the rare-first order; the
+    // window scan is sequential per key, so the double is deterministic
+    val sufFrame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("df").asc, col("token").asc)
+      .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val prefix = wn.join(maxWn, "token")
+      .withColumn("_sb", sum(col("_wn") * col("_mx")).over(sufFrame))
+      .filter(col("_sb") >= lit(minCosine * (1.0 - 1e-9)))
+      .select(col("id"), col("token"))
+    val cand = prefix.as("x")
+      .join(w.select(col("id"), col("token")).as("y"),
+        col("x.token") === col("y.token") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    // exact verification — byte-identical to tfidfCosinePairs' tail
+    val dots = cand
+      .join(norms.select(col("id").as("a"), col("n2").as("na2")), "a")
+      .join(norms.select(col("id").as("b"), col("n2").as("nb2")), "b")
+      .join(w.select(col("id").as("a"), col("token"), col("w").as("wa")), "a")
+      .join(w.select(col("id").as("b"), col("token"), col("w").as("wb")),
+        Seq("b", "token"))
+      .groupBy("a", "b")
+      .agg(first(col("na2")).as("na2"), first(col("nb2")).as("nb2"),
+        sort_array(collect_list(struct(col("token"),
+          (col("wa") * col("wb")).as("p")))).as("_s"))
+      .select(col("a"), col("b"), col("na2"), col("nb2"),
+        pinnedSum(transform(col("_s"), x => x.getField("p"))).as("dot"))
+    dots
+      .withColumn("cosine",
+        col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))))
+      .filter(col("cosine") >= minCosine)
+      .select("a", "b", "cosine")
+  }
+
   /** Doc-level term co-occurrence counts over a capped vocabulary — the
     * exact-integer table under PMI / word-embedding / topic work. The
     * vocabulary cap (top `vocabK` tokens by document frequency, via

@@ -459,6 +459,83 @@ object EvalQueries {
               |FROM d ORDER BY n""".stripMargin),
       "Brier score of the percentile-calibrated score: exact integer moments"),
 
+    // Exact average precision ([[EvalOps.averagePrecision]]): the PR
+    // curve's single number, each step term ONE division of exact
+    // integers (pos_k·tp_k over P·(tp_k+fp_k)), folded in
+    // threshold-descending order — the imbalance-honest counterpart of
+    // eval_auc_exact.
+    Q(
+      "eval_average_precision",
+      (s, d) =>
+        EvalOps.averagePrecision(scored(s, d), "is_en", "score")
+          .orderBy("n_pos"),
+      Some(s"""WITH $scoredCte,
+              |ps AS (SELECT score AS threshold,
+              |    CAST(count(*) AS BIGINT) AS cnt,
+              |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p
+              |  FROM s GROUP BY 1),
+              |t AS (SELECT CAST(sum(p) AS BIGINT) AS pt FROM ps),
+              |c AS (SELECT threshold, p AS pos,
+              |    CAST(sum(p) OVER w AS BIGINT) AS tp,
+              |    CAST(sum(cnt - p) OVER w AS BIGINT) AS fp
+              |  FROM ps
+              |  WINDOW w AS (ORDER BY threshold DESC
+              |    ROWS UNBOUNDED PRECEDING)),
+              |g AS (SELECT c.threshold, t.pt,
+              |    CAST(pos * tp AS DOUBLE) /
+              |      CAST(pt * (tp + fp) AS DOUBLE) AS term
+              |  FROM c, t)
+              |SELECT max(pt) AS n_pos,
+              |  CAST(count(*) AS BIGINT) AS n_thresholds,
+              |  CASE WHEN max(pt) > 0 THEN
+              |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              |        list(term ORDER BY threshold DESC)),
+              |      (a, x) -> a + x) END AS average_precision
+              |FROM g ORDER BY n_pos""".stripMargin),
+      "exact average precision: one-division step terms, threshold-desc fold"),
+
+    // Log-loss of the percentile-calibrated probability
+    // ([[EvalOps.logLoss]]): Laplace-smoothed p = rank/(N+1) keeps both
+    // logs on RATIONALS, so they ride PortableLnRatio — no libm, no
+    // epsilon clip. Rows collapse to the distinct-score rollup (equal
+    // score ⇒ equal term), making the ordered fold domain-sized.
+    Q(
+      "eval_log_loss",
+      (s, d) =>
+        EvalOps.logLoss(scored(s, d), "is_en", "score")
+          .orderBy("n"),
+      Some {
+        import graft.expr.PortableLnRatio.sqlStages
+        val carry1 = Seq("threshold", "cnt", "p", "rnk", "n", "np")
+        val carry2 = carry1 :+ "lnp"
+        s"""WITH $scoredCte,
+           |ps AS (SELECT score AS threshold,
+           |    CAST(count(*) AS BIGINT) AS cnt,
+           |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p
+           |  FROM s GROUP BY 1),
+           |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+           |    CAST(sum(p) AS BIGINT) AS np FROM ps),
+           |r AS (SELECT threshold, cnt, p,
+           |    CAST(sum(cnt) OVER (ORDER BY threshold
+           |        ROWS UNBOUNDED PRECEDING) AS BIGINT) - cnt + 1 AS rnk,
+           |    t.n, t.np
+           |  FROM ps, t),
+           |${sqlStages("lp", "r", "rnk", "n + 1", carry1)},
+           |l1 AS (SELECT threshold, cnt, p, rnk, n, np, pln AS lnp
+           |  FROM lpln),
+           |${sqlStages("lq", "l1", "n + 1 - rnk", "n + 1", carry2)},
+           |g AS (SELECT threshold, n, np,
+           |    CAST(p AS DOUBLE) * lnp + CAST(cnt - p AS DOUBLE) * pln
+           |      AS term
+           |  FROM lqln)
+           |SELECT max(n) AS n, max(np) AS n_pos,
+           |  -(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list(term ORDER BY threshold)), (a, x) -> a + x) /
+           |    CAST(max(n) AS DOUBLE)) AS log_loss
+           |FROM g ORDER BY n""".stripMargin
+      },
+      "log-loss on rational Laplace-smoothed probabilities: portable ln, domain fold"),
+
     // Cumulative gains/lift table ([[EvalOps.gainsTable]]): score
     // deciles of the classifier vs the is-English label — "the top
     // decile captures X% of English docs at Y× random". Exact

@@ -57,6 +57,42 @@ object TextQueries {
     * entries also retain their stopped sessions otherwise). */
   private[queries] def clearMergeCache(): Unit = mergeCache.clear()
 
+  /** The TF-IDF cosine oracle (doc_id%5 sample, cap 450, floor 0.8) —
+    * shared verbatim by the full-scan and prefix-filtered gates: the
+    * prefix filter is lossless, so both must hash to this. */
+  private def tfidfCosineOracle: String = {
+    import graft.expr.PortableLnRatio.sqlStages
+    s"""WITH docs AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+       |tok AS (SELECT doc_id,
+       |    unnest(string_split_regex(text, ' +')) AS token FROM docs),
+       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+       |  FROM tf GROUP BY 1 HAVING count(*) <= 450),
+       |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+       |  FROM docs),
+       |dfn AS (SELECT token, df, n FROM dfx, nd),
+       |${sqlStages("ix", "dfn", "n", "df", Seq("token"))},
+       |w AS (SELECT tf.doc_id, tf.token,
+       |    CAST(tf.tf AS DOUBLE) * i.pln AS w
+       |  FROM tf JOIN ixln i USING (token)
+       |  WHERE CAST(tf.tf AS DOUBLE) * i.pln <> 0.0),
+       |norm AS (SELECT doc_id,
+       |    list_reduce(list(w * w ORDER BY token),
+       |      (a, x) -> a + x) AS n2
+       |  FROM w GROUP BY doc_id),
+       |pd AS (SELECT x.doc_id AS a, y.doc_id AS b,
+       |    list_reduce(list(x.w * y.w ORDER BY x.token),
+       |      (p, q) -> p + q) AS dot
+       |  FROM w x JOIN w y ON x.token = y.token AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+       |FROM pd JOIN norm na ON na.doc_id = a
+       |JOIN norm nb ON nb.doc_id = b
+       |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.8
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** The doc_id-carrying BPE induction cascade `t0..t{steps}` shared by
     * the text_bpe_encode and text_bpe_ids oracles (see text_bpe_merges
     * for the cascade's commentary): t{steps} IS the encoded corpus. */
@@ -521,39 +557,26 @@ object TextQueries {
             T(s, d, "documents").filter(pmod(col("doc_id"), lit(5)) === 0),
             "doc_id", "text", maxDf = 450, minCosine = 0.8)
           .orderBy("a", "b"),
-      Some {
-        import graft.expr.PortableLnRatio.sqlStages
-        s"""WITH docs AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
-           |tok AS (SELECT doc_id,
-           |    unnest(string_split_regex(text, ' +')) AS token FROM docs),
-           |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-           |  FROM tok GROUP BY 1, 2),
-           |dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df
-           |  FROM tf GROUP BY 1 HAVING count(*) <= 450),
-           |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
-           |  FROM docs),
-           |dfn AS (SELECT token, df, n FROM dfx, nd),
-           |${sqlStages("ix", "dfn", "n", "df", Seq("token"))},
-           |w AS (SELECT tf.doc_id, tf.token,
-           |    CAST(tf.tf AS DOUBLE) * i.pln AS w
-           |  FROM tf JOIN ixln i USING (token)
-           |  WHERE CAST(tf.tf AS DOUBLE) * i.pln <> 0.0),
-           |norm AS (SELECT doc_id,
-           |    list_reduce(list(w * w ORDER BY token),
-           |      (a, x) -> a + x) AS n2
-           |  FROM w GROUP BY doc_id),
-           |pd AS (SELECT x.doc_id AS a, y.doc_id AS b,
-           |    list_reduce(list(x.w * y.w ORDER BY x.token),
-           |      (p, q) -> p + q) AS dot
-           |  FROM w x JOIN w y ON x.token = y.token AND x.doc_id < y.doc_id
-           |  GROUP BY 1, 2)
-           |SELECT a, b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
-           |FROM pd JOIN norm na ON na.doc_id = a
-           |JOIN norm nb ON nb.doc_id = b
-           |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.8
-           |ORDER BY a, b""".stripMargin
-      },
+      Some(tfidfCosineOracle),
       "sparse TF-IDF cosine pairs: portable-ln idf, token-sorted pinned folds"),
+
+    // The SAME query through the weighted prefix filter
+    // ([[TextOps.tfidfCosinePairsPrefix]]): candidates from rare-first
+    // suffix-bounded prefixes instead of the full inverted index —
+    // Σ prefixCount·df join volume instead of Σ df². Lossless by
+    // construction (exact verification on survivors), so it shares the
+    // scan variant's oracle verbatim: two engines AND two candidate
+    // strategies agreeing on every hash is the strongest equivalence
+    // check the harness can express.
+    Q(
+      "text_tfidf_cosine_prefix",
+      (s, d) =>
+        TextOps.tfidfCosinePairsPrefix(
+            T(s, d, "documents").filter(pmod(col("doc_id"), lit(5)) === 0),
+            "doc_id", "text", maxDf = 450, minCosine = 0.8)
+          .orderBy("a", "b"),
+      Some(tfidfCosineOracle),
+      "prefix-filtered TF-IDF cosine: Bayardo suffix bounds, identical output"),
 
     // Bigram-coverage quality score — the language-model-proxy filter:
     // what fraction of a document's distinct word bigrams appear in the

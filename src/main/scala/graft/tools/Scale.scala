@@ -464,6 +464,12 @@ object Scale {
         // near-dups clear the 0.5 floor
         "tfidf_cosine" -> (() =>
           TextOps.tfidfCosinePairs(d, "doc_id", "text",
+            maxDf = 100, minCosine = 0.5).count()),
+        // same query through the Bayardo prefix filter: candidate join
+        // volume drops from sum(df^2) to sum(prefixCount*df) — the
+        // curve this exists to bend back to linear
+        "tfidf_cosine_prefix" -> (() =>
+          TextOps.tfidfCosinePairsPrefix(d, "doc_id", "text",
             maxDf = 100, minCosine = 0.5).count()))
 
       // optional args(1): comma-separated op names — run only those

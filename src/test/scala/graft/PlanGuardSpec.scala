@@ -52,7 +52,7 @@ class PlanGuardSpec extends AnyFunSuite {
       // (the corpus-sized feature frame joins that result by equi-key)
       "corpus_dsir_stats",
       // 1-row n_pos-total broadcast onto the distinct-score PR frame
-      "eval_pr_curve",
+      "eval_pr_curve", "eval_average_precision", "eval_log_loss",
       // 1-row count broadcast onto the ranked frame
       "layout_range_boundaries",
       // 1-row (n_tot, denom) totals broadcast onto the |sources| frame
@@ -70,7 +70,7 @@ class PlanGuardSpec extends AnyFunSuite {
       // single-row order-total broadcast, as basket_lift_pairs
       "basket_rules",
       // 1-row doc-count broadcast onto the df frame (idf numerator)
-      "text_tfidf_cosine",
+      "text_tfidf_cosine", "text_tfidf_cosine_prefix",
       // 1-row L1-total broadcasts per HITS normalization step
       "graph_hits",
       // B-row bin-table range crosses (corpus-independent PAV segments)

@@ -328,6 +328,35 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(math.abs(sm._5 - (3.0 * 0.8 + 2.0 * 2.0 / 3.0) / 6.0) < 1e-15)
   }
 
+  test("averagePrecision: hand step sums, null AP when no positives") {
+    // scores desc: 3(pos) -> term 1*1/(2*1); 2(neg) -> 0; 1(pos) ->
+    // 1*2/(2*3); AP = 1/2 + 1/3 = 5/6 (sklearn agrees on this case)
+    val df = Seq((3L, true), (2L, false), (1L, true)).toDF("score", "y")
+    val got = EvalOps.averagePrecision(df, "y", "score")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(got._1 == 2L && got._2 == 3L)
+    assert(math.abs(got._3.get - 5.0 / 6.0) < 1e-15)
+    // all-negative corpus: AP undefined -> null, no 0/0
+    val neg = Seq((3L, false), (1L, false)).toDF("score", "y")
+    val g2 = EvalOps.averagePrecision(neg, "y", "score")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(g2 == ((0L, 2L, None)))
+  }
+
+  test("logLoss: Laplace-smoothed portable-ln terms, hand fold") {
+    import graft.expr.PortableLnRatio.compute
+    // scores 2(pos), 1(neg), N=2: p(rank1)=1/3, p(rank2)=2/3 -> both
+    // terms are ln(2/3); loss = -(2*ln(2/3))/2 = ln(3/2)
+    val df = Seq((2L, true), (1L, false)).toDF("score", "y")
+    val got = EvalOps.logLoss(df, "y", "score")
+      .as[(Long, Long, Double)].collect().head
+    val c = compute(2L, 3L)
+    assert(got._1 == 2L && got._2 == 1L)
+    assert(got._3 == -(((0.0 + (0.0 * compute(1L, 3L) + 1.0 * c)) +
+      (1.0 * c + 0.0 * compute(1L, 3L))) / 2.0))
+    assert(math.abs(got._3 - math.log(1.5)) < 1e-12)
+  }
+
   test("multiclassF1: hallucinated label gets a precision-0 row") {
     val df = Seq(("a", "a"), ("a", "x")).toDF("y", "p")
     val per = EvalOps.multiclassF1(df, "y", "p").orderBy("cls")

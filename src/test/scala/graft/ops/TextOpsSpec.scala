@@ -259,4 +259,39 @@ class TextOpsSpec extends AnyFunSuite {
     // doc 4 shares only the capped stopword: no pair row at any floor
     assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("tfidfCosinePairsPrefix: identical output to the unfiltered scan") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, String)], maxDf: Int, minCos: Double) = {
+      val df = rows.toDF("doc_id", "text")
+      val base = TextOps
+        .tfidfCosinePairs(df, "doc_id", "text", maxDf, minCos)
+        .as[(Long, Long, Double)].collect().toSet
+      val pre = TextOps
+        .tfidfCosinePairsPrefix(df, "doc_id", "text", maxDf, minCos)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pre == base,
+        s"prefix filter must be lossless (maxDf=$maxDf, t=$minCos)")
+      base
+    }
+    // the hand corpus of the baseline spec, two floors
+    val hand = Seq(
+      (1L, "the cat dog"), (2L, "the cat dog"),
+      (3L, "the cat bird"), (4L, "the fish"))
+    assert(run(hand, maxDf = 3, minCos = 0.05).nonEmpty)
+    run(hand, maxDf = 3, minCos = 0.8)
+    // a randomized Zipf-ish corpus: hub tokens shared by most docs,
+    // rare tokens shared by few — the regime the prefix filter targets
+    val rnd = new scala.util.Random(41)
+    val vocabHub = (0 until 5).map(i => s"hub$i")
+    val vocabRare = (0 until 60).map(i => s"r$i")
+    val corpus = (1L to 80L).map { id =>
+      val hubs = Seq.fill(4)(vocabHub(rnd.nextInt(vocabHub.size)))
+      val rares = Seq.fill(3)(vocabRare(rnd.nextInt(vocabRare.size)))
+      (id, (hubs ++ rares).mkString(" "))
+    }
+    // cap keeps hubs (exercises suffix pruning ON them), two floors
+    assert(run(corpus, maxDf = 100, minCos = 0.6).nonEmpty)
+    run(corpus, maxDf = 100, minCos = 0.9)
+  }
 }
