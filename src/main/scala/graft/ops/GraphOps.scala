@@ -408,6 +408,80 @@ object GraphOps {
     out
   }
 
+  /** PERSONALIZED PageRank in the same exact fixed-point integer
+    * arithmetic as [[pageRankUnits]]: teleport mass lands ONLY on the
+    * seed set (r₀ = unit·[i∈S], per-round base term = base·[i∈S]), so
+    * the stationary mass answers "how relevant is each node TO this
+    * cohort" instead of globally — the recommendation/expansion scorer
+    * (seed a few known-good suppliers, rank the rest by PPR) that
+    * global PageRank cannot express. Identical plan shape: loop-
+    * invariant degree-carrying edges persisted pre-partitioned, only
+    * the node-sized rank frame moves per round, integral divisions
+    * truncate identically on any engine.
+    *
+    * Seeds absent from the graph still seed (they hold teleport mass
+    * and leak nothing); a node unreachable from S converges to 0.
+    *
+    * @return (`id`, `rank_units`) after `iters` rounds over the node
+    *         universe of `edges`.
+    */
+  def pprUnits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String,
+      iters: Int = 3, dampNum: Int = 85, dampDen: Int = 100,
+      unit: Long = 1000000L, checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampDen > dampNum && unit > 0,
+      s"pprUnits: bad parameters ($iters, $dampNum/$dampDen, $unit)")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedIds = seeds.select(col(seedCol).cast("long").as("id"))
+      .distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .union(seedIds)
+      .distinct()
+      .join(seedIds.withColumn("_seed", lit(true)), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("_seed"), lit(false)).as("_seed"))
+      .repartition(col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val base = unit * (dampDen - dampNum) / dampDen
+    val baseTerm = when(col("_seed"), lit(base)).otherwise(lit(0L))
+    var ranks = nodes.select(col("id"),
+      when(col("_seed"), lit(unit)).otherwise(lit(0L)).as("r"))
+    var round = 0
+    while (round < iters) {
+      val contrib = eDeg
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("c"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+        .select(col("id"),
+          (baseTerm +
+            expr(s"(${dampNum.toLong}L * coalesce(c, 0L)) div ${dampDen.toLong}L"))
+            .as("r"))
+      round += 1
+      if (round % checkpointEvery == 0 && round < iters)
+        ranks = ranks.stagePin()
+    }
+    val out = ranks.select(col("id"), col("r").as("rank_units"))
+      .stagePin()
+    nodes.unpersist()
+    eDeg.unpersist()
+    e.unpersist()
+    out
+  }
+
   /** Fixed-iteration HITS (Kleinberg hubs & authorities) in EXACT
     * fixed-point integer arithmetic — [[pageRankUnits]]' sibling for
     * DIRECTED endorsement graphs where pointing and being pointed at

@@ -393,6 +393,53 @@ object GraphQueries {
       },
       "fixed-point integer PageRank (3 damped iterations) over the customer→supplier graph"),
 
+    // PERSONALIZED PageRank from the nation-0 customer cohort
+    // ([[GraphOps.pprUnits]]): teleport mass restricted to the seeds, so
+    // the scores rank suppliers by relevance TO that cohort — the
+    // recommendation/expansion query global PageRank cannot express.
+    // Same integer fixed-point discipline; the oracle unrolls the three
+    // seeded iterations.
+    Q(
+      "graph_ppr",
+      (s, d) =>
+        GraphOps.pprUnits(tradeEdges(s, d), "src", "dst",
+            T(s, d, "customer").filter(col("c_nationkey") === 0)
+              .select((col("c_custkey") * 2).as("id")),
+            "id", iters = 3)
+          .orderBy("id"),
+      Some {
+        val iters = 3
+        val unit = 1000000L
+        val base = unit * 15 / 100
+        val iterCtes = (1 to iters).map { i =>
+          s"""c$i AS (SELECT e.dst AS id, SUM(r.r // d.outdeg) AS c
+             |  FROM edges e JOIN r${i - 1} r ON r.id = e.src
+             |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+             |r$i AS (SELECT n.id,
+             |    CAST(CASE WHEN n.seed THEN $base ELSE 0 END
+             |      + (85 * COALESCE(c.c, 0)) // 100 AS BIGINT) AS r,
+             |    n.seed
+             |  FROM nodes n LEFT JOIN c$i c ON c.id = n.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH edges AS (
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |seeds AS (SELECT DISTINCT c_custkey * 2 AS id
+           |  FROM customer WHERE c_nationkey = 0),
+           |nodes0 AS (SELECT src AS id FROM edges
+           |  UNION SELECT dst FROM edges UNION SELECT id FROM seeds),
+           |nodes AS (SELECT n.id, s.id IS NOT NULL AS seed
+           |  FROM nodes0 n LEFT JOIN seeds s ON s.id = n.id),
+           |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+           |r0 AS (SELECT id,
+           |    CAST(CASE WHEN seed THEN $unit ELSE 0 END AS BIGINT) AS r,
+           |    seed
+           |  FROM nodes),
+           |$iterCtes
+           |SELECT id, r AS rank_units FROM r$iters ORDER BY id""".stripMargin
+      },
+      "personalized PageRank: seed-restricted integer teleport, cohort-relevance ranks"),
+
     // Fixed-iteration HITS over the same directed trade graph
     // ([[GraphOps.hitsUnits]]): hubs = buyers, authorities = suppliers
     // (PageRank collapses the two roles; HITS is the right scorer for

@@ -517,6 +517,23 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(z == Map(1L -> 0))
   }
 
+  test("pprUnits: seeded teleport by hand; off-graph seed holds its mass") {
+    import spark.implicits._
+    // chain 1 -> 2 -> 3, seed {1}: r0 = (M, 0, 0);
+    // round 1: (150k, 850k, 0); round 2: (150k, 127500, 722500)
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("s", "t")
+    val got = GraphOps.pprUnits(e, "s", "t", Seq(1L).toDF("id"), "id",
+        iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 150000L, 2L -> 127500L, 3L -> 722500L))
+    // a seed absent from the edge list still appears, holding only its
+    // teleport mass; unreachable non-seeds decay toward 0
+    val g2 = GraphOps.pprUnits(e, "s", "t", Seq(9L).toDF("id"), "id",
+        iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(g2 == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 9L -> 150000L))
+  }
+
   test("adamicAdar: hand wedge sums; adjacent pairs and capped hubs excluded") {
     import spark.implicits._
     // square 1-2, 1-3, 2-4, 3-4 plus diagonal 2-3: degrees 2,3,3,2
