@@ -373,6 +373,8 @@ object TextOps {
     val wn = w
       .join(norms.select(col("id"), sqrt(col("n2")).as("_nrm")), "id")
       .withColumn("_wn", col("w") / col("_nrm"))
+      .select("id", "token", "df", "_wn")
+      .stagePin() // prefix flags + both candidate-join sides read it
     val maxWn = wn.groupBy("token").agg(max(col("_wn")).as("_mx"))
     // reverse running bound per doc over the rare-first order; the
     // window scan is sequential per key, so the double is deterministic
@@ -380,15 +382,43 @@ object TextOps {
       .partitionBy(col("id"))
       .orderBy(col("df").asc, col("token").asc)
       .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val prefix = wn.join(maxWn, "token")
+    val tau = minCosine * (1.0 - 1e-9)
+    // The prefix is cut at θ·τ, DEEPER than the τ the guarantee needs:
+    // a τ-cut leaves the residual sitting just under τ, which makes the
+    // partial+residual prune vacuous (any pair with an ulp of matched
+    // mass survives — measured 13× slower than the scan variant on a
+    // uniform-weight corpus). At θ = ½ the residual is ≤ τ/2, so a
+    // candidate must show partial ≥ τ/2 to survive — while the prefix
+    // only grows by the few tokens between the two cuts.
+    val theta = 0.5
+    val flagged = wn.join(maxWn, "token")
       .withColumn("_sb", sum(col("_wn") * col("_mx")).over(sufFrame))
-      .filter(col("_sb") >= lit(minCosine * (1.0 - 1e-9)))
-      .select(col("id"), col("token"))
+      .withColumn("_inPrefix", col("_sb") >= lit(theta * tau))
+      .stagePin() // the prefix side and the suffix-bound rollup share it
+    val prefix = flagged.filter(col("_inPrefix"))
+      .select(col("id"), col("token"), col("_wn"))
+    // per-doc residual: the running bound at the FIRST excluded
+    // position caps everything a partner can collect outside the
+    // prefix (0 when the whole doc is prefix)
+    val residual = flagged.filter(!col("_inPrefix"))
+      .groupBy("id").agg(max(col("_sb")).as("_sfx"))
+    // Candidates restricted to prefix(x) ⋈ full(y), immediately rolled
+    // up to a NORMALIZED partial dot over the matched tokens: true
+    // cosine ≤ partial + residual(x), so pairs below the floor die
+    // BEFORE the expensive exact-verification rejoin — the analogue of
+    // the scan variant's count·max bound, but tighter (it already sees
+    // real weight products). The partial is an unordered float sum:
+    // fine for a PRUNE (margin absorbs rounding; losslessness, not
+    // run-stability, is what the output depends on).
     val cand = prefix.as("x")
-      .join(w.select(col("id"), col("token")).as("y"),
+      .join(wn.select(col("id"), col("token"), col("_wn")).as("y"),
         col("x.token") === col("y.token") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-      .distinct()
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(sum(col("x._wn") * col("y._wn")).as("_partial"))
+      .join(residual.select(col("id").as("a"), col("_sfx")), Seq("a"),
+        "left_outer")
+      .filter(col("_partial") + coalesce(col("_sfx"), lit(0.0)) >= lit(tau))
+      .select("a", "b")
     // exact verification — byte-identical to tfidfCosinePairs' tail
     val dots = cand
       .join(norms.select(col("id").as("a"), col("n2").as("na2")), "a")

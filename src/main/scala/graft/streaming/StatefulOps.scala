@@ -164,4 +164,62 @@ object StatefulOps {
           }
         })
   }
+
+  final case class SessState(startUs: Long, endUs: Long, n: Long)
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Streaming sessionizer with an event-time gap — the streaming twin
+    * of the batch `sessionize` gate's lag/gap reconstruction. State per
+    * key = the one OPEN session (start, end, count); an arriving event
+    * either extends it or CLOSES it (emitting the closed session) and
+    * opens the next; a key silent past `gap` closes via event-time
+    * timeout, so sessions of churned users still flush without waiting
+    * for their next visit. Emits CLOSED sessions only (Append-mode
+    * deterministic — an open session's end is unknowable).
+    *
+    * The caller's stream must carry a watermark on `ts` (event-time
+    * timeouts are measured against it).
+    */
+  def sessionizeStream(
+      ds: Dataset[ValEv], gapSeconds: Long): Dataset[ClosedSession] = {
+    require(gapSeconds > 0, s"gapSeconds must be > 0, got $gapSeconds")
+    val gapUs = gapSeconds * 1000000L
+    implicit val outEnc = Encoders.product[ClosedSession]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[SessState]
+    def toTs(us: Long) = new java.sql.Timestamp(us / 1000L)
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, evs: Iterator[ValEv], state: GroupState[SessState]) => {
+          if (!evs.hasNext && state.hasTimedOut) {
+            // watermark passed end + gap: flush the open session
+            val st = state.get
+            state.remove()
+            Iterator.single(
+              ClosedSession(uid, toTs(st.startUs), toTs(st.endUs), st.n))
+          } else {
+            val ordered = evs.toSeq
+              .sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = scala.collection.mutable.Buffer[ClosedSession]()
+            var st = state.getOption.orNull
+            ordered.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              if (st == null) st = SessState(us, us, 1L)
+              else if (us - st.endUs > gapUs) {
+                closed += ClosedSession(uid, toTs(st.startUs),
+                  toTs(st.endUs), st.n)
+                st = SessState(us, us, 1L)
+              } else st = SessState(st.startUs, math.max(st.endUs, us),
+                st.n + 1L)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.endUs / 1000L + gapSeconds * 1000L)
+            }
+            closed.iterator
+          }
+        })
+  }
 }

@@ -159,4 +159,37 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(streamed.exists(t =>
       t._1 == 2L && t._3 == 6L && t._4 == 6L && t._5 == None))
   }
+
+  test("sessionizeStream: gap splits across batches, timeout flushes churned keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[StatefulOps.ValEv]
+    val out = StatefulOps.sessionizeStream(
+      input.toDS().withWatermark("ts", "0 seconds"), gapSeconds = 10L)
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: user 1 opens a session (2 events inside the gap).
+    // Timestamps start at 100s: the initial watermark is epoch 0 and
+    // an event AT the watermark is dropped as late.
+    input.addData(StatefulOps.ValEv(1L, ts(100), 1L, 0.0),
+      StatefulOps.ValEv(1L, ts(105), 2L, 0.0))
+    q.processAllAvailable()
+    // batch 2: 35s jump closes [100, 105] and opens a session at 140
+    input.addData(StatefulOps.ValEv(1L, ts(140), 3L, 0.0))
+    q.processAllAvailable()
+    // batch 3: another user far in the future advances the watermark
+    // past 40 + gap -> user 1's open session flushes via TIMEOUT
+    input.addData(StatefulOps.ValEv(2L, ts(10000), 4L, 0.0))
+    q.processAllAvailable()
+    input.addData(StatefulOps.ValEv(2L, ts(10001), 5L, 0.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT user_id, session_start, session_end, n_events FROM sess_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L,
+        r.getTimestamp(2).getTime / 1000L, r.getLong(3))).toSet
+    q.stop()
+    // user 2's session stays OPEN (watermark never passed it): absent
+    assert(rows == Set((1L, 100L, 105L, 2L), (1L, 140L, 140L, 1L)))
+  }
 }
