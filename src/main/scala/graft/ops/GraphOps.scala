@@ -779,6 +779,54 @@ object GraphOps {
       e.select("u", "v").join(supports(e.select("u", "v")), Seq("u", "v"))
   }
 
+  /** Degree assortativity (Newman's r): the Pearson correlation of
+    * endpoint degrees over the directed STUBS of the undirected graph
+    * (each edge counted in both directions, the standard convention).
+    * r > 0: hubs attach to hubs (social shape); r < 0: hubs attach to
+    * leaves (star/bipartite shape) — the one-number answer to "does
+    * this co-purchase network have a rich club".
+    *
+    * Exactness: all six moments are integer sums on DECIMAL(38,0)
+    * (stub count, Σx, Σy, Σxy, Σx², Σy²), then one fixed IEEE tree —
+    * two casts, two sqrt, one division. Null when a degree-regular
+    * graph zeroes the variance. Scale: one degree rollup + one
+    * stub-sized join + one global rollup; nothing quadratic.
+    *
+    * @return one row: (`m_stubs`, `assortativity`).
+    */
+  def degreeAssortativity(
+      edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val adj = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val degs = adj.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val stubs = adj
+      .join(degs.select(col("id").as("u"), col("deg").as("x")), "u")
+      .join(degs.select(col("id").as("v"), col("deg").as("y")), "v")
+    val m = stubs.agg(
+      count(lit(1)).cast(d38).as("m"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"),
+      sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+      sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"))
+    val vx = m("m") * m("sxx") - m("sx") * m("sx")
+    val vy = m("m") * m("syy") - m("sy") * m("sy")
+    val out = m.select(
+      m("m").cast("long").as("m_stubs"),
+      when(vx > 0 && vy > 0,
+        (m("m") * m("sxy") - m("sx") * m("sy")).cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+        .as("assortativity"))
+    out
+  }
+
   /** Keep one representative (the min-id member) per duplicate cluster:
     * drops every row of `df` whose id is a non-representative member of a
     * connected component of `pairs`. Rows never mentioned in `pairs`

@@ -594,6 +594,49 @@ object GraphQueries {
       },
       "Adamic-Adar link prediction: apex-capped wedges, apex-ordered portable-ln folds"),
 
+    // Degree assortativity of the part co-purchase graph
+    // ([[GraphOps.degreeAssortativity]]): does this network have a rich
+    // club (hubs buying with hubs) or a hub-and-spoke shape? Six exact
+    // DECIMAL moments over the directed stubs, one IEEE tree.
+    Q(
+      "graph_assortativity",
+      (s, d) => {
+        val li = liUrgent(s, d)
+        val e = li.as("x")
+          .join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("u"), col("y.p").as("v"))
+          .distinct()
+        GraphOps.degreeAssortativity(e, "u", "v")
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderpriority = '1-URGENT'),
+             |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+             |      FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+             |adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |degs AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS deg
+             |         FROM adj GROUP BY 1),
+             |st AS (SELECT d1.deg AS x, d2.deg AS y
+             |       FROM adj JOIN degs d1 ON d1.id = adj.u
+             |       JOIN degs d2 ON d2.id = adj.v),
+             |m AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+             |    sum(CAST(x AS HUGEINT)) AS sx,
+             |    sum(CAST(y AS HUGEINT)) AS sy,
+             |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+             |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+             |    sum(CAST(y AS HUGEINT) * y) AS syy
+             |  FROM st)
+             |SELECT CAST(m AS BIGINT) AS m_stubs,
+             |  CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+             |    THEN CAST(m * sxy - sx * sy AS DOUBLE) /
+             |      (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+             |       sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+             |  END AS assortativity
+             |FROM m""".stripMargin),
+      "degree assortativity: exact DECIMAL stub moments, one IEEE tree"),
+
     // Synchronous label-propagation communities, 3 fixed rounds, over
     // the same part co-purchase graph
     // ([[GraphOps.labelPropagationCommunities]]): frequency voting with

@@ -517,6 +517,26 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(z == Map(1L -> 0))
   }
 
+  test("degreeAssortativity: star is -1, regular graph is null") {
+    import spark.implicits._
+    // star 1-{2,3,4}: every stub pairs deg 3 with deg 1 -> r = -1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val g = GraphOps.degreeAssortativity(star, "a", "b")
+      .as[(Long, Option[Double])].collect().head
+    assert(g._1 == 6L && math.abs(g._2.get - (-1.0)) < 1e-15)
+    // triangle: degree-regular -> zero variance -> null, no 0/0
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val g2 = GraphOps.degreeAssortativity(tri, "a", "b")
+      .as[(Long, Option[Double])].collect().head
+    assert(g2 == ((6L, None)))
+    // hand mixed case: path 1-2-3 -> stubs (1,2),(2,1),(2,1),(1,2):
+    // x = 1,2,2,1; y = 2,1,1,2 -> r = -1 again (pure chain ends)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val g3 = GraphOps.degreeAssortativity(path, "a", "b")
+      .as[(Long, Option[Double])].collect().head
+    assert(g3._1 == 4L && math.abs(g3._2.get - (-1.0)) < 1e-15)
+  }
+
   test("pprUnits: seeded teleport by hand; off-graph seed holds its mass") {
     import spark.implicits._
     // chain 1 -> 2 -> 3, seed {1}: r0 = (M, 0, 0);
