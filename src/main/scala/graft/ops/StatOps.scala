@@ -919,6 +919,48 @@ object StatOps {
         col("g_max"), col("first_alarm"))
   }
 
+  /** MASE — mean absolute scaled error of the seasonal-naive forecast
+    * per key (Hyndman & Koehler 2006): MAE of the season-lag forecast
+    * over the MAE of the one-step naive on the SAME series. The
+    * scale-free answer to "is last-year's-month actually a good
+    * forecast here" — below 1 beats the random-walk yardstick.
+    *
+    * Exactness: values arrive as exact DECIMAL (cents), absolute
+    * errors sum exactly, and the statistic is (sae/n_f)/(sad/n_d) —
+    * three IEEE ops on two exact sums. Gaps in the series are handled
+    * by JOINING on t−season / t−1 (a lag over a gapped series would
+    * silently compare wrong periods). Null when either error set is
+    * empty or the naive MAE is 0 (constant series).
+    *
+    * @param tCol integer period index (e.g. months since epoch)
+    * @return (`key`, `n_forecasts`, `n_diffs`, `mase`).
+    */
+  def maseSeasonalNaive(
+      df: DataFrame, keyCol: String, tCol: String, valueCol: String,
+      season: Int): DataFrame = {
+    require(season >= 1, s"maseSeasonalNaive: season must be >= 1, got $season")
+    val s = df.select(col(keyCol).as("_k"), col(tCol).cast("long").as("_t"),
+      col(valueCol).as("_v"))
+    def lagJoin(offset: Int, as: String) = s
+      .join(s.select(col("_k"), (col("_t") + offset.toLong).as("_t"),
+        col("_v").as(as)), Seq("_k", "_t"))
+    val fc = lagJoin(season, "_fc")
+      .groupBy("_k")
+      .agg(count(lit(1)).as("n_forecasts"),
+        sum(abs(col("_v") - col("_fc"))).as("_sae"))
+    val nv = lagJoin(1, "_pv")
+      .groupBy("_k")
+      .agg(count(lit(1)).as("n_diffs"),
+        sum(abs(col("_v") - col("_pv"))).as("_sad"))
+    fc.join(nv, Seq("_k"))
+      .select(col("_k").as(keyCol), col("n_forecasts"), col("n_diffs"),
+        when(col("n_forecasts") > 0L && col("n_diffs") > 0L &&
+            col("_sad") > 0,
+          (col("_sae").cast("double") / col("n_forecasts").cast("double")) /
+            (col("_sad").cast("double") / col("n_diffs").cast("double")))
+          .as("mase"))
+  }
+
   /** Classical additive seasonal decomposition of each key's DAILY
     * series (zero-filled onto the dense [min-day, max-day] grid):
     * trend = centered `period`-day moving average (full windows only),

@@ -874,6 +874,46 @@ object AnalyticsQueries {
              |ORDER BY o_orderpriority""".stripMargin),
       "seasonal-naive forecast scorecard: exact MAE, ordered-fold MAPE per priority"),
 
+    // MASE of the same seasonal-naive forecast
+    // ([[graft.ops.StatOps.maseSeasonalNaive]]): the scale-free score —
+    // seasonal MAE over one-step-naive MAE, below 1 beats the random
+    // walk. Exact DECIMAL error sums, three IEEE ops; lag by JOIN on
+    // t−12 / t−1 so a gapped month can't silently misalign periods.
+    Q(
+      "forecast_mase",
+      (s, d) => {
+        val monthly = T(s, d, "orders")
+          .groupBy(col("o_orderpriority"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .as("t"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        graft.ops.StatOps.maseSeasonalNaive(monthly, "o_orderpriority",
+            "t", "rev", season = 12)
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH m AS (
+             |  SELECT o_orderpriority AS k,
+             |    CAST(year(o_orderdate) * 12 + month(o_orderdate)
+             |      AS BIGINT) AS t,
+             |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+             |  FROM orders GROUP BY 1, 2),
+             |fc AS (SELECT a.k, CAST(count(*) AS BIGINT) AS n_forecasts,
+             |    sum(abs(a.rev - b.rev)) AS sae
+             |  FROM m a JOIN m b ON a.k = b.k AND b.t = a.t - 12
+             |  GROUP BY 1),
+             |nv AS (SELECT a.k, CAST(count(*) AS BIGINT) AS n_diffs,
+             |    sum(abs(a.rev - b.rev)) AS sad
+             |  FROM m a JOIN m b ON a.k = b.k AND b.t = a.t - 1
+             |  GROUP BY 1)
+             |SELECT fc.k AS o_orderpriority, n_forecasts, n_diffs,
+             |  CASE WHEN n_forecasts > 0 AND n_diffs > 0 AND sad > 0 THEN
+             |    (CAST(sae AS DOUBLE) / CAST(n_forecasts AS DOUBLE)) /
+             |    (CAST(sad AS DOUBLE) / CAST(n_diffs AS DOUBLE))
+             |  END AS mase
+             |FROM fc JOIN nv ON nv.k = fc.k
+             |ORDER BY o_orderpriority""".stripMargin),
+      "MASE: seasonal MAE over one-step-naive MAE, exact DECIMAL error sums"),
+
     // Market-basket association: top part pairs by LIFT —
     // P(a,b)/(P(a)P(b)) = c_ab·N/(c_a·c_b), exact integers into one
     // double division — with a support floor (≥ 2 co-orders) so the

@@ -408,6 +408,28 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     assert(one == ((1L, 2L, 1L, (s + s) / 2.0 * 86400000000.0)))
   }
 
+  test("maseSeasonalNaive: hand errors; constant series gives null") {
+    import spark.implicits._
+    // season 2 over t = 0..5, v = 10, 20, 12, 26, 14, 20:
+    // seasonal errors |12-10|,|26-20|,|14-12|,|20-26| -> sae 16, n 4
+    // one-step errors |20-10|,|12-20|,|26-12|,|14-26|,|20-14| -> 50, n 5
+    // mase = (16/4) / (50/5) = 0.4
+    val s = Seq((1L, 0L, 10.0), (1L, 1L, 20.0), (1L, 2L, 12.0),
+      (1L, 3L, 26.0), (1L, 4L, 14.0), (1L, 5L, 20.0))
+      .toDF("k", "t", "raw")
+      .select($"k", $"t", $"raw".cast("decimal(18,2)").as("v"))
+    val got = StatOps.maseSeasonalNaive(s, "k", "t", "v", season = 2)
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(got == ((1L, 4L, 5L, Some(0.4))))
+    // constant series: naive MAE 0 -> null, never a division error
+    val const = Seq((2L, 0L, 5.0), (2L, 1L, 5.0), (2L, 2L, 5.0))
+      .toDF("k", "t", "raw")
+      .select($"k", $"t", $"raw".cast("decimal(18,2)").as("v"))
+    val g2 = StatOps.maseSeasonalNaive(const, "k", "t", "v", season = 1)
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(g2 == ((2L, 2L, 2L, None)))
+  }
+
   test("seasonalDecompose: pure periodic signal recovers exact indices") {
     import spark.implicits._
     // daily value 7 on phase-0 days, 0 otherwise, days 0..13: the
