@@ -439,6 +439,68 @@ object TextOps {
       .select("a", "b", "cosine")
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are the maximal stopword-free token runs of each document; each
+    * word scores deg/freq over the doc's candidate phrases (deg = Σ
+    * lengths of phrases containing it — co-occurrence reach; freq =
+    * its occurrence count), and a phrase scores the sum of its words'
+    * scores — long distinctive collocations outrank frequent
+    * singletons. The model-free keyphrase extractor a curation
+    * pipeline runs where tf-idf needs a corpus pass and a topic model
+    * needs training.
+    *
+    * Hash-gate discipline: deg and freq are exact integers, each word
+    * score is ONE double division, and the per-phrase sum folds its
+    * word terms in position order on both engines. Phrase runs come
+    * from gaps-and-islands (pos − row_number), phrase strings from the
+    * position-sorted join — everything keyed by document, nothing
+    * corpus-global, so the operator is embarrassingly doc-parallel at
+    * any corpus size.
+    *
+    * @return top-`k` phrases per doc: (`doc_id`, `rnk`, `phrase`,
+    *         `score`), ties broken by phrase text.
+    */
+  def rakePhrases(
+      df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"rakePhrases: k must be >= 1, got $k")
+    require(stopwords.nonEmpty, "rakePhrases: empty stopword list")
+    import org.apache.spark.sql.expressions.Window
+    val ns = df
+      .select(col(idCol).as("_id"),
+        posexplode(tokens(col(textCol))).as(Seq("_pos", "_tok")))
+      .filter(!col("_tok").isInCollection(stopwords))
+      .withColumn("_isl",
+        col("_pos") - row_number().over(
+          Window.partitionBy(col("_id")).orderBy(col("_pos"))))
+      .stagePin() // the phrase rollup, word stats, and score join share it
+    val islands = ns.groupBy("_id", "_isl")
+      .agg(count(lit(1)).as("_plen"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+            x => x.getField("_tok")), " ").as("phrase"))
+    val wordStats = ns
+      .join(islands.select(col("_id"), col("_isl"), col("_plen")),
+        Seq("_id", "_isl"))
+      .groupBy(col("_id"), col("_tok"))
+      .agg(sum(col("_plen")).as("_deg"), count(lit(1)).as("_freq"))
+    val scores = ns
+      .join(wordStats, Seq("_id", "_tok"))
+      .withColumn("_term",
+        col("_deg").cast(DoubleType) / col("_freq").cast(DoubleType))
+      .groupBy("_id", "_isl")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("_pos"),
+          col("_term").as("_t")))), x => x.getField("_t")),
+        lit(0.0), (acc, x) => acc + x).as("score"))
+    islands.join(scores, Seq("_id", "_isl"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("_id"))
+          .orderBy(col("score").desc, col("phrase"))))
+      .filter(col("rnk") <= k)
+      .select(col("_id").as(idCol), col("rnk"), col("phrase"), col("score"))
+  }
+
   /** Doc-level term co-occurrence counts over a capped vocabulary — the
     * exact-integer table under PMI / word-embedding / topic work. The
     * vocabulary cap (top `vocabK` tokens by document frequency, via

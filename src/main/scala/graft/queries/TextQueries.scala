@@ -578,6 +578,51 @@ object TextQueries {
       Some(tfidfCosineOracle),
       "prefix-filtered TF-IDF cosine: Bayardo suffix bounds, identical output"),
 
+    // RAKE keyphrases ([[TextOps.rakePhrases]]): top-3 stopword-free
+    // runs per doc scored by Σ deg/freq over the run's words — the
+    // model-free keyphrase extractor. Integer deg/freq, one division
+    // per word, position-ordered phrase folds; islands via
+    // pos − row_number on both engines.
+    Q(
+      "text_rake_phrases",
+      (s, d) =>
+        TextOps.rakePhrases(T(s, d, "documents"), "doc_id", "text",
+            stopwords = Seq("a", "the"), k = 3)
+          .orderBy("doc_id", "rnk"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(text, ' +') AS l
+             |  FROM documents),
+             |x AS (SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, len(l)),
+             |      i -> {'pos': i, 'tok': l[i]})) AS s
+             |  FROM t),
+             |ns AS (SELECT doc_id, s.pos AS pos, s.tok AS tok,
+             |    s.pos - row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY s.pos) AS isl
+             |  FROM x WHERE s.tok NOT IN ('a', 'the')),
+             |il AS (SELECT doc_id, isl, CAST(count(*) AS BIGINT) AS plen,
+             |    string_agg(tok, ' ' ORDER BY pos) AS phrase
+             |  FROM ns GROUP BY 1, 2),
+             |ws AS (SELECT n.doc_id, n.tok,
+             |    CAST(sum(il.plen) AS BIGINT) AS deg,
+             |    CAST(count(*) AS BIGINT) AS freq
+             |  FROM ns n JOIN il ON il.doc_id = n.doc_id AND il.isl = n.isl
+             |  GROUP BY 1, 2),
+             |sc AS (SELECT n.doc_id, n.isl,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list(CAST(w.deg AS DOUBLE) / CAST(w.freq AS DOUBLE)
+             |          ORDER BY n.pos)),
+             |      (a, v) -> a + v) AS score
+             |  FROM ns n JOIN ws w ON w.doc_id = n.doc_id AND w.tok = n.tok
+             |  GROUP BY 1, 2),
+             |r AS (SELECT il.doc_id, il.phrase, sc.score,
+             |    row_number() OVER (PARTITION BY il.doc_id
+             |      ORDER BY sc.score DESC, il.phrase) AS rnk
+             |  FROM il JOIN sc ON sc.doc_id = il.doc_id AND sc.isl = il.isl)
+             |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, phrase, score
+             |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+      "RAKE keyphrases: deg/freq word scores, position-ordered phrase folds"),
+
     // Bigram-coverage quality score — the language-model-proxy filter:
     // what fraction of a document's distinct word bigrams appear in the
     // corpus's top-200 bigram list? Low coverage flags gibberish,

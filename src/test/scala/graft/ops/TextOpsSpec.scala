@@ -260,6 +260,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("rakePhrases: hand RAKE arithmetic on the canonical shape") {
+    import spark.implicits._
+    // doc: "deep learning the deep model a model" with stop {a, the}:
+    // phrases: [deep learning], [deep model], [model]
+    // freq: deep 2, learning 1, model 2; deg: deep 2+2=4, learning 2,
+    // model 2+1=3 -> scores: deep 2, learning 2, model 1.5
+    // phrase scores: deep learning 4.0; deep model 3.5; model 1.5
+    val df = Seq((1L, "deep learning the deep model a model"))
+      .toDF("doc_id", "text")
+    val got = TextOps.rakePhrases(df, "doc_id", "text",
+        stopwords = Seq("a", "the"), k = 3)
+      .as[(Long, Int, String, Double)].collect().sortBy(_._2).toSeq
+    assert(got == Seq(
+      (1L, 1, "deep learning", 4.0),
+      (1L, 2, "deep model", 3.5),
+      (1L, 3, "model", 1.5)))
+    // k caps the emitted phrases
+    assert(TextOps.rakePhrases(df, "doc_id", "text", Seq("a", "the"), 1)
+      .count() == 1L)
+  }
+
   test("tfidfCosinePairsPrefix: identical output to the unfiltered scan") {
     import spark.implicits._
     def run(rows: Seq[(Long, String)], maxDf: Int, minCos: Double) = {
