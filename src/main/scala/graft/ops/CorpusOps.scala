@@ -599,6 +599,51 @@ object CorpusOps {
       .withColumn("k_anonymous", col("group_n") >= k)
   }
 
+  /** ENTROPY l-diversity audit (Machanavajjhala et al. 2007) — the
+    * stricter sibling of [[kAnonymity]]'s distinct-count column: a QI
+    * group passes at level l iff the Shannon entropy of its sensitive
+    * distribution is at least ln(l). Distinct-l is fooled by a group
+    * that is 99% one value plus a token outlier; entropy is not.
+    *
+    * Hash-gate discipline: each term is (cnt/n)·ln(n/cnt) with the log
+    * on exact integer rationals via [[graft.expr.PortableLnRatio]]
+    * (libm-free), terms folded in sensitive-value order, and the
+    * ln(l) threshold embedded as the SAME shortest-round-trip literal
+    * on both engines. Null sensitive values count as their own class
+    * (the disclosure "the attribute is missing" is still a
+    * disclosure). One keyed rollup to (QI, value) cells, one rollup to
+    * groups — nothing corpus-quadratic.
+    *
+    * @return one row per QI group: (qi…, `group_n`, `n_values`,
+    *         `entropy`, `entropy_l_ok`).
+    */
+  def entropyLDiversity(
+      df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(qiCols.nonEmpty, "entropyLDiversity: need at least one QI column")
+    require(l >= 2, s"entropyLDiversity: l must be >= 2, got $l")
+    val lnL = graft.expr.PortableLnRatio.compute(l.toLong, 1L)
+    val cells = df
+      .groupBy((qiCols.map(col) :+
+        col(sensitiveCol).cast("string").as("_sv")): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val grouped = cells
+      .withColumn("_n",
+        sum(col("_cnt")).over(Window.partitionBy(qiCols.map(col): _*)))
+      .withColumn("_term",
+        (col("_cnt").cast(DoubleType) / col("_n").cast(DoubleType)) *
+          graft.expr.PortableLnRatio.ln(col("_n"), col("_cnt")))
+      .groupBy(qiCols.map(col): _*)
+      .agg(max(col("_n")).as("group_n"),
+        count(lit(1)).as("n_values"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("_sv"), col("_term").as("_t")))),
+            x => x.getField("_t")),
+          lit(0.0), (acc, x) => acc + x).as("entropy"))
+    grouped.withColumn("entropy_l_ok", col("entropy") >= lit(lnL))
+  }
+
   /** Deterministic masked-LM corruption (the BERT-style data-prep step):
     * mask each token position independently w.p. `fraction`, decided by
     * the salted hash of (doc, position) — so the corruption is

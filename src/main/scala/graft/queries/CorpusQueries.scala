@@ -1059,6 +1059,44 @@ object CorpusQueries {
              |ORDER BY c_nationkey, c_mktsegment""".stripMargin),
       "k-anonymity audit: QI group sizes, l-diversity distinct counts, k flag"),
 
+    // ENTROPY l-diversity ([[CorpusOps.entropyLDiversity]], l = 3) of
+    // the market-segment distribution per nation — the stricter audit
+    // distinct-l can't do (a 99%-one-value group passes distinct-l on a
+    // token outlier; entropy fails it). Portable-ln terms on exact
+    // integer rationals, sensitive-value-ordered folds, threshold
+    // embedded as the same shortest-round-trip ln(3) literal both sides.
+    Q(
+      "corpus_entropy_l_diversity",
+      (s, d) =>
+        CorpusOps.entropyLDiversity(T(s, d, "customer"),
+            Seq("c_nationkey"), "c_mktsegment", l = 3)
+          .orderBy("c_nationkey"),
+      Some {
+        import graft.expr.PortableLnRatio.{compute, sqlStages}
+        val lnL = compute(3L, 1L)
+        s"""WITH cells AS (SELECT c_nationkey,
+           |    CAST(c_mktsegment AS VARCHAR) AS sv,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM customer GROUP BY 1, 2),
+           |g AS (SELECT c_nationkey, sv, cnt,
+           |    CAST(sum(cnt) OVER (PARTITION BY c_nationkey) AS BIGINT)
+           |      AS n
+           |  FROM cells),
+           |${sqlStages("el", "g", "n", "cnt", Seq("c_nationkey", "sv", "cnt", "n"))},
+           |t AS (SELECT c_nationkey, sv, n,
+           |    CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) * pln AS term
+           |  FROM elln),
+           |r AS (SELECT c_nationkey, max(n) AS group_n,
+           |    CAST(count(*) AS BIGINT) AS n_values,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list(term ORDER BY sv)), (a, x) -> a + x) AS entropy
+           |  FROM t GROUP BY 1)
+           |SELECT c_nationkey, group_n, n_values, entropy,
+           |  entropy >= $lnL AS entropy_l_ok
+           |FROM r ORDER BY c_nationkey""".stripMargin
+      },
+      "entropy l-diversity: portable-ln rational terms, value-ordered group folds"),
+
     // Temperature-scaled mixture weights
     // ([[CorpusOps.temperatureMixWeights]]) at τ = ½: w ∝ √n upsamples
     // small sources relative to natural share — the multilingual

@@ -659,4 +659,25 @@ class CorpusOpsSpec extends AnyFunSuite {
       .orderBy("k").as[(String, Long, Double, Double)].collect().toSeq
     assert(rotated.map(_._3) != got.map(_._3))
   }
+
+  test("entropyLDiversity: skewed group fails where distinct-l passes") {
+    import spark.implicits._
+    import graft.expr.PortableLnRatio.compute
+    // group a: 99 of 'x' + 1 of 'y' -> distinct-l 2 but entropy ~0.056
+    // (< ln 2); group b: 2/2 split -> entropy exactly computed ln(2)
+    val rows = Seq.fill(99)(("a", "x")) ++ Seq(("a", "y")) ++
+      Seq(("b", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
+    val got = CorpusOps.entropyLDiversity(
+        rows.toDF("g", "s"), Seq("g"), "s", l = 2)
+      .as[(String, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // exact fold replication: terms in sensitive-value order (x, y)
+    val foldA = (0.0 + 99.0 / 100.0 * compute(100L, 99L)) +
+      1.0 / 100.0 * compute(100L, 1L)
+    val foldB = (0.0 + 2.0 / 4.0 * compute(4L, 2L)) +
+      2.0 / 4.0 * compute(4L, 2L)
+    assert(got("a") == (("a", 100L, 2L, foldA, foldA >= compute(2L, 1L))))
+    assert(got("b") == (("b", 4L, 2L, foldB, foldB >= compute(2L, 1L))))
+    assert(!got("a")._5 && got("b")._5)
+  }
 }
