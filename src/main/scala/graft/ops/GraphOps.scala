@@ -779,6 +779,43 @@ object GraphOps {
       e.select("u", "v").join(supports(e.select("u", "v")), Seq("u", "v"))
   }
 
+  /** Local clustering coefficient per node: 2·T(v) / (deg(v)·(deg(v)−1))
+    * — how close each node's neighborhood is to a clique, the per-node
+    * sibling of [[degreeAssortativity]]'s one global number and the
+    * standard "is this account embedded in a ring" fraud feature.
+    * Triangles come from [[triangleCounts]]'s degree-ordered
+    * orientation (skew-proof wedges); degrees from one rollup; the
+    * coefficient is ONE division of exact integers. Degree-1 nodes
+    * report 0 (no possible wedge), never 0/0; nodes outside every
+    * triangle report 0 through the left join.
+    *
+    * @return (`id`, `deg`, `triangles`, `clustering`).
+    */
+  def clusteringCoefficients(
+      edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val degs = canon.select(col("u").as("id"))
+      .union(canon.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(canon, "u", "v")
+      .withColumnRenamed("triangles", "_tri")
+    val out = degs.join(tri, Seq("id"), "left_outer")
+      .select(col("id"), col("deg"),
+        coalesce(col("_tri"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2L,
+          (lit(2L) * coalesce(col("_tri"), lit(0L))).cast("double") /
+            (col("deg") * (col("deg") - 1L)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering"))
+      .stagePin()
+    canon.unpersist()
+    out
+  }
+
   /** Degree assortativity (Newman's r): the Pearson correlation of
     * endpoint degrees over the directed STUBS of the undirected graph
     * (each edge counted in both directions, the standard convention).

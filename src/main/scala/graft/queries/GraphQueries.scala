@@ -637,6 +637,47 @@ object GraphQueries {
              |FROM m""".stripMargin),
       "degree assortativity: exact DECIMAL stub moments, one IEEE tree"),
 
+    // Local clustering coefficient per part
+    // ([[GraphOps.clusteringCoefficients]]): 2T/(d(d−1)) over the same
+    // co-purchase graph — one exact-integer division per node,
+    // degree-1 nodes report 0 (never 0/0). Oracle = naive triple join
+    // for triangles + a degree rollup.
+    Q(
+      "graph_clustering_coeff",
+      (s, d) => {
+        val li = liUrgent(s, d)
+        val e = li.as("x")
+          .join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("u"), col("y.p").as("v"))
+          .distinct()
+        GraphOps.clusteringCoefficients(e, "u", "v").orderBy("id")
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderpriority = '1-URGENT'),
+             |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+             |      FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+             |degs AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+             |    SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+             |  GROUP BY 1),
+             |tri AS (SELECT p1.u AS a, p1.v AS b, p2.v AS c
+             |        FROM e p1 JOIN e p2 ON p2.u = p1.v
+             |        JOIN e p3 ON p3.u = p1.u AND p3.v = p2.v),
+             |tc AS (SELECT id, CAST(count(*) AS BIGINT) AS t
+             |       FROM (SELECT unnest([a, b, c]) AS id FROM tri)
+             |       GROUP BY id)
+             |SELECT CAST(d.id AS BIGINT) AS id, d.deg,
+             |  coalesce(tc.t, 0) AS triangles,
+             |  CASE WHEN d.deg >= 2 THEN
+             |    CAST(2 * coalesce(tc.t, 0) AS DOUBLE) /
+             |      CAST(d.deg * (d.deg - 1) AS DOUBLE)
+             |  ELSE 0.0 END AS clustering
+             |FROM degs d LEFT JOIN tc ON tc.id = d.id
+             |ORDER BY id""".stripMargin),
+      "local clustering coefficient: oriented-wedge triangles, one exact division"),
+
     // Synchronous label-propagation communities, 3 fixed rounds, over
     // the same part co-purchase graph
     // ([[GraphOps.labelPropagationCommunities]]): frequency voting with

@@ -517,6 +517,18 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(z == Map(1L -> 0))
   }
 
+  test("clusteringCoefficients: triangle-plus-tail hand case") {
+    import spark.implicits._
+    // triangle 1-2-3 with a tail 3-4: cc(1)=cc(2)=1, cc(3)=2*1/(3*2)=1/3,
+    // cc(4)=0 (degree 1 — defined as 0, not 0/0)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = GraphOps.clusteringCoefficients(e, "a", "b")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 1.0 / 3.0), (4L, 1L, 0L, 0.0)))
+  }
+
   test("degreeAssortativity: star is -1, regular graph is null") {
     import spark.implicits._
     // star 1-{2,3,4}: every stub pairs deg 3 with deg 1 -> r = -1
