@@ -611,7 +611,9 @@ object CorpusOps {
     * ln(l) threshold embedded as the SAME shortest-round-trip literal
     * on both engines. Null sensitive values count as their own class
     * (the disclosure "the attribute is missing" is still a
-    * disclosure). One keyed rollup to (QI, value) cells, one rollup to
+    * disclosure) — Spark's struct sort puts the null class FIRST, so a
+    * replaying oracle must fold `ORDER BY sv NULLS FIRST` (DuckDB
+    * defaults NULLS LAST; the gate oracle pins it). One keyed rollup to (QI, value) cells, one rollup to
     * groups — nothing corpus-quadratic.
     *
     * @return one row per QI group: (qi…, `group_n`, `n_values`,

@@ -762,10 +762,20 @@ object EvalOps {
       .agg(sum("_n").as("n_true"))
     val pred = cells.groupBy(col("_p").as("cls"))
       .agg(sum("_n").as("n_pred"))
-    val tp = cells.filter(col("_y") === col("_p"))
+    val tp = cells.filter(col("_y") <=> col("_p"))
       .select(col("_y").as("cls"), col("_n").as("tp"))
-    truth.join(pred, Seq("cls"), "full_outer")
-      .join(tp, Seq("cls"), "left_outer")
+    // null-SAFE join keys: a null label and a null prediction are the
+    // same (missing) class — plain equi-joins would split it into a
+    // recall-only and a precision-only row and double-count it in the
+    // summary's n_classes
+    truth
+      .join(pred.withColumnRenamed("cls", "_pc"),
+        col("cls") <=> col("_pc"), "full_outer")
+      .select(coalesce(col("cls"), col("_pc")).as("cls"),
+        col("n_true"), col("n_pred"))
+      .join(tp.withColumnRenamed("cls", "_tc"),
+        col("cls") <=> col("_tc"), "left_outer")
+      .select(col("cls"), col("n_true"), col("n_pred"), col("tp"))
       .na.fill(0L, Seq("n_true", "n_pred", "tp"))
       .select(col("cls"), col("n_true"), col("n_pred"), col("tp"),
         when(col("n_pred") > 0L,

@@ -584,6 +584,17 @@ object GraphOps {
       .filter(col("u") =!= col("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = triangleCountsCanon(canon)
+    canon.unpersist()
+    counts
+  }
+
+  /** [[triangleCounts]] on an ALREADY canonical (u < v, distinct,
+    * persisted) edge frame — callers that canonicalize for their own
+    * rollups ([[clusteringCoefficients]]) skip the second distinct
+    * shuffle and the duplicate cache copy. The caller owns `canon`'s
+    * persistence; this releases only its own staged orientation. */
+  private[ops] def triangleCountsCanon(canon: DataFrame): DataFrame = {
     val deg = canon.select(col("u").as("id"))
       .union(canon.select(col("v").as("id")))
       .groupBy("id")
@@ -611,7 +622,6 @@ object GraphOps {
       .groupBy("id")
       .agg(count(lit(1)).as("triangles"))
       .stagePin()
-    canon.unpersist()
     oriented.unpersist()
     counts
   }
@@ -802,7 +812,9 @@ object GraphOps {
     val degs = canon.select(col("u").as("id"))
       .union(canon.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-    val tri = triangleCounts(canon, "u", "v")
+    // canon is already canonical + persisted: skip triangleCounts'
+    // second least/greatest/distinct pass and duplicate cache copy
+    val tri = triangleCountsCanon(canon)
       .withColumnRenamed("triangles", "_tri")
     val out = degs.join(tri, Seq("id"), "left_outer")
       .select(col("id"), col("deg"),
@@ -1052,9 +1064,10 @@ object GraphOps {
     * O(frontier x degree) rows, never the full distance table, and the
     * edge list (persisted pre-partitioned on `src`) never reshuffles.
     *
-    * Each frontier is pinned (two consumers: the settled union and the
-    * next round's join), so the settled set is a union of materialized
-    * node-sized frames, not a growing lineage tree.
+    * Each frontier is pinned (consumed by later anti-joins and the
+    * next round's edge join), and the per-round anti-join touches only
+    * the last two frontiers — by the BFS distance property nothing
+    * older can collide — so round cost is independent of depth.
     *
     * Unreached-within-`maxHops` nodes are absent from the output (the
     * caller left-joins the node universe if it wants nulls); seeds not
@@ -1083,12 +1096,17 @@ object GraphOps {
     var h = 0
     while (h < maxHops) {
       h += 1
-      val settled = rounds.reduce(_ unionByName _)
+      // BFS distance property: a neighbor of a distance-(h−1) node is
+      // at distance ≥ h−2, so only the last TWO frontiers can collide
+      // with the candidates — the anti-join reads O(1) pinned frames
+      // per round, never the whole settled history (which would rescan
+      // O(h²) frames over a deep sweep).
+      val recent = rounds.takeRight(2).reduce(_ unionByName _)
       frontier = frontier
         .join(e, frontier("id") === e("src"))
         .select(col("dst").as("id"))
         .distinct()
-        .join(settled, Seq("id"), "left_anti")
+        .join(recent.select(col("id")), Seq("id"), "left_anti")
         .withColumn("hops", lit(h))
         .stagePin()
       rounds += frontier

@@ -952,7 +952,12 @@ object StatOps {
       .groupBy("_k")
       .agg(count(lit(1)).as("n_diffs"),
         sum(abs(col("_v") - col("_pv"))).as("_sad"))
-    fc.join(nv, Seq("_k"))
+    // full outer: a key with one error set but not the other (e.g. two
+    // observations exactly one season apart — a forecast pair but zero
+    // consecutive diffs) still reports its row with mase null, as the
+    // contract above promises; an inner join would silently drop it
+    fc.join(nv, Seq("_k"), "full_outer")
+      .na.fill(0L, Seq("n_forecasts", "n_diffs"))
       .select(col("_k").as(keyCol), col("n_forecasts"), col("n_diffs"),
         when(col("n_forecasts") > 0L && col("n_diffs") > 0L &&
             col("_sad") > 0,
@@ -978,6 +983,11 @@ object StatOps {
     * Scale: one rollup to days, a per-key dense grid explode (bounded
     * by the key's span), one windowed pass, two phase-sized rollups —
     * all partitioned by key; nothing corpus-quadratic, no driver state.
+    *
+    * Phase is `pmod(day, period)` — always non-negative, so pre-1970
+    * timestamps (negative epoch-day indices) land in the same phase on
+    * any engine; a replaying oracle must use ((day % p) + p) % p, not
+    * the sign-of-dividend `%`.
     *
     * @param period season length in days, odd (centered window)
     * @return (`key`, `phase` = day mod period, `n_days` interior days

@@ -905,12 +905,14 @@ object AnalyticsQueries {
              |    sum(abs(a.rev - b.rev)) AS sad
              |  FROM m a JOIN m b ON a.k = b.k AND b.t = a.t - 1
              |  GROUP BY 1)
-             |SELECT fc.k AS o_orderpriority, n_forecasts, n_diffs,
+             |SELECT coalesce(fc.k, nv.k) AS o_orderpriority,
+             |  coalesce(n_forecasts, 0) AS n_forecasts,
+             |  coalesce(n_diffs, 0) AS n_diffs,
              |  CASE WHEN n_forecasts > 0 AND n_diffs > 0 AND sad > 0 THEN
              |    (CAST(sae AS DOUBLE) / CAST(n_forecasts AS DOUBLE)) /
              |    (CAST(sad AS DOUBLE) / CAST(n_diffs AS DOUBLE))
              |  END AS mase
-             |FROM fc JOIN nv ON nv.k = fc.k
+             |FROM fc FULL OUTER JOIN nv ON nv.k = fc.k
              |ORDER BY o_orderpriority""".stripMargin),
       "MASE: seasonal MAE over one-step-naive MAE, exact DECIMAL error sums"),
 

@@ -1215,7 +1215,7 @@ object BehaviorQueries {
              |    count(*) OVER (PARTITION BY u ORDER BY day
              |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wc
              |  FROM filled),
-             |det AS (SELECT u, day, day % 7 AS phase,
+             |det AS (SELECT u, day, ((day % 7) + 7) % 7 AS phase,
              |    CAST(y AS DOUBLE) - CAST(w AS DOUBLE) / 7.0 AS d
              |  FROM tr WHERE wc = 7),
              |sr AS (SELECT u, phase, CAST(count(*) AS BIGINT) AS n_days,

@@ -1089,7 +1089,8 @@ object CorpusQueries {
            |r AS (SELECT c_nationkey, max(n) AS group_n,
            |    CAST(count(*) AS BIGINT) AS n_values,
            |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |        list(term ORDER BY sv)), (a, x) -> a + x) AS entropy
+           |        list(term ORDER BY sv NULLS FIRST)), (a, x) -> a + x)
+           |      AS entropy
            |  FROM t GROUP BY 1)
            |SELECT c_nationkey, group_n, n_values, entropy,
            |  entropy >= $lnL AS entropy_l_ok

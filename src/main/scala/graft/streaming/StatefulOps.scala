@@ -129,9 +129,15 @@ object StatefulOps {
     * CUSUM monitor as O(1) INTEGER state per key — (running drift sum,
     * running min incl. the empty prefix, max excursion, first-alarm
     * index). Integer arithmetic makes stream/batch parity EXACT by
-    * construction, not just ulp-close: the spec asserts equality for an
-    * arbitrary micro-batch split. Emits the current chart per key per
-    * micro-batch — the shape an alerting sink consumes. */
+    * construction, not just ulp-close: the spec asserts equality for
+    * ORDER-PRESERVING micro-batch splits. Like the EWMA/Holt twins
+    * (and unlike [[sessionizeStream]], whose state can absorb
+    * stragglers), a fold's state cannot be rewound: an event arriving
+    * in a later batch than a (ts, id)-successor is folded out of
+    * order. Feed it a watermarked, per-key-ordered stream, or accept
+    * arrival order as the fold order — the standard monitoring
+    * contract. Emits the current chart per key per micro-batch — the
+    * shape an alerting sink consumes. */
   def cusumControlStream(
       ds: Dataset[ValEv], targetCents: Long, slackCents: Long,
       thresholdCents: Long, scale: Double = 100.0): Dataset[CusumAlarm] = {
@@ -166,60 +172,78 @@ object StatefulOps {
   }
 
   final case class SessState(startUs: Long, endUs: Long, n: Long)
+  final case class OpenSessions(sessions: Seq[SessState])
   final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)
 
   /** Streaming sessionizer with an event-time gap — the streaming twin
-    * of the batch `sessionize` gate's lag/gap reconstruction. State per
-    * key = the one OPEN session (start, end, count); an arriving event
-    * either extends it or CLOSES it (emitting the closed session) and
-    * opens the next; a key silent past `gap` closes via event-time
-    * timeout, so sessions of churned users still flush without waiting
-    * for their next visit. Emits CLOSED sessions only (Append-mode
-    * deterministic — an open session's end is unknowable).
+    * of the batch `sessionize` gate's lag/gap reconstruction, built the
+    * way Append mode REQUIRES: a session is emitted only when the
+    * watermark passes its end + gap, never on a gap-jump. (Emitting on
+    * the jump looks right on in-order data but is unamendable — a
+    * within-watermark straggler that belonged to the emitted session
+    * would be silently folded into the wrong, later one. Measured in
+    * review; this is why the state holds a LIST of open sessions.)
     *
-    * The caller's stream must carry a watermark on `ts` (event-time
-    * timeouts are measured against it).
+    * Per key the state is the open sessions; an arriving event starts a
+    * singleton session and the list re-normalizes by merging any two
+    * sessions within `gap` of each other — so stragglers extend
+    * sessions BACKWARD and can bridge two open sessions into one.
+    * Sessions close in two places: inline when a batch's watermark has
+    * already passed end + gap, and via event-time timeout for keys
+    * gone silent. Events older than the watermark are dropped by Spark
+    * before they reach the state function (the standard lateness
+    * contract — size the watermark delay to the straggle you accept).
+    *
+    * The caller's stream must carry a watermark on `ts`.
     */
   def sessionizeStream(
       ds: Dataset[ValEv], gapSeconds: Long): Dataset[ClosedSession] = {
     require(gapSeconds > 0, s"gapSeconds must be > 0, got $gapSeconds")
-    val gapUs = gapSeconds * 1000000L
+    val gapMs = gapSeconds * 1000L
     implicit val outEnc = Encoders.product[ClosedSession]
     implicit val keyEnc = Encoders.scalaLong
-    implicit val stateEnc = Encoders.product[SessState]
+    implicit val stateEnc = Encoders.product[OpenSessions]
     def toTs(us: Long) = new java.sql.Timestamp(us / 1000L)
+    def emit(uid: Long, s: SessState) =
+      ClosedSession(uid, toTs(s.startUs), toTs(s.endUs), s.n)
+    // closable iff even the earliest acceptable future event (just
+    // above the watermark) could no longer merge: end + gap <= wm
+    def split(open: Seq[SessState], wmMs: Long) =
+      open.partition(s => s.endUs / 1000L + gapMs <= wmMs)
+    def park(state: GroupState[OpenSessions], open: Seq[SessState]): Unit =
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(OpenSessions(open))
+        state.setTimeoutTimestamp(open.map(_.endUs / 1000L).min + gapMs)
+      }
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (uid: Long, evs: Iterator[ValEv], state: GroupState[SessState]) => {
-          if (!evs.hasNext && state.hasTimedOut) {
-            // watermark passed end + gap: flush the open session
-            val st = state.get
-            state.remove()
-            Iterator.single(
-              ClosedSession(uid, toTs(st.startUs), toTs(st.endUs), st.n))
-          } else {
-            val ordered = evs.toSeq
-              .sortBy(e => (e.ts.getTime, e.event_id))
-            val closed = scala.collection.mutable.Buffer[ClosedSession]()
-            var st = state.getOption.orNull
-            ordered.foreach { e =>
-              val us = e.ts.getTime * 1000L
-              if (st == null) st = SessState(us, us, 1L)
-              else if (us - st.endUs > gapUs) {
-                closed += ClosedSession(uid, toTs(st.startUs),
-                  toTs(st.endUs), st.n)
-                st = SessState(us, us, 1L)
-              } else st = SessState(st.startUs, math.max(st.endUs, us),
-                st.n + 1L)
+        (uid: Long, evs: Iterator[ValEv], state: GroupState[OpenSessions]) => {
+          val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val merged =
+            if (!evs.hasNext) prior
+            else {
+              // every event is a singleton session; normalizing the
+              // sorted list merges forward, backward, and bridges
+              val all = (prior ++ evs.map { e =>
+                val us = e.ts.getTime * 1000L
+                SessState(us, us, 1L)
+              }).sortBy(s => (s.startUs, s.endUs))
+              all.foldLeft(List.empty[SessState]) { (acc, s) =>
+                acc match {
+                  case h :: t if s.startUs - h.endUs <= gapMs * 1000L =>
+                    SessState(h.startUs, math.max(h.endUs, s.endUs),
+                      h.n + s.n) :: t
+                  case _ => s :: acc
+                }
+              }.reverse
             }
-            if (st != null) {
-              state.update(st)
-              state.setTimeoutTimestamp(st.endUs / 1000L + gapSeconds * 1000L)
-            }
-            closed.iterator
-          }
+          val wm = state.getCurrentWatermarkMs()
+          val (done, open) = split(merged, wm)
+          park(state, open)
+          done.sortBy(_.startUs).map(emit(uid, _)).iterator
         })
   }
 }

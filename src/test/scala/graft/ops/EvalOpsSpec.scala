@@ -366,4 +366,21 @@ class EvalOpsSpec extends AnyFunSuite {
       ("a", 2L, 1L, 1L, Some(1.0), Some(0.5), 2.0 / 3.0),
       ("x", 0L, 1L, 0L, Some(0.0), None, 0.0)))
   }
+
+  test("multiclassF1: null label and null prediction are ONE missing class") {
+    // (null,'a'), ('a',null), (null,null): the null class has n_true 2
+    // (rows 1 and 3), n_pred 2 (rows 2 and 3), tp 1 (row 3) — plain
+    // equi-joins would split it into two half-rows
+    val df = Seq((None: Option[String], Some("a")),
+      (Some("a"), None: Option[String]),
+      (None: Option[String], None: Option[String])).toDF("y", "p")
+    val per = EvalOps.multiclassF1(df, "y", "p")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(per == Seq(
+      (None, 2L, 2L, 1L), (Some("a"), 1L, 1L, 0L)))
+    val sm = EvalOps.multiclassF1Summary(EvalOps.multiclassF1(df, "y", "p"))
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(sm._1 == 3L && sm._2 == 2L) // null class counted ONCE
+  }
 }

@@ -428,6 +428,14 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     val g2 = StatOps.maseSeasonalNaive(const, "k", "t", "v", season = 1)
       .as[(Long, Long, Long, Option[Double])].collect().head
     assert(g2 == ((2L, 2L, 2L, None)))
+    // one-sided error set: t = {0, 12} at season 12 has a forecast pair
+    // but zero consecutive diffs — the key must still report (null mase)
+    val oneSided = Seq((3L, 0L, 1.0), (3L, 12L, 9.0))
+      .toDF("k", "t", "raw")
+      .select($"k", $"t", $"raw".cast("decimal(18,2)").as("v"))
+    val g3 = StatOps.maseSeasonalNaive(oneSided, "k", "t", "v", season = 12)
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(g3 == ((3L, 1L, 0L, None)))
   }
 
   test("seasonalDecompose: pure periodic signal recovers exact indices") {

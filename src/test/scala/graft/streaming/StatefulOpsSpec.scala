@@ -192,4 +192,34 @@ class StatefulOpsSpec extends AnyFunSuite {
     // user 2's session stays OPEN (watermark never passed it): absent
     assert(rows == Set((1L, 100L, 105L, 2L), (1L, 140L, 140L, 1L)))
   }
+
+  test("sessionizeStream: within-watermark straggler extends a session BACKWARD") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[StatefulOps.ValEv]
+    // 1-hour watermark delay: a cross-batch out-of-order event is NOT
+    // late, and must merge into the session it belongs to — the case
+    // an emit-on-gap-jump design gets permanently wrong
+    val out = StatefulOps.sessionizeStream(
+      input.toDS().withWatermark("ts", "1 hour"), gapSeconds = 10L)
+    val q = out.writeStream.format("memory").queryName("sess_ooo")
+      .outputMode(OutputMode.Append).start()
+    input.addData(StatefulOps.ValEv(3L, ts(1000), 1L, 0.0))
+    q.processAllAvailable()
+    // straggler 5s BEFORE the open session's start (within the gap)
+    input.addData(StatefulOps.ValEv(3L, ts(995), 2L, 0.0))
+    q.processAllAvailable()
+    // far-future events push the watermark past end + gap twice
+    input.addData(StatefulOps.ValEv(3L, ts(50000), 3L, 0.0))
+    q.processAllAvailable()
+    input.addData(StatefulOps.ValEv(3L, ts(60000), 4L, 0.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT user_id, session_start, session_end, n_events FROM sess_ooo")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L,
+        r.getTimestamp(2).getTime / 1000L, r.getLong(3))).toSet
+    q.stop()
+    assert(rows == Set((3L, 995L, 1000L, 2L), (3L, 50000L, 50000L, 1L)))
+  }
 }
