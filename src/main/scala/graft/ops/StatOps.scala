@@ -919,6 +919,53 @@ object StatOps {
         col("g_max"), col("first_alarm"))
   }
 
+  /** Pairwise Pearson correlation matrix over a set of numeric columns
+    * — the data-profiling pass behind "which measures move together"
+    * and feature-redundancy screens. ONE corpus scan computes every
+    * column's cent-quantized integer moments and every pair's product
+    * sum on DECIMAL(38,0); the C(k,2) correlations are then fixed IEEE
+    * trees over that single row ([[quantizedRegression]]'s discipline,
+    * widened to the matrix). Null when either side's variance is 0.
+    *
+    * Scale: one map-side-combinable aggregate over the corpus, a
+    * k²-sized literal explode after — nothing keyed, nothing shuffled
+    * but the one rollup. Widen unit scales past ~10⁹ rows of 10⁶-cent
+    * values (the DECIMAL headroom note on [[quantizedRegression]]).
+    *
+    * @return one row per unordered pair: (`col_a`, `col_b`, `n`, `r`).
+    */
+  def correlationMatrix(
+      df: DataFrame, cols: Seq[String], scale: Double = 100.0): DataFrame = {
+    require(cols.size >= 2, s"correlationMatrix: need >= 2 columns, got $cols")
+    require(cols.distinct.size == cols.size, "correlationMatrix: duplicate columns")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def q(c: String) = floor(col(c) * scale).cast("long").cast(d38)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs =
+      Seq(count(lit(1)).cast(d38).as("_n")) ++
+        cols.map(c => sum(q(c)).as(s"_s_$c")) ++
+        cols.map(c => sum(q(c) * q(c)).as(s"_q_${c}_$c")) ++
+        pairs.map { case (a, b) => sum(q(a) * q(b)).as(s"_q_${a}_$b") }
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      val vx = m("_n") * m(s"_q_${a}_$a") - m(s"_s_$a") * m(s"_s_$a")
+      val vy = m("_n") * m(s"_q_${b}_$b") - m(s"_s_$b") * m(s"_s_$b")
+      struct(
+        lit(a).as("col_a"), lit(b).as("col_b"),
+        m("_n").cast("long").as("n"),
+        when(vx > 0 && vy > 0,
+          (m("_n") * m(s"_q_${a}_$b") - m(s"_s_$a") * m(s"_s_$b"))
+            .cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .as("r"))
+    }
+    m.select(explode(array(rows: _*)).as("_p"))
+      .select(col("_p.col_a").as("col_a"), col("_p.col_b").as("col_b"),
+        col("_p.n").as("n"), col("_p.r").as("r"))
+  }
+
   /** MASE — mean absolute scaled error of the seasonal-naive forecast
     * per key (Hyndman & Koehler 2006): MAE of the season-lag forecast
     * over the MAE of the one-step naive on the SAME series. The

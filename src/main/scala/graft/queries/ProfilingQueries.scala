@@ -563,6 +563,53 @@ object ProfilingQueries {
            |  END AS jsd_norm
            |FROM tot, sp, sq ORDER BY n_cats""".stripMargin
       },
-      "JS divergence of src0 vs rest language mixes: exact count rationals, portable ln")
+      "JS divergence of src0 vs rest language mixes: exact count rationals, portable ln"),
+
+    // Pairwise Pearson matrix over lineitem's four measures
+    // ([[graft.ops.StatOps.correlationMatrix]]): the profiling pass
+    // behind feature-redundancy screens. One corpus scan for every
+    // moment, C(4,2) fixed IEEE trees after; the oracle generates the
+    // same six CASE rows from the same HUGEINT moment names.
+    Q(
+      "profile_correlation_matrix",
+      (s, d) =>
+        graft.ops.StatOps.correlationMatrix(T(s, d, "lineitem"),
+            Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .orderBy("col_a", "col_b"),
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val short = cols.zipWithIndex.map { case (c, i) => c -> s"c$i" }.toMap
+        val pairs = for {
+          i <- cols.indices; j <- cols.indices if i < j
+        } yield (cols(i), cols(j))
+        val sums =
+          cols.map(c => s"sum(CAST(${short(c)} AS HUGEINT)) AS s_${short(c)}") ++
+            cols.map(c =>
+              s"sum(CAST(${short(c)} AS HUGEINT) * ${short(c)}) AS q_${short(c)}_${short(c)}") ++
+            pairs.map { case (a, b) =>
+              s"sum(CAST(${short(a)} AS HUGEINT) * ${short(b)}) AS q_${short(a)}_${short(b)}"
+            }
+        val rows = pairs.map { case (a, b) =>
+          val (x, y) = (short(a), short(b))
+          s"""SELECT '$a' AS col_a, '$b' AS col_b,
+             |  CAST(n AS BIGINT) AS n,
+             |  CASE WHEN n * q_${x}_$x - s_$x * s_$x > 0
+             |        AND n * q_${y}_$y - s_$y * s_$y > 0 THEN
+             |    CAST(n * q_${x}_$y - s_$x * s_$y AS DOUBLE) /
+             |    (sqrt(CAST(n * q_${x}_$x - s_$x * s_$x AS DOUBLE)) *
+             |     sqrt(CAST(n * q_${y}_$y - s_$y * s_$y AS DOUBLE)))
+             |  END AS r
+             |FROM m""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH q AS (SELECT
+           |    ${cols.map(c => s"CAST(floor($c * 100) AS BIGINT) AS ${short(c)}").mkString(",\n    ")}
+           |  FROM lineitem),
+           |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+           |    ${sums.mkString(",\n    ")}
+           |  FROM q)
+           |$rows
+           |ORDER BY col_a, col_b""".stripMargin
+      },
+      "Pearson matrix in one scan: cent-quantized DECIMAL moments, C(k,2) IEEE trees")
   )
 }

@@ -408,6 +408,23 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     assert(one == ((1L, 2L, 1L, (s + s) / 2.0 * 86400000000.0)))
   }
 
+  test("correlationMatrix: perfect / anti / constant-column hand cases") {
+    import spark.implicits._
+    // y = x -> r = 1; z = -x -> r(x,z) = r(y,z) = -1; c constant -> null
+    val df = Seq((1.0, 1.0, 9.0, 5.0), (2.0, 2.0, 8.0, 5.0),
+      (3.0, 3.0, 7.0, 5.0)).toDF("x", "y", "z", "c")
+    val got = StatOps.correlationMatrix(df, Seq("x", "y", "z", "c"))
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    // sqrt(v)*sqrt(v) is an ulp off v, so |r| lands within 1e-15 of 1
+    // — that IS the defined IEEE tree (the oracle replays it verbatim)
+    assert(math.abs(got(("x", "y")).get - 1.0) < 1e-15)
+    assert(math.abs(got(("x", "z")).get + 1.0) < 1e-15)
+    assert(math.abs(got(("y", "z")).get + 1.0) < 1e-15)
+    assert(got(("x", "c")) == None && got(("z", "c")) == None)
+    assert(got.size == 6)
+  }
+
   test("maseSeasonalNaive: hand errors; constant series gives null") {
     import spark.implicits._
     // season 2 over t = 0..5, v = 10, 20, 12, 26, 14, 20:
