@@ -733,6 +733,47 @@ object EvalOps {
         max("_n").cast(DoubleType))).as("log_loss"))
   }
 
+  /** Cost-optimal decision threshold over the exact confusion sweep:
+    * classify positive at score ≥ τ, cost(τ) = costFp·fp + costFn·fn,
+    * minimized over every distinct score AND the never-alarm option
+    * (τ = null, cost = costFn·P) — the operating-point pick behind
+    * "review queue capacity costs 1, a missed duplicate costs 5".
+    * Entirely integer (counts from the range-staged running sums, one
+    * integer cost expression), argmin by an order-free struct-min with
+    * ties to the LOWEST threshold, so the pick is exact and
+    * hash-stable — no ROC tangent geometry, no floats at all.
+    *
+    * @return one row: (`threshold` null = never alarm, `tp`, `fp`,
+    *         `fn`, `cost`).
+    */
+  def optimalThreshold(
+      df: DataFrame, labelCol: String, scoreCol: String,
+      costFp: Long, costFn: Long): DataFrame = {
+    require(costFp >= 0 && costFn >= 0,
+      s"optimalThreshold: negative costs ($costFp, $costFn)")
+    val perScore = df.groupBy(col(scoreCol).as("threshold"))
+      .agg(sum(col(labelCol).cast("long")).as("_pos"),
+        (count(lit(1)) - sum(col(labelCol).cast("long"))).as("_neg"))
+    val totals = perScore.agg(sum("_pos").as("_p_total"))
+    val swept = StatOps.globalRunningSums(perScore,
+        Seq(col("threshold").desc), Seq("_pos" -> "tp", "_neg" -> "fp"))
+      .crossJoin(broadcast(totals)) // 1-row totals frame (declared)
+      .select(col("threshold").cast("long").as("_thr"), col("tp"),
+        col("fp"), (col("_p_total") - col("tp")).as("fn"))
+      // the never-alarm operating point: rejects everything
+      .unionByName(totals.select(lit(Long.MaxValue).as("_thr"),
+        lit(0L).as("tp"), lit(0L).as("fp"), col("_p_total").as("fn")))
+      .withColumn("cost",
+        lit(costFp) * col("fp") + lit(costFn) * col("fn"))
+    swept.agg(min(struct(col("cost"), col("_thr"), col("tp"), col("fp"),
+        col("fn"))).as("_m"))
+      .select(
+        when(col("_m._thr") =!= Long.MaxValue, col("_m._thr"))
+          .as("threshold"),
+        col("_m.tp").as("tp"), col("_m.fp").as("fp"),
+        col("_m.fn").as("fn"), col("_m.cost").as("cost"))
+  }
+
   /** Per-class precision/recall/F1 of a single-label multiclass
     * classifier. The class domain is the UNION of observed truth and
     * predicted labels (full outer join of the two marginals), so a

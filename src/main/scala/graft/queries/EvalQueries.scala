@@ -536,6 +536,39 @@ object EvalQueries {
       },
       "log-loss on rational Laplace-smoothed probabilities: portable ln, domain fold"),
 
+    // Cost-optimal operating point ([[EvalOps.optimalThreshold]]): keep
+    // docs at score ≥ τ, a false keep costs 1, a missed keeper costs 5;
+    // the sweep includes the never-alarm option. Entirely integer —
+    // counts, one cost expression, struct-argmin with ties to the
+    // lowest threshold.
+    Q(
+      "eval_threshold_opt",
+      (s, d) =>
+        EvalOps.optimalThreshold(scored(s, d), "is_en", "score",
+          costFp = 1L, costFn = 5L),
+      Some(s"""WITH $scoredCte,
+              |ps AS (SELECT score AS thr,
+              |    CAST(count(*) AS BIGINT) AS cnt,
+              |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p
+              |  FROM s GROUP BY 1),
+              |t AS (SELECT CAST(sum(p) AS BIGINT) AS pt FROM ps),
+              |c AS (SELECT thr,
+              |    CAST(sum(p) OVER w AS BIGINT) AS tp,
+              |    CAST(sum(cnt - p) OVER w AS BIGINT) AS fp
+              |  FROM ps
+              |  WINDOW w AS (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING)),
+              |sw AS (SELECT c.thr, tp, fp, t.pt - tp AS fn FROM c, t
+              |  UNION ALL
+              |  SELECT 9223372036854775807, CAST(0 AS BIGINT),
+              |    CAST(0 AS BIGINT), pt FROM t),
+              |k AS (SELECT thr, tp, fp, fn, 1 * fp + 5 * fn AS cost
+              |  FROM sw)
+              |SELECT CASE WHEN thr <> 9223372036854775807 THEN thr END
+              |    AS threshold,
+              |  tp, fp, fn, cost
+              |FROM k ORDER BY cost, thr LIMIT 1""".stripMargin),
+      "cost-optimal threshold: integer confusion sweep incl. never-alarm, exact argmin"),
+
     // Cumulative gains/lift table ([[EvalOps.gainsTable]]): score
     // deciles of the classifier vs the is-English label — "the top
     // decile captures X% of English docs at Y× random". Exact

@@ -53,6 +53,7 @@ class PlanGuardSpec extends AnyFunSuite {
       "corpus_dsir_stats",
       // 1-row n_pos-total broadcast onto the distinct-score PR frame
       "eval_pr_curve", "eval_average_precision", "eval_log_loss",
+      "eval_threshold_opt",
       // 1-row count broadcast onto the ranked frame
       "layout_range_boundaries",
       // 1-row (n_tot, denom) totals broadcast onto the |sources| frame

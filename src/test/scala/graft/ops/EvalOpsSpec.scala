@@ -367,6 +367,24 @@ class EvalOpsSpec extends AnyFunSuite {
       ("x", 0L, 1L, 0L, Some(0.0), None, 0.0)))
   }
 
+  test("optimalThreshold: hand sweep incl. never-alarm; ties to lowest") {
+    // scores: 10(pos), 8(neg), 5(pos), 2(neg); costFp=1, costFn=2:
+    // t=10: fp0 fn1 -> 2; t=8: fp1 fn1 -> 3; t=5: fp1 fn0 -> 1*;
+    // t=2: fp2 fn0 -> 2; never-alarm: fn2 -> 4. argmin = t=5, cost 1
+    val df = Seq((1L, true, 10L), (2L, false, 8L), (3L, true, 5L),
+      (4L, false, 2L)).toDF("id", "y", "score")
+    val got = EvalOps.optimalThreshold(df, "y", "score", 1L, 2L)
+      .as[(Option[Long], Long, Long, Long, Long)].collect().head
+    assert(got == ((Some(5L), 2L, 1L, 0L, 1L)))
+    // never-alarm wins when a NEGATIVE doc tops the score order and FP
+    // cost is prohibitive: every threshold admits that FP (cost >= 100)
+    // while never-alarm only pays the one missed positive (cost 1)
+    val df2 = Seq((1L, false, 10L), (2L, true, 8L)).toDF("id", "y", "score")
+    val g2 = EvalOps.optimalThreshold(df2, "y", "score", 100L, 1L)
+      .as[(Option[Long], Long, Long, Long, Long)].collect().head
+    assert(g2 == ((None, 0L, 0L, 1L, 1L)))
+  }
+
   test("multiclassF1: null label and null prediction are ONE missing class") {
     // (null,'a'), ('a',null), (null,null): the null class has n_true 2
     // (rows 1 and 3), n_pred 2 (rows 2 and 3), tp 1 (row 3) — plain
