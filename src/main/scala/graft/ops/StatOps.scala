@@ -919,6 +919,57 @@ object StatOps {
         col("g_max"), col("first_alarm"))
   }
 
+  /** One-way ANOVA F statistic across groups: the "do these priorities
+    * differ in mean at all" omnibus test completing the pairwise tier
+    * (z-test, Mann-Whitney, KS). Decomposes total variance into
+    * between/within via the classic identities on exact cent moments —
+    * SSB = Σ_g S_g²/n_g − S²/N, SSW = Q − Σ_g S_g²/n_g — where every
+    * S_g, Q rides DECIMAL(38,0); each group term S_g²/n_g is ONE
+    * double division of exact integers, folded in GROUP order (sums of
+    * doubles hash-gate only order-pinned), and F is a fixed IEEE tree.
+    * Emits the statistic and its degrees of freedom, not a p-value — a
+    * p-value needs the F distribution's incomplete beta, which no
+    * engine computes reproducibly (the [[graft.expr.PortableLnRatio]]
+    * lesson); consumers compare F to their own critical value.
+    *
+    * @return one row: (`k` groups, `n`, `ssb`, `ssw`, `f` — null when
+    *         k < 2, n <= k, or SSW = 0).
+    */
+  def anovaF(
+      df: DataFrame, groupCol: String, valueCol: String,
+      scale: Double = 100.0): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val per = df
+      .select(col(groupCol).as("_g"),
+        floor(col(valueCol) * scale).cast("long").cast(d38).as("_x"))
+      .groupBy("_g")
+      .agg(count(lit(1)).cast(d38).as("_ng"), sum(col("_x")).as("_sg"),
+        sum(col("_x") * col("_x")).as("_qg"))
+      .withColumn("_tg",
+        (col("_sg") * col("_sg")).cast("double") / col("_ng").cast("double"))
+    val m = per.agg(
+      count(lit(1)).as("k"),
+      sum(col("_ng")).cast("double").as("_n"),
+      sum(col("_ng")).cast(d38).as("_nd"),
+      sum(col("_sg")).as("_s"),
+      sum(col("_qg")).cast("double").as("_q"),
+      aggregate(
+        transform(array_sort(collect_list(struct(col("_g"), col("_tg").as("_t")))),
+          x => x.getField("_t")),
+        lit(0.0), (acc, x) => acc + x).as("_tsum"))
+    m.select(col("k"), col("_nd").cast("long").as("n"),
+        (col("_tsum") - (col("_s") * col("_s")).cast("double") / col("_n"))
+          .as("ssb"),
+        (col("_q") - col("_tsum")).as("ssw"),
+        col("_n").as("_n"), col("k").as("_k"))
+      .select(col("k"), col("n"), col("ssb"), col("ssw"),
+        when(col("_k") > 1L && col("_n") > col("_k").cast("double") &&
+            col("ssw") > 0.0,
+          (col("ssb") / (col("_k") - 1L).cast("double")) /
+            (col("ssw") / (col("_n") - col("_k").cast("double"))))
+          .as("f"))
+  }
+
   /** Pairwise Pearson correlation matrix over a set of numeric columns
     * — the data-profiling pass behind "which measures move together"
     * and feature-redundancy screens. ONE corpus scan computes every

@@ -916,6 +916,47 @@ object AnalyticsQueries {
              |ORDER BY o_orderpriority""".stripMargin),
       "MASE: seasonal MAE over one-step-naive MAE, exact DECIMAL error sums"),
 
+    // One-way ANOVA F across order priorities
+    // ([[graft.ops.StatOps.anovaF]]): the omnibus "any mean difference
+    // at all" test beside the pairwise tier. Exact DECIMAL cent
+    // moments; each group's S²/n term is one double division folded in
+    // group order; F is a fixed IEEE tree (no p-value — the F CDF is
+    // not engine-reproducible; consumers bring their critical value).
+    Q(
+      "stats_anova_f",
+      (s, d) =>
+        graft.ops.StatOps.anovaF(T(s, d, "orders"), "o_orderpriority",
+          "o_totalprice", scale = 100.0),
+      Some("""WITH per AS (SELECT o_orderpriority AS g,
+             |    CAST(count(*) AS HUGEINT) AS ng,
+             |    sum(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+             |      AS HUGEINT)) AS sg,
+             |    sum(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+             |          AS HUGEINT) *
+             |        CAST(floor(o_totalprice * 100) AS BIGINT)) AS qg
+             |  FROM orders GROUP BY 1),
+             |t AS (SELECT g, ng, sg, qg,
+             |    CAST(sg * sg AS DOUBLE) / CAST(ng AS DOUBLE) AS tg
+             |  FROM per),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             |    CAST(sum(ng) AS DOUBLE) AS n,
+             |    CAST(sum(ng) AS BIGINT) AS nn,
+             |    sum(sg) AS s, CAST(sum(qg) AS DOUBLE) AS q,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list(tg ORDER BY g)), (a, x) -> a + x) AS tsum
+             |  FROM t)
+             |SELECT k, nn AS n,
+             |  tsum - CAST(s * s AS DOUBLE) / n AS ssb,
+             |  q - tsum AS ssw,
+             |  CASE WHEN k > 1 AND n > CAST(k AS DOUBLE)
+             |      AND q - tsum > 0 THEN
+             |    ((tsum - CAST(s * s AS DOUBLE) / n) /
+             |      CAST(k - 1 AS DOUBLE)) /
+             |    ((q - tsum) / (n - CAST(k AS DOUBLE)))
+             |  END AS f
+             |FROM m""".stripMargin),
+      "one-way ANOVA F: exact DECIMAL moments, group-ordered term folds, no libm"),
+
     // Market-basket association: top part pairs by LIFT —
     // P(a,b)/(P(a)P(b)) = c_ab·N/(c_a·c_b), exact integers into one
     // double division — with a support floor (≥ 2 co-orders) so the

@@ -408,6 +408,31 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     assert(one == ((1L, 2L, 1L, (s + s) / 2.0 * 86400000000.0)))
   }
 
+  test("anovaF: hand decomposition; identical groups give F null-or-0 path") {
+    import spark.implicits._
+    // groups a = {1,2,3}, b = {4,5,6}: S_a=6 S_b=15 Q=91 N=6
+    // tsum = 36/3 + 225/3 = 87; ssb = 87 - 441/6 = 13.5; ssw = 91-87 = 4
+    // F = (13.5/1)/(4/4) = 13.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val got = StatOps.anovaF(df, "g", "v", scale = 1.0)
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    assert(got._1 == 2L && got._2 == 6L)
+    assert(got._3 == 13.5 && got._4 == 4.0)
+    assert(got._5 == Some(13.5))
+    // zero within-variance (constant groups) -> F undefined, null
+    val const = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0))
+      .toDF("g", "v")
+    val g2 = StatOps.anovaF(const, "g", "v", scale = 1.0)
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    assert(g2._4 == 0.0 && g2._5.isEmpty)
+    // single group -> k=1 -> null
+    val one = Seq(("a", 1.0), ("a", 5.0)).toDF("g", "v")
+    assert(StatOps.anovaF(one, "g", "v", scale = 1.0)
+      .as[(Long, Long, Double, Double, Option[Double])]
+      .collect().head._5.isEmpty)
+  }
+
   test("correlationMatrix: perfect / anti / constant-column hand cases") {
     import spark.implicits._
     // y = x -> r = 1; z = -x -> r(x,z) = r(y,z) = -1; c constant -> null
