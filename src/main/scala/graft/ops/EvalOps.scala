@@ -99,6 +99,24 @@ object EvalOps {
     * no single-partition window, no driver loop.
     */
   def prCurve(
+      df: DataFrame, labelCol: String, scoreCol: String): DataFrame =
+    confusionSweep(df, labelCol, scoreCol)
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        (col("tp").cast(DoubleType) / (col("tp") + col("fp"))).as("precision"),
+        (col("tp").cast(DoubleType) / col("_p_total")).as("recall"))
+
+  /** The confusion sweep every threshold-based evaluator shares
+    * ([[prCurve]], [[averagePrecision]], [[optimalThreshold]]): one row
+    * per DISTINCT score threshold t (ORIGINAL score type — never cast)
+    * with the exact counts of "positive iff score >= t". The corpus
+    * collapses to per-score rows first, then
+    * [[StatOps.globalRunningSums]] prefix-sums under (score desc) — a
+    * domain-sized frame, no single-partition window.
+    *
+    * @return (`threshold`, `_pos` the threshold's own positive count,
+    *         `tp`, `fp`, `fn`, `_p_total`).
+    */
+  private def confusionSweep(
       df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
     val perScore = df.groupBy(col(scoreCol).as("threshold"))
       .agg(
@@ -109,10 +127,8 @@ object EvalOps {
     StatOps.globalRunningSums(perScore, Seq(col("threshold").desc),
         Seq("_pos" -> "tp", "_neg" -> "fp"))
       .crossJoin(broadcast(totals)) // 1-row totals frame (declared)
-      .select(col("threshold"), col("tp"), col("fp"),
-        (col("_p_total") - col("tp")).as("fn"),
-        (col("tp").cast(DoubleType) / (col("tp") + col("fp"))).as("precision"),
-        (col("tp").cast(DoubleType) / col("_p_total")).as("recall"))
+      .select(col("threshold"), col("_pos"), col("tp"), col("fp"),
+        (col("_p_total") - col("tp")).as("fn"), col("_p_total"))
   }
 
   /** Per-group PERCENT_RANK without a group window: the score
@@ -666,13 +682,7 @@ object EvalOps {
     */
   def averagePrecision(
       df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
-    val perScore = df.groupBy(col(scoreCol).as("threshold"))
-      .agg(sum(col(labelCol).cast("long")).as("_pos"),
-        (count(lit(1)) - sum(col(labelCol).cast("long"))).as("_neg"))
-    val totals = perScore.agg(sum("_pos").as("_p_total"))
-    val cum = StatOps.globalRunningSums(perScore,
-        Seq(col("threshold").desc), Seq("_pos" -> "tp", "_neg" -> "fp"))
-      .crossJoin(broadcast(totals)) // 1-row totals frame (declared)
+    val cum = confusionSweep(df, labelCol, scoreCol)
       .withColumn("_term",
         // the P = 0 guard keeps ANSI mode from 0/0 on an all-negative
         // corpus; the final AP is null-gated on P anyway
@@ -733,15 +743,19 @@ object EvalOps {
         max("_n").cast(DoubleType))).as("log_loss"))
   }
 
-  /** Cost-optimal decision threshold over the exact confusion sweep:
+  /** Cost-optimal decision threshold over the exact [[confusionSweep]]:
     * classify positive at score ≥ τ, cost(τ) = costFp·fp + costFn·fn,
     * minimized over every distinct score AND the never-alarm option
     * (τ = null, cost = costFn·P) — the operating-point pick behind
     * "review queue capacity costs 1, a missed duplicate costs 5".
     * Entirely integer (counts from the range-staged running sums, one
     * integer cost expression), argmin by an order-free struct-min with
-    * ties to the LOWEST threshold, so the pick is exact and
-    * hash-stable — no ROC tangent geometry, no floats at all.
+    * ties to the LOWEST threshold (never-alarm LOSES ties to any real
+    * threshold), so the pick is exact and hash-stable — no ROC tangent
+    * geometry, no floats at all. The threshold keeps the score
+    * column's ORIGINAL type, and never-alarm rides an out-of-band flag
+    * — no sentinel value a real score could collide with, no cast a
+    * fractional score could be truncated by.
     *
     * @return one row: (`threshold` null = never alarm, `tp`, `fp`,
     *         `fn`, `cost`).
@@ -751,25 +765,24 @@ object EvalOps {
       costFp: Long, costFn: Long): DataFrame = {
     require(costFp >= 0 && costFn >= 0,
       s"optimalThreshold: negative costs ($costFp, $costFn)")
-    val perScore = df.groupBy(col(scoreCol).as("threshold"))
-      .agg(sum(col(labelCol).cast("long")).as("_pos"),
-        (count(lit(1)) - sum(col(labelCol).cast("long"))).as("_neg"))
-    val totals = perScore.agg(sum("_pos").as("_p_total"))
-    val swept = StatOps.globalRunningSums(perScore,
-        Seq(col("threshold").desc), Seq("_pos" -> "tp", "_neg" -> "fp"))
-      .crossJoin(broadcast(totals)) // 1-row totals frame (declared)
-      .select(col("threshold").cast("long").as("_thr"), col("tp"),
-        col("fp"), (col("_p_total") - col("tp")).as("fn"))
-      // the never-alarm operating point: rejects everything
-      .unionByName(totals.select(lit(Long.MaxValue).as("_thr"),
-        lit(0L).as("tp"), lit(0L).as("fp"), col("_p_total").as("fn")))
+    val sweep = confusionSweep(df, labelCol, scoreCol)
+      .select(col("threshold"), lit(false).as("_never"), col("tp"),
+        col("fp"), col("fn"))
+    // the never-alarm point needs only P = max(tp + fn), a one-row
+    // aggregate of the domain-sized sweep — not another corpus scan
+    val never = sweep
+      .agg(coalesce(max(col("tp") + col("fn")), lit(0L)).as("fn"))
+      .select(lit(null).cast(sweep.schema("threshold").dataType)
+          .as("threshold"),
+        lit(true).as("_never"), lit(0L).as("tp"), lit(0L).as("fp"),
+        col("fn"))
+    val swept = sweep.unionByName(never)
       .withColumn("cost",
         lit(costFp) * col("fp") + lit(costFn) * col("fn"))
-    swept.agg(min(struct(col("cost"), col("_thr"), col("tp"), col("fp"),
-        col("fn"))).as("_m"))
+    swept.agg(min(struct(col("cost"), col("_never"), col("threshold"),
+        col("tp"), col("fp"), col("fn"))).as("_m"))
       .select(
-        when(col("_m._thr") =!= Long.MaxValue, col("_m._thr"))
-          .as("threshold"),
+        when(!col("_m._never"), col("_m.threshold")).as("threshold"),
         col("_m.tp").as("tp"), col("_m.fp").as("fp"),
         col("_m.fn").as("fn"), col("_m.cost").as("cost"))
   }

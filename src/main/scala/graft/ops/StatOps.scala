@@ -926,7 +926,9 @@ object StatOps {
     * SSB = Σ_g S_g²/n_g − S²/N, SSW = Q − Σ_g S_g²/n_g — where every
     * S_g, Q rides DECIMAL(38,0); each group term S_g²/n_g is ONE
     * double division of exact integers, folded in GROUP order (sums of
-    * doubles hash-gate only order-pinned), and F is a fixed IEEE tree.
+    * doubles hash-gate only order-pinned — a null group sorts FIRST in
+    * Spark's struct order, so a replaying oracle must fold
+    * `ORDER BY g NULLS FIRST`), and F is a fixed IEEE tree.
     * Emits the statistic and its degrees of freedom, not a p-value — a
     * p-value needs the F distribution's incomplete beta, which no
     * engine computes reproducibly (the [[graft.expr.PortableLnRatio]]
@@ -991,23 +993,30 @@ object StatOps {
     require(cols.distinct.size == cols.size, "correlationMatrix: duplicate columns")
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     def q(c: String) = floor(col(c) * scale).cast("long").cast(d38)
+    // internal moment names key on column INDEX, never the column name:
+    // name interpolation collides on underscored names ((x, y_z) and
+    // (x_y, z) both rendering _q_x_y_z), and underscored names are the
+    // norm in every table here
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
-    } yield (cols(i), cols(j))
+    } yield (i, j)
     val aggs =
       Seq(count(lit(1)).cast(d38).as("_n")) ++
-        cols.map(c => sum(q(c)).as(s"_s_$c")) ++
-        cols.map(c => sum(q(c) * q(c)).as(s"_q_${c}_$c")) ++
-        pairs.map { case (a, b) => sum(q(a) * q(b)).as(s"_q_${a}_$b") }
+        cols.indices.map(i => sum(q(cols(i))).as(s"_s_$i")) ++
+        cols.indices.map(i =>
+          sum(q(cols(i)) * q(cols(i))).as(s"_q_${i}_$i")) ++
+        pairs.map { case (i, j) =>
+          sum(q(cols(i)) * q(cols(j))).as(s"_q_${i}_$j")
+        }
     val m = df.agg(aggs.head, aggs.tail: _*)
-    val rows = pairs.map { case (a, b) =>
-      val vx = m("_n") * m(s"_q_${a}_$a") - m(s"_s_$a") * m(s"_s_$a")
-      val vy = m("_n") * m(s"_q_${b}_$b") - m(s"_s_$b") * m(s"_s_$b")
+    val rows = pairs.map { case (i, j) =>
+      val vx = m("_n") * m(s"_q_${i}_$i") - m(s"_s_$i") * m(s"_s_$i")
+      val vy = m("_n") * m(s"_q_${j}_$j") - m(s"_s_$j") * m(s"_s_$j")
       struct(
-        lit(a).as("col_a"), lit(b).as("col_b"),
+        lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
         m("_n").cast("long").as("n"),
         when(vx > 0 && vy > 0,
-          (m("_n") * m(s"_q_${a}_$b") - m(s"_s_$a") * m(s"_s_$b"))
+          (m("_n") * m(s"_q_${i}_$j") - m(s"_s_$i") * m(s"_s_$j"))
             .cast("double") /
             (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
           .as("r"))

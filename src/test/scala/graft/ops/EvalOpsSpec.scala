@@ -385,6 +385,15 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(g2 == ((None, 0L, 0L, 1L, 1L)))
   }
 
+  test("optimalThreshold: fractional scores keep their exact type") {
+    // 5.9(pos) above 5.0(neg): t=5.9 has cost 0 and must be reported
+    // as 5.9 — a cast-to-long would return 5, which ADMITS the negative
+    val df = Seq((1L, true, 5.9), (2L, false, 5.0)).toDF("id", "y", "score")
+    val got = EvalOps.optimalThreshold(df, "y", "score", 5L, 1L)
+      .as[(Option[Double], Long, Long, Long, Long)].collect().head
+    assert(got == ((Some(5.9), 1L, 0L, 0L, 0L)))
+  }
+
   test("multiclassF1: null label and null prediction are ONE missing class") {
     // (null,'a'), ('a',null), (null,null): the null class has n_true 2
     // (rows 1 and 3), n_pred 2 (rows 2 and 3), tp 1 (row 3) — plain

@@ -448,6 +448,16 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     assert(math.abs(got(("y", "z")).get + 1.0) < 1e-15)
     assert(got(("x", "c")) == None && got(("z", "c")) == None)
     assert(got.size == 6)
+    // underscored names must not collide in the internal moment names:
+    // (x, y_z) and (x_y, z) would both render _q_x_y_z under name keys
+    val und = Seq((1.0, 1.0, 1.0, 9.0), (2.0, 2.0, 2.0, 8.0),
+      (3.0, 3.0, 3.0, 7.0)).toDF("x", "y_z", "x_y", "z")
+    val u = StatOps.correlationMatrix(und, Seq("x", "y_z", "x_y", "z"))
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(u.size == 6)
+    assert(math.abs(u(("x", "y_z")).get - 1.0) < 1e-15)
+    assert(math.abs(u(("x_y", "z")).get + 1.0) < 1e-15)
   }
 
   test("maseSeasonalNaive: hand errors; constant series gives null") {
