@@ -851,9 +851,13 @@ object GraphOps {
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+    // PIN (not just persist): the stub join reads adj three times (two
+    // degree branches + the probe), and each reference replans the
+    // whole upstream edge derivation — 35 plan exchanges measured with
+    // a cache-only adj, 4 with the lineage truncated
     val adj = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .stagePin()
     val degs = adj.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
     val stubs = adj
       .join(degs.select(col("id").as("u"), col("deg").as("x")), "u")
