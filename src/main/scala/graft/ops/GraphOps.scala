@@ -1168,16 +1168,25 @@ object GraphOps {
       .select(col("a.x").as("u"), col("b.x").as("v"), col("a.w").as("_w"),
         (lit(1.0) / graft.expr.PortableLnRatio.ln(col("deg"), lit(1L)))
           .as("_t"))
-    val out = wedges
+    // two-phase: the integer count rollup (map-side combinable) prunes
+    // below-minCommon pairs BEFORE any ordered-fold buffers are built —
+    // under minCommon = 3 that is ~98% of the pair mass — and the
+    // semi-joined survivors re-aggregate with the fold. The wedge frame
+    // is pinned once for its two consumers.
+    val w = wedges.stagePin()
+    val keep = w.groupBy("u", "v")
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+      .join(e, Seq("u", "v"), "left_anti")
+    val out = w
+      .join(keep, Seq("u", "v"))
       .groupBy("u", "v")
-      .agg(count(lit(1)).as("n_common"),
+      .agg(first(col("n_common")).as("n_common"),
         aggregate(
           transform(
             array_sort(collect_list(struct(col("_w"), col("_t")))),
             x => x.getField("_t")),
           lit(0.0), (acc, x) => acc + x).as("aa_score"))
-      .filter(col("n_common") >= minCommon)
-      .join(e, Seq("u", "v"), "left_anti")
       .stagePin()
     adj.unpersist()
     e.unpersist()
