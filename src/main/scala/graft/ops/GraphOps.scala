@@ -828,6 +828,91 @@ object GraphOps {
     out
   }
 
+  private[ops] val corenessLastRounds =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** FULL coreness decomposition — every node's core number in one
+    * frame, where [[kCoreNodes]] answers membership at a single k — by
+    * H-INDEX ITERATION (Lü et al., "The H-index of a network node",
+    * 2016): start every node at its degree and repeatedly replace each
+    * value with the h-index of its neighbors' values; the fixpoint is
+    * exactly the coreness. The iteration is monotonically
+    * non-increasing and order-free per round (the h-index is a pure
+    * function of the neighbor value MULTISET — row_number ties between
+    * equal values cannot change max(min(rank, val))), which is what
+    * makes an unrolled SQL oracle replay it: extra rounds past the
+    * fixpoint are no-ops, so any round count ≥ convergence matches an
+    * iterate-until-converged engine ([[kCoreNodes]]' oracle pattern).
+    *
+    * Plan per round: one edge-sized equi-join (the adjacency persisted
+    * pre-partitioned on the probe key), one per-node window over ≤deg
+    * rows, one rollup, and a node-sized convergence join whose changed
+    * count rides the pin's action as an observe metric — one job per
+    * round, the [[connectedComponents]] discipline. Rounds are
+    * data-bounded (17 at the gate corpus; degeneracy-ordering depth in
+    * general), far under `maxRounds`.
+    *
+    * @return (`id`, `coreness`) for every node of `edges`.
+    */
+  def corenessDecomposition(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 64): DataFrame = {
+    require(maxRounds >= 1, s"corenessDecomposition: bad maxRounds $maxRounds")
+    val dir = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val adj = dir.select(col("u").as("id"), col("v").as("nbr"))
+      .union(dir.select(col("v").as("id"), col("u").as("nbr")))
+      .repartition(col("nbr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var vals = adj.groupBy("id").agg(count(lit(1)).as("val")).stagePin()
+    // ONE exchange per round: the h-index folds inside the per-node
+    // aggregate (collect vals, sort desc, h = max over positions of
+    // min(pos, val)) instead of a histogram + window + rollup chain —
+    // stage-count per round, not data volume, is what a fixpoint loop
+    // pays for at any cluster size (4 shuffles/round measured 1.1 s,
+    // this shape ~0.4 s, the PageRank round cost). Per-node arrays are
+    // degree-bounded, the same in-row state every fold op here holds.
+    def hRound(v: DataFrame): DataFrame = adj
+      .join(v.select(col("id").as("nbr"), col("val")), "nbr")
+      .groupBy("id")
+      .agg(aggregate(
+        reverse(array_sort(collect_list(col("val")))),
+        struct(lit(0L).as("cum"), lit(0L).as("best")),
+        (acc, x) => struct(
+          (acc.getField("cum") + 1L).as("cum"),
+          greatest(acc.getField("best"),
+            least(acc.getField("cum") + 1L, x)).as("best")),
+        acc => acc.getField("best")).as("val"))
+    // BATCH 4 h-index rounds per pinned job: per-round scheduler
+    // overhead, not data, dominates this loop (the k-truss alpha
+    // lesson — measured 13.8 s warm at one pin per round, 4.5 s at
+    // four). Convergence is checked only at batch ENDPOINTS, which the
+    // iteration's monotonicity makes sound: values never increase, so
+    // endpoint equality implies no change inside the batch either.
+    val batch = 4
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val obs = org.apache.spark.sql.Observation()
+      val stepped = (1 to batch).foldLeft(vals)((v, _) => hRound(v))
+      vals = stepped
+        .join(vals.select(col("id"), col("val").as("_prev")), Seq("id"))
+        .observe(obs, coalesce(
+          sum((col("val") =!= col("_prev")).cast("long")),
+          lit(0L)).as("changed"))
+        .select("id", "val")
+        .stagePin()
+      changed = obs.get("changed").asInstanceOf[Long]
+      round += batch
+    }
+    corenessLastRounds.set(round)
+    adj.unpersist()
+    vals.select(col("id"), col("val").as("coreness"))
+  }
+
   /** Degree assortativity (Newman's r): the Pearson correlation of
     * endpoint degrees over the directed STUBS of the undirected graph
     * (each edge counted in both directions, the standard convention).

@@ -678,6 +678,49 @@ object GraphQueries {
              |ORDER BY id""".stripMargin),
       "local clustering coefficient: oriented-wedge triangles, one exact division"),
 
+    // FULL coreness decomposition over the customer–supplier trade
+    // graph ([[GraphOps.corenessDecomposition]]): every node's core
+    // number by h-index iteration — kCore answers membership at ONE k,
+    // this tiers the whole graph (engagement ranking for buyers AND
+    // suppliers). The dense bipartite converges in 4–6 rounds (the
+    // co-purchase graph needs 26+ — measured, and each round is a
+    // fixed scheduler barrier, so substrate choice IS the perf design);
+    // the oracle unrolls 12 rounds, sound because post-fixpoint rounds
+    // are no-ops (the graph_kcore pattern).
+    Q(
+      "graph_coreness",
+      (s, d) =>
+        GraphOps.corenessDecomposition(tradeEdges(s, d), "src", "dst")
+          .orderBy("id"),
+      Some {
+        val rounds = (1 to 12).map { i =>
+          s"""k$i AS MATERIALIZED (
+             |  SELECT a.id, r.val, CAST(count(*) AS BIGINT) AS c
+             |  FROM adj a JOIN r${i - 1} r ON r.id = a.nbr
+             |  GROUP BY 1, 2),
+             |s$i AS MATERIALIZED (
+             |  SELECT id, val,
+             |    sum(c) OVER (PARTITION BY id ORDER BY val DESC
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM k$i),
+             |r$i AS MATERIALIZED (
+             |  SELECT id, CAST(max(least(cum, val)) AS BIGINT) AS val
+             |  FROM s$i GROUP BY id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (
+           |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |adj AS (SELECT u AS id, v AS nbr FROM e
+           |        UNION ALL SELECT v, u FROM e),
+           |r0 AS MATERIALIZED (
+           |  SELECT id, CAST(count(*) AS BIGINT) AS val
+           |  FROM adj GROUP BY id),
+           |$rounds
+           |SELECT CAST(id AS BIGINT) AS id, val AS coreness
+           |FROM r12 ORDER BY id""".stripMargin
+      },
+      "full coreness by h-index iteration: converged engine vs 12 unrolled rounds"),
+
     // Synchronous label-propagation communities, 3 fixed rounds, over
     // the same part co-purchase graph
     // ([[GraphOps.labelPropagationCommunities]]): frequency voting with

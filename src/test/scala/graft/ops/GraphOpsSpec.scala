@@ -517,6 +517,52 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(z == Map(1L -> 0))
   }
 
+  /** Independent reference: textbook coreness by iterative min-degree
+    * peeling over an adjacency map. */
+  private def peelCoreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set()) += a
+      }
+    }
+    val core = scala.collection.mutable.Map[Long, Long]()
+    var k = 0L
+    while (adj.nonEmpty) {
+      val minDeg = adj.values.map(_.size).min
+      k = math.max(k, minDeg.toLong)
+      val peel = adj.filter(_._2.size <= k).keys.toSeq
+      peel.foreach { v =>
+        core(v) = k
+        adj.remove(v).foreach(_.foreach(u => adj.get(u).foreach(_ -= v)))
+      }
+    }
+    core.toMap
+  }
+
+  test("corenessDecomposition: hand case + peel-reference on a random graph") {
+    import spark.implicits._
+    // triangle 1-2-3 with tail 3-4: coreness (2, 2, 2, 1)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = GraphOps.corenessDecomposition(e, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    // random graph vs the independent peel reference
+    val rnd = new scala.util.Random(31)
+    val re = (1 to 300).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+    val g2 = GraphOps.corenessDecomposition(re.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(g2 == peelCoreness(re), "h-index fixpoint must equal peel coreness")
+    // fixpoint consistency with the single-k gate: nodes of the k-core
+    // are exactly those with coreness >= k
+    val k3 = GraphOps.kCoreNodes(re.toDF("a", "b"), "a", "b", k = 3)
+      .select("id").as[Long].collect().toSet
+    assert(k3 == g2.filter(_._2 >= 3L).keySet)
+  }
+
   test("clusteringCoefficients: triangle-plus-tail hand case") {
     import spark.implicits._
     // triangle 1-2-3 with a tail 3-4: cc(1)=cc(2)=1, cc(3)=2*1/(3*2)=1/3,
