@@ -782,6 +782,40 @@ object StatOps {
           .as("r"))
   }
 
+  /** Ljung–Box portmanteau statistic per key: Q = n(n+2)·Σ_{k≤h}
+    * ρ_k²/(n−k) over [[acfByKey]]'s exact-moment autocorrelations — the
+    * "is this series white noise at all" omnibus that reads the whole
+    * ACF at once where eyeballing lags one at a time multiple-tests
+    * itself into false alarms. Each term is the gate-exact ρ squared
+    * over one integer difference, folded in LAG order; the n(n+2)
+    * factor stays integral until its one cast. Emits the statistic and
+    * h (the χ² dof), not a p-value — the χ² CDF is not
+    * engine-reproducible (the portable-ln lesson). Null when any lag's
+    * ρ is undefined (series shorter than h, or zero variance).
+    *
+    * @return (`key`, `n`, `h`, `q_stat`).
+    */
+  def ljungBox(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, maxLag: Int, scale: Double = 100.0): DataFrame = {
+    val acf = acfByKey(df, keyCol, tsCol, idCol, valueCol, maxLag, scale)
+    acf.groupBy(col(keyCol))
+      .agg(max("n").as("n"),
+        count(lit(1)).as("h"),
+        count(col("r")).as("_valid"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("lag"),
+              ((col("r") * col("r")) /
+                (col("n") - col("lag")).cast("double")).as("_t")))),
+            x => x.getField("_t")),
+          lit(0.0), (acc, x) => acc + x).as("_sum"))
+      .select(col(keyCol), col("n"), col("h"),
+        when(col("_valid") === col("h"),
+          (col("n") * (col("n") + 2L)).cast("double") * col("_sum"))
+          .as("q_stat"))
+  }
+
   /** Per-key CUSUM changepoint: the position k* maximizing
     * |S_k − (k/n)·S_n| over the (ts, id)-ordered quantized series — the
     * classic "where did the level shift" locator (mean-change detection

@@ -1047,6 +1047,72 @@ object BehaviorQueries {
              |FROM l ORDER BY user_id, lag""".stripMargin),
       "per-user ACF lags 1-3: exact integer moments, one final IEEE division"),
 
+    // Ljung–Box portmanteau over the same exact ACF
+    // ([[graft.ops.StatOps.ljungBox]], h = 3): the one-number
+    // white-noise test — Q = n(n+2)·Σ ρ_k²/(n−k), terms folded in lag
+    // order, n(n+2) integral until its single cast. No p-value (the χ²
+    // CDF is not engine-reproducible); consumers bring their critical
+    // value at h dof.
+    Q(
+      "timeseries_ljung_box",
+      (s, d) =>
+        graft.ops.StatOps.ljungBox(T(s, d, "events"), "user_id", "ts",
+            "event_id", "value", maxLag = 3, scale = 100.0)
+          .orderBy("user_id"),
+      Some("""WITH b AS (
+             |  SELECT user_id,
+             |    CAST(floor(value * 100) AS BIGINT) AS x,
+             |    lead(CAST(floor(value * 100) AS BIGINT), 1) OVER w AS x1,
+             |    lead(CAST(floor(value * 100) AS BIGINT), 2) OVER w AS x2,
+             |    lead(CAST(floor(value * 100) AS BIGINT), 3) OVER w AS x3
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |m AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |    sum(CAST(x AS HUGEINT)) AS s,
+             |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q,
+             |    sum(CAST(x AS HUGEINT) * CAST(x1 AS HUGEINT)) AS p1,
+             |    sum(CASE WHEN x1 IS NOT NULL THEN CAST(x AS HUGEINT)
+             |        ELSE 0 END) AS a1,
+             |    sum(CAST(x1 AS HUGEINT)) AS b1,
+             |    sum(CAST(x AS HUGEINT) * CAST(x2 AS HUGEINT)) AS p2,
+             |    sum(CASE WHEN x2 IS NOT NULL THEN CAST(x AS HUGEINT)
+             |        ELSE 0 END) AS a2,
+             |    sum(CAST(x2 AS HUGEINT)) AS b2,
+             |    sum(CAST(x AS HUGEINT) * CAST(x3 AS HUGEINT)) AS p3,
+             |    sum(CASE WHEN x3 IS NOT NULL THEN CAST(x AS HUGEINT)
+             |        ELSE 0 END) AS a3,
+             |    sum(CAST(x3 AS HUGEINT)) AS b3
+             |  FROM b GROUP BY user_id),
+             |l AS (
+             |  SELECT user_id, n, 1 AS lag,
+             |    n*n*p1 - n*s*(a1+b1) + (n-1)*s*s AS num,
+             |    n*(n*q - s*s) AS den FROM m
+             |  UNION ALL
+             |  SELECT user_id, n, 2,
+             |    n*n*p2 - n*s*(a2+b2) + (n-2)*s*s, n*(n*q - s*s) FROM m
+             |  UNION ALL
+             |  SELECT user_id, n, 3,
+             |    n*n*p3 - n*s*(a3+b3) + (n-3)*s*s, n*(n*q - s*s) FROM m),
+             |acf AS (
+             |  SELECT user_id, lag, n,
+             |    CASE WHEN n > lag AND den > 0
+             |      THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS r
+             |  FROM l),
+             |t AS (
+             |  SELECT user_id, max(n) AS n,
+             |    CAST(count(*) AS BIGINT) AS h,
+             |    CAST(count(r) AS BIGINT) AS valid,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list(r * r / CAST(n - lag AS DOUBLE) ORDER BY lag)),
+             |      (a, x) -> a + x) AS srt
+             |  FROM acf GROUP BY user_id)
+             |SELECT user_id, n, h,
+             |  CASE WHEN valid = h
+             |    THEN CAST(n * (n + 2) AS DOUBLE) * srt END AS q_stat
+             |FROM t ORDER BY user_id""".stripMargin),
+      "Ljung-Box Q over the exact ACF: lag-ordered term folds, no libm"),
+
     // Per-user inter-arrival gap stats + Goh–Barabási burstiness
     // ([[graft.ops.StatOps.interarrivalStats]]): steady-heartbeat vs
     // bursty-human classification from exact integer micro-second

@@ -408,6 +408,35 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     assert(one == ((1L, 2L, 1L, (s + s) / 2.0 * 86400000000.0)))
   }
 
+  test("ljungBox: hand fold over the exact ACF; short series gives null") {
+    import spark.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$sec%02d")
+    // alternating series 1,-1,1,-1,1,-1 (scale 1): strong negative ACF
+    val rows = (0 until 6).map(i =>
+      (1L, ts(i + 1), i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val acf = StatOps.acfByKey(df, "user_id", "ts", "event_id", "value",
+        maxLag = 2, scale = 1.0)
+      .as[(Long, Int, Long, Option[Double])].collect()
+      .map(r => r._2 -> r._4.get).toMap
+    val got = StatOps.ljungBox(df, "user_id", "ts", "event_id", "value",
+        maxLag = 2, scale = 1.0)
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    // replay the exact fold: (0 + r1^2/(n-1)) + r2^2/(n-2), x n(n+2)
+    val expected = ((6L * 8L).toDouble *
+      ((0.0 + acf(1) * acf(1) / 5.0) + acf(2) * acf(2) / 4.0))
+    assert(got._1 == 1L && got._2 == 6L && got._3 == 2L)
+    assert(got._4 == Some(expected))
+    assert(expected > 5.99, "alternating series must look non-white")
+    // series shorter than maxLag: an undefined lag nulls Q
+    val short = Seq((2L, ts(1), 1L, 1.0), (2L, ts(2), 2L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val g2 = StatOps.ljungBox(short, "user_id", "ts", "event_id", "value",
+        maxLag = 3, scale = 1.0)
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(g2._4.isEmpty)
+  }
+
   test("anovaF: hand decomposition; identical groups give F null-or-0 path") {
     import spark.implicits._
     // groups a = {1,2,3}, b = {4,5,6}: S_a=6 S_b=15 Q=91 N=6
