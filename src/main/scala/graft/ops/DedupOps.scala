@@ -680,6 +680,29 @@ object DedupOps {
         array_join(slice(toks, col("pos"), lit(k)), " ").as("gram"))
   }
 
+  /** Bytes-scaled shuffle width for the positional-gram tier: the gram
+    * stream is ~k× the tokenized text (every token anchors k grams)
+    * and ~3× the on-disk parquet (decompression), so a fixed session
+    * width that is right at gate scale is partition-bound three
+    * decades up (5M-doc sweep: alpha 1.27 at the 32-partition session
+    * default; a 128-partition A/B recovered 21%). Width is derived
+    * from the input frame's Catalyst size estimate against the AQE
+    * advisory partition size — never below the session default (small
+    * inputs keep the tuned small plan), capped at 16384 (past that,
+    * per-task overhead dominates any realistic gram stream). */
+  private[ops] def gramShuffleParts(df: DataFrame, k: Int): Int = {
+    val spark = df.sparkSession
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val advisory = math.max(1L,
+      org.apache.spark.sql.internal.SQLConf.get.getConf(
+        org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+    val gramBytes =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes * k * 3
+    val want = gramBytes / advisory
+    if (want >= 16384) 16384
+    else math.max(session, want.toInt)
+  }
+
   /** Cross-document repeated-substring detection (the exact-substring
     * tier of training-data dedup, à la Lee et al. 2021 "Deduplicating
     * Training Data Makes Language Models Better"): for every document
@@ -721,11 +744,17 @@ object DedupOps {
         g0.join(kept, Seq("gram"))
       case None => g0
     }
+    // bytes-scaled width pinned onto BOTH join inputs: the equi-join
+    // reuses the explicit hash partitioning (no extra exchange) at a
+    // width that tracks input size instead of the session default
+    val nPart = gramShuffleParts(df, k)
     val x = g.select(col(idCol).as("a"), col("pos").as("pa"), col("gram"))
+      .repartition(nPart, col("gram"))
     val y = g.select(col(idCol).as("b"), col("pos").as("pb"), col("gram"))
+      .repartition(nPart, col("gram"))
     val m = x.join(y, Seq("gram")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), col("pa"), (col("pa") - col("pb")).as("diag"))
-    diagonalSpans(m, k, minLen)
+    diagonalSpans(m, k, minLen, nPart)
   }
 
   /** Gaps-and-islands merge of positional gram matches into maximal
@@ -733,11 +762,17 @@ object DedupOps {
     * [[substringSpanPairsBetween]] (cross-split). Expects (`a`, `b`,
     * `pa`, `diag` = pa − pb); one window + rollup on the same shuffle.
     * A run of c consecutive matching k-grams certifies c + k − 1
-    * shared tokens. */
-  private def diagonalSpans(m: DataFrame, k: Int, minLen: Int): DataFrame = {
+    * shared tokens. `nPart` pins the window exchange to the caller's
+    * bytes-scaled width (an explicit repartition on the window keys —
+    * the window AND the island rollup both reuse it, since hash
+    * partitioning on (a, b, diag) satisfies the rollup's superset
+    * clustering too). */
+  private def diagonalSpans(
+      m: DataFrame, k: Int, minLen: Int, nPart: Int): DataFrame = {
     val w = Window.partitionBy("a", "b", "diag").orderBy("pa")
     val runSum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    m.withColumn("_prev", lag(col("pa"), 1).over(w))
+    m.repartition(nPart, col("a"), col("b"), col("diag"))
+      .withColumn("_prev", lag(col("pa"), 1).over(w))
       .withColumn("_new",
         when(col("_prev").isNull || col("pa") - col("_prev") > 1, 1L)
           .otherwise(0L))
@@ -786,10 +821,15 @@ object DedupOps {
         (gb0.join(kept, Seq("gram")), gd0.join(kept, Seq("gram")))
       case None => (gb0, gd0)
     }
+    // width scales with the BASE side — the train corpus dominates the
+    // gram stream in any decontamination run
+    val nPart = gramShuffleParts(base, k)
     val x = gb.select(col(idCol).as("a"), col("pos").as("pa"), col("gram"))
+      .repartition(nPart, col("gram"))
     val y = gd.select(col(idCol).as("b"), col("pos").as("pb"), col("gram"))
+      .repartition(nPart, col("gram"))
     val m = x.join(y, Seq("gram"))
       .select(col("a"), col("b"), col("pa"), (col("pa") - col("pb")).as("diag"))
-    diagonalSpans(m, k, minLen)
+    diagonalSpans(m, k, minLen, nPart)
   }
 }

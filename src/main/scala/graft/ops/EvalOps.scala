@@ -394,22 +394,6 @@ object EvalOps {
     }.reduce(_.unionAll(_))
   }
 
-  /** Cohen's kappa between two binary raters — chance-corrected
-    * agreement `κ = (p_o − p_e)/(1 − p_e)`, the standard sanity check
-    * before trusting "two filters agree" (two filters that both pass
-    * 95% of a corpus agree 90%+ by chance alone; raw agreement is
-    * meaningless there). Used to compare a learned filter against a
-    * rule filter, or two annotator models against each other.
-    *
-    * One map-side-combinable rollup to the four confusion counts; p_o,
-    * p_e and κ are fixed expression trees over those integers (two
-    * divisions, one subtraction-quotient), so the oracle replays every
-    * double bit-identically. κ is null when p_e = 1 (a degenerate
-    * single-cell table, where kappa is undefined).
-    *
-    * @return one row: (`n11`, `n10`, `n01`, `n00`, `n`, `po`, `pe`,
-    *         `kappa`)
-    */
   /** The NDCG rank-discount table `d_i = 1 / log2(i+1)`, `i = 1..k` —
     * computed ONCE here (JVM libm) and embedded as literals in both the
     * engine plan and the generated oracle SQL, so the two sides share
@@ -521,6 +505,22 @@ object EvalOps {
           .as("hit_rate"))
   }
 
+  /** Cohen's kappa between two binary raters — chance-corrected
+    * agreement `κ = (p_o − p_e)/(1 − p_e)`, the standard sanity check
+    * before trusting "two filters agree" (two filters that both pass
+    * 95% of a corpus agree 90%+ by chance alone; raw agreement is
+    * meaningless there). Used to compare a learned filter against a
+    * rule filter, or two annotator models against each other.
+    *
+    * One map-side-combinable rollup to the four confusion counts; p_o,
+    * p_e and κ are fixed expression trees over those integers (two
+    * divisions, one subtraction-quotient), so the oracle replays every
+    * double bit-identically. κ is null when p_e = 1 (a degenerate
+    * single-cell table, where kappa is undefined).
+    *
+    * @return one row: (`n11`, `n10`, `n01`, `n00`, `n`, `po`, `pe`,
+    *         `kappa`)
+    */
   def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val a = col(aCol).cast("boolean")
     val b = col(bCol).cast("boolean")
@@ -696,8 +696,12 @@ object EvalOps {
       when(max("_p_total") > 0L,
         aggregate(
           transform(
-            array_sort(collect_list(struct((-col("threshold")).as("_o"),
-              col("_term").as("_t")))),
+            // threshold-DESCENDING = reverse of the ascending struct
+            // sort; keeps the confusionSweep contract that `threshold`
+            // retains the ORIGINAL score type (any orderable type, no
+            // numeric negation, no Long.MinValue overflow under ANSI)
+            reverse(array_sort(collect_list(struct(col("threshold"),
+              col("_term").as("_t"))))),
             x => x.getField("_t")),
           lit(0.0), (acc, x) => acc + x)).as("average_precision"))
   }

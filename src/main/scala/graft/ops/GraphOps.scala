@@ -521,18 +521,25 @@ object GraphOps {
     // reassigned in round 1 before any read (iters >= 1 enforced) —
     // only h₀ seeds the recursion, the initial auth never participates
     var auth: DataFrame = hub
+    // Each raw-score frame feeds TWO consumers — its L1 total and the
+    // normalization join — so it must be materialized once, not
+    // recomputed per consumer (unshared, the recomputation tree
+    // quadruples per round; measured 4× wall at 2 iterations). The
+    // r10 shape pinned each half-round (one ACTION per half-round);
+    // this batches like [[corenessDecomposition]]: lazy
+    // MEMORY_AND_DISK persists share the frame between its total
+    // broadcast (whose collect job populates the cache) and the join,
+    // and the plan is pinned only every `batch` rounds — per-round
+    // scheduler overhead, not data volume, dominates these loops.
+    val batch = 4
+    val staged = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var round = 0
     while (round < iters) {
-      // Each raw-score frame feeds TWO consumers — its L1 total and the
-      // normalization join — so it is pinned per half-round: unpinned,
-      // the recomputation tree quadruples per round (each tot AND each
-      // join re-derives the whole prior chain; measured 4× wall at 2
-      // iterations). Pinned, every downstream read is a node-sized
-      // cached scan and the plan stays linear in rounds.
       val aRaw = e
         .join(hub.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum("h").as("au"))
-        .stagePin()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      staged += aRaw
       val aTot = aRaw.agg(sum("au").as("atot"))
       auth = nodes.join(aRaw, Seq("id"), "left_outer")
         .crossJoin(broadcast(aTot)) // 1-row total (declared)
@@ -541,17 +548,20 @@ object GraphOps {
       val hRaw = e
         .join(auth.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum("a").as("hu"))
-        .stagePin()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      staged += hRaw
       val hTot = hRaw.agg(sum("hu").as("htot"))
       hub = nodes.join(hRaw, Seq("id"), "left_outer")
         .crossJoin(broadcast(hTot)) // 1-row total (declared)
         .select(col("id"),
           expr(s"(coalesce(hu, 0L) * ${unit}L) div htot").as("h"))
       round += 1
+      if (round < iters && round % batch == 0) hub = hub.stagePin()
     }
     val out = hub.join(auth, Seq("id"))
       .select(col("id"), col("h").as("hub_units"), col("a").as("auth_units"))
       .stagePin()
+    staged.foreach(_.unpersist())
     nodes.unpersist(); e.unpersist()
     out
   }
@@ -852,40 +862,79 @@ object GraphOps {
     * data-bounded (17 at the gate corpus; degeneracy-ordering depth in
     * general), far under `maxRounds`.
     *
+    * Hub-skew hardening: a node's fold holds its neighbor VALUES in
+    * one row, which is degree-bounded — fine below
+    * `hubDegreeThreshold`, a multi-hundred-MB row for a 10M-degree
+    * power-law hub. Nodes above the threshold (tagged ONCE on the
+    * static adjacency) take a histogram path instead: pre-aggregate to
+    * `(value, count)` — map-side combinable, so no executor ever holds
+    * a hub's raw neighbor list — then fold values descending with
+    * `h = max min(value, cum_count)`, the histogram form of the same
+    * identity. Row state becomes O(#distinct neighbor values), which
+    * for a hub is bounded by the graph's distinct-coreness count
+    * (O(√E)), not its degree.
+    *
     * @return (`id`, `coreness`) for every node of `edges`.
     */
   def corenessDecomposition(
       edges: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 64, hubDegreeThreshold: Int = 4096): DataFrame = {
     require(maxRounds >= 1, s"corenessDecomposition: bad maxRounds $maxRounds")
+    require(hubDegreeThreshold >= 1,
+      s"corenessDecomposition: bad hubDegreeThreshold $hubDegreeThreshold")
     val dir = edges
       .select(least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    val adj = dir.select(col("u").as("id"), col("v").as("nbr"))
+    val rawAdj = dir.select(col("u").as("id"), col("v").as("nbr"))
       .union(dir.select(col("v").as("id"), col("u").as("nbr")))
+    val degs = rawAdj.groupBy("id").agg(count(lit(1)).as("deg"))
+    val adj = rawAdj
+      .join(degs.select(col("id"),
+        (col("deg") > lit(hubDegreeThreshold.toLong)).as("_hub")), Seq("id"))
       .repartition(col("nbr"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var vals = adj.groupBy("id").agg(count(lit(1)).as("val")).stagePin()
-    // ONE exchange per round: the h-index folds inside the per-node
-    // aggregate (collect vals, sort desc, h = max over positions of
-    // min(pos, val)) instead of a histogram + window + rollup chain —
-    // stage-count per round, not data volume, is what a fixpoint loop
-    // pays for at any cluster size (4 shuffles/round measured 1.1 s,
-    // this shape ~0.4 s, the PageRank round cost). Per-node arrays are
-    // degree-bounded, the same in-row state every fold op here holds.
-    def hRound(v: DataFrame): DataFrame = adj
-      .join(v.select(col("id").as("nbr"), col("val")), "nbr")
-      .groupBy("id")
-      .agg(aggregate(
-        reverse(array_sort(collect_list(col("val")))),
-        struct(lit(0L).as("cum"), lit(0L).as("best")),
-        (acc, x) => struct(
-          (acc.getField("cum") + 1L).as("cum"),
-          greatest(acc.getField("best"),
-            least(acc.getField("cum") + 1L, x)).as("best")),
-        acc => acc.getField("best")).as("val"))
+    var vals = degs.select(col("id"), col("deg").as("val")).stagePin()
+    // ONE exchange per round on the non-hub path: the h-index folds
+    // inside the per-node aggregate (collect vals, sort desc, h = max
+    // over positions of min(pos, val)) instead of a histogram + window
+    // + rollup chain — stage-count per round, not data volume, is what
+    // a fixpoint loop pays for at any cluster size (4 shuffles/round
+    // measured 1.1 s, this shape ~0.4 s, the PageRank round cost).
+    // Hub nodes (static `_hub` tag) detour through the (value, count)
+    // histogram fold — see the scaladoc.
+    def hRound(v: DataFrame): DataFrame = {
+      val joined = adj
+        .join(v.select(col("id").as("nbr"), col("val")), "nbr")
+      val small = joined.filter(!col("_hub"))
+        .groupBy("id")
+        .agg(aggregate(
+          reverse(array_sort(collect_list(col("val")))),
+          struct(lit(0L).as("cum"), lit(0L).as("best")),
+          (acc, x) => struct(
+            (acc.getField("cum") + 1L).as("cum"),
+            greatest(acc.getField("best"),
+              least(acc.getField("cum") + 1L, x)).as("best")),
+          acc => acc.getField("best")).as("val"))
+      // Histogram h-index: values descending, cum = #{vals ≥ w};
+      // h = max min(w, cum). Same identity, O(#distinct values) state.
+      val big = joined.filter(col("_hub"))
+        .groupBy(col("id"), col("val").as("_w"))
+        .agg(count(lit(1)).as("_c"))
+        .groupBy("id")
+        .agg(aggregate(
+          reverse(array_sort(collect_list(
+            struct(col("_w"), col("_c"))))),
+          struct(lit(0L).as("cum"), lit(0L).as("best")),
+          (acc, x) => struct(
+            (acc.getField("cum") + x.getField("_c")).as("cum"),
+            greatest(acc.getField("best"),
+              least(acc.getField("cum") + x.getField("_c"),
+                x.getField("_w"))).as("best")),
+          acc => acc.getField("best")).as("val"))
+      small.unionAll(big)
+    }
     // BATCH 4 h-index rounds per pinned job: per-round scheduler
     // overhead, not data, dominates this loop (the k-truss alpha
     // lesson — measured 13.8 s warm at one pin per round, 4.5 s at

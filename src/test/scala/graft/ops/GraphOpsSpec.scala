@@ -563,6 +563,42 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(k3 == g2.filter(_._2 >= 3L).keySet)
   }
 
+  test("corenessDecomposition: histogram path equals list path everywhere") {
+    import spark.implicits._
+    // hubDegreeThreshold = 1 forces EVERY node through the histogram
+    // fold; the result must be identical to the peel reference
+    val rnd = new scala.util.Random(47)
+    val re = (1 to 300).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+    val got = GraphOps.corenessDecomposition(re.toDF("a", "b"), "a", "b",
+        hubDegreeThreshold = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == peelCoreness(re),
+      "histogram h-index fold must equal peel coreness")
+  }
+
+  test("corenessDecomposition: 100k-degree hub converges with bounded row state") {
+    import spark.implicits._
+    // power-law worst case: one hub with 100k leaf neighbors, plus a
+    // K4 clique among four of the leaves. The hub's histogram row is
+    // O(#distinct neighbor values) — a handful of structs — where the
+    // list fold would hold 100k values in one row.
+    val leaves = (1L to 100000L).map(i => (0L, i))
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L))
+    val e = spark.createDataset(leaves ++ clique).toDF("a", "b")
+    val got = GraphOps.corenessDecomposition(e, "a", "b",
+        hubDegreeThreshold = 64)
+      .as[(Long, Long)].collect().toMap
+    // {0,1,2,3,4} is a K5 (the hub touches all four clique members),
+    // so all five have coreness 4; every other leaf peels at 1.
+    assert(got(0L) == 4L)
+    (1L to 4L).foreach(i => assert(got(i) == 4L, s"node $i"))
+    assert(got(5L) == 1L && got(100000L) == 1L)
+    assert(got.size == 100001L)
+  }
+
   test("clusteringCoefficients: triangle-plus-tail hand case") {
     import spark.implicits._
     // triangle 1-2-3 with a tail 3-4: cc(1)=cc(2)=1, cc(3)=2*1/(3*2)=1/3,
