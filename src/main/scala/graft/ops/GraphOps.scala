@@ -408,6 +408,156 @@ object GraphOps {
     out
   }
 
+  /** WEIGHTED PageRank in the same exact fixed-point integer
+    * arithmetic as [[pageRankUnits]]: a node's rank splits across its
+    * out-edges PROPORTIONALLY to integer edge weights instead of
+    * uniformly — contribution per edge is `(r · w) div W_src` with
+    * `W_src` the node's total out-weight (parallel edges merge
+    * additively first, so duplicate rows mean "more of the same
+    * relationship"). This is the form trade/interaction graphs
+    * actually need: a supplier taking 90% of a buyer's volume should
+    * inherit 90% of that buyer's endorsement, not 1/outdegree of it.
+    *
+    * Same plan shape as [[pageRankUnits]]: the weight-carrying edge
+    * list joins its per-src weight total ONCE and persists
+    * pre-partitioned on `src`; per round only the node-sized rank
+    * frame shuffles. Exactness bound: `r · w` must fit a long —
+    * `r ≤ N·unit` at any round (total mass is conserved up to
+    * truncation), so keep `N·unit·max(w) < 2⁶³` (widen by lowering
+    * `unit` on heavy graphs; the default leaves ~10³ headroom at
+    * 10⁶ nodes and 10⁶ max weight).
+    *
+    * Non-positive-weight rows are dropped (a zero-weight edge carries
+    * no mass and must not inflate `W_src`; negative flow is undefined
+    * here).
+    *
+    * @return one row per node: (`id`, `rank_units`).
+    */
+  def pageRankWeightedUnits(
+      edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      iters: Int = 3, dampNum: Int = 85, dampDen: Int = 100,
+      unit: Long = 1000000L, checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampDen > dampNum && unit > 0,
+      s"pageRankWeightedUnits: bad parameters ($iters, $dampNum/$dampDen, $unit)")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("w") > 0L)
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .repartition(col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Total out-weight rides the edge rows, the [[pageRankUnits]] eDeg
+    // discipline — the per-round join is a single equi-join on src.
+    val eW = e
+      .join(e.groupBy("src").agg(sum("w").as("wout")), "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val base = unit * (dampDen - dampNum) / dampDen // exact for the defaults
+    var ranks = nodes.select(col("id"), lit(unit).as("r"))
+    var round = 0
+    while (round < iters) {
+      val contrib = eW
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("(r * w) div wout").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("c"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(base) +
+            expr(s"(${dampNum.toLong}L * coalesce(c, 0L)) div ${dampDen.toLong}L"))
+            .as("r"))
+      round += 1
+      if (round % checkpointEvery == 0 && round < iters)
+        ranks = ranks.stagePin()
+    }
+    val out = ranks.select(col("id"), col("r").as("rank_units"))
+      .stagePin()
+    nodes.unpersist()
+    eW.unpersist()
+    e.unpersist()
+    out
+  }
+
+  /** Single-source (set) shortest paths over INTEGER edge weights by
+    * frontier Bellman-Ford on the undirected view — [[bfsHops]]'
+    * weighted sibling: round h relaxes only the nodes whose distance
+    * improved in round h−1 (a non-improved node re-offers exactly the
+    * candidates already min'd in, so skipping it is exact), and after
+    * h rounds the table holds the shortest distance among paths of at
+    * most h edges — the invariant that lets a hop-bounded recursive
+    * SQL oracle replay a truncated run exactly.
+    *
+    * Parallel edges collapse to their MINIMUM weight up front (only
+    * the lightest can sit on a shortest path). Weights must be
+    * non-negative — checked in-plan (`raise_error` on the first
+    * offending row): the ≤h-edge invariant still holds for negatives,
+    * but a negative cycle would never converge and the semantics here
+    * are distances. Convergence is observe-fused onto
+    * each round's pin — one action per round, the
+    * [[connectedComponents]] discipline; the loop stops when no node
+    * improves or at `maxRounds` (which equals "shortest within
+    * `maxRounds` edges", the documented truncation).
+    *
+    * Unreached nodes are absent from the output, the [[bfsHops]]
+    * convention; seeds not in the graph report distance 0.
+    *
+    * @return one row per reached node: (`id`, `dist` = min total
+    *         weight from any seed).
+    */
+  def ssspUnits(
+      edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      seeds: DataFrame, seedCol: String, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 0, s"ssspUnits: maxRounds must be >= 0, got $maxRounds")
+    val dir = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      when(col(wCol).cast("long") < 0L,
+        raise_error(concat(lit("ssspUnits: negative edge weight "),
+          col(wCol).cast("string"))))
+        .otherwise(col(wCol).cast("long")).as("w"))
+    val e = dir
+      .union(dir.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds
+      .select(col(seedCol).cast("long").as("id")).distinct()
+      .withColumn("d", lit(0L))
+      .withColumn("_imp", lit(true))
+      .stagePin()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val obs = org.apache.spark.sql.Observation()
+      val cand = dist.filter(col("_imp"))
+        .join(e, dist("id") === e("src"))
+        .select(col("dst").as("id"), (col("d") + col("w")).as("nd"))
+        .groupBy("id").agg(min("nd").as("nd"))
+      dist = dist.select(col("id"), col("d"))
+        .join(cand, Seq("id"), "full_outer")
+        .select(col("id"),
+          least(coalesce(col("d"), col("nd")),
+            coalesce(col("nd"), col("d"))).as("d"),
+          (col("nd").isNotNull &&
+            (col("d").isNull || col("nd") < col("d"))).as("_imp"))
+        .observe(obs,
+          coalesce(sum(col("_imp").cast("long")), lit(0L)).as("changed"))
+        .stagePin()
+      changed = obs.get("changed").asInstanceOf[Long]
+      round += 1
+    }
+    val out = dist.select(col("id"), col("d").as("dist"))
+    e.unpersist()
+    out
+  }
+
   /** PERSONALIZED PageRank in the same exact fixed-point integer
     * arithmetic as [[pageRankUnits]]: teleport mass lands ONLY on the
     * seed set (r₀ = unit·[i∈S], per-round base term = base·[i∈S]), so

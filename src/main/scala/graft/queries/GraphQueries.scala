@@ -133,8 +133,12 @@ object GraphQueries {
       T(s, d, "orders")
         .join(T(s, d, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
+        // `w` (line quantity) rides along for the WEIGHTED consumers
+        // (weighted PageRank, SSSP); the unweighted ones select it away
+        // before their distinct, so the shared frame costs them nothing
         .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
+          (col("l_suppkey") * 2 + 1).as("dst"),
+          col("l_quantity").cast("long").as("w"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -412,6 +416,76 @@ object GraphQueries {
            |SELECT id, CAST(r AS BIGINT) AS rank_units FROM r$iters ORDER BY id""".stripMargin
       },
       "fixed-point integer PageRank (3 damped iterations) over the customer→supplier graph"),
+
+    // WEIGHTED PageRank ([[GraphOps.pageRankWeightedUnits]]): rank
+    // splits across out-edges proportionally to total line quantity —
+    // a supplier taking 90% of a buyer's volume inherits 90% of its
+    // endorsement, the semantics uniform splitting cannot express.
+    // Same integer fixed-point discipline; the oracle unrolls the
+    // identical three iterations with `(r·w) // W_src` contributions.
+    Q(
+      "graph_pagerank_weighted",
+      (s, d) =>
+        GraphOps.pageRankWeightedUnits(tradeEdges(s, d), "src", "dst", "w",
+            iters = 3)
+          .orderBy("id"),
+      Some {
+        val iters = 3
+        val unit = 1000000L
+        val base = unit * 15 / 100
+        val iterCtes = (1 to iters).map { i =>
+          s"""c$i AS (SELECT e.dst AS id, SUM((r.r * e.w) // d.wout) AS c
+             |  FROM edges e JOIN r${i - 1} r ON r.id = e.src
+             |  JOIN wout d ON d.src = e.src GROUP BY e.dst),
+             |r$i AS (SELECT n.id, $base + (85 * COALESCE(c.c, 0)) // 100 AS r
+             |  FROM nodes n LEFT JOIN c$i c ON c.id = n.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH edges AS (
+           |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+           |         SUM(CAST(l_quantity AS BIGINT)) AS w
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           |  GROUP BY 1, 2),
+           |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+           |wout AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY src),
+           |r0 AS (SELECT id, CAST($unit AS BIGINT) AS r FROM nodes),
+           |$iterCtes
+           |SELECT id, CAST(r AS BIGINT) AS rank_units FROM r$iters ORDER BY id""".stripMargin
+      },
+      "weighted integer PageRank: rank splits proportionally to trade volume"),
+
+    // Integer-weight single-source shortest paths from the nation-0
+    // supplier cohort ([[GraphOps.ssspUnits]]): frontier Bellman-Ford
+    // over the undirected trade graph, edge weight = MIN line quantity
+    // per (buyer, supplier) pair. After k rounds the table holds the
+    // exact min-weight over ≤k-edge paths — which is what the
+    // hop-bounded recursive oracle enumerates, so a truncated run still
+    // hash-matches; the recursion stays tractable because UNION dedups
+    // (id, d, h) and d is a bounded small-integer sum.
+    Q(
+      "graph_sssp",
+      (s, d) =>
+        GraphOps.ssspUnits(tradeEdges(s, d), "src", "dst", "w",
+            T(s, d, "supplier").filter(col("s_nationkey") === 0)
+              .select((col("s_suppkey") * 2 + 1).as("id")),
+            "id", maxRounds = 4)
+          .orderBy("id"),
+      Some("""WITH RECURSIVE eu AS (
+             |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+             |         MIN(CAST(l_quantity AS BIGINT)) AS w
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |  GROUP BY 1, 2),
+             |e AS (SELECT src, dst, w FROM eu
+             |      UNION ALL SELECT dst AS src, src AS dst, w FROM eu),
+             |r AS (
+             |  SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) AS id,
+             |         CAST(0 AS BIGINT) AS d, 0 AS h
+             |  FROM supplier WHERE s_nationkey = 0
+             |  UNION
+             |  SELECT CAST(e.dst AS BIGINT) AS id, r.d + e.w AS d, r.h + 1 AS h
+             |  FROM r JOIN e ON e.src = r.id
+             |  WHERE r.h < 4)
+             |SELECT id, MIN(d) AS dist FROM r GROUP BY id ORDER BY id""".stripMargin),
+      "integer-weight SSSP (frontier Bellman-Ford) from the nation-0 supplier cohort"),
 
     // PERSONALIZED PageRank from the nation-0 customer cohort
     // ([[GraphOps.pprUnits]]): teleport mass restricted to the seeds, so

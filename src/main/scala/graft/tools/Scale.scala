@@ -449,6 +449,16 @@ object Scale {
         // pagerank_3iter
         "hits_2iter" -> (() =>
           GraphOps.hitsUnits(e, "a", "b", iters = 2).count()),
+        // coreness fixpoint: chains converge in a handful of h-index
+        // rounds (all coreness 1), so the curve isolates the per-round
+        // adjacency join + fold at fixed round count — must track E
+        "coreness" -> (() =>
+          GraphOps.corenessDecomposition(e, "a", "b").count()),
+        // k-core at k=2 over disjoint triangles: nothing peels, so the
+        // loop runs exactly one support round + the convergence check —
+        // per-round degree machinery must track E
+        "kcore_k2" -> (() =>
+          GraphOps.kCoreNodes(te, "a", "b", k = 2).count()),
         // Kendall tau-b: ONE corpus rollup to the (50 x 100)-cell joint
         // histogram; the quadratic stage runs on the fixed cell domain,
         // so the curve must track the rollup scan alone

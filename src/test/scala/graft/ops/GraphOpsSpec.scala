@@ -179,6 +179,86 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got(2L) == 277500L)
   }
 
+  test("pageRankWeightedUnits: uniform weights reduce to unweighted exactly") {
+    import spark.implicits._
+    // floor((r*w)/(w*deg)) == floor(r/deg) for any w > 0, so constant
+    // weights must reproduce pageRankUnits bit-for-bit
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("s", "t")
+    val unw = GraphOps.pageRankUnits(edges, "s", "t", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val w7 = GraphOps.pageRankWeightedUnits(
+        edges.withColumn("w",
+          org.apache.spark.sql.functions.lit(7L)), "s", "t", "w", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(w7 == unw)
+  }
+
+  test("pageRankWeightedUnits matches a scalar fixed-point reference") {
+    import spark.implicits._
+    // 1→2 (w 3), 1→3 (w 1), 2→3 (w 2), 3→1 (w 5); duplicate (1,2) rows
+    // must merge additively (3 = 2 + 1)
+    val edges = Seq((1L, 2L, 2L), (1L, 2L, 1L), (1L, 3L, 1L),
+      (2L, 3L, 2L), (3L, 1L, 5L)).toDF("s", "t", "w")
+    val got = GraphOps.pageRankWeightedUnits(edges, "s", "t", "w", iters = 3)
+      .as[(Long, Long)].collect().toMap
+
+    val out = Map(
+      1L -> Seq((2L, 3L), (3L, 1L)), 2L -> Seq((3L, 2L)), 3L -> Seq((1L, 5L)))
+    var r = Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L)
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      out.foreach { case (u, vs) =>
+        val wout = vs.map(_._2).sum
+        vs.foreach { case (v, w) => contrib(v) += r(u) * w / wout }
+      }
+      r = r.keys.map(n => n -> (150000L + 85L * contrib(n) / 100L)).toMap
+    }
+    assert(got == r)
+  }
+
+  test("ssspUnits: hand case, round truncation, unit-weight = BFS hops") {
+    import spark.implicits._
+    // 1—2 (w 10), 1—3 (w 1), 3—2 (w 2): shortest 1→2 is 3 via node 3
+    val e = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L)).toDF("s", "t", "w")
+    val seeds = Seq(1L).toDF("id")
+    val got = GraphOps.ssspUnits(e, "s", "t", "w", seeds, "id", maxRounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 3L, 3L -> 1L))
+    // one round = min over ≤1-edge paths: the direct w=10 edge wins
+    val r1 = GraphOps.ssspUnits(e, "s", "t", "w", seeds, "id", maxRounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 10L, 3L -> 1L))
+    // unit weights on a random graph must equal BFS hop distances
+    val rnd = new scala.util.Random(11)
+    val re = (1 to 200).map(_ =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong, 1L))
+      .filter(p => p._1 != p._2)
+    val rdf = re.toDF("s", "t", "w")
+    val sd = Seq(0L, 1L).toDF("id")
+    val dj = GraphOps.ssspUnits(rdf, "s", "t", "w", sd, "id", maxRounds = 12)
+      .as[(Long, Long)].collect().toMap
+    val bf = GraphOps.bfsHops(rdf.select("s", "t"), "s", "t", sd, "id",
+        maxHops = 12)
+      .as[(Long, Int)].collect().toMap
+    assert(dj == bf.map { case (k, v) => k -> v.toLong })
+  }
+
+  test("ssspUnits: parallel edges take the min weight; negative weight errors") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, 9L), (1L, 2L, 4L)).toDF("s", "t", "w")
+    val got = GraphOps.ssspUnits(e, "s", "t", "w", Seq(1L).toDF("id"), "id",
+        maxRounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 4L))
+    val neg = Seq((1L, 2L, -1L)).toDF("s", "t", "w")
+    val ex = intercept[Exception] {
+      GraphOps.ssspUnits(neg, "s", "t", "w", Seq(1L).toDF("id"), "id",
+        maxRounds = 2).collect()
+    }
+    assert(ex.getMessage.contains("negative edge weight") ||
+      Option(ex.getCause).exists(_.getMessage.contains("negative edge weight")))
+  }
+
   test("triangleCounts: known small graph, orientation-independent") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles, every node in 3) plus pendant 4-5
