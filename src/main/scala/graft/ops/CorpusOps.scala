@@ -378,6 +378,57 @@ object CorpusOps {
         coalesce(col("n_b"), lit(0L)).as("n_b"))
   }
 
+  /** Population stability index over [[binDriftCounts]]'s paired
+    * histogram — the single drift number monitoring dashboards page on
+    * (rule of thumb: <0.1 stable, >0.25 shifted), closing the "PSI left
+    * to the consumer" seam: the bins gate emits integer counts, this one
+    * folds them to the statistic. PSI = Σ (p_a − p_b)·ln(p_a/p_b) with
+    * add-one (Laplace) smoothing p = (n+1)/(N+B) over the B occupied
+    * bins — the standard zero-bin guard (an unsmoothed PSI is +∞ the
+    * moment either side misses a bin), and it keeps every log argument
+    * the EXACT integer rational (n_a+1)·(N_b+B) / (n_b+1)·(N_a+B), so
+    * each term takes ONE [[graft.expr.PortableLnRatio]] — the
+    * explicit-algorithm ln both engines run step-identically — and the
+    * sum folds in bin order (NULL bin first via a Long.MinValue sort
+    * sentinel). Identical distributions give exactly 0.0: each term's
+    * (p_a − p_b) factor is an exact IEEE zero.
+    *
+    * Shape: the two histogram rollups + bin join of [[binDriftCounts]],
+    * one 1-row totals broadcast, one global fold over the BIN DOMAIN
+    * (histogram-sized, never data-sized). Overflow: (n+1)·(N+B) needs
+    * n·N < 2⁶³ — fine to ~3·10⁹ rows per side.
+    *
+    * @return one row: (`n_a`, `n_b`, `n_bins`, `psi`).
+    */
+  def psiDrift(
+      a: DataFrame, b: DataFrame, valueCol: String,
+      binWidth: Long): DataFrame = {
+    // two consumers (the totals and the fold) — pin the histogram or
+    // both corpus scans behind it run twice
+    val bins = binDriftCounts(a, b, valueCol, binWidth).stagePin()
+    val tot = bins.agg(sum("n_a").as("_ta"), sum("n_b").as("_tb"),
+      count(lit(1)).as("_nb"))
+    bins.crossJoin(broadcast(tot)) // 1-row totals (declared)
+      .withColumn("_t",
+        ((col("n_a") + 1).cast("double") /
+            (col("_ta") + col("_nb")).cast("double") -
+          (col("n_b") + 1).cast("double") /
+            (col("_tb") + col("_nb")).cast("double")) *
+          graft.expr.PortableLnRatio.ln(
+            (col("n_a") + 1) * (col("_tb") + col("_nb")),
+            (col("n_b") + 1) * (col("_ta") + col("_nb"))))
+      .agg(
+        max("_ta").as("n_a"), max("_tb").as("n_b"),
+        count(lit(1)).as("n_bins"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(
+              coalesce(col("bin"), lit(Long.MinValue)).as("_k"),
+              col("_t")))),
+            s => s.getField("_t")),
+          lit(0.0), (acc, x) => acc + x).as("psi"))
+  }
+
   /** Snapshot diff off two [[corpusShardDigest]] outputs: per shard,
     * both counts and digests plus `changed` — the shard list an
     * incremental sync re-reads. Joins two nShards-row frames; the

@@ -418,6 +418,64 @@ object StatOps {
       .select("n", "n_cells", "mi", "h_x", "h_y", "nmi")
   }
 
+  /** Pearson chi-square test of independence + Cramér's V for two
+    * categorical columns — the frequentist sibling of
+    * [[mutualInformation]] (MI measures the dependence in nats, χ²/V
+    * give the test statistic and the [0,1] effect size analysts
+    * actually quote). The statistic needs the FULL R×C grid — an
+    * unobserved cell still contributes its expected mass e (since
+    * (0−e)²/e = e) — so the marginal DOMAINS are crossed (R×C rows,
+    * corpus-independent; [[kendallTauB]]'s bounded-domain discipline)
+    * and observed counts left-join in. Per cell, with exact integer
+    * marginals: e = (nx·ny)/n as ONE double division,
+    * term = (o − e)·(o − e)/e — every op a deterministic IEEE double —
+    * and the sum folds in (x, y) order, so the statistic hash-gates
+    * with no portable-ln machinery (sqrt is correctly rounded by
+    * spec). nx·ny needs n ≤ ~3·10⁹; widen to DECIMAL past that.
+    *
+    * Plan: one corpus rollup to occupied cells, two marginal rollups
+    * FROM it, the R×C domain cross (declared broadcast), one fold.
+    *
+    * @return one row: (`n`, `n_rows`, `n_cols`, `dof`, `chi2`,
+    *         `cramers_v` — null when dof = 0).
+    */
+  def chiSquareIndependence(
+      df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cxy = df.groupBy(col(xCol).as("_x"), col(yCol).as("_y"))
+      .agg(count(lit(1)).as("_nxy"))
+      .stagePin() // three consumers: both marginals + the observed join
+    val cx = cxy.groupBy(col("_x")).agg(sum("_nxy").as("_nx"))
+    val cy = cxy.groupBy(col("_y")).agg(sum("_nxy").as("_ny"))
+    val tot = cxy.agg(sum("_nxy").as("_n"))
+    val grid = cx.crossJoin(broadcast(cy)) // R×C domain cross (declared)
+      .join(cxy, Seq("_x", "_y"), "left_outer")
+      .crossJoin(broadcast(tot)) // 1-row total (declared)
+      .withColumn("_o", coalesce(col("_nxy"), lit(0L)))
+      .withColumn("_e",
+        (col("_nx") * col("_ny")).cast("double") / col("_n").cast("double"))
+      .withColumn("_t",
+        (col("_o").cast("double") - col("_e")) *
+          (col("_o").cast("double") - col("_e")) / col("_e"))
+    grid
+      .agg(
+        max("_n").as("n"),
+        count_distinct(col("_x")).as("n_rows"),
+        count_distinct(col("_y")).as("n_cols"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("_x"), col("_y"),
+              col("_t")))),
+            s => s.getField("_t")),
+          lit(0.0), (acc, x) => acc + x).as("chi2"))
+      .withColumn("dof", (col("n_rows") - 1) * (col("n_cols") - 1))
+      .withColumn("cramers_v",
+        when(col("dof") > 0 && col("n") > 0,
+          sqrt(col("chi2") /
+            (col("n") * least(col("n_rows") - 1, col("n_cols") - 1))
+              .cast("double"))))
+      .select("n", "n_rows", "n_cols", "dof", "chi2", "cramers_v")
+  }
+
   /** Kendall's τ-b rank correlation over QUANTIZED measures — the
     * concordance twin of [[spearmanRho]] (τ counts pair inversions,
     * Spearman correlates ranks; τ's interpretation "P(concordant) −
@@ -1280,5 +1338,62 @@ object StatOps {
       .select(col(keyCol), col("n"),
         col("_hl.l").as("level"), col("_hl.b").as("trend"),
         (col("_hl.l") + col("_hl.b")).as("forecast1"))
+  }
+
+  /** Per-key Mann–Kendall trend test — the nonparametric "is this
+    * series drifting" screen that pairs with [[theilSenSlope]] (MK
+    * answers IS there a monotone trend, Theil–Sen answers how steep;
+    * the two ship together in every monitoring handbook). Values are
+    * quantized like the slope's (`floor(value·scale)`), the series
+    * order is the same (ts, id) total order, and
+    *
+    *   S      = Σ_{i<j} sign(y_j − y_i)                 (exact integer)
+    *   18·Var = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)      (exact integer)
+    *   Z      = (S − sign(S)) / sqrt(18·Var / 18.0)     (continuity-
+    *            corrected; 0 when S = 0, NULL when Var = 0)
+    *
+    * Z is fully engine-portable with NO portable-ln machinery: its only
+    * non-integer ops are one division, one IEEE sqrt (correctly rounded
+    * by spec), and one more division — bit-identical anywhere, so the
+    * statistic itself hash-gates. Pair stage and scale story are
+    * [[theilSenSlope]]'s verbatim: per-key quadratic joined ON the key
+    * (Σₖ nₖ²/2, never corpus²) — right for many-keys/bounded-series
+    * panels; the tie rollup is one extra (key, value) aggregate.
+    *
+    * @return (`key`, `n`, `s`, `var18` = 18·Var(S), `z`).
+    */
+  def mannKendall(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, scale: Double = 100.0): DataFrame = {
+    val wOrd = Window.partitionBy(col("_k")).orderBy(col("_ts"), col("_id"))
+    val v = df
+      .select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
+        col(idCol).as("_id"),
+        floor(col(valueCol) * scale).cast("long").as("_y"))
+      .select(col("_k"), col("_y"), row_number().over(wOrd).as("_i"))
+    val s = v.as("a")
+      .join(v.as("b"),
+        col("a._k") === col("b._k") && col("a._i") < col("b._i"))
+      .groupBy(col("a._k").as("_k"))
+      .agg(sum(signum(col("b._y") - col("a._y")).cast("long")).as("s"))
+    val ties = v.groupBy(col("_k"), col("_y"))
+      .agg(count(lit(1)).as("_t"))
+      .groupBy(col("_k"))
+      .agg(count(lit(1)).as("_groups"),
+        sum(col("_t") * (col("_t") - 1) * (lit(2) * col("_t") + 5))
+          .as("_tie18"))
+    val n = v.groupBy(col("_k")).agg(count(lit(1)).as("n"))
+    n.join(s, Seq("_k"), "left_outer").join(ties, Seq("_k"))
+      .select(col("_k"), col("n"), coalesce(col("s"), lit(0L)).as("s"),
+        (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) -
+          col("_tie18")).as("var18"))
+      .withColumn("z",
+        when(col("var18") === 0, lit(null).cast("double"))
+          .when(col("s") === 0, lit(0.0))
+          .otherwise(
+            (col("s") - signum(col("s"))).cast("double") /
+              sqrt(col("var18").cast("double") / lit(18.0))))
+      .select(col("_k").as(keyCol), col("n"), col("s"), col("var18"),
+        col("z"))
   }
 }

@@ -567,6 +567,53 @@ object TextOps {
       .select("tok_a", "tok_b", "n_pair", "df_a", "df_b", "pmi")
   }
 
+  /** TextRank keyword scores: weighted PageRank over the
+    * [[cooccurrencePairs]] graph — the graph-centrality keyword
+    * extractor (Mihalcea & Tarau's TextRank, here at corpus scope with
+    * doc-level co-occurrence as the edge relation). A token matters
+    * when it co-occurs with tokens that matter; co-occurrence COUNT is
+    * the edge weight, so the rank rides
+    * [[graft.ops.GraphOps.pageRankWeightedUnits]] — exact fixed-point
+    * integers, hash-gateable, reusing the graph tier instead of a
+    * bespoke loop. Tokens get dense node ids by a row_number over the
+    * ≤`vocabK`-row vocabulary (bounded-domain unpartitioned window —
+    * never data-sized); the undirected graph is both edge directions.
+    * Isolated vocabulary tokens (no co-occurrence partner) have no
+    * edges and are absent, as in the original formulation.
+    *
+    * Scale: everything after the vocab cap runs on ≤C(vocabK,2) pair
+    * rows + the corpus-linear [[cooccurrencePairs]] stages.
+    *
+    * @return one row per ranked token: (`tok`, `rank_units`).
+    */
+  def textrankKeywords(
+      df: DataFrame, idCol: String, textCol: String,
+      vocabK: Int, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = cooccurrencePairs(df, idCol, textCol, vocabK)
+      .select("tok_a", "tok_b", "n_pair")
+      .stagePin() // consumed by the id map and both edge directions
+    val ids = pairs.select(col("tok_a").as("tok"))
+      .union(pairs.select(col("tok_b").as("tok")))
+      .distinct()
+      .withColumn("_nid",
+        row_number().over(Window.orderBy(col("tok"))).cast("long"))
+    val withIds = pairs
+      .join(ids.select(col("tok").as("tok_a"), col("_nid").as("_ia")),
+        "tok_a")
+      .join(ids.select(col("tok").as("tok_b"), col("_nid").as("_ib")),
+        "tok_b")
+    val edges = withIds
+      .select(col("_ia").as("src"), col("_ib").as("dst"),
+        col("n_pair").as("w"))
+      .unionByName(withIds.select(col("_ib").as("src"),
+        col("_ia").as("dst"), col("n_pair").as("w")))
+    graft.ops.GraphOps
+      .pageRankWeightedUnits(edges, "src", "dst", "w", iters)
+      .join(ids.select(col("_nid").as("id"), col("tok")), "id")
+      .select(col("tok"), col("rank_units"))
+  }
+
   /** Vocabulary-growth (Heaps'-law) curve from ONE corpus pass: vocab
     * size and token count at every `bucketWidth`-doc prefix checkpoint.
     * The naive form re-scans the corpus once per checkpoint; this one

@@ -1252,6 +1252,47 @@ object BehaviorQueries {
              |FROM m JOIN n USING (k) ORDER BY user_id""".stripMargin),
       "per-user Theil-Sen slope: exact-order-statistic median of pairwise slopes"),
 
+    // Per-user Mann–Kendall trend test ([[graft.ops.StatOps
+    // .mannKendall]]): the significance screen beside the Theil–Sen
+    // slope — S and the tie-corrected 18·Var(S) are exact integers over
+    // the same quantized series, and Z's only non-integer ops are one
+    // division, one IEEE sqrt (correctly rounded by spec) and one more
+    // division, so the STATISTIC hash-gates with no portable-ln
+    // machinery at all.
+    Q(
+      "stats_mann_kendall",
+      (s, d) =>
+        graft.ops.StatOps.mannKendall(T(s, d, "events"), "user_id",
+            "ts", "event_id", "value", scale = 100.0)
+          .orderBy("user_id"),
+      Some("""WITH v AS (
+             |  SELECT user_id AS k,
+             |    CAST(floor(value * 100) AS BIGINT) AS y,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS i
+             |  FROM events),
+             |s AS (SELECT a.k, CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s
+             |  FROM v a JOIN v b ON a.k = b.k AND a.i < b.i GROUP BY a.k),
+             |t AS (SELECT k,
+             |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+             |  FROM (SELECT k, y, CAST(count(*) AS BIGINT) AS t
+             |        FROM v GROUP BY 1, 2) GROUP BY k),
+             |n AS (SELECT k, CAST(count(*) AS BIGINT) AS n
+             |      FROM v GROUP BY 1)
+             |SELECT n.k AS user_id, n.n, coalesce(s.s, 0) AS s,
+             |  n.n * (n.n - 1) * (2 * n.n + 5) - t.tie18 AS var18,
+             |  CASE WHEN n.n * (n.n - 1) * (2 * n.n + 5) - t.tie18 = 0
+             |         THEN NULL
+             |       WHEN coalesce(s.s, 0) = 0 THEN 0.0
+             |       ELSE CAST(coalesce(s.s, 0) - sign(coalesce(s.s, 0))
+             |              AS DOUBLE) /
+             |            sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie18
+             |              AS DOUBLE) / 18.0)
+             |  END AS z
+             |FROM n LEFT JOIN s USING (k) JOIN t USING (k)
+             |ORDER BY user_id""".stripMargin),
+      "per-user Mann-Kendall trend: exact-integer S and variance, portable Z"),
+
     // Per-user classical additive decomposition of the daily cent
     // series ([[graft.ops.StatOps.seasonalDecompose]], period 7):
     // centered-MA trend on the zero-filled dense grid, per-phase

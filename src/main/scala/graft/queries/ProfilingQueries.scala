@@ -459,6 +459,54 @@ object ProfilingQueries {
              |ORDER BY b.bin""".stripMargin),
       "snapshot drift bins: paired doc-length histograms, PSI-ready integer counts"),
 
+    // The PSI statistic itself ([[graft.ops.CorpusOps.psiDrift]]) over
+    // the same snapshot pair: add-one-smoothed bin probabilities keep
+    // every log argument an exact integer rational, one portable ln per
+    // bin, bin-ordered fold — the gate the drift-bins one deferred
+    // ("logs stay consumer-side") until PortableLn made them gateable.
+    Q(
+      "profile_psi",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        graft.ops.CorpusOps.psiDrift(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0), docs,
+            "len", binWidth = 50L)
+          .orderBy("n_bins")
+      },
+      Some {
+        import graft.expr.PortableLnRatio.sqlStages
+        s"""WITH v AS (SELECT doc_id,
+           |    CAST(length(text) AS BIGINT) AS len FROM documents),
+           |a AS (SELECT CAST(floor(len / 50.0) AS BIGINT) AS bin,
+           |    CAST(count(*) AS BIGINT) AS n_a
+           |  FROM v WHERE doc_id % 2 = 0 GROUP BY 1),
+           |b AS (SELECT CAST(floor(len / 50.0) AS BIGINT) AS bin,
+           |    CAST(count(*) AS BIGINT) AS n_b
+           |  FROM v GROUP BY 1),
+           |bins AS (SELECT b.bin, coalesce(a.n_a, 0) AS n_a, b.n_b
+           |  FROM b LEFT JOIN a USING (bin)),
+           |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+           |    CAST(sum(n_b) AS BIGINT) AS tb,
+           |    CAST(count(*) AS BIGINT) AS nb FROM bins),
+           |bt AS (SELECT bin, n_a, n_b, ta, tb, nb,
+           |    (n_a + 1) * (tb + nb) AS num,
+           |    (n_b + 1) * (ta + nb) AS den
+           |  FROM bins, tot),
+           |${sqlStages("ps", "bt", "num", "den",
+              Seq("bin", "n_a", "n_b", "ta", "tb", "nb"))}
+           |SELECT max(ta) AS n_a, max(tb) AS n_b,
+           |  CAST(count(*) AS BIGINT) AS n_bins,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list((CAST(n_a + 1 AS DOUBLE) / CAST(ta + nb AS DOUBLE) -
+           |            CAST(n_b + 1 AS DOUBLE) / CAST(tb + nb AS DOUBLE)) *
+           |           pln
+           |           ORDER BY coalesce(bin, -9223372036854775808))),
+           |    (acc, t) -> acc + t) AS psi
+           |FROM psln ORDER BY n_bins""".stripMargin
+      },
+      "population stability index: smoothed exact-rational bins, one portable ln per term"),
+
     // Mutual information of (lang, source)
     // ([[graft.ops.StatOps.mutualInformation]]): does the ingestion
     // source leak the language? Exact integer ratios into one ln per
@@ -509,6 +557,52 @@ object ProfilingQueries {
            |FROM mi, hx, hy ORDER BY n""".stripMargin
       },
       "mutual information lang vs source: one-ln-per-term exact rationals, ordered folds"),
+
+    // Chi-square independence + Cramér's V of (lang, source)
+    // ([[graft.ops.StatOps.chiSquareIndependence]]): the frequentist
+    // sibling of the MI gate — test statistic and [0,1] effect size over
+    // the FULL R×C grid (unobserved cells contribute their expected
+    // mass). Exact integer marginals, one double division per cell,
+    // (x,y)-ordered fold, IEEE sqrt — portable with no ln at all.
+    Q(
+      "profile_chi2",
+      (s, d) =>
+        graft.ops.StatOps
+          .chiSquareIndependence(T(s, d, "documents"), "lang", "source")
+          .orderBy("n"),
+      Some("""WITH cxy AS (SELECT lang AS x, source AS y,
+             |    CAST(count(*) AS BIGINT) AS nxy
+             |  FROM documents GROUP BY 1, 2),
+             |cx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx
+             |       FROM cxy GROUP BY x),
+             |cy AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny
+             |       FROM cxy GROUP BY y),
+             |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cxy),
+             |grid AS (SELECT cx.x, cy.y, cx.nx, cy.ny, tot.n,
+             |    coalesce(c.nxy, 0) AS o
+             |  FROM cx CROSS JOIN cy
+             |  LEFT JOIN cxy c ON c.x = cx.x AND c.y = cy.y, tot),
+             |t AS (SELECT x, y, n,
+             |    (CAST(o AS DOUBLE) -
+             |       CAST(nx * ny AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |    (CAST(o AS DOUBLE) -
+             |       CAST(nx * ny AS DOUBLE) / CAST(n AS DOUBLE)) /
+             |    (CAST(nx * ny AS DOUBLE) / CAST(n AS DOUBLE)) AS t
+             |  FROM grid),
+             |agg AS (SELECT max(n) AS n,
+             |    CAST(count(DISTINCT x) AS BIGINT) AS n_rows,
+             |    CAST(count(DISTINCT y) AS BIGINT) AS n_cols,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list(t ORDER BY x, y)),
+             |      (acc, v) -> acc + v) AS chi2
+             |  FROM t)
+             |SELECT n, n_rows, n_cols,
+             |  (n_rows - 1) * (n_cols - 1) AS dof, chi2,
+             |  CASE WHEN (n_rows - 1) * (n_cols - 1) > 0 AND n > 0
+             |    THEN sqrt(chi2 / CAST(n * least(n_rows - 1, n_cols - 1)
+             |                          AS DOUBLE)) END AS cramers_v
+             |FROM agg ORDER BY n""".stripMargin),
+      "chi-square independence + Cramer's V: full-grid expected mass, ln-free portable fold"),
 
     // Jensen–Shannon divergence of src0's language mix vs the rest
     // ([[graft.ops.StatOps.jsDivergence]]): the symmetric, always-finite

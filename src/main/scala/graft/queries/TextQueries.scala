@@ -748,6 +748,67 @@ object TextQueries {
       },
       "top-30 PMI collocations: portable-ln over the exact co-occurrence table"),
 
+    // TextRank keyword centrality ([[TextOps.textrankKeywords]]):
+    // weighted integer PageRank over the same capped co-occurrence
+    // graph — the third consumer of the exact-integer pair table
+    // (counts → PMI → centrality), riding the graph tier's
+    // fixed-point machinery. The oracle rebuilds the graph, assigns
+    // the same ORDER BY tok dense ids, and unrolls three weighted
+    // iterations like graph_pagerank_weighted.
+    Q(
+      "text_textrank",
+      (s, d) =>
+        TextOps.textrankKeywords(T(s, d, "documents"), "doc_id", "text",
+            vocabK = 50, iters = 3)
+          .orderBy("tok"),
+      Some {
+        val unit = 1000000L
+        val base = unit * 15 / 100
+        val iterCtes = (1 to 3).map { i =>
+          s"""c$i AS (SELECT e.dst AS id, SUM((r.r * e.w) // d.wout) AS c
+             |  FROM edges e JOIN r${i - 1} r ON r.id = e.src
+             |  JOIN wout d ON d.src = e.src GROUP BY e.dst),
+             |r$i AS (SELECT n.id, $base + (85 * COALESCE(c.c, 0)) // 100 AS r
+             |  FROM nodes n LEFT JOIN c$i c ON c.id = n.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH dt0 AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(string_split_regex(text, ' +')) AS tok
+           |  FROM documents),
+           |vocab AS (SELECT tok FROM (
+           |  SELECT tok, count(*) AS n FROM dt0 GROUP BY tok
+           |  ORDER BY n DESC, tok LIMIT 50)),
+           |dt AS (SELECT doc_id, tok FROM dt0
+           |       WHERE tok IN (SELECT tok FROM vocab)),
+           |pairs AS (
+           |  SELECT a.tok AS tok_a, b.tok AS tok_b,
+           |    CAST(count(*) AS BIGINT) AS n_pair
+           |  FROM dt a JOIN dt b
+           |    ON a.doc_id = b.doc_id AND a.tok < b.tok
+           |  GROUP BY 1, 2),
+           |toks AS (SELECT tok_a AS tok FROM pairs
+           |         UNION SELECT tok_b FROM pairs),
+           |ids AS (SELECT tok,
+           |    CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS nid
+           |  FROM toks),
+           |edges AS (
+           |  SELECT ia.nid AS src, ib.nid AS dst, n_pair AS w
+           |  FROM pairs JOIN ids ia ON ia.tok = pairs.tok_a
+           |    JOIN ids ib ON ib.tok = pairs.tok_b
+           |  UNION ALL
+           |  SELECT ib.nid, ia.nid, n_pair
+           |  FROM pairs JOIN ids ia ON ia.tok = pairs.tok_a
+           |    JOIN ids ib ON ib.tok = pairs.tok_b),
+           |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+           |wout AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY src),
+           |r0 AS (SELECT id, CAST($unit AS BIGINT) AS r FROM nodes),
+           |$iterCtes
+           |SELECT ids.tok, CAST(r.r AS BIGINT) AS rank_units
+           |FROM r3 r JOIN ids ON ids.nid = r.id
+           |ORDER BY ids.tok""".stripMargin
+      },
+      "TextRank keywords: weighted integer PageRank over the capped co-occurrence graph"),
+
     // Inverted index build: token → document frequency + ordered postings
     // list — the retrieval primitive under BM25/ANN hybrid search. One
     // (doc, token) distinct, one token-keyed rollup; postings serialize

@@ -85,7 +85,11 @@ class PlanGuardSpec extends AnyFunSuite {
       // 1-row norm/Rayleigh broadcasts per power-iteration round
       "sim_top_eigvec",
       // 1-row totals + chosen-segment broadcasts onto the source domain
-      "corpus_epoch_budget")
+      "corpus_epoch_budget",
+      // 1-row totals broadcast onto the bin-domain frame (PSI fold)
+      "profile_psi",
+      // R×C category-domain cross + 1-row total (full chi-square grid)
+      "profile_chi2")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

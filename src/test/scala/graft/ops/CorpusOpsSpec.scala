@@ -485,6 +485,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(gn.find(_._1.isEmpty).get == (None, 1L, 2L))
   }
 
+  test("psiDrift: zero on identical dists, symmetric, matches scalar model") {
+    val a = Seq(1L, 2L, 11L, 12L, 13L, 25L).toDF("v")
+    // identical distribution → every (p_a − p_b) is an exact IEEE zero
+    val same = CorpusOps.psiDrift(a, a, "v", 10L)
+      .as[(Long, Long, Long, Double)].head()
+    assert(same == ((6L, 6L, 3L, 0.0)))
+    // shifted snapshot: scalar replay of the smoothed fold
+    val b = Seq(1L, 11L, 12L, 25L, 26L, 27L, 35L).toDF("v")
+    val got = CorpusOps.psiDrift(a, b, "v", 10L)
+      .as[(Long, Long, Long, Double)].head()
+    assert(got._1 == 6L && got._2 == 7L && got._3 == 4L)
+    val na = Map(0L -> 2L, 1L -> 3L, 2L -> 1L, 3L -> 0L)
+    val nb = Map(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 1L)
+    val (ta, tb, nbins) = (6L, 7L, 4L)
+    val expect = Seq(0L, 1L, 2L, 3L).map { bin =>
+      val (x, y) = (na(bin), nb(bin))
+      ((x + 1).toDouble / (ta + nbins) - (y + 1).toDouble / (tb + nbins)) *
+        graft.expr.PortableLnRatio.compute(
+          (x + 1) * (tb + nbins), (y + 1) * (ta + nbins))
+    }.foldLeft(0.0)(_ + _)
+    assert(got._4 == expect)
+    // PSI is symmetric: swapping sides flips BOTH factors of each term
+    // (sign of p_a − p_b and of the ln), so the products are unchanged —
+    // up to ulps, because the portable ln is not bit-exactly odd
+    val swapped = CorpusOps.psiDrift(b, a, "v", 10L)
+      .as[(Long, Long, Long, Double)].head()
+    assert(math.abs(swapped._4 - got._4) < 1e-12)
+    assert(got._4 > 0.0)
+  }
+
   test("corpus digests: XOR updates incrementally; diff flags exactly the touched shards") {
     def h(s: String): Long =
       graft.expr.Hash64.hashBytes(s.getBytes("UTF-8"), 0L)

@@ -241,6 +241,35 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("nmi") - 1.0) < 1e-15)
   }
 
+  test("chiSquareIndependence: independence is exactly 0; zero cells carry expected mass") {
+    import spark.implicits._
+    // 2x2 uniform: o == e in every cell → every term an exact 0.0
+    val ind = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v"))
+      .toDF("x", "y")
+    val r = StatOps.chiSquareIndependence(ind, "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("dof") == 1L)
+    assert(r.getAs[Double]("chi2") == 0.0)
+    assert(r.getAs[Double]("cramers_v") == 0.0)
+    // perfect dependence on 2x2: chi2 = n, V = 1 — and the two
+    // UNOBSERVED cells must contribute their expected mass (1.0 each);
+    // scalar replay of the full-grid fold in (x, y) order
+    val dep = Seq(("a", "u"), ("a", "u"), ("b", "v"), ("b", "v"))
+      .toDF("x", "y")
+    val r2 = StatOps.chiSquareIndependence(dep, "x", "y").collect().head
+    val e = (2L * 2L).toDouble / 4L.toDouble
+    val hit = (2.0 - e) * (2.0 - e) / e
+    val miss = (0.0 - e) * (0.0 - e) / e
+    val chi2 = ((0.0 + hit) + miss + miss) + hit // (a,u),(a,v),(b,u),(b,v)
+    assert(r2.getAs[Double]("chi2") == chi2)
+    assert(r2.getAs[Double]("cramers_v") ==
+      math.sqrt(chi2 / (4L * 1L).toDouble))
+    // single-column degenerate: dof 0 → V null
+    val deg = Seq(("a", "u"), ("a", "v")).toDF("x", "y")
+    val r3 = StatOps.chiSquareIndependence(deg, "x", "y").collect().head
+    assert(r3.getAs[Long]("dof") == 0L)
+    assert(r3.isNullAt(r3.fieldIndex("cramers_v")))
+  }
+
   test("acfByKey: hand moments, zero/negative lags, constant is null") {
     import spark.implicits._
     // x = 1,2,3 (scale 1): lag1 num = 0; lag2 r = -9/18 = -0.5
@@ -406,6 +435,42 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     // same IEEE tree as the operator: one slope, averaged with itself
     val s = 10.0 / 1000000.0
     assert(one == ((1L, 2L, 1L, (s + s) / 2.0 * 86400000000.0)))
+  }
+
+  test("mannKendall: exact S, tie-corrected variance, continuity-corrected Z") {
+    import spark.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$sec%02d")
+    // user 1: strictly rising 1,2,3,4 -> S = 6 (all 6 pairs concordant),
+    //   no ties: var18 = 4*3*13 = 156, Z = (6-1)/sqrt(156/18)
+    // user 2: constant 5,5,5 -> S = 0, tie t=3: var18 = 3*2*11 - 3*2*11
+    //   = 0 -> Z null
+    // user 3: single point -> S = 0, var18 = 0 -> Z null
+    val df = Seq(
+      (1L, ts(1), 1L, 1.0), (1L, ts(2), 2L, 2.0),
+      (1L, ts(3), 3L, 3.0), (1L, ts(4), 4L, 4.0),
+      (2L, ts(1), 5L, 5.0), (2L, ts(2), 6L, 5.0), (2L, ts(3), 7L, 5.0),
+      (3L, ts(1), 8L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = StatOps.mannKendall(df, "user_id", "ts", "event_id",
+        "value", scale = 1.0)
+      .as[(Long, Long, Long, Long, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, 4L, 6L, 156L,
+      Some(5.0 / math.sqrt(156.0 / 18.0)))))
+    assert(got(1) == ((2L, 3L, 0L, 0L, None)))
+    assert(got(2) == ((3L, 1L, 0L, 0L, None)))
+    // mixed ties: 1,3,3,2 -> pairs: (1,3)+1 (1,3)+1 (1,2)+1 (3,3)0
+    //   (3,2)-1 (3,2)-1 -> S = 1; tie t=2 on value 3:
+    //   var18 = 4*3*13 - 2*1*9 = 138; Z = (1-1)/sqrt(...) -> 0? No:
+    //   S=1 -> Z = (1-1)/sqrt = 0.0 via the formula (not the S=0 branch)
+    val df2 = Seq(
+      (9L, ts(1), 1L, 1.0), (9L, ts(2), 2L, 3.0),
+      (9L, ts(3), 3L, 3.0), (9L, ts(4), 4L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val m = StatOps.mannKendall(df2, "user_id", "ts", "event_id",
+        "value", scale = 1.0)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(m == ((9L, 4L, 1L, 138L, Some(0.0))))
   }
 
   test("ljungBox: hand fold over the exact ACF; short series gives null") {

@@ -235,6 +235,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(floored == Seq(("a", "b")))
   }
 
+  test("textrankKeywords: integer weighted-PageRank replay over the pair graph") {
+    import spark.implicits._
+    // pairs: (a,b) n=2, (b,c) n=1 → undirected weighted graph; scalar
+    // replay of three (r*w) div wout rounds must match bit-for-bit
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "b c"))
+      .toDF("doc_id", "text")
+    val got = TextOps.textrankKeywords(df, "doc_id", "text",
+        vocabK = 10, iters = 3)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    // edges: a->b w2, b->a w2, b->c w1, c->b w1; wout a=2, b=3, c=1
+    val w = Map(("a", "b") -> 2L, ("b", "a") -> 2L,
+      ("b", "c") -> 1L, ("c", "b") -> 1L)
+    val wout = Map("a" -> 2L, "b" -> 3L, "c" -> 1L)
+    var r = Map("a" -> 1000000L, "b" -> 1000000L, "c" -> 1000000L)
+    for (_ <- 1 to 3) {
+      val contrib = r.keys.map { dst =>
+        dst -> w.collect { case ((s, d), ww) if d == dst =>
+          (r(s) * ww) / wout(s)
+        }.sum
+      }.toMap
+      r = r.keys.map(k => k -> (150000L + 85L * contrib(k) / 100L)).toMap
+    }
+    assert(got == Seq("a", "b", "c").map(k => k -> r(k)))
+  }
+
   test("tfidfCosinePairs: exact fold replica, df cap drops stopwords") {
     import spark.implicits._
     import graft.expr.PortableLnRatio.compute
