@@ -671,25 +671,23 @@ object GraphOps {
     // reassigned in round 1 before any read (iters >= 1 enforced) —
     // only h₀ seeds the recursion, the initial auth never participates
     var auth: DataFrame = hub
-    // Each raw-score frame feeds TWO consumers — its L1 total and the
-    // normalization join — so it must be materialized once, not
-    // recomputed per consumer (unshared, the recomputation tree
-    // quadruples per round; measured 4× wall at 2 iterations). The
-    // r10 shape pinned each half-round (one ACTION per half-round);
-    // this batches like [[corenessDecomposition]]: lazy
-    // MEMORY_AND_DISK persists share the frame between its total
-    // broadcast (whose collect job populates the cache) and the join,
-    // and the plan is pinned only every `batch` rounds — per-round
-    // scheduler overhead, not data volume, dominates these loops.
-    val batch = 4
-    val staged = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var round = 0
     while (round < iters) {
+      // Each raw-score frame feeds TWO consumers — its L1 total and the
+      // normalization join — so it is pinned per half-round: unpinned,
+      // the recomputation tree quadruples per round (each tot AND each
+      // join re-derives the whole prior chain; measured 4× wall at 2
+      // iterations). Pinned, every downstream read is a node-sized
+      // cached scan and the plan stays linear in rounds. (A lazy-persist
+      // round-batching variant was tried and REVERTED: the nested
+      // broadcast-total dependency chains re-planned per materializing
+      // action and the un-reclaimed block churn degraded repeat runs —
+      // measured 1.9 s → 5.9-61 s on the gate. Eager half-round pins
+      // are the measured floor here.)
       val aRaw = e
         .join(hub.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum("h").as("au"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      staged += aRaw
+        .stagePin()
       val aTot = aRaw.agg(sum("au").as("atot"))
       auth = nodes.join(aRaw, Seq("id"), "left_outer")
         .crossJoin(broadcast(aTot)) // 1-row total (declared)
@@ -698,20 +696,17 @@ object GraphOps {
       val hRaw = e
         .join(auth.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum("a").as("hu"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      staged += hRaw
+        .stagePin()
       val hTot = hRaw.agg(sum("hu").as("htot"))
       hub = nodes.join(hRaw, Seq("id"), "left_outer")
         .crossJoin(broadcast(hTot)) // 1-row total (declared)
         .select(col("id"),
           expr(s"(coalesce(hu, 0L) * ${unit}L) div htot").as("h"))
       round += 1
-      if (round < iters && round % batch == 0) hub = hub.stagePin()
     }
     val out = hub.join(auth, Seq("id"))
       .select(col("id"), col("h").as("hub_units"), col("a").as("auth_units"))
       .stagePin()
-    staged.foreach(_.unpersist())
     nodes.unpersist(); e.unpersist()
     out
   }
@@ -1015,14 +1010,21 @@ object GraphOps {
     * Hub-skew hardening: a node's fold holds its neighbor VALUES in
     * one row, which is degree-bounded — fine below
     * `hubDegreeThreshold`, a multi-hundred-MB row for a 10M-degree
-    * power-law hub. Nodes above the threshold (tagged ONCE on the
-    * static adjacency) take a histogram path instead: pre-aggregate to
-    * `(value, count)` — map-side combinable, so no executor ever holds
-    * a hub's raw neighbor list — then fold values descending with
+    * power-law hub. The path is chosen ONCE, from the (already
+    * materialized) degree seed: a graph with any hub runs EVERY round
+    * as a (value, count) histogram fold — pre-aggregate per (node,
+    * value), map-side combinable, so no executor ever holds a hub's
+    * raw neighbor list, then fold values descending with
     * `h = max min(value, cum_count)`, the histogram form of the same
-    * identity. Row state becomes O(#distinct neighbor values), which
-    * for a hub is bounded by the graph's distinct-coreness count
-    * (O(√E)), not its degree.
+    * identity; row state becomes O(#distinct neighbor values), for a
+    * hub bounded by the graph's distinct-coreness count (O(√E)), not
+    * its degree. The choice is deliberately GLOBAL, not per-node: a
+    * per-node branch consumes each round's frame twice (once per
+    * branch), and under the 4-round lazy batching below that doubles
+    * the re-executed tree PER ROUND — 2⁴ ≈ 16× work per batch
+    * (measured: the branched form took the gate from 3.7 s to 22.5 s).
+    * One extra exchange per round on hub graphs; hub-free graphs (the
+    * common case) pay nothing.
     *
     * @return (`id`, `coreness`) for every node of `edges`.
     */
@@ -1039,52 +1041,54 @@ object GraphOps {
       .distinct()
     val rawAdj = dir.select(col("u").as("id"), col("v").as("nbr"))
       .union(dir.select(col("v").as("id"), col("u").as("nbr")))
-    val degs = rawAdj.groupBy("id").agg(count(lit(1)).as("deg"))
     val adj = rawAdj
-      .join(degs.select(col("id"),
-        (col("deg") > lit(hubDegreeThreshold.toLong)).as("_hub")), Seq("id"))
       .repartition(col("nbr"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var vals = degs.select(col("id"), col("deg").as("val")).stagePin()
-    // ONE exchange per round on the non-hub path: the h-index folds
+    var vals = rawAdj.groupBy("id").agg(count(lit(1)).as("val")).stagePin()
+    // The seed IS the degree table, already pinned — the hub probe is
+    // one cached node-sized scan, paid once.
+    val hasHubs = vals
+      .filter(col("val") > lit(hubDegreeThreshold.toLong))
+      .limit(1).count() > 0
+    // ONE exchange per round on the hub-free path: the h-index folds
     // inside the per-node aggregate (collect vals, sort desc, h = max
     // over positions of min(pos, val)) instead of a histogram + window
     // + rollup chain — stage-count per round, not data volume, is what
     // a fixpoint loop pays for at any cluster size (4 shuffles/round
     // measured 1.1 s, this shape ~0.4 s, the PageRank round cost).
-    // Hub nodes (static `_hub` tag) detour through the (value, count)
-    // histogram fold — see the scaladoc.
-    def hRound(v: DataFrame): DataFrame = {
-      val joined = adj
-        .join(v.select(col("id").as("nbr"), col("val")), "nbr")
-      val small = joined.filter(!col("_hub"))
-        .groupBy("id")
-        .agg(aggregate(
-          reverse(array_sort(collect_list(col("val")))),
-          struct(lit(0L).as("cum"), lit(0L).as("best")),
-          (acc, x) => struct(
-            (acc.getField("cum") + 1L).as("cum"),
-            greatest(acc.getField("best"),
-              least(acc.getField("cum") + 1L, x)).as("best")),
-          acc => acc.getField("best")).as("val"))
-      // Histogram h-index: values descending, cum = #{vals ≥ w};
-      // h = max min(w, cum). Same identity, O(#distinct values) state.
-      val big = joined.filter(col("_hub"))
-        .groupBy(col("id"), col("val").as("_w"))
-        .agg(count(lit(1)).as("_c"))
-        .groupBy("id")
-        .agg(aggregate(
-          reverse(array_sort(collect_list(
-            struct(col("_w"), col("_c"))))),
-          struct(lit(0L).as("cum"), lit(0L).as("best")),
-          (acc, x) => struct(
-            (acc.getField("cum") + x.getField("_c")).as("cum"),
-            greatest(acc.getField("best"),
-              least(acc.getField("cum") + x.getField("_c"),
-                x.getField("_w"))).as("best")),
-          acc => acc.getField("best")).as("val"))
-      small.unionAll(big)
-    }
+    def hRoundFold(v: DataFrame): DataFrame = adj
+      .join(v.select(col("id").as("nbr"), col("val")), "nbr")
+      .groupBy("id")
+      .agg(aggregate(
+        reverse(array_sort(collect_list(col("val")))),
+        struct(lit(0L).as("cum"), lit(0L).as("best")),
+        (acc, x) => struct(
+          (acc.getField("cum") + 1L).as("cum"),
+          greatest(acc.getField("best"),
+            least(acc.getField("cum") + 1L, x)).as("best")),
+        acc => acc.getField("best")).as("val"))
+    // Histogram h-index: values descending, cum = #{vals ≥ w};
+    // h = max min(w, cum). Same identity, O(#distinct values) row
+    // state; the (id, val) pre-rollup combines map-side, so a hub's
+    // degree never lands on one executor. Still single-consumer per
+    // round — the lazy batch stays linear.
+    def hRoundHist(v: DataFrame): DataFrame = adj
+      .join(v.select(col("id").as("nbr"), col("val")), "nbr")
+      .groupBy(col("id"), col("val").as("_w"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy("id")
+      .agg(aggregate(
+        reverse(array_sort(collect_list(
+          struct(col("_w"), col("_c"))))),
+        struct(lit(0L).as("cum"), lit(0L).as("best")),
+        (acc, x) => struct(
+          (acc.getField("cum") + x.getField("_c")).as("cum"),
+          greatest(acc.getField("best"),
+            least(acc.getField("cum") + x.getField("_c"),
+              x.getField("_w"))).as("best")),
+        acc => acc.getField("best")).as("val"))
+    def hRound(v: DataFrame): DataFrame =
+      if (hasHubs) hRoundHist(v) else hRoundFold(v)
     // BATCH 4 h-index rounds per pinned job: per-round scheduler
     // overhead, not data, dominates this loop (the k-truss alpha
     // lesson — measured 13.8 s warm at one pin per round, 4.5 s at

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{Q, T}
-import graft.ops.{DedupOps, GraphOps}
+import graft.ops.{DedupOps, GraphOps, IncrementalOps}
 
 /** Duplicate-cluster resolution gates: near-dup *pairs* from
   * [[graft.ops.DedupOps]] become *clusters* via connected components
@@ -321,6 +321,97 @@ object GraphQueries {
               |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
               |ORDER BY doc_id""".stripMargin),
       "corpus keep-set refreshed from incrementally-maintained labels ≡ full-recompute keep"),
+
+    // The INCREMENTAL ingest service loop composed end to end, ONE
+    // declarative plan: delta in (odd ids) → delta-vs-base near-dup
+    // edges → incremental label merge ([[GraphOps.incrementalComponents]],
+    // via the shared staged label table) → keep-set refresh → Type-2 SCD
+    // dimension state ([[IncrementalOps.scdType2Apply]]). The dim tracks
+    // each document's dedup state (component label + kept flag): before
+    // the ingest it holds one open row per BASE doc under base-only
+    // labels; the batch is the post-merge state over the full universe.
+    // Base docs whose cluster the delta merged (or whose representative
+    // status flipped — a smaller odd id can steal min-label) close at
+    // the effective timestamp and reopen; untouched base docs keep their
+    // 2024 open row VERBATIM (re-ingest never grows history); delta docs
+    // append as new open rows. The oracle recomputes BOTH label states
+    // from scratch (two recursive-CTE component closures — base-only
+    // pairs are exactly the full pair set restricted to even×even, since
+    // uncapped Jaccard is pairwise) and replays the SCD2 branches —
+    // composed-incremental ≡ full-recompute, end to end.
+    Q(
+      "incremental_ingest_e2e",
+      (s, d) => {
+        val base = half(s, d, 0)
+        val baseLabels = GraphOps.withSingletons(
+          GraphOps.sharedComponents(
+            DedupOps.sharedNgramJaccardPairs(base, "doc_id", "text",
+              k = 3, threshold = 0.8), "a", "b"),
+          base, "doc_id")
+        val mergedLabels = GraphOps.withSingletons(
+          incrementalLabels(s, d), T(s, d, "documents"), "doc_id")
+        def state(labels: org.apache.spark.sql.DataFrame) = labels.select(
+          col("id").as("doc_id"), col("component"),
+          (col("id") === col("component")).cast("int").as("kept"))
+        val dim = state(baseLabels)
+          .withColumn("valid_from",
+            lit("2024-01-01 00:00:00").cast("timestamp"))
+          .withColumn("valid_to", lit(null).cast("timestamp"))
+        IncrementalOps
+          .scdType2Apply(dim, state(mergedLabels),
+            Seq("doc_id"), Seq("component", "kept"),
+            lit("2025-06-01 00:00:00").cast("timestamp"))
+          .orderBy("doc_id", "valid_from")
+      },
+      Some(s"""WITH RECURSIVE ${DedupQueries.jaccardPairCtes(0.8)},
+              |$componentCtes,
+              |bedges AS (
+              |  SELECT a AS u, b AS v FROM pairs
+              |    WHERE a % 2 = 0 AND b % 2 = 0
+              |  UNION SELECT b AS u, a AS v FROM pairs
+              |    WHERE a % 2 = 0 AND b % 2 = 0),
+              |breach AS (
+              |  SELECT u AS id, v AS r FROM bedges
+              |  UNION
+              |  SELECT breach.id, e.v AS r
+              |  FROM breach JOIN bedges e ON breach.r = e.u),
+              |bcomp AS (SELECT id, least(id, min(r)) AS component
+              |  FROM breach GROUP BY id),
+              |bstate AS (SELECT d.doc_id,
+              |    coalesce(bc.component, d.doc_id) AS component,
+              |    CASE WHEN coalesce(bc.component, d.doc_id) = d.doc_id
+              |      THEN 1 ELSE 0 END AS kept
+              |  FROM documents d LEFT JOIN bcomp bc ON bc.id = d.doc_id
+              |  WHERE d.doc_id % 2 = 0),
+              |mstate AS (SELECT d.doc_id,
+              |    coalesce(c.component, d.doc_id) AS component,
+              |    CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+              |      THEN 1 ELSE 0 END AS kept
+              |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+              |kept_open AS (
+              |  SELECT o.doc_id, o.component, o.kept,
+              |    TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+              |    CAST(NULL AS TIMESTAMP) AS valid_to
+              |  FROM bstate o JOIN mstate u ON u.doc_id = o.doc_id
+              |  WHERE o.component = u.component AND o.kept = u.kept),
+              |newly_closed AS (
+              |  SELECT o.doc_id, o.component, o.kept,
+              |    TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+              |    TIMESTAMP '2025-06-01 00:00:00' AS valid_to
+              |  FROM bstate o JOIN mstate u ON u.doc_id = o.doc_id
+              |  WHERE o.component <> u.component OR o.kept <> u.kept),
+              |new_open AS (
+              |  SELECT u.doc_id, u.component, u.kept,
+              |    TIMESTAMP '2025-06-01 00:00:00' AS valid_from,
+              |    CAST(NULL AS TIMESTAMP) AS valid_to
+              |  FROM mstate u LEFT JOIN bstate o ON o.doc_id = u.doc_id
+              |  WHERE o.doc_id IS NULL
+              |     OR o.component <> u.component OR o.kept <> u.kept)
+              |SELECT * FROM kept_open
+              |UNION ALL SELECT * FROM newly_closed
+              |UNION ALL SELECT * FROM new_open
+              |ORDER BY doc_id, valid_from""".stripMargin),
+      "the incremental ingest loop in one plan: delta edges -> label merge -> keep -> SCD2 state"),
 
     // 5-TRUSS of the (urgent, finished) part co-purchase graph
     // ([[GraphOps.kTrussEdges]]) — the cohesion tier above graph_kcore:
