@@ -486,6 +486,72 @@ object GraphOps {
     out
   }
 
+  /** Fixed-iteration KATZ centrality in the same exact fixed-point
+    * integer arithmetic as [[pageRankUnits]]: after `iters` rounds of
+    * `c(v) ← β + α · Σ_{u→v} c(u)` (with `c₀ = β = unit` and
+    * `α = alphaNum/alphaDen` applied as ONE integer multiply-divide per
+    * node per round), `c(v)` is the truncated Katz series
+    * `Σ_{k≤iters} α^k · |paths of length k ending at v|` in `unit`
+    * scale — the influence measure that, unlike PageRank, does NOT
+    * dilute a node's endorsement across its out-degree: an influential
+    * buyer endorses every supplier fully. Integer division makes the
+    * result bit-identical on any engine and partitioning, so it
+    * hash-gates where floating-point Katz cannot.
+    *
+    * Same plan shape as [[pageRankUnits]] minus the degree join: the
+    * distinct edge list persists pre-partitioned on `src` once; per
+    * round only the node-sized score frame shuffles — O(E) per round,
+    * no growing state, checkpoint-truncated on the [[pageRankUnits]]
+    * cadence. Exactness bound: scores grow by a factor ≤
+    * `α·max-indegree` per round, so keep
+    * `unit · (alphaNum·d_max/alphaDen)^iters < 2⁶³` — on heavy graphs
+    * lower `unit` or `α` (the ranking is α-monotone for α below the
+    * spectral radius inverse, the usual Katz regime).
+    *
+    * @return one row per node: (`id`, `katz_units`).
+    */
+  def katzUnits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, alphaNum: Long = 1L, alphaDen: Long = 100L,
+      unit: Long = 1000000L, checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 1 && alphaNum > 0 && alphaDen > alphaNum && unit > 0,
+      s"katzUnits: bad parameters ($iters, $alphaNum/$alphaDen, $unit)")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .repartition(col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var scores = nodes.select(col("id"), lit(unit).as("c"))
+    var round = 0
+    while (round < iters) {
+      val contrib = e
+        .join(scores.withColumnRenamed("id", "src"), "src")
+        .groupBy("dst")
+        .agg(sum("c").as("s"))
+      scores = nodes
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(unit) +
+            expr(s"(${alphaNum}L * coalesce(s, 0L)) div ${alphaDen}L"))
+            .as("c"))
+      round += 1
+      if (round % checkpointEvery == 0 && round < iters)
+        scores = scores.stagePin()
+    }
+    val out = scores.select(col("id"), col("c").as("katz_units"))
+      .stagePin()
+    nodes.unpersist()
+    e.unpersist()
+    out
+  }
+
   /** Single-source (set) shortest paths over INTEGER edge weights by
     * frontier Bellman-Ford on the undirected view — [[bfsHops]]'
     * weighted sibling: round h relaxes only the nodes whose distance
@@ -1404,6 +1470,71 @@ object GraphOps {
       rounds += frontier
     }
     val out = rounds.reduce(_ unionByName _)
+    e.unpersist()
+    out
+  }
+
+  /** HARMONIC closeness centrality restricted to a landmark set — the
+    * scale-sane closeness: exact closeness is all-pairs shortest paths
+    * (quadratic state, a non-starter at corpus scale), while the
+    * landmark form keeps one BFS wave per landmark and scores
+    * `H(v) = Σ_{l : 0 < d(l,v) ≤ maxHops} unit div d(l,v)` — the
+    * harmonic variant, so disconnected (landmark, node) pairs
+    * contribute zero instead of poisoning a 1/Σd mean. Landmark count
+    * is the caller's accuracy-vs-cost budget knob; per round the state
+    * is ≤ |landmarks| × |frontier| rows, each round one edge join +
+    * one anti-join against the last two waves (the [[bfsHops]]
+    * two-frontier exactness argument, applied per landmark — BFS
+    * waves from different landmarks never interact).
+    *
+    * Integer-division terms make the score a sum of exact longs —
+    * order-free, so it hash-gates without the ordered-fold machinery
+    * the floating-point form would need.
+    *
+    * Nodes no landmark reaches within `maxHops` are absent (the
+    * [[bfsHops]] convention); the hop-0 self term is excluded, so
+    * landmarks score only against the OTHER landmarks' waves.
+    *
+    * @return one row per reached node: (`id`, `n_landmarks` = landmarks
+    *         within `maxHops`, `harmonic_units`).
+    */
+  def landmarkHarmonicUnits(
+      edges: DataFrame, aCol: String, bCol: String,
+      landmarks: DataFrame, lmCol: String, maxHops: Int,
+      unit: Long = 1000000L): DataFrame = {
+    require(maxHops >= 1, s"landmarkHarmonicUnits: maxHops must be >= 1, got $maxHops")
+    require(unit > 0, s"landmarkHarmonicUnits: unit must be > 0, got $unit")
+    val dir = edges.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val e = dir
+      .union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = landmarks
+      .select(col(lmCol).cast("long").as("lm")).distinct()
+      .select(col("lm"), col("lm").as("id"))
+      .withColumn("hops", lit(0))
+      .stagePin()
+    val rounds = scala.collection.mutable.Buffer(frontier)
+    var h = 0
+    while (h < maxHops) {
+      h += 1
+      val recent = rounds.takeRight(2).reduce(_ unionByName _)
+      frontier = frontier
+        .join(e, frontier("id") === e("src"))
+        .select(col("lm"), col("dst").as("id"))
+        .distinct()
+        .join(recent.select(col("lm"), col("id")), Seq("lm", "id"), "left_anti")
+        .withColumn("hops", lit(h))
+        .stagePin()
+      rounds += frontier
+    }
+    val out = rounds.reduce(_ unionByName _)
+      .filter(col("hops") > 0)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_landmarks"),
+        sum(expr(s"${unit}L div hops")).as("harmonic_units"))
     e.unpersist()
     out
   }

@@ -696,6 +696,73 @@ object GraphQueries {
              |FROM r GROUP BY id ORDER BY id""".stripMargin),
       "BFS hop distances from the nation-0 supplier cohort, frontier-join rounds"),
 
+    // Fixed-iteration KATZ centrality over the directed trade graph
+    // ([[GraphOps.katzUnits]], α = 1/100): path-counting influence that,
+    // unlike PageRank, does not split a buyer's endorsement across its
+    // out-degree — the complement scorer the tier was missing. Same
+    // integer fixed-point discipline; the oracle unrolls the three
+    // β + α·Σ rounds with one `//` per node per round.
+    Q(
+      "graph_katz",
+      (s, d) =>
+        GraphOps.katzUnits(tradeEdges(s, d), "src", "dst", iters = 3)
+          .orderBy("id"),
+      Some {
+        val iters = 3
+        val unit = 1000000L
+        val iterCtes = (1 to iters).map { i =>
+          s"""s$i AS (SELECT e.dst AS id, SUM(r.c) AS s
+             |  FROM edges e JOIN r${i - 1} r ON r.id = e.src GROUP BY e.dst),
+             |r$i AS (SELECT n.id,
+             |    $unit + (1 * COALESCE(s.s, 0)) // 100 AS c
+             |  FROM nodes n LEFT JOIN s$i s ON s.id = n.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH edges AS (
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+           |r0 AS (SELECT id, CAST($unit AS BIGINT) AS c FROM nodes),
+           |$iterCtes
+           |SELECT id, CAST(c AS BIGINT) AS katz_units FROM r$iters ORDER BY id""".stripMargin
+      },
+      "fixed-point integer Katz centrality (3 rounds, α=1/100) over the trade graph"),
+
+    // Harmonic closeness from the nation-0 supplier LANDMARKS
+    // ([[GraphOps.landmarkHarmonicUnits]], 3 hops): the scale-sane
+    // closeness — exact closeness is all-pairs shortest paths, the
+    // landmark form is one BFS wave per landmark with the landmark
+    // count as the accuracy budget. Terms are integer `unit div d`, so
+    // the score is an order-free sum of longs and hash-gates without
+    // ordered folds. The oracle reruns the labeled BFS as a bounded
+    // recursive CTE and replays the same integer-division sum.
+    Q(
+      "graph_closeness_landmarks",
+      (s, d) =>
+        GraphOps.landmarkHarmonicUnits(tradeEdges(s, d), "src", "dst",
+            T(s, d, "supplier").filter(col("s_nationkey") === 0)
+              .select((col("s_suppkey") * 2 + 1).as("id")),
+            "id", maxHops = 3)
+          .orderBy("id"),
+      Some("""WITH RECURSIVE eu AS (
+             |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e AS (SELECT src, dst FROM eu
+             |      UNION SELECT dst AS src, src AS dst FROM eu),
+             |r AS (
+             |  SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) AS lm,
+             |         CAST(s_suppkey * 2 + 1 AS BIGINT) AS id, 0 AS h
+             |  FROM supplier WHERE s_nationkey = 0
+             |  UNION
+             |  SELECT r.lm, CAST(e.dst AS BIGINT) AS id, r.h + 1 AS h
+             |  FROM r JOIN e ON e.src = r.id
+             |  WHERE r.h < 3),
+             |dmin AS (SELECT lm, id, MIN(h) AS hops FROM r GROUP BY lm, id)
+             |SELECT id, count(*) AS n_landmarks,
+             |  CAST(SUM(CAST(1000000 AS BIGINT) // hops) AS BIGINT)
+             |    AS harmonic_units
+             |FROM dmin WHERE hops > 0 GROUP BY id ORDER BY id""".stripMargin),
+      "landmark harmonic closeness: one BFS wave per landmark, integer-division terms"),
+
     // Per-node triangle counts over the part co-purchase graph (parts
     // sharing an URGENT order), by degree-ordered orientation
     // ([[GraphOps.triangleCounts]]): wedges enumerate only at their

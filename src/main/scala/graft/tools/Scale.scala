@@ -135,6 +135,12 @@ object Scale {
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(String, Long, Double)]
 
+    // optional args(1): comma-separated op names — run only those
+    // (refresh individual curves without paying the full sweep)
+    val opFilter: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").map(_.trim).toSet)
+      else None
+
     for (n <- sizes) {
       val d = docs(spark, n).persist()
       val nm = names(spark, n).persist()
@@ -147,12 +153,23 @@ object Scale {
       val deltaE = e.filter(col("a") % 20 === 9).persist()
       // materialize outside the clock; incremental CC's scenario state
       // (base labels, BPE merge table) is likewise pre-built — the timed
-      // pass is the per-ingest operator, as in production
-      (d.count(), nm.count(), e.count(), te.count(), iv.count(), ms.count(),
-        vc.count(), baseE.count(), deltaE.count())
-      val baseLabels = GraphOps.connectedComponents(baseE, "a", "b")
-      val bpeTable = TextOps.bpeMergesLog(d, "text", steps = 5)
-        .map(m => (m._2, m._3))
+      // pass is the per-ingest operator, as in production. Under an op
+      // filter the eager force is skipped: persist() is lazy, so frames
+      // no selected op touches are never computed (a 5M graph-only
+      // sweep must not pay 5M docs of BPE induction), and min-of-N
+      // trials absorbs the first trial's materialization instead.
+      if (opFilter.isEmpty)
+        (d.count(), nm.count(), e.count(), te.count(), iv.count(),
+          ms.count(), vc.count(), baseE.count(), deltaE.count())
+      val baseLabels =
+        if (opFilter.forall(_.contains("incremental_cc")))
+          GraphOps.connectedComponents(baseE, "a", "b")
+        else spark.emptyDataFrame
+      val bpeTable =
+        if (opFilter.forall(_.contains("bpe_encode")))
+          TextOps.bpeMergesLog(d, "text", steps = 5)
+            .map(m => (m._2, m._3))
+        else Seq.empty[(String, String)]
 
       val ops: Seq[(String, () => Long)] = Seq(
         "ngram_jaccard_capped" -> (() =>
@@ -229,6 +246,34 @@ object Scale {
         // shuffle over a fixed edge layout, so wall time must track E
         "pagerank_3iter" -> (() =>
           GraphOps.pageRankUnits(e, "a", "b", iters = 3).count()),
+        // weighted PageRank over the same chains with a deterministic
+        // 1-9 weight per edge — same per-round shape as pagerank_3iter
+        // plus the one-time out-weight join, so the curve must coincide
+        "pagerank_weighted_3iter" -> (() =>
+          GraphOps.pageRankWeightedUnits(
+            e.withColumn("w", pmod(xxhash64(col("a")), lit(9)) + 1),
+            "a", "b", "w", iters = 3).count()),
+        // SSSP from one seed per 20-chain (every 400th node): weights
+        // 1-9, so frontier Bellman-Ford settles each chain in ~19
+        // rounds whatever n — per-round relaxation work must track E
+        "sssp_bf" -> (() =>
+          GraphOps.ssspUnits(
+            e.withColumn("w", pmod(xxhash64(col("a")), lit(9)) + 1),
+            "a", "b", "w",
+            e.select(col("a").as("seed")).filter(col("seed") % 400 === 0),
+            "seed", maxRounds = 25).count()),
+        // BFS from the same seed set: hop rounds are fixed by the chain
+        // length (~19), so the curve isolates per-round frontier joins
+        "bfs_hops" -> (() =>
+          GraphOps.bfsHops(e, "a", "b",
+            e.select(col("a").as("seed")).filter(col("seed") % 400 === 0),
+            "seed", maxHops = 20).count()),
+        // personalized PageRank from the same seeds, 3 rounds — the
+        // seed-restricted teleport must not change the per-round slope
+        "ppr_3iter" -> (() =>
+          GraphOps.pprUnits(e, "a", "b",
+            e.select(col("a").as("seed")).filter(col("seed") % 400 === 0),
+            "seed", iters = 3).count()),
         // triangles: disjoint 3-cliques, degree <= 2 — wedge work per
         // node is O(1), so the two joins must track the edge count
         "triangle_counts" -> (() =>
@@ -482,11 +527,6 @@ object Scale {
           TextOps.tfidfCosinePairsPrefix(d, "doc_id", "text",
             maxDf = 100, minCosine = 0.5).count()))
 
-      // optional args(1): comma-separated op names — run only those
-      // (refresh individual curves without paying the full sweep)
-      val opFilter: Option[Set[String]] =
-        if (args.length > 1) Some(args(1).split(",").map(_.trim).toSet)
-        else None
       for ((name, op) <- ops if opFilter.forall(_.contains(name))) {
         System.gc() // don't let one op's garbage land in the next's clock
         val secs = (1 to trials).map(_ => time(op())).min

@@ -748,4 +748,43 @@ class GraphOpsSpec extends AnyFunSuite {
     // minCommon 3 filters the 2-neighbor pair
     assert(GraphOps.adamicAdar(e, "a", "b", minCommon = 3L).count() == 0L)
   }
+
+  test("katzUnits: hand-traced rounds; parallel edges collapse") {
+    import spark.implicits._
+    // chain 1 -> 2 -> 3, α = 1/100, unit = 1M, c0 = (1M, 1M, 1M):
+    // round 1: c = (1M, 1M + 1M//100, 1M + 1M//100)
+    // round 2: c(3) = 1M + 1,010,000 // 100 = 1,010,100
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("s", "t")
+    val got = GraphOps.katzUnits(e, "s", "t", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1000000L, 2L -> 1010000L, 3L -> 1010100L))
+    // a duplicated edge row is ONE edge (distinct), not double influence
+    val dup = Seq((1L, 2L), (1L, 2L), (2L, 3L)).toDF("s", "t")
+    val g2 = GraphOps.katzUnits(dup, "s", "t", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(g2 == got)
+  }
+
+  test("landmarkHarmonicUnits: path hand case; hop bound and self term") {
+    import spark.implicits._
+    // undirected path 1-2-3-4-5, landmarks {1, 5}, 3 hops, unit = 1M:
+    // node 2: d(1)=1, d(5)=3 -> 1,000,000 + 333,333; node 3: 2 and 2;
+    // nodes 1 and 5 see only each other at d=4 > 3 -> absent (their
+    // hop-0 self terms are excluded by design)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = GraphOps.landmarkHarmonicUnits(e, "a", "b",
+        Seq(1L, 5L).toDF("id"), "id", maxHops = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      2L -> ((2L, 1333333L)),
+      3L -> ((2L, 1000000L)),
+      4L -> ((2L, 1333333L))))
+    // an isolated landmark contributes no wave and reports no row
+    val g2 = GraphOps.landmarkHarmonicUnits(e, "a", "b",
+        Seq(1L, 9L).toDF("id"), "id", maxHops = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(g2 == Map(2L -> ((1L, 1000000L)), 3L -> ((1L, 500000L))))
+  }
 }
