@@ -406,6 +406,12 @@ object DedupOps {
     val sh =
       if (reuseShingles) sharedShingles(df, idCol, textCol, k)
       else shingles(df, idCol, textCol, k)
+    // bytes-scaled width for every shingle-stream-sized exchange (the
+    // [[gramShuffleParts]] model: the shingle stream is ~k× the text,
+    // ~3× the on-disk bytes) — the 5M sweep at the fixed session width
+    // was partition-bound (a 128-partition A/B recovered 13%); at gate
+    // scale this floors to the session default and the plan is unchanged
+    val nPart = gramShuffleParts(df, k)
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("f"))
     // doc sizes via a compact rollup joined AFTER the window (the join
     // rides the window's doc partitioning) — measured 3x faster than a
@@ -414,6 +420,7 @@ object DedupOps {
     val w = Window.partitionBy(idCol).orderBy(col("f"), col("shingle"))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val prefix = sh.join(freq, "shingle")
+      .repartition(nPart, col(idCol)) // the window reuses this width
       .withColumn("pos", row_number().over(w))
       .join(sizes, idCol)
       .filter(col("pos") <=
@@ -429,8 +436,10 @@ object DedupOps {
     // reach the threshold.
     val cands = prefix.select(col(idCol).as("a"), col("shingle"),
         col("pos").as("pa"), col("n").as("na"))
+      .repartition(nPart, col("shingle"))
       .join(prefix.select(col(idCol).as("b"), col("shingle"),
-        col("pos").as("pb"), col("n").as("nb")), "shingle")
+        col("pos").as("pb"), col("n").as("nb"))
+        .repartition(nPart, col("shingle")), "shingle")
       .filter(col("a") < col("b"))
       .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
         ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb"))))
@@ -441,7 +450,8 @@ object DedupOps {
     // persist Spark recomputes the whole prefix join per appearance,
     // measured 5x slower at 500k docs. One rollup, evaluated once, wins.
     val sets = sh
-      .groupBy(col(idCol))
+      .repartition(nPart, col(idCol)) // collect_list gains nothing from
+      .groupBy(col(idCol))            // partial agg; width is what matters
       .agg(sort_array(collect_list(col("shingle"))).as("sset"),
         count(lit(1)).as("n"))
     cands
@@ -690,15 +700,28 @@ object DedupOps {
     * advisory partition size — never below the session default (small
     * inputs keep the tuned small plan), capped at 16384 (past that,
     * per-task overhead dominates any realistic gram stream). */
-  private[ops] def gramShuffleParts(df: DataFrame, k: Int): Int = {
+  private[ops] def gramShuffleParts(df: DataFrame, k: Int): Int =
+    bytesScaledParts(df, k.toLong * 3)
+
+  /** The general form of the bytes-scaled width: input frame's Catalyst
+    * size estimate × a declared stream-expansion multiplier, divided by
+    * the AQE advisory partition size; floored at the session default
+    * (small inputs keep the tuned small plan — at gate scale every
+    * caller degenerates to the session width, so gate plans and hashes
+    * are untouched), capped at 16384 (past that, per-task overhead
+    * dominates any realistic stream). AQE can only COALESCE aggregate /
+    * window exchanges below the session width, never widen them — this
+    * is the missing other half, and on a real cluster it is exactly
+    * "partitions scale with the data". */
+  private[ops] def bytesScaledParts(df: DataFrame, multiplier: Long): Int = {
     val spark = df.sparkSession
     val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val advisory = math.max(1L,
       org.apache.spark.sql.internal.SQLConf.get.getConf(
         org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
-    val gramBytes =
-      df.queryExecution.optimizedPlan.stats.sizeInBytes * k * 3
-    val want = gramBytes / advisory
+    val streamBytes =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes * multiplier
+    val want = streamBytes / advisory
     if (want >= 16384) 16384
     else math.max(session, want.toInt)
   }

@@ -506,7 +506,11 @@ object GraphOps {
     * `α·max-indegree` per round, so keep
     * `unit · (alphaNum·d_max/alphaDen)^iters < 2⁶³` — on heavy graphs
     * lower `unit` or `α` (the ranking is α-monotone for α below the
-    * spectral radius inverse, the usual Katz regime).
+    * spectral radius inverse, the usual Katz regime). The bound has
+    * RUNTIME teeth: every round's score is guarded in-plan against the
+    * d_max-aware safe ceiling (`raise_error` with the remedy), because
+    * a wrapped long sum is silent on Spark but a HUGEINT cast error on
+    * DuckDB — the worst kind of oracle divergence.
     *
     * @return one row per node: (`id`, `katz_units`).
     */
@@ -529,6 +533,23 @@ object GraphOps {
       .repartition(col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var scores = nodes.select(col("id"), lit(unit).as("c"))
+    // Runtime teeth for the documented 2^63 growth bound: Spark's
+    // non-ANSI long sum would wrap SILENTLY in the overflow regime
+    // while DuckDB's HUGEINT promotion errors on the BIGINT cast — the
+    // guard turns that confusing op-vs-oracle divergence into one clear
+    // in-plan failure. Guarding the neighbor-SUM is not enough (the sum
+    // itself can wrap before any predicate sees it), so the invariant is
+    // inductive on the per-node SCORE: if every score ≤ safeCeil =
+    // (2^63−1−unit)/alphaNum/d_max, next round's sum ≤ d_max·safeCeil
+    // fits a long, α·s fits, and +unit fits. d_max is one edge-scan at
+    // setup, against the persisted edge frame the rounds reuse anyway.
+    val dMaxRow = e.groupBy("dst").agg(count(lit(1)).as("d"))
+      .agg(max(col("d")).as("m")).head()
+    val dMax = if (dMaxRow.isNullAt(0)) 1L else math.max(1L, dMaxRow.getLong(0))
+    val safeCeil = (Long.MaxValue - unit) / alphaNum / dMax
+    require(unit <= safeCeil,
+      s"katzUnits: unit=$unit already exceeds the overflow-safe score " +
+        s"ceiling $safeCeil for alpha=$alphaNum/$alphaDen, d_max=$dMax")
     var round = 0
     while (round < iters) {
       val contrib = e
@@ -540,6 +561,16 @@ object GraphOps {
         .select(col("id"),
           (lit(unit) +
             expr(s"(${alphaNum}L * coalesce(s, 0L)) div ${alphaDen}L"))
+            .as("_c"))
+        .select(col("id"),
+          when(col("_c") > lit(safeCeil),
+            raise_error(concat(
+              lit(s"katzUnits: score exceeds the 2^63-safe ceiling " +
+                s"$safeCeil at alpha=$alphaNum/$alphaDen, unit=$unit, " +
+                s"d_max=$dMax — lower unit or alpha (documented bound: " +
+                "unit*(alphaNum*d_max/alphaDen)^iters < 2^63); score = "),
+              col("_c").cast("string"))))
+            .otherwise(col("_c"))
             .as("c"))
       round += 1
       if (round % checkpointEvery == 0 && round < iters)
@@ -1105,17 +1136,20 @@ object GraphOps {
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    val rawAdj = dir.select(col("u").as("id"), col("v").as("nbr"))
+    val adj = dir.select(col("u").as("id"), col("v").as("nbr"))
       .union(dir.select(col("v").as("id"), col("u").as("nbr")))
-    val adj = rawAdj
       .repartition(col("nbr"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var vals = rawAdj.groupBy("id").agg(count(lit(1)).as("val")).stagePin()
-    // The seed IS the degree table, already pinned — the hub probe is
-    // one cached node-sized scan, paid once.
-    val hasHubs = vals
-      .filter(col("val") > lit(hubDegreeThreshold.toLong))
-      .limit(1).count() > 0
+    // Seed degrees from the PERSISTED adjacency (one computation of the
+    // distinct-edge subtree, materialized into the cache the rounds
+    // reuse) and ride the hub probe on the seed's pin as an observe
+    // metric — zero extra actions, zero recomputation of `dir`.
+    val seedObs = org.apache.spark.sql.Observation()
+    var vals = adj.groupBy("id").agg(count(lit(1)).as("val"))
+      .observe(seedObs, coalesce(max(col("val")), lit(0L)).as("maxdeg"))
+      .stagePin()
+    val hasHubs =
+      seedObs.get("maxdeg").asInstanceOf[Long] > hubDegreeThreshold.toLong
     // ONE exchange per round on the hub-free path: the h-index folds
     // inside the per-node aggregate (collect vals, sort desc, h = max
     // over positions of min(pos, val)) instead of a histogram + window
@@ -1495,6 +1529,14 @@ object GraphOps {
     * [[bfsHops]] convention); the hop-0 self term is excluded, so
     * landmarks score only against the OTHER landmarks' waves.
     *
+    * Memory discipline: each wave's per-node contribution (one landmark
+    * hit, `unit div h` units — h is a round constant, so the term needs
+    * no per-row division) FOLDS into a running node-sized score frame
+    * every round; only the last two waves stay referenced (the anti-join
+    * window), so peak pinned state is O(2 × |landmarks| × |frontier| +
+    * |nodes|) regardless of `maxHops`, not the sum over all waves a
+    * history buffer would pin.
+    *
     * @return one row per reached node: (`id`, `n_landmarks` = landmarks
     *         within `maxHops`, `harmonic_units`).
     */
@@ -1514,29 +1556,34 @@ object GraphOps {
     var frontier = landmarks
       .select(col(lmCol).cast("long").as("lm")).distinct()
       .select(col("lm"), col("lm").as("id"))
-      .withColumn("hops", lit(0))
       .stagePin()
-    val rounds = scala.collection.mutable.Buffer(frontier)
+    var prev = frontier // anti-join window: last two waves only
+    // Running (id, n_landmarks, harmonic_units) — hop 0 contributes
+    // nothing, so the fold starts empty.
+    var scores: DataFrame = null
     var h = 0
     while (h < maxHops) {
       h += 1
-      val recent = rounds.takeRight(2).reduce(_ unionByName _)
-      frontier = frontier
+      val recent = prev.unionByName(frontier).select(col("lm"), col("id"))
+      val wave = frontier
         .join(e, frontier("id") === e("src"))
         .select(col("lm"), col("dst").as("id"))
         .distinct()
-        .join(recent.select(col("lm"), col("id")), Seq("lm", "id"), "left_anti")
-        .withColumn("hops", lit(h))
+        .join(recent, Seq("lm", "id"), "left_anti")
         .stagePin()
-      rounds += frontier
+      val contrib = wave.groupBy("id")
+        .agg(count(lit(1)).as("n_landmarks"),
+          (count(lit(1)) * lit(unit / h)).as("harmonic_units"))
+      scores = (if (scores == null) contrib
+        else scores.unionByName(contrib).groupBy("id")
+          .agg(sum(col("n_landmarks")).as("n_landmarks"),
+            sum(col("harmonic_units")).as("harmonic_units")))
+        .stagePin()
+      prev = frontier
+      frontier = wave
     }
-    val out = rounds.reduce(_ unionByName _)
-      .filter(col("hops") > 0)
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_landmarks"),
-        sum(expr(s"${unit}L div hops")).as("harmonic_units"))
     e.unpersist()
-    out
+    scores
   }
 
   /** Adamic-Adar link prediction over an undirected edge list: for every

@@ -280,8 +280,18 @@ object TextOps {
     // co-occurrence shares 1-2 tokens) dies on the integer/max stats.
     // Pruned-only-below-threshold means the RESULT is identical, which
     // is why the gate oracle needs no bound stage.
-    val cand = w.as("x")
-      .join(w.as("y"),
+    //
+    // The inverted-index self-join is where the Σ df² candidate mass is
+    // born: its per-partition output (and the partial-agg hash map that
+    // consumes it in the same stage) is quadratic in the posting lists
+    // a partition holds, so the join inputs carry a bytes-scaled width
+    // (input bytes ×3 decompression ×4 declared posting fan-out
+    // allowance — the [[graft.ops.DedupOps.gramShuffleParts]]
+    // discipline). At gate scale this floors to the session default.
+    val nPart = graft.ops.DedupOps.bytesScaledParts(df, 12L)
+    val wTok = w.repartition(nPart, col("token"))
+    val cand = wTok.as("x")
+      .join(wTok.as("y"),
         col("x.token") === col("y.token") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("c"))
@@ -410,8 +420,13 @@ object TextOps {
     // real weight products). The partial is an unordered float sum:
     // fine for a PRUNE (margin absorbs rounding; losslessness, not
     // run-stability, is what the output depends on).
-    val cand = prefix.as("x")
-      .join(wn.select(col("id"), col("token"), col("_wn")).as("y"),
+    // same bytes-scaled width as the scan variant's index join: the
+    // prefix cuts the candidate MASS, not the posting-stream bytes the
+    // join inputs shuffle
+    val nPart = graft.ops.DedupOps.bytesScaledParts(df, 12L)
+    val cand = prefix.repartition(nPart, col("token")).as("x")
+      .join(wn.select(col("id"), col("token"), col("_wn"))
+        .repartition(nPart, col("token")).as("y"),
         col("x.token") === col("y.token") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(sum(col("x._wn") * col("y._wn")).as("_partial"))

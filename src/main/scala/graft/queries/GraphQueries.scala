@@ -20,6 +20,15 @@ import graft.ops.{DedupOps, GraphOps, IncrementalOps}
   */
 object GraphQueries {
 
+  /** The `graph_katz` gate's parameters, bound ONCE for both the Scala
+    * call and the DuckDB oracle interpolation — a change here moves both
+    * sides together; relying on [[GraphOps.katzUnits]]' defaults with a
+    * hardcoded oracle would let them silently desynchronize. */
+  private val KatzIters = 3
+  private val KatzAlphaNum = 1L
+  private val KatzAlphaDen = 100L
+  private val KatzUnit = 1000000L
+
   /** Recursive-CTE connected components over the exact 3-gram Jaccard
     * pair graph (threshold 0.8) — appended after [[DedupQueries.jaccardPairCtes]]. */
   private val componentCtes: String =
@@ -705,16 +714,18 @@ object GraphQueries {
     Q(
       "graph_katz",
       (s, d) =>
-        GraphOps.katzUnits(tradeEdges(s, d), "src", "dst", iters = 3)
+        GraphOps.katzUnits(tradeEdges(s, d), "src", "dst",
+          iters = KatzIters, alphaNum = KatzAlphaNum,
+          alphaDen = KatzAlphaDen, unit = KatzUnit)
           .orderBy("id"),
       Some {
-        val iters = 3
-        val unit = 1000000L
+        val iters = KatzIters
+        val unit = KatzUnit
         val iterCtes = (1 to iters).map { i =>
           s"""s$i AS (SELECT e.dst AS id, SUM(r.c) AS s
              |  FROM edges e JOIN r${i - 1} r ON r.id = e.src GROUP BY e.dst),
              |r$i AS (SELECT n.id,
-             |    $unit + (1 * COALESCE(s.s, 0)) // 100 AS c
+             |    $unit + ($KatzAlphaNum * COALESCE(s.s, 0)) // $KatzAlphaDen AS c
              |  FROM nodes n LEFT JOIN s$i s ON s.id = n.id)""".stripMargin
         }.mkString(",\n")
         s"""WITH edges AS (

@@ -157,7 +157,14 @@ object Scale {
       // filter the eager force is skipped: persist() is lazy, so frames
       // no selected op touches are never computed (a 5M graph-only
       // sweep must not pay 5M docs of BPE induction), and min-of-N
-      // trials absorbs the first trial's materialization instead.
+      // trials absorbs the first trial's materialization instead —
+      // which requires trials >= 2: a filtered SINGLE-trial run would
+      // time input generation plus the operator and corrupt the curve,
+      // so that combination fails fast rather than publishing a lie.
+      require(opFilter.isEmpty || trials >= 2,
+        "Scale: an op filter with SPARK_GRAFT_TRIALS=1 would fold input " +
+          "materialization into the only timed trial — set trials >= 2 " +
+          "or drop the filter")
       if (opFilter.isEmpty)
         (d.count(), nm.count(), e.count(), te.count(), iv.count(),
           ms.count(), vc.count(), baseE.count(), deltaE.count())

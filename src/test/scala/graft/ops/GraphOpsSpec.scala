@@ -787,4 +787,21 @@ class GraphOpsSpec extends AnyFunSuite {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(g2 == Map(2L -> ((1L, 1000000L)), 3L -> ((1L, 500000L))))
   }
+
+  test("landmarkHarmonicUnits: deep-hop run keeps O(1) pinned frames, not one per wave") {
+    import spark.implicits._
+    // path 1-2-...-12, landmark {1}: node k scores unit div (k-1)
+    val e = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = GraphOps.landmarkHarmonicUnits(e, "a", "b",
+      Seq(1L).toDF("id"), "id", maxHops = 10)
+    // the per-round score fold means the RETURNED plan references only
+    // the final pinned aggregate — a wave-history buffer would leave
+    // maxHops+1 materialized leaves reachable (and their blocks pinned)
+    val leaves = out.queryExecution.analyzed.collectLeaves().size
+    assert(leaves <= 2, s"expected O(1) plan leaves, got $leaves")
+    val got = out.as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got.size == 10) // nodes 2..11 reached within 10 hops
+    assert(got(2L) == 1000000L && got(6L) == 200000L && got(11L) == 100000L)
+  }
 }
