@@ -134,6 +134,159 @@ object GraphOps {
     labels
   }
 
+  /** STRONGLY connected components of a DIRECTED edge list — the
+    * directed-graph family the undirected ops cannot express: mutual
+    * reachability (who trades BACK, which issue→user→repo relations
+    * close a loop), not mere connectivity.
+    *
+    * Algorithm: trim + forward/backward min-label peeling, the BSP SCC
+    * shape (the same family GraphX's SCC and FW-BW systems use — public
+    * algorithms; Fleischer et al. 2000 for FW-BW, Hong et al. PPoPP'13
+    * for trim):
+    *
+    *  1. TRIM to fixpoint: a node with no in-edge or no out-edge inside
+    *     the active subgraph is a singleton SCC (its SCC-mates, if any,
+    *     would give it both), so its edges drop. Bulk-dissolves the
+    *     DAG-like mass that would otherwise cost one peel pass each.
+    *  2. F(v) = min id that REACHES v, B(v) = min id v reaches — two
+    *     min-label fixpoints (the [[connectedComponents]] round shape
+    *     restricted to edge direction; B runs on the reversed edges).
+    *     Both are SCC-invariant (same mutual-reach set ⇒ same labels).
+    *  3. SETTLE {v : F(v) = B(v)}: the common value m satisfies
+    *     m →* v and v →* m, so all such v with the same m are one SCC,
+    *     labeled m. The minimum active node of every weakly-connected
+    *     piece settles (its own F = B = itself), so each pass makes
+    *     guaranteed progress; passes needed ≤ the graph's SCC-chain
+    *     depth after trimming.
+    *  4. PEEL: settled SCCs leave ATOMICALLY (F/B are SCC-invariant),
+    *     and any path between two same-SCC nodes stays inside the SCC,
+    *     so removal never breaks a surviving SCC — nodes that lose all
+    *     their edges without settling are therefore singletons, swept
+    *     up at the end as `scc = id`.
+    *
+    * Scale: per label round one edge-sized equi-join + one node rollup,
+    * convergence observe-fused onto the round's pin (one action per
+    * round); the active edge frame re-pins per pass. Like every BSP SCC
+    * engine, rounds are bounded by reach-tree depth and peel passes by
+    * SCC-chain depth — `maxRoundsPerFix`/`maxPasses` fail fast with the
+    * honest message instead of looping, since there is no
+    * star-contraction-style rescue for directed mutual reachability.
+    *
+    * Self-loops are dropped (they never change an SCC). Nodes appear in
+    * the output iff they appear in `edges` (the [[connectedComponents]]
+    * convention).
+    *
+    * @return one row per node: (`id`, `scc`) with `scc` = min node id of
+    *         the strongly connected component.
+    */
+  def stronglyConnectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxPasses: Int = 16, maxRoundsPerFix: Int = 64): DataFrame = {
+    require(maxPasses >= 1 && maxRoundsPerFix >= 1,
+      s"stronglyConnectedComponents: bad bounds ($maxPasses, $maxRoundsPerFix)")
+
+    // one directed min-label fixpoint: lab(v) = min(v, min_{u→v} lab(u))
+    // — the connectedComponents round (own-label union trick, change
+    // count riding the pin) with the flow restricted to edge direction
+    def minLabelFix(ed: DataFrame, nodes: DataFrame): DataFrame = {
+      var labs = nodes.select(col("id"), col("id").as("lab")).stagePin()
+      var changed = 1L
+      var round = 0
+      while (changed > 0) {
+        require(round < maxRoundsPerFix,
+          s"stronglyConnectedComponents: min-label fixpoint exceeded " +
+            s"$maxRoundsPerFix rounds (reach-tree depth too large — raise " +
+            "maxRoundsPerFix)")
+        val obs = Observation()
+        labs = ed
+          .join(labs.withColumnRenamed("id", "u"), "u")
+          .select(col("v").as("id"), col("lab"),
+            lit(null).cast("long").as("prev"))
+          .union(labs.select(col("id"), col("lab"), col("lab").as("prev")))
+          .groupBy("id")
+          .agg(min("lab").as("lab"), max("prev").as("prev"))
+          .observe(obs, coalesce(
+            sum((col("lab") =!= col("prev")).cast("long")),
+            lit(0L)).as("changed"))
+          .select("id", "lab")
+          .stagePin()
+        changed = obs.get("changed").asInstanceOf[Long]
+        round += 1
+      }
+      labs
+    }
+
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val allNodes = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id")))
+      .distinct()
+      .stagePin()
+    var eAct = e0.stagePin()
+    var eCount = eAct.count()
+    var settled: DataFrame = null // (id, scc) — only multi-node SCCs + roots
+    var pass = 0
+    while (eCount > 0) {
+      require(pass < maxPasses,
+        s"stronglyConnectedComponents: $maxPasses peel passes exhausted " +
+          "with edges remaining (SCC-chain depth too large — raise maxPasses)")
+      pass += 1
+      // trim to fixpoint: keep only edges whose BOTH endpoints have an
+      // in-edge AND an out-edge; no settle bookkeeping needed — trimmed
+      // nodes fall through to the final singleton sweep
+      var trimming = true
+      while (trimming) {
+        val keep = eAct.select(col("src").as("id")).distinct()
+          .join(eAct.select(col("dst").as("id")).distinct(), Seq("id"))
+        val obs = Observation()
+        val next = eAct
+          .join(keep.select(col("id").as("src")), Seq("src"))
+          .join(keep.select(col("id").as("dst")), Seq("dst"))
+          .select("src", "dst")
+          .observe(obs, count(lit(1)).as("m"))
+          .stagePin()
+        val m = obs.get("m").asInstanceOf[Long]
+        trimming = m < eCount
+        eAct = next
+        eCount = m
+      }
+      if (eCount > 0) {
+        val nodes = eAct.select(col("src").as("id"))
+          .union(eAct.select(col("dst").as("id")))
+          .distinct()
+          .stagePin()
+        val fwd = minLabelFix(
+          eAct.select(col("src").as("u"), col("dst").as("v")), nodes)
+        val bwd = minLabelFix(
+          eAct.select(col("dst").as("u"), col("src").as("v")), nodes)
+        val now = fwd
+          .join(bwd.select(col("id"), col("lab").as("_b")), Seq("id"))
+          .filter(col("lab") === col("_b"))
+          .select(col("id"), col("lab").as("scc"))
+        settled =
+          (if (settled == null) now else settled.unionByName(now)).stagePin()
+        val obs = Observation()
+        eAct = eAct
+          .join(settled.select(col("id").as("src")), Seq("src"), "left_anti")
+          .join(settled.select(col("id").as("dst")), Seq("dst"), "left_anti")
+          .select("src", "dst")
+          .observe(obs, count(lit(1)).as("m"))
+          .stagePin()
+        eCount = obs.get("m").asInstanceOf[Long]
+      }
+    }
+    val out = allNodes
+      .join(if (settled == null) allNodes.limit(0)
+          .select(col("id"), col("id").as("scc"))
+        else settled, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("scc"), col("id")).as("scc"))
+      .stagePin()
+    out
+  }
+
   /** Connected components by alternating large-star/small-star contraction
     * (Kiveris et al., SoCC'14) — O(log n) rounds on ANY diameter, the
     * scale path for adversarial graphs.
@@ -734,19 +887,30 @@ object GraphOps {
     * DIRECTED endorsement graphs where pointing and being pointed at
     * mean different things (buyers vs products, crawlers vs pages):
     * auth(i) = Σ h over in-edges, then hub(i) = Σ a over out-edges,
-    * each L1-normalized back to `unit` total per round. L1 instead of
-    * the textbook L2 keeps every step in integer units (one multiply,
-    * one integral division — identical truncation on any engine for
-    * the non-negative operands here), which is what lets an unrolled
-    * SQL oracle replay the fixpoint bit-for-bit; the ranking is the
-    * same, only the scale convention differs. Floating-point HITS
-    * could never hash-gate (scan-order-dependent sums).
+    * each L1-normalized per round so the MEAN score is `unit`
+    * (score ← (raw · unit) div max(1, total div n)). L1 instead of the
+    * textbook L2 keeps every step in integer units, which is what lets
+    * an unrolled SQL oracle replay the fixpoint bit-for-bit; the
+    * ranking is the same, only the scale convention differs.
+    * Floating-point HITS could never hash-gate (scan-order-dependent
+    * sums).
+    *
+    * Normalizing to mean `unit` rather than TOTAL `unit` is
+    * load-bearing at scale: a total-mass convention gives each node
+    * ~unit/n resolution, so past n ≈ unit every score truncates to 0
+    * and the next round divides by zero — found by the 10M-node sweep,
+    * not a hypothetical. The muldiv is the exact two-term decomposition
+    * `(x div D)·unit + ((x mod D)·unit) div D` (≡ (x·unit) div D,
+    * never forming the overflowing product): second term < D·unit ≤
+    * (total/n)·unit — safe while total·unit/n < 2⁶³, i.e. mean raw
+    * score < 2⁶³/unit — and first term ≤ ~n·unit·(x/total); keep
+    * n·unit·skew < 2⁶³ (10¹² headroom over the mean at the default
+    * unit).
     *
     * Plan = [[pageRankUnits]]: edge list persisted once, per round two
     * keyed joins + two rollups + two 1-row total broadcasts (declared);
-    * only the node-sized score frames move per iteration. Score sums
-    * stay ≤ n·unit², so longs hold through ~10⁶-node graphs at the
-    * default unit — widen `unit` down or DECIMAL up past that.
+    * only the node-sized score frames move per iteration, plus one
+    * node count at setup (reads the persisted frame the rounds reuse).
     *
     * @return (`id`, `hub_units`, `auth_units`) after `iters` rounds.
     */
@@ -764,6 +928,9 @@ object GraphOps {
       .distinct()
       .repartition(col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // mean-normalization denominator needs n — one node-sized count at
+    // setup, materializing the persisted frame every round reuses
+    val nN = math.max(1L, nodes.count())
     var hub = nodes.select(col("id"), lit(unit).as("h"))
     // reassigned in round 1 before any read (iters >= 1 enforced) —
     // only h₀ seeds the recursion, the initial auth never participates
@@ -785,20 +952,24 @@ object GraphOps {
         .join(hub.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum("h").as("au"))
         .stagePin()
-      val aTot = aRaw.agg(sum("au").as("atot"))
+      val aTot = aRaw.agg(
+        greatest(lit(1L), expr(s"sum(au) div ${nN}L")).as("ad"))
       auth = nodes.join(aRaw, Seq("id"), "left_outer")
         .crossJoin(broadcast(aTot)) // 1-row total (declared)
         .select(col("id"),
-          expr(s"(coalesce(au, 0L) * ${unit}L) div atot").as("a"))
+          expr(s"(coalesce(au, 0L) div ad) * ${unit}L + " +
+            s"((coalesce(au, 0L) % ad) * ${unit}L) div ad").as("a"))
       val hRaw = e
         .join(auth.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum("a").as("hu"))
         .stagePin()
-      val hTot = hRaw.agg(sum("hu").as("htot"))
+      val hTot = hRaw.agg(
+        greatest(lit(1L), expr(s"sum(hu) div ${nN}L")).as("hd"))
       hub = nodes.join(hRaw, Seq("id"), "left_outer")
         .crossJoin(broadcast(hTot)) // 1-row total (declared)
         .select(col("id"),
-          expr(s"(coalesce(hu, 0L) * ${unit}L) div htot").as("h"))
+          expr(s"(coalesce(hu, 0L) div hd) * ${unit}L + " +
+            s"((coalesce(hu, 0L) % hd) * ${unit}L) div hd").as("h"))
       round += 1
     }
     val out = hub.join(auth, Seq("id"))

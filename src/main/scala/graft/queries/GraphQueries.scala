@@ -637,9 +637,12 @@ object GraphQueries {
     // Fixed-iteration HITS over the same directed trade graph
     // ([[GraphOps.hitsUnits]]): hubs = buyers, authorities = suppliers
     // (PageRank collapses the two roles; HITS is the right scorer for
-    // endorsement bipartites). L1 normalization in integer units keeps
-    // every round exact — the oracle unrolls the identical two
-    // iterations; `div`/`//` agree on the non-negative operands.
+    // endorsement bipartites). L1 normalization to MEAN `unit` (score =
+    // (raw·unit) div max(1, total div n) — the total-mass convention
+    // underflows to all-zero past n ≈ unit nodes) keeps every round
+    // exact — the oracle unrolls the identical two iterations; DuckDB's
+    // HUGEINT promotion makes its one-step muldiv equal the engine's
+    // exact two-term long decomposition.
     Q(
       "graph_hits",
       (s, d) =>
@@ -651,28 +654,31 @@ object GraphQueries {
           val p = i - 1
           s"""a${i}r AS (SELECT e.dst AS id, sum(h.h) AS au
              |  FROM edges e JOIN h$p h ON h.id = e.src GROUP BY e.dst),
-             |a${i}t AS (SELECT sum(au) AS tot FROM a${i}r),
+             |a${i}t AS (SELECT GREATEST(1, sum(au) // (SELECT n FROM nn))
+             |    AS d FROM a${i}r),
              |a$i AS (SELECT n.id,
-             |    CAST((coalesce(r.au, 0) * $unit) // t.tot AS BIGINT) AS a
+             |    CAST((coalesce(r.au, 0) * $unit) // t.d AS BIGINT) AS a
              |  FROM nodes n LEFT JOIN a${i}r r ON r.id = n.id, a${i}t t),
              |h${i}r AS (SELECT e.src AS id, sum(a.a) AS hu
              |  FROM edges e JOIN a$i a ON a.id = e.dst GROUP BY e.src),
-             |h${i}t AS (SELECT sum(hu) AS tot FROM h${i}r),
+             |h${i}t AS (SELECT GREATEST(1, sum(hu) // (SELECT n FROM nn))
+             |    AS d FROM h${i}r),
              |h$i AS (SELECT n.id,
-             |    CAST((coalesce(r.hu, 0) * $unit) // t.tot AS BIGINT) AS h
+             |    CAST((coalesce(r.hu, 0) * $unit) // t.d AS BIGINT) AS h
              |  FROM nodes n LEFT JOIN h${i}r r ON r.id = n.id, h${i}t t)""".stripMargin
         }.mkString(",\n")
         s"""WITH edges AS (
            |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
            |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
            |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+           |nn AS (SELECT count(*) AS n FROM nodes),
            |h0 AS (SELECT id, CAST($unit AS BIGINT) AS h FROM nodes),
            |$rounds
            |SELECT n.id, h2.h AS hub_units, a2.a AS auth_units
            |FROM nodes n JOIN h2 ON h2.id = n.id JOIN a2 ON a2.id = n.id
            |ORDER BY n.id""".stripMargin
       },
-      "fixed-point integer HITS (2 rounds, L1-normalized) over the trade bipartite"),
+      "fixed-point integer HITS (2 rounds, mean-unit L1) over the trade bipartite"),
 
     // Hop distances from the nation-0 supplier cohort through the
     // (undirected) trade graph ([[GraphOps.bfsHops]], 4 hops): the
@@ -773,6 +779,52 @@ object GraphQueries {
              |    AS harmonic_units
              |FROM dmin WHERE hops > 0 GROUP BY id ORDER BY id""".stripMargin),
       "landmark harmonic closeness: one BFS wave per landmark, integer-division terms"),
+
+    // STRONGLY connected components over a directed trade graph with
+    // cycles ([[GraphOps.stronglyConnectedComponents]]): forward
+    // customer→supplier edges restricted to the region diagonal
+    // (custkey ≡ suppkey mod 17 — an unrestricted bipartite slice is so
+    // connected that ANY reverse subset collapses it into one giant
+    // SCC, Tarjan-verified while designing the gate), plus the reverse
+    // edge wherever (src+dst) ≡ 0 mod 5 — a deterministic "trades back"
+    // subset. Result at sf0.01: 19 multi-node SCCs (~40 nodes each)
+    // plus ~790 singletons of DAG fringe for the trim path. The oracle
+    // is the full mutual-reachability closure: scc(v) = min{u : v ↔* u}
+    // — quadratic, exactly what the engine's trim + F/B min-label
+    // peeling exists to avoid.
+    Q(
+      "graph_scc",
+      (s, d) => {
+        val fwd = tradeEdges(s, d).select("src", "dst")
+          .filter(expr("(src div 2) % 17 = ((dst - 1) div 2) % 17"))
+        val dirE = fwd.unionByName(
+          fwd.filter((col("src") + col("dst")) % 5 === 0)
+            .select(col("dst").as("src"), col("src").as("dst")))
+        GraphOps.stronglyConnectedComponents(dirE, "src", "dst")
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE fwd AS (
+             |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |  WHERE o_custkey % 17 = l_suppkey % 17),
+             |edges AS (SELECT src, dst FROM fwd
+             |  UNION
+             |  SELECT dst AS src, src AS dst FROM fwd
+             |  WHERE (src + dst) % 5 = 0),
+             |nodes AS (SELECT src AS id FROM edges
+             |          UNION SELECT dst FROM edges),
+             |reach AS (
+             |  SELECT src AS u, dst AS v FROM edges
+             |  UNION
+             |  SELECT r.u, e.dst AS v FROM reach r JOIN edges e ON e.src = r.v),
+             |mutual AS (
+             |  SELECT r1.u AS id, r1.v AS w FROM reach r1
+             |  JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u)
+             |SELECT CAST(n.id AS BIGINT) AS id,
+             |  CAST(LEAST(n.id, COALESCE(MIN(m.w), n.id)) AS BIGINT) AS scc
+             |FROM nodes n LEFT JOIN mutual m ON m.id = n.id
+             |GROUP BY n.id ORDER BY id""".stripMargin),
+      "strongly connected components: trim + forward/backward min-label peeling vs closure oracle"),
 
     // Per-node triangle counts over the part co-purchase graph (parts
     // sharing an URGENT order), by degree-ordered orientation

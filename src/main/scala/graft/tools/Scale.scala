@@ -511,6 +511,14 @@ object Scale {
         // per-round degree machinery must track E
         "kcore_k2" -> (() =>
           GraphOps.kCoreNodes(te, "a", "b", k = 2).count()),
+        // SCC over the chains with a 2-cycle at every 5th link: fixed
+        // peel-pass and trim-round counts per chain shape, so the curve
+        // isolates the per-round edge join + rollup — must track E
+        "scc" -> (() =>
+          GraphOps.stronglyConnectedComponents(
+            e.union(e.filter(col("a") % 5 === 0)
+              .select(col("b").as("a"), col("a").as("b"))),
+            "a", "b").count()),
         // Kendall tau-b: ONE corpus rollup to the (50 x 100)-cell joint
         // histogram; the quadratic stage runs on the fixed cell domain,
         // so the curve must track the rollup scan alone

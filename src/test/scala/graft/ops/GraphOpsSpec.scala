@@ -532,18 +532,35 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("q") == -0.5)
   }
 
-  test("hitsUnits: hand-traced round, integer L1 normalization") {
+  test("hitsUnits: hand-traced round, mean-unit integer L1 normalization") {
     import spark.implicits._
-    // 1→3, 2→3, 3→4 @ unit=100, one round:
-    // au: 3←200, 4←100; atot=300 → a = (0, 0, 66, 33)
-    // hu: 1←66, 2←66, 3←33; htot=165 → h = (40, 40, 20, 0)
+    // 1→3, 2→3, 3→4 @ unit=100, n=4, one round:
+    // au: 3←200, 4←100; D = max(1, 300 div 4) = 75
+    //   → a = (0, 0, 20000 div 75, 10000 div 75) = (0, 0, 266, 133)
+    // hu: 1←266, 2←266, 3←133; D = max(1, 665 div 4) = 166
+    //   → h = (26600 div 166, 26600 div 166, 13300 div 166, 0)
+    //       = (160, 160, 80, 0)
     val e = Seq((1L, 3L), (2L, 3L), (3L, 4L), (1L, 3L)) // dup collapses
       .toDF("s", "t")
     val got = GraphOps.hitsUnits(e, "s", "t", iters = 1, unit = 100L)
       .orderBy("id")
       .as[(Long, Long, Long)].collect().toSeq
-    assert(got == Seq((1L, 40L, 0L), (2L, 40L, 0L),
-      (3L, 20L, 66L), (4L, 0L, 33L)))
+    assert(got == Seq((1L, 160L, 0L), (2L, 160L, 0L),
+      (3L, 80L, 266L), (4L, 0L, 133L)))
+  }
+
+  test("hitsUnits: scores survive node counts far above unit (no underflow collapse)") {
+    import spark.implicits._
+    // 3000 nodes at unit=100 — the total-mass convention would give
+    // every node 100/3000 → 0 and divide by zero in round 2; the
+    // mean-unit convention keeps the average score at `unit`
+    val e = (0L until 1500L).flatMap(i =>
+      Seq((i * 2, i * 2 + 1), (i * 2 + 1, i * 2))).toDF("s", "t")
+    val got = GraphOps.hitsUnits(e, "s", "t", iters = 2, unit = 100L)
+    import org.apache.spark.sql.functions.{max, sum}
+    val row = got.agg(sum("hub_units"), max("hub_units")).head()
+    assert(row.getLong(0) > 0L, "all-zero collapse")
+    assert(row.getLong(1) == 100L) // symmetric 2-cycles: every score = mean
   }
 
   test("labelPropagationCommunities: synchronous hand trace, 2 rounds") {
@@ -786,6 +803,54 @@ class GraphOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(g2 == Map(2L -> ((1L, 1000000L)), 3L -> ((1L, 500000L))))
+  }
+
+  test("stronglyConnectedComponents: hand case — two 3-cycles, a bridge, a tail") {
+    import spark.implicits._
+    // SCCs: {1,2,3}, {4,5,6} (one-way bridge 3->4 does not merge them),
+    // {7} (tail), plus a self-loop on 2 that must change nothing
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (6L, 7L), (2L, 2L)).toDF("s", "t")
+    val got = GraphOps.stronglyConnectedComponents(e, "s", "t")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
+  }
+
+  test("stronglyConnectedComponents: random digraphs match a closure oracle") {
+    import spark.implicits._
+    // brute-force oracle: boolean transitive closure (Floyd–Warshall),
+    // scc(v) = min{u : v <->* u} — obviously correct at n = 60
+    def oracle(n: Int, edges: Seq[(Int, Int)]): Map[Long, Long] = {
+      val r = Array.fill(n, n)(false)
+      for ((a, b) <- edges) r(a)(b) = true
+      for (k <- 0 until n; i <- 0 until n if r(i)(k);
+           j <- 0 until n if r(k)(j)) r(i)(j) = true
+      val present = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      present.map { v =>
+        val mates = (0 until n).filter(u => u == v || (r(v)(u) && r(u)(v)))
+        v.toLong -> mates.min.toLong
+      }.toMap
+    }
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val n = 60
+      // enough density for multi-node SCCs plus DAG fringe
+      val edges = Seq.fill(130)((rnd.nextInt(n), rnd.nextInt(n)))
+        .filter(e => e._1 != e._2).distinct
+      val got = GraphOps.stronglyConnectedComponents(
+          edges.map(e => (e._1.toLong, e._2.toLong)).toDF("s", "t"), "s", "t")
+        .as[(Long, Long)].collect().toMap
+      assert(got == oracle(n, edges), s"trial $trial diverged")
+    }
+  }
+
+  test("stronglyConnectedComponents: pure DAG is all singletons via trim") {
+    import spark.implicits._
+    val e = (1L until 12L).map(i => (i, i + 1)).toDF("s", "t")
+    val got = GraphOps.stronglyConnectedComponents(e, "s", "t")
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 12L).map(i => i -> i).toMap)
   }
 
   test("landmarkHarmonicUnits: deep-hop run keeps O(1) pinned frames, not one per wave") {
