@@ -168,6 +168,114 @@ object IncrementalPipeline {
       .outputMode(OutputMode.Update)
       .trigger(trigger)
 
+  /** The COMPOSED incremental-dedup ingest loop as ONE streaming sink —
+    * the production twin of the batch `incremental_ingest_e2e` gate.
+    * Each micro-batch of (`idCol`, `textCol`) documents:
+    *
+    *  1. drops re-ingests of already-curated ids against the persisted
+    *     corpus ([[streamingDedupeAgainstBase]]) — which is ALSO what
+    *     makes checkpoint-recovery replays converge: a re-delivered
+    *     batch dedupes to empty and every downstream step no-ops;
+    *  2. builds the delta near-dup edges: within-batch pairs
+    *     ([[graft.ops.DedupOps.ngramJaccardPairs]]) plus
+    *     batch-vs-corpus pairs
+    *     ([[graft.ops.DedupOps.ngramJaccardPairsBetween]]);
+    *  3. merges them into the persisted labels
+    *     ([[graft.ops.GraphOps.incrementalComponents]] —
+    *     delta-proportional, never rescans base edges);
+    *  4. applies the new dedup state (`doc_id`, `component`,
+    *     `kept` = is-cluster-representative) to the Type-2 SCD dimension
+    *     ([[graft.ops.IncrementalOps.scdType2Apply]]);
+    *  5. advances all three state artifacts (`dim`, `labels`, `corpus`
+    *     under `statePath`) with [[toScd2Sink]]'s staged-write → rotate
+    *     → rename swap and backup recovery.
+    *
+    * Crash-window ordering across the THREE artifacts: outputs are all
+    * staged BEFORE any rename, then renamed dim → labels → corpus. The
+    * corpus is the replay guard, so it must move LAST: a death after
+    * dim/labels advanced but before the corpus rename re-delivers the
+    * batch against the OLD corpus, and re-merging the same delta edges
+    * into already-merged labels is idempotent (contracted endpoints land
+    * on their merged roots) — the replay converges instead of forking
+    * state. Advancing the corpus first would make the replay dedupe to
+    * empty and strand labels/dim a generation behind, forever.
+    */
+  def toIncrementalDedupSink(
+      docs: DataFrame, idCol: String, textCol: String,
+      statePath: String, checkpoint: String,
+      k: Int, threshold: Double,
+      effectiveTs: Long => java.sql.Timestamp,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new Path(statePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def load(name: String): Option[DataFrame] = {
+          val p = new Path(s"$statePath/$name")
+          val b = new Path(s"$statePath/${name}_backup")
+          if (fs.exists(p)) Some(spark.read.parquet(p.toString))
+          else if (fs.exists(b)) Some(spark.read.parquet(b.toString))
+          else None
+        }
+        val corpus0 = load("corpus") // (id, text)
+        val labels0 = load("labels") // (id, component)
+        val dim0 = load("dim")
+        val incoming = batch
+          .select(col(idCol).cast("long").as("id"),
+            col(textCol).cast("string").as("text"))
+          .dropDuplicates("id")
+        // pinned: the delta feeds four consumers (two pair joins, the
+        // corpus union, the singleton universe)
+        val delta = corpus0
+          .fold(incoming)(c =>
+            streamingDedupeAgainstBase(incoming, c.select("id"), "id"))
+          .localCheckpoint(true)
+        val within = graft.ops.DedupOps
+          .ngramJaccardPairs(delta, "id", "text", k, threshold)
+          .select("a", "b")
+        val deltaEdges = corpus0 match {
+          case Some(c) => within.unionByName(graft.ops.DedupOps
+            .ngramJaccardPairsBetween(c, delta, "id", "text", k, threshold)
+            .select("a", "b"))
+          case None => within
+        }
+        val merged = labels0 match {
+          case Some(l0) =>
+            graft.ops.GraphOps.incrementalComponents(l0, deltaEdges, "a", "b")
+          case None =>
+            graft.ops.GraphOps.connectedComponents(deltaEdges, "a", "b")
+        }
+        val universe = corpus0.fold(delta)(_.unionByName(delta))
+          .localCheckpoint(true)
+        val full = graft.ops.GraphOps.withSingletons(merged, universe, "id")
+          .localCheckpoint(true)
+        val state = full.select(col("id").as("doc_id"), col("component"),
+          (col("id") === col("component")).cast("int").as("kept"))
+        val ts = effectiveTs(batchId)
+        val dim = dim0 match {
+          case Some(dm) => graft.ops.IncrementalOps.scdType2Apply(
+            dm, state, Seq("doc_id"), Seq("component", "kept"), lit(ts))
+          case None => state
+            .withColumn("valid_from", lit(ts))
+            .withColumn("valid_to", lit(null).cast("timestamp"))
+        }
+        // stage everything while the old generations are still readable,
+        // THEN swap in the documented order: dim -> labels -> corpus
+        val outs = Seq("dim" -> dim, "labels" -> full, "corpus" -> universe)
+        for ((name, df) <- outs)
+          df.write.mode("overwrite").parquet(s"$statePath/${name}_staging")
+        for ((name, _) <- outs) {
+          graft.pipeline.Sinks.rotate(spark, s"$statePath/$name")
+          fs.rename(new Path(s"$statePath/${name}_staging"),
+            new Path(s"$statePath/$name"))
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update)
+      .trigger(trigger)
+
   /** Streaming Type-2 SCD maintenance: every micro-batch extends the
     * versioned dimension at `path` through
     * [[graft.ops.IncrementalOps.scdType2Apply]] — the full incremental
