@@ -287,6 +287,82 @@ object GraphOps {
     out
   }
 
+  /** Condensation layering of a directed graph: contract every SCC of
+    * `edges` to one node (the condensation — always a DAG), then assign
+    * each SCC its LONGEST-path-from-a-source layer by Kahn peeling
+    * (round r removes the current sources; a node's layer is the round
+    * it leaves in, which is exactly max path length from any original
+    * source). The dependency-ordering companion to
+    * [[stronglyConnectedComponents]]: "what can load in parallel, and
+    * in what wave" over a graph whose cycles (mutual dependencies)
+    * schedule as single units.
+    *
+    * Plan: one SCC decomposition (pass `labels` to reuse an existing
+    * one — the staging discipline), two label joins to contract the
+    * edge list (≤ |edges| rows, distinct), then one peel round per DAG
+    * layer: a source extraction (anti-join) + edge shrink, convergence
+    * riding the pin's observe metric. Rounds = condensation depth —
+    * the schedule length itself, so a graph whose layering is worth
+    * asking about keeps it small.
+    *
+    * @param labels optional precomputed (`id`, `scc`) frame (e.g. a
+    *        shared [[stronglyConnectedComponents]] output); computed
+    *        here when absent.
+    * @return one row per NODE: (`id`, `scc`, `layer`).
+    */
+  def condensationLayers(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      labels: Option[DataFrame] = None,
+      maxLayers: Int = 1024): DataFrame = {
+    require(maxLayers >= 1, s"condensationLayers: bad maxLayers $maxLayers")
+    val lbl = labels
+      .getOrElse(stronglyConnectedComponents(edges, srcCol, dstCol))
+      .select(col("id"), col("scc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cEdges = edges
+      .select(col(srcCol).cast("long").as("id"), col(dstCol).cast("long").as("_d"))
+      .join(lbl, Seq("id"))
+      .select(col("scc").as("cs"), col("_d").as("id"))
+      .join(lbl.withColumnRenamed("scc", "cd"), Seq("id"))
+      .select(col("cs"), col("cd"))
+      .filter(col("cs") =!= col("cd"))
+      .distinct()
+    var eAct = cEdges.stagePin()
+    var active = lbl.select(col("scc").as("c")).distinct().stagePin()
+    var settled: DataFrame = null // (c, layer)
+    var layer = 0
+    var remaining = active.count()
+    while (remaining > 0) {
+      require(layer < maxLayers,
+        s"condensationLayers: depth exceeds $maxLayers — raise maxLayers")
+      // sources of the remaining DAG: active SCCs nothing active points at
+      val srcs = active
+        .join(eAct.select(col("cd").as("c")), Seq("c"), "left_anti")
+        .select(col("c"), lit(layer).as("layer"))
+      settled =
+        (if (settled == null) srcs else settled.unionByName(srcs)).stagePin()
+      val obs = Observation()
+      active = active
+        .join(settled.select(col("c")), Seq("c"), "left_anti")
+        .observe(obs, count(lit(1)).as("m"))
+        .stagePin()
+      remaining = obs.get("m").asInstanceOf[Long]
+      eAct = eAct
+        .join(settled.select(col("c").as("cs")), Seq("cs"), "left_anti")
+        .stagePin()
+      layer += 1
+    }
+    val out = lbl
+      .join(if (settled == null)
+          lbl.limit(0).select(col("scc").as("c"), lit(0).as("layer"))
+        else settled,
+        lbl("scc") === col("c"))
+      .select(col("id"), col("scc"), col("layer"))
+      .stagePin()
+    lbl.unpersist()
+    out
+  }
+
   /** Connected components by alternating large-star/small-star contraction
     * (Kiveris et al., SoCC'14) — O(log n) rounds on ANY diameter, the
     * scale path for adversarial graphs.

@@ -151,6 +151,26 @@ object GraphQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** The directed trade graph both directed-tier gates share (see the
+    * graph_scc gate comment for the region-diagonal design), plus its
+    * memoized SCC labels: condensation layering consumes the SCC pass
+    * instead of re-running it — the staging discipline. */
+  private def sccTradeGraph(
+      s: org.apache.spark.sql.SparkSession, d: String) = {
+    val fwd = tradeEdges(s, d).select("src", "dst")
+      .filter(expr("(src div 2) % 17 = ((dst - 1) div 2) % 17"))
+    fwd.unionByName(
+      fwd.filter((col("src") + col("dst")) % 5 === 0)
+        .select(col("dst").as("src"), col("src").as("dst")))
+  }
+  private val sccLabelCache = new graft.ops.BoundedDfCache[
+    (org.apache.spark.sql.SparkSession, String)](maxEntries = 4)
+  private def sccLabels(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    sccLabelCache.getOrElseUpdate((s, d)) {
+      GraphOps.stronglyConnectedComponents(sccTradeGraph(s, d), "src", "dst")
+    }
+
   private def buildIncrementalLabels(
       s: org.apache.spark.sql.SparkSession, d: String) = {
     val base = half(s, d, parity = 0)
@@ -794,15 +814,7 @@ object GraphQueries {
     // peeling exists to avoid.
     Q(
       "graph_scc",
-      (s, d) => {
-        val fwd = tradeEdges(s, d).select("src", "dst")
-          .filter(expr("(src div 2) % 17 = ((dst - 1) div 2) % 17"))
-        val dirE = fwd.unionByName(
-          fwd.filter((col("src") + col("dst")) % 5 === 0)
-            .select(col("dst").as("src"), col("src").as("dst")))
-        GraphOps.stronglyConnectedComponents(dirE, "src", "dst")
-          .orderBy("id")
-      },
+      (s, d) => sccLabels(s, d).orderBy("id"),
       Some("""WITH RECURSIVE fwd AS (
              |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
              |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
@@ -825,6 +837,55 @@ object GraphQueries {
              |FROM nodes n LEFT JOIN mutual m ON m.id = n.id
              |GROUP BY n.id ORDER BY id""".stripMargin),
       "strongly connected components: trim + forward/backward min-label peeling vs closure oracle"),
+
+    // Condensation layering over the same directed trade graph
+    // ([[GraphOps.condensationLayers]], consuming the SHARED SCC labels
+    // — the pass runs once for both directed-tier gates): contract each
+    // SCC, then Kahn-peel the condensation DAG so layer = longest path
+    // from a source — "which dependency wave does each trade cluster
+    // load in". The oracle rebuilds the closure-based SCCs, condenses,
+    // and computes max path length from the sources by bounded
+    // recursion (UNION dedups (node, length) pairs; DAG depth caps it).
+    Q(
+      "graph_condensation",
+      (s, d) =>
+        GraphOps.condensationLayers(sccTradeGraph(s, d), "src", "dst",
+            labels = Some(sccLabels(s, d)))
+          .orderBy("id"),
+      Some("""WITH RECURSIVE fwd AS (
+             |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |  WHERE o_custkey % 17 = l_suppkey % 17),
+             |edges AS (SELECT src, dst FROM fwd
+             |  UNION
+             |  SELECT dst AS src, src AS dst FROM fwd
+             |  WHERE (src + dst) % 5 = 0),
+             |nodes AS (SELECT src AS id FROM edges
+             |          UNION SELECT dst FROM edges),
+             |reach AS (
+             |  SELECT src AS u, dst AS v FROM edges
+             |  UNION
+             |  SELECT r.u, e.dst AS v FROM reach r JOIN edges e ON e.src = r.v),
+             |mutual AS (
+             |  SELECT r1.u AS id, r1.v AS w FROM reach r1
+             |  JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u),
+             |sccm AS (SELECT CAST(n.id AS BIGINT) AS id,
+             |    CAST(LEAST(n.id, COALESCE(MIN(m.w), n.id)) AS BIGINT) AS scc
+             |  FROM nodes n LEFT JOIN mutual m ON m.id = n.id GROUP BY n.id),
+             |cedges AS (SELECT DISTINCT s1.scc AS cs, s2.scc AS cd
+             |  FROM edges e JOIN sccm s1 ON s1.id = e.src
+             |  JOIN sccm s2 ON s2.id = e.dst WHERE s1.scc <> s2.scc),
+             |comps AS (SELECT DISTINCT scc AS c FROM sccm),
+             |lp AS (
+             |  SELECT c, 0 AS l FROM comps
+             |  WHERE c NOT IN (SELECT cd FROM cedges)
+             |  UNION
+             |  SELECT e.cd AS c, lp.l + 1 AS l
+             |  FROM lp JOIN cedges e ON e.cs = lp.c),
+             |layer AS (SELECT c, MAX(l) AS layer FROM lp GROUP BY c)
+             |SELECT s.id, s.scc, CAST(l.layer AS INTEGER) AS layer
+             |FROM sccm s JOIN layer l ON l.c = s.scc ORDER BY s.id""".stripMargin),
+      "condensation DAG layering: SCCs contracted, Kahn longest-path-from-source waves"),
 
     // Per-node triangle counts over the part co-purchase graph (parts
     // sharing an URGENT order), by degree-ordered orientation

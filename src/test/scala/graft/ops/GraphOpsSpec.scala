@@ -845,6 +845,66 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("condensationLayers: SCC chain layering and diamond longest path") {
+    import spark.implicits._
+    // 3-cycle {1,2,3} -> 3-cycle {4,5,6} -> tail 7: layers 0, 1, 2
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (6L, 7L)).toDF("s", "t")
+    val got = GraphOps.condensationLayers(e, "s", "t")
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((1L, 0)), 2L -> ((1L, 0)), 3L -> ((1L, 0)),
+      4L -> ((4L, 1)), 5L -> ((4L, 1)), 6L -> ((4L, 1)),
+      7L -> ((7L, 2))))
+    // diamond with a long arm: 1->2->3->4 and 1->4 — layer(4) is the
+    // LONGEST path (3), not the shortest (1)
+    val d = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("s", "t")
+    val g2 = GraphOps.condensationLayers(d, "s", "t")
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r._3).toMap
+    assert(g2 == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    // precomputed labels short-circuit the SCC pass and agree
+    val lbl = GraphOps.stronglyConnectedComponents(e, "s", "t")
+    val g3 = GraphOps.condensationLayers(e, "s", "t", labels = Some(lbl))
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(g3 == got)
+  }
+
+  test("condensationLayers: random digraphs match a closure-based layering oracle") {
+    import spark.implicits._
+    def oracle(n: Int, edges: Seq[(Int, Int)]): Map[Long, (Long, Int)] = {
+      val r = Array.fill(n, n)(false)
+      for ((a, b) <- edges) r(a)(b) = true
+      for (k <- 0 until n; i <- 0 until n if r(i)(k);
+           j <- 0 until n if r(k)(j)) r(i)(j) = true
+      val present = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val scc = present.map(v => v ->
+        present.filter(u => u == v || (r(v)(u) && r(u)(v))).min).toMap
+      val cedges = edges.map(e => (scc(e._1), scc(e._2)))
+        .filter(e => e._1 != e._2).distinct
+      val comps = present.map(scc).distinct
+      val layer = scala.collection.mutable.Map.empty[Int, Int]
+      var (active, l) = (comps.toSet, 0)
+      while (active.nonEmpty) {
+        val srcs = active.filter(c =>
+          !cedges.exists(e => active(e._1) && e._2 == c))
+        srcs.foreach(layer(_) = l)
+        active --= srcs; l += 1
+      }
+      present.map(v => v.toLong -> ((scc(v).toLong, layer(scc(v))))).toMap
+    }
+    val rnd = new scala.util.Random(1717)
+    for (trial <- 1 to 2) {
+      val n = 50
+      val edges = Seq.fill(110)((rnd.nextInt(n), rnd.nextInt(n)))
+        .filter(e => e._1 != e._2).distinct
+      val got = GraphOps.condensationLayers(
+          edges.map(e => (e._1.toLong, e._2.toLong)).toDF("s", "t"), "s", "t")
+        .as[(Long, Long, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == oracle(n, edges), s"trial $trial diverged")
+    }
+  }
+
   test("stronglyConnectedComponents: pure DAG is all singletons via trim") {
     import spark.implicits._
     val e = (1L until 12L).map(i => (i, i + 1)).toDF("s", "t")
