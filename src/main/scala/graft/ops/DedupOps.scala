@@ -719,11 +719,32 @@ object DedupOps {
     val advisory = math.max(1L,
       org.apache.spark.sql.internal.SQLConf.get.getConf(
         org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+    // fresh stats per call: the memoized Dataset stats snapshot a
+    // pre-materialization estimate forever, so a frame cached between
+    // calls would keep reporting its (string-width-default) estimate —
+    // ~15× under actual bytes for text. A fresh execution re-runs cache
+    // substitution and reads the InMemoryRelation's BUILT size. When
+    // nothing is cached and the input is a parquet scan, sizeInBytes is
+    // the file size (the ×3 decompression ride is in the multiplier);
+    // a purely synthetic uncached frame still underestimates — the
+    // rowCount floor (64 B/row: no text row is smaller) bounds that.
+    val st = org.apache.spark.sql.GraftColumnBridge.freshOptimizedStats(df)
     val streamBytes =
-      df.queryExecution.optimizedPlan.stats.sizeInBytes * multiplier
+      st.rowCount.map(_ * 64L).getOrElse(BigInt(0L))
+        .max(st.sizeInBytes) * multiplier
     val want = streamBytes / advisory
-    if (want >= 16384) 16384
-    else math.max(session, want.toInt)
+    val chosen =
+      if (want >= 16384) 16384
+      else math.max(session, want.toInt)
+    // diagnostic breadcrumb for scale sweeps (off unless opted in):
+    // the chosen width is invisible in explain() output once AQE
+    // coalesces, and a mis-estimated Catalyst size is the first thing
+    // to rule out when a sweep tier bends
+    if (sys.env.contains("SPARK_GRAFT_LOG_PARTS"))
+      System.err.println(
+        s"[bytesScaledParts] est=${streamBytes / multiplier} x$multiplier" +
+          s" advisory=$advisory want=$want chosen=$chosen")
+    chosen
   }
 
   /** Cross-document repeated-substring detection (the exact-substring

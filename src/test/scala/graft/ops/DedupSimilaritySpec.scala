@@ -772,4 +772,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
       threshold = 0.1, maxTokenFreq = 3)
     assert(open.count() == 3L)
   }
+
+  test("bytesScaledParts: gate-scale frames keep the session width; " +
+    "materialized cache widens past the pre-cache estimate") {
+    import spark.implicits._
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // tiny frame, default advisory (64 MB): always the session floor
+    val tiny = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    assert(DedupOps.bytesScaledParts(tiny, 12) == session)
+
+    // wide text rows whose Catalyst ESTIMATE (string default width)
+    // is far under actual bytes; shrink the advisory so the widths are
+    // measurable at test scale
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val saved = spark.conf.get(advisoryKey)
+    try {
+      spark.conf.set(advisoryKey, "16384")
+      val df = spark.range(20000).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(j =>
+          concat(lit(s"tok$j"), pmod(col("id") + j, lit(997)))): _*)
+          .as("text"))
+      val preCache = DedupOps.bytesScaledParts(df, 12)
+      df.persist()
+      // stats read BEFORE materialization must not poison later calls:
+      // the fresh-QueryExecution path re-reads post-build cache stats
+      val preMaterialize = DedupOps.bytesScaledParts(df, 12)
+      assert(preMaterialize == preCache)
+      df.count()
+      val postMaterialize = DedupOps.bytesScaledParts(df, 12)
+      // ~20k rows × ~320 B actual vs 20-B-string estimate: the cached
+      // width must exceed the estimate-derived one, not equal it
+      assert(postMaterialize > preCache,
+        s"cached width $postMaterialize vs estimate width $preCache")
+      assert(postMaterialize <= 16384)
+      df.unpersist()
+    } finally spark.conf.set(advisoryKey, saved)
+  }
 }
