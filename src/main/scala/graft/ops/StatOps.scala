@@ -325,6 +325,59 @@ object StatOps {
           (col("n_a") * col("n_b")).cast("double"))
   }
 
+  /** Exact 1-D Wasserstein-1 distance (earth mover's distance) between
+    * the `flagCol`-1 sample (A) and the rest (B) over an INTEGER value
+    * column — the drift metric that, unlike KS (sup norm) or PSI/JS
+    * (bin-mass divergences), weighs HOW FAR the mass moved:
+    * W₁ = ∫ |F_A − F_B| dx = Σᵢ |F_A(vᵢ) − F_B(vᵢ)| · (vᵢ₊₁ − vᵢ)
+    * over consecutive distinct values. A distribution that shifts by c
+    * scores exactly |c| whatever its shape — the property monitoring
+    * teams want when "how much did it move" matters more than "did it
+    * move".
+    *
+    * Exactness: the same integer-numerator discipline as
+    * [[ksStatistic]] — per-value cumulative counts ride
+    * [[globalRunningSums]] (range-staged prefix sums, no global
+    * window over the corpus), the per-value term is the exact integer
+    * |c_a·n_b − c_b·n_a| · gap, and ONE final division by n_a·n_b maps
+    * to the value scale. Callers with continuous doubles quantize
+    * first (the gate uses cents); the result is then exact on the
+    * quantized grid, and any engine replays it bit-identically.
+    *
+    * Plan: one corpus pass for the running sums, a per-value rollup
+    * (domain-sized), then a lead() window over the DISTINCT-value
+    * table — domain-sized by construction, the [[kendallTauB]]
+    * discipline: the unpartitioned window never sees corpus rows.
+    *
+    * @return one row: (`n_a`, `n_b`, `w1_num` = Σ|c_a·n_b−c_b·n_a|·gap,
+    *         `w1` = w1_num / (n_a·n_b) in value units)
+    */
+  def wasserstein1(
+      df: DataFrame, flagCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val base = df.select(col(valueCol), col(idCol),
+      col(flagCol).cast("long").as("_fa"),
+      (lit(1L) - col(flagCol).cast("long")).as("_fb"))
+    val cum = globalRunningSums(base,
+      Seq(col(valueCol), col(idCol)),
+      Seq("_fa" -> "c_a", "_fb" -> "c_b"))
+      .groupBy(col(valueCol))
+      .agg(max("c_a").as("c_a"), max("c_b").as("c_b"))
+    val n = cum.agg(max("c_a").as("n_a"), max("c_b").as("n_b"))
+    val gapped = cum
+      .withColumn("_gap",
+        lead(col(valueCol), 1).over(Window.orderBy(valueCol))
+          - col(valueCol))
+    gapped.join(broadcast(n))
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        sum(when(col("_gap").isNotNull,
+          abs(col("c_a") * col("n_b") - col("c_b") * col("n_a"))
+            * col("_gap")).otherwise(lit(0L))).as("w1_num"))
+      .withColumn("w1",
+        col("w1_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"))
+  }
+
   /** Exact Mann–Whitney U (rank-sum) between the `flagCol`-1 sample (A)
     * and the rest (B), with the standard average-rank tie handling —
     * carried as DOUBLED integers (a tie-averaged rank is (first+last)/2,

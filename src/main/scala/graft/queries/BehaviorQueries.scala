@@ -850,6 +850,56 @@ object BehaviorQueries {
       },
       "exact two-sample KS statistic between A/B value distributions: integer-numerator max"),
 
+    // Wasserstein-1 (earth mover's) distance between the arms' value
+    // distributions — the drift metric that weighs how FAR the mass
+    // moved, not just whether it did (KS is the sup norm; PSI/JS are
+    // bin divergences). Values ride cents-quantized, every term is the
+    // exact integer |c_a·n_b − c_b·n_a|·gap, one final division
+    // ([[graft.ops.StatOps.wasserstein1]]); `w1` is in cent units,
+    // `w1_value` in value units.
+    Q(
+      "stats_wasserstein1",
+      (s, d) => {
+        val t50 = graft.ops.CorpusOps.md5Threshold(0.5)
+        val flagged = T(s, d, "events")
+          .select(floor(col("value") * 100).cast("long").as("vq"),
+            col("event_id"),
+            when(graft.ops.CorpusOps.saltedHash(col("user_id"), "ab") < lit(t50),
+              1L).otherwise(0L).as("fa"))
+        graft.ops.StatOps.wasserstein1(flagged, "fa", "vq", "event_id")
+          .withColumn("w1_value", col("w1") / 100.0)
+      },
+      Some {
+        val t50 = graft.ops.CorpusOps.md5Threshold(0.5)
+        s"""WITH t AS (
+           |  SELECT CAST(floor(value * 100) AS BIGINT) AS vq, event_id,
+           |    CASE WHEN md5('ab:' || CAST(user_id AS VARCHAR)) < '$t50'
+           |         THEN 1 ELSE 0 END AS fa
+           |  FROM events),
+           |c0 AS (SELECT vq, fa,
+           |    SUM(fa) OVER w AS c_a,
+           |    SUM(1 - fa) OVER w AS c_b
+           |  FROM t WINDOW w AS (ORDER BY vq, event_id
+           |                      ROWS UNBOUNDED PRECEDING)),
+           |c AS (SELECT vq, max(c_a) AS c_a, max(c_b) AS c_b
+           |  FROM c0 GROUP BY vq),
+           |g AS (SELECT vq, c_a, c_b,
+           |    lead(vq) OVER (ORDER BY vq) - vq AS gap FROM c),
+           |n AS (SELECT CAST(max(c_a) AS BIGINT) AS n_a,
+           |        CAST(max(c_b) AS BIGINT) AS n_b FROM c),
+           |s AS (SELECT n_a, n_b,
+           |    CAST(SUM(CASE WHEN gap IS NOT NULL
+           |      THEN abs(c_a * n_b - c_b * n_a) * gap ELSE 0 END)
+           |      AS BIGINT) AS w1_num
+           |  FROM g, n GROUP BY n_a, n_b)
+           |SELECT n_a, n_b, w1_num,
+           |  CAST(w1_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS w1,
+           |  CAST(w1_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) / 100.0
+           |    AS w1_value
+           |FROM s""".stripMargin
+      },
+      "exact 1-D Wasserstein (EMD) between A/B value distributions: integer CDF-gap terms"),
+
     // Mann–Whitney U between the arms' value distributions — the
     // rank-sum nonparametric test beside KS. Tie-averaged ranks ride as
     // DOUBLED integers (always integral) until one final halving, so

@@ -89,7 +89,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // 1-row totals broadcast onto the bin-domain frame (PSI fold)
       "profile_psi",
       // R×C category-domain cross + 1-row total (full chi-square grid)
-      "profile_chi2")
+      "profile_chi2",
+      // 1-row sample-totals broadcast onto the value-domain CDF frame
+      // (the ksStatistic/kendall discipline: domain-sized, never corpus)
+      "stats_wasserstein1")
 
   test("no gate plans a cartesian; nested-loop joins only where declared") {
     Registry.all.foreach { q =>

@@ -195,6 +195,55 @@ class RandomModelSpec extends AnyFunSuite {
     assert(got == ((40L, 40L, 0L, 0.0)))
   }
 
+  test("wasserstein1 == scalar CDF-gap model on random two-sample data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(211)
+    val rows = (1L to 300L).map { i =>
+      val a = i % 3 != 0
+      val v = (rnd.nextInt(40) + (if (a) 0 else 8)).toLong
+      (v, i, if (a) 1L else 0L)
+    }
+    val got = StatOps
+      .wasserstein1(rows.toDF("v", "id", "fa"), "fa", "v", "id")
+      .as[(Long, Long, Long, Double)].head()
+
+    val nA = rows.count(_._3 == 1L).toLong
+    val nB = rows.size - nA
+    val byV = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    var (ca, cb, num) = (0L, 0L, 0L)
+    byV.zipWithIndex.foreach { case ((v, g), i) =>
+      ca += g.count(_._3 == 1L); cb += g.count(_._3 == 0L)
+      if (i < byV.size - 1)
+        num += math.abs(ca * nB - cb * nA) * (byV(i + 1)._1 - v)
+    }
+    assert(got == ((nA, nB, num, num.toDouble / (nA * nB))))
+    assert(num > 0, "vacuous: identical samples")
+  }
+
+  test("wasserstein1: zero on identical samples, exactly |c| under shift") {
+    import spark.implicits._
+    val idential = (1L to 80L).map { i =>
+      ((i % 10) * 3L, i, if (i <= 40) 1L else 0L)
+    }
+    val z = StatOps
+      .wasserstein1(idential.toDF("v", "id", "fa"), "fa", "v", "id")
+      .as[(Long, Long, Long, Double)].head()
+    assert(z == ((40L, 40L, 0L, 0.0)))
+
+    // equal-size arms, arm B shifted by +7: W1 is exactly the shift —
+    // the location-sensitivity KS/PSI lack, and the reason this metric
+    // exists in the drift tier
+    val shifted = (1L to 80L).map { i =>
+      val a = i <= 40
+      val base = (i - 1) % 40 % 10 * 3L
+      (if (a) base else base + 7L, i, if (a) 1L else 0L)
+    }
+    val s = StatOps
+      .wasserstein1(shifted.toDF("v", "id", "fa"), "fa", "v", "id")
+      .as[(Long, Long, Long, Double)].head()
+    assert(s._4 == 7.0, s"expected exact shift 7.0, got ${s._4}")
+  }
+
   test("weightedMedian == scalar cumulative-weight model on random groups") {
     import spark.implicits._
     val rnd = new scala.util.Random(59)
