@@ -1833,6 +1833,75 @@ object GraphOps {
     scores
   }
 
+  /** Shortest-path COUNTS from a landmark set — σ(l, v) = the number of
+    * distinct shortest paths from landmark l to node v, with the
+    * distance, per (landmark, reached node) pair. This is the exact
+    * integer half of Brandes' betweenness (the dependency accumulation
+    * δ needs rational σ ratios and is deliberately not computed here):
+    * path counts alone already answer "how redundant is the routing to
+    * v" and rank bridge edges, and they hash-gate where float δ cannot.
+    *
+    * Frontier BFS with an additive aggregate: every frontier node at
+    * distance h−1 pushes its σ along each edge, and a node FIRST
+    * reached at h sums the pushes — exactly σ(v) = Σ_{u ∈ pred(v)} σ(u)
+    * (all shortest-path predecessors of a distance-h node are at h−1,
+    * and the [[bfsHops]] two-frontier argument keeps the anti-join
+    * window at the last two waves). Per round: one edge join, one
+    * (lm, node) rollup, one anti-join — state ≤ |landmarks| × |wave|.
+    *
+    * σ grows multiplicatively with shortest-path DAG width (up to
+    * d_max per hop), so every round is guarded in-plan against a
+    * 2⁶³-safe ceiling (`maxSigma`) — the [[katzUnits]] discipline: a
+    * wrapped long is silent on Spark but a HUGEINT cast error on
+    * DuckDB, the worst oracle divergence.
+    *
+    * @return one row per reached (landmark, node) pair incl. the
+    *         landmark itself: (`lm`, `id`, `dist`, `sigma`). */
+  def landmarkPathCounts(
+      edges: DataFrame, aCol: String, bCol: String,
+      landmarks: DataFrame, lmCol: String, maxHops: Int,
+      maxSigma: Long = Long.MaxValue / 4): DataFrame = {
+    require(maxHops >= 0, s"landmarkPathCounts: maxHops must be >= 0, got $maxHops")
+    val dir = edges.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val e = dir
+      .union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = landmarks
+      .select(col(lmCol).cast("long").as("lm")).distinct()
+      .select(col("lm"), col("lm").as("id"), lit(0).as("dist"),
+        lit(1L).as("sigma"))
+      .stagePin()
+    val rounds = scala.collection.mutable.Buffer(frontier)
+    var h = 0
+    while (h < maxHops) {
+      h += 1
+      val recent = rounds.takeRight(2).reduce(_ unionByName _)
+        .select(col("lm"), col("id"))
+      frontier = frontier
+        .join(e, frontier("id") === e("src"))
+        .select(col("lm"), col("dst").as("id"), col("sigma"))
+        .groupBy("lm", "id")
+        .agg(sum("sigma").as("_s"))
+        .join(recent, Seq("lm", "id"), "left_anti")
+        .select(col("lm"), col("id"), lit(h).as("dist"),
+          when(col("_s") > lit(maxSigma),
+            raise_error(concat(
+              lit(s"landmarkPathCounts: path count exceeds the " +
+                s"overflow-safe ceiling $maxSigma at hop $h — shrink " +
+                "maxHops or the landmark set; sigma = "),
+              col("_s").cast("string"))))
+            .otherwise(col("_s")).as("sigma"))
+        .stagePin()
+      rounds += frontier
+    }
+    val out = rounds.reduce(_ unionByName _)
+    e.unpersist()
+    out
+  }
+
   /** Adamic-Adar link prediction over an undirected edge list: for every
     * NON-adjacent pair (u, v) sharing >= `minCommon` neighbors,
     * AA(u,v) = sum over common neighbors w of 1/ln(deg(w)) — common

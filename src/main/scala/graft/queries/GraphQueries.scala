@@ -800,6 +800,42 @@ object GraphQueries {
              |FROM dmin WHERE hops > 0 GROUP BY id ORDER BY id""".stripMargin),
       "landmark harmonic closeness: one BFS wave per landmark, integer-division terms"),
 
+    // Shortest-path COUNTS from the same landmark set
+    // ([[GraphOps.landmarkPathCounts]]): σ(l, v) = number of distinct
+    // shortest paths l→v, the exact integer half of Brandes'
+    // betweenness — ranks routing redundancy without the rational δ
+    // accumulation floats would need. The oracle enumerates every path
+    // up to 3 hops (UNION ALL recursion — finite because hop-bounded)
+    // and counts the ones at the minimum hop: σ by definition, the
+    // quadratic-ish formulation the frontier engine exists to avoid.
+    Q(
+      "graph_path_counts",
+      (s, d) =>
+        GraphOps.landmarkPathCounts(tradeEdges(s, d), "src", "dst",
+            T(s, d, "supplier").filter(col("s_nationkey") === 0)
+              .select((col("s_suppkey") * 2 + 1).as("id")),
+            "id", maxHops = 3)
+          .orderBy("lm", "id"),
+      Some("""WITH RECURSIVE eu AS (
+             |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e AS (SELECT src, dst FROM eu
+             |      UNION SELECT dst AS src, src AS dst FROM eu),
+             |p AS (
+             |  SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) AS lm,
+             |         CAST(s_suppkey * 2 + 1 AS BIGINT) AS id, 0 AS h
+             |  FROM supplier WHERE s_nationkey = 0
+             |  UNION ALL
+             |  SELECT p.lm, CAST(e.dst AS BIGINT) AS id, p.h + 1 AS h
+             |  FROM p JOIN e ON e.src = p.id
+             |  WHERE p.h < 3),
+             |d AS (SELECT lm, id, MIN(h) AS dist FROM p GROUP BY lm, id)
+             |SELECT d.lm, d.id, d.dist, CAST(count(*) AS BIGINT) AS sigma
+             |FROM d JOIN p ON p.lm = d.lm AND p.id = d.id AND p.h = d.dist
+             |GROUP BY d.lm, d.id, d.dist
+             |ORDER BY d.lm, d.id""".stripMargin),
+      "landmark shortest-path counts: frontier BFS with additive sigma vs path-enumeration oracle"),
+
     // STRONGLY connected components over a directed trade graph with
     // cycles ([[GraphOps.stronglyConnectedComponents]]): forward
     // customer→supplier edges restricted to the region diagonal

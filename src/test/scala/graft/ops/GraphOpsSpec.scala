@@ -929,4 +929,81 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got.size == 10) // nodes 2..11 reached within 10 hops
     assert(got(2L) == 1000000L && got(6L) == 200000L && got(11L) == 100000L)
   }
+
+  test("landmarkPathCounts: diamond doubles sigma, tail inherits it") {
+    import spark.implicits._
+    // 1-2, 1-3, 2-4, 3-4, 4-5: two shortest paths 1→4, both extend to 5
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val got = GraphOps.landmarkPathCounts(e, "a", "b",
+        Seq(1L).toDF("id"), "id", maxHops = 3)
+      .as[(Long, Long, Int, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((0, 1L)), 2L -> ((1, 1L)), 3L -> ((1, 1L)),
+      4L -> ((2, 2L)), 5L -> ((3, 2L))))
+  }
+
+  test("landmarkPathCounts == scalar BFS sigma model on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    var sawMultiPath = false
+    for (trial <- 1 to 3) {
+      val n = 14
+      val edges = (for {
+        u <- 1 to n; v <- (u + 1) to n if rnd.nextInt(100) < 22
+      } yield (u.toLong, v.toLong)).distinct
+      val lms = Seq(1L, 7L)
+      val maxHops = 4
+      // scalar model: level-synchronous BFS accumulating sigma
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val oracle = lms.flatMap { lm =>
+        var dist = Map(lm -> 0)
+        var sigma = Map(lm -> 1L)
+        var front = Set(lm)
+        var h = 0
+        while (h < maxHops && front.nonEmpty) {
+          h += 1
+          val pushes = front.toSeq
+            .flatMap(u => adj.getOrElse(u, Set.empty[Long])
+              .map(v => v -> sigma(u)))
+            .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).sum }
+          val fresh = pushes.filter { case (v, _) => !dist.contains(v) }
+          dist ++= fresh.keys.map(_ -> h)
+          sigma ++= fresh
+          front = fresh.keySet
+        }
+        dist.keys.map(v => (lm, v) -> ((dist(v), sigma(v))))
+      }.toMap
+      val got = GraphOps.landmarkPathCounts(edges.toDF("a", "b"), "a", "b",
+          lms.toDF("id"), "id", maxHops)
+        .as[(Long, Long, Int, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      assert(got == oracle, s"trial $trial diverged")
+      sawMultiPath ||= oracle.values.exists(_._2 > 1L)
+    }
+    assert(sawMultiPath, "vacuous: no trial produced a multi-path node")
+  }
+
+  test("landmarkPathCounts: overflow guard trips instead of wrapping") {
+    import spark.implicits._
+    // complete bipartite K_{1,4} chained: sigma multiplies by 4 per 2 hops
+    val left = Seq(1L, 2L, 3L, 4L)
+    val e = (left.map(u => (0L, u)) ++ left.map(u => (u, 5L)) ++
+      left.map(u => (5L, u + 10L)) ++ left.map(u => (u + 10L, 15L)))
+      .toDF("a", "b")
+    val ex = intercept[Exception] {
+      GraphOps.landmarkPathCounts(e, "a", "b",
+        Seq(0L).toDF("id"), "id", maxHops = 4, maxSigma = 3L)
+        .count()
+    }
+    assert(ex.getMessage != null &&
+      exceptionChain(ex).exists(_.contains("overflow-safe ceiling")),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
+  private def exceptionChain(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).toSeq
 }

@@ -22,5 +22,6 @@ SPARK_GRAFT_TRIALS="$TRIALS" SPARK_GRAFT_SHUFFLE="$SHUFFLE" \
 exec java $ADD_OPENS -Xmx"$MEM" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Dspark.local.dir=/tmp/spark-scale \
+  ${SCALE_ADVISORY:+-Dspark.sql.adaptive.advisoryPartitionSizeInBytes=$SCALE_ADVISORY} \
   -cp "$CLASSES:/opt/spark/jars/*" \
   graft.tools.Scale "$SIZES" $OPS
