@@ -1862,6 +1862,23 @@ object GraphOps {
       landmarks: DataFrame, lmCol: String, maxHops: Int,
       maxSigma: Long = Long.MaxValue / 4): DataFrame = {
     require(maxHops >= 0, s"landmarkPathCounts: maxHops must be >= 0, got $maxHops")
+    val (e, rounds) =
+      sigmaWaves(edges, aCol, bCol, landmarks, lmCol, maxHops, maxSigma)
+    val out = rounds.reduce(_ unionByName _)
+    e.unpersist()
+    out
+  }
+
+  /** Forward Brandes pass shared by [[landmarkPathCounts]] and
+    * [[landmarkBetweennessUnits]]: BFS waves carrying additive σ. Returns
+    * the persisted undirected edge frame (caller unpersists when its last
+    * consumer has materialized) and one pinned wave per hop, index = dist
+    * (`maxHops + 1` frames; deeper frames may be empty once the frontier
+    * exhausts). */
+  private def sigmaWaves(
+      edges: DataFrame, aCol: String, bCol: String,
+      landmarks: DataFrame, lmCol: String, maxHops: Int,
+      maxSigma: Long): (DataFrame, Seq[DataFrame]) = {
     val dir = edges.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
     val e = dir
@@ -1897,9 +1914,135 @@ object GraphOps {
         .stagePin()
       rounds += frontier
     }
-    val out = rounds.reduce(_ unionByName _)
+    (e, rounds.toSeq)
+  }
+
+  /** Hop-bounded landmark BETWEENNESS — Brandes' dependency accumulation
+    * δ over the [[landmarkPathCounts]] σ waves, in exact integer "unit"
+    * arithmetic so it hash-gates (float δ folds in scan order and never
+    * can). For each landmark l and node v at depth h:
+    *
+    *   δ(l, v) = Σ_{w : (v,w) ∈ E, dist(l,w) = h+1}
+    *               (σ(l,v) · (unit + δ(l,w))) div σ(l,w)
+    *
+    * and the reported score is bw(v) = Σ_l δ(l, v) — the sampled-source
+    * (landmark) Brandes estimator restricted to shortest paths of length
+    * ≤ `maxHops`, the only betweenness shape that survives corpus scale:
+    * exact betweenness is all-pairs (quadratic state), while this form is
+    * one forward + one backward frontier sweep per landmark batch, all
+    * landmarks advancing in the same per-round join. Landmark count and
+    * hop budget are the caller's accuracy-vs-cost knobs (Brandes &
+    * Pich 2007 pivot sampling; the bounded-depth variant is the
+    * "k-betweenness" of Pfeffer & Carley).
+    *
+    * Exactness/overflow discipline (the [[katzUnits]] rules): every
+    * quantity is a nonnegative long; σ(w) ≥ σ(v) for any predecessor v
+    * (σ(w) sums its predecessors' σ), so each term ≤ unit + δ(w). The
+    * forward pass guards σ ≤ `maxSigma` and each backward round guards
+    * δ ≤ Long.MaxValue/maxSigma − unit in-plan (raise_error, not a wrap),
+    * which together make the product σ·(unit+δ) provably ≤ Long.MaxValue
+    * — Spark's non-ANSI long would wrap silently where DuckDB's HUGEINT
+    * promotion errors, the worst oracle divergence.
+    *
+    * Per backward round: one edge join from the depth-h wave, one inner
+    * join against the depth-(h+1) δ frame, one (lm, id) rollup, one
+    * node-universe left join — state ≤ |landmarks| × |wave|, mirror image
+    * of the forward pass. Sources score only against OTHER landmarks'
+    * waves (Brandes excludes v = s); unreached nodes are absent.
+    *
+    * @return one row per (landmark, node) reach at dist ≥ 1, summed per
+    *         node: (`id`, `bw_units`).
+    */
+  def landmarkBetweennessUnits(
+      edges: DataFrame, aCol: String, bCol: String,
+      landmarks: DataFrame, lmCol: String, maxHops: Int,
+      unit: Long = 1000000L, maxSigma: Long = 1L << 21): DataFrame =
+    landmarkBrandesUnits(edges, aCol, bCol, landmarks, lmCol, maxHops,
+      unit, maxSigma)._1
+
+  /** Full landmark Brandes sweep — node AND edge betweenness from ONE
+    * forward + one backward pass. The per-edge dependency terms are the
+    * intermediate the node δ rollup aggregates anyway (Girvan–Newman
+    * edge betweenness is Brandes' same accumulation read per edge
+    * instead of per predecessor node), so computing both costs one extra
+    * round (the landmarks' own out-edges, which node scores never need)
+    * plus a second rollup — callers wanting both must call THIS and not
+    * the two wrappers, or the sweep runs twice.
+    *
+    * See [[landmarkBetweennessUnits]] for semantics, the integer-unit
+    * discipline, and the σ/δ overflow guards.
+    *
+    * @return (nodeScores = (`id`, `bw_units`),
+    *         edgeScores = (`u`, `v`, `eb_units`) for undirected
+    *         shortest-path-DAG edges, u < v)
+    */
+  def landmarkBrandesUnits(
+      edges: DataFrame, aCol: String, bCol: String,
+      landmarks: DataFrame, lmCol: String, maxHops: Int,
+      unit: Long = 1000000L,
+      maxSigma: Long = 1L << 21): (DataFrame, DataFrame) = {
+    require(maxHops >= 1, s"landmarkBrandesUnits: maxHops must be >= 1, got $maxHops")
+    require(unit > 0, s"landmarkBrandesUnits: unit must be > 0, got $unit")
+    require(maxSigma >= 1 && unit < Long.MaxValue / maxSigma,
+      s"landmarkBrandesUnits: unit × maxSigma must stay below 2^63")
+    val deltaCeil = Long.MaxValue / maxSigma - unit
+    val (e, rounds) =
+      sigmaWaves(edges, aCol, bCol, landmarks, lmCol, maxHops, maxSigma)
+    // Deepest wave: nothing below it, δ = 0 by definition.
+    var deeper = rounds.last
+      .select(col("lm"), col("id"), col("sigma"), lit(0L).as("delta"))
+      .stagePin()
+    val scored = scala.collection.mutable.Buffer(deeper)
+    val edgeTerms = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (h <- (maxHops - 1) to 0 by -1) {
+      val wave = rounds(h)
+      // Predecessor relation: (v at h) —edge→ (w at h+1). The inner join
+      // against `deeper` selects exactly dist-(h+1) neighbors, so shared
+      // edges to same-depth or shallower nodes contribute nothing —
+      // Brandes' pred(w) = {v : dist(v) = dist(w) − 1, (v,w) ∈ E}.
+      val terms = wave
+        .join(e, wave("id") === e("src"))
+        .select(col("lm"), wave("id").as("id"), col("sigma"),
+          col("dst").as("_w"))
+        .join(deeper.select(col("lm"), col("id").as("_w"),
+          col("sigma").as("_sw"), col("delta").as("_dw")), Seq("lm", "_w"))
+        .select(col("lm"), col("id"), col("sigma"), col("_w"),
+          expr(s"(sigma * (${unit}L + _dw)) div _sw").as("_t"))
+        .stagePin() // two consumers: the edge rollup and the node δ
+      edgeTerms += terms
+        .select(least(col("id"), col("_w")).as("u"),
+          greatest(col("id"), col("_w")).as("v"), col("_t"))
+      // h = 0 exists only for its out-edge terms: the source's δ is
+      // never reported (Brandes excludes v = s) and feeds no round.
+      if (h >= 1) {
+        val deltas = terms.groupBy("lm", "id", "sigma")
+          .agg(sum("_t").as("_d"))
+        // Depth-h nodes with no deeper neighbor are leaves of the
+        // shortest-path DAG: δ = 0, but they still belong in the output.
+        deeper = wave.select(col("lm"), col("id"), col("sigma"))
+          .join(deltas, Seq("lm", "id", "sigma"), "left_outer")
+          .select(col("lm"), col("id"), col("sigma"),
+            when(col("_d") > lit(deltaCeil),
+              raise_error(concat(
+                lit(s"landmarkBrandesUnits: dependency exceeds the " +
+                  s"overflow-safe ceiling $deltaCeil at hop $h — shrink " +
+                  "maxHops, unit, or the landmark set; delta = "),
+                col("_d").cast("string"))))
+              .otherwise(coalesce(col("_d"), lit(0L))).as("delta"))
+          .stagePin()
+        scored += deeper
+      }
+    }
+    val nodeOut = scored.reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(sum("delta").as("bw_units"))
+      .stagePin()
+    val edgeOut = edgeTerms.reduce(_ unionByName _)
+      .groupBy("u", "v")
+      .agg(sum("_t").as("eb_units"))
+      .stagePin()
     e.unpersist()
-    out
+    (nodeOut, edgeOut)
   }
 
   /** Adamic-Adar link prediction over an undirected edge list: for every

@@ -407,6 +407,117 @@ object StatOps {
       .select(col("n_a"), col("n_b"), col("r2_a"), col("u_a"))
   }
 
+  /** Exact two-sample Cramér–von Mises statistic between the `flagCol`-1
+    * sample (A) and the rest (B) — the L2 complement of the KS sup-norm:
+    * KS sees the single worst CDF gap, CvM integrates EVERY gap, so it
+    * catches broad shifts KS under-weighs. Anderson's rank form
+    *
+    *   U = n_a·Σ_i (r_i − i)² + n_b·Σ_j (s_j − j)²
+    *
+    * (r/s = combined-sample ranks, i/j = within-sample ranks) carried as
+    * DOUBLED integers — the [[mannWhitneyU]] trick: the tie-averaged
+    * combined rank is (first+last)/2, so 2r is integral, and the
+    * within-sample tie group contributes an assignment-invariant
+    * Σ(r−i)² (the i's of a tie group are a fixed consecutive run) — so
+    * `u4` = 4U is an exact order-free integer sum.
+    *
+    * Scale shape: within-sample ranks are NOT a per-sample global window
+    * — the running flag counts from ONE [[globalRunningSums]] pass serve
+    * as combined position (c_a+c_b), within-A rank (c_a), and within-B
+    * rank (c_b) simultaneously; then a per-value tie rollup and one
+    * scalar aggregate, no unpartitioned corpus window anywhere.
+    *
+    * `t_stat` = U/(n_a·n_b·N) − (4·n_a·n_b − 1)/(6N) is the standard
+    * normalization (≈ 1/6 under H0) — two exact-integer divisions, so
+    * both engines reproduce it bit-identically.
+    *
+    * @return one row: (`n_a`, `n_b`, `u4` = 4U, `t_stat`)
+    */
+  def cramerVonMises(
+      df: DataFrame, flagCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val base = df.select(col(valueCol), col(idCol),
+      col(flagCol).cast("long").as("_fa"),
+      (lit(1L) - col(flagCol).cast("long")).as("_fb"))
+    val cum = globalRunningSums(base,
+      Seq(col(valueCol), col(idCol)),
+      Seq("_fa" -> "_ca", "_fb" -> "_cb"))
+      .withColumn("_pos", col("_ca") + col("_cb"))
+    val ties = cum.groupBy(col(valueCol))
+      .agg((min("_pos") + max("_pos")).as("_r2"))
+    // u4 ~ 4N⁴ clears 2⁶³ near N ≈ 10⁵ and 2⁵³ (double-exact) far sooner,
+    // so the squared terms accumulate in DECIMAL(38,0) — the
+    // [[acfByKey]] HUGEINT discipline — and u4 is EMITTED as decimal.
+    cum.join(ties, Seq(valueCol))
+      .withColumn("_d",
+        (when(col("_fa") === 1L, col("_r2") - lit(2L) * col("_ca"))
+          .otherwise(col("_r2") - lit(2L) * col("_cb")))
+          .cast("decimal(38,0)"))
+      .agg(
+        sum("_fa").as("n_a"),
+        sum("_fb").as("n_b"),
+        sum(when(col("_fa") === 1L, col("_d") * col("_d"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("_sa"),
+        sum(when(col("_fa") === 0L, col("_d") * col("_d"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("_sb"))
+      .select(col("n_a"), col("n_b"),
+        (col("n_a").cast("decimal(38,0)") * col("_sa") +
+          col("n_b").cast("decimal(38,0)") * col("_sb"))
+          .cast("decimal(38,0)").as("u4"))
+      .withColumn("t_stat",
+        col("u4").cast("double") /
+          (lit(4L) * col("n_a") * col("n_b") *
+            (col("n_a") + col("n_b"))).cast("double") -
+          (lit(4L) * col("n_a") * col("n_b") - lit(1L)).cast("double") /
+            (lit(6L) * (col("n_a") + col("n_b"))).cast("double"))
+  }
+
+  /** Pettitt changepoint test per key — the rank-based (distribution-free)
+    * single-changepoint detector: U_t = Σ_{i≤t} Σ_{j>t} sgn(x_j − x_i),
+    * K = max_t |U_t| over t = 1..n−1, changepoint = the first t attaining
+    * K. The monitoring question CUSUM answers for the mean, asked
+    * nonparametrically — robust to the heavy tails event values have.
+    *
+    * Exactness + scale: the O(n²) double sum collapses to the exact
+    * recurrence U_t = U_{t−1} + W_t with W_t = #{x_j > x_t} − #{x_j < x_t}
+    * (all j), and W_t is pure rank arithmetic: n − eq_t − 2·(rank_t − 1)
+    * where rank is min-rank by value and eq the value's tie count. So the
+    * whole test is three within-key windows (value rank, tie count,
+    * running sum by time) — integer end to end, partition-parallel over
+    * keys, no corpus-global state. U_n ≡ 0 by construction (asserted in
+    * the spec); keys with a single row have no interior t and are absent.
+    *
+    * @return one row per key: (`keyCol`, `n`, `k_stat` = max|U_t|,
+    *         `cp_idx` = first 1-based t attaining it)
+    */
+  def pettittChangepoint(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, scale: Double = 100.0): DataFrame = {
+    val base = df.select(col(keyCol).as("_k"),
+      col(tsCol).as("_ts"), col(idCol).as("_id"),
+      floor(col(valueCol) * scale).cast("long").as("_y"))
+    val byKey = Window.partitionBy("_k")
+    val byTime = Window.partitionBy("_k").orderBy(col("_ts"), col("_id"))
+    val u = base
+      .withColumn("_n", count(lit(1)).over(byKey))
+      .withColumn("_rnk",
+        rank().over(Window.partitionBy("_k").orderBy(col("_y"))).cast("long"))
+      .withColumn("_eq",
+        count(lit(1)).over(Window.partitionBy("_k", "_y")))
+      .withColumn("_w",
+        col("_n") - col("_eq") - lit(2L) * col("_rnk") + lit(2L))
+      .withColumn("_i", row_number().over(byTime).cast("long"))
+      .withColumn("_u", sum("_w").over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("_i") < col("_n")) // interior cuts only: t = 1..n−1
+      .withColumn("_au", abs(col("_u")))
+    u.withColumn("_mx", max("_au").over(byKey))
+      .groupBy(col("_k").as(keyCol))
+      .agg(max("_n").as("n"),
+        max("_au").as("k_stat"),
+        min(when(col("_au") === col("_mx"), col("_i"))).as("cp_idx"))
+  }
+
   /** Mutual information (and marginal entropies, in nats) of two
     * categorical columns — the dependence profile a curation team reads
     * before stratifying: MI(lang; source) ≈ 0 says the split is safe to
@@ -1440,13 +1551,85 @@ object StatOps {
       .select(col("_k"), col("n"), coalesce(col("s"), lit(0L)).as("s"),
         (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) -
           col("_tie18")).as("var18"))
-      .withColumn("z",
-        when(col("var18") === 0, lit(null).cast("double"))
-          .when(col("s") === 0, lit(0.0))
-          .otherwise(
-            (col("s") - signum(col("s"))).cast("double") /
-              sqrt(col("var18").cast("double") / lit(18.0))))
+      .withColumn("z", mkZ(col("s"), col("var18")))
       .select(col("_k").as(keyCol), col("n"), col("s"), col("var18"),
         col("z"))
+  }
+
+  /** The Mann–Kendall continuity-corrected Z — shared by the plain and
+    * seasonal variants (var18 carries 18·Var(S) as an exact integer). */
+  private def mkZ(s: Column, var18: Column): Column =
+    when(var18 === 0, lit(null).cast("double"))
+      .when(s === 0, lit(0.0))
+      .otherwise((s - signum(s)).cast("double") /
+        sqrt(var18.cast("double") / lit(18.0)))
+
+  /** SEASONAL Mann–Kendall (Hirsch–Slack): the trend test applied within
+    * each season (default: day-of-week phase) and summed — S = Σ_p S_p,
+    * Var = Σ_p Var_p — so a weekly cycle cannot masquerade as (or mask)
+    * a monotone trend the plain [[mannKendall]] would mis-score. Same
+    * exact-integer S and tie-corrected 18·variance per (key, season);
+    * the within-season pair joins are the plain test's, just on a finer
+    * key, so per-key work DROPS from O(n²) to O(Σ n_p²) ≈ O(n²/period).
+    * Independence across seasons is the standard assumption (serial
+    * correlation within a season is not corrected — Hirsch & Slack's
+    * covariance adjustment needs rank cross-products the use cases here
+    * don't justify; documented, not hidden).
+    *
+    * The season is the engine-neutral `unix_micros div day mod period`
+    * (calendar day-of-week differs between engines' week conventions).
+    *
+    * @return one row per key: (`keyCol`, `n`, `n_seasons`, `s`, `var18`,
+    *         `z`)
+    */
+  def seasonalMannKendall(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, scale: Double = 100.0, period: Int = 7): DataFrame = {
+    require(period >= 2, s"seasonalMannKendall: period must be >= 2, got $period")
+    val tagged = df.withColumn("_sk",
+      struct(col(keyCol).as("k"),
+        expr(s"unix_micros($tsCol) div 86400000000L % ${period}L").as("p")))
+    val mk = mannKendall(tagged, "_sk", tsCol, idCol, valueCol, scale)
+    mk.groupBy(col("_sk.k").as(keyCol))
+      .agg(sum("n").as("n"),
+        count(lit(1)).as("n_seasons"),
+        sum("s").as("s"),
+        sum("var18").as("var18"))
+      .withColumn("z", mkZ(col("s"), col("var18")))
+  }
+
+  /** Brown–Forsythe variance-equality test: the one-way ANOVA F
+    * ([[anovaF]]) applied to |x − median(group)| — "did the SPREAD
+    * shift between groups", the dispersion complement of ANOVA's mean
+    * question, and the robust form (Levene centers on the mean; the
+    * median version keeps its size under the heavy tails event values
+    * have). The group median on the cent grid rides as a DOUBLED
+    * integer (odd n: 2·x_mid; even n: x_lo + x_hi — always integral),
+    * so the deviations |2x − med2| are exact longs and the doubling
+    * cancels in F. Plan: one within-group rank window + one positional
+    * rollup for the medians, then the [[anovaF]] single-pass moments —
+    * no corpus-global state.
+    *
+    * @return [[anovaF]]'s row: (`k`, `n`, `ssb`, `ssw`, `f`) — on the
+    *         doubled-deviation scale for ssb/ssw; `f` is scale-free.
+    */
+  def brownForsythe(
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String,
+      scale: Double = 100.0): DataFrame = {
+    val base = df.select(col(groupCol).as("_g"), col(idCol).as("_id"),
+      floor(col(valueCol) * scale).cast("long").as("_x"))
+    val pos = base
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_g").orderBy(col("_x"), col("_id"))).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("_g")))
+    val med = pos.groupBy("_g").agg(
+      (sum(when(col("_rn") === expr("(_n + 1L) div 2L"), col("_x"))
+          .otherwise(0L)) +
+        sum(when(col("_rn") === expr("_n div 2L + 1L"), col("_x"))
+          .otherwise(0L))).as("_med2"))
+    val z = pos.join(med, Seq("_g"))
+      .select(col("_g").as("g"),
+        abs(lit(2L) * col("_x") - col("_med2")).as("zdev"))
+    anovaF(z, "g", "zdev", scale = 1.0)
   }
 }

@@ -957,6 +957,56 @@ object AnalyticsQueries {
              |FROM m""".stripMargin),
       "one-way ANOVA F: exact DECIMAL moments, group-ordered term folds, no libm"),
 
+    // Brown–Forsythe variance-equality test across the same order
+    // priorities ([[graft.ops.StatOps.brownForsythe]]): ANOVA asks "did
+    // the mean shift", this asks "did the SPREAD shift" — the F test
+    // re-run on |x − group median|, median-centered so heavy tails don't
+    // inflate the size. The doubled-median trick keeps every deviation
+    // an exact long (odd n: 2·x_mid, even: x_lo + x_hi); the oracle
+    // replays the positional medians and the ANOVA moment algebra.
+    Q(
+      "stats_brown_forsythe",
+      (s, d) =>
+        graft.ops.StatOps.brownForsythe(T(s, d, "orders"),
+          "o_orderpriority", "o_totalprice", "o_orderkey", scale = 100.0),
+      Some("""WITH b AS (SELECT o_orderpriority AS g, o_orderkey AS id,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+             |  FROM orders),
+             |p AS (SELECT g, x,
+             |    row_number() OVER (PARTITION BY g ORDER BY x, id) AS rn,
+             |    count(*) OVER (PARTITION BY g) AS n FROM b),
+             |med AS (SELECT g,
+             |    SUM(CASE WHEN rn = (n + 1) // 2 THEN x ELSE 0 END) +
+             |    SUM(CASE WHEN rn = n // 2 + 1 THEN x ELSE 0 END) AS med2
+             |  FROM p GROUP BY g),
+             |z AS (SELECT p.g, CAST(abs(2 * p.x - med.med2) AS BIGINT) AS zd
+             |  FROM p JOIN med ON med.g = p.g),
+             |per AS (SELECT g, CAST(count(*) AS HUGEINT) AS ng,
+             |    sum(CAST(zd AS HUGEINT)) AS sg,
+             |    sum(CAST(zd AS HUGEINT) * zd) AS qg
+             |  FROM z GROUP BY 1),
+             |t AS (SELECT g, ng, sg, qg,
+             |    CAST(sg * sg AS DOUBLE) / CAST(ng AS DOUBLE) AS tg
+             |  FROM per),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             |    CAST(sum(ng) AS DOUBLE) AS n,
+             |    CAST(sum(ng) AS BIGINT) AS nn,
+             |    sum(sg) AS s, CAST(sum(qg) AS DOUBLE) AS q,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list(tg ORDER BY g)), (a, x) -> a + x) AS tsum
+             |  FROM t)
+             |SELECT k, nn AS n,
+             |  tsum - CAST(s * s AS DOUBLE) / n AS ssb,
+             |  q - tsum AS ssw,
+             |  CASE WHEN k > 1 AND n > CAST(k AS DOUBLE)
+             |      AND q - tsum > 0 THEN
+             |    ((tsum - CAST(s * s AS DOUBLE) / n) /
+             |      CAST(k - 1 AS DOUBLE)) /
+             |    ((q - tsum) / (n - CAST(k AS DOUBLE)))
+             |  END AS f
+             |FROM m""".stripMargin),
+      "Brown-Forsythe: ANOVA F on |x - group median|, doubled-median exact deviations"),
+
     // Market-basket association: top part pairs by LIFT —
     // P(a,b)/(P(a)P(b)) = c_ab·N/(c_a·c_b), exact integers into one
     // double division — with a support floor (≥ 2 co-orders) so the

@@ -936,6 +936,58 @@ object BehaviorQueries {
       },
       "Mann-Whitney U with exact doubled tie-averaged ranks: the rank-sum A/B test"),
 
+    // Cramér–von Mises two-sample statistic between the arms — the L2
+    // complement of KS's sup-norm: integrates EVERY CDF gap, so broad
+    // low-amplitude shifts register where KS under-weighs them. Anderson's
+    // rank form with doubled tie-averaged ranks; within-sample ranks come
+    // from the same single running-sums pass (c_a doubles as A's
+    // within-sample position), u4 = 4U accumulates in DECIMAL(38,0)
+    // because 4N⁴ clears 2⁵³ long before real corpus sizes
+    // ([[graft.ops.StatOps.cramerVonMises]]).
+    Q(
+      "stats_cramer_vonmises",
+      (s, d) => {
+        val t50 = graft.ops.CorpusOps.md5Threshold(0.5)
+        val flagged = T(s, d, "events")
+          .select(floor(col("value") * 100).cast("long").as("vq"),
+            col("event_id"),
+            when(graft.ops.CorpusOps.saltedHash(col("user_id"), "ab") < lit(t50),
+              1L).otherwise(0L).as("fa"))
+        graft.ops.StatOps.cramerVonMises(flagged, "fa", "vq", "event_id")
+      },
+      Some {
+        val t50 = graft.ops.CorpusOps.md5Threshold(0.5)
+        s"""WITH t AS (
+           |  SELECT CAST(floor(value * 100) AS BIGINT) AS vq, event_id,
+           |    CASE WHEN md5('ab:' || CAST(user_id AS VARCHAR)) < '$t50'
+           |         THEN 1 ELSE 0 END AS fa
+           |  FROM events),
+           |c AS (SELECT vq, fa,
+           |    SUM(fa) OVER w AS ca,
+           |    SUM(1 - fa) OVER w AS cb
+           |  FROM t WINDOW w AS (ORDER BY vq, event_id
+           |                      ROWS UNBOUNDED PRECEDING)),
+           |tie AS (SELECT vq, min(ca + cb) + max(ca + cb) AS r2
+           |  FROM c GROUP BY vq),
+           |j AS (SELECT c.fa,
+           |    CAST(CASE WHEN c.fa = 1 THEN tie.r2 - 2 * c.ca
+           |              ELSE tie.r2 - 2 * c.cb END AS HUGEINT) AS d
+           |  FROM c JOIN tie ON tie.vq = c.vq),
+           |s AS (SELECT CAST(SUM(fa) AS BIGINT) AS n_a,
+           |    CAST(count(*) - SUM(fa) AS BIGINT) AS n_b,
+           |    SUM(CASE WHEN fa = 1 THEN d * d ELSE 0 END) AS sa,
+           |    SUM(CASE WHEN fa = 0 THEN d * d ELSE 0 END) AS sb
+           |  FROM j)
+           |SELECT n_a, n_b,
+           |  CAST(n_a * sa + n_b * sb AS DECIMAL(38,0)) AS u4,
+           |  CAST(CAST(n_a * sa + n_b * sb AS DECIMAL(38,0)) AS DOUBLE) /
+           |    CAST(4 * n_a * n_b * (n_a + n_b) AS DOUBLE) -
+           |  CAST(4 * n_a * n_b - 1 AS DOUBLE) /
+           |    CAST(6 * (n_a + n_b) AS DOUBLE) AS t_stat
+           |FROM s""".stripMargin
+      },
+      "Cramer-von Mises two-sample: L2 CDF distance, doubled ranks, DECIMAL u4"),
+
     // Spearman's rank correlation ([[graft.ops.StatOps.spearmanRho]]):
     // does line-item price rise with quantity, judged scale-free on
     // tie-averaged midranks. Doubled-integer ranks + DECIMAL(38)
@@ -1342,6 +1394,93 @@ object BehaviorQueries {
              |FROM n LEFT JOIN s USING (k) JOIN t USING (k)
              |ORDER BY user_id""".stripMargin),
       "per-user Mann-Kendall trend: exact-integer S and variance, portable Z"),
+
+    // Per-user Pettitt changepoint ([[graft.ops.StatOps.pettittChangepoint]]):
+    // the rank-based single-changepoint detector — where did this user's
+    // value distribution SHIFT, asked distribution-free (CUSUM answers it
+    // for the mean and is fooled by the heavy tails event values have).
+    // The O(n²) double sum rides the exact recurrence U_t = U_{t−1} +
+    // (n − eq − 2·rank + 2): three within-key windows, integers end to
+    // end, which the oracle replays verbatim.
+    Q(
+      "stats_pettitt_changepoint",
+      (s, d) =>
+        graft.ops.StatOps.pettittChangepoint(T(s, d, "events"), "user_id",
+            "ts", "event_id", "value", scale = 100.0)
+          .orderBy("user_id"),
+      Some("""WITH v AS (
+             |  SELECT user_id AS k,
+             |    CAST(floor(value * 100) AS BIGINT) AS y, ts, event_id
+             |  FROM events),
+             |w AS (SELECT k,
+             |    row_number() OVER (PARTITION BY k ORDER BY ts, event_id) AS i,
+             |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+             |    CAST(rank() OVER (PARTITION BY k ORDER BY y) AS BIGINT) AS r,
+             |    CAST(count(*) OVER (PARTITION BY k, y) AS BIGINT) AS eq,
+             |    ts, event_id
+             |  FROM v),
+             |u AS (SELECT k, i, n,
+             |    sum(n - eq - 2 * r + 2) OVER (PARTITION BY k
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u
+             |  FROM w),
+             |f AS (SELECT k, i, n, abs(u) AS au,
+             |    max(abs(u)) OVER (PARTITION BY k) AS mx
+             |  FROM u WHERE i < n)
+             |SELECT k AS user_id, CAST(max(n) AS BIGINT) AS n,
+             |  CAST(max(au) AS BIGINT) AS k_stat,
+             |  CAST(min(CASE WHEN au = mx THEN i END) AS BIGINT) AS cp_idx
+             |FROM f GROUP BY k ORDER BY user_id""".stripMargin),
+      "per-user Pettitt changepoint: rank recurrence, exact-integer max |U_t|"),
+
+    // SEASONAL Mann–Kendall ([[graft.ops.StatOps.seasonalMannKendall]],
+    // weekly phase): the trend test summed over day-of-week seasons —
+    // S = Σ_p S_p, Var = Σ_p Var_p — so the weekly cycle in event values
+    // can neither fake nor mask a monotone trend the way it can in the
+    // plain per-user test above. Season = engine-neutral
+    // `unix_micros div day mod 7`; the oracle reruns the per-(user,
+    // phase) pair sums and rolls them up with the same continuity-
+    // corrected Z.
+    Q(
+      "timeseries_seasonal_mk",
+      (s, d) =>
+        graft.ops.StatOps.seasonalMannKendall(T(s, d, "events"), "user_id",
+            "ts", "event_id", "value", scale = 100.0, period = 7)
+          .orderBy("user_id"),
+      Some("""WITH v AS (
+             |  SELECT user_id AS k,
+             |    epoch_us(ts) // 86400000000 % 7 AS p,
+             |    CAST(floor(value * 100) AS BIGINT) AS y,
+             |    row_number() OVER (
+             |      PARTITION BY user_id, epoch_us(ts) // 86400000000 % 7
+             |      ORDER BY ts, event_id) AS i
+             |  FROM events),
+             |s AS (SELECT a.k, a.p, CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s
+             |  FROM v a JOIN v b ON a.k = b.k AND a.p = b.p AND a.i < b.i
+             |  GROUP BY 1, 2),
+             |t AS (SELECT k, p,
+             |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+             |  FROM (SELECT k, p, y, CAST(count(*) AS BIGINT) AS t
+             |        FROM v GROUP BY 1, 2, 3) GROUP BY 1, 2),
+             |n AS (SELECT k, p, CAST(count(*) AS BIGINT) AS n
+             |      FROM v GROUP BY 1, 2),
+             |per AS (SELECT n.k, n.p, n.n, coalesce(s.s, 0) AS s,
+             |    n.n * (n.n - 1) * (2 * n.n + 5) - t.tie18 AS var18
+             |  FROM n LEFT JOIN s ON s.k = n.k AND s.p = n.p
+             |  JOIN t ON t.k = n.k AND t.p = n.p),
+             |r AS (SELECT k, CAST(sum(n) AS BIGINT) AS n,
+             |    CAST(count(*) AS BIGINT) AS n_seasons,
+             |    CAST(sum(s) AS BIGINT) AS s,
+             |    CAST(sum(var18) AS BIGINT) AS var18
+             |  FROM per GROUP BY k)
+             |SELECT k AS user_id, n, n_seasons, s, var18,
+             |  CASE WHEN var18 = 0 THEN NULL
+             |       WHEN s = 0 THEN 0.0
+             |       ELSE CAST(s - sign(s) AS DOUBLE) /
+             |            sqrt(CAST(var18 AS DOUBLE) / 18.0)
+             |  END AS z
+             |FROM r ORDER BY user_id""".stripMargin),
+      "seasonal Mann-Kendall: per-phase exact S/variance summed, weekly season"),
 
     // Per-user classical additive decomposition of the daily cent
     // series ([[graft.ops.StatOps.seasonalDecompose]], period 7):

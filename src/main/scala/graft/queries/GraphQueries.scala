@@ -171,6 +171,24 @@ object GraphQueries {
       GraphOps.stronglyConnectedComponents(sccTradeGraph(s, d), "src", "dst")
     }
 
+  /** One landmark-Brandes sweep shared by the node- and edge-betweenness
+    * gates ([[GraphOps.landmarkBrandesUnits]] returns both from a single
+    * forward+backward pass; memoizing the pair means the waves run once
+    * per corpus, not once per gate). Frames are stagePinned blocks the
+    * ContextCleaner reclaims when the session drops them. */
+  private val brandesCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+
+  private def brandesPair(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    brandesCache.computeIfAbsent((s, d), { case (s, d) =>
+      GraphOps.landmarkBrandesUnits(tradeEdges(s, d), "src", "dst",
+        T(s, d, "supplier").filter(col("s_nationkey") === 0)
+          .select((col("s_suppkey") * 2 + 1).as("id")),
+        "id", maxHops = 3)
+    })
+
   private def buildIncrementalLabels(
       s: org.apache.spark.sql.SparkSession, d: String) = {
     val base = half(s, d, parity = 0)
@@ -835,6 +853,128 @@ object GraphQueries {
              |GROUP BY d.lm, d.id, d.dist
              |ORDER BY d.lm, d.id""".stripMargin),
       "landmark shortest-path counts: frontier BFS with additive sigma vs path-enumeration oracle"),
+
+    // Hop-bounded landmark BETWEENNESS ([[GraphOps.landmarkBetweennessUnits]],
+    // 3 hops): the other half of Brandes — the backward δ accumulation
+    // over the σ waves, in integer units so it hash-gates. "Which
+    // customers/suppliers sit on the most shortest trade routes from the
+    // recall cohort" — the brokerage question closeness and path counts
+    // only approximate. The oracle re-derives (dist, σ) by bounded path
+    // enumeration, then unrolls the backward sweep: δ at the deepest hop
+    // is 0 and each shallower hop LEFT-joins its dist-(h+1) successors,
+    // replaying the same per-term `σ_v·(unit+δ_w) // σ_w` integer
+    // division before the order-free sum.
+    Q(
+      "graph_betweenness_landmarks",
+      (s, d) => brandesPair(s, d)._1.orderBy("id"),
+      Some("""WITH RECURSIVE eu AS (
+             |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e AS (SELECT src, dst FROM eu
+             |      UNION SELECT dst AS src, src AS dst FROM eu),
+             |p AS (
+             |  SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) AS lm,
+             |         CAST(s_suppkey * 2 + 1 AS BIGINT) AS id, 0 AS h
+             |  FROM supplier WHERE s_nationkey = 0
+             |  UNION ALL
+             |  SELECT p.lm, CAST(e.dst AS BIGINT) AS id, p.h + 1 AS h
+             |  FROM p JOIN e ON e.src = p.id
+             |  WHERE p.h < 3),
+             |dm AS (SELECT lm, id, MIN(h) AS dist FROM p GROUP BY lm, id),
+             |sg AS (SELECT dm.lm, dm.id, dm.dist, CAST(count(*) AS BIGINT) AS sigma
+             |  FROM dm JOIN p ON p.lm = dm.lm AND p.id = dm.id AND p.h = dm.dist
+             |  GROUP BY dm.lm, dm.id, dm.dist),
+             |d3 AS (SELECT lm, id, sigma, CAST(0 AS BIGINT) AS delta
+             |  FROM sg WHERE dist = 3),
+             |d2 AS (SELECT s.lm, s.id, s.sigma,
+             |    CAST(COALESCE(SUM((s.sigma * (1000000 + w.delta)) // w.sigma), 0)
+             |      AS BIGINT) AS delta
+             |  FROM sg s
+             |  LEFT JOIN e ON e.src = s.id
+             |  LEFT JOIN d3 w ON w.lm = s.lm AND w.id = e.dst
+             |  WHERE s.dist = 2
+             |  GROUP BY s.lm, s.id, s.sigma),
+             |d1 AS (SELECT s.lm, s.id, s.sigma,
+             |    CAST(COALESCE(SUM((s.sigma * (1000000 + w.delta)) // w.sigma), 0)
+             |      AS BIGINT) AS delta
+             |  FROM sg s
+             |  LEFT JOIN e ON e.src = s.id
+             |  LEFT JOIN d2 w ON w.lm = s.lm AND w.id = e.dst
+             |  WHERE s.dist = 1
+             |  GROUP BY s.lm, s.id, s.sigma)
+             |SELECT id, CAST(SUM(delta) AS BIGINT) AS bw_units
+             |FROM (SELECT id, delta FROM d1
+             |      UNION ALL SELECT id, delta FROM d2
+             |      UNION ALL SELECT id, delta FROM d3)
+             |GROUP BY id ORDER BY id""".stripMargin),
+      "landmark betweenness: Brandes backward delta in integer units over the sigma waves"),
+
+    // EDGE betweenness from the same sweep — the Girvan–Newman primitive
+    // ("cut the highest-betweenness edges to split communities"), read
+    // per shortest-path-DAG edge instead of per predecessor node; the
+    // memoized [[GraphOps.landmarkBrandesUnits]] pair means this gate
+    // reuses the node gate's waves. One extra level exists here: the
+    // landmarks' own out-edges (h = 0→1), which node scores never see.
+    // The oracle adds the three per-level term CTEs over the same
+    // unrolled δ chain and rolls up per undirected edge.
+    Q(
+      "graph_edge_betweenness",
+      (s, d) => brandesPair(s, d)._2.orderBy("u", "v"),
+      Some("""WITH RECURSIVE eu AS (
+             |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e AS (SELECT src, dst FROM eu
+             |      UNION SELECT dst AS src, src AS dst FROM eu),
+             |p AS (
+             |  SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) AS lm,
+             |         CAST(s_suppkey * 2 + 1 AS BIGINT) AS id, 0 AS h
+             |  FROM supplier WHERE s_nationkey = 0
+             |  UNION ALL
+             |  SELECT p.lm, CAST(e.dst AS BIGINT) AS id, p.h + 1 AS h
+             |  FROM p JOIN e ON e.src = p.id
+             |  WHERE p.h < 3),
+             |dm AS (SELECT lm, id, MIN(h) AS dist FROM p GROUP BY lm, id),
+             |sg AS (SELECT dm.lm, dm.id, dm.dist, CAST(count(*) AS BIGINT) AS sigma
+             |  FROM dm JOIN p ON p.lm = dm.lm AND p.id = dm.id AND p.h = dm.dist
+             |  GROUP BY dm.lm, dm.id, dm.dist),
+             |d3 AS (SELECT lm, id, sigma, CAST(0 AS BIGINT) AS delta
+             |  FROM sg WHERE dist = 3),
+             |d2 AS (SELECT s.lm, s.id, s.sigma,
+             |    CAST(COALESCE(SUM((s.sigma * (1000000 + w.delta)) // w.sigma), 0)
+             |      AS BIGINT) AS delta
+             |  FROM sg s
+             |  LEFT JOIN e ON e.src = s.id
+             |  LEFT JOIN d3 w ON w.lm = s.lm AND w.id = e.dst
+             |  WHERE s.dist = 2
+             |  GROUP BY s.lm, s.id, s.sigma),
+             |d1 AS (SELECT s.lm, s.id, s.sigma,
+             |    CAST(COALESCE(SUM((s.sigma * (1000000 + w.delta)) // w.sigma), 0)
+             |      AS BIGINT) AS delta
+             |  FROM sg s
+             |  LEFT JOIN e ON e.src = s.id
+             |  LEFT JOIN d2 w ON w.lm = s.lm AND w.id = e.dst
+             |  WHERE s.dist = 1
+             |  GROUP BY s.lm, s.id, s.sigma),
+             |t23 AS (SELECT LEAST(s.id, w.id) AS u, GREATEST(s.id, w.id) AS v,
+             |    (s.sigma * (1000000 + w.delta)) // w.sigma AS t
+             |  FROM sg s JOIN e ON e.src = s.id
+             |  JOIN d3 w ON w.lm = s.lm AND w.id = e.dst
+             |  WHERE s.dist = 2),
+             |t12 AS (SELECT LEAST(s.id, w.id) AS u, GREATEST(s.id, w.id) AS v,
+             |    (s.sigma * (1000000 + w.delta)) // w.sigma AS t
+             |  FROM sg s JOIN e ON e.src = s.id
+             |  JOIN d2 w ON w.lm = s.lm AND w.id = e.dst
+             |  WHERE s.dist = 1),
+             |t01 AS (SELECT LEAST(s.id, w.id) AS u, GREATEST(s.id, w.id) AS v,
+             |    (s.sigma * (1000000 + w.delta)) // w.sigma AS t
+             |  FROM sg s JOIN e ON e.src = s.id
+             |  JOIN d1 w ON w.lm = s.lm AND w.id = e.dst
+             |  WHERE s.dist = 0)
+             |SELECT u, v, CAST(SUM(t) AS BIGINT) AS eb_units
+             |FROM (SELECT * FROM t01 UNION ALL SELECT * FROM t12
+             |      UNION ALL SELECT * FROM t23)
+             |GROUP BY u, v ORDER BY u, v""".stripMargin),
+      "Girvan-Newman edge betweenness: per-DAG-edge Brandes terms from the shared sweep"),
 
     // STRONGLY connected components over a directed trade graph with
     // cycles ([[GraphOps.stronglyConnectedComponents]]): forward

@@ -281,6 +281,30 @@ object Scale {
           GraphOps.pprUnits(e, "a", "b",
             e.select(col("a").as("seed")).filter(col("seed") % 400 === 0),
             "seed", iters = 3).count()),
+        // landmark Brandes (node + edge betweenness): forward σ waves +
+        // backward δ from one landmark per 20-chain — per-round state is
+        // one (lm, node) row per chain member, so both sweeps and both
+        // final rollups must track E at the chain-fixed round count
+        "brandes_landmarks" -> (() => {
+          val (bw, eb) = GraphOps.landmarkBrandesUnits(e, "a", "b",
+            e.select(col("a").as("seed")).filter(col("seed") % 400 === 0),
+            "seed", maxHops = 20)
+          bw.count() + eb.count()
+        }),
+        // Pettitt changepoint: three within-key windows (value rank, tie
+        // count, time-cumulative U) — the window-sort regime, same as
+        // acf_by_key; must track n log(n/keys)
+        "pettitt" -> (() =>
+          StatOps.pettittChangepoint(ms, "g", "mid", "mid", "v",
+            scale = 1.0).count()),
+        // Cramér–von Mises: one range-staged running-sums pass + a
+        // per-value tie rollup + a scalar fold — must track the
+        // global-rank regime (no unpartitioned corpus window)
+        "cramer_vonmises" -> (() =>
+          StatOps.cramerVonMises(
+            ms.select(col("v").cast("long").as("vq"), col("mid"),
+              (col("mid") % 2).as("fa")),
+            "fa", "vq", "mid").count()),
         // triangles: disjoint 3-cliques, degree <= 2 — wedge work per
         // node is O(1), so the two joins must track the edge count
         "triangle_counts" -> (() =>

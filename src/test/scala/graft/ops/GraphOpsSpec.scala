@@ -1003,6 +1003,106 @@ class GraphOpsSpec extends AnyFunSuite {
       s"wrong failure: ${ex.getMessage}")
   }
 
+  test("landmarkBetweennessUnits: path graph matches hand Brandes") {
+    import spark.implicits._
+    // 1-2-3-4-5, landmark {1}, 3 hops: δ(2) = 2 (paths to 3 and 4 pass
+    // it), δ(3) = 1, δ(4) = 0 (depth bound), node 5 unreached
+    val e = (1L until 5L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = GraphOps.landmarkBetweennessUnits(e, "a", "b",
+        Seq(1L).toDF("id"), "id", maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 2000000L, 3L -> 1000000L, 4L -> 0L))
+  }
+
+  test("landmarkBetweennessUnits: diamond splits dependency by sigma ratio") {
+    import spark.implicits._
+    // 1-2, 1-3, 2-4, 3-4: σ(4) = 2, so δ(2) = δ(3) = 1·(unit+0) div 2
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val got = GraphOps.landmarkBetweennessUnits(e, "a", "b",
+        Seq(1L).toDF("id"), "id", maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 500000L, 3L -> 500000L, 4L -> 0L))
+  }
+
+  test("landmarkBrandesUnits: edge betweenness on path and diamond") {
+    import spark.implicits._
+    // path 1-2-3-4-5, lm {1}, 3 hops: (1,2) carries u+δ(2)=3u, (2,3)
+    // carries u+δ(3)=2u, (3,4) carries u; (4,5) is beyond the bound
+    val p = (1L until 5L).map(i => (i, i + 1)).toDF("a", "b")
+    val ebP = GraphOps.landmarkBrandesUnits(p, "a", "b",
+        Seq(1L).toDF("id"), "id", maxHops = 3)._2
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(ebP == Map((1L, 2L) -> 3000000L, (2L, 3L) -> 2000000L,
+      (3L, 4L) -> 1000000L))
+    // diamond 1-2,1-3,2-4,3-4: each arm's lower edge u div 2, each
+    // upper edge u + u div 2
+    val dd = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val ebD = GraphOps.landmarkBrandesUnits(dd, "a", "b",
+        Seq(1L).toDF("id"), "id", maxHops = 2)._2
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(ebD == Map((1L, 2L) -> 1500000L, (1L, 3L) -> 1500000L,
+      (2L, 4L) -> 500000L, (3L, 4L) -> 500000L))
+  }
+
+  test("landmarkBetweennessUnits == scalar backward-sweep model on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val unit = 1000000L
+    var sawSplit = false
+    for (trial <- 1 to 3) {
+      val n = 14
+      val edges = (for {
+        u <- 1 to n; v <- (u + 1) to n if rnd.nextInt(100) < 22
+      } yield (u.toLong, v.toLong)).distinct
+      val lms = Seq(1L, 7L)
+      val maxHops = 4
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      // scalar model: forward BFS sigma, then per-hop-descending delta
+      // with the SAME long `div` per term (independent implementation,
+      // identical integer semantics — the op's contract)
+      val oracle = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      val edgeOracle =
+        collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+      val reached = collection.mutable.Set.empty[Long]
+      for (lm <- lms) {
+        var dist = Map(lm -> 0)
+        var sigma = Map(lm -> 1L)
+        var front = Set(lm)
+        var h = 0
+        while (h < maxHops && front.nonEmpty) {
+          h += 1
+          val pushes = front.toSeq
+            .flatMap(u => adj.getOrElse(u, Set.empty[Long]).map(v => v -> sigma(u)))
+            .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).sum }
+          val fresh = pushes.filter { case (v, _) => !dist.contains(v) }
+          dist ++= fresh.keys.map(_ -> h); sigma ++= fresh
+          front = fresh.keySet
+        }
+        val delta = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for (hh <- (maxHops - 1) to 0 by -1;
+             v <- dist.collect { case (x, d) if d == hh => x }) {
+          val terms = adj.getOrElse(v, Set.empty[Long]).toSeq
+            .filter(w => dist.get(w).contains(hh + 1))
+            .map(w => w -> (sigma(v) * (unit + delta(w))) / sigma(w))
+          for ((w, t) <- terms)
+            edgeOracle((math.min(v, w), math.max(v, w))) += t
+          if (hh >= 1) delta(v) = terms.map(_._2).sum
+        }
+        for ((v, d) <- dist if d >= 1) { oracle(v) += delta(v); reached += v }
+      }
+      val (nodeDf, edgeDf) = GraphOps.landmarkBrandesUnits(
+        edges.toDF("a", "b"), "a", "b", lms.toDF("id"), "id", maxHops)
+      val got = nodeDf.as[(Long, Long)].collect().toMap
+      assert(got == reached.map(v => v -> oracle(v)).toMap, s"trial $trial diverged")
+      val gotEdges = edgeDf.as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(gotEdges == edgeOracle.toMap, s"trial $trial edge scores diverged")
+      sawSplit ||= got.values.exists(v => v % unit != 0L && v > 0L)
+    }
+    assert(sawSplit, "vacuous: no trial exercised a fractional sigma split")
+  }
+
   private def exceptionChain(t: Throwable): Seq[String] =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
       .map(x => Option(x.getMessage).getOrElse("")).toSeq

@@ -633,4 +633,124 @@ class IntervalStatOpsSpec extends AnyFunSuite {
       .orderBy("k").as[(String, Long, Double, Double)].collect().toSeq
     assert(got == Seq(("a", 3L, 2.0, 5.75), ("b", 1L, 6.0, 6.0)))
   }
+
+  test("pettittChangepoint: level shift lands K at the step; U_n ≡ 0") {
+    import spark.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$sec%02d")
+    // user 1: 0,0,0,10,10,10 — W(0-rows)=3, W(10-rows)=−3 →
+    //   U = 3,6,9,6,3 → K = 9 at t = 3 (the step sits after index 3)
+    // user 2: constant — every U_t = 0, cp = first t
+    val df = ((1 to 6).map(i =>
+        (1L, ts(i), i.toLong, if (i <= 3) 0.0 else 10.0)) ++
+      (1 to 3).map(i => (2L, ts(i), (10 + i).toLong, 7.0)))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = StatOps.pettittChangepoint(df, "user_id", "ts", "event_id",
+        "value", scale = 1.0)
+      .orderBy("user_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 6L, 9L, 3L), (2L, 3L, 0L, 1L)))
+  }
+
+  test("pettittChangepoint == brute-force double sum on random series") {
+    import spark.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:00:$sec%02d")
+    val rnd = new scala.util.Random(1234)
+    val rows = for (k <- 1L to 4L; i <- 1 to 20) yield
+      (k, ts(i), i.toLong, rnd.nextInt(9).toDouble) // ties guaranteed
+    val oracle = rows.groupBy(_._1).map { case (k, rs) =>
+      val xs = rs.sortBy(_._3).map(_._4).toIndexedSeq
+      val n = xs.length
+      val us = (1 until n).map(t =>
+        (for (i <- 0 until t; j <- t until n)
+          yield java.lang.Long.signum((xs(j) - xs(i)).toLong)).sum.toLong)
+      val kstat = us.map(math.abs).max
+      (k, (n.toLong, kstat, (us.indexWhere(u => math.abs(u) == kstat) + 1).toLong))
+    }
+    // brute force uses ALL pairs: last U (t = n would be 0) is excluded
+    // by construction on both sides
+    val got = StatOps.pettittChangepoint(rows.toDF("user_id", "ts",
+        "event_id", "value"), "user_id", "ts", "event_id", "value",
+        scale = 1.0)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == oracle)
+  }
+
+  test("seasonalMannKendall: per-phase monotone rise sums S and variance") {
+    import spark.implicits._
+    // 14 daily points, value = day: each of the 7 weekly phases holds a
+    // strictly rising 2-point series → S_p = 1, var18_p = 2·1·9 = 18
+    // → S = 7, var18 = 126, z = (7−1)/√(126/18) = 6/√7
+    def dayTs(d: Int) = new java.sql.Timestamp(d.toLong * 86400000L)
+    val df = (0 until 14).map(d => (1L, dayTs(d), d.toLong, d.toDouble))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = StatOps.seasonalMannKendall(df, "user_id", "ts", "event_id",
+        "value", scale = 1.0, period = 7)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect().head
+    assert(got == ((1L, 14L, 7L, 7L, 126L,
+      Some(6.0 / math.sqrt(126.0 / 18.0)))))
+    // and a pure weekly CYCLE (value = phase) scores S = 0 per phase:
+    // within each phase the value is constant → every var18_p = 0 → null z
+    val cyc = (0 until 14).map(d => (2L, dayTs(d), d.toLong, (d % 7).toDouble))
+      .toDF("user_id", "ts", "event_id", "value")
+    val c = StatOps.seasonalMannKendall(cyc, "user_id", "ts", "event_id",
+        "value", scale = 1.0, period = 7)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect().head
+    assert(c == ((2L, 14L, 7L, 0L, 0L, None)))
+  }
+
+  test("brownForsythe: doubled medians (odd and even n) feed the exact F tree") {
+    import spark.implicits._
+    // g1 = [0,0,10] (odd: med2 = 0, devs 0,0,20), g2 = [5,5,5] (devs 0)
+    val df = Seq(("a", 1L, 0.0), ("a", 2L, 0.0), ("a", 3L, 10.0),
+      ("b", 4L, 5.0), ("b", 5L, 5.0), ("b", 6L, 5.0))
+      .toDF("g", "id", "v")
+    val got = StatOps.brownForsythe(df, "g", "v", "id", scale = 1.0)
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    // replay anovaF's IEEE tree on the doubled deviations
+    val tsum = 0.0 + (20.0 * 20.0 / 3.0) + 0.0
+    val ssb = tsum - 20.0 * 20.0 / 6.0
+    val ssw = 400.0 - tsum
+    assert(got == ((2L, 6L, ssb, ssw, Some((ssb / 1.0) / (ssw / 4.0)))))
+    // even-n group: [1, 3] → med2 = 4, devs |2−4| = 2 and |6−4| = 2
+    val even = Seq(("c", 1L, 1.0), ("c", 2L, 3.0), ("d", 3L, 0.0),
+      ("d", 4L, 0.0)).toDF("g", "id", "v")
+    val e = StatOps.brownForsythe(even, "g", "v", "id", scale = 1.0)
+      .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    // c devs = [2, 2], d devs = [0, 0]: tsum = 16/2 + 0 = 8, q = 8,
+    // ssb = 8 − 16/4 = 4, ssw = 0 → F null (zero within-variance)
+    assert(e == ((2L, 4L, 4.0, 0.0, None)))
+  }
+
+  test("cramerVonMises: textbook two-point case and exact doubled-rank model") {
+    import spark.implicits._
+    // A={1}, B={2}: U = 1·(1−1)² + 1·(2−1)² = 1 → u4 = 4,
+    // T = 1/(1·1·2) − (4−1)/(6·2) = 0.25
+    val tiny = Seq((1L, 10L, 1L), (2L, 11L, 0L)).toDF("vq", "event_id", "fa")
+    val t0 = StatOps.cramerVonMises(tiny, "fa", "vq", "event_id")
+      .as[(Long, Long, java.math.BigDecimal, Double)].collect().head
+    assert(t0._1 == 1L && t0._2 == 1L && t0._3.longValueExact == 4L &&
+      t0._4 == 0.25)
+    // random with heavy ties: replay the exact doubled-rank semantics
+    val rnd = new scala.util.Random(99)
+    val rows = (1 to 60).map(i =>
+      (rnd.nextInt(7).toLong, i.toLong, (i % 3 == 0).compare(false).toLong))
+    val sorted = rows.sortBy(r => (r._1, r._2))
+    val posOf = sorted.zipWithIndex.map { case (r, p) => r._2 -> (p + 1) }.toMap
+    val r2ByV = sorted.groupBy(_._1).map { case (v, g) =>
+      v -> (g.map(r => posOf(r._2)).min + g.map(r => posOf(r._2)).max) }
+    def within(flag: Long) = sorted.filter(_._3 == flag).zipWithIndex
+      .map { case (r, p) => r._2 -> (2L * (p + 1)) }.toMap
+    val (wa, wb) = (within(1L), within(0L))
+    val ds = rows.map { r =>
+      val i2 = if (r._3 == 1L) wa(r._2) else wb(r._2)
+      (r._3, r2ByV(r._1) - i2) }
+    val na = rows.count(_._3 == 1L).toLong
+    val nb = rows.length - na
+    val u4 = na * ds.filter(_._1 == 1L).map(d => d._2 * d._2).sum +
+      nb * ds.filter(_._1 == 0L).map(d => d._2 * d._2).sum
+    val got = StatOps.cramerVonMises(rows.toDF("vq", "event_id", "fa"),
+        "fa", "vq", "event_id")
+      .as[(Long, Long, java.math.BigDecimal, Double)].collect().head
+    assert(got._1 == na && got._2 == nb && got._3.longValueExact == u4)
+  }
 }
