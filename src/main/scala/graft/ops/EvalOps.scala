@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
+import graft.ops.Staging.StagedDf
+
 /** Classifier/filter EVALUATION tier — the measurements a curation team
   * runs before trusting a quality filter with 100 TB of corpus: exact
   * ROC AUC, the precision/recall operating curve, and the calibration
@@ -541,6 +543,80 @@ object EvalOps {
       .withColumn("kappa",
         when(col("pe") < 1.0,
           (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+  }
+
+  /** Krippendorff's alpha (nominal) — inter-rater agreement for ANY
+    * number of raters with missing ratings, the generalization
+    * [[cohensKappa]] (exactly 2 raters, no gaps) can't reach: α =
+    * 1 − D_o/D_e over all pairable ratings, where units rated once
+    * drop out and every rater pair within a unit counts.
+    *
+    * Exactness: the only rationals are the per-unit 1/(m_u − 1)
+    * weights, and with rater counts bounded by `maxRaters` they all
+    * divide L = lcm(1 … maxRaters−1) — so the observed-disagreement
+    * numerator accumulates as the exact integer
+    * Σ_u d_u · (L div (m_u − 1)) (d_u = disagreeing ordered pairs =
+    * m_u(m_u−1) − Σ_c n_uc(n_uc−1)), the expected-disagreement
+    * numerator is n² − Σ_c n_c², and
+    * α = 1 − (n−1)·D_oL / (L·(n² − Σ n_c²)) is integer until ONE
+    * final IEEE division. Units above `maxRaters` raise in-plan
+    * rather than silently mis-weighting. n² and the products ride
+    * DECIMAL(38,0) — 2⁶³ clears near 3·10⁹ ratings.
+    *
+    * Plan: one (unit, label) rollup (map-side combinable), a
+    * unit-sized filter/rollup, a label-domain rollup off the same
+    * pinned cells, two 1-row folds crossed (declared scalar
+    * broadcast). Nothing corpus-global.
+    *
+    * @return one row: (`n` pairable ratings, `n_units`, `n_labels`,
+    *         `do_num` = D_o·L·n (exact), `de_num` = n² − Σ n_c²,
+    *         `alpha` — null when D_e = 0, where agreement is undefined)
+    */
+  def krippendorffAlpha(
+      df: DataFrame, unitCol: String, labelCol: String,
+      maxRaters: Int = 12): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 42,
+      s"krippendorffAlpha: maxRaters must be in [2, 42], got $maxRaters")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val L = (1 until maxRaters).foldLeft(1L)((acc, i) => acc / gcd(acc, i) * i)
+    val cells = df
+      .groupBy(col(unitCol).as("_u"), col(labelCol).as("_c"))
+      .agg(count(lit(1)).as("_nuc"))
+      .stagePin() // two consumers: the unit rollup and the label totals
+    val units = cells.groupBy("_u")
+      .agg(sum("_nuc").as("_mu"),
+        sum(col("_nuc") * col("_nuc")).as("_sq"))
+      .filter(col("_mu") >= 2L)
+      .select(col("_u"), col("_mu"),
+        when(col("_mu") > lit(maxRaters.toLong),
+          raise_error(concat(
+            lit(s"krippendorffAlpha: a unit holds more than $maxRaters " +
+              "ratings — raise maxRaters (lcm weighting is bounded); m_u = "),
+            col("_mu").cast("string"))))
+          .otherwise(expr(
+            s"((_mu * (_mu - 1L) - (_sq - _mu)) * ${L}L) div (_mu - 1L)"))
+          .as("_do"))
+      .stagePin() // two consumers: the scalar fold and the label semi join
+    val uTot = units.agg(sum("_mu").as("n"),
+      count(lit(1)).as("n_units"),
+      sum("_do").cast("decimal(38,0)").as("do_num"))
+    val lTot = cells
+      .join(units.select("_u"), Seq("_u"), "left_semi")
+      .groupBy("_c").agg(sum("_nuc").as("_nc"))
+      .agg(count(lit(1)).as("n_labels"),
+        sum(col("_nc").cast("decimal(38,0)") *
+          col("_nc").cast("decimal(38,0)")).cast("decimal(38,0)").as("_sc2"))
+    uTot.crossJoin(broadcast(lTot)) // 1-row × 1-row scalar cross (declared)
+      .select(col("n"), col("n_units"), col("n_labels"), col("do_num"),
+        (col("n").cast("decimal(38,0)") * col("n").cast("decimal(38,0)") -
+          col("_sc2")).cast("decimal(38,0)").as("de_num"))
+      .withColumn("alpha",
+        when(col("de_num") > 0,
+          lit(1.0) -
+            ((col("n") - 1L).cast("decimal(38,0)") * col("do_num"))
+              .cast("double") /
+            (lit(L).cast("decimal(38,0)") * col("de_num")).cast("double")))
   }
 
   /** Matthews correlation coefficient of a boolean prediction against a

@@ -352,6 +352,79 @@ object EvalQueries {
               |FROM k ORDER BY n11""".stripMargin),
       "Cohen's kappa: chance-corrected agreement of thresholded filter vs rule rater"),
 
+    // Krippendorff's alpha ([[EvalOps.krippendorffAlpha]]) across THREE
+    // deterministic document "raters" — the multi-annotator agreement
+    // statistic kappa can't express (kappa is exactly 2 raters, no
+    // gaps): three length-proxy quality bucketers, the third abstaining
+    // on every 5th doc so the missing-data path is exercised. All
+    // integer (lcm-weighted coincidences) until one final division,
+    // which the oracle replays literally.
+    Q(
+      "eval_krippendorff_alpha",
+      (s, d) => {
+        val doc = T(s, d, "documents")
+        val len = length(col("text"))
+        val words = length(col("text")) -
+          length(translate(col("text"), " ", "")) + 1
+        def bucket(c: org.apache.spark.sql.Column, t1: Int, t2: Int) =
+          when(c < t1, 0L).when(c < t2, 1L).otherwise(2L)
+        val ratings = doc.select(col("doc_id").as("unit"),
+            bucket(len, 250, 400).as("label"))
+          .unionByName(doc.select(col("doc_id").as("unit"),
+            bucket(words * 6, 250, 400).as("label")))
+          .unionByName(doc.filter(col("doc_id") % 5 =!= 0)
+            .select(col("doc_id").as("unit"),
+              bucket(len, 230, 380).as("label")))
+        EvalOps.krippendorffAlpha(ratings, "unit", "label")
+          .orderBy("n")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id AS unit,
+             |    CASE WHEN length(text) < 250 THEN 0
+             |         WHEN length(text) < 400 THEN 1 ELSE 2 END AS label
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id,
+             |    CASE WHEN (length(text) - length(replace(text, ' ', ''))
+             |               + 1) * 6 < 250 THEN 0
+             |         WHEN (length(text) - length(replace(text, ' ', ''))
+             |               + 1) * 6 < 400 THEN 1 ELSE 2 END
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id,
+             |    CASE WHEN length(text) < 230 THEN 0
+             |         WHEN length(text) < 380 THEN 1 ELSE 2 END
+             |  FROM documents WHERE doc_id % 5 <> 0),
+             |cells AS (SELECT unit, label, CAST(count(*) AS BIGINT) AS nuc
+             |  FROM r GROUP BY 1, 2),
+             |units AS (SELECT unit, sum(nuc) AS mu,
+             |    sum(nuc * nuc) AS sq
+             |  FROM cells GROUP BY 1 HAVING sum(nuc) >= 2),
+             |du AS (SELECT unit, mu,
+             |    ((mu * (mu - 1) - (sq - mu)) * 27720) // (mu - 1) AS do_u
+             |  FROM units),
+             |ut AS (SELECT CAST(sum(mu) AS BIGINT) AS n,
+             |    CAST(count(*) AS BIGINT) AS n_units,
+             |    CAST(sum(do_u) AS HUGEINT) AS doh
+             |  FROM du),
+             |lt AS (SELECT CAST(count(*) AS BIGINT) AS n_labels,
+             |    CAST(sum(CAST(nc AS HUGEINT) * nc) AS HUGEINT) AS sc2
+             |  FROM (SELECT c.label, sum(c.nuc) AS nc
+             |        FROM cells c JOIN units u ON u.unit = c.unit
+             |        GROUP BY 1)),
+             |f AS (SELECT n, n_units, n_labels, doh,
+             |    CAST(n AS HUGEINT) * n - sc2 AS deh
+             |  FROM ut, lt)
+             |SELECT n, n_units, n_labels,
+             |  CAST(doh AS DECIMAL(38,0)) AS do_num,
+             |  CAST(deh AS DECIMAL(38,0)) AS de_num,
+             |  CASE WHEN deh > 0 THEN
+             |    1.0 - CAST(CAST(n - 1 AS HUGEINT) * doh AS DOUBLE) /
+             |          CAST(27720 * deh AS DOUBLE)
+             |  END AS alpha
+             |FROM f ORDER BY n""".stripMargin),
+      "Krippendorff's alpha: 3 heuristic raters with abstention, lcm-exact coincidences"),
+
     // Expected calibration error ([[EvalOps.expectedCalibrationError]])
     // of the percentile-calibrated classifier score: per-probability-bin
     // |positive rate − mean predicted probability|, weighted by bin

@@ -410,4 +410,42 @@ class EvalOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Double, Double)].collect().head
     assert(sm._1 == 3L && sm._2 == 2L) // null class counted ONCE
   }
+
+  test("krippendorffAlpha: hand case with missing data, perfect agreement, guard") {
+    import spark.implicits._
+    // u1=[a,a] (d=0), u2=[a,b] (d=2, m−1=1), u3=[b,b,b] (d=0), plus a
+    // singleton unit u4=[a] that must DROP OUT. n=7, n_a=3, n_b=4,
+    // de = 49−(9+16) = 24, L = lcm(1..11) = 27720, D_oL = 2L →
+    // α = 1 − 6·2L/(24L) = 0.5
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (3L, "b"), (4L, "a")).toDF("u", "c")
+    val got = EvalOps.krippendorffAlpha(df, "u", "c")
+      .as[(Long, Long, Long, java.math.BigDecimal, java.math.BigDecimal,
+        Option[Double])].collect().head
+    assert(got._1 == 7L && got._2 == 3L && got._3 == 2L)
+    assert(got._4.longValueExact == 2L * 27720L)
+    assert(got._5.longValueExact == 24L)
+    assert(got._6.contains(0.5))
+    // perfect agreement → D_o = 0 → α = 1 exactly
+    val perfect = Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "y"))
+      .toDF("u", "c")
+    val p = EvalOps.krippendorffAlpha(perfect, "u", "c")
+      .as[(Long, Long, Long, java.math.BigDecimal, java.math.BigDecimal,
+        Option[Double])].collect().head
+    assert(p._4.longValueExact == 0L && p._6.contains(1.0))
+    // one label everywhere → D_e = 0 → α undefined (null)
+    val flat = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x")).toDF("u", "c")
+    val f = EvalOps.krippendorffAlpha(flat, "u", "c")
+      .as[(Long, Long, Long, java.math.BigDecimal, java.math.BigDecimal,
+        Option[Double])].collect().head
+    assert(f._6.isEmpty)
+    // a unit with more raters than the lcm bound raises, not mis-weights
+    val crowd = (1 to 5).map(i => (1L, s"r$i")).toDF("u", "c")
+    val ex = intercept[Exception] {
+      EvalOps.krippendorffAlpha(crowd, "u", "c", maxRaters = 4).count()
+    }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("more than 4"))),
+      s"wrong failure: ${ex.getMessage}")
+  }
 }
