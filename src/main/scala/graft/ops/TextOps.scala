@@ -1093,4 +1093,76 @@ object TextOps {
         (col("_sy") - col("slope") * col("_sx")) / col("kk").cast("double"))
       .select(col("kk").as("k"), col("slope"), col("intercept"))
   }
+
+  /** Pairwise Jensen–Shannon divergence between per-GROUP token
+    * distributions — the corpus-composition drift matrix: "which sources
+    * write like each other, which one went off-distribution". Groups are
+    * a DOMAIN (sources, splits, snapshots — never per-user), so the
+    * C(G,2) pair fan-out is domain-sized; the corpus-sized work is one
+    * token rollup.
+    *
+    * Hash-gate discipline AT VOCABULARY SCALE: [[graft.ops.StatOps.jsDivergence]]
+    * folds its category terms in collected order — fine over a value
+    * domain, not over a vocabulary ∝ corpus. Here each shared-token term
+    * is QUANTIZED instead: floor(unit · p · ln(2p/(p+q))) as a long, so
+    * the per-pair sum is order-free, map-side-combinable, and both
+    * engines replay it bit-identically (the ln is [[graft.expr.PortableLnRatio]],
+    * the division/multiply order is pinned and mirrored in the oracle).
+    * Quantization bias is ≤ sharedVocab/unit nats — at the default 1e-9
+    * nat granularity, irrelevant to any drift decision. Tokens present
+    * in only one side contribute p·ln2 exactly, which needs no per-token
+    * work: the exclusive MASS rides the shared-token rollup
+    * (excl_a = n_a − Σ_shared c_a) and contributes one floored term per
+    * pair. Pairs sharing NO token are absent (their JS is exactly ln 2);
+    * integer products c·n bound exactness to ~10⁹ tokens per group —
+    * widen to DECIMAL past that.
+    *
+    * @return one row per group pair (a < b): (`sa`, `sb`, `n_shared`,
+    *         `jp_units`, `jq_units`, `jsd` ≈ (jp+jq)/(2·unit) nats)
+    */
+  def tokenDivergenceMatrix(
+      df: DataFrame, groupCol: String, textCol: String,
+      unit: Long = 1000000000L): DataFrame = {
+    require(unit > 0, s"tokenDivergenceMatrix: unit must be > 0, got $unit")
+    import graft.expr.PortableLnRatio.{ln => pln, Ln2}
+    val tok = df.select(col(groupCol).as("_s"),
+        explode(split(trim(col(textCol)), " +")).as("_t"))
+      .filter(col("_t") =!= "")
+      .groupBy("_s", "_t").agg(count(lit(1)).as("_c"))
+      .stagePin() // three consumers: totals + both sides of the pair join
+    val tot = tok.groupBy("_s").agg(sum("_c").as("_n"))
+    val joined = tok.select(col("_s").as("sa"), col("_t"), col("_c").as("ca"))
+      .join(tok.select(col("_s").as("sb"), col("_t"), col("_c").as("cb")),
+        Seq("_t"))
+      .filter(col("sa") < col("sb"))
+      .join(broadcast(tot.select(col("_s").as("sa"), col("_n").as("na"))),
+        Seq("sa"))
+      .join(broadcast(tot.select(col("_s").as("sb"), col("_n").as("nb"))),
+        Seq("sb"))
+    val tp = floor(col("ca").cast("double") / col("na").cast("double") *
+      pln(lit(2L) * col("ca") * col("nb"),
+        col("ca") * col("nb") + col("cb") * col("na")) *
+      lit(unit.toDouble)).cast("long")
+    val tq = floor(col("cb").cast("double") / col("nb").cast("double") *
+      pln(lit(2L) * col("cb") * col("na"),
+        col("cb") * col("na") + col("ca") * col("nb")) *
+      lit(unit.toDouble)).cast("long")
+    joined
+      .select(col("sa"), col("sb"), col("na"), col("nb"),
+        col("ca"), col("cb"), tp.as("_tp"), tq.as("_tq"))
+      .groupBy("sa", "sb", "na", "nb")
+      .agg(count(lit(1)).as("n_shared"),
+        sum("ca").as("_sha"), sum("cb").as("_shb"),
+        sum("_tp").as("_jp0"), sum("_tq").as("_jq0"))
+      .select(col("sa"), col("sb"), col("n_shared"),
+        (col("_jp0") + floor((col("na") - col("_sha")).cast("double") /
+          col("na").cast("double") * lit(Ln2) * lit(unit.toDouble))
+          .cast("long")).as("jp_units"),
+        (col("_jq0") + floor((col("nb") - col("_shb")).cast("double") /
+          col("nb").cast("double") * lit(Ln2) * lit(unit.toDouble))
+          .cast("long")).as("jq_units"))
+      .withColumn("jsd",
+        (col("jp_units") + col("jq_units")).cast("double") /
+          (lit(2.0) * lit(unit.toDouble)))
+  }
 }

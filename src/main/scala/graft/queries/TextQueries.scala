@@ -1331,6 +1331,68 @@ object TextQueries {
            |  (sy - slope * sx) / CAST(k AS DOUBLE) AS intercept
            |FROM sl ORDER BY k""".stripMargin
       },
-      "Zipf slope of the top-1000 vocabulary: portable-ln regression, rank-ordered folds")
+      "Zipf slope of the top-1000 vocabulary: portable-ln regression, rank-ordered folds"),
+
+    // Pairwise JS divergence between per-SOURCE token distributions
+    // ([[TextOps.tokenDivergenceMatrix]]): the corpus-composition drift
+    // matrix — which sources write like each other, which went
+    // off-distribution. Unlike the value-domain [[graft.ops.StatOps.jsDivergence]]
+    // (ordered collected fold), each shared-token term is quantized to
+    // integer nanats (floor(unit·p·ln(2p/(p+q)))), making the per-pair
+    // sum ORDER-FREE at vocabulary scale; exclusive mass contributes one
+    // p·ln2 term per pair off the same rollup. The oracle replays the
+    // portable ln and the exact floor/multiply order for both chains.
+    Q(
+      "text_source_divergence",
+      (s, d) =>
+        TextOps.tokenDivergenceMatrix(T(s, d, "documents"), "source", "text")
+          .orderBy("sa", "sb"),
+      Some {
+        import graft.expr.PortableLnRatio.{sqlStages, Ln2}
+        s"""WITH tk0 AS (
+           |  SELECT source AS s,
+           |    unnest(string_split_regex(trim(text), ' +')) AS tok
+           |  FROM documents),
+           |tk AS (SELECT s, tok, CAST(count(*) AS BIGINT) AS c
+           |  FROM tk0 WHERE tok <> '' GROUP BY 1, 2),
+           |tt AS (SELECT s, CAST(sum(c) AS BIGINT) AS n FROM tk GROUP BY 1),
+           |j AS (SELECT a.s AS sa, b.s AS sb, a.c AS ca, b.c AS cb,
+           |    ta.n AS na, tb.n AS nb
+           |  FROM tk a JOIN tk b ON b.tok = a.tok AND a.s < b.s
+           |  JOIN tt ta ON ta.s = a.s JOIN tt tb ON tb.s = b.s),
+           |pp AS (SELECT sa, sb, ca, na,
+           |    2 * ca * nb AS num, ca * nb + cb * na AS den FROM j),
+           |${sqlStages("tsp", "pp", "num", "den", Seq("sa", "sb", "ca", "na"))},
+           |p2 AS (SELECT sa, sb, na, ca,
+           |    CAST(floor(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) * pln *
+           |      1000000000.0) AS BIGINT) AS tp
+           |  FROM tspln),
+           |qq AS (SELECT sa, sb, cb, nb,
+           |    2 * cb * na AS num, cb * na + ca * nb AS den FROM j),
+           |${sqlStages("tsq", "qq", "num", "den", Seq("sa", "sb", "cb", "nb"))},
+           |q2 AS (SELECT sa, sb, nb, cb,
+           |    CAST(floor(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) * pln *
+           |      1000000000.0) AS BIGINT) AS tq
+           |  FROM tsqln),
+           |pa AS (SELECT sa, sb, na, CAST(count(*) AS BIGINT) AS n_shared,
+           |    CAST(sum(ca) AS BIGINT) AS sha, CAST(sum(tp) AS BIGINT) AS jp0
+           |  FROM p2 GROUP BY 1, 2, 3),
+           |qa AS (SELECT sa, sb, nb, CAST(sum(cb) AS BIGINT) AS shb,
+           |    CAST(sum(tq) AS BIGINT) AS jq0
+           |  FROM q2 GROUP BY 1, 2, 3),
+           |f AS (SELECT pa.sa, pa.sb, n_shared,
+           |    jp0 + CAST(floor(CAST(na - sha AS DOUBLE) /
+           |      CAST(na AS DOUBLE) * $Ln2 * 1000000000.0) AS BIGINT)
+           |      AS jp_units,
+           |    jq0 + CAST(floor(CAST(nb - shb AS DOUBLE) /
+           |      CAST(nb AS DOUBLE) * $Ln2 * 1000000000.0) AS BIGINT)
+           |      AS jq_units
+           |  FROM pa JOIN qa ON qa.sa = pa.sa AND qa.sb = pa.sb)
+           |SELECT sa, sb, n_shared, jp_units, jq_units,
+           |  CAST(jp_units + jq_units AS DOUBLE) / (2.0 * 1000000000.0)
+           |    AS jsd
+           |FROM f ORDER BY sa, sb""".stripMargin
+      },
+      "per-source token JS matrix: order-free integer-nanat terms at vocabulary scale")
   )
 }

@@ -340,4 +340,51 @@ class TextOpsSpec extends AnyFunSuite {
     assert(run(corpus, maxDf = 100, minCos = 0.6).nonEmpty)
     run(corpus, maxDf = 100, minCos = 0.9)
   }
+
+  test("tokenDivergenceMatrix == scalar nanat model; identical sources score 0") {
+    import spark.implicits._
+    import graft.expr.PortableLnRatio.{compute, Ln2}
+    val unit = 1000000000.0
+    // c is a verbatim clone of a; b diverges and holds an exclusive
+    // token q (exercises the exclusive-mass term on both sides: w is
+    // a/c-only)
+    val docs = Seq(
+      ("a", "x y z x"), ("a", " x w "),
+      ("b", "x y y q"), ("b", "z z"),
+      ("c", "x y z x"), ("c", "x w"))
+      .toDF("src", "text")
+    val got = TextOps.tokenDivergenceMatrix(docs, "src", "text")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // scalar replay with the SAME ln algorithm and op order
+    val cnt = Seq("a" -> Seq("x y z x", " x w "), "b" -> Seq("x y y q", "z z"),
+      "c" -> Seq("x y z x", "x w")).toMap.map { case (g, ds) =>
+      g -> ds.flatMap(_.trim.split(" +")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    }
+    val model = (for {
+      ga <- cnt.keys; gb <- cnt.keys if ga < gb
+      shared = cnt(ga).keySet.intersect(cnt(gb).keySet) if shared.nonEmpty
+    } yield {
+      val (na, nb) = (cnt(ga).values.sum, cnt(gb).values.sum)
+      def tp(ca: Long, cb: Long, n1: Long, n2: Long) =
+        math.floor(ca.toDouble / n1.toDouble *
+          compute(2 * ca * n2, ca * n2 + cb * n1) * unit).toLong
+      val jp0 = shared.toSeq.map(t => tp(cnt(ga)(t), cnt(gb)(t), na, nb)).sum
+      val jq0 = shared.toSeq.map(t => tp(cnt(gb)(t), cnt(ga)(t), nb, na)).sum
+      val sha = shared.toSeq.map(cnt(ga)).sum
+      val shb = shared.toSeq.map(cnt(gb)).sum
+      def excl(n: Long, sh: Long) =
+        math.floor((n - sh).toDouble / n.toDouble * Ln2 * unit).toLong
+      val (jp, jq) = (jp0 + excl(na, sha), jq0 + excl(nb, shb))
+      (ga, gb) -> ((shared.size.toLong, jp, jq,
+        (jp + jq).toDouble / (2.0 * unit)))
+    }).toMap
+    assert(got == model)
+    // the clone pair is exactly zero: every shared term is ln(1) = 0
+    // and neither side has exclusive mass
+    assert(got(("a", "c")) == ((4L, 0L, 0L, 0.0)))
+    // divergent pairs are strictly positive
+    assert(got(("a", "b"))._4 > 0.0 && got(("b", "c"))._4 > 0.0)
+  }
 }
