@@ -2045,6 +2045,81 @@ object GraphOps {
     (nodeOut, edgeOut)
   }
 
+  /** ONE synchronous Louvain move round — each node, simultaneously,
+    * joins the candidate community (a neighbor's or its own) with the
+    * highest modularity gain. The Louvain move phase's gain comparison
+    * reduces to the exact integer score
+    *
+    *   score(v → c) = 2m·k_{v,c} − k_v·(Σtot(c) − [c = c(v)]·k_v)
+    *
+    * (k_{v,c} = v's edges into c, Σtot = community degree mass, the
+    * [c = c(v)] term removes v itself when evaluating "stay") — the
+    * c maximizing it maximizes ΔQ, so no rational ΔQ is ever formed
+    * and the argmax hash-gates. Ties break to the smaller community id.
+    *
+    * SYNCHRONOUS is the distributed-honest variant (classic Louvain
+    * sweeps nodes sequentially, an inherently serial order): all nodes
+    * decide against the CURRENT labels, so a symmetric pair can swap
+    * rather than merge in one round — callers iterate, as with
+    * [[labelPropagationCommunities]], and feed rounds into
+    * [[modularity]] to accept/stop. Per round: one degree rollup, one
+    * neighbor-label join (O(E)), a community-domain broadcast, one
+    * argmax rollup — no corpus-global state.
+    *
+    * Integer bound: 2m·k_{v,c} ≤ 2m·d_max — widen to DECIMAL past
+    * ~10¹⁴ edge-degree product (documented, not guarded: the score is
+    * a comparison, and both engines wrap identically long before any
+    * realistic corpus hits it... but see the oracle note).
+    *
+    * @return one row per labeled node with ≥ 1 edge:
+    *         (`id`, `c_old`, `c_new`, `gain_score`)
+    */
+  def louvainMoveRound(
+      edges: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val e0 = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .stagePin() // two consumers: the m count and the direction union
+    val und = e0
+      .unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .stagePin() // two consumers: degrees and the neighbor-label join
+    val lab = labels
+      .select(col(idCol).cast("long").as("id"),
+        col(labelCol).cast("long").as("c0"))
+      .stagePin() // three consumers: tot, kvc, the final c0 join
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg")).stagePin()
+    val tot = lab.join(deg, lab("id") === deg("u"))
+      .groupBy("c0").agg(sum("deg").as("tot")) // community-domain-sized
+    val kvc = und
+      .join(lab.select(col("id").as("v"), col("c0").as("cN")), Seq("v"))
+      .groupBy(col("u").as("id"), col("cN").as("c"))
+      .agg(count(lit(1)).as("kvc"))
+    // "stay" must always be a candidate, even with zero intra edges
+    val own = lab.select(col("id"), col("c0").as("c"), lit(0L).as("kvc"))
+    val cand = kvc.unionByName(own)
+      .groupBy("id", "c").agg(max("kvc").as("kvc"))
+    val m = e0.agg(count(lit(1)).as("m"))
+    cand
+      .join(lab, Seq("id"))
+      .join(deg.select(col("u").as("id"), col("deg").as("kv")), Seq("id"))
+      .join(broadcast(tot.select(col("c0").as("c"), col("tot"))), Seq("c"))
+      .crossJoin(broadcast(m)) // 1-row edge count (declared)
+      .select(col("id"), col("c0"), col("c"),
+        (lit(2L) * col("m") * col("kvc") -
+          col("kv") * (col("tot") -
+            when(col("c") === col("c0"), col("kv")).otherwise(0L)))
+          .as("score"))
+      .groupBy("id", "c0")
+      .agg(max(struct(col("score"), (-col("c")).as("negc"))).as("_best"))
+      .select(col("id"), col("c0").as("c_old"),
+        (-col("_best.negc")).as("c_new"),
+        col("_best.score").as("gain_score"))
+  }
+
   /** Adamic-Adar link prediction over an undirected edge list: for every
     * NON-adjacent pair (u, v) sharing >= `minCommon` neighbors,
     * AA(u,v) = sum over common neighbors w of 1/ln(deg(w)) — common

@@ -976,6 +976,69 @@ object GraphQueries {
              |GROUP BY u, v ORDER BY u, v""".stripMargin),
       "Girvan-Newman edge betweenness: per-DAG-edge Brandes terms from the shared sweep"),
 
+    // One synchronous Louvain move round ([[GraphOps.louvainMoveRound]])
+    // seeded with the GEOGRAPHY partition (node's nation): does trade
+    // structure refine geography, and which customers/suppliers would
+    // defect to a neighboring nation's trade community for modularity?
+    // The gain comparison is the exact integer 2m·k_{v,c} − k_v·Σtot′,
+    // argmax per node with ties to the smaller nation — the Louvain
+    // primitive beside label-prop's majority vote, without the rational
+    // ΔQ floats would need. The oracle replays the score and takes the
+    // same (score desc, c asc) top-1 per node.
+    Q(
+      "graph_louvain_move",
+      (s, d) => {
+        val lab = T(s, d, "customer")
+          .select((col("c_custkey") * 2).as("id"),
+            col("c_nationkey").cast("long").as("c"))
+          .unionByName(T(s, d, "supplier")
+            .select((col("s_suppkey") * 2 + 1).as("id"),
+              col("s_nationkey").cast("long").as("c")))
+        GraphOps.louvainMoveRound(tradeEdges(s, d), "src", "dst",
+            lab, "id", "c")
+          .orderBy("id")
+      },
+      Some("""WITH eu AS (
+             |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e0 AS (SELECT DISTINCT LEAST(src, dst) AS u,
+             |    GREATEST(src, dst) AS v FROM eu),
+             |und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+             |lab AS (SELECT c_custkey * 2 AS id,
+             |    CAST(c_nationkey AS BIGINT) AS c0 FROM customer
+             |  UNION ALL
+             |  SELECT s_suppkey * 2 + 1, CAST(s_nationkey AS BIGINT)
+             |  FROM supplier),
+             |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+             |  FROM und GROUP BY 1),
+             |tot AS (SELECT l.c0, CAST(sum(d.deg) AS BIGINT) AS tot
+             |  FROM lab l JOIN deg d ON d.u = l.id GROUP BY 1),
+             |kvc AS (SELECT und.u AS id, l.c0 AS c,
+             |    CAST(count(*) AS BIGINT) AS kvc
+             |  FROM und JOIN lab l ON l.id = und.v GROUP BY 1, 2),
+             |own AS (SELECT d.u AS id, l.c0 AS c, CAST(0 AS BIGINT) AS kvc
+             |  FROM deg d JOIN lab l ON l.id = d.u),
+             |cand AS (SELECT id, c, max(kvc) AS kvc
+             |  FROM (SELECT * FROM kvc UNION ALL SELECT * FROM own)
+             |  GROUP BY 1, 2),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+             |sc AS (SELECT cand.id, l.c0, cand.c,
+             |    2 * m.m * cand.kvc -
+             |      d.deg * (t.tot - CASE WHEN cand.c = l.c0
+             |                            THEN d.deg ELSE 0 END) AS score
+             |  FROM cand JOIN lab l ON l.id = cand.id
+             |  JOIN deg d ON d.u = cand.id
+             |  JOIN tot t ON t.c0 = cand.c, m),
+             |r AS (SELECT id, c0 AS c_old, c AS c_new, score,
+             |    row_number() OVER (PARTITION BY id
+             |      ORDER BY score DESC, c ASC) AS rn
+             |  FROM sc)
+             |SELECT CAST(id AS BIGINT) AS id, c_old,
+             |  CAST(c_new AS BIGINT) AS c_new,
+             |  CAST(score AS BIGINT) AS gain_score
+             |FROM r WHERE rn = 1 ORDER BY id""".stripMargin),
+      "Louvain move round from the geography seed: integer modularity-gain argmax"),
+
     // STRONGLY connected components over a directed trade graph with
     // cycles ([[GraphOps.stronglyConnectedComponents]]): forward
     // customer→supplier edges restricted to the region diagonal

@@ -50,6 +50,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "stats_ks_test", "stats_mannwhitney_u", "stats_wilcoxon_signed",
       // 1x1 scalar cross of the unit-fold row with the label-fold row
       "eval_krippendorff_alpha",
+      // 1-row edge-count broadcast against the candidate frame
+      "graph_louvain_move",
       // 1-row totals broadcast onto the <=64-row DSIR bucket histogram
       // (the corpus-sized feature frame joins that result by equi-key)
       "corpus_dsir_stats",

@@ -1024,6 +1024,55 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == Map(2L -> 500000L, 3L -> 500000L, 4L -> 0L))
   }
 
+  test("louvainMoveRound: hand gains on triangle+pendant; scalar model on random graphs") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 4-1, singleton seeds c = id.
+    // m = 4; deg 1→3, 2→2, 3→2, 4→1.
+    //  node 4: score(c1) = 2·4·1 − 1·3 = 5 > stay 0 → joins c1
+    //  node 1: c4 scores 8 − 3·1 = 5, beats c2/c3 (8 − 3·2 = 2) → c4
+    //  nodes 2, 3: each other's community scores 8 − 2·2 = 4 → swap
+    //  (the documented synchronous-round behavior; callers iterate)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("a", "b")
+    val lab = Seq(1L, 2L, 3L, 4L).map(i => (i, i)).toDF("id", "c")
+    val got = GraphOps.louvainMoveRound(e, "a", "b", lab, "id", "c")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((1L, 4L, 5L)), 2L -> ((2L, 3L, 4L)),
+      3L -> ((3L, 2L, 4L)), 4L -> ((4L, 1L, 5L))))
+    // random graphs vs a scalar replay of the integer argmax
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 12
+      val edges = (for {
+        u <- 1 to n; v <- (u + 1) to n if rnd.nextInt(100) < 30
+      } yield (u.toLong, v.toLong)).distinct
+      val seeds = (1 to n).map(i => (i.toLong, (i % 4).toLong))
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val c0 = seeds.toMap
+      val m = edges.size.toLong
+      val oracle = adj.map { case (v, nbrs) =>
+        val kv = nbrs.size.toLong
+        val tot = (c: Long) =>
+          adj.collect { case (x, nb) if c0(x) == c => nb.size.toLong }.sum
+        val cands = (nbrs.map(c0).toSet + c0(v)).toSeq
+        val scores = cands.map { c =>
+          val kvc = nbrs.count(c0(_) == c).toLong
+          val t = tot(c) - (if (c == c0(v)) kv else 0L)
+          c -> (2L * m * kvc - kv * t)
+        }
+        val best = scores.maxBy { case (c, s) => (s, -c) }
+        v -> ((c0(v), best._1, best._2))
+      }
+      val got2 = GraphOps.louvainMoveRound(edges.toDF("a", "b"), "a", "b",
+          seeds.toDF("id", "c"), "id", "c")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got2 == oracle, s"trial $trial diverged")
+    }
+  }
+
   test("landmarkBrandesUnits: edge betweenness on path and diamond") {
     import spark.implicits._
     // path 1-2-3-4-5, lm {1}, 3 hops: (1,2) carries u+δ(2)=3u, (2,3)
