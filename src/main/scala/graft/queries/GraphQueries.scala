@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, T}
@@ -184,6 +185,23 @@ object GraphQueries {
       s: org.apache.spark.sql.SparkSession, d: String) =
     brandesCache.computeIfAbsent((s, d), { case (s, d) =>
       GraphOps.landmarkBrandesUnits(tradeEdges(s, d), "src", "dst",
+        T(s, d, "supplier").filter(col("s_nationkey") === 0)
+          .select((col("s_suppkey") * 2 + 1).as("id")),
+        "id", maxHops = 3)
+    })
+
+  /** One landmark σ/dist sweep shared by `graph_path_counts` and
+    * `graph_effective_diameter` — same memoization discipline as
+    * [[brandesPair]]: the BFS runs once per corpus, consumers read the
+    * pinned waves. */
+  private val pathCountCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    org.apache.spark.sql.DataFrame]()
+
+  private def tradePathCounts(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    pathCountCache.computeIfAbsent((s, d), { case (s, d) =>
+      GraphOps.landmarkPathCounts(tradeEdges(s, d), "src", "dst",
         T(s, d, "supplier").filter(col("s_nationkey") === 0)
           .select((col("s_suppkey") * 2 + 1).as("id")),
         "id", maxHops = 3)
@@ -828,12 +846,7 @@ object GraphQueries {
     // quadratic-ish formulation the frontier engine exists to avoid.
     Q(
       "graph_path_counts",
-      (s, d) =>
-        GraphOps.landmarkPathCounts(tradeEdges(s, d), "src", "dst",
-            T(s, d, "supplier").filter(col("s_nationkey") === 0)
-              .select((col("s_suppkey") * 2 + 1).as("id")),
-            "id", maxHops = 3)
-          .orderBy("lm", "id"),
+      (s, d) => tradePathCounts(s, d).orderBy("lm", "id"),
       Some("""WITH RECURSIVE eu AS (
              |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
              |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
@@ -853,6 +866,59 @@ object GraphQueries {
              |GROUP BY d.lm, d.id, d.dist
              |ORDER BY d.lm, d.id""".stripMargin),
       "landmark shortest-path counts: frontier BFS with additive sigma vs path-enumeration oracle"),
+
+    // EFFECTIVE diameter off the same memoized landmark waves — the
+    // p90 of the (landmark, node) hop distribution, the robust "how far
+    // apart is this graph really" number (true diameter is an outlier
+    // statistic; the 90th percentile is what ANF/HyperANF estimate at
+    // web scale). Integer percentile: smallest d with 10·cum ≥ 9·n over
+    // the ≤maxHops-row distance histogram — the unpartitioned window
+    // touches only that domain-sized frame (kendall discipline).
+    Q(
+      "graph_effective_diameter",
+      (s, d) => {
+        val byD = tradePathCounts(s, d).filter(col("dist") >= 1)
+          .groupBy("dist").agg(count(lit(1)).as("c"))
+        val tot = byD.agg(sum("c").as("n"))
+        byD
+          .withColumn("cum", sum("c").over(Window.orderBy("dist")))
+          .crossJoin(broadcast(tot)) // 1-row total (declared)
+          .agg(max("n").as("n_pairs"),
+            min(when(col("cum") * 10 >= col("n") * 9, col("dist")))
+              .as("p90_hops"),
+            max("dist").as("max_hops"),
+            sum(col("dist") * col("c")).as("_dsum"))
+          .select(col("n_pairs"), col("p90_hops"), col("max_hops"),
+            (col("_dsum").cast("double") / col("n_pairs").cast("double"))
+              .as("mean_hops"))
+      },
+      Some("""WITH RECURSIVE eu AS (
+             |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e AS (SELECT src, dst FROM eu
+             |      UNION SELECT dst AS src, src AS dst FROM eu),
+             |p AS (
+             |  SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) AS lm,
+             |         CAST(s_suppkey * 2 + 1 AS BIGINT) AS id, 0 AS h
+             |  FROM supplier WHERE s_nationkey = 0
+             |  UNION
+             |  SELECT p.lm, CAST(e.dst AS BIGINT) AS id, p.h + 1 AS h
+             |  FROM p JOIN e ON e.src = p.id
+             |  WHERE p.h < 3),
+             |dm AS (SELECT lm, id, MIN(h) AS dist FROM p GROUP BY lm, id),
+             |d1 AS (SELECT dist, CAST(count(*) AS BIGINT) AS c
+             |  FROM dm WHERE dist >= 1 GROUP BY 1),
+             |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM d1),
+             |cu AS (SELECT dist, c,
+             |    SUM(c) OVER (ORDER BY dist) AS cum FROM d1)
+             |SELECT t.n AS n_pairs,
+             |  CAST(min(CASE WHEN cum * 10 >= t.n * 9 THEN dist END)
+             |    AS INTEGER) AS p90_hops,
+             |  CAST(max(dist) AS INTEGER) AS max_hops,
+             |  CAST(sum(dist * c) AS DOUBLE) / CAST(t.n AS DOUBLE)
+             |    AS mean_hops
+             |FROM cu, t GROUP BY t.n""".stripMargin),
+      "effective (p90) diameter off the shared landmark waves: integer percentile"),
 
     // Hop-bounded landmark BETWEENNESS ([[GraphOps.landmarkBetweennessUnits]],
     // 3 hops): the other half of Brandes — the backward δ accumulation

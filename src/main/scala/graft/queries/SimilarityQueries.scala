@@ -370,6 +370,78 @@ object SimilarityQueries {
       "IVF-bucketed cosine top-10 (inverted lists + probe + exact re-rank; " +
         "oracle replicates assignment and probing)"),
 
+    // Recall@10 of the IVF index against the exact brute-force ground
+    // truth — the index-quality measurement every ANN deployment runs
+    // before trusting a probe budget: per query |IVF ∩ exact| / k, the
+    // accuracy half of the recall-vs-cost tradeoff nprobe buys. Pure
+    // SET comparison (a semi join on (qid, nid)), so it gates on
+    // integers regardless of cosine's last-ulp fate; the oracle reruns
+    // both pipelines and intersects.
+    Q(
+      "sim_ivf_recall",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+        val exact = SimilarityOps
+          .bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
+          .select(col("qid"), col("nid"))
+        val approx = SimilarityOps
+          .ivfTopK(q, emb, "vec_id", "embedding", k = 10,
+            nlist = 16, nprobe = 4)
+          .select(col("qid"), col("nid"))
+        val hits = exact.join(approx, Seq("qid", "nid"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("hits"))
+        exact.groupBy("qid").agg(count(lit(1)).as("k"))
+          .join(hits, Seq("qid"), "left_outer")
+          .select(col("qid"), col("k"),
+            coalesce(col("hits"), lit(0L)).as("hits"))
+          .withColumn("recall",
+            col("hits").cast("double") / col("k").cast("double"))
+          .orderBy("qid")
+      },
+      Some("""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v0),
+             |bt AS (SELECT qid, nid FROM (
+             |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             |        list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+             |        c.vec_id ASC) AS rank
+             |    FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+             |  t WHERE rank <= 10),
+             |cent AS (SELECT vec_id AS cid, e AS centv, nrm AS centn
+             |  FROM n WHERE vec_id < 16),
+             |lists AS (SELECT nid, cid FROM (
+             |    SELECT c.vec_id AS nid, cent.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+             |        list_dot_product(c.e, cent.centv) / (c.nrm * cent.centn)
+             |          DESC, cent.cid ASC) AS r
+             |    FROM n c CROSS JOIN cent) t WHERE r = 1),
+             |probes AS (SELECT qid, cid FROM (
+             |    SELECT q.vec_id AS qid, cent.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             |        list_dot_product(q.e, cent.centv) / (q.nrm * cent.centn)
+             |          DESC, cent.cid ASC) AS r
+             |    FROM n q CROSS JOIN cent WHERE q.vec_id < 5) t WHERE r <= 4),
+             |iv AS (SELECT qid, nid FROM (
+             |    SELECT p.qid, l.nid, ROW_NUMBER() OVER (
+             |      PARTITION BY p.qid ORDER BY
+             |        list_dot_product(nq.e, nc.e) / (nq.nrm * nc.nrm) DESC,
+             |        l.nid ASC) AS rank
+             |    FROM probes p JOIN lists l ON p.cid = l.cid
+             |    JOIN n nq ON nq.vec_id = p.qid
+             |    JOIN n nc ON nc.vec_id = l.nid
+             |    WHERE p.qid <> l.nid) t WHERE rank <= 10),
+             |h AS (SELECT bt.qid, CAST(count(*) AS BIGINT) AS hits
+             |  FROM bt JOIN iv ON iv.qid = bt.qid AND iv.nid = bt.nid
+             |  GROUP BY 1),
+             |kk AS (SELECT qid, CAST(count(*) AS BIGINT) AS k
+             |  FROM bt GROUP BY 1)
+             |SELECT kk.qid, kk.k, coalesce(h.hits, 0) AS hits,
+             |  CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(kk.k AS DOUBLE)
+             |    AS recall
+             |FROM kk LEFT JOIN h ON h.qid = kk.qid ORDER BY kk.qid""".stripMargin),
+      "recall@10 of IVF vs brute-force ground truth: the index-quality set intersection"),
+
     // IVF-PQ: inverted lists + product-quantized RESIDUAL codes
     // ([[SimilarityOps.ivfPqTopK]]) — the memory-bounded tier above
     // sim_topk_ivf (m=4 one-byte codes per posting instead of the full

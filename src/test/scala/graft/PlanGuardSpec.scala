@@ -52,6 +52,10 @@ class PlanGuardSpec extends AnyFunSuite {
       "eval_krippendorff_alpha",
       // 1-row edge-count broadcast against the candidate frame
       "graph_louvain_move",
+      // IVF recall reruns the ivf pipeline (nlist-row centroid cross)
+      "sim_ivf_recall",
+      // 1-row total broadcast onto the <=maxHops-row distance histogram
+      "graph_effective_diameter",
       // 1-row totals broadcast onto the <=64-row DSIR bucket histogram
       // (the corpus-sized feature frame joins that result by equi-key)
       "corpus_dsir_stats",
