@@ -173,4 +173,59 @@ object IncrementalOps {
       .agg(aggs.head, aggs.tail: _*)
     kept.unionByName(recomputed)
   }
+
+  /** Type-2 dimension COMPACTION: merge runs of consecutive versions whose
+    * attributes never actually changed. Re-delivered batches, effective-ts
+    * churn, and per-batch "touch" updates all leave a dimension with
+    * adjacent rows [t0,t1)+[t1,t2) carrying identical attributes — pure
+    * storage and join-fanout waste a maintenance pass reclaims. Two rows
+    * merge iff they are the SAME key, attribute-identical (null-safe), and
+    * temporally adjacent (prev.valid_to = next.valid_from — a gap means
+    * the key genuinely left the dimension and returned; compaction must
+    * not erase the absence).
+    *
+    * Islands discipline ([[graft.ops.IntervalOps]]'s shape on version
+    * history): per key in valid_from order, a row starts a new island when
+    * its attributes differ from the previous row's OR the history has a
+    * gap; island id = running sum of the start flags; one rollup per
+    * island takes min(valid_from) and the open-aware end (any open row →
+    * island stays open). All within-key windows + one keyed rollup —
+    * partition-parallel, no corpus-global state, and idempotent
+    * (compacting a compacted dimension is the identity, spec-pinned).
+    *
+    * @return one row per maximal run: keyCols ++ attrCols ++
+    *         (`valid_from`, `valid_to` — null if the run is open)
+    */
+  def scd2Compact(
+      dim: DataFrame, keyCols: Seq[String],
+      attrCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("valid_from"))
+    val cur = struct(attrCols.map(col): _*)
+    val islands = dim
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_pvt", lag(col("valid_to"), 1).over(w))
+      .withColumn("_pat", lag(cur, 1).over(w))
+      .withColumn("_new",
+        when(col("_rn") === 1, 1L)
+          .when(col("_pvt").isNull || col("_pvt") =!= col("valid_from"), 1L)
+          .when(!(col("_pat") <=> cur), 1L)
+          .otherwise(0L))
+      .withColumn("_isl", sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // attributes are identical within an island by construction, so
+    // min() per attr just reads the shared value
+    val aggCols: Seq[Column] =
+      attrCols.map(c => min(col(c)).as(c)) ++ Seq(
+        min(col("valid_from")).as("valid_from"),
+        max(when(col("valid_to").isNull, 1L).otherwise(0L)).as("_open"),
+        max(col("valid_to")).as("_vt"))
+    islands
+      .groupBy((keyCols.map(col) :+ col("_isl")): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(keyCols.map(col) ++ attrCols.map(col) ++ Seq(
+        col("valid_from"),
+        when(col("_open") === 1L, lit(null).cast("timestamp"))
+          .otherwise(col("_vt")).as("valid_to")): _*)
+  }
 }

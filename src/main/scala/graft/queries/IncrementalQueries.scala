@@ -139,6 +139,98 @@ object IncrementalQueries {
              |ORDER BY c_custkey, valid_from""".stripMargin),
       "Type-2 SCD apply: close-and-reopen changed keys, append new, history immutable"),
 
+    // Type-2 dimension COMPACTION ([[graft.ops.IncrementalOps.scd2Compact]]):
+    // merge consecutive attribute-identical versions — the maintenance
+    // pass that reclaims the no-op rows re-delivered batches and
+    // effective-ts churn leave behind, WITHOUT erasing genuine absences
+    // (a gap blocks the merge). The fixture plants all three regimes:
+    // %3 keys carry a split open row (merges back), %5 keys a closed
+    // generation with DIFFERENT attrs (adjacent, must not merge), %11
+    // keys an attribute-identical but GAPPED early version (must not
+    // merge). The oracle replays the island windows.
+    Q(
+      "scd2_compact",
+      (s, d) => {
+        val cust = T(s, d, "customer")
+        val openWhole = cust.filter(col("c_custkey") % 3 =!= 0).select(
+          col("c_custkey"), col("c_name"), col("c_acctbal"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
+        val splitA = cust.filter(col("c_custkey") % 3 === 0).select(
+          col("c_custkey"), col("c_name"), col("c_acctbal"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("valid_from"),
+          lit("2024-06-01 00:00:00").cast("timestamp").as("valid_to"))
+        val splitB = cust.filter(col("c_custkey") % 3 === 0).select(
+          col("c_custkey"), col("c_name"), col("c_acctbal"),
+          lit("2024-06-01 00:00:00").cast("timestamp").as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
+        val closedHist = cust.filter(col("c_custkey") % 5 === 0).select(
+          col("c_custkey"), col("c_name"),
+          (col("c_acctbal") - 10.0).as("c_acctbal"),
+          lit("2023-01-01 00:00:00").cast("timestamp").as("valid_from"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("valid_to"))
+        val gapped = cust.filter(col("c_custkey") % 11 === 0).select(
+          col("c_custkey"), col("c_name"), col("c_acctbal"),
+          lit("2021-01-01 00:00:00").cast("timestamp").as("valid_from"),
+          lit("2021-06-01 00:00:00").cast("timestamp").as("valid_to"))
+        IncrementalOps.scd2Compact(
+            openWhole.unionByName(splitA).unionByName(splitB)
+              .unionByName(closedHist).unionByName(gapped),
+            Seq("c_custkey"), Seq("c_name", "c_acctbal"))
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("""WITH dim AS (
+             |  SELECT c_custkey, c_name, c_acctbal,
+             |    TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+             |    CAST(NULL AS TIMESTAMP) AS valid_to
+             |  FROM customer WHERE c_custkey % 3 <> 0
+             |  UNION ALL
+             |  SELECT c_custkey, c_name, c_acctbal,
+             |    TIMESTAMP '2024-01-01 00:00:00',
+             |    TIMESTAMP '2024-06-01 00:00:00'
+             |  FROM customer WHERE c_custkey % 3 = 0
+             |  UNION ALL
+             |  SELECT c_custkey, c_name, c_acctbal,
+             |    TIMESTAMP '2024-06-01 00:00:00',
+             |    CAST(NULL AS TIMESTAMP)
+             |  FROM customer WHERE c_custkey % 3 = 0
+             |  UNION ALL
+             |  SELECT c_custkey, c_name, c_acctbal - 10.0,
+             |    TIMESTAMP '2023-01-01 00:00:00',
+             |    TIMESTAMP '2024-01-01 00:00:00'
+             |  FROM customer WHERE c_custkey % 5 = 0
+             |  UNION ALL
+             |  SELECT c_custkey, c_name, c_acctbal,
+             |    TIMESTAMP '2021-01-01 00:00:00',
+             |    TIMESTAMP '2021-06-01 00:00:00'
+             |  FROM customer WHERE c_custkey % 11 = 0),
+             |w AS (SELECT *,
+             |    row_number() OVER pk AS rn,
+             |    lag(valid_to) OVER pk AS pvt,
+             |    lag(c_name) OVER pk AS pn,
+             |    lag(c_acctbal) OVER pk AS pb
+             |  FROM dim
+             |  WINDOW pk AS (PARTITION BY c_custkey ORDER BY valid_from)),
+             |f AS (SELECT *,
+             |    CASE WHEN rn = 1 THEN 1
+             |         WHEN pvt IS NULL OR pvt <> valid_from THEN 1
+             |         WHEN pn IS DISTINCT FROM c_name
+             |           OR pb IS DISTINCT FROM c_acctbal THEN 1
+             |         ELSE 0 END AS nw
+             |  FROM w),
+             |i AS (SELECT *,
+             |    SUM(nw) OVER (PARTITION BY c_custkey ORDER BY valid_from
+             |      ROWS UNBOUNDED PRECEDING) AS isl
+             |  FROM f)
+             |SELECT c_custkey, min(c_name) AS c_name,
+             |  min(c_acctbal) AS c_acctbal,
+             |  min(valid_from) AS valid_from,
+             |  CASE WHEN sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) > 0
+             |       THEN NULL ELSE max(valid_to) END AS valid_to
+             |FROM i GROUP BY c_custkey, isl
+             |ORDER BY c_custkey, valid_from""".stripMargin),
+      "Type-2 compaction: merge adjacent attribute-identical versions, gaps preserved"),
+
     // Incremental aggregate-view maintenance: the per-customer order
     // aggregate is refreshed from a snapshot delta — untouched groups keep
     // their previous row verbatim (anti-join), touched groups recompute

@@ -166,4 +166,37 @@ class IncrementalOpsSpec extends AnyFunSuite {
     assert(out.collect().toSet == full.collect().toSet,
       "the NULL group's aggregate must refresh, not stay stale")
   }
+
+  test("scd2Compact: merges adjacent identical runs, keeps gaps/changes; idempotent") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dim = Seq(
+      // key 1: three adjacent identical versions, last open → ONE open row
+      (1L, "a", ts("2024-01-01 00:00:00"), ts("2024-03-01 00:00:00")),
+      (1L, "a", ts("2024-03-01 00:00:00"), ts("2024-06-01 00:00:00")),
+      (1L, "a", ts("2024-06-01 00:00:00"), null),
+      // key 2: attribute change blocks the merge
+      (2L, "x", ts("2024-01-01 00:00:00"), ts("2024-06-01 00:00:00")),
+      (2L, "y", ts("2024-06-01 00:00:00"), null),
+      // key 3: identical attrs but a GAP — the absence is preserved
+      (3L, "g", ts("2021-01-01 00:00:00"), ts("2021-06-01 00:00:00")),
+      (3L, "g", ts("2024-01-01 00:00:00"), null))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      IncrementalOps.scd2Compact(df, Seq("k"), Seq("attr"))
+    val out = run(dim)
+    val got = out
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, "a", ts("2024-01-01 00:00:00"), None),
+      (2L, "x", ts("2024-01-01 00:00:00"), Some(ts("2024-06-01 00:00:00"))),
+      (2L, "y", ts("2024-06-01 00:00:00"), None),
+      (3L, "g", ts("2021-01-01 00:00:00"), Some(ts("2021-06-01 00:00:00"))),
+      (3L, "g", ts("2024-01-01 00:00:00"), None)))
+    val again = run(out)
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().toSet
+    assert(again == got, "compaction must be idempotent")
+  }
 }

@@ -34,21 +34,32 @@ class StagingSpec extends AnyFunSuite {
     val rnLocal = StatOps
       .globalRowNumber(rows.toDF("id", "v"), Seq(col("v"), col("id")), "rn")
       .select("id", "rn").as[(Long, Long)].collect().toMap
+    def brandes() = {
+      val (bw, eb) = GraphOps.landmarkBrandesUnits(
+        edges.toDF("a", "b"), "a", "b",
+        Seq(1L, 9L).toDF("id"), "id", maxHops = 3)
+      (bw.as[(Long, Long)].collect().toMap,
+        eb.as[(Long, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap)
+    }
+    val brLocal = brandes()
 
-    val (ccRel, rnRel, cpFiles) = withReliable {
+    val (ccRel, rnRel, brRel, cpFiles) = withReliable {
       val cc = GraphOps.connectedComponents(edges.toDF("a", "b"), "a", "b")
         .as[(Long, Long)].collect().toMap
       val rn = StatOps
         .globalRowNumber(rows.toDF("id", "v"), Seq(col("v"), col("id")), "rn")
         .select("id", "rn").as[(Long, Long)].collect().toMap
+      val br = brandes()
       val cpDir = new java.io.File(
         new java.net.URI(spark.sparkContext.getCheckpointDir.get))
       def count(f: java.io.File): Int =
         if (f.isDirectory) f.listFiles().map(count).sum else 1
-      (cc, rn, count(cpDir))
+      (cc, rn, br, count(cpDir))
     }
     assert(ccRel == ccLocal)
     assert(rnRel == rnLocal)
+    assert(brRel == brLocal)
     assert(cpFiles > 0, "reliable mode wrote nothing to the checkpoint dir")
   }
 
