@@ -2077,6 +2077,19 @@ object GraphOps {
   def louvainMoveRound(
       edges: DataFrame, aCol: String, bCol: String,
       labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val (und, deg, m) = louvainGraph(edges, aCol, bCol)
+    val lab = labels
+      .select(col(idCol).cast("long").as("id"),
+        col(labelCol).cast("long").as("c0"))
+      .stagePin() // three consumers: tot, kvc, the final c0 join
+    louvainMoveCore(und, deg, m, lab)
+  }
+
+  /** The loop-invariant Louvain frames: undirected expansion, degrees,
+    * and the 1-row edge count — built once, reused every round. */
+  private def louvainGraph(
+      edges: DataFrame, aCol: String,
+      bCol: String): (DataFrame, DataFrame, DataFrame) = {
     val e0 = edges
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
@@ -2087,11 +2100,16 @@ object GraphOps {
     val und = e0
       .unionByName(e0.select(col("v").as("u"), col("u").as("v")))
       .stagePin() // two consumers: degrees and the neighbor-label join
-    val lab = labels
-      .select(col(idCol).cast("long").as("id"),
-        col(labelCol).cast("long").as("c0"))
-      .stagePin() // three consumers: tot, kvc, the final c0 join
     val deg = und.groupBy("u").agg(count(lit(1)).as("deg")).stagePin()
+    val m = e0.agg(count(lit(1)).as("m")).stagePin()
+    (und, deg, m)
+  }
+
+  /** One move phase against fixed graph frames and the CURRENT labels
+    * (`lab` = (id, c0), pinned by the caller). */
+  private def louvainMoveCore(
+      und: DataFrame, deg: DataFrame, m: DataFrame,
+      lab: DataFrame): DataFrame = {
     val tot = lab.join(deg, lab("id") === deg("u"))
       .groupBy("c0").agg(sum("deg").as("tot")) // community-domain-sized
     val kvc = und
@@ -2102,7 +2120,6 @@ object GraphOps {
     val own = lab.select(col("id"), col("c0").as("c"), lit(0L).as("kvc"))
     val cand = kvc.unionByName(own)
       .groupBy("id", "c").agg(max("kvc").as("kvc"))
-    val m = e0.agg(count(lit(1)).as("m"))
     cand
       .join(lab, Seq("id"))
       .join(deg.select(col("u").as("id"), col("deg").as("kv")), Seq("id"))
@@ -2118,6 +2135,41 @@ object GraphOps {
       .select(col("id"), col("c0").as("c_old"),
         (-col("_best.negc")).as("c_new"),
         col("_best.score").as("gain_score"))
+  }
+
+  /** FIXED-ROUND Louvain with parity-alternating moves — the iterated
+    * form of [[louvainMoveRound]] that converges instead of oscillating:
+    * in round r only nodes with (id + r) mod 2 = 0 may take their argmax
+    * move, the rest hold. Alternating halves is the standard
+    * distributed-Louvain anti-swap discipline (a symmetric pair can
+    * never trade places in one round because only one of them is
+    * eligible), and it is DETERMINISTIC — no randomized node ordering,
+    * so the result hash-gates and the oracle can replay rounds verbatim.
+    * Fixed rounds, like [[pageRankUnits]]: callers pick the budget and
+    * read [[modularity]] to accept. Loop-invariant frames (undirected
+    * edges, degrees, m) build once; per round one neighbor-label join +
+    * one argmax rollup, label frame pinned per round.
+    *
+    * @return one row per labeled node with ≥ 1 edge: (`id`, `community`)
+    */
+  def louvainCommunitiesRounds(
+      edges: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame, idCol: String, labelCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"louvainCommunitiesRounds: rounds must be >= 1, got $rounds")
+    val (und, deg, m) = louvainGraph(edges, aCol, bCol)
+    var lab = labels
+      .select(col(idCol).cast("long").as("id"),
+        col(labelCol).cast("long").as("c0"))
+      .stagePin()
+    for (r <- 1 to rounds) {
+      val mv = louvainMoveCore(und, deg, m, lab)
+      lab = mv.select(col("id"),
+          when(pmod(col("id") + r, lit(2L)) === 0L, col("c_new"))
+            .otherwise(col("c_old")).as("c0"))
+        .stagePin()
+    }
+    lab.select(col("id"), col("c0").as("community"))
   }
 
   /** Adamic-Adar link prediction over an undirected edge list: for every

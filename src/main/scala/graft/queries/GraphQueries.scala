@@ -1105,6 +1105,71 @@ object GraphQueries {
              |FROM r WHERE rn = 1 ORDER BY id""".stripMargin),
       "Louvain move round from the geography seed: integer modularity-gain argmax"),
 
+    // FIXED-ROUND Louvain with parity-alternating moves
+    // ([[GraphOps.louvainCommunitiesRounds]], 2 rounds): the iterated
+    // form — in round r only (id + r) mod 2 = 0 nodes may move, the
+    // deterministic anti-swap discipline that lets a symmetric pair
+    // merge instead of trading places forever. The oracle unrolls both
+    // rounds verbatim: same integer score, same (score desc, c asc)
+    // argmax, same parity gate on the label handoff.
+    Q(
+      "graph_louvain_rounds",
+      (s, d) => {
+        val lab = T(s, d, "customer")
+          .select((col("c_custkey") * 2).as("id"),
+            col("c_nationkey").cast("long").as("c"))
+          .unionByName(T(s, d, "supplier")
+            .select((col("s_suppkey") * 2 + 1).as("id"),
+              col("s_nationkey").cast("long").as("c")))
+        GraphOps.louvainCommunitiesRounds(tradeEdges(s, d), "src", "dst",
+            lab, "id", "c", rounds = 2)
+          .orderBy("id")
+      },
+      Some {
+        def round(r: Int, prev: String) =
+          s"""tot$r AS (SELECT l.c0, CAST(sum(d.deg) AS BIGINT) AS tot
+             |  FROM $prev l JOIN deg d ON d.u = l.id GROUP BY 1),
+             |kvc$r AS (SELECT und.u AS id, l.c0 AS c,
+             |    CAST(count(*) AS BIGINT) AS kvc
+             |  FROM und JOIN $prev l ON l.id = und.v GROUP BY 1, 2),
+             |own$r AS (SELECT d.u AS id, l.c0 AS c, CAST(0 AS BIGINT) AS kvc
+             |  FROM deg d JOIN $prev l ON l.id = d.u),
+             |cand$r AS (SELECT id, c, max(kvc) AS kvc
+             |  FROM (SELECT * FROM kvc$r UNION ALL SELECT * FROM own$r)
+             |  GROUP BY 1, 2),
+             |sc$r AS (SELECT cand$r.id, l.c0, cand$r.c,
+             |    2 * m.m * cand$r.kvc -
+             |      d.deg * (t.tot - CASE WHEN cand$r.c = l.c0
+             |                            THEN d.deg ELSE 0 END) AS score
+             |  FROM cand$r JOIN $prev l ON l.id = cand$r.id
+             |  JOIN deg d ON d.u = cand$r.id
+             |  JOIN tot$r t ON t.c0 = cand$r.c, m),
+             |rr$r AS (SELECT id, c0, c, row_number() OVER (PARTITION BY id
+             |    ORDER BY score DESC, c ASC) AS rn FROM sc$r),
+             |lab$r AS (SELECT id,
+             |    CASE WHEN (id + $r) % 2 = 0 THEN c ELSE c0 END AS c0
+             |  FROM rr$r WHERE rn = 1)""".stripMargin
+        s"""WITH eu AS (
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |e0 AS (SELECT DISTINCT LEAST(src, dst) AS u,
+           |    GREATEST(src, dst) AS v FROM eu),
+           |und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           |lab0 AS (SELECT c_custkey * 2 AS id,
+           |    CAST(c_nationkey AS BIGINT) AS c0 FROM customer
+           |  UNION ALL
+           |  SELECT s_suppkey * 2 + 1, CAST(s_nationkey AS BIGINT)
+           |  FROM supplier),
+           |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+           |  FROM und GROUP BY 1),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+           |${round(1, "lab0")},
+           |${round(2, "lab1")}
+           |SELECT CAST(id AS BIGINT) AS id, CAST(c0 AS BIGINT) AS community
+           |FROM lab2 ORDER BY id""".stripMargin
+      },
+      "two parity-alternating Louvain rounds from the geography seed, oracle-unrolled"),
+
     // STRONGLY connected components over a directed trade graph with
     // cycles ([[GraphOps.stronglyConnectedComponents]]): forward
     // customer→supplier edges restricted to the region diagonal

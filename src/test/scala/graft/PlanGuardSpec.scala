@@ -51,7 +51,7 @@ class PlanGuardSpec extends AnyFunSuite {
       // 1x1 scalar cross of the unit-fold row with the label-fold row
       "eval_krippendorff_alpha",
       // 1-row edge-count broadcast against the candidate frame
-      "graph_louvain_move",
+      "graph_louvain_move", "graph_louvain_rounds",
       // IVF recall reruns the ivf pipeline (nlist-row centroid cross)
       "sim_ivf_recall",
       // 1-row total broadcast onto the <=maxHops-row distance histogram

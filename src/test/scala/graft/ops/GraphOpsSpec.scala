@@ -1073,6 +1073,21 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("louvainCommunitiesRounds: parity alternation merges where one round swaps") {
+    import spark.implicits._
+    // same triangle+pendant: the single synchronous round swaps 2↔3;
+    // with parity alternation round 1 moves odd ids (1→c4, 3→c2) and
+    // round 2 lets the evens re-evaluate — 2 now PREFERS staying with 3
+    // (own-community score 4 vs 0 for c4), so {2,3} merge instead of
+    // trading places, and {1,4} hold
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("a", "b")
+    val lab = Seq(1L, 2L, 3L, 4L).map(i => (i, i)).toDF("id", "c")
+    val got = GraphOps.louvainCommunitiesRounds(e, "a", "b", lab, "id", "c",
+        rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 4L, 2L -> 2L, 3L -> 2L, 4L -> 4L))
+  }
+
   test("landmarkBrandesUnits: edge betweenness on path and diamond") {
     import spark.implicits._
     // path 1-2-3-4-5, lm {1}, 3 hops: (1,2) carries u+δ(2)=3u, (2,3)
