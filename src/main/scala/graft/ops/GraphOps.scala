@@ -2172,6 +2172,97 @@ object GraphOps {
     lab.select(col("id"), col("c0").as("community"))
   }
 
+  /** Rich-club coefficients φ(k) = 2·E_k / (N_k·(N_k−1)) for a fixed
+    * list of degree thresholds — do the hubs preferentially trade with
+    * each other (φ → 1) or avoid each other (φ → 0)? The structural
+    * question behind "is influence concentrated", asked of supply
+    * graphs and citation networks alike.
+    *
+    * Scale shape: NO per-k pass and no k-row cross join — every k is a
+    * conditional-sum column over ONE edge scan (edges ride with both
+    * endpoint degrees from two broadcast-eligible equi-joins) and one
+    * degree scan; the k rows materialize from the 1×1 aggregate cross
+    * at the end. Exact integers into one IEEE division per k.
+    *
+    * @return one row per threshold: (`k`, `n_nodes`, `n_edges`,
+    *         `phi` — null when N_k < 2)
+    */
+  def richClubCoefficients(
+      edges: DataFrame, aCol: String, bCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "richClubCoefficients: ks must be non-empty")
+    val e = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .stagePin() // two consumers: degrees and the threshold scan
+    val deg = e.select(col("u").as("x"))
+      .unionByName(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+      .stagePin() // three consumers: two endpoint joins + the node scan
+    val ej = e
+      .join(deg.select(col("x").as("u"), col("deg").as("_da")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("deg").as("_db")), Seq("v"))
+    val eAgg = ej.agg(
+      ks.map(k => sum(when(col("_da") > k && col("_db") > k, 1L)
+        .otherwise(0L)).as(s"_e$k")).head,
+      ks.tail.map(k => sum(when(col("_da") > k && col("_db") > k, 1L)
+        .otherwise(0L)).as(s"_e$k")): _*)
+    val nAgg = deg.agg(
+      ks.map(k => sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"_n$k")).head,
+      ks.tail.map(k => sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"_n$k")): _*)
+    val one = eAgg.crossJoin(broadcast(nAgg)) // 1×1 scalar cross (declared)
+    ks.map { k =>
+      one.select(lit(k).as("k"), col(s"_n$k").as("n_nodes"),
+        col(s"_e$k").as("n_edges"),
+        when(col(s"_n$k") >= 2L,
+          (lit(2L) * col(s"_e$k")).cast("double") /
+            (col(s"_n$k") * (col(s"_n$k") - 1L)).cast("double"))
+          .as("phi"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Hill maximum-likelihood exponent of the degree tail — α = 1 +
+    * n / Σ_{d ≥ dmin} c_d·ln(d/dmin), the standard power-law fit
+    * (Clauset–Shalizi–Newman's continuous-MLE form applied at a fixed
+    * cutoff): "is this graph scale-free, and how heavy is the hub
+    * tail". The fold runs over the DEGREE HISTOGRAM — domain-sized
+    * (distinct degrees ≤ d_max), never the node table — in degree
+    * order with [[graft.expr.PortableLnRatio]] logs, so the double sum
+    * is order-pinned and both engines replay it bit-identically.
+    *
+    * @return one row: (`d_min`, `n_tail`, `alpha` — null when the tail
+    *         is empty or has zero log-mass, i.e. all tail degrees = dmin)
+    */
+  def degreePowerlawHill(
+      edges: DataFrame, aCol: String, bCol: String, dMin: Long): DataFrame = {
+    require(dMin >= 1, s"degreePowerlawHill: dMin must be >= 1, got $dMin")
+    import graft.expr.PortableLnRatio.{ln => pln}
+    val dir = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val hist = dir.select(col("u").as("x"))
+      .unionByName(dir.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= dMin)
+      .groupBy("deg").agg(count(lit(1)).as("c"))
+    hist
+      .withColumn("_t", col("c").cast("double") * pln(col("deg"), lit(dMin)))
+      .agg(sum("c").as("n_tail"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("deg"), col("_t")))),
+            s => s.getField("_t")),
+          lit(0.0), (acc, x) => acc + x).as("_lsum"))
+      .select(lit(dMin).as("d_min"), col("n_tail"),
+        when(col("n_tail") > 0 && col("_lsum") > 0.0,
+          lit(1.0) + col("n_tail").cast("double") / col("_lsum")).as("alpha"))
+  }
+
   /** Adamic-Adar link prediction over an undirected edge list: for every
     * NON-adjacent pair (u, v) sharing >= `minCommon` neighbors,
     * AA(u,v) = sum over common neighbors w of 1/ln(deg(w)) — common

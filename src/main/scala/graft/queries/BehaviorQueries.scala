@@ -325,6 +325,66 @@ object BehaviorQueries {
              |ORDER BY user_id, island""".stripMargin),
       "merge overlapping per-user activity intervals into maximal islands (one sort)"),
 
+    // Interval COVERAGE per user off the same islands — the uptime/SLA
+    // rollup: covered time = Σ island durations (exact µs integers),
+    // span = last end − first start, utilization = covered/span, one
+    // IEEE division. "How much of this user's active window was actually
+    // active" — the number a capacity or engagement readout wants, and
+    // the composition mergeIntervals exists to feed.
+    Q(
+      "interval_coverage",
+      (s, d) => {
+        val iv = T(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            col("ts").as("s"),
+            (col("ts") + expr("INTERVAL 5 MINUTES")).as("e"))
+        graft.ops.IntervalOps
+          .mergeIntervals(iv, "user_id", "s", "e", tieCols = Seq("event_id"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            sum(unix_micros(col("island_end")) -
+              unix_micros(col("island_start"))).as("covered_us"),
+            (max(unix_micros(col("island_end"))) -
+              min(unix_micros(col("island_start")))).as("span_us"))
+          .withColumn("utilization",
+            col("covered_us").cast("double") / col("span_us").cast("double"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, event_id, ts AS s,
+             |         ts + INTERVAL 5 MINUTE AS e
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, event_id, s, e,
+             |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS pm
+             |  FROM iv),
+             |f AS (
+             |  SELECT user_id, event_id, s, e,
+             |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw
+             |  FROM m),
+             |i AS (
+             |  SELECT user_id, s, e,
+             |    SUM(nw) OVER (PARTITION BY user_id ORDER BY s, event_id
+             |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS island
+             |  FROM f),
+             |isl AS (SELECT user_id, island,
+             |    min(s) AS island_start, max(e) AS island_end
+             |  FROM i GROUP BY user_id, island)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+             |  CAST(sum(epoch_us(island_end) - epoch_us(island_start))
+             |    AS BIGINT) AS covered_us,
+             |  CAST(max(epoch_us(island_end)) - min(epoch_us(island_start))
+             |    AS BIGINT) AS span_us,
+             |  CAST(sum(epoch_us(island_end) - epoch_us(island_start))
+             |      AS DOUBLE) /
+             |    CAST(max(epoch_us(island_end)) - min(epoch_us(island_start))
+             |      AS DOUBLE) AS utilization
+             |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "per-user interval coverage: exact covered/span microseconds off the merged islands"),
+
     // Two-proportion z-test for an A/B experiment: users are assigned to
     // arms by the same salted-md5 machinery as corpus splits
     // ([[graft.ops.CorpusOps.saltedHash]] — reproducible, independent of

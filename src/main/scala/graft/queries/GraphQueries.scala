@@ -1170,6 +1170,77 @@ object GraphQueries {
       },
       "two parity-alternating Louvain rounds from the geography seed, oracle-unrolled"),
 
+    // Rich-club coefficients over the trade graph
+    // ([[GraphOps.richClubCoefficients]], k ∈ {4, 16, 64, 256}): do
+    // high-degree customers/suppliers preferentially trade with each
+    // other? Every threshold is a conditional-sum column over ONE edge
+    // scan — no per-k pass, no k-row cross against the edges.
+    Q(
+      "graph_rich_club",
+      (s, d) =>
+        GraphOps.richClubCoefficients(tradeEdges(s, d), "src", "dst",
+            ks = Seq(4, 16, 64, 256))
+          .orderBy("k"),
+      Some("""WITH eu AS (
+             |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e0 AS (SELECT DISTINCT LEAST(src, dst) AS u,
+             |    GREATEST(src, dst) AS v FROM eu),
+             |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM (
+             |    SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0)
+             |  GROUP BY 1),
+             |ej AS (SELECT da.deg AS da, db.deg AS db
+             |  FROM e0 JOIN deg da ON da.x = e0.u
+             |  JOIN deg db ON db.x = e0.v),
+             |ks AS (SELECT unnest([4, 16, 64, 256]) AS k),
+             |ea AS (SELECT ks.k, CAST(sum(CASE WHEN da > ks.k AND db > ks.k
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS e
+             |  FROM ej CROSS JOIN ks GROUP BY 1),
+             |na AS (SELECT ks.k, CAST(sum(CASE WHEN deg > ks.k
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n
+             |  FROM deg CROSS JOIN ks GROUP BY 1)
+             |SELECT ea.k, na.n AS n_nodes, ea.e AS n_edges,
+             |  CASE WHEN na.n >= 2 THEN
+             |    CAST(2 * ea.e AS DOUBLE) / CAST(na.n * (na.n - 1) AS DOUBLE)
+             |  END AS phi
+             |FROM ea JOIN na ON na.k = ea.k ORDER BY ea.k""".stripMargin),
+      "rich-club phi(k) at four thresholds: conditional sums over one edge scan"),
+
+    // Hill power-law exponent of the degree tail
+    // ([[GraphOps.degreePowerlawHill]], d_min = 4): is the trade graph
+    // scale-free and how heavy is its hub tail — the one-number
+    // companion to the rich-club curve. The log fold runs over the
+    // domain-sized degree histogram in degree order with the portable
+    // ln, which the oracle replays stage for stage.
+    Q(
+      "graph_degree_powerlaw",
+      (s, d) =>
+        GraphOps.degreePowerlawHill(tradeEdges(s, d), "src", "dst", dMin = 4L),
+      Some {
+        import graft.expr.PortableLnRatio.sqlStages
+        s"""WITH eu AS (
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |e0 AS (SELECT DISTINCT LEAST(src, dst) AS u,
+           |    GREATEST(src, dst) AS v FROM eu),
+           |degs AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM (
+           |    SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0)
+           |  GROUP BY 1),
+           |hist AS (SELECT deg, CAST(count(*) AS BIGINT) AS c
+           |  FROM degs WHERE deg >= 4 GROUP BY 1),
+           |${sqlStages("hl", "hist", "deg", "4", Seq("deg", "c"))},
+           |f AS (SELECT CAST(sum(c) AS BIGINT) AS n_tail,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(CAST(c AS DOUBLE) * pln ORDER BY deg)),
+           |      (acc, x) -> acc + x) AS lsum
+           |  FROM hlln)
+           |SELECT CAST(4 AS BIGINT) AS d_min, n_tail,
+           |  CASE WHEN n_tail > 0 AND lsum > 0.0
+           |       THEN 1.0 + CAST(n_tail AS DOUBLE) / lsum END AS alpha
+           |FROM f""".stripMargin
+      },
+      "Hill MLE power-law exponent of the degree tail: histogram-ordered portable-ln fold"),
+
     // STRONGLY connected components over a directed trade graph with
     // cycles ([[GraphOps.stronglyConnectedComponents]]): forward
     // customer→supplier edges restricted to the region diagonal

@@ -52,6 +52,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "eval_krippendorff_alpha",
       // 1-row edge-count broadcast against the candidate frame
       "graph_louvain_move", "graph_louvain_rounds",
+      // 1x1 scalar cross of the edge-threshold and node-threshold folds
+      "graph_rich_club",
       // IVF recall reruns the ivf pipeline (nlist-row centroid cross)
       "sim_ivf_recall",
       // 1-row total broadcast onto the <=maxHops-row distance histogram

@@ -1073,6 +1073,36 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("richClubCoefficients: clique core scores phi = 1, starved thresholds null") {
+    import spark.implicits._
+    // clique {1,2,3} + pendants 4,5 on node 1: deg 1→4, 2→2, 3→2, 4/5→1
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    val got = GraphOps.richClubCoefficients(e, "a", "b", ks = Seq(1, 2, 3))
+      .as[(Int, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1 -> ((3L, 3L, Some(1.0))), // the clique: all 3 possible edges
+      2 -> ((1L, 0L, None)),      // only the hub clears k=2
+      3 -> ((1L, 0L, None))))
+  }
+
+  test("degreePowerlawHill: replays the ordered histogram fold") {
+    import spark.implicits._
+    import graft.expr.PortableLnRatio.compute
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    val got = GraphOps.degreePowerlawHill(e, "a", "b", dMin = 1L)
+      .as[(Long, Long, Option[Double])].collect().head
+    // hist (deg asc): 1→2, 2→2, 4→1; fold order is degree-ascending
+    val lsum = ((0.0 + 2.0 * compute(1, 1)) + 2.0 * compute(2, 1)) +
+      1.0 * compute(4, 1)
+    assert(got == ((1L, 5L, Some(1.0 + 5.0 / lsum))))
+    // degenerate tail (every degree = dmin): zero log-mass → null alpha
+    val path = Seq((1L, 2L), (3L, 4L)).toDF("a", "b") // all degrees 1
+    val p = GraphOps.degreePowerlawHill(path, "a", "b", dMin = 1L)
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(p == ((1L, 4L, None)))
+  }
+
   test("louvainCommunitiesRounds: parity alternation merges where one round swaps") {
     import spark.implicits._
     // same triangle+pendant: the single synchronous round swaps 2↔3;
