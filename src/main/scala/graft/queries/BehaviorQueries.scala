@@ -385,6 +385,88 @@ object BehaviorQueries {
              |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin),
       "per-user interval coverage: exact covered/span microseconds off the merged islands"),
 
+    // WINDOWED funnel: view → click → purchase where every later step
+    // must land within 7 days of the anchor view — the product-real
+    // funnel (an unbounded funnel credits a purchase months after the
+    // exposure; attribution teams cap it). Same two-stage window
+    // derivation as `funnel_conversion` with the deadline folded into
+    // each step's eligibility; conversion lag rides as exact µs sums
+    // into one final division. (Probed at sf0.01: the 7-day cap binds —
+    // 150/144/126 users vs 150/150/150 uncapped.)
+    Q(
+      "funnel_windowed",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+        val staged = T(s, d, "events")
+          .select("user_id", "ts", "event_type")
+          .withColumn("tv",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+        val staged2 = staged.withColumn("tc",
+          min(when(col("event_type") === "click" && col("ts") > col("tv") &&
+            col("ts") <= col("tv") + expr("INTERVAL 7 DAYS"), col("ts")))
+            .over(w))
+        staged2
+          .withColumn("tp",
+            min(when(col("event_type") === "purchase" &&
+              col("ts") > col("tc") &&
+              col("ts") <= col("tv") + expr("INTERVAL 7 DAYS"), col("ts")))
+              .over(w))
+          .groupBy("user_id")
+          .agg(min("tv").as("tv"), min("tc").as("tc"), min("tp").as("tp"))
+          .agg(
+            count(col("tv")).as("n_view"),
+            count(col("tc")).as("n_click_7d"),
+            count(col("tp")).as("n_purchase_7d"),
+            sum(when(col("tp").isNotNull,
+              unix_micros(col("tp")) - unix_micros(col("tv"))))
+              .as("sum_convert_us"))
+          .select(col("n_view"), col("n_click_7d"), col("n_purchase_7d"),
+            col("sum_convert_us"),
+            (col("n_click_7d").cast("double") / col("n_view").cast("double"))
+              .as("view_to_click"),
+            (col("n_purchase_7d").cast("double") /
+              col("n_click_7d").cast("double")).as("click_to_purchase"),
+            (col("sum_convert_us").cast("double") /
+              col("n_purchase_7d").cast("double")).as("mean_convert_us"))
+      },
+      Some("""WITH s1 AS (
+             |  SELECT user_id, ts, event_type,
+             |    min(CASE WHEN event_type = 'view' THEN ts END)
+             |      OVER (PARTITION BY user_id) AS tv
+             |  FROM events),
+             |s2 AS (
+             |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > tv
+             |                       AND ts <= tv + INTERVAL 7 DAY
+             |                     THEN ts END)
+             |    OVER (PARTITION BY user_id) AS tc
+             |  FROM s1),
+             |s3 AS (
+             |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > tc
+             |                       AND ts <= tv + INTERVAL 7 DAY
+             |                     THEN ts END)
+             |    OVER (PARTITION BY user_id) AS tp
+             |  FROM s2),
+             |u AS (SELECT user_id, min(tv) AS tv, min(tc) AS tc,
+             |    min(tp) AS tp
+             |  FROM s3 GROUP BY user_id),
+             |f AS (SELECT
+             |    CAST(count(tv) AS BIGINT) AS n_view,
+             |    CAST(count(tc) AS BIGINT) AS n_click_7d,
+             |    CAST(count(tp) AS BIGINT) AS n_purchase_7d,
+             |    CAST(sum(CASE WHEN tp IS NOT NULL
+             |      THEN epoch_us(tp) - epoch_us(tv) END) AS BIGINT)
+             |      AS sum_convert_us
+             |  FROM u)
+             |SELECT n_view, n_click_7d, n_purchase_7d, sum_convert_us,
+             |  CAST(n_click_7d AS DOUBLE) / CAST(n_view AS DOUBLE)
+             |    AS view_to_click,
+             |  CAST(n_purchase_7d AS DOUBLE) / CAST(n_click_7d AS DOUBLE)
+             |    AS click_to_purchase,
+             |  CAST(sum_convert_us AS DOUBLE) / CAST(n_purchase_7d AS DOUBLE)
+             |    AS mean_convert_us
+             |FROM f""".stripMargin),
+      "7-day windowed funnel with exact-microsecond conversion lag"),
+
     // Two-proportion z-test for an A/B experiment: users are assigned to
     // arms by the same salted-md5 machinery as corpus splits
     // ([[graft.ops.CorpusOps.saltedHash]] — reproducible, independent of
