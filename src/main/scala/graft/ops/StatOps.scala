@@ -1598,6 +1598,48 @@ object StatOps {
       .withColumn("z", mkZ(col("s"), col("var18")))
   }
 
+  /** Fixed-iteration Markov stationary distribution in integer units —
+    * π ← π·P over an empirical transition-count matrix, the "where does
+    * this process SETTLE" readout beside the one-step transition
+    * probabilities. P's rows are the exact rationals c_ij/r_i, so each
+    * step is the [[graft.ops.GraphOps.pageRankUnits]] muldiv discipline
+    * without damping: π'_j = Σ_i (π_i·c_ij) div r_i — sub-unit
+    * remainders truncate (documented, same as PageRank's), states with
+    * no inbound mass hold 0, and the whole iterate is engine-exact.
+    * State space is a DOMAIN (event types, page ids — never users), so
+    * every frame here is domain-sized; fixed `iters` keeps the gate
+    * deterministic, callers read convergence off successive runs.
+    *
+    * @return one row per state: (`s`, `pi_units` ≈ stationary mass ×
+    *         unit up to truncation, seeded uniform at `unit`)
+    */
+  def markovStationaryUnits(
+      trans: DataFrame, fromCol: String, toCol: String, cntCol: String,
+      iters: Int = 3, unit: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"markovStationaryUnits: iters must be >= 1, got $iters")
+    require(unit > 0, s"markovStationaryUnits: unit must be > 0, got $unit")
+    val t = trans.select(col(fromCol).as("_f"), col(toCol).as("_t"),
+        col(cntCol).cast("long").as("_c"))
+      .stagePin() // three consumers: row totals, state universe ×2
+    val tr = t.join(t.groupBy("_f").agg(sum("_c").as("_r")), Seq("_f"))
+      .stagePin() // consumed every iteration
+    val states = t.select(col("_f").as("s"))
+      .unionByName(t.select(col("_t").as("s")))
+      .distinct()
+      .stagePin() // consumed every iteration (the 0-mass left join)
+    var pi = states.withColumn("p", lit(unit))
+    for (_ <- 1 to iters) {
+      val pushed = tr
+        .join(pi.select(col("s").as("_f"), col("p")), Seq("_f"))
+        .select(col("_t").as("s"), expr("(p * _c) div _r").as("_m"))
+        .groupBy("s").agg(sum("_m").as("_p"))
+      pi = states.join(pushed, Seq("s"), "left_outer")
+        .select(col("s"), coalesce(col("_p"), lit(0L)).as("p"))
+        .stagePin()
+    }
+    pi.select(col("s"), col("p").as("pi_units"))
+  }
+
   /** Brown–Forsythe variance-equality test: the one-way ANOVA F
     * ([[anovaF]]) applied to |x − median(group)| — "did the SPREAD
     * shift between groups", the dispersion complement of ANOVA's mean

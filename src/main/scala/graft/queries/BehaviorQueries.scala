@@ -886,6 +886,59 @@ object BehaviorQueries {
              |ORDER BY src_state, dst_state""".stripMargin),
       "Markov transition matrix: consecutive-pair counts, row-normalized probabilities"),
 
+    // Stationary distribution of the same transition matrix
+    // ([[graft.ops.StatOps.markovStationaryUnits]], 3 iterations): where
+    // does the session process SETTLE — the long-run state mix beside
+    // the one-step matrix. π ← π·P in integer units with the PageRank
+    // muldiv discipline ((π·c) div r per cell, truncation documented);
+    // the state space is the 5-value event-type domain, so every frame
+    // is domain-sized and the oracle unrolls all three iterates.
+    Q(
+      "behavior_markov_stationary",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = T(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("src_state", lag("event_type", 1).over(w))
+          .filter(col("src_state").isNotNull)
+          .groupBy(col("src_state"), col("event_type").as("dst_state"))
+          .agg(count(lit(1)).as("cnt"))
+        graft.ops.StatOps
+          .markovStationaryUnits(pairs, "src_state", "dst_state", "cnt",
+            iters = 3)
+          .orderBy("s")
+      },
+      Some {
+        val rounds = (1 to 3).map { i =>
+          s"""it$i AS (SELECT tr.d AS s,
+             |    CAST(sum((pi${i - 1}.pv * tr.c) // tr.r) AS BIGINT) AS pv
+             |  FROM tr JOIN pi${i - 1} ON pi${i - 1}.s = tr.f GROUP BY 1),
+             |pi$i AS (SELECT st.s, coalesce(it$i.pv, 0) AS pv
+             |  FROM states st LEFT JOIN it$i ON it$i.s = st.s)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH t AS (
+           |  SELECT event_type AS dst_state,
+           |    lag(event_type, 1) OVER
+           |      (PARTITION BY user_id ORDER BY ts, event_id) AS src_state
+           |  FROM events),
+           |p AS (SELECT src_state, dst_state,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM t WHERE src_state IS NOT NULL GROUP BY 1, 2),
+           |tot AS (SELECT src_state, CAST(sum(cnt) AS BIGINT) AS src_total
+           |        FROM p GROUP BY 1),
+           |tr AS (SELECT p.src_state AS f, p.dst_state AS d, p.cnt AS c,
+           |    tot.src_total AS r
+           |  FROM p JOIN tot USING (src_state)),
+           |states AS (SELECT src_state AS s FROM p
+           |           UNION SELECT dst_state FROM p),
+           |pi0 AS (SELECT s, CAST(1000000 AS BIGINT) AS pv FROM states),
+           |$rounds
+           |SELECT s, CAST(pv AS BIGINT) AS pi_units
+           |FROM pi3 ORDER BY s""".stripMargin
+      },
+      "Markov stationary mix: 3 integer-unit power iterations, oracle-unrolled"),
+
     // DAU/MAU stickiness — the product-health scalar: average daily
     // distinct users over monthly distinct users. Exact distinct counts,
     // one integer-sum-over-days, two double divisions; the daily

@@ -305,6 +305,23 @@ object Scale {
             ms.select(col("v").cast("long").as("vq"), col("mid"),
               (col("mid") % 2).as("fa")),
             "fa", "vq", "mid").count()),
+        // two parity-alternating Louvain rounds from singleton seeds:
+        // loop-invariant frames build once, each round one
+        // neighbor-label join + argmax rollup — must track E at the
+        // fixed round count
+        "louvain_2rounds" -> (() =>
+          GraphOps.louvainCommunitiesRounds(e, "a", "b",
+            e.select(col("a").as("id")).distinct()
+              .withColumn("c", col("id")),
+            "id", "c", rounds = 2).count()),
+        // per-source token JS matrix: one token rollup (vocab ∝ n) +
+        // a C(G,2)-pair join over shared tokens with G fixed at 16
+        // (120 pairs × shared vocab) — the corpus-sized stage is the
+        // rollup, so the curve must track n at fixed G
+        "token_divergence" -> (() =>
+          TextOps.tokenDivergenceMatrix(
+            d.withColumn("src", pmod(col("doc_id"), lit(16))),
+            "src", "text").count()),
         // triangles: disjoint 3-cliques, degree <= 2 — wedge work per
         // node is O(1), so the two joins must track the edge count
         "triangle_counts" -> (() =>

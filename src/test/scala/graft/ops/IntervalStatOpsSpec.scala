@@ -721,6 +721,24 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     assert(e == ((2L, 4L, 4.0, 0.0, None)))
   }
 
+  test("markovStationaryUnits: hand iterates converge toward the stationary mix") {
+    import spark.implicits._
+    // P: a→b w.p. 1; b→{a,b} w.p. ½ each. Stationary = (⅓, ⅔).
+    // π0 = (u, u) → π1 = (u/2, 3u/2) → π2 = (3u/4, 5u/4)
+    //   → π3 = (5u/8, 11u/8) — exact integer divs at u = 10⁶
+    val tr = Seq(("a", "b", 2L), ("b", "a", 1L), ("b", "b", 1L))
+      .toDF("f", "t", "c")
+    val got = StatOps.markovStationaryUnits(tr, "f", "t", "c", iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 625000L, "b" -> 1375000L))
+    // a sink state receives mass but pushes none (dangling — mass
+    // truncates away, the pageRankUnits convention)
+    val sink = Seq(("a", "c", 1L)).toDF("f", "t", "c")
+    val s2 = StatOps.markovStationaryUnits(sink, "f", "t", "c", iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(s2 == Map("a" -> 0L, "c" -> 0L)) // round 1: c = u; round 2: gone
+  }
+
   test("cramerVonMises: textbook two-point case and exact doubled-rank model") {
     import spark.implicits._
     // A={1}, B={2}: U = 1·(1−1)² + 1·(2−1)² = 1 → u4 = 4,
