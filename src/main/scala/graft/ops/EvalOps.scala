@@ -580,6 +580,14 @@ object EvalOps {
     @annotation.tailrec
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     val L = (1 until maxRaters).foldLeft(1L)((acc, i) => acc / gcd(acc, i) * i)
+    // Per-unit term bound with DIVIDE-FIRST weighting (L div (m−1) is
+    // exact by construction): d_u·(L div (m_u−1)) ≤ m_u·L ≤ maxRaters·L.
+    // Reject configurations where even one term could wrap a long —
+    // found in review: the multiply-first form wrapped inside the
+    // documented [2, 42] range.
+    require(L <= Long.MaxValue / maxRaters,
+      s"krippendorffAlpha: maxRaters = $maxRaters puts the lcm-weighted " +
+        s"term bound ($maxRaters × $L) past 2^63 — use a smaller bound")
     val cells = df
       .groupBy(col(unitCol).as("_u"), col(labelCol).as("_c"))
       .agg(count(lit(1)).as("_nuc"))
@@ -595,12 +603,15 @@ object EvalOps {
               "ratings — raise maxRaters (lcm weighting is bounded); m_u = "),
             col("_mu").cast("string"))))
           .otherwise(expr(
-            s"((_mu * (_mu - 1L) - (_sq - _mu)) * ${L}L) div (_mu - 1L)"))
+            s"(_mu * (_mu - 1L) - (_sq - _mu)) * (${L}L div (_mu - 1L))"))
           .as("_do"))
       .stagePin() // two consumers: the scalar fold and the label semi join
+    // sum in DECIMAL, not long: per-unit terms are wrap-free (the
+    // require above) but their corpus sum is not
     val uTot = units.agg(sum("_mu").as("n"),
       count(lit(1)).as("n_units"),
-      sum("_do").cast("decimal(38,0)").as("do_num"))
+      sum(col("_do").cast("decimal(38,0)")).cast("decimal(38,0)")
+        .as("do_num"))
     val lTot = cells
       .join(units.select("_u"), Seq("_u"), "left_semi")
       .groupBy("_c").agg(sum("_nuc").as("_nc"))

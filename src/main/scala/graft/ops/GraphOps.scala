@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -1957,8 +1957,8 @@ object GraphOps {
       edges: DataFrame, aCol: String, bCol: String,
       landmarks: DataFrame, lmCol: String, maxHops: Int,
       unit: Long = 1000000L, maxSigma: Long = 1L << 21): DataFrame =
-    landmarkBrandesUnits(edges, aCol, bCol, landmarks, lmCol, maxHops,
-      unit, maxSigma)._1
+    brandesSweep(edges, aCol, bCol, landmarks, lmCol, maxHops,
+      unit, maxSigma, withEdges = false)._1
 
   /** Full landmark Brandes sweep — node AND edge betweenness from ONE
     * forward + one backward pass. The per-edge dependency terms are the
@@ -1981,11 +1981,37 @@ object GraphOps {
       landmarks: DataFrame, lmCol: String, maxHops: Int,
       unit: Long = 1000000L,
       maxSigma: Long = 1L << 21): (DataFrame, DataFrame) = {
+    val (nodes, edgesOpt) = brandesSweep(edges, aCol, bCol, landmarks,
+      lmCol, maxHops, unit, maxSigma, withEdges = true)
+    (nodes, edgesOpt.get)
+  }
+
+  /** The sweep behind both public forms. `withEdges = false` skips the
+    * per-edge frame entirely (node δ rolls up straight off the term
+    * projection and the h = 0 round never runs) — the node-only wrapper
+    * must not pay an E-sized rollup + pin for output it discards (found
+    * in review). Aggregated δ and the final score sums accumulate in
+    * DECIMAL(38,0) and are guarded BEFORE casting back to long: a long
+    * sum can wrap past 2⁶³ and land back under the ceiling, silently
+    * passing the guard (also found in review). */
+  private def brandesSweep(
+      edges: DataFrame, aCol: String, bCol: String,
+      landmarks: DataFrame, lmCol: String, maxHops: Int,
+      unit: Long, maxSigma: Long,
+      withEdges: Boolean): (DataFrame, Option[DataFrame]) = {
     require(maxHops >= 1, s"landmarkBrandesUnits: maxHops must be >= 1, got $maxHops")
     require(unit > 0, s"landmarkBrandesUnits: unit must be > 0, got $unit")
     require(maxSigma >= 1 && unit < Long.MaxValue / maxSigma,
       s"landmarkBrandesUnits: unit × maxSigma must stay below 2^63")
     val deltaCeil = Long.MaxValue / maxSigma - unit
+    def guardedLong(c: Column, what: String): Column =
+      when(c > lit(deltaCeil).cast("decimal(38,0)"),
+        raise_error(concat(
+          lit(s"landmarkBrandesUnits: $what exceeds the overflow-safe " +
+            s"ceiling $deltaCeil — shrink maxHops, unit, or the landmark " +
+            "set; value = "),
+          c.cast("string"))))
+        .otherwise(coalesce(c, lit(0L).cast("decimal(38,0)"))).cast("long")
     val (e, rounds) =
       sigmaWaves(edges, aCol, bCol, landmarks, lmCol, maxHops, maxSigma)
     // Deepest wave: nothing below it, δ = 0 by definition.
@@ -1994,13 +2020,14 @@ object GraphOps {
       .stagePin()
     val scored = scala.collection.mutable.Buffer(deeper)
     val edgeTerms = scala.collection.mutable.Buffer.empty[DataFrame]
-    for (h <- (maxHops - 1) to 0 by -1) {
+    val lastHop = if (withEdges) 0 else 1
+    for (h <- (maxHops - 1) to lastHop by -1) {
       val wave = rounds(h)
       // Predecessor relation: (v at h) —edge→ (w at h+1). The inner join
       // against `deeper` selects exactly dist-(h+1) neighbors, so shared
       // edges to same-depth or shallower nodes contribute nothing —
       // Brandes' pred(w) = {v : dist(v) = dist(w) − 1, (v,w) ∈ E}.
-      val terms = wave
+      val termsRaw = wave
         .join(e, wave("id") === e("src"))
         .select(col("lm"), wave("id").as("id"), col("sigma"),
           col("dst").as("_w"))
@@ -2008,39 +2035,41 @@ object GraphOps {
           col("sigma").as("_sw"), col("delta").as("_dw")), Seq("lm", "_w"))
         .select(col("lm"), col("id"), col("sigma"), col("_w"),
           expr(s"(sigma * (${unit}L + _dw)) div _sw").as("_t"))
-        .stagePin() // two consumers: the edge rollup and the node δ
-      edgeTerms += terms
-        .select(least(col("id"), col("_w")).as("u"),
-          greatest(col("id"), col("_w")).as("v"), col("_t"))
+      // pin only when the edge rollup is a second consumer
+      val terms = if (withEdges) termsRaw.stagePin() else termsRaw
+      if (withEdges)
+        edgeTerms += terms
+          .select(least(col("id"), col("_w")).as("u"),
+            greatest(col("id"), col("_w")).as("v"), col("_t"))
       // h = 0 exists only for its out-edge terms: the source's δ is
       // never reported (Brandes excludes v = s) and feeds no round.
       if (h >= 1) {
         val deltas = terms.groupBy("lm", "id", "sigma")
-          .agg(sum("_t").as("_d"))
+          .agg(sum(col("_t").cast("decimal(38,0)")).as("_d"))
         // Depth-h nodes with no deeper neighbor are leaves of the
         // shortest-path DAG: δ = 0, but they still belong in the output.
         deeper = wave.select(col("lm"), col("id"), col("sigma"))
           .join(deltas, Seq("lm", "id", "sigma"), "left_outer")
           .select(col("lm"), col("id"), col("sigma"),
-            when(col("_d") > lit(deltaCeil),
-              raise_error(concat(
-                lit(s"landmarkBrandesUnits: dependency exceeds the " +
-                  s"overflow-safe ceiling $deltaCeil at hop $h — shrink " +
-                  "maxHops, unit, or the landmark set; delta = "),
-                col("_d").cast("string"))))
-              .otherwise(coalesce(col("_d"), lit(0L))).as("delta"))
+            guardedLong(col("_d"), s"dependency at hop $h").as("delta"))
           .stagePin()
         scored += deeper
       }
     }
     val nodeOut = scored.reduce(_ unionByName _)
       .groupBy("id")
-      .agg(sum("delta").as("bw_units"))
+      .agg(sum(col("delta").cast("decimal(38,0)")).as("_bw"))
+      .select(col("id"), guardedLong(col("_bw"), "node score").as("bw_units"))
       .stagePin()
-    val edgeOut = edgeTerms.reduce(_ unionByName _)
-      .groupBy("u", "v")
-      .agg(sum("_t").as("eb_units"))
-      .stagePin()
+    val edgeOut =
+      if (withEdges)
+        Some(edgeTerms.reduce(_ unionByName _)
+          .groupBy("u", "v")
+          .agg(sum(col("_t").cast("decimal(38,0)")).as("_eb"))
+          .select(col("u"), col("v"),
+            guardedLong(col("_eb"), "edge score").as("eb_units"))
+          .stagePin())
+      else None
     e.unpersist()
     (nodeOut, edgeOut)
   }
@@ -2222,6 +2251,10 @@ object GraphOps {
             (col(s"_n$k") * (col(s"_n$k") - 1L)).cast("double"))
           .as("phi"))
     }.reduce(_ unionByName _)
+      // empty graph: the global aggregates still emit one all-null row
+      // per k — drop them so the result matches a per-k rollup's (and
+      // the oracle's) zero rows
+      .filter(col("n_nodes").isNotNull)
   }
 
   /** Hill maximum-likelihood exponent of the degree tail — α = 1 +

@@ -465,11 +465,16 @@ object StatOps {
           col("n_b").cast("decimal(38,0)") * col("_sb"))
           .cast("decimal(38,0)").as("u4"))
       .withColumn("t_stat",
+        // denominators multiply in DOUBLE: the long product
+        // 4·n_a·n_b·N wraps past ~2M rows (found in review) — doubles
+        // are overflow-free and each factor is an exact integer, so
+        // both engines still reproduce the same IEEE product
         col("u4").cast("double") /
-          (lit(4L) * col("n_a") * col("n_b") *
-            (col("n_a") + col("n_b"))).cast("double") -
-          (lit(4L) * col("n_a") * col("n_b") - lit(1L)).cast("double") /
-            (lit(6L) * (col("n_a") + col("n_b"))).cast("double"))
+          (lit(4.0) * col("n_a").cast("double") * col("n_b").cast("double") *
+            (col("n_a") + col("n_b")).cast("double")) -
+          (lit(4.0) * col("n_a").cast("double") * col("n_b").cast("double") -
+            lit(1.0)) /
+            (lit(6.0) * (col("n_a") + col("n_b")).cast("double")))
   }
 
   /** Pettitt changepoint test per key — the rank-based (distribution-free)

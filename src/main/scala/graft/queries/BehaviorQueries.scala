@@ -1176,9 +1176,10 @@ object BehaviorQueries {
            |SELECT n_a, n_b,
            |  CAST(n_a * sa + n_b * sb AS DECIMAL(38,0)) AS u4,
            |  CAST(CAST(n_a * sa + n_b * sb AS DECIMAL(38,0)) AS DOUBLE) /
-           |    CAST(4 * n_a * n_b * (n_a + n_b) AS DOUBLE) -
-           |  CAST(4 * n_a * n_b - 1 AS DOUBLE) /
-           |    CAST(6 * (n_a + n_b) AS DOUBLE) AS t_stat
+           |    (4.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) *
+           |     CAST(n_a + n_b AS DOUBLE)) -
+           |  (4.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) - 1.0) /
+           |    (6.0 * CAST(n_a + n_b AS DOUBLE)) AS t_stat
            |FROM s""".stripMargin
       },
       "Cramer-von Mises two-sample: L2 CDF distance, doubled ranks, DECIMAL u4"),

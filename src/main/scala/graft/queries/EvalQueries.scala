@@ -401,7 +401,7 @@ object EvalQueries {
              |    sum(nuc * nuc) AS sq
              |  FROM cells GROUP BY 1 HAVING sum(nuc) >= 2),
              |du AS (SELECT unit, mu,
-             |    ((mu * (mu - 1) - (sq - mu)) * 27720) // (mu - 1) AS do_u
+             |    (mu * (mu - 1) - (sq - mu)) * (27720 // (mu - 1)) AS do_u
              |  FROM units),
              |ut AS (SELECT CAST(sum(mu) AS BIGINT) AS n,
              |    CAST(count(*) AS BIGINT) AS n_units,

@@ -172,40 +172,60 @@ object GraphQueries {
       GraphOps.stronglyConnectedComponents(sccTradeGraph(s, d), "src", "dst")
     }
 
+  /** Size-bounded LRU memo for the shared-sweep gate frames. Unlike
+    * [[graft.ops.BoundedDfCache]] (persisted frames, unpersist-on-evict)
+    * these hold stagePinned (localCheckpoint) frames whose blocks the
+    * ContextCleaner reclaims once the frame becomes UNREACHABLE — so
+    * eviction only needs to drop the reference, but the map must be
+    * bounded or a long-lived JVM touching many (session, corpus) keys
+    * pins one sweep's blocks per key forever (found in review: the
+    * unbounded map held exactly the strong refs the cleaner waits on).
+    * Building runs inside the lock; the consumers per cache are
+    * sequential gate executions, so nothing queues behind it. */
+  private final class BoundedMemo[K, V](max: Int) {
+    private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        size() > max
+    }
+    def getOrElseUpdate(k: K)(make: => V): V = synchronized {
+      val cur = m.get(k)
+      if (cur != null) cur else { val v = make; m.put(k, v); v }
+    }
+  }
+
   /** One landmark-Brandes sweep shared by the node- and edge-betweenness
     * gates ([[GraphOps.landmarkBrandesUnits]] returns both from a single
     * forward+backward pass; memoizing the pair means the waves run once
-    * per corpus, not once per gate). Frames are stagePinned blocks the
-    * ContextCleaner reclaims when the session drops them. */
-  private val brandesCache = new java.util.concurrent.ConcurrentHashMap[
+    * per corpus, not once per gate). */
+  private val brandesCache = new BoundedMemo[
     (org.apache.spark.sql.SparkSession, String),
-    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](4)
 
   private def brandesPair(
       s: org.apache.spark.sql.SparkSession, d: String) =
-    brandesCache.computeIfAbsent((s, d), { case (s, d) =>
+    brandesCache.getOrElseUpdate((s, d)) {
       GraphOps.landmarkBrandesUnits(tradeEdges(s, d), "src", "dst",
         T(s, d, "supplier").filter(col("s_nationkey") === 0)
           .select((col("s_suppkey") * 2 + 1).as("id")),
         "id", maxHops = 3)
-    })
+    }
 
   /** One landmark σ/dist sweep shared by `graph_path_counts` and
     * `graph_effective_diameter` — same memoization discipline as
     * [[brandesPair]]: the BFS runs once per corpus, consumers read the
     * pinned waves. */
-  private val pathCountCache = new java.util.concurrent.ConcurrentHashMap[
+  private val pathCountCache = new BoundedMemo[
     (org.apache.spark.sql.SparkSession, String),
-    org.apache.spark.sql.DataFrame]()
+    org.apache.spark.sql.DataFrame](4)
 
   private def tradePathCounts(
       s: org.apache.spark.sql.SparkSession, d: String) =
-    pathCountCache.computeIfAbsent((s, d), { case (s, d) =>
+    pathCountCache.getOrElseUpdate((s, d)) {
       GraphOps.landmarkPathCounts(tradeEdges(s, d), "src", "dst",
         T(s, d, "supplier").filter(col("s_nationkey") === 0)
           .select((col("s_suppkey") * 2 + 1).as("id")),
         "id", maxHops = 3)
-    })
+    }
 
   private def buildIncrementalLabels(
       s: org.apache.spark.sql.SparkSession, d: String) = {
@@ -891,6 +911,9 @@ object GraphQueries {
           .select(col("n_pairs"), col("p90_hops"), col("max_hops"),
             (col("_dsum").cast("double") / col("n_pairs").cast("double"))
               .as("mean_hops"))
+          // empty landmark reach: the global agg still emits one
+          // all-null row where the oracle's grouped form emits none
+          .filter(col("n_pairs").isNotNull)
       },
       Some("""WITH RECURSIVE eu AS (
              |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
