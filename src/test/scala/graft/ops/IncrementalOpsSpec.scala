@@ -199,4 +199,47 @@ class IncrementalOpsSpec extends AnyFunSuite {
       .collect().toSet
     assert(again == got, "compaction must be idempotent")
   }
+
+  test("scd2Compact == scalar run-merge model on random histories") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2024)
+    def ts(day: Int) = new java.sql.Timestamp(day.toLong * 86400000L)
+    // random histories: per key, 1-6 chronological versions; each next
+    // version starts AT the previous end (adjacent) or after a gap;
+    // attrs drawn from a 2-letter alphabet so identical-adjacent runs
+    // are common; the last version is open with probability ~1/2
+    val rows = (1L to 25L).flatMap { k =>
+      var day = rnd.nextInt(5)
+      val n = 1 + rnd.nextInt(6)
+      (1 to n).map { i =>
+        val from = day
+        val dur = 1 + rnd.nextInt(4)
+        day = from + dur + (if (rnd.nextBoolean()) 0 else 1 + rnd.nextInt(3))
+        val open = i == n && rnd.nextBoolean()
+        (k, if (rnd.nextBoolean()) "a" else "b", ts(from),
+          if (open) null else ts(from + dur))
+      }
+    }
+    val dim = rows.toDF("k", "attr", "valid_from", "valid_to")
+    // scalar model: sort by valid_from, merge where attrs equal AND
+    // prev end == next start (an open prev can never be mid-history
+    // here by construction)
+    val oracle = rows.groupBy(_._1).flatMap { case (k, vs) =>
+      val sorted = vs.sortBy(_._3.getTime)
+      val runs = sorted.foldLeft(
+        Vector.empty[(String, java.sql.Timestamp, java.sql.Timestamp)]) {
+        case (acc, (_, a, f, t)) =>
+          acc.lastOption match {
+            case Some((pa, pf, pt)) if pa == a && pt != null && pt == f =>
+              acc.init :+ ((pa, pf, t))
+            case _ => acc :+ ((a, f, t))
+          }
+      }
+      runs.map { case (a, f, t) => (k, a, f, Option(t)) }
+    }.toSet
+    val got = IncrementalOps.scd2Compact(dim, Seq("k"), Seq("attr"))
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().toSet
+    assert(got == oracle)
+  }
 }

@@ -387,4 +387,48 @@ class TextOpsSpec extends AnyFunSuite {
     // divergent pairs are strictly positive
     assert(got(("a", "b"))._4 > 0.0 && got(("b", "c"))._4 > 0.0)
   }
+
+  test("tokenDivergenceMatrix: random corpora match the model and respect JS bounds") {
+    import spark.implicits._
+    import graft.expr.PortableLnRatio.{compute, Ln2}
+    val unit = 1000000000.0
+    val rnd = new scala.util.Random(5150)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val docs = (1 to 60).map { i =>
+      val g = s"g${i % 3}"
+      val toks = Seq.fill(3 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+      (g, toks.mkString(" "))
+    }
+    val cnt = docs.groupBy(_._1).map { case (g, ds) =>
+      g -> ds.flatMap(_._2.split(" +")).groupBy(identity)
+        .map { case (t, xs) => t -> xs.size.toLong }
+    }
+    val model = (for {
+      ga <- cnt.keys; gb <- cnt.keys if ga < gb
+      shared = cnt(ga).keySet.intersect(cnt(gb).keySet) if shared.nonEmpty
+    } yield {
+      val (na, nb) = (cnt(ga).values.sum, cnt(gb).values.sum)
+      def tp(ca: Long, cb: Long, n1: Long, n2: Long) =
+        math.floor(ca.toDouble / n1.toDouble *
+          compute(2 * ca * n2, ca * n2 + cb * n1) * unit).toLong
+      val jp0 = shared.toSeq.map(t => tp(cnt(ga)(t), cnt(gb)(t), na, nb)).sum
+      val jq0 = shared.toSeq.map(t => tp(cnt(gb)(t), cnt(ga)(t), nb, na)).sum
+      def excl(n: Long, sh: Long) =
+        math.floor((n - sh).toDouble / n.toDouble * Ln2 * unit).toLong
+      val jp = jp0 + excl(na, shared.toSeq.map(cnt(ga)).sum)
+      val jq = jq0 + excl(nb, shared.toSeq.map(cnt(gb)).sum)
+      (ga, gb) -> ((shared.size.toLong, jp, jq,
+        (jp + jq).toDouble / (2.0 * unit)))
+    }).toMap
+    val got = TextOps.tokenDivergenceMatrix(
+        docs.toDF("src", "text"), "src", "text")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got == model)
+    // JS bounds on the nanat grid: 0 − quantization slack ≤ jsd ≤ ln 2
+    got.values.foreach { case (nShared, _, _, jsd) =>
+      assert(jsd >= -(nShared + 2) / unit && jsd <= Ln2 + 1e-9,
+        s"jsd out of bounds: $jsd")
+    }
+  }
 }
