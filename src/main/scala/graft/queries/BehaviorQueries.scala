@@ -385,6 +385,42 @@ object BehaviorQueries {
              |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin),
       "per-user interval coverage: exact covered/span microseconds off the merged islands"),
 
+    // PEAK CONCURRENCY across all activity windows — the capacity
+    // question ("how many sessions were live at the worst instant"):
+    // classic ±1 sweep, ends sorting before starts at the same instant
+    // ([s, e) semantics ride the (t, d) order with d = −1 < +1), the
+    // running sum via the range-staged [[graft.ops.StatOps.globalRunningSums]]
+    // — never a single-partition window — and ONE struct-max aggregate
+    // picks (peak, earliest instant) deterministically.
+    Q(
+      "interval_max_overlap",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val pts = ev.select(col("ts").as("t"), lit(1L).as("d"),
+            col("event_id"))
+          .unionByName(ev.select(
+            (col("ts") + expr("INTERVAL 5 MINUTES")).as("t"),
+            lit(-1L).as("d"), col("event_id")))
+        graft.ops.StatOps.globalRunningSums(pts,
+            Seq(col("t"), col("d"), col("event_id")), Seq("d" -> "c"))
+          .agg(max(struct(col("c"),
+            (-unix_micros(col("t"))).as("negt"))).as("_b"))
+          .select(col("_b.c").as("peak_concurrency"),
+            timestamp_micros(-col("_b.negt")).as("peak_at"))
+      },
+      Some("""WITH pts AS (
+             |  SELECT ts AS t, CAST(1 AS BIGINT) AS d, event_id FROM events
+             |  UNION ALL
+             |  SELECT ts + INTERVAL 5 MINUTE, CAST(-1 AS BIGINT), event_id
+             |  FROM events),
+             |cum AS (SELECT t, d,
+             |    SUM(d) OVER (ORDER BY t, d, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+             |  FROM pts)
+             |SELECT CAST(c AS BIGINT) AS peak_concurrency, t AS peak_at
+             |FROM cum ORDER BY c DESC, t ASC LIMIT 1""".stripMargin),
+      "peak concurrent activity: +/-1 sweep on the range-staged global running sum"),
+
     // WINDOWED funnel: view → click → purchase where every later step
     // must land within 7 days of the anchor view — the product-real
     // funnel (an unbounded funnel credits a purchase months after the

@@ -31,6 +31,46 @@ object CorpusQueries {
              |ORDER BY doc_id""".stripMargin),
       "deterministic Bernoulli sample: salted md5 threshold, re-run stable"),
 
+    // Horvitz–Thompson total estimation under a TWO-RATE systematic
+    // design: even doc_ids sampled at exactly 1/2 (id ≡ 0 mod 4 among
+    // evens), odd at exactly 1/5 (id ≡ 5 mod 10 among odds) — inclusion
+    // probabilities exact by construction, so the estimator
+    // Σ_kept v/π = Σ v·w is pure integer arithmetic and the gate pins
+    // the whole unequal-probability-estimation workflow (sample small,
+    // estimate the full-corpus total, read the relative error).
+    Q(
+      "corpus_ht_estimate",
+      (s, d) => {
+        val doc = T(s, d, "documents")
+        val kept = doc
+          .filter((col("doc_id") % 2 === 0 && col("doc_id") % 4 === 0) ||
+            (col("doc_id") % 2 =!= 0 && col("doc_id") % 5 === 0))
+          .select(col("n_chars"),
+            when(col("doc_id") % 2 === 0, 2L).otherwise(5L).as("w"))
+        val est = kept.agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars") * col("w")).as("ht_estimate"))
+        val truth = doc.agg(sum("n_chars").as("true_total"))
+        est.crossJoin(broadcast(truth)) // 1×1 scalar cross (declared)
+          .withColumn("rel_error",
+            (col("ht_estimate") - col("true_total")).cast("double") /
+              col("true_total").cast("double"))
+      },
+      Some("""WITH kept AS (
+             |  SELECT n_chars,
+             |    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 5 END AS w
+             |  FROM documents
+             |  WHERE (doc_id % 2 = 0 AND doc_id % 4 = 0)
+             |     OR (doc_id % 2 <> 0 AND doc_id % 5 = 0)),
+             |e AS (SELECT CAST(count(*) AS BIGINT) AS n_kept,
+             |    CAST(sum(n_chars * w) AS BIGINT) AS ht_estimate FROM kept),
+             |t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS true_total
+             |      FROM documents)
+             |SELECT n_kept, ht_estimate, true_total,
+             |  CAST(ht_estimate - true_total AS DOUBLE) /
+             |    CAST(true_total AS DOUBLE) AS rel_error
+             |FROM e, t""".stripMargin),
+      "Horvitz-Thompson total under a two-rate systematic design: exact integer v/pi"),
+
     // Weighted deterministic sample: weight = 1 + n_chars DIV 100 capped
     // at 8, each doc's priority = min of `weight` salted hashes, global
     // 200 smallest win (CorpusOps.weightedSampleTopK — TakeOrdered, no

@@ -54,6 +54,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "graph_louvain_move", "graph_louvain_rounds",
       // 1x1 scalar cross of the edge-threshold and node-threshold folds
       "graph_rich_club",
+      // 1x1 scalar cross of the HT-estimate fold with the truth fold
+      "corpus_ht_estimate",
       // IVF recall reruns the ivf pipeline (nlist-row centroid cross)
       "sim_ivf_recall",
       // 1-row total broadcast onto the <=maxHops-row distance histogram
