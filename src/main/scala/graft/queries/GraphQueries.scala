@@ -1264,6 +1264,44 @@ object GraphQueries {
       },
       "Hill MLE power-law exponent of the degree tail: histogram-ordered portable-ln fold"),
 
+    // Reciprocity of the DIRECTED trade graph (the SCC fixture — the
+    // deterministic "trades back" subset makes the number meaningful):
+    // what share of directed edges has its reverse present — the
+    // one-scalar mutuality readout beside the SCC decomposition. One
+    // distinct edge frame, one self semi-join on the swapped key, two
+    // exact counts into one division.
+    Q(
+      "graph_reciprocity",
+      (s, d) => {
+        val e = sccTradeGraph(s, d).distinct()
+        val recip = e.join(
+          e.select(col("dst").as("src"), col("src").as("dst")),
+          Seq("src", "dst"), "left_semi")
+        e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(
+            recip.agg(count(lit(1)).as("n_reciprocal")))) // 1×1 (declared)
+          .withColumn("reciprocity",
+            col("n_reciprocal").cast("double") / col("n_edges").cast("double"))
+      },
+      Some("""WITH eu AS (
+             |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |  WHERE o_custkey % 17 = l_suppkey % 17),
+             |edges AS (SELECT src, dst FROM eu
+             |  UNION
+             |  SELECT dst AS src, src AS dst FROM eu
+             |  WHERE (src + dst) % 5 = 0),
+             |r AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+             |  FROM edges a
+             |  WHERE EXISTS (SELECT 1 FROM edges b
+             |                WHERE b.src = a.dst AND b.dst = a.src)),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+             |SELECT n.n_edges, r.n_reciprocal,
+             |  CAST(r.n_reciprocal AS DOUBLE) / CAST(n.n_edges AS DOUBLE)
+             |    AS reciprocity
+             |FROM n, r""".stripMargin),
+      "directed-edge reciprocity: swapped-key semi join, one exact ratio"),
+
     // STRONGLY connected components over a directed trade graph with
     // cycles ([[GraphOps.stronglyConnectedComponents]]): forward
     // customer→supplier edges restricted to the region diagonal

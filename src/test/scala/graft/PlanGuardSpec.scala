@@ -56,6 +56,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "graph_rich_club",
       // 1x1 scalar cross of the HT-estimate fold with the truth fold
       "corpus_ht_estimate",
+      // 1x1 scalar cross of the edge count with the reciprocal count
+      "graph_reciprocity",
       // IVF recall reruns the ivf pipeline (nlist-row centroid cross)
       "sim_ivf_recall",
       // 1-row total broadcast onto the <=maxHops-row distance histogram
