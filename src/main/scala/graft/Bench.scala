@@ -88,7 +88,16 @@ object Bench {
     // masquerade as a fast query.
     // Collect warmup debt before measuring — two untimed passes leave
     // shuffle/broadcast garbage that would otherwise land in pass 1.
-    System.gc()
+    // Sweep-output memos (Brandes/σ-dist/SCC) are dropped before EVERY
+    // timed pass: within a pass the first gate of each sharing pair pays
+    // the sweep and its twin reads the pin — the production semantics —
+    // but a memo warm from the previous pass would turn best-of-3 into
+    // a pinned-frame read (round-12 review finding).
+    def resetMemos(): Unit = {
+      graft.queries.GraphQueries.clearSweepMemos()
+      System.gc()
+    }
+    resetMemos()
 
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
@@ -102,8 +111,8 @@ object Bench {
     }
     // Force full GC between passes so collection debt from pass N lands
     // in the gap, not on a random query in pass N+1 (median noise).
-    val p1 = pass(); System.gc()
-    val p2 = pass(); System.gc()
+    val p1 = pass(); resetMemos()
+    val p2 = pass(); resetMemos()
     val p3 = pass()
     val results = p1.map { case (k, v) =>
       k -> math.min(v, math.min(p2(k), p3(k)))

@@ -37,12 +37,21 @@ object Verify {
           "which only matches UTF-8 bytes for ASCII — extend the oracle to " +
           "byte-level (or re-scope the hash gates) before gating this corpus")
     }
+    // Per-gate OUTPUT SCHEMA sentinel: any hasher-sensitive type that
+    // reaches the driver seam (decimal, array, map, timestamp_ntz — the
+    // round-1 e5_casts and round-12 u4/do_num false-green classes) must be
+    // visible in the artifact the driver diffs, not only in a local pandas
+    // view that silently normalizes it away. tools/check.py consumes this.
+    val schemas = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, String)]]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        schemas(name) = df.schema.fields.toSeq
+          .map(f => f.name -> f.dataType.catalogString)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -62,6 +71,12 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val schemaJson = schemas
+      .map { case (g, fields) =>
+        s"${q(g)}: ${fields.map { case (n, t) => s"${q(n)}: ${q(t)}" }
+          .mkString("{", ",", "}")}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/schemas.json"), schemaJson)
     spark.stop()
   }
 }

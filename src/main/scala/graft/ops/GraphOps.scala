@@ -164,13 +164,14 @@ object GraphOps {
     *     their edges without settling are therefore singletons, swept
     *     up at the end as `scc = id`.
     *
-    * Scale: per label round one edge-sized equi-join + one node rollup,
-    * convergence observe-fused onto the round's pin (one action per
-    * round); the active edge frame re-pins per pass. Like every BSP SCC
-    * engine, rounds are bounded by reach-tree depth and peel passes by
-    * SCC-chain depth — `maxRoundsPerFix`/`maxPasses` fail fast with the
-    * honest message instead of looping, since there is no
-    * star-contraction-style rescue for directed mutual reachability.
+    * Scale: per label round one edge-sized equi-join + one node rollup
+    * (plus a node-sized shortcut leg), convergence observe-fused onto
+    * the round's pin (one action per round); the active edge frame
+    * re-pins per pass. Label SHORTCUTTING (lab(lab(v)) joins each
+    * round's candidates — sound because lab(v) always reaches v) makes
+    * the fixpoint O(log diameter)-ish instead of reach-tree-depth, the
+    * directed analog of the undirected path's starContraction rescue;
+    * `maxRoundsPerFix`/`maxPasses` remain as fail-fast backstops.
     *
     * Self-loops are dropped (they never change an SCC). Nodes appear in
     * the output iff they appear in `edges` (the [[connectedComponents]]
@@ -185,9 +186,23 @@ object GraphOps {
     require(maxPasses >= 1 && maxRoundsPerFix >= 1,
       s"stronglyConnectedComponents: bad bounds ($maxPasses, $maxRoundsPerFix)")
 
-    // one directed min-label fixpoint: lab(v) = min(v, min_{u→v} lab(u))
+    // one directed min-label fixpoint WITH LABEL SHORTCUTTING:
+    //   lab'(v) = min(lab(v), min_{u→v} lab(u), lab(lab(v)))
     // — the connectedComponents round (own-label union trick, change
-    // count riding the pin) with the flow restricted to edge direction
+    // count riding the pin) with the flow restricted to edge direction,
+    // PLUS a pointer-jumping leg: the invariant "lab(v) reaches v" makes
+    // the derived edge lab(v)→v reachability-sound (lab(u) reaches u→v;
+    // lab(lab(v)) reaches lab(v) reaches v), so each round a label can
+    // jump through its label's label and the covered in-radius roughly
+    // DOUBLES instead of growing by one hop. Same fixpoint (min id over
+    // the full in-reach set — uniqueness is the invariant + stability),
+    // O(log diameter)-ish rounds: the directed analog of the
+    // propagation→starContraction rescue the undirected path has, so a
+    // crawl-frontier / citation-DAG-shaped graph with a 1000-deep
+    // directed chain converges under the default bounds instead of
+    // aborting. The shortcut leg is node-sized (cheaper than the main
+    // O(E) leg); near convergence it stars on the component min — the
+    // AQE skew-join regime, same as every min-label CC engine here.
     def minLabelFix(ed: DataFrame, nodes: DataFrame): DataFrame = {
       var labs = nodes.select(col("id"), col("id").as("lab")).stagePin()
       var changed = 1L
@@ -195,10 +210,13 @@ object GraphOps {
       while (changed > 0) {
         require(round < maxRoundsPerFix,
           s"stronglyConnectedComponents: min-label fixpoint exceeded " +
-            s"$maxRoundsPerFix rounds (reach-tree depth too large — raise " +
-            "maxRoundsPerFix)")
+            s"$maxRoundsPerFix rounds despite label shortcutting — raise " +
+            "maxRoundsPerFix")
+        val edAug = ed.union(
+          labs.filter(col("lab") =!= col("id"))
+            .select(col("lab").as("u"), col("id").as("v")))
         val obs = Observation()
-        labs = ed
+        labs = edAug
           .join(labs.withColumnRenamed("id", "u"), "u")
           .select(col("v").as("id"), col("lab"),
             lit(null).cast("long").as("prev"))
@@ -761,7 +779,6 @@ object GraphOps {
       .distinct()
       .repartition(col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var scores = nodes.select(col("id"), lit(unit).as("c"))
     // Runtime teeth for the documented 2^63 growth bound: Spark's
     // non-ANSI long sum would wrap SILENTLY in the overflow regime
     // while DuckDB's HUGEINT promotion errors on the BIGINT cast — the
@@ -770,16 +787,49 @@ object GraphOps {
     // itself can wrap before any predicate sees it), so the invariant is
     // inductive on the per-node SCORE: if every score ≤ safeCeil =
     // (2^63−1−unit)/alphaNum/d_max, next round's sum ≤ d_max·safeCeil
-    // fits a long, α·s fits, and +unit fits. d_max is one edge-scan at
-    // setup, against the persisted edge frame the rounds reuse anyway.
-    val dMaxRow = e.groupBy("dst").agg(count(lit(1)).as("d"))
-      .agg(max(col("d")).as("m")).head()
-    val dMax = if (dMaxRow.isNullAt(0)) 1L else math.max(1L, dMaxRow.getLong(0))
+    // fits a long, α·s fits, and +unit fits.
+    //
+    // d_max costs NO extra action (round-12 review: the old head() probe
+    // added a full O(E) shuffle job and +26% on graph_katz): at round 1
+    // every score is the seed `unit`, so the neighbor sum is exactly
+    // unit·indeg(dst) — round 1 IS the in-degree rollup (count, which
+    // cannot wrap, instead of a sum that can), and d_max rides its pin
+    // as an observe metric, the [[corenessDecomposition]] seed-reclaim
+    // trick. Round 1's own wrap guard needs no d_max: it raises on any
+    // in-degree past 2^63/(unit·alphaNum) BEFORE forming the product.
+    val dWrapCeil = Long.MaxValue / unit / alphaNum
+    val seedObs = org.apache.spark.sql.Observation()
+    var scores = nodes
+      .join(e.groupBy("dst").agg(count(lit(1)).as("_d"))
+          .withColumnRenamed("dst", "id"),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("_d"), lit(0L)).as("_d"))
+      .select(col("id"), col("_d"),
+        when(col("_d") > lit(dWrapCeil),
+          raise_error(concat(
+            lit(s"katzUnits: in-degree exceeds the 2^63-safe bound " +
+              s"$dWrapCeil for unit=$unit, alpha=$alphaNum/$alphaDen — " +
+              "lower unit or alpha; in-degree = "),
+            col("_d").cast("string"))))
+          .otherwise(lit(unit) +
+            expr(s"(${alphaNum}L * (${unit}L * _d)) div ${alphaDen}L"))
+          .as("c"))
+      .observe(seedObs, coalesce(max(col("_d")), lit(0L)).as("dmax"))
+      .select("id", "c")
+      .stagePin() // materializes e + nodes into their persist caches too
+    val dMax = math.max(1L, seedObs.get("dmax").asInstanceOf[Long])
     val safeCeil = (Long.MaxValue - unit) / alphaNum / dMax
-    require(unit <= safeCeil,
-      s"katzUnits: unit=$unit already exceeds the overflow-safe score " +
-        s"ceiling $safeCeil for alpha=$alphaNum/$alphaDen, d_max=$dMax")
-    var round = 0
+    // the round-1 maximum score, exact in BigInt: the induction premise
+    // for round 2 (every later round's in-plan guard assumes its INPUT
+    // scores already sit under safeCeil)
+    val maxScore1 = BigInt(unit) +
+      (BigInt(alphaNum) * BigInt(unit) * BigInt(dMax)) / BigInt(alphaDen)
+    require(maxScore1 <= safeCeil,
+      s"katzUnits: round-1 score bound $maxScore1 exceeds the " +
+        s"overflow-safe ceiling $safeCeil for alpha=$alphaNum/$alphaDen, " +
+        s"unit=$unit, d_max=$dMax — lower unit or alpha (documented " +
+        "bound: unit*(alphaNum*d_max/alphaDen)^iters < 2^63)")
+    var round = 1
     while (round < iters) {
       val contrib = e
         .join(scores.withColumnRenamed("id", "src"), "src")
@@ -2092,8 +2142,10 @@ object GraphOps {
     * rather than merge in one round — callers iterate, as with
     * [[labelPropagationCommunities]], and feed rounds into
     * [[modularity]] to accept/stop. Per round: one degree rollup, one
-    * neighbor-label join (O(E)), a community-domain broadcast, one
-    * argmax rollup — no corpus-global state.
+    * neighbor-label join (O(E)), an un-hinted community-totals equi-join
+    * (AQE broadcasts it when it fits; identity seeding makes it
+    * node-sized, so it must never be force-broadcast), one argmax
+    * rollup — no corpus-global state.
     *
     * Integer bound: 2m·k_{v,c} ≤ 2m·d_max — widen to DECIMAL past
     * ~10¹⁴ edge-degree product (documented, not guarded: the score is
@@ -2152,7 +2204,13 @@ object GraphOps {
     cand
       .join(lab, Seq("id"))
       .join(deg.select(col("u").as("id"), col("deg").as("kv")), Seq("id"))
-      .join(broadcast(tot.select(col("c0").as("c"), col("tot"))), Seq("c"))
+      // NO broadcast hint on tot: it is community-domain-sized, which is
+      // NODE-sized under identity seeding (the classic Louvain init) — a
+      // forced broadcast of a ~1B-row frame kills the driver at 100×. The
+      // [[keepClusterRepresentatives]] discipline applies: leave the
+      // equi-join un-hinted and let AQE broadcast when it actually fits
+      // (it always does at nation-seeded gate scale, 25 rows).
+      .join(tot.select(col("c0").as("c"), col("tot")), Seq("c"))
       .crossJoin(broadcast(m)) // 1-row edge count (declared)
       .select(col("id"), col("c0"), col("c"),
         (lit(2L) * col("m") * col("kvc") -
@@ -2220,6 +2278,11 @@ object GraphOps {
       edges: DataFrame, aCol: String, bCol: String,
       ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty, "richClubCoefficients: ks must be non-empty")
+    // duplicate thresholds would generate duplicate _e$k/_n$k aggregate
+    // column names and die at analysis time with an opaque message
+    require(ks.distinct.size == ks.size,
+      s"richClubCoefficients: duplicate thresholds in ks: " +
+        ks.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }.mkString(", "))
     val e = edges
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))

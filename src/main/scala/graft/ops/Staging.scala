@@ -37,12 +37,21 @@ object Staging {
   def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val reliable = spark.conf.getOption(ReliableKey).exists(_.toBoolean)
-    if (reliable)
-      pinReliable(df,
-        dirDefined = spark.sparkContext.getCheckpointDir.isDefined,
-        cleanerEnabled = spark.sparkContext.getConf.getBoolean(
-          "spark.cleaner.referenceTracking.cleanCheckpoints", false))
-    else df.localCheckpoint(true)
+    val pinned =
+      if (reliable)
+        pinReliable(df,
+          dirDefined = spark.sparkContext.getCheckpointDir.isDefined,
+          cleanerEnabled = spark.sparkContext.getConf.getBoolean(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", false))
+      else df.localCheckpoint(true)
+    // Strip the checkpoint leaf's carried-over origin stats: a pin's
+    // whole job is to TRUNCATE lineage, but the copied size estimate
+    // re-links it — in a self-referencing fixpoint (round r joins round
+    // r−1's pin against itself) sizeInBytes then SQUARES per round,
+    // slowing the optimizer's BigInt math exponentially and hard-
+    // overflowing java.math.BigInteger near round 25
+    // ([[org.apache.spark.sql.GraftColumnBridge.withoutOriginStats]]).
+    org.apache.spark.sql.GraftColumnBridge.withoutOriginStats(pinned)
   }
 
   /** The reliable branch with its preconditions explicit — split out so

@@ -1611,6 +1611,10 @@ object StatOps {
     * without damping: π'_j = Σ_i (π_i·c_ij) div r_i — sub-unit
     * remainders truncate (documented, same as PageRank's), states with
     * no inbound mass hold 0, and the whole iterate is engine-exact.
+    * The π_i·c_ij product carries in-plan 2^63 teeth (raise_error with
+    * the remedy — keep unit·n_states·max_count < 2^63); each pushed
+    * term is ≤ π_i (c_ij ≤ r_i), so the inbound SUM is bounded by the
+    * total mass n_states·unit and cannot wrap once the product fits.
     * State space is a DOMAIN (event types, page ids — never users), so
     * every frame here is domain-sized; fixed `iters` keeps the gate
     * deterministic, callers read convergence off successive runs.
@@ -1634,9 +1638,22 @@ object StatOps {
       .stagePin() // consumed every iteration (the 0-mass left join)
     var pi = states.withColumn("p", lit(unit))
     for (_ <- 1 to iters) {
+      // in-plan 2^63 teeth on the muldiv (the katzUnits discipline): p
+      // can reach n_states·unit and _c is corpus-sized, so p·_c can
+      // wrap silently on Spark where DuckDB's HUGEINT promotion would
+      // error — raise with the remedy instead. Domain-sized frame, so
+      // the per-row predicate costs nothing at corpus scale.
       val pushed = tr
         .join(pi.select(col("s").as("_f"), col("p")), Seq("_f"))
-        .select(col("_t").as("s"), expr("(p * _c) div _r").as("_m"))
+        .select(col("_t").as("s"),
+          when(col("p") > lit(Long.MaxValue) / col("_c"),
+            raise_error(concat(
+              lit("markovStationaryUnits: mass*count product exceeds " +
+                "2^63 — lower unit (bound: unit * n_states * max_count " +
+                "< 2^63); p = "),
+              col("p").cast("string"), lit(", count = "),
+              col("_c").cast("string"))))
+            .otherwise(expr("(p * _c) div _r")).as("_m"))
         .groupBy("s").agg(sum("_m").as("_p"))
       pi = states.join(pushed, Seq("s"), "left_outer")
         .select(col("s"), coalesce(col("_p"), lit(0L)).as("p"))

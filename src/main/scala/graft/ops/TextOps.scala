@@ -1114,8 +1114,12 @@ object TextOps {
     * work: the exclusive MASS rides the shared-token rollup
     * (excl_a = n_a − Σ_shared c_a) and contributes one floored term per
     * pair. Pairs sharing NO token are absent (their JS is exactly ln 2);
-    * integer products c·n bound exactness to ~10⁹ tokens per group —
-    * widen to DECIMAL past that.
+    * integer products c·n bound exactness to ~2.1e9 tokens per group —
+    * GUARDED in-plan (raise_error on the group-totals frame, the
+    * [[graft.ops.GraphOps.katzUnits]] discipline): past the bound the
+    * ln-ratio arguments 2·ca·nb / (ca·nb + cb·na) wrap silently on
+    * Spark while the DuckDB oracle's BIGINT multiply errors — the worst
+    * oracle-divergence class. Shard groups or widen to DECIMAL there.
     *
     * @return one row per group pair (a < b): (`sa`, `sb`, `n_shared`,
     *         `jp_units`, `jq_units`, `jsd` ≈ (jp+jq)/(2·unit) nats)
@@ -1130,7 +1134,21 @@ object TextOps {
       .filter(col("_t") =!= "")
       .groupBy("_s", "_t").agg(count(lit(1)).as("_c"))
       .stagePin() // three consumers: totals + both sides of the pair join
+    // in-plan 2^63 teeth on the GROUP-TOTALS frame (domain-sized, so the
+    // guard costs nothing on the per-token hot path): with each total
+    // ≤ ⌊√(2^63/2)⌋ = 2147483647, every product below — 2·ca·nb,
+    // ca·nb + cb·na (ca ≤ na, cb ≤ nb) — fits a long.
+    val totSafe = 2147483647L
     val tot = tok.groupBy("_s").agg(sum("_c").as("_n"))
+      .select(col("_s"),
+        when(col("_n") > lit(totSafe),
+          raise_error(concat(
+            lit("tokenDivergenceMatrix: group token total exceeds the " +
+              s"2^63-safe bound $totSafe — the integer ln-ratio products " +
+              "would wrap silently on Spark where DuckDB errors; shard " +
+              "the group or widen the products to DECIMAL(38,0); total = "),
+            col("_n").cast("string"))))
+          .otherwise(col("_n")).as("_n"))
     val joined = tok.select(col("_s").as("sa"), col("_t"), col("_c").as("ca"))
       .join(tok.select(col("_s").as("sb"), col("_t"), col("_c").as("cb")),
         Seq("_t"))

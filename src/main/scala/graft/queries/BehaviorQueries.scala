@@ -1174,7 +1174,12 @@ object BehaviorQueries {
     // from the same single running-sums pass (c_a doubles as A's
     // within-sample position), u4 = 4U accumulates in DECIMAL(38,0)
     // because 4N⁴ clears 2⁵³ long before real corpus sizes
-    // ([[graft.ops.StatOps.cramerVonMises]]).
+    // ([[graft.ops.StatOps.cramerVonMises]]). The gate EMITS u4 as
+    // DOUBLE: raw DECIMAL output is banned from gate queries (the
+    // driver hasher diverges on Spark-vs-DuckDB decimals), and
+    // decimal→double rounding is the same correctly-rounded IEEE
+    // operation on both engines, so the cast is hash-stable even past
+    // 2⁵³ — the library op keeps the exact decimal for callers.
     Q(
       "stats_cramer_vonmises",
       (s, d) => {
@@ -1185,6 +1190,7 @@ object BehaviorQueries {
             when(graft.ops.CorpusOps.saltedHash(col("user_id"), "ab") < lit(t50),
               1L).otherwise(0L).as("fa"))
         graft.ops.StatOps.cramerVonMises(flagged, "fa", "vq", "event_id")
+          .withColumn("u4", col("u4").cast("double"))
       },
       Some {
         val t50 = graft.ops.CorpusOps.md5Threshold(0.5)
@@ -1210,7 +1216,7 @@ object BehaviorQueries {
            |    SUM(CASE WHEN fa = 0 THEN d * d ELSE 0 END) AS sb
            |  FROM j)
            |SELECT n_a, n_b,
-           |  CAST(n_a * sa + n_b * sb AS DECIMAL(38,0)) AS u4,
+           |  CAST(CAST(n_a * sa + n_b * sb AS DECIMAL(38,0)) AS DOUBLE) AS u4,
            |  CAST(CAST(n_a * sa + n_b * sb AS DECIMAL(38,0)) AS DOUBLE) /
            |    (4.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) *
            |     CAST(n_a + n_b AS DOUBLE)) -

@@ -358,7 +358,12 @@ object EvalQueries {
     // gaps): three length-proxy quality bucketers, the third abstaining
     // on every 5th doc so the missing-data path is exercised. All
     // integer (lcm-weighted coincidences) until one final division,
-    // which the oracle replays literally.
+    // which the oracle replays literally. The gate EMITS do_num/de_num
+    // as DOUBLE: raw DECIMAL output is banned from gate queries (the
+    // driver hasher diverges on Spark-vs-DuckDB decimals); each is an
+    // exact integer far under 2⁵³ at gate scale, and even past 2⁵³ the
+    // decimal→double cast is the same correctly-rounded operation on
+    // both engines — the library op keeps the exact decimals.
     Q(
       "eval_krippendorff_alpha",
       (s, d) => {
@@ -376,6 +381,8 @@ object EvalQueries {
             .select(col("doc_id").as("unit"),
               bucket(len, 230, 380).as("label")))
         EvalOps.krippendorffAlpha(ratings, "unit", "label")
+          .withColumn("do_num", col("do_num").cast("double"))
+          .withColumn("de_num", col("de_num").cast("double"))
           .orderBy("n")
       },
       Some("""WITH r AS (
@@ -416,8 +423,8 @@ object EvalQueries {
              |    CAST(n AS HUGEINT) * n - sc2 AS deh
              |  FROM ut, lt)
              |SELECT n, n_units, n_labels,
-             |  CAST(doh AS DECIMAL(38,0)) AS do_num,
-             |  CAST(deh AS DECIMAL(38,0)) AS de_num,
+             |  CAST(CAST(doh AS DECIMAL(38,0)) AS DOUBLE) AS do_num,
+             |  CAST(CAST(deh AS DECIMAL(38,0)) AS DOUBLE) AS de_num,
              |  CASE WHEN deh > 0 THEN
              |    1.0 - CAST(CAST(n - 1 AS HUGEINT) * doh AS DOUBLE) /
              |          CAST(27720 * deh AS DOUBLE)

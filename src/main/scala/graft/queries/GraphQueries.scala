@@ -191,6 +191,22 @@ object GraphQueries {
       val cur = m.get(k)
       if (cur != null) cur else { val v = make; m.put(k, v); v }
     }
+    def clear(): Unit = synchronized(m.clear())
+  }
+
+  /** Drop the OPERATOR-OUTPUT memos (Brandes sweep, σ/dist sweep, SCC
+    * labels). Bench calls this between timed passes: the memos exist so
+    * the two gates of a sharing pair run ONE sweep per corpus — the
+    * production semantics, which a timed pass should measure — but
+    * across best-of-3 REPEATS a warm memo turns the pair's times into
+    * pinned-frame reads (round-12 review: graph_path_counts 2.15 s →
+    * 0.05 s on repeat). Input-STAGING caches (trade edges, co-purchase
+    * edges, shared shingles) stay warm by design — staging once per
+    * ingest is the production contract and is paid untimed up front. */
+  def clearSweepMemos(): Unit = {
+    brandesCache.clear()
+    pathCountCache.clear()
+    sccLabelCache.clear()
   }
 
   /** One landmark-Brandes sweep shared by the node- and edge-betweenness

@@ -135,7 +135,7 @@ object ProfilingQueries {
       },
       Some("""SELECT event_type,
              |  CAST(floor(value / 25.0) AS BIGINT) AS bin,
-             |  CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS bin_lo,
+             |  CAST(CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS DOUBLE) AS bin_lo,
              |  count(*) AS n
              |FROM events GROUP BY 1, 2
              |ORDER BY event_type, bin""".stripMargin),

@@ -409,7 +409,7 @@ object SketchQueries {
              |tgt AS (
              |  SELECT l_returnflag, p, CAST(ceil(p * n) AS BIGINT) AS k
              |  FROM t, (SELECT unnest([0.5, 0.9, 0.99]) AS p))
-             |SELECT cum.l_returnflag, tgt.p,
+             |SELECT cum.l_returnflag, CAST(tgt.p AS DOUBLE) AS p,
              |  CAST(min(cum.bin) * 100 AS DOUBLE) AS approx_q
              |FROM cum JOIN tgt ON cum.l_returnflag = tgt.l_returnflag
              |WHERE cum.cum >= tgt.k

@@ -322,6 +322,15 @@ object Scale {
           TextOps.tokenDivergenceMatrix(
             d.withColumn("src", pmod(col("doc_id"), lit(16))),
             "src", "text").count()),
+        // the GROUP axis of the same matrix: C(64,2) = 2016 pairs vs
+        // C(16,2) = 120 — 16.8x the pair fan-out at the same corpus, so
+        // comparing this curve against token_divergence at fixed n pins
+        // how much of the cost is the domain-sized pair join vs the
+        // corpus-sized token rollup
+        "token_divergence_g64" -> (() =>
+          TextOps.tokenDivergenceMatrix(
+            d.withColumn("src", pmod(col("doc_id"), lit(64))),
+            "src", "text").count()),
         // triangles: disjoint 3-cliques, degree <= 2 — wedge work per
         // node is O(1), so the two joins must track the edge count
         "triangle_counts" -> (() =>

@@ -24,4 +24,28 @@ object GraftColumnBridge {
     spark.sessionState.executePlan(df.queryExecution.logical)
       .optimizedPlan.stats
   }
+
+  /** Drop the `originStats` a checkpointed Dataset's `LogicalRDD` leaf
+    * carries (Spark copies the pre-checkpoint plan's estimated stats onto
+    * the leaf). For a SELF-REFERENCING iteration — every graft fixpoint:
+    * round r's plan joins round r−1's pinned frame against itself, so the
+    * size-only stats visitor multiplies the leaf estimate by itself —
+    * origin stats make `sizeInBytes` SQUARE per round: with the
+    * Long.MaxValue leaf default that is 10^(19·2^r), the optimizer's
+    * BigInt math slows exponentially (driver-side, per round) and
+    * `java.math.BigInteger` hard-overflows near round 25 — found by the
+    * diameter-1200 SCC spec, whose ~22 shortcutted label rounds plus peel
+    * joins crossed it. Stripping restores constant leaf stats per round;
+    * runtime sizing (AQE) is untouched. No-op for non-LogicalRDD plans. */
+  def withoutOriginStats(df: Dataset[Row]): Dataset[Row] = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.queryExecution.logical match {
+      case l: execution.LogicalRDD =>
+        classic.Dataset.ofRows(cdf.sparkSession,
+          new execution.LogicalRDD(l.output, l.rdd, l.outputPartitioning,
+            l.outputOrdering, l.isStreaming, l.stream)(
+            cdf.sparkSession, None, None))
+      case _ => df
+    }
+  }
 }

@@ -45,6 +45,35 @@ class RegistrySpec extends AnyFunSuite {
     SparkEntry.oracleSql.keys.foreach(k => assert(qm.contains(k)))
   }
 
+  test("gate output schemas ban hasher-divergent types (decimal/array/map)") {
+    // The driver's hasher diverges on Spark-vs-DuckDB decimals (round-1
+    // e5_casts; round-12 u4/do_num shipped because nothing inspected what a
+    // gate physically EMITS) and its comparator crashes on array cells
+    // (round-9). Analysis-only schema access — no job runs here.
+    // timestamp_ntz is deliberately allowed: the corpus's tz-naive
+    // timestamps hash identically on both engines (4 long-green gates)
+    import org.apache.spark.sql.types._
+    def offending(dt: DataType): Boolean = dt match {
+      case _: DecimalType                => true
+      case _: ArrayType                  => true
+      case _: MapType                    => true
+      case StructType(fs)                => fs.exists(f => offending(f.dataType))
+      case _                             => false
+    }
+    Registry.all.foreach { g =>
+      val bad = g.fn(spark, sf).schema.fields
+        .filter(f => offending(f.dataType))
+        .map(f => s"${f.name}: ${f.dataType.catalogString}")
+      assert(bad.isEmpty,
+        s"${g.name} emits hasher-divergent output column(s) ${bad.mkString(", ")} — " +
+          "cast the final value to DOUBLE/STRING on both engine and oracle sides")
+    }
+    // the lint itself must fire: a deliberately-decimal frame is flagged
+    val dec = spark.range(1).selectExpr("cast(id as decimal(38,0)) as d")
+    assert(dec.schema.fields.exists(f => offending(f.dataType)),
+      "lint failed to flag a deliberately-DECIMAL output schema")
+  }
+
   test("registry names are unique and snake_case — map building drops nothing") {
     val names = Registry.all.map(_.name)
     val dupes = names.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }

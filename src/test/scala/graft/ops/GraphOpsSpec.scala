@@ -817,6 +817,27 @@ class GraphOpsSpec extends AnyFunSuite {
       4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
   }
 
+  test("stronglyConnectedComponents: diameter-1000 cycle converges under default bounds") {
+    import spark.implicits._
+    // one directed cycle of 1200 nodes (SCC diameter 1199) with ids
+    // PERMUTED so the min label must actually travel, plus short pendant
+    // tails. Plain one-hop propagation needs ~1200 rounds — far past the
+    // default maxRoundsPerFix=64; label shortcutting must converge in
+    // O(log) rounds. Seeded permutation keeps the spec deterministic.
+    val n = 1200
+    val perm = new scala.util.Random(13).shuffle((1L to n.toLong).toVector)
+    val cycle = (0 until n).map(i => (perm(i), perm((i + 1) % n)))
+    val tails = (1 to 5).map(k => (perm(k * 7), n.toLong + k))
+    val got = GraphOps.stronglyConnectedComponents(
+        (cycle ++ tails).toDF("s", "t"), "s", "t")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == n + 5)
+    assert((1L to n.toLong).forall(got(_) == 1L),
+      "every cycle node must label to the cycle min")
+    assert((1 to 5).forall(k => got(n.toLong + k) == n.toLong + k),
+      "tail nodes are singleton SCCs")
+  }
+
   test("stronglyConnectedComponents: random digraphs match a closure oracle") {
     import spark.implicits._
     // brute-force oracle: boolean transitive closure (Floyd–Warshall),
@@ -1116,6 +1137,68 @@ class GraphOpsSpec extends AnyFunSuite {
         rounds = 2)
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 4L, 2L -> 2L, 3L -> 2L, 4L -> 4L))
+  }
+
+  test("louvain: the community-totals join carries no mandatory broadcast hint") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import spark.implicits._
+    // identity seeding — the classic Louvain init — makes `tot`
+    // NODE-sized, so a forced broadcast of it is a driver-killer at
+    // scale; only the 1-row edge-count cross may stay hinted.
+    val n = 200
+    val e = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val lab = (1L to n).map(i => (i, i)).toDF("id", "c")
+    val out = GraphOps.louvainMoveRound(e, "a", "b", lab, "id", "c")
+    // the only allowed hint is the declared 1-row edge-count cross (its
+    // sole output column is `m`); a hint on anything else — notably the
+    // node-sized `tot` frame — is the scale-killer this pins against
+    def hintedSides(j: Join): Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+      (if (j.hint.leftHint.nonEmpty) Seq(j.left) else Nil) ++
+        (if (j.hint.rightHint.nonEmpty) Seq(j.right) else Nil)
+    val offending = out.queryExecution.optimizedPlan.collect {
+      case j: Join => hintedSides(j).filter(_.output.map(_.name) != Seq("m"))
+    }.flatten
+    assert(offending.isEmpty,
+      s"community-totals join must be un-hinted (AQE decides):\n${offending.mkString}")
+    // and the identity-seeded round still computes: a path's interior
+    // nodes all find a positive-gain merge with a neighbor
+    val rows = out.as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == n.toInt &&
+      rows.count { case (_, cOld, cNew, _) => cNew != cOld } > n / 2)
+  }
+
+  test("katzUnits: overflow guards trip instead of wrapping") {
+    import spark.implicits._
+    // complete digraph on 5 nodes: d_max = 4, alpha = 1/2 → scores grow
+    // ~2.3× per round. unit = 2^63/20: round 1 peaks at 3u (inside the
+    // safe ceiling ≈ (2^63−u)/4), round 2 would hit 7u — the in-plan
+    // raise_error must fire BEFORE any long wraps.
+    val e = (for (u <- 1L to 5L; v <- 1L to 5L if u != v) yield (u, v))
+      .toDF("s", "t")
+    val u1 = Long.MaxValue / 20L
+    val ex = intercept[Exception] {
+      GraphOps.katzUnits(e, "s", "t", iters = 2,
+        alphaNum = 1L, alphaDen = 2L, unit = u1).count()
+    }
+    assert(exceptionChain(ex).exists(_.contains("2^63-safe ceiling")),
+      s"wrong failure: ${ex.getMessage}")
+    // unit so large the ROUND-1 bound already clears the ceiling: the
+    // driver-side require (fed by the observe-read d_max) fires
+    val ex2 = intercept[Exception] {
+      GraphOps.katzUnits(e, "s", "t", iters = 1,
+        alphaNum = 1L, alphaDen = 2L, unit = Long.MaxValue / 10L).count()
+    }
+    assert(exceptionChain(ex2).exists(_.contains("round-1 score bound")),
+      s"wrong failure: ${ex2.getMessage}")
+  }
+
+  test("richClubCoefficients: duplicate thresholds fail fast with a clear message") {
+    import spark.implicits._
+    val e = Seq((1L, 2L)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.richClubCoefficients(e, "a", "b", ks = Seq(1, 2, 2))
+    }
+    assert(ex.getMessage.contains("duplicate thresholds"))
   }
 
   test("landmarkBrandesUnits: edge betweenness on path and diamond") {

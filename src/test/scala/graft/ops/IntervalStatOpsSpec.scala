@@ -739,6 +739,21 @@ class IntervalStatOpsSpec extends AnyFunSuite {
     assert(s2 == Map("a" -> 0L, "c" -> 0L)) // round 1: c = u; round 2: gone
   }
 
+  test("markovStationaryUnits: mass*count overflow guard trips instead of wrapping") {
+    import spark.implicits._
+    // unit near 2^62 with count 4: round 1 forms p·c > 2^63 — the
+    // in-plan raise_error must fire before the silent long wrap
+    val tr = Seq(("a", "b", 4L), ("b", "a", 4L)).toDF("f", "t", "c")
+    val ex = intercept[Exception] {
+      StatOps.markovStationaryUnits(tr, "f", "t", "c", iters = 1,
+        unit = Long.MaxValue / 2L).count()
+    }
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("mass*count product exceeds")),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
   test("cramerVonMises: textbook two-point case and exact doubled-rank model") {
     import spark.implicits._
     // A={1}, B={2}: U = 1·(1−1)² + 1·(2−1)² = 1 → u4 = 4,

@@ -388,6 +388,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(("a", "b"))._4 > 0.0 && got(("b", "c"))._4 > 0.0)
   }
 
+  test("tokenDivergenceMatrix: the group-total overflow guard is IN the plan") {
+    import spark.implicits._
+    // a >2.1e9-token group can't be materialized in a spec, so assert
+    // the raise_error teeth are present in the analyzed plan (the
+    // in-plan-guard discipline of katzUnits/landmarkPathCounts)
+    val docs = Seq(("a", "x y"), ("b", "x z")).toDF("src", "text")
+    val plan = TextOps.tokenDivergenceMatrix(docs, "src", "text")
+      .queryExecution.analyzed.toString
+    assert(plan.contains("2^63-safe bound"),
+      "group-total overflow guard missing from the plan")
+  }
+
   test("tokenDivergenceMatrix: random corpora match the model and respect JS bounds") {
     import spark.implicits._
     import graft.expr.PortableLnRatio.{compute, Ln2}

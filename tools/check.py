@@ -10,7 +10,6 @@ Spark result parquet at <verifyOutDir>/<name>/ on:
   - row count
   - exact multiset of rows (column-name-sorted, values normalized)
 """
-import decimal
 import json
 import math
 import sys
@@ -40,6 +39,41 @@ def rows_key(df):
     return sorted(out)
 
 
+# timestamp_ntz is deliberately NOT banned: the corpus's tz-naive
+# timestamps hash identically on both engines (4 long-green gates emit it)
+BANNED_LOGICAL = ("decimal", "array<", "map<")
+
+
+def spark_parquet_banned(con, res_dir):
+    """Hasher-divergent types in the SPARK result's physical parquet schema.
+
+    duckdb->pandas converts DECIMAL(38,0) to float64, so any pandas-value
+    isinstance check is dead code for exactly the case it guards (the
+    round-12 u4/do_num false-green) — inspect the parquet metadata instead.
+    """
+    rows = con.sql(
+        f"SELECT name, type, converted_type, logical_type "
+        f"FROM parquet_schema('{res_dir}/*.parquet')").fetchall()
+    bad = []
+    for name, typ, conv, logi in rows:
+        blob = " ".join(str(x) for x in (typ, conv, logi)).upper()
+        if any(k in blob for k in ("DECIMAL", "LIST", "MAP")):
+            bad.append(f"{name}: {conv or logi or typ}")
+    return sorted(set(bad))
+
+
+def oracle_banned(rel):
+    """Hasher-divergent types in the ORACLE relation, read from duckdb's
+    own type info BEFORE the .df() conversion erases them."""
+    bad = []
+    for c, t in zip(rel.columns, rel.types):
+        ts = str(t).upper()
+        if ("DECIMAL" in ts or "HUGEINT" in ts or "[]" in ts
+                or ts.startswith("MAP") or ts.startswith("STRUCT")):
+            bad.append(f"{c}: {ts}")
+    return sorted(set(bad))
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -47,6 +81,19 @@ def main(sf_dir, out_dir):
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    # Verify's per-gate logical-schema sentinel (schemas.json): catches
+    # hasher-sensitive Spark output types even when a gate's oracle is
+    # rows-only (no SQL) and so never reaches the per-gate loop below.
+    schemas_p = Path(out_dir) / "schemas.json"
+    schema_fail = 0
+    if schemas_p.exists():
+        for gate, cols in sorted(json.loads(schemas_p.read_text()).items()):
+            bad = [f"{c}: {t}" for c, t in cols.items()
+                   if any(k in t.lower() for k in BANNED_LOGICAL)]
+            if bad:
+                print(f"FAIL {gate}: hasher-divergent output type(s) {bad} — "
+                      "cast to DOUBLE/STRING (round-1 e5_casts, round-12 u4)")
+                schema_fail += 1
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         res_dir = Path(out_dir) / name
@@ -55,9 +102,18 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            exp = con.sql(sql).df()
+            rel = con.sql(sql)
+            bad_o = oracle_banned(rel)
+            exp = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        bad_s = spark_parquet_banned(con, res_dir)
+        if bad_s or bad_o:
+            print(f"FAIL {name}: hasher-divergent output type(s) — "
+                  f"spark parquet {bad_s}, oracle {bad_o}; cast the final "
+                  "value to DOUBLE/VARCHAR on BOTH sides")
             n_fail += 1
             continue
         got = con.sql(
@@ -70,18 +126,10 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             n_fail += 1
             continue
-        # The driver's hasher normalizes Spark-parquet Decimal and DuckDB
-        # decimal differently (round-1 e5_casts false-green). Raw DECIMAL
-        # output is therefore banned from gate queries: cast the final value
-        # to VARCHAR or DOUBLE on both sides.
-        dec_cols = sorted(
-            c for df in (got, exp) for c in df.columns
-            if df[c].map(lambda v: isinstance(v, decimal.Decimal)).any())
-        if dec_cols:
-            print(f"FAIL {name}: raw DECIMAL output column(s) {dec_cols} — "
-                  "driver hasher diverges on decimals; cast to VARCHAR/DOUBLE")
-            n_fail += 1
-            continue
+        # (Raw DECIMAL detection moved UP to the parquet_schema/duckdb-type
+        # checks: duckdb->pandas converts decimals to float64, so a pandas
+        # isinstance(Decimal) test here is dead code for exactly the case
+        # it guards — the round-12 u4/do_num false-green.)
         # The driver's comparator sort_values-crashes on unhashable
         # array cells (round-9: 4 gates certified 'err' that way). Raw
         # array/list output is therefore banned the same way DECIMAL is:
@@ -107,6 +155,7 @@ def main(sf_dir, out_dir):
             continue
         print(f"PASS {name} ({len(got)} rows)")
         n_pass += 1
+    n_fail += schema_fail
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 
