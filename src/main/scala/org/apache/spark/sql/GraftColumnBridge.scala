@@ -25,26 +25,43 @@ object GraftColumnBridge {
       .optimizedPlan.stats
   }
 
-  /** Drop the `originStats` a checkpointed Dataset's `LogicalRDD` leaf
+  /** CAP the `originStats` a checkpointed Dataset's `LogicalRDD` leaf
     * carries (Spark copies the pre-checkpoint plan's estimated stats onto
     * the leaf). For a SELF-REFERENCING iteration — every graft fixpoint:
     * round r's plan joins round r−1's pinned frame against itself, so the
     * size-only stats visitor multiplies the leaf estimate by itself —
-    * origin stats make `sizeInBytes` SQUARE per round: with the
-    * Long.MaxValue leaf default that is 10^(19·2^r), the optimizer's
+    * uncapped origin stats make `sizeInBytes` SQUARE per round: with a
+    * Long.MaxValue-seeded estimate that is 10^(19·2^r), the optimizer's
     * BigInt math slows exponentially (driver-side, per round) and
     * `java.math.BigInteger` hard-overflows near round 25 — found by the
     * diameter-1200 SCC spec, whose ~22 shortcutted label rounds plus peel
-    * joins crossed it. Stripping restores constant leaf stats per round;
-    * runtime sizing (AQE) is untouched. No-op for non-LogicalRDD plans. */
-  def withoutOriginStats(df: Dataset[Row]): Dataset[Row] = {
+    * joins crossed it. Capping at each pin kills the compounding (the
+    * within-round product is bounded by cap², reset at the next pin)
+    * while a genuinely small pinned frame KEEPS its realistic estimate —
+    * stripping stats entirely was measured to cost hitsUnits 4× at 500k
+    * (the half-round node⋈raw joins fell from broadcast-hash to
+    * sort-merge once the pinned side estimated at the Long.Max default).
+    * No-op for non-LogicalRDD plans and for estimates under the cap. */
+  private val StatsCap = BigInt(1) << 60
+  def withCappedOriginStats(df: Dataset[Row]): Dataset[Row] = {
     val cdf = df.asInstanceOf[classic.Dataset[Row]]
     cdf.queryExecution.logical match {
       case l: execution.LogicalRDD =>
-        classic.Dataset.ofRows(cdf.sparkSession,
+        // `originStats` has no public accessor; `l.stats` IS what the
+        // planner reads off this leaf (origin stats when present, the
+        // session default otherwise), so cap that and re-seat it.
+        val s = l.stats
+        if (s.sizeInBytes <= StatsCap && s.rowCount.forall(_ <= StatsCap)) df
+        else classic.Dataset.ofRows(cdf.sparkSession,
           new execution.LogicalRDD(l.output, l.rdd, l.outputPartitioning,
             l.outputOrdering, l.isStreaming, l.stream)(
-            cdf.sparkSession, None, None))
+            cdf.sparkSession,
+            Some(catalyst.plans.logical.Statistics(
+              sizeInBytes = s.sizeInBytes.min(StatsCap),
+              rowCount = s.rowCount.map(_.min(StatsCap)),
+              attributeStats = s.attributeStats,
+              isRuntime = s.isRuntime)),
+            None))
       case _ => df
     }
   }
