@@ -1642,11 +1642,17 @@ object StatOps {
       // can reach n_states·unit and _c is corpus-sized, so p·_c can
       // wrap silently on Spark where DuckDB's HUGEINT promotion would
       // error — raise with the remedy instead. Domain-sized frame, so
-      // the per-row predicate costs nothing at corpus scale.
+      // the per-row predicate costs nothing at corpus scale. The
+      // threshold is INTEGER `div` (exactly floor((2^63−1)/c), the
+      // host-side arithmetic katzUnits uses): Column `/` is fractional
+      // Divide in DOUBLE, where Long.MaxValue rounds UP to 2^63 and a
+      // p in the ~1-ulp rounding window (e.g. p = 2^61 with c = 4)
+      // passes the strict `>` yet wraps the product. `_c = 0` makes the
+      // div NULL, the predicate falls to `otherwise`, and p·0 = 0 — safe.
       val pushed = tr
         .join(pi.select(col("s").as("_f"), col("p")), Seq("_f"))
         .select(col("_t").as("s"),
-          when(col("p") > lit(Long.MaxValue) / col("_c"),
+          when(col("p") > expr(s"${Long.MaxValue}L div _c"),
             raise_error(concat(
               lit("markovStationaryUnits: mass*count product exceeds " +
                 "2^63 — lower unit (bound: unit * n_states * max_count " +

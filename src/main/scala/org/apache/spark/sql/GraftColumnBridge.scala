@@ -61,7 +61,11 @@ object GraftColumnBridge {
               rowCount = s.rowCount.map(_.min(StatsCap)),
               attributeStats = s.attributeStats,
               isRuntime = s.isRuntime)),
-            None))
+            // keep the origin-derived constraints (inferred not-null /
+            // filter facts) the pinned leaf already carries — dropping
+            // them to None would trade the stats fix for a plan-quality
+            // regression on every capped fixpoint frame
+            Some(l.constraints)))
       case _ => df
     }
   }

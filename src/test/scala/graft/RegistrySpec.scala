@@ -49,7 +49,11 @@ class RegistrySpec extends AnyFunSuite {
     // The driver's hasher diverges on Spark-vs-DuckDB decimals (round-1
     // e5_casts; round-12 u4/do_num shipped because nothing inspected what a
     // gate physically EMITS) and its comparator crashes on array cells
-    // (round-9). Analysis-only schema access — no job runs here.
+    // (round-9). Schema ACCESS is analysis-only, but frame CONSTRUCTION
+    // runs jobs for the pinned iterative ops (stagePin = eager
+    // localCheckpoint inside g.fn), so this test executes the heavy tier
+    // — acceptable while the suite budget holds; lint from Verify's
+    // schemas.json dump instead if it stops holding.
     // timestamp_ntz is deliberately allowed: the corpus's tz-naive
     // timestamps hash identically on both engines (4 long-green gates)
     import org.apache.spark.sql.types._

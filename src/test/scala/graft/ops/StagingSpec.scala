@@ -63,6 +63,46 @@ class StagingSpec extends AnyFunSuite {
     assert(cpFiles > 0, "reliable mode wrote nothing to the checkpoint dir")
   }
 
+  test("pin caps inflated origin stats on the checkpoint leaf") {
+    // Direct unit assert for GraftColumnBridge.withCappedOriginStats —
+    // until now the cap was proven only indirectly through PERF timings
+    // (pagerank@5M 31.6 → 7.3 s), so a Spark upgrade breaking the
+    // private[sql] LogicalRDD re-seat would resurface as a slow test
+    // suite, not a failing test. The size-only stats visitor MULTIPLIES
+    // child sizeInBytes across a join, so three self-joins of a pinned
+    // 2^20-row long frame (~2^23 bytes each) estimate at ~2^69 — past
+    // the 2^60 cap — while the actual joined data stays 2^20 rows.
+    import org.apache.spark.sql.GraftColumnBridge
+    val cap = BigInt(1) << 60
+    val base = Staging.pin(spark.range(1L << 20).toDF("id"))
+    val joined = base
+      .join(base.withColumnRenamed("id", "id2"), col("id") === col("id2"))
+      .join(base.withColumnRenamed("id", "id3"), col("id") === col("id3"))
+      .filter(col("id") >= 0L)
+      .select("id")
+    val pre = GraftColumnBridge.freshOptimizedStats(joined).sizeInBytes
+    assert(pre > cap,
+      s"precondition: the join plan must estimate past the cap, got $pre")
+    val pinned = Staging.pin(joined)
+    val leaf = pinned.queryExecution.analyzed
+    assert(leaf.children.isEmpty, "pin must produce a leaf plan")
+    val capped = GraftColumnBridge.freshOptimizedStats(pinned)
+    assert(capped.sizeInBytes <= cap,
+      s"capped leaf still reports sizeInBytes ${capped.sizeInBytes}")
+    assert(capped.rowCount.forall(_ <= cap))
+    // the cap re-seat must PRESERVE origin constraints (not drop them to
+    // None): the pre-pin filter's not-null/range facts stay on the leaf
+    assert(leaf.constraints.nonEmpty,
+      "capped leaf lost its origin constraints")
+    // and a small pinned frame keeps its realistic estimate untouched —
+    // stripping stats was measured 4x on hitsUnits when pinned frames
+    // lost their broadcast-hash joins
+    val small = Staging.pin(spark.range(100).toDF("id"))
+    val s = GraftColumnBridge.freshOptimizedStats(small)
+    assert(s.sizeInBytes > 0 && s.sizeInBytes < 1000000,
+      s"small pinned frame should keep a realistic estimate, got ${s.sizeInBytes}")
+  }
+
   test("reliable mode preconditions fail fast at the driver") {
     import spark.implicits._
     // the guard is exercised through pinReliable's explicit parameters —
