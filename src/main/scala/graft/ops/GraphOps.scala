@@ -168,10 +168,19 @@ object GraphOps {
     * (plus a node-sized shortcut leg), convergence observe-fused onto
     * the round's pin (one action per round); the active edge frame
     * re-pins per pass. Label SHORTCUTTING (lab(lab(v)) joins each
-    * round's candidates — sound because lab(v) always reaches v) makes
-    * the fixpoint O(log diameter)-ish instead of reach-tree-depth, the
-    * directed analog of the undirected path's starContraction rescue;
-    * `maxRoundsPerFix`/`maxPasses` remain as fail-fast backstops.
+    * round's candidates — sound because lab(v) always reaches v) is the
+    * directed analog of the undirected path's starContraction rescue.
+    * Its measured reach (round-14 fixtures): a diameter-1200 permuted
+    * cycle converges in ~24 rounds where one-hop propagation needs
+    * ~1200; a 120k-node random expander (out-degree 2) in 21 rounds
+    * (~log2 n). The honest boundary: a NEAR-PURE deep cycle (120k
+    * nodes, chords only every 100 positions) measured >200 rounds — the
+    * shortcut spawns scattered label fronts (a ~200-changes/round tail)
+    * but cannot make a 10^5-diameter reach set collapse
+    * logarithmically; true O(log d) directed reachability needs edge
+    * squaring, which is O(E^2)-explosive and off the table at scale.
+    * `maxRoundsPerFix`/`maxPasses` are the fail-fast backstops for that
+    * regime (the require names the remedy).
     *
     * Self-loops are dropped (they never change an SCC). Nodes appear in
     * the output iff they appear in `edges` (the [[connectedComponents]]
@@ -195,9 +204,13 @@ object GraphOps {
     // the derived edge lab(v)→v reachability-sound (lab(u) reaches u→v;
     // lab(lab(v)) reaches lab(v) reaches v), so each round a label can
     // jump through its label's label and the covered in-radius roughly
-    // DOUBLES instead of growing by one hop. Same fixpoint (min id over
+    // DOUBLES instead of growing by one hop — until labels concentrate
+    // on ids the front has not physically reached, after which the leg
+    // degrades to spawning scattered one-hop fronts (see the scaladoc's
+    // measured boundary: ~24 rounds at diameter 1200, >200 on a 10^5-
+    // diameter near-cycle). Same fixpoint (min id over
     // the full in-reach set — uniqueness is the invariant + stability),
-    // O(log diameter)-ish rounds past the escalation point: the directed
+    // far-sub-diameter rounds past the escalation point: the directed
     // analog of the propagation→starContraction rescue the undirected
     // path has, so a crawl-frontier / citation-DAG-shaped graph with a
     // 1000-deep directed chain converges under the default bounds
