@@ -490,6 +490,85 @@ object SimilarityOps {
       .drop("_drop")
   }
 
+  /** Deterministic first-ids coarse codebook (`cid`, `centv`, `centn`)
+    * — the oracle-replayable quantizer slice [[ivfTopK]] and [[semDedup]]
+    * build inline, exposed for the operators that take the codebook as an
+    * explicit ARTIFACT ([[semDedupBetween]], [[ivfTopKWithCodebook]]).
+    * Same `id < bound` convention as those ops; a [[kmeansCodebook]] is
+    * the trained drop-in. */
+  def firstIdsCodebook(
+      emb: DataFrame, idCol: String, vecCol: String, idBound: Int): DataFrame =
+    withNorm(emb.filter(col(idCol) < idBound)
+      .select(col(idCol).as("cid"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+      .select(col("cid"), col("v").as("centv"), col("nrm").as("centn"))
+
+  /** Per-ingest SemDeDup — [[semDedup]]'s delta-vs-corpus form, closing
+    * the same gap [[DedupOps.ngramJaccardPairsBetween]] closes one tier
+    * down: an ingest loop that embeds its delta must NOT re-cluster the
+    * corpus. Delta embeddings are assigned to the EXISTING codebook (the
+    * broadcast coarse quantizer the corpus was clustered with — at scale
+    * the materialized training artifact; the deterministic first-ids
+    * slice keeps the gate oracle-replayable), and the cosine pair join
+    * runs CROSS-SIDE ONLY (base × delta within the shared cluster, an
+    * equi-join on `cid`), never corpus × corpus — work is
+    * delta-proportional times cluster occupancy. A delta row is dropped
+    * iff some base row in its cluster clears `threshold`; within-delta
+    * duplicates are the batch operator's job on the delta alone, the
+    * within ∪ between composition `dedup_incremental_delta` pins for the
+    * Jaccard tier. Sides are assumed id-disjoint.
+    *
+    * Restricted-equivalence contract (spec'd in DedupSimilaritySpec):
+    * when base ids all precede delta ids and the codebook is the shared
+    * first-ids slice, the delta-side verdicts equal [[semDedup]] run on
+    * base ∪ delta with within-delta qualifying pairs absent — between IS
+    * the batch operator minus the base×base and delta×delta legs.
+    *
+    * @param codebook (`cid`, `centv`[, `centn`]) — e.g.
+    *                 [[firstIdsCodebook]] or [[kmeansCodebook]]
+    * @return one row per DELTA row: (`id`, `cid`, `kept`)
+    */
+  def semDedupBetween(
+      base: DataFrame, delta: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, threshold: Double): DataFrame = {
+    val cent =
+      if (codebook.columns.contains("centn")) codebook
+      else codebook.withColumn("centn",
+        sqrt(dot(col("centv"), col("centv"))))
+    // [[semDedup]]'s assignment exactly: broadcast cosine-argmax with
+    // centroid-id tie-break — both sides MUST quantize identically or
+    // cross-side neighbors land in different lists and recall silently
+    // drops (the reason the codebook is one shared argument, not
+    // re-derived per side)
+    def assign(side: DataFrame): DataFrame = {
+      val c = withNorm(side.select(col(idCol).as("id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("v")))
+      val w = Window.partitionBy("id")
+        .orderBy(col("_csim").desc, col("cid").asc)
+      c.join(broadcast(cent), lit(true))
+        .withColumn("_csim",
+          dot(col("v"), col("centv")) / (col("nrm") * col("centn")))
+        .withColumn("_r", row_number().over(w))
+        .filter(col("_r") === 1)
+        .select(col("id"), col("cid"), col("v"), col("nrm"))
+    }
+    val bAsg = assign(base)
+      .select(col("cid"), col("v").as("vb"), col("nrm").as("nb"))
+    val dAsg = assign(delta)
+    val dropped = bAsg
+      .join(dAsg.select(col("cid"), col("id"),
+        col("v").as("vd"), col("nrm").as("nd")), Seq("cid"))
+      .withColumn("cosine",
+        dot(col("vb"), col("vd")) / (col("nb") * col("nd")))
+      .filter(col("cosine") >= threshold)
+      .select("id")
+      .distinct()
+    dAsg.select("id", "cid")
+      .join(dropped.withColumn("_drop", lit(1)), Seq("id"), "left_outer")
+      .withColumn("kept", col("_drop").isNull)
+      .drop("_drop")
+  }
+
   def bandedCosineNearDup(
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {

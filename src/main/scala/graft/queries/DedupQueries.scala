@@ -376,6 +376,53 @@ object DedupQueries {
              |ORDER BY a.id""".stripMargin),
       "SemDeDup: within-cluster cosine dedup, cluster-bounded pair join"),
 
+    // Per-ingest SemDeDup ([[SimilarityOps.semDedupBetween]]): the delta
+    // (odd vec_ids) assigned to the EXISTING base codebook (the
+    // deterministic first-ids slice of the even side — at scale the
+    // materialized quantizer artifact), cross-side within-cluster cosine
+    // pairs only — delta-proportional, never corpus × corpus. The
+    // semantic tier's dedup_incremental_delta: an ingest loop that
+    // embeds its delta must not re-cluster the corpus. The oracle
+    // replays assignment (same cosine-argmax + cid tie-break) and the
+    // cross-side pair join verbatim.
+    Q(
+      "dedup_semdedup_incremental",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val base = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val delta = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+        graft.ops.SimilarityOps
+          .semDedupBetween(base, delta, "vec_id", "embedding",
+            graft.ops.SimilarityOps
+              .firstIdsCodebook(base, "vec_id", "embedding", idBound = 32),
+            threshold = 0.45)
+          .withColumn("kept", col("kept").cast("int"))
+          .orderBy("id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+             |cent AS (SELECT vec_id AS cid, v AS centv, nrm AS centn
+             |         FROM n WHERE vec_id % 2 = 0 AND vec_id < 32),
+             |basg AS (SELECT id, cid, v, nrm FROM (
+             |  SELECT c.vec_id AS id, cent.cid, c.v, c.nrm,
+             |    ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+             |      list_dot_product(c.v, cent.centv) / (c.nrm * cent.centn) DESC,
+             |      cent.cid ASC) AS r
+             |  FROM n c CROSS JOIN cent WHERE c.vec_id % 2 = 0) t WHERE r = 1),
+             |dasg AS (SELECT id, cid, v, nrm FROM (
+             |  SELECT c.vec_id AS id, cent.cid, c.v, c.nrm,
+             |    ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+             |      list_dot_product(c.v, cent.centv) / (c.nrm * cent.centn) DESC,
+             |      cent.cid ASC) AS r
+             |  FROM n c CROSS JOIN cent WHERE c.vec_id % 2 = 1) t WHERE r = 1),
+             |dropped AS (SELECT DISTINCT d.id FROM basg b JOIN dasg d USING (cid)
+             |  WHERE list_dot_product(b.v, d.v) / (b.nrm * d.nrm) >= 0.45)
+             |SELECT a.id, a.cid,
+             |  CAST(CASE WHEN dr.id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+             |FROM dasg a LEFT JOIN dropped dr ON dr.id = a.id
+             |ORDER BY a.id""".stripMargin),
+      "per-ingest SemDeDup: delta assigned to the existing codebook, cross-side pairs only"),
+
     // Exact-substring tier (Lee et al. 2021): maximal shared token spans
     // ≥ 8 across document pairs, via positional 4-gram anchors matched on
     // one equi-join and merged per (pair, diagonal) with a gaps-and-

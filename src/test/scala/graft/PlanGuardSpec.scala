@@ -27,8 +27,11 @@ class PlanGuardSpec extends AnyFunSuite {
       // construction); its codebook joins are equi-joins on j. The PQ
       // storage encoder shares the identical assignment stage.
       // SemDeDup's coarse assignment is the same nlist-row broadcast
-      // centroid cross join; its pair join is an equi-join on cid
+      // centroid cross join; its pair join is an equi-join on cid.
+      // The incremental form assigns BOTH sides with that broadcast
+      // (shared codebook), cross-side pair join stays an equi-join.
       "sim_topk_ivfpq", "sim_pq_encode", "dedup_semdedup",
+      "dedup_semdedup_incremental",
       "sim_knn_classify", "sketch_kmv_setops", "sketch_hll_union",
       "stats_cuped_adjust",
       // single-row "n = max global rank" broadcasts (same O(N) shape

@@ -375,6 +375,77 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"(${dropped.size} dropped of ${corpus.length})")
   }
 
+  test("semDedupBetween == semDedup on the union restricted to cross-side verdicts") {
+    import spark.implicits._
+    // Fixture where the restriction is EXACT: base ids (0..3) all precede
+    // delta ids (100..103), so the union's internal first-ids centroids
+    // ARE the explicit base codebook, and delta vectors are mutually far
+    // (no delta×delta pair clears the threshold), so every batch drop of
+    // a delta row is justified by a BASE neighbor — precisely the pair
+    // leg the between operator keeps. Under those two conditions the
+    // per-ingest operator must agree verdict-for-verdict with the batch
+    // operator run on base ∪ delta.
+    val base = Seq(
+      (0L, Array(10.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.0, 10.0, 0.0, 0.0)),
+      (2L, Array(10.0, 0.1, 0.0, 0.0)),
+      (3L, Array(0.1, 9.9, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val delta = Seq(
+      (100L, Array(10.1, 0.0, 0.05, 0.0)), // near base 0/2 -> dropped
+      (101L, Array(0.0, 0.0, 10.0, 0.0)),  // orthogonal -> kept
+      (102L, Array(0.0, 10.05, 0.1, 0.0)), // near base 1/3 -> dropped
+      (103L, Array(0.0, 0.0, 0.0, 10.0))   // orthogonal -> kept
+    ).toDF("vec_id", "embedding")
+    val cb = SimilarityOps.firstIdsCodebook(base, "vec_id", "embedding", 2)
+    val between = SimilarityOps
+      .semDedupBetween(base, delta, "vec_id", "embedding", cb, 0.95)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("cid"), r.getAs[Boolean]("kept")))).toMap
+    assert(between.keySet == Set(100L, 101L, 102L, 103L),
+      "between reports exactly the delta rows")
+    assert(between.filter(_._2._2).keySet == Set(101L, 103L),
+      s"planted near-dups drop, orthogonal rows survive: $between")
+    val full = SimilarityOps
+      .semDedup(base.unionByName(delta), "vec_id", "embedding",
+        nlist = 2, threshold = 0.95)
+      .filter(col("id") >= 100L)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("cid"), r.getAs[Boolean]("kept")))).toMap
+    assert(between == full,
+      s"between diverged from the restricted batch run: $between vs $full")
+
+    // Corpus soundness (the semDedup invariant one tier up): cross-side
+    // candidate pairs are a subset of the exact cross-side pair set, so
+    // every dropped delta id must be justified by an exact base×delta
+    // cosine pair — never by a delta×delta one.
+    val emb = T(spark, sf, "embeddings")
+    val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val odds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val t = 0.45
+    val exactCross = DedupOps
+      .embeddingNearDupPairs(emb, "vec_id", "embedding", threshold = t)
+      .filter(pmod(col("a"), lit(2)) =!= pmod(col("b"), lit(2)))
+      .collect()
+      .map(r => Set(r.getAs[Long]("a"), r.getAs[Long]("b"))
+        .filter(_ % 2 == 1).head).toSet
+    val corpus = SimilarityOps
+      .semDedupBetween(evens, odds, "vec_id", "embedding",
+        SimilarityOps.firstIdsCodebook(evens, "vec_id", "embedding", 32), t)
+      .collect()
+    assert(corpus.length == odds.count(),
+      "every delta row gets a verdict")
+    val dropped = corpus.filter(!_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("id")).toSet
+    dropped.foreach { b =>
+      assert(exactCross(b),
+        s"dropped delta id $b has no exact cross-side pair justifying it")
+    }
+    info(s"corpus: ${dropped.size} of ${corpus.length} delta rows dropped; " +
+      s"${exactCross.size} odd ids have exact cross-side 0.45-pairs")
+  }
+
   test("PQ/SQ8 gate codes parse back: sq8 within one step, pq in range") {
     val sfDir = sf
     val emb = T(spark, sfDir, "embeddings")
