@@ -99,8 +99,20 @@ object Bench {
     }
     resetMemos()
 
+    // Per-gate task-metrics rollup (graft.tools.GateTaskMetrics): shuffle
+    // read/write, spill, peak execution memory, charged to the gate
+    // running at task end. Wall time on this box has ~1.9x spread, so a
+    // <=2x plan regression (a silently added Exchange, a lost broadcast)
+    // hides in noise — bytes are deterministic per plan and catch it
+    // mechanically. Attribution is reset before the FINAL pass so the
+    // published rollup is one steady-state pass with memos cleared —
+    // the same accounting as the published times.
+    val gateMetrics = new graft.tools.GateTaskMetrics
+    spark.sparkContext.addSparkListener(gateMetrics)
+
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+      gateMetrics.setGate(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -113,7 +125,9 @@ object Bench {
     // in the gap, not on a random query in pass N+1 (median noise).
     val p1 = pass(); resetMemos()
     val p2 = pass(); resetMemos()
+    gateMetrics.clear() // publish ONLY pass-3 bytes (see above)
     val p3 = pass()
+    gateMetrics.quiesce()
     val results = p1.map { case (k, v) =>
       k -> math.min(v, math.min(p2(k), p3(k)))
     }
@@ -125,6 +139,13 @@ object Bench {
     val med = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Per-gate plan-cost bytes from the final pass: shuffle_read (sr),
+    // shuffle_write (sw), spill mem+disk (sp), peak exec memory (pm).
+    val bytes = gateMetrics.snapshot.toSeq.sortBy(_._1)
+      .filter(_._1 != "_untracked")
+      .map { case (g, (sr, sw, spm, spd, pm, _)) =>
+        s"\"" + g + s"\":{\"sr\":$sr,\"sw\":$sw,\"sp\":${spm + spd},\"pm\":$pm}"
+      }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val medTotal = if (medians.nonEmpty) medians.values.sum else 0.0
     // Per-pass wall totals make driver-side wall anomalies attributable
@@ -135,7 +156,7 @@ object Bench {
     // scalar (errors, pass totals, median total, best-of-3 total) goes
     // LAST, adjacent — truncation can cost detail maps but can never
     // hide one summary metric while showing another.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries_median":$med,"queries":$qs,"passes":3,"errors":$errs,"pass_totals":[${passTotals.mkString(",")}],"median_total":$medTotal,"value":$total}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","bytes":$bytes,"queries_median":$med,"queries":$qs,"passes":3,"errors":$errs,"pass_totals":[${passTotals.mkString(",")}],"median_total":$medTotal,"value":$total}""")
     spark.stop()
   }
 }

@@ -43,6 +43,32 @@ object Verify {
     // visible in the artifact the driver diffs, not only in a local pandas
     // view that silently normalizes it away. tools/check.py consumes this.
     val schemas = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, String)]]
+    // Per-gate PLAN FINGERPRINT (plans.json): counts of the plan-shape-
+    // bearing physical nodes in the gate's initial executed plan. The
+    // shape twin of schemas.json: bytes (Bench) catch a plan
+    // regression's cost, these name its cause — a silently added
+    // Exchange or a broadcast join fallen to sort-merge shows up as a
+    // count delta tools/check.py reports against the committed baseline
+    // (informational, not failing: AQE/stats legitimately move shapes).
+    // Counted from the PRE-EXECUTION tree (AQE's initial plan), which is
+    // deterministic per (code, scale factor) — runtime re-plans are not.
+    val planKeys = Seq("ex" -> "Exchange", "bex" -> "BroadcastExchange",
+      "smj" -> "SortMergeJoin", "bhj" -> "BroadcastHashJoin",
+      "shj" -> "ShuffledHashJoin", "bnl" -> "BroadcastNestedLoopJoin",
+      "cart" -> "CartesianProduct", "win" -> "Window", "gen" -> "Generate",
+      "agg" -> "HashAggregate", "sort" -> "Sort")
+    def fingerprint(df: org.apache.spark.sql.DataFrame): Seq[(String, Int)] = {
+      val nodes = df.queryExecution.executedPlan.treeString
+        .split("\n")
+        .flatMap { l =>
+          val s = l.dropWhile(c => !c.isLetter)
+          val t = s.takeWhile(_.isLetter)
+          if (t.nonEmpty) Some(t) else None
+        }
+      val tally = nodes.groupBy(identity).map { case (k, v) => k -> v.length }
+      planKeys.map { case (short, node) => short -> tally.getOrElse(node, 0) }
+    }
+    val plans = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, Int)]]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -50,6 +76,7 @@ object Verify {
         val df = fn(spark, sfDir)
         schemas(name) = df.schema.fields.toSeq
           .map(f => f.name -> f.dataType.catalogString)
+        plans(name) = fingerprint(df)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -77,6 +104,12 @@ object Verify {
           .mkString("{", ",", "}")}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/schemas.json"), schemaJson)
+    val planJson = plans
+      .map { case (g, counts) =>
+        s"${q(g)}: ${counts.map { case (k, n) => s"${q(k)}: $n" }
+          .mkString("{", ",", "}")}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/plans.json"), planJson)
     spark.stop()
   }
 }

@@ -84,16 +84,46 @@ def main(sf_dir, out_dir):
     # Verify's per-gate logical-schema sentinel (schemas.json): catches
     # hasher-sensitive Spark output types even when a gate's oracle is
     # rows-only (no SQL) and so never reaches the per-gate loop below.
+    # Gates that DO appear in oracle_sql.json are skipped here — the loop
+    # below re-checks them physically (parquet metadata + duckdb types),
+    # and counting both would overstate distinct failing gates.
     schemas_p = Path(out_dir) / "schemas.json"
     schema_fail = 0
     if schemas_p.exists():
         for gate, cols in sorted(json.loads(schemas_p.read_text()).items()):
+            if gate in oracle:
+                continue
             bad = [f"{c}: {t}" for c, t in cols.items()
                    if any(k in t.lower() for k in BANNED_LOGICAL)]
             if bad:
                 print(f"FAIL {gate}: hasher-divergent output type(s) {bad} — "
                       "cast to DOUBLE/STRING (round-1 e5_casts, round-12 u4)")
                 schema_fail += 1
+    # Plan-shape fingerprint diff (informational, never failing): Verify
+    # dumps per-gate physical-node counts to plans.json; compare against
+    # the committed prior-round baseline so a silently changed shape (new
+    # Exchange, broadcast join fallen to sort-merge) gets NAMED even when
+    # wall time hides it. Bench's per-gate bytes catch the cost; this
+    # names the cause.
+    plans_p = Path(out_dir) / "plans.json"
+    baseline_p = Path(__file__).parent / "plans_baseline.json"
+    if plans_p.exists() and baseline_p.exists():
+        cur = json.loads(plans_p.read_text())
+        base = json.loads(baseline_p.read_text())
+        changed = []
+        for gate in sorted(set(cur) & set(base)):
+            deltas = {k: (base[gate].get(k, 0), v)
+                      for k, v in cur[gate].items()
+                      if v != base[gate].get(k, 0)}
+            if deltas:
+                changed.append((gate, deltas))
+        for gate, deltas in changed:
+            print(f"PLAN {gate}: " + ", ".join(
+                f"{k} {a}->{b}" for k, (a, b) in sorted(deltas.items())))
+        print(f"== plans: {len(changed)} of {len(set(cur) & set(base))} "
+              f"gates changed shape vs baseline; "
+              f"{len(set(cur) - set(base))} new, "
+              f"{len(set(base) - set(cur))} gone (informational) ==")
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         res_dir = Path(out_dir) / name
