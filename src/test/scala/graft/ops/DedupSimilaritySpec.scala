@@ -446,6 +446,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"${exactCross.size} odd ids have exact cross-side 0.45-pairs")
   }
 
+  test("semDedupBetween accepts a kmeans-trained codebook and stays sound") {
+    // the scaladoc's drop-in claim, exercised: kmeansCodebook emits
+    // (cid, centv) without centn, semDedupBetween derives the norm.
+    // Soundness is codebook-INDEPENDENT (candidate pairs are real
+    // cosine pairs >= threshold, a subset of the exact cross-side pair
+    // set, whatever the clustering recall), so the same invariant the
+    // first-ids corpus leg pins must hold under the trained artifact.
+    val emb = T(spark, sf, "embeddings")
+    val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val odds = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val t = 0.45
+    val cb = SimilarityOps.kmeansCodebook(evens, "vec_id", "embedding",
+      nlist = 16, iters = 2)
+    val verdicts = SimilarityOps
+      .semDedupBetween(evens, odds, "vec_id", "embedding", cb, t)
+      .collect()
+    assert(verdicts.length == odds.count(),
+      "one verdict per delta row under the trained codebook")
+    val exactCross = DedupOps
+      .embeddingNearDupPairs(emb, "vec_id", "embedding", threshold = t)
+      .filter(pmod(col("a"), lit(2)) =!= pmod(col("b"), lit(2)))
+      .collect()
+      .map(r => Set(r.getAs[Long]("a"), r.getAs[Long]("b"))
+        .filter(_ % 2 == 1).head).toSet
+    val dropped = verdicts.filter(!_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("id")).toSet
+    dropped.foreach { b =>
+      assert(exactCross(b),
+        s"trained codebook dropped delta id $b without an exact " +
+          "cross-side pair justifying it")
+    }
+    info(s"trained codebook: ${dropped.size} of ${verdicts.length} " +
+      s"delta rows dropped (exact cross-side pair ids: ${exactCross.size})")
+  }
+
   test("PQ/SQ8 gate codes parse back: sq8 within one step, pq in range") {
     val sfDir = sf
     val emb = T(spark, sfDir, "embeddings")
