@@ -2076,6 +2076,68 @@ object GraphOps {
     require(unit > 0, s"landmarkBrandesUnits: unit must be > 0, got $unit")
     require(maxSigma >= 1 && unit < Long.MaxValue / maxSigma,
       s"landmarkBrandesUnits: unit × maxSigma must stay below 2^63")
+    val (e, rounds) =
+      sigmaWaves(edges, aCol, bCol, landmarks, lmCol, maxHops, maxSigma)
+    val out = brandesBackward(e, rounds, maxHops, unit, maxSigma, withEdges)
+    e.unpersist()
+    out
+  }
+
+  /** Brandes node+edge betweenness from PRE-COMPUTED σ waves — the
+    * sharing form: [[landmarkPathCounts]]' output (`lm`, `id`, `dist`,
+    * `sigma`, pinned) feeds the backward δ pass directly, so a suite
+    * whose path-count/effective-diameter gates and betweenness gates use
+    * the same (landmarks, maxHops) runs ONE forward BFS, not two. The
+    * waves may come from a forward pass with a laxer σ guard than this
+    * sweep's overflow proof needs, so σ is re-certified here (one agg on
+    * the pinned frame, driver-side fail-fast with the remedy) together
+    * with the hop-coverage contract; the undirected predecessor edge
+    * frame is rebuilt — edge-sized, the cost the shared forward pass
+    * already saved many times over.
+    *
+    * @param pathCounts [[landmarkPathCounts]] output for the SAME
+    *                   (edges, landmarks) and a maxHops ≥ this one
+    */
+  def landmarkBrandesFromCounts(
+      edges: DataFrame, aCol: String, bCol: String,
+      pathCounts: DataFrame, maxHops: Int,
+      unit: Long = 1000000L,
+      maxSigma: Long = 1L << 21): (DataFrame, DataFrame) = {
+    require(maxHops >= 1, s"landmarkBrandesFromCounts: maxHops must be >= 1, got $maxHops")
+    require(unit > 0, s"landmarkBrandesFromCounts: unit must be > 0, got $unit")
+    require(maxSigma >= 1 && unit < Long.MaxValue / maxSigma,
+      s"landmarkBrandesFromCounts: unit × maxSigma must stay below 2^63")
+    val probe = pathCounts.agg(
+      max("sigma").as("s"), max("dist").as("d")).head()
+    require(probe.getLong(0) <= maxSigma,
+      s"landmarkBrandesFromCounts: waves carry sigma ${probe.getLong(0)} > " +
+        s"maxSigma $maxSigma — the overflow proof needs σ ≤ maxSigma; " +
+        "raise maxSigma (and shrink unit to keep unit × maxSigma < 2^63)")
+    require(probe.getInt(1) <= maxHops,
+      s"landmarkBrandesFromCounts: waves reach dist ${probe.getInt(1)} > " +
+        s"maxHops $maxHops — pass the maxHops the waves were built with")
+    val dir = edges.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val e = dir
+      .union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rounds = (0 to maxHops).map(h => pathCounts.filter(col("dist") === h))
+    val (nodeOut, edgeOut) =
+      brandesBackward(e, rounds, maxHops, unit, maxSigma, withEdges = true)
+    e.unpersist()
+    (nodeOut, edgeOut.get)
+  }
+
+  /** Backward δ pass shared by [[brandesSweep]] (fresh forward waves)
+    * and [[landmarkBrandesFromCounts]] (pre-computed waves): `rounds` is
+    * one frame per hop (index = dist), `e` the persisted undirected
+    * predecessor edge frame. */
+  private def brandesBackward(
+      e: DataFrame, rounds: Seq[DataFrame], maxHops: Int,
+      unit: Long, maxSigma: Long,
+      withEdges: Boolean): (DataFrame, Option[DataFrame]) = {
     val deltaCeil = Long.MaxValue / maxSigma - unit
     def guardedLong(c: Column, what: String): Column =
       when(c > lit(deltaCeil).cast("decimal(38,0)"),
@@ -2085,8 +2147,6 @@ object GraphOps {
             "set; value = "),
           c.cast("string"))))
         .otherwise(coalesce(c, lit(0L).cast("decimal(38,0)"))).cast("long")
-    val (e, rounds) =
-      sigmaWaves(edges, aCol, bCol, landmarks, lmCol, maxHops, maxSigma)
     // Deepest wave: nothing below it, δ = 0 by definition.
     var deeper = rounds.last
       .select(col("lm"), col("id"), col("sigma"), lit(0L).as("delta"))
@@ -2143,7 +2203,6 @@ object GraphOps {
             guardedLong(col("_eb"), "edge score").as("eb_units"))
           .stagePin())
       else None
-    e.unpersist()
     (nodeOut, edgeOut)
   }
 

@@ -210,9 +210,14 @@ object GraphQueries {
   }
 
   /** One landmark-Brandes sweep shared by the node- and edge-betweenness
-    * gates ([[GraphOps.landmarkBrandesUnits]] returns both from a single
-    * forward+backward pass; memoizing the pair means the waves run once
-    * per corpus, not once per gate). */
+    * gates, built FROM the [[tradePathCounts]] forward waves
+    * ([[GraphOps.landmarkBrandesFromCounts]]): the four landmark gates
+    * (path counts, effective diameter, node betweenness, edge
+    * betweenness) use the same (landmark set, hop budget) on the same
+    * graph, so the suite runs ONE forward σ BFS per corpus — the
+    * betweenness pair additionally shares the backward δ pass. Before
+    * round 14 the betweenness sweep re-ran its own forward pass
+    * (~455 MB shuffle at sf0.1, duplicated). */
   private val brandesCache = new BoundedMemo[
     (org.apache.spark.sql.SparkSession, String),
     (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](4)
@@ -220,10 +225,8 @@ object GraphQueries {
   private def brandesPair(
       s: org.apache.spark.sql.SparkSession, d: String) =
     brandesCache.getOrElseUpdate((s, d)) {
-      GraphOps.landmarkBrandesUnits(tradeEdges(s, d), "src", "dst",
-        T(s, d, "supplier").filter(col("s_nationkey") === 0)
-          .select((col("s_suppkey") * 2 + 1).as("id")),
-        "id", maxHops = 3)
+      GraphOps.landmarkBrandesFromCounts(tradeEdges(s, d), "src", "dst",
+        tradePathCounts(s, d), maxHops = 3)
     }
 
   /** One landmark σ/dist sweep shared by `graph_path_counts` and

@@ -1314,6 +1314,47 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(sawSplit, "vacuous: no trial exercised a fractional sigma split")
   }
 
+  test("landmarkBrandesFromCounts == landmarkBrandesUnits; certification requires trip") {
+    import spark.implicits._
+    // the sharing form (backward pass fed by landmarkPathCounts' pinned
+    // waves) must agree EXACTLY with the fused sweep — same graph, same
+    // landmarks, same hop budget
+    val rnd = new scala.util.Random(11)
+    val n = 16
+    val edges = (for {
+      u <- 1 to n; v <- (u + 1) to n if rnd.nextInt(100) < 25
+    } yield (u.toLong, v.toLong)).distinct.toDF("a", "b")
+    val lms = Seq(1L, 5L, 9L).toDF("id")
+    val maxHops = 3
+    val waves = GraphOps.landmarkPathCounts(edges, "a", "b", lms, "id", maxHops)
+    val (nF, eF) = GraphOps.landmarkBrandesFromCounts(
+      edges, "a", "b", waves, maxHops)
+    val (nU, eU) = GraphOps.landmarkBrandesUnits(
+      edges, "a", "b", lms, "id", maxHops)
+    assert(nF.as[(Long, Long)].collect().toMap ==
+      nU.as[(Long, Long)].collect().toMap, "node scores diverged")
+    assert(eF.as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap ==
+      eU.as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap,
+      "edge scores diverged")
+    // σ certification: waves built under a lax guard must be rejected
+    // when their σ exceeds the backward pass's overflow-proof bound
+    val ex1 = intercept[IllegalArgumentException] {
+      GraphOps.landmarkBrandesFromCounts(edges, "a", "b", waves, maxHops,
+        maxSigma = 1L)
+    }
+    assert(ex1.getMessage.contains("maxSigma"), ex1.getMessage)
+    // hop-coverage contract: waves deeper than the declared budget fail
+    val deepWaves = GraphOps.landmarkPathCounts(edges, "a", "b", lms, "id",
+      maxHops = 5)
+    if (deepWaves.agg(org.apache.spark.sql.functions.max("dist"))
+        .head().getInt(0) > maxHops) {
+      val ex2 = intercept[IllegalArgumentException] {
+        GraphOps.landmarkBrandesFromCounts(edges, "a", "b", deepWaves, maxHops)
+      }
+      assert(ex2.getMessage.contains("maxHops"), ex2.getMessage)
+    }
+  }
+
   private def exceptionChain(t: Throwable): Seq[String] =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
       .map(x => Option(x.getMessage).getOrElse("")).toSeq
