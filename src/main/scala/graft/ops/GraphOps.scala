@@ -2109,13 +2109,18 @@ object GraphOps {
       s"landmarkBrandesFromCounts: unit × maxSigma must stay below 2^63")
     val probe = pathCounts.agg(
       max("sigma").as("s"), max("dist").as("d")).head()
-    require(probe.getLong(0) <= maxSigma,
-      s"landmarkBrandesFromCounts: waves carry sigma ${probe.getLong(0)} > " +
-        s"maxSigma $maxSigma — the overflow proof needs σ ≤ maxSigma; " +
-        "raise maxSigma (and shrink unit to keep unit × maxSigma < 2^63)")
-    require(probe.getInt(1) <= maxHops,
-      s"landmarkBrandesFromCounts: waves reach dist ${probe.getInt(1)} > " +
-        s"maxHops $maxHops — pass the maxHops the waves were built with")
+    // NULL probe = empty waves (empty landmark set or graph — legal at
+    // tiny scale factors): nothing to certify, the backward pass over
+    // empty rounds yields the same empty outputs as the fused sweep
+    if (!probe.isNullAt(0)) {
+      require(probe.getLong(0) <= maxSigma,
+        s"landmarkBrandesFromCounts: waves carry sigma ${probe.getLong(0)} > " +
+          s"maxSigma $maxSigma — the overflow proof needs σ ≤ maxSigma; " +
+          "raise maxSigma (and shrink unit to keep unit × maxSigma < 2^63)")
+      require(probe.getInt(1) <= maxHops,
+        s"landmarkBrandesFromCounts: waves reach dist ${probe.getInt(1)} > " +
+          s"maxHops $maxHops — pass the maxHops the waves were built with")
+    }
     val dir = edges.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
     val e = dir

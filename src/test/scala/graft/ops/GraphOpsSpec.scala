@@ -1336,6 +1336,14 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(eF.as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap ==
       eU.as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap,
       "edge scores diverged")
+    // empty waves (empty landmark set — tiny-SF smoke reality) must
+    // yield empty outputs, not a NULL-probe crash
+    val emptyWaves = GraphOps.landmarkPathCounts(edges, "a", "b",
+      Seq.empty[Long].toDF("id"), "id", maxHops)
+    val (nE, eE) = GraphOps.landmarkBrandesFromCounts(
+      edges, "a", "b", emptyWaves, maxHops)
+    assert(nE.count() == 0 && eE.count() == 0,
+      "empty waves must produce empty scores")
     // σ certification: waves built under a lax guard must be rejected
     // when their σ exceeds the backward pass's overflow-proof bound
     val ex1 = intercept[IllegalArgumentException] {
