@@ -1906,6 +1906,28 @@ object GraphOps {
     scores
   }
 
+  /** Harmonic closeness from PRE-COMPUTED σ/dist waves — the sharing
+    * form of [[landmarkHarmonicUnits]], same discipline as
+    * [[landmarkBrandesFromCounts]]: [[landmarkPathCounts]]' output
+    * already carries each (landmark, node) pair ONCE at its minimum
+    * distance (both BFS use the identical two-wave anti-join layering),
+    * so the closeness rollup is a single keyed aggregation over the
+    * pinned waves — no second BFS. `unit div dist` is the same
+    * host-side integer division the fused op folds per hop
+    * (`lit(unit / h)`), so scores are bit-identical.
+    *
+    * @return one row per reached node: (`id`, `n_landmarks`,
+    *         `harmonic_units`) — [[landmarkHarmonicUnits]]' contract
+    */
+  def landmarkHarmonicFromCounts(
+      pathCounts: DataFrame, unit: Long = 1000000L): DataFrame = {
+    require(unit > 0, s"landmarkHarmonicFromCounts: unit must be > 0, got $unit")
+    pathCounts.filter(col("dist") >= 1)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_landmarks"),
+        sum(expr(s"${unit}L div dist")).as("harmonic_units"))
+  }
+
   /** Shortest-path COUNTS from a landmark set — σ(l, v) = the number of
     * distinct shortest paths from landmark l to node v, with the
     * distance, per (landmark, reached node) pair. This is the exact

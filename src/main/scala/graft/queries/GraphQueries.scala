@@ -849,11 +849,12 @@ object GraphQueries {
     // recursive CTE and replays the same integer-division sum.
     Q(
       "graph_closeness_landmarks",
+      // reads the SHARED σ/dist waves ([[tradePathCounts]]) — same
+      // landmark set and hop budget as the betweenness/path-count
+      // gates, so the closeness rollup costs one keyed agg, not a
+      // third BFS over the trade graph (was 331 MB shuffle at sf0.1)
       (s, d) =>
-        GraphOps.landmarkHarmonicUnits(tradeEdges(s, d), "src", "dst",
-            T(s, d, "supplier").filter(col("s_nationkey") === 0)
-              .select((col("s_suppkey") * 2 + 1).as("id")),
-            "id", maxHops = 3)
+        GraphOps.landmarkHarmonicFromCounts(tradePathCounts(s, d))
           .orderBy("id"),
       Some("""WITH RECURSIVE eu AS (
              |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

@@ -805,6 +805,30 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(g2 == Map(2L -> ((1L, 1000000L)), 3L -> ((1L, 500000L))))
   }
 
+  test("landmarkHarmonicFromCounts == landmarkHarmonicUnits on random graphs") {
+    import spark.implicits._
+    // the sharing form (one keyed agg over landmarkPathCounts' waves)
+    // must be bit-identical to the fused BFS — both layer with the same
+    // two-wave anti-join, so each (lm, id) pair appears once at min
+    // dist, and `unit div dist` == the per-hop `lit(unit / h)` fold
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 15
+      val edges = (for {
+        u <- 1 to n; v <- (u + 1) to n if rnd.nextInt(100) < 20
+      } yield (u.toLong, v.toLong)).distinct.toDF("a", "b")
+      val lms = Seq(1L, 4L, 11L).toDF("id")
+      val maxHops = 3
+      val fused = GraphOps.landmarkHarmonicUnits(
+          edges, "a", "b", lms, "id", maxHops)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val shared = GraphOps.landmarkHarmonicFromCounts(
+          GraphOps.landmarkPathCounts(edges, "a", "b", lms, "id", maxHops))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(shared == fused, s"trial $trial diverged: $shared vs $fused")
+    }
+  }
+
   test("stronglyConnectedComponents: hand case — two 3-cycles, a bridge, a tail") {
     import spark.implicits._
     // SCCs: {1,2,3}, {4,5,6} (one-way bridge 3->4 does not merge them),
